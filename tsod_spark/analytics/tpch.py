@@ -1,0 +1,179 @@
+"""Star-schema analytics over the TPC-H-ish testdata.
+
+Cross-engine float discipline: money columns are 2-decimal doubles, so
+every SUM is computed in exact integer cents (``round(x*100)`` cast to
+BIGINT) and divided back at the end — bit-identical totals regardless
+of partial-aggregation order, in Spark and in any SQL oracle. Averages
+divide two exact integers.
+
+Scale notes: joins to region/nation/supplier/customer are broadcast
+(dimension tables); fact-fact joins (orders-lineitem) shuffle on the
+join key with AQE handling skew; all filters sit directly on the scan
+so parquet min/max pruning and dictionary pushdown apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cents(col) -> Column:
+    """Exact integer cents for a 2-decimal double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def pct(col) -> Column:
+    """Exact integer percent for a 2-decimal fraction column (0.07 -> 7)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "2000-12-01") -> DataFrame:
+    """TPC-H Q1 shape: grouped pricing summary with exact-cent sums.
+
+    disc_price = extprice*(1-disc) and charge = disc_price*(1+tax) are
+    computed in the integer domain: cents * (100-d) [* (100+t)] with
+    the scale divided out after summation.
+    """
+    li = lineitem.where(F.col("l_shipdate") <= F.lit(cutoff))
+    c = cents("l_extendedprice")
+    d = pct("l_discount")
+    t = pct("l_tax")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            (F.sum(c) / 100.0).alias("sum_base_price"),
+            (F.sum(c * (100 - d)) / 10000.0).alias("sum_disc_price"),
+            (F.sum(c * (100 - d) * (100 + t)) / 1000000.0).alias("sum_charge"),
+            F.round(F.sum(qty) / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum(c) / 100.0 / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.round(F.sum(d) / 100.0 / F.count(F.lit(1)), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    date: str = "1998-06-15",
+) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue.
+
+    customer is a broadcast dim; orders-lineitem shuffles on orderkey.
+    """
+    rev = F.sum(cents("l_extendedprice") * (100 - pct("l_discount"))) / 10000.0
+    return (
+        lineitem.where(F.col("l_shipdate") > F.lit(date))
+        .join(orders.where(F.col("o_orderdate") < F.lit(date)), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.where(F.col("c_mktsegment") == segment)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("o_orderdate"), "o_orderpriority")
+    )
+
+
+def q5_local_supplier_volume(
+    customer, orders, lineitem, supplier, nation, region, region_name="ASIA",
+    date_from="1996-01-01", date_to="1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where customer and supplier
+    share the nation. nation/region/supplier broadcast."""
+    rev = F.sum(cents("l_extendedprice") * (100 - pct("l_discount"))) / 10000.0
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where((F.col("o_orderdate") >= F.lit(date_from)) & (F.col("o_orderdate") < F.lit(date_to)))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == region_name)), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q6_forecast_revenue(
+    lineitem, date_from="1996-01-01", date_to="1997-01-01",
+    disc_lo=0.05, disc_hi=0.07, max_qty=24,
+) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate pushes
+    to the parquet reader."""
+    d = pct("l_discount")
+    rev = F.sum(cents("l_extendedprice") * d) / 10000.0
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from))
+            & (F.col("l_shipdate") < F.lit(date_to))
+            & (d >= int(round(disc_lo * 100)))
+            & (d <= int(round(disc_hi * 100)))
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(rev.alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def top_customers(customer, orders, top_n: int = 10) -> DataFrame:
+    """Top customers by lifetime spend (broadcast dim join + top-k)."""
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            (F.sum(cents("o_totalprice")) / 100.0).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "total_spend", "n_orders")
+        .orderBy(F.desc("total_spend"), "c_custkey")
+        .limit(top_n)
+    )
+
+
+def events_daily(events: DataFrame) -> DataFrame:
+    """Per-day, per-type event rollup (the hypertable-rollup shape)."""
+    return (
+        events.groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(cents("value")) / 100.0 / F.count(F.lit(1)), 6).alias("avg_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization: one ordered window per user, cumulative
+    sum of new-session flags, then per-session rollup. At scale this is
+    exactly one shuffle on user_id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))) / 1000000.0
+    new_sess = F.when(F.coalesce(gap > gap_seconds, F.lit(True)), 1).otherwise(0)
+    with_sess = events.withColumn(
+        "session_id", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            ((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 1000000.0).alias(
+                "duration_sec"
+            ),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -1,0 +1,132 @@
+"""Embedding similarity search — brute-force top-k and LSH/IVF scale paths.
+
+The dot product stays JVM-side: ``zip_with`` + ``aggregate`` over the
+array columns after widening float32 -> double (both engines then do the
+identical left-to-right double summation — bit-stable across engines).
+
+Scale paths:
+
+- brute-force top-k: broadcast the query vector(s); one scan, one
+  narrow top-k (TakeOrderedAndProject) — optimal for few queries.
+- knn join: broadcast the small query side, per-query row_number
+  window over scores. For large query sets switch the window partition
+  to the query id — shuffle is (query_id, score) pairs only.
+- sign-LSH buckets: 8 sign bits -> 256 buckets; bucket equality as a
+  pre-join blocking key turns all-pairs into per-bucket pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact double dot product with deterministic summation order."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against one stored vector (the baseline
+    every ANN variant is measured against)."""
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    scored = (
+        embeddings.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col(vec_col), F.col("__q")), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(k)
+
+
+def knn_join(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors for each of the first ``n_queries`` vectors."""
+    q = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col(vec_col).alias("__q")
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col(vec_col), F.col("__q")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def sign_lsh_bucket(vec: Column, n_bits: int = 8) -> Column:
+    """Sign-of-coordinate LSH bucket id in [0, 2^n_bits).
+
+    Production variant projects onto random hyperplanes; coordinate
+    signs keep the transform engine-portable and deterministic while
+    exercising the identical plan shape.
+    """
+    bits = [
+        F.when(F.element_at(vec, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(n_bits)
+    ]
+    return sum(bits).cast("int")
+
+
+def lsh_bucket_histogram(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Bucket occupancy — the partition-balance diagnostic for the ANN
+    index (skewed buckets = skewed joins)."""
+    return (
+        embeddings.select(sign_lsh_bucket(F.col(vec_col)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def lsh_near_pairs(
+    embeddings: DataFrame,
+    min_cosine: float = 0.9,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: same LSH bucket AND cosine >= τ.
+
+    The bucket-equality blocking key turns the quadratic all-pairs scan
+    into per-bucket joins (the IVF-style scale path)."""
+    base = embeddings.select(
+        "vec_id", F.col(vec_col).alias("v"), sign_lsh_bucket(F.col(vec_col)).alias("bucket")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= min_cosine)
+    )

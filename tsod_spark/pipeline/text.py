@@ -1,0 +1,128 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure Column algebra (JVM-side, codegen-friendly, no
+Python UDFs) over a ``documents(doc_id, text, ...)`` table, designed so
+an ANSI-SQL oracle can express the identical computation:
+
+- tokenization = regex split + empty filter;
+- hashes = md5 (available and bit-identical in every engine);
+- language ID = marker-token scoring with a deterministic arg-max;
+- quality stats = length/ratio arithmetic on exact ints.
+
+At 100 TB these are embarrassingly parallel scans — no shuffle at all
+unless the caller aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic marker vocabularies for the n-gram/stopword language
+# heuristic. Order matters: ties resolve to the earlier language.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "zh": ["de", "shi", "zai", "le", "he"],
+}
+
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"  # BPE-ish: runs of letters, digits, or single symbols
+
+
+def tokens(text: Column) -> Column:
+    """Lower-cased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+
+
+def distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: token counts, type-token ratio,
+    mean word length, a composite quality score."""
+    t = tokens(F.col(text_col))
+    n_words = F.size(t)
+    n_uniq = F.size(F.array_distinct(t))
+    total_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    ttr = F.round(n_uniq / n_words, 6)
+    mean_wlen = F.round(total_len / n_words, 6)
+    # crude quality: long-enough docs with diverse vocab score higher
+    quality = F.round(
+        F.least(F.length(F.col(text_col)) / F.lit(500.0), F.lit(1.0)) * (n_uniq / n_words),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        n_uniq.cast("long").alias("n_uniq_words"),
+        ttr.alias("type_token_ratio"),
+        mean_wlen.alias("mean_word_len"),
+        quality.alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex token count (SURVEY 'token
+    counting')."""
+    ws = F.size(tokens(F.col(text_col)))
+    bpe = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_TOKEN_RE), 0))
+    return docs.select(
+        "doc_id", ws.cast("long").alias("ws_tokens"), bpe.cast("long").alias("bpe_tokens")
+    )
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    t = tokens(text)
+    out = []
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(t, lambda x: F.array_contains(marker_arr, x)))
+        out.append((lang, score))
+    return out
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language ID with deterministic tie-breaking (first
+    language in LANG_MARKERS order wins ties)."""
+    scores = lang_scores(F.col(text_col))
+    langs = [lang for lang, _ in scores]
+    cols = [c for _, c in scores]
+    pred = F.lit(langs[-1])
+    # fold from the back so earlier languages win ties
+    for i in range(len(langs) - 2, -1, -1):
+        cond = None
+        for j in range(i + 1, len(langs)):
+            c = cols[i] >= cols[j]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(langs[i])).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        *[c.cast("long").alias(f"score_{lang}") for lang, c in scores],
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("matches_label"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints:
+
+    - ``content_md5``: md5 of the raw text (exact-dup key);
+    - ``bag_md5``: md5 of the sorted distinct token bag (word-order- and
+      repetition-insensitive near-dup key);
+    - ``bag_hash``: 32-bit rolling-style integer hash of the bag (sum of
+      per-token md5-prefix ints mod 2^31) — cheap join/partition key.
+    """
+    toks = F.array_sort(distinct_tokens(F.col(text_col)))
+    bag = F.array_join(toks, " ")
+    tok_int = lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")  # noqa: E731
+    bag_hash = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: (acc + tok_int(x)) % F.lit(2147483647).cast("long"))
+    return docs.select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("content_md5"),
+        F.md5(bag).alias("bag_md5"),
+        bag_hash.alias("bag_hash"),
+    )

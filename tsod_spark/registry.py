@@ -1,0 +1,769 @@
+"""Driver-facing query registry: Spark query builders + DuckDB oracle SQL.
+
+Every operator from SURVEY.md §2 (and the LLM-pipeline additions) gets a
+``(spark, sf_dir) -> DataFrame`` builder here plus, where SQL can
+express it, an ANSI-SQL twin with IDENTICAL semantics:
+
+- anomaly flags are booleans (exact), keys are ints (exact);
+- money sums run in integer cents (bit-exact across engines regardless
+  of partial-aggregation order);
+- unavoidable float outputs (quantiles, stddev, cosine) are computed
+  with the same operation order/association in both engines and
+  rounded to 6 decimals;
+- integer outputs are cast to 64-bit on both sides.
+
+Column names are aliased identically on both sides (the driver's
+compare sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analytics import tpch
+from .detectors import (
+    CombinedDetector,
+    ConstantGradientDetector,
+    ConstantValueDetector,
+    DiffDetector,
+    GradientDetector,
+    HampelDetector,
+    RangeDetector,
+    RollingStandardDeviationDetector,
+)
+from .detectors.gradient import gradient_col
+from .expressions import as_pred
+from .features import create_dataset, lag_time_series
+from .frame import TimeSeriesFrame
+from .pipeline import dedup, multimodal, similarity, text
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table, normalizing timestamp encodings.
+
+    The driver's events.parquet stores TIMESTAMP(NANOS) which Spark's
+    vectorized reader rejects; read it as raw nanos and truncate to
+    microseconds (identical to what SQL engines reading the same file
+    do natively, so oracle parity holds)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def events_tsf(spark: SparkSession, sf_dir: str) -> TimeSeriesFrame:
+    return TimeSeriesFrame(
+        table(spark, sf_dir, "events"),
+        ts_col="ts",
+        value_col="value",
+        series=["user_id"],
+        tiebreak=["event_id"],
+    )
+
+
+# oracle fragments ----------------------------------------------------------
+
+E_CTE = (
+    "WITH e AS (SELECT event_id, user_id, event_type, ts, "
+    "CASE WHEN isnan(value) THEN NULL ELSE value END AS v FROM events)"
+)
+W = "PARTITION BY user_id ORDER BY ts, event_id"
+P = "PARTITION BY user_id"
+TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+DTOKS = f"list_distinct({TOKS})"
+HIGH_HEX = "('8','9','a','b','c','d','e','f')"
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# tsod detector queries (SURVEY §2.1) on the events table, keyed by user_id
+
+
+@register(
+    "ts_range",
+    f"{E_CTE} SELECT event_id, coalesce(v < 1.0 OR v > 300.0, FALSE) AS is_anomaly FROM e",
+)
+def ts_range(spark, sf_dir):
+    """D1 RangeDetector with fixed bounds (detectors.py:121-130)."""
+    out = RangeDetector(1.0, 300.0).detect(events_tsf(spark, sf_dir))
+    return out.select("event_id", "is_anomaly")
+
+
+@register(
+    "ts_range_quantile",
+    f"""{E_CTE}, s AS (
+      SELECT event_id, v,
+             quantile_cont(v, 0.02) OVER ({P}) AS lo,
+             quantile_cont(v, 0.98) OVER ({P}) AS hi
+      FROM e)
+    SELECT event_id, coalesce(v < lo OR v > hi, FALSE) AS is_anomaly FROM s""",
+)
+def ts_range_quantile(spark, sf_dir):
+    """D1f quantile fit + detect in one pass (detectors.py:104-119)."""
+    out = RangeDetector(quantiles=[0.02, 0.98]).fit_detect(events_tsf(spark, sf_dir))
+    return out.select("event_id", "is_anomaly")
+
+
+@register(
+    "ts_diff",
+    f"{E_CTE} SELECT event_id, coalesce(abs(v - lag(v) OVER ({W})) > 80.0, FALSE) AS is_anomaly FROM e",
+)
+def ts_diff(spark, sf_dir):
+    """D2 DiffDetector (detectors.py:172-178)."""
+    out = DiffDetector(80.0).detect(events_tsf(spark, sf_dir))
+    return out.select("event_id", "is_anomaly")
+
+
+@register(
+    "ts_diff_fit",
+    f"""{E_CTE}, d AS (
+      SELECT event_id, event_type, user_id, ts, v - lag(v) OVER ({W}) AS dv FROM e),
+    t AS (SELECT event_id, dv,
+          max(CASE WHEN event_type <> 'error' THEN dv END) OVER ({P}) AS thr FROM d)
+    SELECT event_id, coalesce(abs(dv) > thr, FALSE) AS is_anomaly FROM t""",
+)
+def ts_diff_fit(spark, sf_dir):
+    """D2f: per-series signed-max diff learned on non-error ("normal")
+    events, single pass (detectors.py:166-170 semantics)."""
+    tsf = events_tsf(spark, sf_dir)
+    df = tsf.df.withColumn("__d", tsf.value - F.lag(tsf.value).over(tsf.w()))
+    tsf2 = tsf.with_df(df)
+    thr = F.max(F.when(F.col("event_type") != "error", F.col("__d"))).over(tsf2.w_all())
+    return df.select("event_id", as_pred(F.abs(F.col("__d")) > thr).alias("is_anomaly"))
+
+
+GRAD_SQL = (
+    f"(v - lag(v) OVER ({W})) / "
+    f"((epoch_us(ts) - lag(epoch_us(ts)) OVER ({W})) / 1000000.0)"
+)
+
+
+@register(
+    "ts_gradient",
+    f"{E_CTE} SELECT event_id, coalesce(abs({GRAD_SQL}) > 0.005, FALSE) AS is_anomaly FROM e",
+)
+def ts_gradient(spark, sf_dir):
+    """D3 GradientDetector (detectors.py:311-318; kernel base.py:82-90)."""
+    out = GradientDetector(0.005).detect(events_tsf(spark, sf_dir))
+    return out.select("event_id", "is_anomaly")
+
+
+@register(
+    "ts_gradient_fit",
+    f"""{E_CTE}, g AS (SELECT event_id, event_type, user_id, {GRAD_SQL} AS gv FROM e),
+    t AS (SELECT event_id, gv,
+          max(CASE WHEN event_type <> 'error' THEN abs(gv) END) OVER ({P}) AS thr FROM g)
+    SELECT event_id, coalesce(abs(gv) > thr, FALSE) AS is_anomaly FROM t""",
+)
+def ts_gradient_fit(spark, sf_dir):
+    """D3f: per-series max |gradient| learned on non-error events
+    (detectors.py:305-309 semantics)."""
+    tsf = events_tsf(spark, sf_dir)
+    df = tsf.df.withColumn("__g", gradient_col(tsf))
+    tsf2 = tsf.with_df(df)
+    thr = F.max(F.when(F.col("event_type") != "error", F.abs(F.col("__g")))).over(
+        tsf2.w_all()
+    )
+    return df.select("event_id", as_pred(F.abs(F.col("__g")) > thr).alias("is_anomaly"))
+
+
+ROLLSTD_FR = f"{W} ROWS BETWEEN 5 PRECEDING AND 4 FOLLOWING"
+
+
+@register(
+    "ts_rolling_std",
+    f"""{E_CTE}, s AS (
+      SELECT event_id,
+             CASE WHEN count(v) OVER fr >= 10 THEN stddev_samp(v) OVER fr END AS sd,
+             row_number() OVER ({W}) AS rn
+      FROM e WINDOW fr AS ({ROLLSTD_FR}))
+    SELECT event_id, coalesce(sd > 80.0, FALSE) AND rn <> 1 AS is_anomaly FROM s""",
+)
+def ts_rolling_std(spark, sf_dir):
+    """D4 RollingStandardDeviationDetector, centered window + min_periods
+    guard (detectors.py:210-216)."""
+    out = RollingStandardDeviationDetector(10, 80.0).detect(events_tsf(spark, sf_dir))
+    return out.select("event_id", "is_anomaly")
+
+
+@register(
+    "ts_rolling_std_fit",
+    f"""{E_CTE}, s AS (
+      SELECT event_id, event_type, user_id, ts,
+             CASE WHEN count(v) OVER fc >= 10 THEN stddev_samp(v) OVER fc END AS sd,
+             CASE WHEN count(v) OVER ft >= 10 THEN stddev_samp(v) OVER ft END AS sdt,
+             row_number() OVER ({W}) AS rn
+      FROM e WINDOW fc AS ({ROLLSTD_FR}),
+                  ft AS ({W} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+    t AS (SELECT event_id, sd, rn,
+          max(CASE WHEN event_type <> 'error' THEN sdt END) OVER ({P}) AS thr FROM s)
+    SELECT event_id, coalesce(sd > thr, FALSE) AND rn <> 1 AS is_anomaly FROM t""",
+)
+def ts_rolling_std_fit(spark, sf_dir):
+    """D4f: threshold = per-series max *trailing* rolling std anchored on
+    non-error rows; detect uses the centered window (the reference's
+    fit/detect window asymmetry, detectors.py:205-216)."""
+    from .windows import rolling
+
+    tsf = events_tsf(spark, sf_dir)
+    w = tsf.w()
+    df = tsf.df.withColumn(
+        "__sd", rolling(F.stddev_samp, tsf.value, w, 10, center=True)
+    ).withColumn("__sdt", rolling(F.stddev_samp, tsf.value, w, 10, center=False))
+    tsf2 = tsf.with_df(df)
+    thr = F.max(F.when(F.col("event_type") != "error", F.col("__sdt"))).over(tsf2.w_all())
+    rn = F.row_number().over(tsf2.w())
+    return df.select(
+        "event_id", (as_pred(F.col("__sd") > thr) & (rn != 1)).alias("is_anomaly")
+    )
+
+
+def _const_sql(val: str, thr: float, w_size: int = 3) -> str:
+    """Oracle fragment: ConstantValueDetector pipeline over column
+    expression ``val`` of CTE ``x`` (centered max-min, min_periods guard,
+    edge mask, ±1 dilation)."""
+    half = f"ROWS BETWEEN {w_size // 2} PRECEDING AND {w_size - w_size // 2 - 1} FOLLOWING"
+    return f"""
+    c AS (SELECT event_id, user_id, ts,
+          CASE WHEN count({val}) OVER fr >= {w_size} THEN max({val}) OVER fr END AS mx,
+          CASE WHEN count({val}) OVER fr >= {w_size} THEN min({val}) OVER fr END AS mn,
+          row_number() OVER ({W}) AS rn,
+          count(*) OVER ({P}) AS cnt
+      FROM x WINDOW fr AS ({W} {half})),
+    k AS (SELECT event_id, user_id, ts,
+          (coalesce(abs(mx - mn) < {thr}, FALSE) AND rn <> 1 AND rn <> cnt) AS core FROM c)
+    SELECT event_id, coalesce(core OR lag(core) OVER ({W}) OR lead(core) OVER ({W}), FALSE) AS is_anomaly
+    FROM k"""
+
+
+@register(
+    "ts_constant_value",
+    f"{E_CTE}, x AS (SELECT * FROM e), {_const_sql('v', 5.0)}",
+)
+def ts_constant_value(spark, sf_dir):
+    """D5 ConstantValueDetector (detectors.py:237-251). Threshold 5.0
+    flags low-variability stretches of this continuous-valued data."""
+    out = ConstantValueDetector(3, 5.0).detect(events_tsf(spark, sf_dir))
+    return out.select("event_id", "is_anomaly")
+
+
+@register(
+    "ts_constant_gradient",
+    f"""{E_CTE},
+    x AS (SELECT event_id, user_id, ts,
+          {GRAD_SQL} AS gf,
+          (v - lead(v) OVER ({W})) / ((epoch_us(ts) - lag(epoch_us(ts)) OVER ({W})) / 1000000.0) AS gb
+      FROM e),
+    fwd AS (WITH {_const_sql('gf', 1e-07)}),
+    bwd AS (WITH {_const_sql('gb', 1e-07)})
+    SELECT fwd.event_id, (fwd.is_anomaly OR bwd.is_anomaly) AS is_anomaly
+    FROM fwd JOIN bwd USING (event_id)""",
+)
+def ts_constant_gradient(spark, sf_dir):
+    """D6 ConstantGradientDetector: D5 pipeline over forward and backward
+    gradients, OR-combined (detectors.py:271-276)."""
+    out = ConstantGradientDetector(3).detect(events_tsf(spark, sf_dir))
+    return out.select("event_id", "is_anomaly")
+
+
+@register(
+    "ts_hampel",
+    f"""{E_CTE}, h AS (
+      SELECT event_id, v,
+             median(v) OVER fr AS med,
+             mad(v) OVER fr AS madr,
+             row_number() OVER ({W}) AS rn,
+             count(*) OVER ({P}) AS cnt
+      FROM e WINDOW fr AS ({W} ROWS BETWEEN 5 PRECEDING AND 4 FOLLOWING))
+    SELECT event_id,
+           (rn > 5 AND rn <= cnt - 5) AND coalesce(abs(v - med) > 3.0 * (1.4826 * madr), FALSE) AS is_anomaly
+    FROM h""",
+)
+def ts_hampel(spark, sf_dir):
+    """D7 HampelDetector: half-open window [t-w, t+w), exact rolling
+    median/MAD, interior points only (hampel.py:27-60)."""
+    out = HampelDetector(5, 3).detect(events_tsf(spark, sf_dir))
+    return out.select("event_id", "is_anomaly")
+
+
+@register(
+    "ts_combined",
+    f"""{E_CTE}, x AS (SELECT * FROM e),
+    cv AS (WITH {_const_sql('v', 5.0)})
+    SELECT e.event_id,
+           (coalesce(e.v < 1.0 OR e.v > 300.0, FALSE)
+            OR coalesce(abs(e.v - lag(e.v) OVER ({W})) > 80.0, FALSE)
+            OR cv.is_anomaly) AS is_anomaly
+    FROM e JOIN cv USING (event_id)""",
+)
+def ts_combined(spark, sf_dir):
+    """D8 CombinedDetector: one fused plan, one scan, one sort — vs the
+    reference's N sequential passes (detectors.py:43-49)."""
+    det = CombinedDetector(
+        [RangeDetector(1.0, 300.0), DiffDetector(80.0), ConstantValueDetector(3, 5.0)]
+    )
+    out = det.detect(events_tsf(spark, sf_dir))
+    return out.select("event_id", "is_anomaly")
+
+
+@register(
+    "ts_lag_features",
+    f"""{E_CTE} SELECT event_id,
+           lag(v, 1) OVER ({W}) AS lag_1,
+           lag(v, 2) OVER ({W}) AS lag_2,
+           lag(v, 3) OVER ({W}) AS lag_3
+    FROM e""",
+)
+def ts_lag_features(spark, sf_dir):
+    """F1 lag_time_series (features.py:5-23)."""
+    out = lag_time_series(events_tsf(spark, sf_dir), [1, 2, 3])
+    return out.select(
+        "event_id",
+        F.col("1").alias("lag_1"),
+        F.col("2").alias("lag_2"),
+        F.col("3").alias("lag_3"),
+    )
+
+
+@register(
+    "ts_window_dataset",
+    f"""{E_CTE}, s AS (
+      SELECT event_id,
+             lag(v, 4) OVER ({W}) AS x1,
+             lag(v, 3) OVER ({W}) AS x2,
+             lag(v, 2) OVER ({W}) AS x3,
+             lag(v, 1) OVER ({W}) AS x4,
+             v AS y
+      FROM e)
+    SELECT event_id, x1, x2, x3, x4, y FROM s
+    WHERE x1 IS NOT NULL AND x2 IS NOT NULL AND x3 IS NOT NULL AND x4 IS NOT NULL""",
+)
+def ts_window_dataset(spark, sf_dir):
+    """F2 create_dataset: trailing feature windows for MLlib
+    (features.py:26-32)."""
+    out = create_dataset(events_tsf(spark, sf_dir), time_steps=4)
+    return out.select(
+        "event_id",
+        *[F.element_at("features", i + 1).alias(f"x{i + 1}") for i in range(4)],
+        "y",
+    )
+
+
+# ---------------------------------------------------------------------------
+# star-schema analytics (SURVEY §7 phase 4)
+
+
+@register(
+    "tpch_q1",
+    """WITH li AS (SELECT l_returnflag, l_linestatus,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+           CAST(round(l_discount * 100) AS BIGINT) AS d,
+           CAST(round(l_tax * 100) AS BIGINT) AS t,
+           CAST(round(l_quantity) AS BIGINT) AS q
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01')
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(q) AS BIGINT) AS sum_qty,
+           sum(c) / 100.0 AS sum_base_price,
+           sum(c * (100 - d)) / 10000.0 AS sum_disc_price,
+           sum(c * (100 - d) * (100 + t)) / 1000000.0 AS sum_charge,
+           round(sum(q) / count(*), 6) AS avg_qty,
+           round(sum(c) / 100.0 / count(*), 6) AS avg_price,
+           round(sum(d) / 100.0 / count(*), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM li GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus""",
+)
+def tpch_q1(spark, sf_dir):
+    return tpch.q1_pricing_summary(table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "tpch_q3",
+    """SELECT l_orderkey,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+           CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1998-06-15'
+    JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+    WHERE l_shipdate > TIMESTAMP '1998-06-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def tpch_q3(spark, sf_dir):
+    return tpch.q3_shipping_priority(
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "tpch_q5",
+    """SELECT n_name,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name""",
+)
+def tpch_q5(spark, sf_dir):
+    return tpch.q5_local_supplier_volume(
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "tpch_q6",
+    """WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                          CAST(round(l_discount * 100) AS BIGINT) AS d
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        AND l_quantity < 24)
+    SELECT sum(c * d) / 10000.0 AS revenue, CAST(count(*) AS BIGINT) AS n_items FROM li""",
+)
+def tpch_q6(spark, sf_dir):
+    return tpch.q6_forecast_revenue(table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "top_customers",
+    """SELECT c_custkey, c_name,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_spend,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_spend DESC, c_custkey LIMIT 10""",
+)
+def top_customers(spark, sf_dir):
+    return tpch.top_customers(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "events_daily",
+    """SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*), 6) AS avg_value
+    FROM events GROUP BY CAST(ts AS DATE), event_type
+    ORDER BY day, event_type""",
+)
+def events_daily(spark, sf_dir):
+    return tpch.events_daily(table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sessions",
+    f"""WITH g AS (
+      SELECT user_id, event_id, ts,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER ({W})) / 1000000.0 AS gap
+      FROM events),
+    s AS (SELECT user_id, event_id, ts,
+          sum(CASE WHEN coalesce(gap > 1800, TRUE) THEN 1 ELSE 0 END)
+            OVER ({W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0 AS duration_sec
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_id""",
+)
+def events_sessions(spark, sf_dir):
+    return tpch.sessionize(table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis (pipeline/text.py)
+
+
+@register(
+    "doc_stats",
+    f"""WITH d AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_words,
+           round(len(list_distinct(toks)) / len(toks), 6) AS type_token_ratio,
+           round(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) / len(toks), 6) AS mean_word_len,
+           round(least(length(text) / 500.0, 1.0) * (len(list_distinct(toks)) / len(toks)), 6) AS quality_score
+    FROM d""",
+)
+def doc_stats(spark, sf_dir):
+    return text.text_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_token_counts",
+    f"""SELECT doc_id,
+           CAST(len({TOKS}) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{text.BPE_TOKEN_RE}')) AS BIGINT) AS bpe_tokens
+    FROM documents""",
+)
+def doc_token_counts(spark, sf_dir):
+    return text.token_counts(table(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    langs = list(text.LANG_MARKERS)
+    scores = []
+    for lang, markers in text.LANG_MARKERS.items():
+        in_list = ", ".join(f"'{m}'" for m in markers)
+        scores.append(
+            f"CAST(len(list_filter(toks, x -> x IN ({in_list}))) AS BIGINT) AS score_{lang}"
+        )
+    whens = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"score_{lang} >= score_{l2}" for l2 in langs[i + 1 :])
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{langs[-1]}' END"
+    return f"""WITH d AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, lang, {', '.join(scores)} FROM d)
+    SELECT doc_id, {', '.join('score_' + lang for lang in langs)},
+           {case} AS predicted_lang,
+           ({case}) = lang AS matches_label
+    FROM s"""
+
+
+@register("doc_lang_id", _lang_sql())
+def doc_lang_id(spark, sf_dir):
+    return text.lang_id(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    f"""WITH d AS (SELECT doc_id, text, list_sort({DTOKS}) AS toks FROM documents)
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           md5(array_to_string(toks, ' ')) AS bag_md5,
+           CAST(list_sum(list_transform(toks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)) % 2147483647 AS BIGINT) AS bag_hash
+    FROM d""",
+)
+def doc_fingerprints(spark, sf_dir):
+    return text.fingerprints(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# deduplication (pipeline/dedup.py)
+
+
+@register(
+    "dedup_exact",
+    """SELECT doc_id,
+           CAST(count(*) OVER wd AS BIGINT) AS group_size,
+           min(doc_id) OVER wd AS keeper_doc_id,
+           (count(*) OVER wd) > 1 AS is_duplicate_group
+    FROM documents WINDOW wd AS (PARTITION BY md5(text))""",
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(table(spark, sf_dir, "documents"))
+
+
+def _mh_cols_sql(k: int = 8) -> str:
+    return ", ".join(
+        f"list_min(list_transform(dtoks, t -> md5('{i}:' || t))) AS mh{i}" for i in range(k)
+    )
+
+
+@register(
+    "dedup_minhash_sig",
+    f"""WITH d AS (SELECT doc_id, {DTOKS} AS dtoks FROM documents)
+    SELECT doc_id, {_mh_cols_sql()} FROM d""",
+)
+def dedup_minhash_sig(spark, sf_dir):
+    return dedup.minhash_signatures(table(spark, sf_dir, "documents"))
+
+
+def _mh_pairs_sql(k: int = 8, bands: int = 4) -> str:
+    r = k // bands
+    mh_list = ", ".join(f"mh{i}" for i in range(k))
+    band_selects = []
+    for b in range(bands):
+        key = " || ".join(f"mh{b * r + i}" for i in range(r))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({key}) AS key, {mh_list} FROM sig"
+        )
+    bands_cte = " UNION ALL ".join(band_selects)
+    matches = " + ".join(f"CAST(a.mh{i} = b.mh{i} AS INT)" for i in range(k))
+    return f"""WITH d AS (SELECT doc_id, {DTOKS} AS dtoks FROM documents),
+    sig AS (SELECT doc_id, {_mh_cols_sql(k)} FROM d),
+    bands AS ({bands_cte})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(({matches}) / {float(k)}, 6) AS est_jaccard
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
+
+
+@register("dedup_minhash_pairs", _mh_pairs_sql())
+def dedup_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_band_pairs(table(spark, sf_dir, "documents"))
+
+
+def _simhash_sql(toks: str = "toks") -> str:
+    terms = []
+    for b in range(16):
+        terms.append(
+            f"(CASE WHEN 2 * len(list_filter({toks}, t -> substr(md5(t), {b + 1}, 1) IN {HIGH_HEX})) >= len({toks}) THEN {1 << b} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+@register(
+    "dedup_simhash",
+    f"""WITH d AS (SELECT doc_id, {DTOKS} AS toks FROM documents)
+    SELECT doc_id, {_simhash_sql()} AS simhash FROM d""",
+)
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_fingerprints(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""WITH d AS (SELECT doc_id, {DTOKS} AS toks FROM documents),
+    sig AS (SELECT doc_id, {_simhash_sql()} AS simhash FROM d),
+    c AS (SELECT doc_id, simhash, simhash // 256 AS chunk_hi, simhash % 256 AS chunk_lo FROM sig)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM c a JOIN c b
+      ON (a.chunk_hi = b.chunk_hi OR a.chunk_lo = b.chunk_lo) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_jaccard_topk",
+    f"""WITH d AS (SELECT doc_id, source AS blk, {DTOKS} AS toks FROM documents),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS inter,
+             len(a.toks) + len(b.toks) AS tot
+          FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (tot - inter), 6) AS jaccard
+    FROM p ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
+)
+def dedup_jaccard_topk(spark, sf_dir):
+    return dedup.jaccard_pairs(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity (pipeline/similarity.py)
+
+EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@register(
+    "emb_cosine_topk",
+    f"""WITH q AS (SELECT {EMB_D} AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT vec_id, {EMB_D} AS ve FROM embeddings WHERE vec_id <> 0)
+    SELECT vec_id,
+           round(list_dot_product(ve, qe) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+    FROM s, q ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+)
+def emb_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "emb_knn_join",
+    f"""WITH q AS (SELECT vec_id AS query_id, {EMB_D} AS qe FROM embeddings WHERE vec_id < 5),
+    s AS (SELECT vec_id, {EMB_D} AS ve FROM embeddings),
+    scored AS (
+      SELECT q.query_id, s.vec_id AS neighbor_id,
+             round(list_dot_product(ve, qe) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+      FROM s, q WHERE s.vec_id <> q.query_id),
+    ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3""",
+)
+def emb_knn_join(spark, sf_dir):
+    return similarity.knn_join(table(spark, sf_dir, "embeddings"))
+
+
+def _bucket_sql(vec: str = "embedding") -> str:
+    terms = [
+        f"(CASE WHEN {vec}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+@register(
+    "emb_lsh_buckets",
+    f"""SELECT {_bucket_sql()} AS bucket, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM embeddings GROUP BY 1""",
+)
+def emb_lsh_buckets(spark, sf_dir):
+    return similarity.lsh_bucket_histogram(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "emb_lsh_near_pairs",
+    f"""WITH b AS (SELECT vec_id, {EMB_D} AS ve, {_bucket_sql()} AS bucket FROM embeddings)
+    SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+           round(list_dot_product(a.ve, b2.ve) / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b2.ve, b2.ve))), 6) AS cos_sim
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE round(list_dot_product(a.ve, b2.ve) / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b2.ve, b2.ve))), 6) >= 0.9""",
+)
+def emb_lsh_near_pairs(spark, sf_dir):
+    return similarity.lsh_near_pairs(table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing — no SQL oracle (mapInPandas path); driver records a
+# rows-only check.
+
+
+@register("mm_decode")
+def mm_decode(spark, sf_dir):
+    assets = multimodal.fake_assets_from_documents(table(spark, sf_dir, "documents"))
+    return multimodal.decode_assets(assets)
+
+
+# ---------------------------------------------------------------------------
+# driver entry points
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined anomaly sweep over the events stream — the engine's
+    flagship: one fused plan, five detectors, one shuffle."""
+    det = CombinedDetector(
+        [
+            RangeDetector(1.0, 300.0),
+            DiffDetector(80.0),
+            GradientDetector(0.005),
+            ConstantValueDetector(3, 5.0),
+            HampelDetector(5, 3),
+        ]
+    )
+    return det.detect(events_tsf(spark, sf_dir))
