@@ -1,0 +1,278 @@
+"""Unit tests for pipeline operators, persistence, features, sources,
+and the MLlib detectors."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsod_spark import (
+    CombinedDetector,
+    DiffDetector,
+    HampelDetector,
+    RangeDetector,
+    load,
+    save,
+)
+from tsod_spark.features import create_dataset, lag_time_series
+from tsod_spark.frame import TimeSeriesFrame
+from tsod_spark.pipeline import dedup, multimodal, similarity, text
+
+from .conftest import hourly_series
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# ---- text -------------------------------------------------------------
+
+
+def test_text_stats(spark, docs):
+    out = text.text_stats(docs).collect()
+    assert len(out) == docs.count()
+    for r in out[:20]:
+        assert r.n_uniq_words <= r.n_words
+        assert 0 < r.type_token_ratio <= 1
+        assert 0 <= r.quality_score <= 1
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",), ("q",)], "text string")
+    out = df.select(
+        text.shingles(text.tokens(F.col("text")), 3).alias("sh")
+    ).collect()
+    assert out[0].sh == ["a b c", "b c d"]
+    assert out[1].sh == []
+    assert out[2].sh == []
+
+
+def test_lang_id_deterministic(spark, docs):
+    a = {r.doc_id: r.predicted_lang for r in text.lang_id(docs).collect()}
+    b = {r.doc_id: r.predicted_lang for r in text.lang_id(docs).collect()}
+    assert a == b
+    assert set(a.values()) <= set(text.LANG_MARKERS)
+
+
+# ---- dedup ------------------------------------------------------------
+
+
+def test_exact_duplicates_finds_planted(spark, docs):
+    # plant a duplicate: copy doc 0's text onto a new doc_id
+    planted = docs.limit(1).select(
+        F.lit(999999).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    with_dup = docs.unionByName(planted)
+    out = dedup.exact_duplicates(with_dup)
+    dup_rows = out.where(F.col("is_duplicate_group")).collect()
+    assert {r.doc_id for r in dup_rows} == {0, 999999}
+    assert all(r.keeper_doc_id == 0 and r.group_size == 2 for r in dup_rows)
+
+
+def test_minhash_near_dup_detects_mutation(spark, docs):
+    # a doc with one word changed should land in the same band bucket
+    mutated = docs.where(F.col("doc_id") == 0).select(
+        F.lit(999999).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    with_dup = docs.unionByName(mutated)
+    pairs = dedup.minhash_band_pairs(with_dup, min_est_jaccard=0.5).collect()
+    assert any({p.doc_a, p.doc_b} == {0, 999999} for p in pairs)
+
+
+def test_simhash_identical_distance_zero(spark, docs):
+    dup = docs.limit(1).select(
+        F.lit(999999).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    out = dedup.simhash_near_pairs(docs.unionByName(dup), max_hamming=0).collect()
+    assert any({p.doc_a, p.doc_b} == {0, 999999} and p.hamming == 0 for p in out)
+
+
+def test_jaccard_identical_is_one(spark, docs):
+    dup = docs.limit(1).select(
+        F.lit(999999).alias("doc_id"), "text", "lang", F.lit("src0").alias("source"), "n_chars"
+    )
+    src0 = docs.where(F.col("source") == "src0").unionByName(dup)
+    top = dedup.jaccard_pairs(src0, top_n=1).collect()
+    assert top[0].jaccard == 1.0 and {top[0].doc_a, top[0].doc_b} == {0, 999999}
+
+
+# ---- similarity -------------------------------------------------------
+
+
+def test_cosine_topk_self_similarity(spark, embeddings):
+    dup = embeddings.where(F.col("vec_id") == 0).select(
+        F.lit(999999).alias("vec_id"), "embedding", "label"
+    )
+    out = similarity.cosine_topk(embeddings.unionByName(dup), query_vec_id=0, k=3).collect()
+    assert out[0].vec_id == 999999 and out[0].cos_sim == 1.0
+
+
+def test_knn_join_shape(spark, embeddings):
+    out = similarity.knn_join(embeddings, n_queries=3, k=2).collect()
+    assert len(out) == 6
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rows in per_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == [1, 2]
+        sims = [r.cos_sim for r in sorted(rows, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_bucket_assignment(spark, embeddings):
+    hist = similarity.lsh_bucket_histogram(embeddings)
+    total = hist.agg(F.sum("n_vectors")).first()[0]
+    assert total == embeddings.count()
+
+
+# ---- multimodal -------------------------------------------------------
+
+
+def test_multimodal_decode_stub(spark, docs):
+    assets = multimodal.fake_assets_from_documents(docs)
+    decoded = multimodal.decode_assets(assets)
+    rows = decoded.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:10]:
+        assert r.n_bytes > 0
+        assert 16 <= r.width < 256 and 16 <= r.height < 256
+        assert (r.kind == "image") == (r.n_frames == 1)
+    planned = multimodal.resize_images(decoded, max_side=32).collect()
+    assert all(max(p.target_width, p.target_height) <= 32 for p in planned)
+    frames = multimodal.sample_frames(decoded, every_n=10)
+    assert frames.count() > 0
+
+
+def test_multimodal_real_decode_raises(spark, docs):
+    assets = multimodal.fake_assets_from_documents(docs.limit(2))
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        multimodal.decode_assets(assets, decode_stub=False).collect()
+
+
+# ---- persistence ------------------------------------------------------
+
+
+def test_persistence_roundtrip(spark, tmp_path):
+    det = CombinedDetector(
+        [RangeDetector(0.0, 2.0), DiffDetector(1.5), HampelDetector(5, 3)]
+    )
+    p = tmp_path / "model.json"
+    save(det, p)
+    loaded = load(p)
+    assert isinstance(loaded, CombinedDetector) and len(loaded) == 3
+
+    df = hourly_series(spark, [0.0, 1.0, 5.0, 1.0, 0.5])
+    a = [r.is_anomaly for r in det.detect(df).orderBy("ts").collect()]
+    b = [r.is_anomaly for r in loaded.detect(df).orderBy("ts").collect()]
+    assert a == b
+
+
+def test_persistence_fitted_params(spark, tmp_path):
+    normal = hourly_series(spark, [0.0, 1.0, 2.0, 3.0, 4.0])
+    det = RangeDetector().fit(normal)
+    p = tmp_path / "range.json"
+    save(det, p)
+    loaded = load(p)
+    assert loaded._min == 0.0 and loaded._max == 4.0
+
+
+# ---- features ---------------------------------------------------------
+
+
+def test_lag_time_series(spark):
+    df = hourly_series(spark, [1.0, 2.0, 3.0, 4.0])
+    out = lag_time_series(TimeSeriesFrame(df), [1, -1]).orderBy("ts").collect()
+    assert [r["1"] for r in out] == [None, 1.0, 2.0, 3.0]
+    assert [r["-1"] for r in out] == [2.0, 3.0, 4.0, None]
+
+
+def test_create_dataset(spark):
+    df = hourly_series(spark, [1.0, 2.0, 3.0, 4.0, 5.0])
+    out = create_dataset(TimeSeriesFrame(df), time_steps=2).orderBy("ts").collect()
+    assert len(out) == 3
+    assert out[0].features == [1.0, 2.0] and out[0].y == 3.0
+
+
+# ---- sources ----------------------------------------------------------
+
+
+def test_read_csv_timeseries(spark, tmp_path):
+    p = tmp_path / "series.csv"
+    p.write_text(
+        "datetime,value\n2020-01-01 00:00,1.0\n2020-01-01 01:00,2.0\n2020-01-01 02:00,\n"
+    )
+    from tsod_spark.sources import read_csv_timeseries
+
+    tsf = read_csv_timeseries(spark, str(p))
+    rows = tsf.df.orderBy("ts").collect()
+    assert len(rows) == 3
+    assert rows[0].value == 1.0 and rows[2].value is None
+    mask = [
+        r.is_anomaly
+        for r in RangeDetector(0.0, 1.5).detect(tsf).orderBy("ts").collect()
+    ]
+    assert mask == [False, True, False]
+
+
+def test_netcdf_requires_xarray(spark):
+    from tsod_spark.sources import read_netcdf_timeseries
+
+    try:
+        import xarray  # noqa: F401
+
+        pytest.skip("xarray present")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        read_netcdf_timeseries(spark, "/nonexistent.nc", "PSAL")
+
+
+# ---- MLlib detectors --------------------------------------------------
+
+
+def test_regression_residual_detector(spark):
+    import numpy as np
+
+    np.random.seed(7)
+    base = np.cumsum(np.random.normal(size=400)).tolist()
+    dirty = list(base)
+    dirty[200] += 40.0  # big residual spike
+    normal = hourly_series(spark, base)
+    test = hourly_series(spark, dirty)
+
+    from tsod_spark.detectors.mllib import RegressionResidualDetector
+
+    det = RegressionResidualDetector(time_steps=3, n_sigmas=6.0).fit(normal)
+    flagged = det.detect(test).where("is_anomaly").collect()
+    assert any(abs(r.value - dirty[200]) < 1e-9 for r in flagged)
+    assert len(flagged) <= 5
+
+
+def test_kmeans_distance_detector(spark):
+    import numpy as np
+
+    np.random.seed(11)
+    vals = (np.sin(np.linspace(0, 30, 500)) + np.random.normal(scale=0.05, size=500)).tolist()
+    dirty = list(vals)
+    for i in range(250, 258):
+        dirty[i] = 5.0  # alien shape
+    from tsod_spark.detectors.mllib import KMeansDistanceDetector
+
+    det = KMeansDistanceDetector(time_steps=6, k=4, quantile=0.995).fit(
+        hourly_series(spark, vals)
+    )
+    flagged = det.detect(hourly_series(spark, dirty)).where("is_anomaly").count()
+    assert flagged > 0

@@ -1,0 +1,134 @@
+"""Streaming-vs-batch equivalence: feed the events table through
+Structured Streaming in multiple micro-batches and assert the emitted
+flags equal the batch detector's output row-for-row."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsod_spark import (
+    DiffDetector,
+    GradientDetector,
+    HampelDetector,
+    RangeDetector,
+    RollingStandardDeviationDetector,
+)
+from tsod_spark.frame import TimeSeriesFrame
+from tsod_spark.streaming import stream_detect, stream_detect_stateless
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_batches(spark):
+    """events split into 4 time-ordered parquet files (= micro-batches)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    rows = df.orderBy("ts").collect()
+    tmp = tempfile.mkdtemp(prefix="stream_src_")
+    n = len(rows)
+    chunk = (n + 3) // 4
+    for i in range(4):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, df.schema).coalesce(1).write.parquet(
+                f"{tmp}/batch_{i}", mode="overwrite"
+            )
+    yield tmp, df.schema
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_stream(spark, events_batches, detector):
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_detect(detector, src, series=["user_id"])
+    qname = f"t_{id(detector)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT user_id, ts, is_anomaly FROM {qname}").collect()
+
+
+def batch_flags(spark, detector):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    tsf = TimeSeriesFrame(df, series=["user_id"], tiebreak=["event_id"])
+    rows = detector.detect(tsf).select("user_id", "ts", "is_anomaly").collect()
+    return {(r.user_id, r.ts): r.is_anomaly for r in rows}
+
+
+@pytest.mark.parametrize(
+    "detector",
+    [
+        DiffDetector(50.0),
+        GradientDetector(0.005),
+        RollingStandardDeviationDetector(10, 60.0),
+        HampelDetector(5, 3),
+    ],
+    ids=["diff", "gradient", "rolling_std", "hampel"],
+)
+def test_stream_matches_batch(spark, events_batches, detector):
+    got = run_stream(spark, events_batches, detector)
+    assert len(got) > 0
+    expected = batch_flags(spark, type(detector)(*_args(detector)))
+    mismatches = [
+        (r.user_id, r.ts, r.is_anomaly, expected[(r.user_id, r.ts)])
+        for r in got
+        if expected[(r.user_id, r.ts)] != r.is_anomaly
+    ]
+    assert not mismatches, f"{len(mismatches)} mismatches, first: {mismatches[:3]}"
+    # emitted coverage: everything except each series' lookahead tail
+    n_expected = len(expected)
+    assert len(got) >= n_expected - 11 * 150  # 150 users, lookahead <= 11
+
+
+def _args(det):
+    if isinstance(det, DiffDetector):
+        return (det._max_diff, det._direction)
+    if isinstance(det, GradientDetector):
+        return (det._max_gradient, det._direction)
+    if isinstance(det, RollingStandardDeviationDetector):
+        return (det._window_size, det._max_std, det._center)
+    if isinstance(det, HampelDetector):
+        return (det._window_size, det._threshold)
+    raise AssertionError
+
+
+def test_stream_stateless_range(spark, events_batches):
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_detect_stateless(
+        RangeDetector(1.0, 300.0), src, series=["user_id"], tiebreak=["event_id"]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("range_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, ts, is_anomaly FROM range_stream"
+    ).collect()
+    assert len(got) == 1000
+    expected = batch_flags(spark, RangeDetector(1.0, 300.0))
+    assert all(expected[(r.user_id, r.ts)] == r.is_anomaly for r in got)

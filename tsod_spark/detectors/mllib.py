@@ -1,0 +1,136 @@
+"""MLlib-backed detectors — the reference's "advanced detectors" vision.
+
+The reference README names autoencoder-style learned detectors as
+future work (/root/reference/README.md:43) and ships the feature
+plumbing for them (lag features + windowed tensors,
+/root/reference/tsod/features.py). This module closes the loop with
+Spark MLlib:
+
+- :class:`RegressionResidualDetector`: fit a linear model
+  value ~ lagged values on normal data; flag points whose prediction
+  residual exceeds ``n_sigmas`` times the training residual stddev.
+  This is the classic learned generalization of DiffDetector (a
+  one-lag model with coefficient 1 and threshold = max residual).
+- :class:`KMeansDistanceDetector`: cluster lag-window vectors; flag
+  points far from every centroid — the "shape novelty" detector.
+
+Both follow the same fit -> detect contract as the rule-based
+detectors and run fully distributed (MLlib estimators + a
+VectorAssembler over the lag features from features.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..features import create_dataset
+from .base import SparkDetector, as_tsf
+
+
+def _lag_matrix(tsf, time_steps: int) -> DataFrame:
+    """create_dataset output with an MLlib vector column."""
+    from pyspark.ml.functions import array_to_vector
+
+    df = create_dataset(tsf, time_steps=time_steps)
+    return df.withColumn("features_vec", array_to_vector("features"))
+
+
+class RegressionResidualDetector(SparkDetector):
+    """value ~ linear(lags) residual thresholding."""
+
+    def __init__(self, time_steps: int = 5, n_sigmas: float = 4.0):
+        super().__init__()
+        self._time_steps = time_steps
+        self._n_sigmas = n_sigmas
+        self._model = None
+        self._resid_std = None
+
+    def fit(self, data):
+        from pyspark.ml.regression import LinearRegression
+
+        tsf = as_tsf(data)
+        train = _lag_matrix(tsf, self._time_steps)
+        lr = LinearRegression(featuresCol="features_vec", labelCol="y", regParam=1e-6)
+        self._model = lr.fit(train)
+        pred = self._model.transform(train)
+        self._resid_std = (
+            pred.select(F.stddev_samp(F.col("y") - F.col("prediction")).alias("s"))
+            .first()["s"]
+        )
+        return self
+
+    def _attach(self, tsf, out_col: str):
+        raise NotImplementedError("use detect()")
+
+    def detect(self, data, out_col: str = "is_anomaly") -> DataFrame:
+        if self._model is None or self._resid_std is None:
+            from ..exceptions import NotFittedError
+
+            raise NotFittedError("detect")
+        tsf = as_tsf(data)
+        scored = self._model.transform(_lag_matrix(tsf, self._time_steps))
+        resid = F.abs(F.col("y") - F.col("prediction"))
+        thr = float(self._n_sigmas * self._resid_std)
+        out = scored.withColumn(out_col, F.coalesce(resid > thr, F.lit(False)))
+        return out.drop("features", "features_vec", "y", "prediction")
+
+
+class KMeansDistanceDetector(SparkDetector):
+    """Distance-to-nearest-centroid over lag-window vectors."""
+
+    def __init__(self, time_steps: int = 8, k: int = 8, quantile: float = 0.99):
+        super().__init__()
+        self._time_steps = time_steps
+        self._k = k
+        self._quantile = quantile
+        self._model = None
+        self._threshold = None
+
+    def fit(self, data):
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import vector_to_array
+
+        tsf = as_tsf(data)
+        train = _lag_matrix(tsf, self._time_steps)
+        km = KMeans(featuresCol="features_vec", k=self._k, seed=42)
+        self._model = km.fit(train)
+        scored = self._model.transform(train)
+        dist = self._distance_col(scored)
+        self._threshold = scored.withColumn("__d", dist).agg(
+            F.percentile(F.col("__d"), F.lit(self._quantile)).alias("q")
+        ).first()["q"]
+        return self
+
+    def _distance_col(self, scored):
+        from pyspark.ml.functions import vector_to_array
+
+        centers = self._model.clusterCenters()
+        centers_arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+        )
+        own = F.element_at(centers_arr, F.col("prediction") + 1)
+        vec = vector_to_array("features_vec")
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(vec, own, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    def _attach(self, tsf, out_col: str):
+        raise NotImplementedError("use detect()")
+
+    def detect(self, data, out_col: str = "is_anomaly") -> DataFrame:
+        if self._model is None or self._threshold is None:
+            from ..exceptions import NotFittedError
+
+            raise NotFittedError("detect")
+        tsf = as_tsf(data)
+        scored = self._model.transform(_lag_matrix(tsf, self._time_steps))
+        out = scored.withColumn(
+            out_col,
+            F.coalesce(self._distance_col(scored) > float(self._threshold), F.lit(False)),
+        )
+        return out.drop("features", "features_vec", "y", "prediction")

@@ -1,0 +1,106 @@
+"""Time-series ingest — the reference's source formats, Spark-native.
+
+Reference ingest surface (SURVEY §1.2):
+
+- CSV with a datetime index column (``datetime,value`` header) —
+  ``pd.read_csv(parse_dates=True, index_col=0)`` in
+  /root/reference/tests/test_detectors.py:179-183;
+- CMEMS in-situ NetCDF with QC-flag companion variables
+  (/root/reference/notebooks/cmems.ipynb);
+- MIKE Dfs0 via mikeio (/root/reference/docs/getting_started.rst:64-67).
+
+NetCDF/Dfs0 have no distributed Spark reader; the right cluster shape
+is a converter job (driver-side xarray/mikeio decode of each file —
+they are single-machine formats — then parallel parquet write). The
+converters here are import-gated: xarray/mikeio are not in this
+container, so they raise a clear error unless the libraries exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..frame import TimeSeriesFrame
+
+
+def read_csv_timeseries(
+    spark: SparkSession,
+    path: str,
+    ts_col: str | None = None,
+    value_col: str | None = None,
+    series: list[str] | None = None,
+) -> TimeSeriesFrame:
+    """CSV with a leading datetime column (the reference's
+    ``datetime,value`` shape). Columns default to the first two."""
+    df = spark.read.csv(path, header=True, inferSchema=True)
+    cols = df.columns
+    ts_col = ts_col or cols[0]
+    value_col = value_col or cols[1]
+    df = df.withColumn(ts_col, F.to_timestamp(F.col(ts_col)))
+    df = df.withColumnRenamed(ts_col, "ts").withColumnRenamed(value_col, "value")
+    return TimeSeriesFrame(df, series=series or [])
+
+
+def read_parquet_timeseries(
+    spark: SparkSession,
+    path: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    series: list[str] | None = None,
+) -> TimeSeriesFrame:
+    """Parquet reader with the TIMESTAMP(NANOS) fallback (Spark rejects
+    nano-precision parquet timestamps; read as long and truncate to
+    micros, matching what us-native engines do)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if df.schema[ts_col].dataType.simpleString() == "bigint":
+        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    if ts_col != "ts":
+        df = df.withColumnRenamed(ts_col, "ts")
+    if value_col != "value":
+        df = df.withColumnRenamed(value_col, "value")
+    return TimeSeriesFrame(df, series=series or [])
+
+
+def read_netcdf_timeseries(
+    spark: SparkSession, path: str, variable: str, qc_suffix: str = "_QC"
+) -> DataFrame:
+    """CMEMS-style NetCDF -> DataFrame(ts, value, qc) converter job.
+
+    Decodes on the driver (NetCDF is not splittable) and parallelizes
+    the rows; for fleets of files, run one decode per file inside
+    ``spark.read.format("binaryFile")`` + mapInPandas instead.
+    """
+    try:
+        import xarray as xr  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover - xarray absent here
+        raise NotImplementedError(
+            "NetCDF ingest needs xarray (not installed in this environment); "
+            "see docstring for the converter-job pattern"
+        ) from e
+    ds = xr.open_dataset(path)  # pragma: no cover
+    pdf = ds[[variable, variable + qc_suffix]].to_dataframe().reset_index()
+    pdf.columns = ["ts", "value", "qc"]
+    return spark.createDataFrame(pdf)
+
+
+def read_dfs0_timeseries(spark: SparkSession, path: str, item: int = 0) -> DataFrame:
+    """MIKE Dfs0 converter job (same pattern as NetCDF)."""
+    try:
+        import mikeio  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover - mikeio absent here
+        raise NotImplementedError(
+            "Dfs0 ingest needs mikeio (not installed in this environment)"
+        ) from e
+    ds = mikeio.read(path)  # pragma: no cover
+    pdf = ds[item].to_dataframe().reset_index()
+    pdf.columns = ["ts", "value"]
+    return spark.createDataFrame(pdf)
+
+
+def qc_flag_projection(df: DataFrame, good_flags: tuple[int, ...] = (1,)) -> DataFrame:
+    """CMEMS QC semantics: flag 1 = good data; everything else suspect
+    (F-QCFLAGS fixture). Adds ``qc_is_good`` for validating detectors
+    against independent labels."""
+    return df.withColumn("qc_is_good", F.col("qc").isin(*good_flags))

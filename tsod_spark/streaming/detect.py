@@ -1,0 +1,212 @@
+"""Structured Streaming anomaly detection (SURVEY §7 phase S).
+
+The reference states real-time detection as a vision
+(/root/reference/README.md:42); this module delivers it on Structured
+Streaming:
+
+- **Stateless detectors** (Range): the batch plan is a pure projection,
+  so ``detector.detect(stream_df)`` works unchanged on a streaming
+  DataFrame — use :func:`stream_detect_stateless`.
+- **Window detectors** (Diff, Gradient, RollingStd, Hampel): ordinary
+  window functions are unsupported on streams, so
+  :func:`stream_detect` runs an ``applyInPandasWithState`` operator
+  keyed by series. Per-series state is a tail buffer of
+  ``lookback + lookahead`` rows plus global row counters; each
+  micro-batch recomputes flags over (tail + new rows) with the pandas
+  kernels in :mod:`.kernels` (same semantics as the batch plans,
+  asserted equal in tests).
+
+Non-causal (centered / right-open) windows emit with a ``lookahead``-row
+delay per series: a row is only emitted once its full future context has
+arrived. This exactly reproduces the batch edge semantics for every
+emitted row; the final ``lookahead`` rows of a terminated stream are
+never emitted (a stream has no last row until it ends — documented
+delta vs batch, where those rows are always flagged False anyway by the
+min_periods/interior guards).
+
+Late data: rows are sorted by event time within the buffer, but rows
+arriving after their position was emitted would corrupt the cursor and
+are dropped (count the upstream watermark as the contract: set
+``withWatermark`` so the source bounds disorder before this operator).
+
+Scale: state per key is O(lookback + lookahead) — constant — so a
+million series cost a million small buffers spread across executors by
+the groupBy hash. No global ordering is ever required.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..detectors import (
+    DiffDetector,
+    GradientDetector,
+    HampelDetector,
+    RangeDetector,
+    RollingStandardDeviationDetector,
+)
+from . import kernels
+
+
+def stream_detect_stateless(detector: RangeDetector, stream_df: DataFrame, **tsf_kwargs) -> DataFrame:
+    """Projection-only detectors run on streams as-is."""
+    from ..frame import TimeSeriesFrame
+
+    return detector.detect(TimeSeriesFrame(stream_df, **tsf_kwargs))
+
+
+def _plan(detector):
+    """(kernel, lookback, lookahead, kwargs) for a detector instance."""
+    if isinstance(detector, RangeDetector):
+        return kernels.range_kernel, 0, 0, {"mn": detector._min, "mx": detector._max}
+    if isinstance(detector, DiffDetector):
+        return (
+            kernels.diff_kernel,
+            1,
+            0,
+            {"max_diff": detector._max_diff, "direction": detector._direction},
+        )
+    if isinstance(detector, GradientDetector):
+        return (
+            kernels.gradient_kernel,
+            1,
+            0,
+            {"max_gradient": detector._max_gradient, "direction": detector._direction},
+        )
+    if isinstance(detector, RollingStandardDeviationDetector):
+        w = detector._window_size
+        if detector._center:
+            lookback, lookahead = w // 2, w - w // 2 - 1
+        else:
+            lookback, lookahead = w - 1, 0
+        return (
+            kernels.rolling_std_kernel,
+            lookback,
+            lookahead,
+            {
+                "window_size": w,
+                "max_std": detector._max_std,
+                "center": detector._center,
+            },
+        )
+    if isinstance(detector, HampelDetector):
+        w = detector._window_size
+        # lookahead = w reproduces the batch interior bound t < n - w
+        return (
+            kernels.hampel_kernel,
+            w,
+            w,
+            {"window_size": w, "threshold": detector._threshold},
+        )
+    raise NotImplementedError(
+        f"streaming not implemented for {type(detector).__name__} "
+        "(constant-run detectors need lead-of-flag dilation; batch only for now)"
+    )
+
+
+def stream_detect(
+    detector,
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    series: Sequence[str] = ("user_id",),
+) -> DataFrame:
+    """Streaming variant of ``detector.detect`` keyed by series columns.
+
+    Returns a streaming DataFrame ``(*series, ts, value, is_anomaly)``
+    in update output mode.
+    """
+    kernel, lookback, lookahead, params = _plan(detector)
+    keep = lookback + lookahead
+    series = list(series)
+
+    key_fields = [stream_df.schema[c] for c in series]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("ts", stream_df.schema[ts_col].dataType),
+            StructField("value", DoubleType()),
+            StructField("is_anomaly", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("seen", LongType()),
+            StructField("emitted", LongType()),
+            StructField("tail_ts", ArrayType(LongType())),  # micros
+            StructField("tail_vals", ArrayType(DoubleType())),
+        ]
+    )
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        new = new.sort_values(ts_col, kind="mergesort")
+        new_ts = pd.to_datetime(new[ts_col]).astype("int64") // 1000  # micros
+        new_vals = new[value_col].astype(float)
+
+        if state.exists:
+            seen, emitted, tail_ts, tail_vals = state.get
+            tail_ts, tail_vals = list(tail_ts), list(tail_vals)
+        else:
+            seen, emitted, tail_ts, tail_vals = 0, 0, [], []
+
+        buf_ts = pd.Series(tail_ts + new_ts.tolist(), dtype="int64")
+        buf_vals = pd.Series(tail_vals + new_vals.tolist(), dtype=float)
+        buf_offset = seen - len(tail_ts)
+
+        flags = kernel(
+            pd.to_datetime(buf_ts, unit="us"), buf_vals, buf_offset, **params
+        )
+
+        new_seen = seen + len(new)
+        emit_hi = new_seen - lookahead  # exclusive global bound
+        if emit_hi > emitted:
+            lo_pos = emitted - buf_offset
+            hi_pos = emit_hi - buf_offset
+            out = pd.DataFrame(
+                {
+                    **{c: key[i] for i, c in enumerate(series)},
+                    "ts": pd.to_datetime(buf_ts.iloc[lo_pos:hi_pos], unit="us"),
+                    "value": buf_vals.iloc[lo_pos:hi_pos].to_numpy(),
+                    "is_anomaly": flags[lo_pos:hi_pos],
+                }
+            )
+            emitted = emit_hi
+        else:
+            out = None
+
+        state.update(
+            (
+                new_seen,
+                emitted,
+                buf_ts.iloc[len(buf_ts) - min(keep, len(buf_ts)) :].tolist(),
+                buf_vals.iloc[len(buf_vals) - min(keep, len(buf_vals)) :].tolist(),
+            )
+        )
+        if out is not None and len(out):
+            yield out
+
+    return (
+        stream_df.groupBy(*series)
+        .applyInPandasWithState(
+            process,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

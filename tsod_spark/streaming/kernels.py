@@ -1,0 +1,91 @@
+"""Per-series pandas kernels for the streaming state operator.
+
+Inside ``applyInPandasWithState`` the per-key buffer is a small pandas
+frame, so each detector needs a pandas formulation of the SAME
+semantics the batch Column-algebra plans implement. These mirror the
+reference kernels line-for-line (citations inline) and are asserted
+equal to the batch plans in tests/test_streaming.py.
+
+Each kernel takes (ts: Series[datetime64], value: Series[float]) for a
+contiguous slice of one series (buffer = lookback tail + new rows) plus
+``offset`` = the global 0-based index of buffer row 0 within the full
+series (for edge masks), and ``total_unknown`` — in a stream there is
+no "last row", so end-of-series masks are skipped (documented delta vs
+batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def range_kernel(ts, value, offset, mn, mx):
+    # /root/reference/tsod/detectors.py:121-130
+    if mx is None:
+        out = value < mn
+    elif mn is None:
+        out = value > mx
+    else:
+        out = (value < mn) | (value > mx)
+    return out.fillna(False).to_numpy(dtype=bool)
+
+
+def diff_kernel(ts, value, offset, max_diff, direction="both"):
+    # /root/reference/tsod/detectors.py:172-178
+    d = value.diff()
+    if direction == "both":
+        out = d.abs() > max_diff
+    elif direction == "positive":
+        out = d > max_diff
+    else:
+        out = d < -max_diff
+    if offset > 0:
+        # row 0 of the buffer has a real predecessor in the lookback
+        # tail, which is already included; nothing to fix here.
+        pass
+    return out.fillna(False).to_numpy(dtype=bool)
+
+
+def gradient_kernel(ts, value, offset, max_gradient, direction="both"):
+    # /root/reference/tsod/base.py:82-90 + detectors.py:311-318
+    dt = ts.diff().dt.total_seconds()
+    g = value.diff() / dt
+    if direction == "both":
+        out = g.abs() > max_gradient
+    elif direction == "positive":
+        out = g > max_gradient
+    else:
+        out = g < -max_gradient
+    return out.fillna(False).to_numpy(dtype=bool)
+
+
+def rolling_std_kernel(ts, value, offset, window_size, max_std, center=True):
+    # /root/reference/tsod/detectors.py:210-216 (min_periods = window)
+    std = value.rolling(window_size, center=center).std()
+    out = (std > max_std).fillna(False).to_numpy(dtype=bool)
+    if offset == 0 and len(out):
+        out[0] = False  # anomalies[0] = False, detectors.py:215
+    return out
+
+
+def hampel_kernel(ts, value, offset, window_size, threshold, k=1.4826):
+    # /root/reference/tsod/hampel.py:27-60 (half-open [t-w, t+w) window,
+    # interior points only). The n-w upper bound is enforced by the
+    # caller's lookahead-based emission, not here (stream has no n).
+    v = value.to_numpy(dtype=float)
+    n = len(v)
+    w = window_size
+    out = np.zeros(n, dtype=bool)
+    for t in range(n):
+        if offset + t < w:  # global interior guard, left edge
+            continue
+        lo, hi = t - w, t + w  # half-open slice
+        if lo < 0:
+            continue  # insufficient lookback in buffer (shouldn't happen)
+        window = v[lo:hi]
+        med = np.nanmedian(window)
+        mad = k * np.nanmedian(np.abs(window - med))
+        dev = abs(v[t] - med)
+        out[t] = bool(dev > threshold * mad) if not np.isnan(dev) else False
+    return out
