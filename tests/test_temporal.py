@@ -1,0 +1,64 @@
+"""Unit tests for the temporal operators (as-of join, resample)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from tsod_spark.analytics.temporal import asof_join, resample
+
+
+def T(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_asof_join_backward_with_ties_and_misses(spark):
+    left = spark.createDataFrame(
+        [(1, T(1), "a"), (1, T(3), "b"), (1, T(5), "c"), (2, T(2), "d")],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, T(0), 10.0), (1, T(3), 30.0), (1, T(4), 40.0), (3, T(0), 99.0)],
+        "k int, ts timestamp, value double",
+    )
+    out = {
+        r["tag"]: (r["asof_ts"], r["asof_value"])
+        for r in asof_join(left, right, ["k"]).collect()
+    }
+    assert out["a"] == (T(0), 10.0)
+    assert out["b"] == (T(3), 30.0)  # equal timestamp matches (>= semantics)
+    assert out["c"] == (T(4), 40.0)
+    assert out["d"] == (None, None)  # left outer: key with no right rows
+
+
+def test_asof_join_preserves_left_row_count(spark):
+    left = spark.range(100).selectExpr(
+        "id % 7 AS k", "timestamp_micros(CAST(id * 1000000 AS LONG)) AS ts", "id AS payload"
+    )
+    right = spark.range(10).selectExpr(
+        "id % 7 AS k", "timestamp_micros(CAST(id * 9000000 AS LONG)) AS ts", "CAST(id AS DOUBLE) AS value"
+    )
+    assert asof_join(left, right, ["k"]).count() == 100
+
+
+def test_resample_fills_gaps_with_locf_and_lerp(spark):
+    # One series: values at hours 0 and 4, gap at 1..3.
+    rows = [(1, T(0, 30), 10.0), (1, T(4, 15), 50.0)]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    out = {r["bucket"].hour: r for r in resample(df).collect()}
+    assert sorted(out) == [0, 1, 2, 3, 4]
+    assert out[0]["v_avg"] == 10.0 and not out[0]["is_gap"]
+    assert out[4]["v_avg"] == 50.0
+    for h in (1, 2, 3):
+        assert out[h]["is_gap"] and out[h]["n_events"] == 0
+        assert out[h]["v_locf"] == 10.0
+        assert abs(out[h]["v_lerp"] - (10.0 + 40.0 * h / 4)) < 1e-9
+
+
+def test_resample_nan_bucket_is_gap_for_fill(spark):
+    rows = [(1, T(0), 10.0), (1, T(1), float("nan")), (1, T(2), 30.0)]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    out = {r["bucket"].hour: r for r in resample(df).collect()}
+    assert out[1]["n_events"] == 1  # the NaN row is counted
+    assert out[1]["v_avg"] is None  # but contributes no value
+    assert out[1]["v_locf"] == 10.0
+    assert abs(out[1]["v_lerp"] - 20.0) < 1e-9

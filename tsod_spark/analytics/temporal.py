@@ -1,0 +1,192 @@
+"""Temporal join + resampling operators the reference's domain implies.
+
+tsod's docs describe sensor series with irregular steps feeding
+simulation engines (/root/reference/README.md:11-13;
+/root/reference/tests/data/example.csv has a 59-minute irregular step)
+— an engine for that domain needs as-of joins (align a series with the
+latest reading of another) and resample/gap-fill/interpolate (regular
+grid for downstream models). The reference has neither (SURVEY §2.4);
+these are north-star additions built from stock Spark primitives.
+
+Scale design:
+
+- ``asof_join`` uses the union + ordered-window forward-fill plan: tag
+  right rows, union both sides, one window per key ordered by (ts,
+  side) with ``last(..., ignorenulls=True)``, keep left rows. That is
+  exactly ONE shuffle on the join key — no range-condition
+  cross-product, no per-row subquery — and it streams through each
+  partition, so it survives a 1000-executor, 100 TB run as long as keys
+  are reasonably distributed (same profile as any keyed window).
+- ``resample`` aggregates to buckets first (map-side partial combine
+  shrinks data by the bucket ratio BEFORE the shuffle), then builds the
+  dense per-key grid from each key's own [min, max] bucket span via
+  ``sequence`` + ``explode`` — grid size is bounded by time span, not
+  row count — and fills gaps with one more keyed window.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] = ("value",),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: each left row gets the right row with the
+    greatest ``right_ts <= left_ts`` for the same key (ties: right row
+    visible to a same-timestamp left row, matching SQL ``ASOF JOIN ...
+    ON l.ts >= r.ts``). Left outer: unmatched left rows keep NULLs.
+
+    Plan: union + ordered window forward-fill (one shuffle, no range
+    join). See module docstring.
+    """
+    keys = list(keys)
+    out_ts = f"{prefix}{right_ts}"
+    left_payload = [c for c in left.columns if c not in keys]
+
+    l_side = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*left_payload).alias("__row"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(out_ts),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
+            for c in value_cols
+        ],
+    )
+    r_side = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_side.schema["__row"].dataType).alias("__row"),
+        F.col(right_ts).alias(out_ts),
+        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+    )
+
+    # Right rows (__side=0) sort before left rows at equal ts so an
+    # equal-timestamp right row is visible to the left row's fill.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fill_cols = [out_ts] + [f"{prefix}{c}" for c in value_cols]
+    u = l_side.unionByName(r_side)
+    for c in fill_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.where(F.col("__side") == 1).select(*keys, F.col("__row.*"), *fill_cols)
+
+
+def _bucket(ts_col: str, unit: str) -> Column:
+    return F.date_trunc(unit, F.col(ts_col))
+
+
+def resample(
+    events: DataFrame,
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit: str = "hour",
+) -> DataFrame:
+    """Resample an irregular series to a dense per-key time grid with
+    forward-fill (locf) and linear interpolation over gap buckets.
+
+    Per key: aggregate to ``date_trunc(unit)`` buckets (exact integer
+    cents for the mean so partial-agg order can't perturb floats), then
+    explode ``sequence(min_bucket, max_bucket, 1 unit)`` into the dense
+    grid, left-join the aggregates back, and fill:
+
+    - ``v_avg``   bucket mean (NULL on gap buckets),
+    - ``v_locf``  last non-null bucket mean at or before this bucket,
+    - ``v_lerp``  linear interpolation between the previous and next
+      non-null bucket means, positioned by bucket timestamp,
+    - ``n_events`` 0 on gaps, ``is_gap`` flag.
+
+    Interior gaps always have both anchors (the grid spans each key's
+    own observed range), so ``v_lerp`` is total. Floats are computed
+    with one fixed association and rounded to 6 decimals (oracle
+    discipline, see registry module docstring).
+    """
+    keys = list(keys)
+    v = F.when(F.isnan(value_col) | F.col(value_col).isNull(), None).otherwise(
+        F.col(value_col)
+    )
+    cents = F.round(v * 100).cast("long")
+    agg = events.groupBy(*keys, _bucket(ts_col, unit).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(v).alias("__nv"),
+        F.sum(cents).alias("__cents"),
+    )
+    avg = F.when(
+        F.col("__nv") > 0, F.round(F.col("__cents") / 100.0 / F.col("__nv"), 6)
+    )
+    a = agg.withColumn("v_avg", avg)
+
+    # All fill anchors are computed on the COMPACT aggregate rows (one
+    # per present bucket), then gap buckets are generated by exploding
+    # sequence(bucket, next_bucket - 1 unit) from each row, inheriting
+    # its anchors. Never compute ignore-null window fills on the dense
+    # exploded grid: Spark's (currentRow, unboundedFollowing) frame
+    # re-evaluates per row — O(n^2) per key partition, ~20s at sf0.1
+    # vs <2s this way (and the grid join disappears too).
+    w = Window.partitionBy(*keys).orderBy("bucket")
+    prev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nxt = w.rowsBetween(1, Window.unboundedFollowing)
+    has = F.col("v_avg").isNotNull()
+    a = a.select(
+        "*",
+        F.lead("bucket").over(w).alias("__nb"),
+        F.last("v_avg", ignorenulls=True).over(prev).alias("__pv"),
+        F.last(F.when(has, F.col("bucket")), ignorenulls=True).over(prev).alias("__pt"),
+        F.first("v_avg", ignorenulls=True).over(nxt).alias("__fv"),
+        F.first(F.when(has, F.col("bucket")), ignorenulls=True).over(nxt).alias("__ft"),
+    )
+
+    step = F.expr(f"interval 1 {unit}")
+    g = a.withColumn(
+        "__gb",
+        F.explode(
+            F.sequence(
+                F.col("bucket"),
+                F.coalesce(F.col("__nb") - step, F.col("bucket")),
+                step,
+            )
+        ),
+    )
+    present = F.col("__gb") == F.col("bucket")
+    # A present row's own (non-null) value is its prev anchor (__pv
+    # includes the current row); generated gap rows between bucket and
+    # __nb see the same prev anchor and the first non-null value at or
+    # after __nb (__fv/__ft, frame starts 1 row following).
+    frac = (F.unix_micros(F.col("__gb")) - F.unix_micros(F.col("__pt"))) / (
+        F.unix_micros(F.col("__ft")) - F.unix_micros(F.col("__pt"))
+    )
+    # No rounding here: both anchors are already 6-decimal-rounded and
+    # the op sequence is fixed, so the IEEE result is bit-identical in
+    # any engine (re-rounding would re-introduce tie-breaking skew).
+    lerp = F.when(present & has, F.col("v_avg")).otherwise(
+        F.when(
+            F.col("__pv").isNotNull() & F.col("__fv").isNotNull(),
+            F.col("__pv") + (F.col("__fv") - F.col("__pv")) * frac,
+        ).otherwise(F.col("__pv"))
+    )
+    v_avg_out = F.when(present, F.col("v_avg"))
+    return g.select(
+        *keys,
+        F.col("__gb").alias("bucket"),
+        F.when(present, F.col("__n")).otherwise(F.lit(0)).alias("n_events"),
+        v_avg_out.alias("v_avg"),
+        F.col("__pv").alias("v_locf"),
+        lerp.alias("v_lerp"),
+        v_avg_out.isNull().alias("is_gap"),
+    )

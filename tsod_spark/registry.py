@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .analytics import tpch
+from .analytics import temporal, tpch
 from .detectors import (
     CombinedDetector,
     ConstantGradientDetector,
@@ -509,6 +509,64 @@ def events_daily(spark, sf_dir):
 )
 def events_sessions(spark, sf_dir):
     return tpch.sessionize(table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# temporal joins + resampling (analytics/temporal.py)
+
+
+@register(
+    "ts_asof_join",
+    """WITH p AS (SELECT user_id, ts, CASE WHEN isnan(value) THEN NULL ELSE value END AS value
+           FROM events WHERE event_type = 'purchase')
+    SELECT e.event_id, p.ts AS asof_ts, p.value AS asof_value
+    FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""",
+)
+def ts_asof_join(spark, sf_dir):
+    """Backward as-of join: every event aligned with the user's most
+    recent purchase (union + window forward-fill, one shuffle)."""
+    from .expressions import nan_to_null
+
+    e = table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", nan_to_null(F.col("value")).alias("value")
+    )
+    out = temporal.asof_join(e, p, ["user_id"], value_cols=["value"])
+    return out.select("event_id", "asof_ts", "asof_value")
+
+
+@register(
+    "ts_resample_1h",
+    """WITH e AS (SELECT user_id, ts, CASE WHEN isnan(value) THEN NULL ELSE value END AS v FROM events),
+    a AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+                 count(*) AS n, count(v) AS nv,
+                 sum(CAST(round(v*100) AS BIGINT)) AS cents
+          FROM e GROUP BY 1, 2),
+    s AS (SELECT user_id, min(bucket) b0, max(bucket) b1 FROM a GROUP BY 1),
+    g AS (SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket FROM s),
+    j AS (SELECT g.user_id, g.bucket, a.n, a.nv, a.cents,
+                 CASE WHEN a.nv > 0 THEN round(a.cents / 100.0 / a.nv, 6) END AS v_avg
+          FROM g LEFT JOIN a ON g.user_id = a.user_id AND g.bucket = a.bucket),
+    f AS (SELECT user_id, bucket, n, v_avg,
+            last_value(v_avg IGNORE NULLS) OVER wp AS prev_v,
+            last_value(CASE WHEN v_avg IS NOT NULL THEN bucket END IGNORE NULLS) OVER wp AS prev_t,
+            first_value(v_avg IGNORE NULLS) OVER wn AS next_v,
+            first_value(CASE WHEN v_avg IS NOT NULL THEN bucket END IGNORE NULLS) OVER wn AS next_t
+          FROM j
+          WINDOW wp AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, bucket, coalesce(n, 0) AS n_events, v_avg, prev_v AS v_locf,
+           CASE WHEN v_avg IS NOT NULL THEN v_avg
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                THEN prev_v + (next_v - prev_v) * ((epoch_us(bucket) - epoch_us(prev_t)) / CAST(epoch_us(next_t) - epoch_us(prev_t) AS DOUBLE))
+                ELSE prev_v END AS v_lerp,
+           v_avg IS NULL AS is_gap
+    FROM f""",
+)
+def ts_resample_1h(spark, sf_dir):
+    """Hourly resample of each user's event series with gap-fill:
+    bucket mean, locf, and linear interpolation over a dense grid."""
+    return temporal.resample(table(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------
