@@ -138,6 +138,22 @@ def test_lsh_bucket_assignment(spark, embeddings):
     assert total == embeddings.count()
 
 
+def test_ivf_cells_partition_all_vectors(spark, embeddings):
+    hist = similarity.ivf_cell_histogram(embeddings, n_cells=8)
+    rows = hist.collect()
+    assert sum(r["n_vectors"] for r in rows) == embeddings.count()
+    assert 1 <= len(rows) <= 8
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, embeddings):
+    exact = {r["vec_id"] for r in similarity.cosine_topk(embeddings, k=10).collect()}
+    approx = similarity.ivf_topk(embeddings, k=10, n_cells=8, n_probe=4).collect()
+    got = {r["vec_id"] for r in approx}
+    assert len(approx) == 10
+    # probing half the cells must recover most of the true top-10
+    assert len(exact & got) >= 6
+
+
 # ---- multimodal -------------------------------------------------------
 
 

@@ -108,6 +108,97 @@ def lsh_bucket_histogram(embeddings: DataFrame, vec_col: str = "embedding") -> D
     )
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: seeded MLlib KMeans over the vectors,
+    every vector assigned to its nearest centroid's cell.
+
+    Returns ``(assigned, centroids)`` — the input with an extra ``cell
+    INT`` column, and the centroid list (cell -> list[float]) collected
+    to the driver. Centroids are tiny (n_cells x dim floats) by design:
+    that is the IVF architecture — the index metadata rides on the
+    driver / broadcast while the inverted lists stay distributed. At
+    100 TB, ``assigned`` is what you'd write back out partitioned by
+    ``cell`` so probes prune whole files.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.withColumn(
+        "__features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="__features", predictionCol="cell"
+    ).fit(feats)
+    assigned = model.transform(feats).drop("__features")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def _nearest_cells(query: list[float], centroids: list[list[float]], n_probe: int) -> list[int]:
+    """Rank cells by L2 distance to the query (driver-side: the
+    centroid table is index metadata, not data)."""
+    d2 = [
+        (sum((q - c) ** 2 for q, c in zip(query, cent)), i)
+        for i, cent in enumerate(centroids)
+    ]
+    return [i for _, i in sorted(d2)[:n_probe]]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` cells nearest the
+    query and brute-force cosine only inside them.
+
+    Scale path vs ``cosine_topk``: the candidate scan shrinks by
+    ~n_probe/n_cells, and with cell-partitioned storage the untouched
+    cells are never read (partition pruning on ``cell``).
+    """
+    assigned, centroids = ivf_index(embeddings, n_cells, seed, vec_col)
+    qrow = embeddings.where(F.col("vec_id") == query_vec_id).select(vec_col).first()
+    query = [float(x) for x in qrow[0]]
+    probe = _nearest_cells(query, centroids, n_probe)
+    qlit = F.array(*[F.lit(x) for x in query])
+    return (
+        assigned.where(F.col("cell").isin(probe))
+        .where(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.round(cosine(F.col(vec_col), qlit), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )
+
+
+def ivf_cell_histogram(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell occupancy for the IVF index — the balance diagnostic that
+    decides n_cells (skewed cells = skewed probe work)."""
+    assigned, _ = ivf_index(embeddings, n_cells, seed, vec_col)
+    return (
+        assigned.groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cell")
+    )
+
+
 def lsh_near_pairs(
     embeddings: DataFrame,
     min_cosine: float = 0.9,

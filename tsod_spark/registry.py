@@ -810,6 +810,21 @@ def emb_lsh_near_pairs(spark, sf_dir):
     return similarity.lsh_near_pairs(table(spark, sf_dir, "embeddings"))
 
 
+# IVF ANN — no SQL oracle (seeded MLlib KMeans is not reproducible in
+# SQL); driver records rows-only checks. Recall vs the brute-force
+# baseline is asserted in tests/test_pipeline.py instead.
+
+
+@register("emb_ivf_topk")
+def emb_ivf_topk(spark, sf_dir):
+    return similarity.ivf_topk(table(spark, sf_dir, "embeddings"))
+
+
+@register("emb_ivf_cells")
+def emb_ivf_cells(spark, sf_dir):
+    return similarity.ivf_cell_histogram(table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing — no SQL oracle (mapInPandas path); driver records a
 # rows-only check.
