@@ -1,0 +1,66 @@
+"""Physical-plan assertions for the analytics queries.
+
+Correctness is covered by the DuckDB oracle parity gate; these tests
+pin the SCALE-relevant plan properties — the join strategy and filter
+placement we designed for must actually appear in the optimized plan,
+or a regression silently turns a broadcast into a 100 TB shuffle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tsod_spark.analytics import tpch
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def t(spark):
+    def load(name):
+        return spark.read.parquet(f"{SF}/{name}.parquet")
+
+    return load
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q3_broadcasts_customer_dim(t):
+    p = plan(tpch.q3_shipping_priority(t("customer"), t("orders"), t("lineitem")))
+    assert "BroadcastHashJoin" in p
+
+
+def test_q4_semi_join_no_fanout(t):
+    p = plan(tpch.q4_order_priority(t("orders"), t("lineitem")))
+    assert "LeftSemi" in p
+
+
+def test_q6_filters_reach_parquet_scan(t):
+    p = plan(tpch.q6_forecast_revenue(t("lineitem")))
+    assert "PushedFilters" in p
+    assert "l_shipdate" in p.split("PushedFilters")[1][:300]
+
+
+def test_q19_stays_equi_join_with_residual_disjunction(t):
+    p = plan(tpch.q19_disjunctive_revenue(t("lineitem"), t("part")))
+    # common conjunct extracted -> broadcast equi-join, not BNLJ/cartesian
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q22_anti_join(t):
+    p = plan(tpch.q22_global_sales_opportunity(t("customer"), t("orders")))
+    assert "LeftAnti" in p
+
+
+def test_q18_aggregates_before_join(t):
+    p = plan(tpch.q18_large_orders(t("customer"), t("orders"), t("lineitem")))
+    # the HAVING aggregate must sit below the joins (filter on sum_qty
+    # applies to the grouped lineitem, not the joined result)
+    agg_pos = p.find("HashAggregate")
+    join_pos = p.find("Join")
+    assert agg_pos != -1 and join_pos != -1

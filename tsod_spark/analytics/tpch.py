@@ -126,6 +126,146 @@ def q6_forecast_revenue(
     )
 
 
+def q4_order_priority(
+    orders, lineitem, date_from="1996-01-01", date_to="1997-01-01"
+) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking via EXISTS — a LEFT SEMI
+    join (no fan-out, lineitem dedup is free) with an extra non-equi
+    late-shipment condition riding the join."""
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from)) & (F.col("o_orderdate") < F.lit(date_to))
+    )
+    late = o.join(
+        lineitem,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q14_promo_effect(lineitem, part, date_from="1996-01-01", date_to="1996-04-01") -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share. part broadcasts; both sums
+    run in the exact integer domain, one double division at the end."""
+    rev = cents("l_extendedprice") * (100 - pct("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from)) & (F.col("l_shipdate") < F.lit(date_to))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.sum(promo) * 100.0 / F.sum(rev), 6).alias("promo_revenue_pct"),
+            (F.sum(rev) / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+def q17_small_quantity_revenue(lineitem, part, brand="Brand#9", frac: float = 0.5) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small orders — per-part average
+    quantity aggregated once, joined back, lineitems below frac*avg
+    summed. Quantities are small integers so the average is the exact
+    ratio of two longs (order-independent); the brand filter prunes the
+    part scan before the aggregate's shuffle."""
+    p = part.where(F.col("p_brand") == brand)
+    qty = F.round(F.col("l_quantity")).cast("long")
+    li = lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.sum(qty) / F.count(F.lit(1))).alias("__avg_qty")
+    )
+    return (
+        li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("__pk"))
+        .where(F.col("l_quantity") < frac * F.col("__avg_qty"))
+        .agg(
+            (F.sum(cents("l_extendedprice")) / 100.0 / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q18_large_orders(customer, orders, lineitem, min_qty: int = 250, top_n: int = 10) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — HAVING on a grouped sum,
+    then dim joins and top-k. The lineitem aggregate runs FIRST so the
+    expensive joins see only qualifying orderkeys."""
+    qty = F.round(F.col("l_quantity")).cast("long")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("sum_qty"))
+        .where(F.col("sum_qty") > min_qty)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            (cents("o_totalprice") / 100.0).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(top_n)
+    )
+
+
+def q19_disjunctive_revenue(lineitem, part) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    Catalyst extracts the common l_partkey=p_partkey conjunct so the
+    join stays an equi-join (broadcast) with the disjunction as a
+    post-join filter — the plan to check in .explain."""
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(11, 20)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(21, 30)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    rev = F.sum(cents("l_extendedprice") * (100 - pct("l_discount"))) / 10000.0
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(rev.alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def q22_global_sales_opportunity(customer, orders, since="2000-01-01") -> DataFrame:
+    """TPC-H Q22 shape: above-mean-balance customers with no RECENT
+    orders — scalar aggregate folded into a filter, then a LEFT ANTI
+    join. The mean is the exact ratio of a cents sum and a count, so
+    the comparison is order-independent."""
+    pos = customer.where(F.col("c_acctbal") > 0)
+    avg_row = pos.agg(
+        F.sum(cents("c_acctbal")).alias("s"), F.count(F.lit(1)).alias("n")
+    ).first()
+    avg_cents = avg_row["s"] / avg_row["n"]  # double, exact ratio of longs
+    rich = customer.where(cents("c_acctbal") > F.lit(avg_cents))
+    recent = orders.where(F.col("o_orderdate") >= F.lit(since))
+    no_orders = rich.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (
+        no_orders.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            (F.sum(cents("c_acctbal")) / 100.0).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def top_customers(customer, orders, top_n: int = 10) -> DataFrame:
     """Top customers by lifetime spend (broadcast dim join + top-k)."""
     return (

@@ -465,6 +465,114 @@ def tpch_q6(spark, sf_dir):
 
 
 @register(
+    "tpch_q4",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+)
+def tpch_q4(spark, sf_dir):
+    return tpch.q4_order_priority(
+        table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "tpch_q14",
+    """WITH li AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+             p_type
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01')
+    SELECT round(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 100.0 / sum(rev), 6) AS promo_revenue_pct,
+           sum(rev) / 10000.0 AS total_revenue
+    FROM li""",
+)
+def tpch_q14(spark, sf_dir):
+    return tpch.q14_promo_effect(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "tpch_q17",
+    """WITH li AS (SELECT l.* FROM lineitem l JOIN part ON l_partkey = p_partkey
+                   WHERE p_brand = 'Brand#9'),
+    a AS (SELECT l_partkey AS pk,
+                 sum(CAST(round(l_quantity) AS BIGINT)) / count(*) AS avg_qty
+          FROM li GROUP BY 1)
+    SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0 AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM li JOIN a ON l_partkey = pk
+    WHERE l_quantity < 0.5 * avg_qty""",
+)
+def tpch_q17(spark, sf_dir):
+    return tpch.q17_small_quantity_revenue(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "tpch_q18",
+    """WITH big AS (
+      SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_orderdate,
+           CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS o_totalprice,
+           sum_qty
+    FROM big JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def tpch_q18(spark, sf_dir):
+    return tpch.q18_large_orders(
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "tpch_q19",
+    """SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30 AND l_quantity BETWEEN 20 AND 40)""",
+)
+def tpch_q19(spark, sf_dir):
+    return tpch.q19_disjunctive_revenue(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "tpch_q22",
+    """WITH p AS (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s, count(*) AS n
+                  FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
+           sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_acctbal
+    FROM customer, p
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) > s / n
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+)
+def tpch_q22(spark, sf_dir):
+    return tpch.q22_global_sales_opportunity(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    )
+
+
+@register(
     "top_customers",
     """SELECT c_custkey, c_name,
            sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_spend,
