@@ -934,14 +934,52 @@ def emb_ivf_cells(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# multimodal plumbing — no SQL oracle (mapInPandas path); driver records a
-# rows-only check.
+# multimodal plumbing (pipeline/multimodal.py). The decode kernel runs
+# through the real mapInPandas/Arrow path; because the stub derives its
+# pseudo-metadata from md5(payload), a full SQL oracle can replay it —
+# so even the Python-UDF plumbing is value-checked, not just row-counted.
+
+MM_DECODE_SQL = """WITH a AS (SELECT doc_id AS asset_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       md5(text) AS h, octet_length(encode(text)) AS n_bytes FROM documents),
+    d AS (SELECT asset_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(16 + ('0x' || substr(h, 1, 2))::INT % 240 AS INT) AS width,
+       CAST(16 + ('0x' || substr(h, 3, 2))::INT % 240 AS INT) AS height,
+       CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + ('0x' || substr(h, 5, 2))::INT % 100 END AS INT) AS n_frames,
+       CAST(('0x' || substr(h, 7, 2))::INT AS INT) AS mean_brightness
+       FROM a)"""
 
 
-@register("mm_decode")
+@register("mm_decode", f"{MM_DECODE_SQL} SELECT * FROM d")
 def mm_decode(spark, sf_dir):
     assets = multimodal.fake_assets_from_documents(table(spark, sf_dir, "documents"))
     return multimodal.decode_assets(assets)
+
+
+@register(
+    "mm_resize",
+    f"""{MM_DECODE_SQL}
+    SELECT asset_id, width, height,
+           CAST(ceil(width * least(1.0, 64 / CAST(greatest(width, height) AS DOUBLE))) AS INT) AS target_width,
+           CAST(ceil(height * least(1.0, 64 / CAST(greatest(width, height) AS DOUBLE))) AS INT) AS target_height
+    FROM d""",
+)
+def mm_resize(spark, sf_dir):
+    assets = multimodal.fake_assets_from_documents(table(spark, sf_dir, "documents"))
+    out = multimodal.resize_images(multimodal.decode_assets(assets))
+    return out.select("asset_id", "width", "height", "target_width", "target_height")
+
+
+@register(
+    "mm_frames",
+    f"""{MM_DECODE_SQL}
+    SELECT asset_id, CAST(unnest(generate_series(0, greatest(n_frames - 1, 0), 10)) AS BIGINT) AS frame_idx
+    FROM d WHERE kind = 'video'""",
+)
+def mm_frames(spark, sf_dir):
+    assets = multimodal.fake_assets_from_documents(table(spark, sf_dir, "documents"))
+    out = multimodal.sample_frames(multimodal.decode_assets(assets))
+    return out.select("asset_id", F.col("frame_idx").cast("long").alias("frame_idx"))
 
 
 # ---------------------------------------------------------------------------
