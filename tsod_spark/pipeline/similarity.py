@@ -131,8 +131,10 @@ def ivf_index(
     feats = embeddings.withColumn(
         "__features", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
+    # maxIter=10: coarse-quantizer centroids only steer probe routing;
+    # residual centroid drift past ~10 iterations doesn't move recall.
     model = KMeans(
-        k=n_cells, seed=seed, featuresCol="__features", predictionCol="cell"
+        k=n_cells, seed=seed, maxIter=10, featuresCol="__features", predictionCol="cell"
     ).fit(feats)
     assigned = model.transform(feats).drop("__features")
     centroids = [c.tolist() for c in model.clusterCenters()]
