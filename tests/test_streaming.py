@@ -9,6 +9,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from tsod_spark import (
+    CombinedDetector,
+    ConstantGradientDetector,
+    ConstantValueDetector,
     DiffDetector,
     GradientDetector,
     HampelDetector,
@@ -78,8 +81,10 @@ def batch_flags(spark, detector):
         GradientDetector(0.005),
         RollingStandardDeviationDetector(10, 60.0),
         HampelDetector(5, 3),
+        ConstantValueDetector(3, 5.0),
+        ConstantGradientDetector(3),
     ],
-    ids=["diff", "gradient", "rolling_std", "hampel"],
+    ids=["diff", "gradient", "rolling_std", "hampel", "constant_value", "constant_gradient"],
 )
 def test_stream_matches_batch(spark, events_batches, detector):
     got = run_stream(spark, events_batches, detector)
@@ -105,7 +110,75 @@ def _args(det):
         return (det._window_size, det._max_std, det._center)
     if isinstance(det, HampelDetector):
         return (det._window_size, det._threshold)
+    if isinstance(det, ConstantGradientDetector):
+        return (det._window_size,)
+    if isinstance(det, ConstantValueDetector):
+        return (det._window_size, det._threshold)
     raise AssertionError
+
+
+def test_stream_combined_matches_batch(spark, events_batches):
+    def make():
+        return CombinedDetector(
+            [RangeDetector(1.0, 300.0), DiffDetector(50.0), ConstantValueDetector(3, 5.0)]
+        )
+
+    got = run_stream(spark, events_batches, make())
+    assert len(got) > 0
+    expected = batch_flags(spark, make())
+    mismatches = [
+        (r.user_id, r.ts, r.is_anomaly, expected[(r.user_id, r.ts)])
+        for r in got
+        if expected[(r.user_id, r.ts)] != r.is_anomaly
+    ]
+    assert not mismatches, f"{len(mismatches)} mismatches, first: {mismatches[:3]}"
+
+
+def test_stream_rollup_matches_batch(spark, events_batches):
+    from tsod_spark.streaming import stream_rollup
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_rollup(src, keys=["event_type"], bucket="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rollup_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode re-emits refined windows; the LAST emit per key wins.
+    got = {
+        (r["bucket"], r["event_type"]): (r["n_events"], r["avg_value"])
+        for r in spark.sql("SELECT * FROM rollup_stream").collect()
+    }
+
+    # batch twin computed directly (watermark doesn't apply to batch)
+    batch = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    from pyspark.sql import functions as FF
+
+    v = FF.when(FF.isnan("value") | FF.col("value").isNull(), None).otherwise(FF.col("value"))
+    cents = FF.round(v * 100).cast("long")
+    exp_rows = (
+        batch.groupBy(FF.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(FF.count(FF.lit(1)).alias("n"), FF.count(v).alias("nv"), FF.sum(cents).alias("c"))
+        .select(
+            FF.col("win.start").alias("bucket"),
+            "event_type",
+            "n",
+            FF.when(FF.col("nv") > 0, FF.round(FF.col("c") / 100.0 / FF.col("nv"), 6)).alias("avg"),
+        )
+        .collect()
+    )
+    expected = {(r["bucket"], r["event_type"]): (r["n"], r["avg"]) for r in exp_rows}
+    assert got == expected
 
 
 def test_stream_stateless_range(spark, events_batches):

@@ -1,1 +1,1 @@
-from .detect import stream_detect, stream_detect_stateless  # noqa: F401
+from .detect import stream_detect, stream_detect_stateless, stream_rollup  # noqa: F401

@@ -51,6 +51,9 @@ from pyspark.sql.types import (
 )
 
 from ..detectors import (
+    CombinedDetector,
+    ConstantGradientDetector,
+    ConstantValueDetector,
     DiffDetector,
     GradientDetector,
     HampelDetector,
@@ -110,9 +113,84 @@ def _plan(detector):
             w,
             {"window_size": w, "threshold": detector._threshold},
         )
+    if isinstance(detector, ConstantGradientDetector):
+        # centered span ±(w//2 | w-w//2-1), +1 for the gradient's
+        # neighbor, +1 for the flag dilation
+        w = detector._window_size
+        return (
+            kernels.constant_gradient_kernel,
+            w // 2 + 2,
+            w - w // 2 + 1,
+            {"window_size": w, "threshold": detector._threshold},
+        )
+    if isinstance(detector, ConstantValueDetector):
+        # centered span +1 for the flag dilation
+        w = detector._window_size
+        return (
+            kernels.constant_value_kernel,
+            w // 2 + 1,
+            w - w // 2,
+            {"window_size": w, "threshold": detector._threshold},
+        )
+    if isinstance(detector, CombinedDetector):
+        plans = [_plan(d) for d in detector._detectors]
+        lookback = max(p[1] for p in plans)
+        lookahead = max(p[2] for p in plans)
+
+        def combined_kernel(ts, value, offset, plans=plans):
+            import numpy as np
+
+            out = np.zeros(len(value), dtype=bool)
+            for kern, _, _, params in plans:
+                out |= kern(ts, value, offset, **params)
+            return out
+
+        return combined_kernel, lookback, lookahead, {}
     raise NotImplementedError(
-        f"streaming not implemented for {type(detector).__name__} "
-        "(constant-run detectors need lead-of-flag dilation; batch only for now)"
+        f"streaming not implemented for {type(detector).__name__}"
+    )
+
+
+def stream_rollup(
+    stream_df: DataFrame,
+    keys: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked windowed rollup — the streaming analogue of the
+    batch ``events_daily`` hypertable rollup.
+
+    Event-time tumbling windows with a late-data bound: rows later than
+    ``watermark`` are dropped and state for closed windows is evicted,
+    so state size is O(open windows x keys) regardless of stream
+    length. The mean uses the exact-cents trick so a replayed batch
+    gives bit-identical averages.
+    """
+    from pyspark.sql import functions as F
+
+    v = F.when(F.isnan(value_col) | F.col(value_col).isNull(), None).otherwise(
+        F.col(value_col)
+    )
+    cents = F.round(v * 100).cast("long")
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, bucket).alias("win"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(v).alias("__nv"),
+            F.sum(cents).alias("__cents"),
+        )
+        .select(
+            F.col("win.start").alias("bucket"),
+            *keys,
+            "n_events",
+            F.when(
+                F.col("__nv") > 0,
+                F.round(F.col("__cents") / 100.0 / F.col("__nv"), 6),
+            ).alias("avg_value"),
+        )
     )
 
 

@@ -69,6 +69,47 @@ def rolling_std_kernel(ts, value, offset, window_size, max_std, center=True):
     return out
 
 
+def _constant_core(series, window_size, threshold, offset):
+    # /root/reference/tsod/detectors.py:237-242: centered rolling
+    # max-min (min_periods = window -> NaN-bearing windows never flag),
+    # first row of the SERIES forced False. The last-row mask is
+    # undefined on a stream (no last row until it ends); for window
+    # sizes with a non-empty trailing centered span (w - w//2 - 1 >= 1,
+    # i.e. every odd w >= 3 incl. the reference default) min_periods
+    # already forces those rows False, so semantics match batch exactly.
+    mx = series.rolling(window_size, center=True).max()
+    mn = series.rolling(window_size, center=True).min()
+    core = ((mx - mn).abs() < threshold).fillna(False).to_numpy(dtype=bool)
+    if offset == 0 and len(core):
+        core[0] = False
+    return core
+
+
+def _dilate(core):
+    # /root/reference/tsod/detectors.py:243-249: ±1-position dilation
+    out = core.copy()
+    out[1:] |= core[:-1]
+    out[:-1] |= core[1:]
+    return out
+
+
+def constant_value_kernel(ts, value, offset, window_size, threshold):
+    # /root/reference/tsod/detectors.py:237-251
+    return _dilate(_constant_core(value, window_size, threshold, offset))
+
+
+def constant_gradient_kernel(ts, value, offset, window_size, threshold=1e-7):
+    # /root/reference/tsod/detectors.py:271-276: constant-run pipeline
+    # over the forward and backward gradients (both divided by the
+    # backward Δt, mirroring base.py:89 diff(periods)/dt), OR-combined.
+    dt = ts.diff().dt.total_seconds()
+    gf = value.diff() / dt
+    gb = value.diff(-1) / dt
+    cf = _constant_core(gf, window_size, threshold, offset)
+    cb = _constant_core(gb, window_size, threshold, offset)
+    return _dilate(cf) | _dilate(cb)
+
+
 def hampel_kernel(ts, value, offset, window_size, threshold, k=1.4826):
     # /root/reference/tsod/hampel.py:27-60 (half-open [t-w, t+w) window,
     # interior points only). The n-w upper bound is enforced by the
