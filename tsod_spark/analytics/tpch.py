@@ -295,6 +295,40 @@ def events_daily(events: DataFrame) -> DataFrame:
     )
 
 
+def events_props_stats(events: DataFrame) -> DataFrame:
+    """Typed JSON property extraction + per-type aggregate.
+
+    ``get_json_object`` stays JVM-side (Jackson) — no Python in the
+    path; the average is an exact ratio of two longs."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.round(F.sum(k) / F.count(k), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_rollup(events: DataFrame) -> DataFrame:
+    """ROLLUP over (day, event_type): per-type, per-day, and grand
+    totals in one pass — grouping-sets coverage the reference lacks.
+    Partial aggregation applies per grouping set before the shuffle."""
+    v = F.when(F.isnan("value") | F.col("value").isNull(), None).otherwise(
+        F.col("value")
+    )
+    return (
+        events.rollup(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(v * 100).cast("long")) / 100.0).alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Gap-based sessionization: one ordered window per user, cumulative
     sum of new-session flags, then per-session rollup. At scale this is

@@ -600,6 +600,30 @@ def events_daily(spark, sf_dir):
 
 
 @register(
+    "events_props_json",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 / count(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+    FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def events_props_json(spark, sf_dir):
+    return tpch.events_props_stats(table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_rollup",
+    """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type,
+           CASE WHEN isnan(value) THEN NULL ELSE value END AS v FROM events)
+    SELECT day, event_type, CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(round(v * 100) AS BIGINT)) / 100.0 AS sum_value
+    FROM e GROUP BY ROLLUP(day, event_type)""",
+)
+def events_rollup(spark, sf_dir):
+    return tpch.events_rollup(table(spark, sf_dir, "events"))
+
+
+@register(
     "events_sessions",
     f"""WITH g AS (
       SELECT user_id, event_id, ts,
