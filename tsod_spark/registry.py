@@ -159,6 +159,38 @@ def ts_diff_fit(spark, sf_dir):
     return df.select("event_id", as_pred(F.abs(F.col("__d")) > thr).alias("is_anomaly"))
 
 
+@register(
+    "ts_range_low_only",
+    f"{E_CTE} SELECT event_id, coalesce(v < 5.0, FALSE) AS is_anomaly FROM e",
+)
+def ts_range_low_only(spark, sf_dir):
+    """D1 one-sided lower bound (detectors.py:124-128: max omitted)."""
+    out = RangeDetector(min_value=5.0).detect(events_tsf(spark, sf_dir))
+    return out.select("event_id", "is_anomaly")
+
+
+@register(
+    "ts_diff_positive",
+    f"{E_CTE} SELECT event_id, coalesce((v - lag(v) OVER ({W})) > 60.0, FALSE) AS is_anomaly FROM e",
+)
+def ts_diff_positive(spark, sf_dir):
+    """D2 direction='positive': only upward jumps flag
+    (detectors.py:175-176 signed comparison)."""
+    out = DiffDetector(60.0, direction="positive").detect(events_tsf(spark, sf_dir))
+    return out.select("event_id", "is_anomaly")
+
+
+@register(
+    "ts_diff_negative",
+    f"{E_CTE} SELECT event_id, coalesce((v - lag(v) OVER ({W})) < -60.0, FALSE) AS is_anomaly FROM e",
+)
+def ts_diff_negative(spark, sf_dir):
+    """D2 direction='negative': only downward jumps flag
+    (detectors.py:177-178)."""
+    out = DiffDetector(60.0, direction="negative").detect(events_tsf(spark, sf_dir))
+    return out.select("event_id", "is_anomaly")
+
+
 GRAD_SQL = (
     f"(v - lag(v) OVER ({W})) / "
     f"((epoch_us(ts) - lag(epoch_us(ts)) OVER ({W})) / 1000000.0)"
@@ -940,6 +972,33 @@ def emb_lsh_buckets(spark, sf_dir):
 )
 def emb_lsh_near_pairs(spark, sf_dir):
     return similarity.lsh_near_pairs(table(spark, sf_dir, "embeddings"))
+
+
+# MLlib learned detectors — the reference's "advanced detectors"
+# vision (README.md:43). No SQL oracle (trained models aren't
+# SQL-reproducible); rows-only checks, semantics tested in
+# tests/test_pipeline.py / test_golden_detectors.py.
+
+
+@register("ts_mllib_residual")
+def ts_mllib_residual(spark, sf_dir):
+    """Linear value~lags model; flag |residual| > n_sigmas * train std."""
+    from .detectors.mllib import RegressionResidualDetector
+
+    tsf = events_tsf(spark, sf_dir)
+    det = RegressionResidualDetector(time_steps=5, n_sigmas=4.0).fit(tsf)
+    return det.detect(tsf).select("event_id", "is_anomaly")
+
+
+@register("ts_mllib_kmeans")
+def ts_mllib_kmeans(spark, sf_dir):
+    """Lag-window shape novelty: distance to nearest KMeans centroid
+    above the fitted quantile threshold."""
+    from .detectors.mllib import KMeansDistanceDetector
+
+    tsf = events_tsf(spark, sf_dir)
+    det = KMeansDistanceDetector(time_steps=8, k=8, quantile=0.99).fit(tsf)
+    return det.detect(tsf).select("event_id", "is_anomaly")
 
 
 # IVF ANN — no SQL oracle (seeded MLlib KMeans is not reproducible in
