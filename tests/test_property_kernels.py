@@ -1,0 +1,109 @@
+"""Property-based cross-validation: the batch Column-algebra plans and
+the streaming pandas kernels are two INDEPENDENT implementations of the
+reference semantics — hypothesis feeds both random NaN-bearing series
+and asserts identical flags.
+
+This is the strongest in-repo correctness net for the window-edge
+cases (min_periods, centered even windows, dilation, NaN handling): a
+bug would have to appear identically in two formulations to pass.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tsod_spark import (
+    ConstantValueDetector,
+    DiffDetector,
+    GradientDetector,
+    RollingStandardDeviationDetector,
+)
+from tsod_spark.frame import TimeSeriesFrame
+from tsod_spark.streaming import kernels
+
+values_strategy = st.lists(
+    st.one_of(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        st.just(float("nan")),
+        st.sampled_from([0.0, 1.0, 1.0, 50.0]),  # encourage constant runs
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+def _spark_flags(spark, detector, values):
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [(t0 + dt.timedelta(hours=i), float(v)) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    tsf = TimeSeriesFrame(df)
+    out = detector.detect(tsf).orderBy("ts").select("is_anomaly").collect()
+    return [bool(r[0]) for r in out]
+
+
+def _kernel_flags(kernel, values, **params):
+    t0 = dt.datetime(2020, 1, 1)
+    ts = pd.Series([t0 + dt.timedelta(hours=i) for i in range(len(values))])
+    vals = pd.Series([float(v) for v in values])
+    out = kernel(ts, vals, 0, **params)
+    return [bool(x) for x in out]
+
+
+CASES = [
+    (
+        lambda: DiffDetector(10.0),
+        kernels.diff_kernel,
+        {"max_diff": 10.0, "direction": "both"},
+        None,
+    ),
+    (
+        lambda: GradientDetector(0.002),
+        kernels.gradient_kernel,
+        {"max_gradient": 0.002, "direction": "both"},
+        None,
+    ),
+    (
+        lambda: RollingStandardDeviationDetector(4, 10.0),
+        kernels.rolling_std_kernel,
+        {"window_size": 4, "max_std": 10.0, "center": True},
+        None,
+    ),
+    (
+        lambda: ConstantValueDetector(3, 0.5),
+        kernels.constant_value_kernel,
+        {"window_size": 3, "threshold": 0.5},
+        # batch masks the LAST row's core before dilation; the streaming
+        # kernel cannot know the last row — align by masking here
+        "constant",
+    ),
+]
+
+
+@pytest.mark.parametrize("case", CASES, ids=["diff", "gradient", "rolling_std", "constant"])
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(values=values_strategy)
+def test_batch_equals_kernel(spark, case, values):
+    make, kernel, params, mode = case
+    got_batch = _spark_flags(spark, make(), values)
+
+    if mode == "constant":
+        # replicate batch end-of-series handling: core at the last row
+        # is forced False before dilation (detectors.py:241-242)
+        core = kernels._constant_core(
+            pd.Series([float(v) for v in values]), params["window_size"], params["threshold"], 0
+        )
+        if len(core):
+            core[-1] = False
+        got_kernel = [bool(x) for x in kernels._dilate(core)]
+    else:
+        got_kernel = _kernel_flags(kernel, values, **params)
+
+    assert got_batch == got_kernel, (
+        f"values={values}\nbatch ={got_batch}\nkernel={got_kernel}"
+    )

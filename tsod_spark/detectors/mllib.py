@@ -51,7 +51,11 @@ class RegressionResidualDetector(SparkDetector):
 
         tsf = as_tsf(data)
         train = _lag_matrix(tsf, self._time_steps)
-        lr = LinearRegression(featuresCol="features_vec", labelCol="y", regParam=1e-6)
+        # "normal" = closed-form normal equations: one distributed pass
+        # to build X'X (5x5 here), no iterative solver rounds
+        lr = LinearRegression(
+            featuresCol="features_vec", labelCol="y", regParam=1e-6, solver="normal"
+        )
         self._model = lr.fit(train)
         pred = self._model.transform(train)
         self._resid_std = (
@@ -93,7 +97,9 @@ class KMeansDistanceDetector(SparkDetector):
 
         tsf = as_tsf(data)
         train = _lag_matrix(tsf, self._time_steps)
-        km = KMeans(featuresCol="features_vec", k=self._k, seed=42)
+        # novelty thresholding only needs stable centroids, not full
+        # convergence — 10 rounds halves the fit's shuffle count
+        km = KMeans(featuresCol="features_vec", k=self._k, seed=42, maxIter=10)
         self._model = km.fit(train)
         scored = self._model.transform(train)
         dist = self._distance_col(scored)
