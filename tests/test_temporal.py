@@ -30,6 +30,23 @@ def test_asof_join_backward_with_ties_and_misses(spark):
     assert out["d"] == (None, None)  # left outer: key with no right rows
 
 
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame(
+        [(1, T(1), "a"), (1, T(3), "b"), (1, T(6), "c")],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, T(3), 30.0), (1, T(5), 50.0)], "k int, ts timestamp, value double"
+    )
+    out = {
+        r["tag"]: (r["asof_ts"], r["asof_value"])
+        for r in asof_join(left, right, ["k"], direction="forward").collect()
+    }
+    assert out["a"] == (T(3), 30.0)  # next right row
+    assert out["b"] == (T(3), 30.0)  # equal timestamp matches
+    assert out["c"] == (None, None)  # nothing after -> NULL
+
+
 def test_asof_join_preserves_left_row_count(spark):
     left = spark.range(100).selectExpr(
         "id % 7 AS k", "timestamp_micros(CAST(id * 1000000 AS LONG)) AS ts", "id AS payload"

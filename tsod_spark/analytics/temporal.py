@@ -40,14 +40,17 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: Sequence[str] = ("value",),
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gets the right row with the
-    greatest ``right_ts <= left_ts`` for the same key (ties: right row
-    visible to a same-timestamp left row, matching SQL ``ASOF JOIN ...
-    ON l.ts >= r.ts``). Left outer: unmatched left rows keep NULLs.
+    """As-of join: each left row gets the nearest right row for the
+    same key — ``backward`` (default) the greatest ``right_ts <=
+    left_ts`` (SQL ``ASOF JOIN ... ON l.ts >= r.ts``), ``forward`` the
+    smallest ``right_ts >= left_ts``. Equal timestamps match in both
+    directions. Left outer: unmatched left rows keep NULLs.
 
-    Plan: union + ordered window forward-fill (one shuffle, no range
-    join). See module docstring.
+    Plan: union + ordered window fill (one shuffle, no range join) —
+    the forward variant just reverses the window's sort. See module
+    docstring.
     """
     keys = list(keys)
     out_ts = f"{prefix}{right_ts}"
@@ -74,10 +77,12 @@ def asof_join(
     )
 
     # Right rows (__side=0) sort before left rows at equal ts so an
-    # equal-timestamp right row is visible to the left row's fill.
+    # equal-timestamp right row is visible to the left row's fill; the
+    # forward variant scans time in reverse, same tiebreak.
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__side")
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     fill_cols = [out_ts] + [f"{prefix}{c}" for c in value_cols]

@@ -83,6 +83,48 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+STOPWORDS_EN = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "that"]
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def quality_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character- and token-class ratios used by pretraining-data
+    quality filters: punctuation / uppercase / digit character ratios,
+    stopword token ratio, and a composite low-quality flag.
+
+    All ratios are exact int/int divisions rounded to 6 decimals; the
+    char counts come from length deltas after class removal, which any
+    SQL engine reproduces exactly.
+    """
+    txt = F.col(text_col)
+    n_chars = F.length(txt)
+    n_punct = n_chars - F.length(F.regexp_replace(txt, PUNCT_CLASS, ""))
+    n_upper = n_chars - F.length(F.regexp_replace(txt, "[A-Z]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(txt, "[0-9]", ""))
+    t = tokens(txt)
+    n_words = F.size(t)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    ratio = lambda num, den: F.when(den > 0, F.round(num / den, 6))  # noqa: E731
+    punct_ratio = ratio(n_punct, n_chars)
+    stop_ratio = ratio(n_stop, n_words)
+    low = (
+        (n_words < 5)
+        | F.coalesce(stop_ratio < 0.01, F.lit(True))
+        | F.coalesce(punct_ratio > 0.2, F.lit(True))
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        ratio(n_upper, n_chars).alias("upper_ratio"),
+        ratio(n_digit, n_chars).alias("digit_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        low.alias("is_low_quality"),
+    )
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + BPE-ish regex token count (SURVEY 'token
     counting')."""

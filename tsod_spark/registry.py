@@ -700,6 +700,26 @@ def ts_asof_join(spark, sf_dir):
 
 
 @register(
+    "ts_asof_forward",
+    """WITH p AS (SELECT user_id, ts, CASE WHEN isnan(value) THEN NULL ELSE value END AS value
+           FROM events WHERE event_type = 'purchase')
+    SELECT e.event_id, p.ts AS asof_ts, p.value AS asof_value
+    FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts""",
+)
+def ts_asof_forward(spark, sf_dir):
+    """Forward as-of join: every event aligned with the user's NEXT
+    purchase (reversed-sort window fill, still one shuffle)."""
+    from .expressions import nan_to_null
+
+    e = table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", nan_to_null(F.col("value")).alias("value")
+    )
+    out = temporal.asof_join(e, p, ["user_id"], value_cols=["value"], direction="forward")
+    return out.select("event_id", "asof_ts", "asof_value")
+
+
+@register(
     "ts_resample_1h",
     """WITH e AS (SELECT user_id, ts, CASE WHEN isnan(value) THEN NULL ELSE value END AS v FROM events),
     a AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
@@ -751,6 +771,34 @@ def ts_resample_1h(spark, sf_dir):
 )
 def doc_stats(spark, sf_dir):
     return text.text_stats(table(spark, sf_dir, "documents"))
+
+
+_SW = ", ".join(f"'{s}'" for s in text.STOPWORDS_EN)
+
+
+@register(
+    "doc_quality",
+    f"""WITH d AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+            length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+            length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+            len(list_filter(toks, x -> x IN ({_SW}))) AS n_stop
+        FROM d),
+    r AS (SELECT doc_id, n_chars, n_words,
+            CASE WHEN n_chars > 0 THEN round(n_punct / n_chars, 6) END AS punct_ratio,
+            CASE WHEN n_chars > 0 THEN round(n_upper / n_chars, 6) END AS upper_ratio,
+            CASE WHEN n_chars > 0 THEN round(n_digit / n_chars, 6) END AS digit_ratio,
+            CASE WHEN n_words > 0 THEN round(n_stop / n_words, 6) END AS stopword_ratio
+        FROM s)
+    SELECT *, (n_words < 5 OR coalesce(stopword_ratio < 0.01, TRUE)
+               OR coalesce(punct_ratio > 0.2, TRUE)) AS is_low_quality
+    FROM r""",
+)
+def doc_quality(spark, sf_dir):
+    return text.quality_signals(table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -972,6 +1020,26 @@ def emb_lsh_buckets(spark, sf_dir):
 )
 def emb_lsh_near_pairs(spark, sf_dir):
     return similarity.lsh_near_pairs(table(spark, sf_dir, "embeddings"))
+
+
+@register("ts_range_quantile_approx")
+def ts_range_quantile_approx(spark, sf_dir):
+    """The 100 TB variant of ts_range_quantile: per-series
+    approx_percentile in a grouped aggregate (t-digest sketch, one
+    pass, mergeable map-side) broadcast-joined back — versus the exact
+    windowed percentile that must materialize every series. Rows-only:
+    sketches are engine-specific by construction."""
+    tsf = events_tsf(spark, sf_dir)
+    bounds = tsf.df.groupBy("user_id").agg(
+        F.percentile_approx(tsf.value, [0.02, 0.98], 10000).alias("__b")
+    )
+    out = tsf.df.join(F.broadcast(bounds), "user_id").select(
+        "event_id",
+        as_pred(
+            (tsf.value < F.element_at("__b", 1)) | (tsf.value > F.element_at("__b", 2))
+        ).alias("is_anomaly"),
+    )
+    return out
 
 
 # MLlib learned detectors — the reference's "advanced detectors"
