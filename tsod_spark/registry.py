@@ -753,6 +753,104 @@ def ts_resample_1h(spark, sf_dir):
     return temporal.resample(table(spark, sf_dir, "events"))
 
 
+@register(
+    "events_type_pivot",
+    """SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id""",
+)
+def events_type_pivot(spark, sf_dir):
+    """Pivot event counts to one column per type. The explicit values
+    list keeps it one pass (inferring pivot values costs an extra
+    distinct scan)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+        .na.fill(0, types)
+    )
+
+
+@register(
+    "events_distinct_users",
+    """SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def events_distinct_users(spark, sf_dir):
+    """Exact distinct-count per group (two-phase: dedup shuffle then
+    count). The sketch alternative is approx_count_distinct — same
+    plan shape as ts_range_quantile_approx's t-digest path."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "users_purchase_no_error",
+    """SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-15'
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'error' AND CAST(ts AS DATE) = DATE '2024-01-15'""",
+)
+def users_purchase_no_error(spark, sf_dir):
+    """Relational set difference (EXCEPT): users who purchased but
+    didn't error on a given day. Spark's subtract maps to a left-anti
+    join on all columns under the hood."""
+    e = table(spark, sf_dir, "events").withColumn("__day", F.col("ts").cast("date"))
+    day = F.lit("2024-01-15").cast("date")
+    return (
+        e.where((F.col("event_type") == "purchase") & (F.col("__day") == day))
+        .select("user_id")
+        .subtract(
+            e.where((F.col("event_type") == "error") & (F.col("__day") == day)).select(
+                "user_id"
+            )
+        )
+    )
+
+
+@register(
+    "events_value_percentiles",
+    f"""{E_CTE}
+    SELECT event_type,
+           round(quantile_cont(v, 0.25), 6) AS p25,
+           round(quantile_cont(v, 0.50), 6) AS p50,
+           round(quantile_cont(v, 0.75), 6) AS p75,
+           round(quantile_cont(v, 0.90), 6) AS p90
+    FROM e GROUP BY event_type ORDER BY event_type""",
+)
+def events_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (sort-based exact
+    percentile; the approx/t-digest variant is the scale path)."""
+    tsf = events_tsf(spark, sf_dir)
+    v = tsf.value
+    return (
+        tsf.df.groupBy("event_type")
+        .agg(
+            *[
+                F.round(F.percentile(v, F.lit(q)), 6).alias(f"p{int(q * 100)}")
+                for q in (0.25, 0.50, 0.75, 0.90)
+            ]
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis (pipeline/text.py)
 
