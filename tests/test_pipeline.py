@@ -91,6 +91,22 @@ def test_minhash_near_dup_detects_mutation(spark, docs):
     assert any({p.doc_a, p.doc_b} == {0, 999999} for p in pairs)
 
 
+def test_minhash_groups_transitive_closure(spark, docs):
+    # A copies doc 0, B copies A: {0, A, B} must land in ONE group even
+    # though 0-B may never share a band — transitivity via propagation.
+    base = docs.where(F.col("doc_id") == 0)
+    copy = lambda i: base.select(  # noqa: E731
+        F.lit(i).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    with_dups = docs.unionByName(copy(999998)).unionByName(copy(999999))
+    out = dedup.minhash_duplicate_groups(with_dups).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == docs.count() + 2  # every doc labeled exactly once
+    g = by_id[0]["group_id"]
+    assert by_id[999998]["group_id"] == g and by_id[999999]["group_id"] == g
+    assert by_id[0]["group_size"] >= 3
+
+
 def test_simhash_identical_distance_zero(spark, docs):
     dup = docs.limit(1).select(
         F.lit(999999).alias("doc_id"), "text", "lang", "source", "n_chars"

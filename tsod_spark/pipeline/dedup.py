@@ -138,6 +138,68 @@ def minhash_band_pairs(
     return out.where(F.col("est_jaccard") >= min_est_jaccard)
 
 
+def minhash_duplicate_groups(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate GROUPS: connected components over the MinHash-LSH
+    candidate-pair graph, via iterative min-label propagation.
+
+    Each doc starts labeled with its own id; every round each node
+    takes the min of its own and its neighbors' labels; fixpoint =
+    components. Rounds needed = graph diameter — near-dup components
+    are shallow (pairs/small clusters), so this converges in 2-3
+    rounds in practice; ``max_iter`` bounds pathological chains.
+
+    Scale notes: the loop is DRIVER-side control flow only — per round
+    one join + groupBy on the edge list, nothing collected except the
+    1-row convergence count. Labels are re-cached per round and the
+    plan is cut with localCheckpoint every few rounds so lineage
+    doesn't grow unboundedly (the classic iterative-algorithm trap on
+    Spark).
+    """
+    pairs = minhash_band_pairs(docs, text_col, k, bands).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = docs.select("doc_id", F.col("doc_id").alias("group_id"))
+    for it in range(max_iter):
+        # each node doc_b takes the min label over its neighbors doc_a
+        nbr_min = (
+            edges.join(labels, edges["doc_a"] == labels["doc_id"])
+            .groupBy(F.col("doc_b").alias("__n"))
+            .agg(F.min("group_id").alias("__nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["__n"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("group_id"), F.coalesce(F.col("__nbr"), F.col("group_id"))
+                ).alias("group_id"),
+            )
+        )
+        if it % 4 == 3:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.group_id") != F.col("o.group_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("group_id").agg(F.count(F.lit(1)).alias("group_size"))
+    return labels.join(sizes, "group_id").select("doc_id", "group_id", "group_size")
+
+
 def simhash16(toks: Column) -> Column:
     """16-bit SimHash over a distinct-token array.
 

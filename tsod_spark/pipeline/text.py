@@ -60,26 +60,33 @@ def shingles(toks: Column, n: int = 3) -> Column:
 
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality metrics: token counts, type-token ratio,
-    mean word length, a composite quality score."""
-    t = tokens(F.col(text_col))
+    mean word length, a composite quality score.
+
+    The token array is materialized ONCE in a first projection —
+    Catalyst does not CSE array-HOF subtrees, so referencing
+    ``tokens(text)`` from every metric re-runs the regex split per
+    metric (measured ~2x on this query at sf0.1).
+    """
+    base = docs.select(
+        "doc_id",
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        tokens(F.col(text_col)).alias("__t"),
+    )
+    t = F.col("__t")
     n_words = F.size(t)
     n_uniq = F.size(F.array_distinct(t))
     total_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
-    ttr = F.round(n_uniq / n_words, 6)
-    mean_wlen = F.round(total_len / n_words, 6)
-    # crude quality: long-enough docs with diverse vocab score higher
-    quality = F.round(
-        F.least(F.length(F.col(text_col)) / F.lit(500.0), F.lit(1.0)) * (n_uniq / n_words),
-        6,
-    )
-    return docs.select(
+    return base.select(
         "doc_id",
-        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        "n_chars",
         n_words.cast("long").alias("n_words"),
         n_uniq.cast("long").alias("n_uniq_words"),
-        ttr.alias("type_token_ratio"),
-        mean_wlen.alias("mean_word_len"),
-        quality.alias("quality_score"),
+        F.round(n_uniq / n_words, 6).alias("type_token_ratio"),
+        F.round(total_len / n_words, 6).alias("mean_word_len"),
+        # crude quality: long-enough docs with diverse vocab score higher
+        F.round(
+            F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0)) * (n_uniq / n_words), 6
+        ).alias("quality_score"),
     )
 
 
@@ -135,22 +142,30 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_scores(text: Column) -> list[tuple[str, Column]]:
-    t = tokens(text)
+def lang_scores(toks: Column) -> list[tuple[str, Column]]:
     out = []
     for lang, markers in LANG_MARKERS.items():
         marker_arr = F.array(*[F.lit(m) for m in markers])
-        score = F.size(F.filter(t, lambda x: F.array_contains(marker_arr, x)))
+        score = F.size(F.filter(toks, lambda x: F.array_contains(marker_arr, x)))
         out.append((lang, score))
     return out
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-token language ID with deterministic tie-breaking (first
-    language in LANG_MARKERS order wins ties)."""
-    scores = lang_scores(F.col(text_col))
-    langs = [lang for lang, _ in scores]
-    cols = [c for _, c in scores]
+    language in LANG_MARKERS order wins ties). Tokens materialize once
+    (see text_stats), then each language scores the shared array."""
+    base = docs.select("doc_id", "lang", tokens(F.col(text_col)).alias("__t"))
+    base = base.select(
+        "doc_id",
+        "lang",
+        *[
+            c.cast("long").alias(f"score_{lang}")
+            for lang, c in lang_scores(F.col("__t"))
+        ],
+    )
+    langs = list(LANG_MARKERS)
+    cols = [F.col(f"score_{lang}") for lang in langs]
     pred = F.lit(langs[-1])
     # fold from the back so earlier languages win ties
     for i in range(len(langs) - 2, -1, -1):
@@ -159,9 +174,9 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
             c = cols[i] >= cols[j]
             cond = c if cond is None else (cond & c)
         pred = F.when(cond, F.lit(langs[i])).otherwise(pred)
-    return docs.select(
+    return base.select(
         "doc_id",
-        *[c.cast("long").alias(f"score_{lang}") for lang, c in scores],
+        *[f"score_{lang}" for lang in langs],
         pred.alias("predicted_lang"),
         (pred == F.col("lang")).alias("matches_label"),
     )

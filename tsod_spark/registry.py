@@ -985,7 +985,9 @@ def dedup_minhash_sig(spark, sf_dir):
     return dedup.minhash_signatures(table(spark, sf_dir, "documents"))
 
 
-def _mh_pairs_sql(k: int = 8, bands: int = 4) -> str:
+def _mh_pairs_parts(k: int = 8, bands: int = 4) -> tuple[str, str]:
+    """(CTE list without WITH, final pair SELECT) — shared by the pair
+    query and the recursive-CTE component oracle."""
     r = k // bands
     mh_list = ", ".join(f"mh{i}" for i in range(k))
     band_selects = []
@@ -996,18 +998,48 @@ def _mh_pairs_sql(k: int = 8, bands: int = 4) -> str:
         )
     bands_cte = " UNION ALL ".join(band_selects)
     matches = " + ".join(f"CAST(a.mh{i} = b.mh{i} AS INT)" for i in range(k))
-    return f"""{MH_BASE},
+    ctes = f"""{MH_BASE[len("WITH "):]},
     sig AS (SELECT doc_id, {_mh_cols_sql(k)} FROM d),
-    bands AS ({bands_cte})
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    bands AS ({bands_cte})"""
+    select = f"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(({matches}) / {float(k)}, 6) AS est_jaccard
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
+    return ctes, select
+
+
+def _mh_pairs_sql(k: int = 8, bands: int = 4) -> str:
+    ctes, select = _mh_pairs_parts(k, bands)
+    return f"WITH {ctes} {select}"
+
+
+def _mh_groups_sql(k: int = 8, bands: int = 4) -> str:
+    ctes, select = _mh_pairs_parts(k, bands)
+    return f"""WITH RECURSIVE {ctes},
+    pairs AS ({select}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc),
+    comp AS (SELECT doc, min(root) AS group_id FROM reach GROUP BY doc)
+    SELECT doc AS doc_id, group_id,
+           CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+    FROM comp"""
 
 
 @register("dedup_minhash_pairs", _mh_pairs_sql())
 def dedup_minhash_pairs(spark, sf_dir):
     return dedup.minhash_band_pairs(table(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_groups", _mh_groups_sql())
+def dedup_minhash_groups(spark, sf_dir):
+    """Connected components over the LSH pair graph (iterative
+    min-label propagation; driver loop, nothing collected). Oracle:
+    recursive-CTE transitive closure."""
+    return dedup.minhash_duplicate_groups(table(spark, sf_dir, "documents"))
 
 
 def _simhash_sql(toks: str = "toks") -> str:
