@@ -1,0 +1,139 @@
+"""Scale probe: measure how headline plans scale with data volume.
+
+Builds a 10x logical expansion of the sf0.1 tables (10 unioned scans
+with key-shifted copies — no data written; series keys are shifted so
+per-key cardinality stays constant while key COUNT grows 10x, which is
+how real horizontal growth looks), then times representative queries
+at 1x and 10x. A plan that is linear-ish here (ratio ~<= 14x for 10x
+data on a fixed 32-core box, allowing scheduler overhead) has no
+hidden quadratic/collapse-to-one-partition term; a superlinear ratio
+is a red flag to fix before any real scale-up.
+
+Usage: python scripts/scale_probe.py [multiplier]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def expanded(spark, name: str, mult: int, key_cols: dict[str, int]):
+    """Union of ``mult`` scans with shifted keys (constant per-key size,
+    mult-x key count)."""
+    from pyspark.sql import functions as F
+
+    from tsod_spark.registry import table
+
+    base = table(spark, SF_DIR, name)
+    parts = []
+    for i in range(mult):
+        df = base
+        for col, stride in key_cols.items():
+            df = df.withColumn(col, F.col(col) + F.lit(i * stride))
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main():
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("scale-probe")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from tsod_spark import CombinedDetector, ConstantValueDetector, DiffDetector, HampelDetector, RangeDetector
+    from tsod_spark.analytics import temporal, tpch
+    from tsod_spark.frame import TimeSeriesFrame
+    from tsod_spark.pipeline import dedup
+
+    KEYSHIFT = {"events": {"user_id": 10_000, "event_id": 10_000_000}}
+
+    def events(m):
+        return expanded(spark, "events", m, KEYSHIFT["events"])
+
+    def tsf(m):
+        return TimeSeriesFrame(events(m), series=["user_id"], tiebreak=["event_id"])
+
+    def q_combined(m):
+        det = CombinedDetector(
+            [RangeDetector(1.0, 300.0), DiffDetector(80.0), ConstantValueDetector(3, 5.0), HampelDetector(5, 3)]
+        )
+        return det.detect(tsf(m))
+
+    def q_asof(m):
+        e = events(m)
+        p = e.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+        return temporal.asof_join(e, p, ["user_id"])
+
+    def q_resample(m):
+        return temporal.resample(events(m))
+
+    def q_sessions(m):
+        return tpch.sessionize(events(m))
+
+    def q_q5(m):
+        li = expanded(spark, "lineitem", m, {"l_orderkey": 10_000_000})
+        o = expanded(spark, "orders", m, {"o_orderkey": 10_000_000, "o_custkey": 0})
+        return tpch.q5_local_supplier_volume(
+            expanded(spark, "customer", 1, {}),
+            o,
+            li,
+            expanded(spark, "supplier", 1, {}),
+            expanded(spark, "nation", 1, {}),
+            expanded(spark, "region", 1, {}),
+        )
+
+    def q_dedup_exact(m):
+        docs = expanded(spark, "documents", m, {"doc_id": 10_000_000})
+        return dedup.exact_duplicates(docs)
+
+    QUERIES = {
+        "combined_detect": q_combined,
+        "asof_join": q_asof,
+        "resample": q_resample,
+        "sessionize": q_sessions,
+        "tpch_q5": q_q5,
+        "dedup_exact": q_dedup_exact,
+    }
+
+    # warmup
+    events(1).limit(1).write.format("noop").mode("overwrite").save()
+
+    results = {}
+    for name, fn in QUERIES.items():
+        t = {}
+        for m in (1, mult):
+            t0 = time.time()
+            fn(m).write.format("noop").mode("overwrite").save()
+            t[m] = round(time.time() - t0, 2)
+        ratio = round(t[mult] / t[1], 2) if t[1] > 0 else None
+        results[name] = {"t1x": t[1], f"t{mult}x": t[mult], "ratio": ratio}
+        print(f"{name}: 1x={t[1]}s {mult}x={t[mult]}s ratio={ratio}", flush=True)
+
+    print(json.dumps({"multiplier": mult, "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
