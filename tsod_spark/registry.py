@@ -1152,6 +1152,81 @@ def emb_lsh_near_pairs(spark, sf_dir):
     return similarity.lsh_near_pairs(table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "ts_zscore",
+    f"""{E_CTE}, c AS (SELECT event_id, user_id, CAST(round(v * 100) AS BIGINT) AS vc FROM e),
+    s AS (SELECT event_id, vc,
+            sum(vc) OVER ({P}) AS sv,
+            sum(vc * vc) OVER ({P}) AS svv,
+            count(vc) OVER ({P}) AS n
+          FROM c)
+    SELECT event_id,
+           coalesce(
+             CAST((vc * n - sv) AS DOUBLE) * (vc * n - sv)
+               > 9.0 * CAST(n AS DOUBLE) * (svv * n - sv * sv) / (n - 1),
+             FALSE) AS is_anomaly
+    FROM s""",
+)
+def ts_zscore(spark, sf_dir):
+    """Per-series z-score detector, |v - mean| > 3 std, computed
+    ENTIRELY in exact integer cents: the test (v-mean)^2 > 9*var is
+    cross-multiplied by n^2 so mean and variance never become
+    intermediate floats — sums of cents and squared cents are exact
+    BIGINTs in any engine, making even the variance comparison
+    bit-deterministic (the one float product is a single rounding on
+    both sides of identical integers). Overflow bound: svv*n fits a
+    BIGINT up to ~1e5 rows/series at 4e4-cent values; beyond that
+    switch the products to double (losing bit-parity, keeping
+    correctness)."""
+    tsf = events_tsf(spark, sf_dir)
+    vc = F.round(tsf.value * 100).cast("long")
+    df = tsf.df.withColumn("__vc", vc)
+    w = tsf.with_df(df).w_all()
+    sv = F.sum("__vc").over(w)
+    svv = F.sum(F.col("__vc") * F.col("__vc")).over(w)
+    n = F.count("__vc").over(w)
+    dev = F.col("__vc") * n - sv
+    lhs = dev.cast("double") * dev
+    rhs = 9.0 * n.cast("double") * (svv * n - sv * sv) / (n - 1)
+    return df.select("event_id", as_pred(lhs > rhs).alias("is_anomaly"))
+
+
+@register(
+    "anomaly_daily_summary",
+    f"""{E_CTE}, x AS (SELECT * FROM e),
+    cv AS (WITH {_const_sql('v', 5.0)}),
+    flags AS (
+      SELECT e.event_id, e.ts,
+             (coalesce(e.v < 1.0 OR e.v > 300.0, FALSE)
+              OR coalesce(abs(e.v - lag(e.v) OVER ({W})) > 80.0, FALSE)
+              OR cv.is_anomaly) AS is_anomaly
+      FROM e JOIN cv USING (event_id))
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           round(sum(CASE WHEN is_anomaly THEN 1 ELSE 0 END) / count(*), 6) AS anomaly_rate
+    FROM flags GROUP BY 1 ORDER BY 1""",
+)
+def anomaly_daily_summary(spark, sf_dir):
+    """Detector -> rollup composition: the combined detector's flags
+    aggregated to a daily anomaly-rate report — one fused plan, the
+    aggregation rides the detector's output without re-scanning."""
+    det = CombinedDetector(
+        [RangeDetector(1.0, 300.0), DiffDetector(80.0), ConstantValueDetector(3, 5.0)]
+    )
+    out = det.detect(events_tsf(spark, sf_dir))
+    flag = F.when(F.col("is_anomaly"), 1).otherwise(0)
+    return (
+        out.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(flag).alias("n_anomalies"),
+            F.round(F.sum(flag) / F.count(F.lit(1)), 6).alias("anomaly_rate"),
+        )
+        .orderBy("day")
+    )
+
+
 @register("ts_range_quantile_approx")
 def ts_range_quantile_approx(spark, sf_dir):
     """The 100 TB variant of ts_range_quantile: per-series
