@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .analytics import temporal, tpch
@@ -1122,6 +1122,73 @@ def emb_cosine_topk(spark, sf_dir):
 )
 def emb_knn_join(spark, sf_dir):
     return similarity.knn_join(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "emb_knn_label_accuracy",
+    f"""WITH q AS (SELECT vec_id AS query_id, label AS own_label, {EMB_D} AS qe
+                   FROM embeddings WHERE vec_id < 50),
+    s AS (SELECT vec_id, label, {EMB_D} AS ve FROM embeddings),
+    scored AS (
+      SELECT q.query_id, q.own_label, s.vec_id, s.label,
+             round(list_dot_product(ve, qe) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+      FROM s, q WHERE s.vec_id <> q.query_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM scored),
+    top3 AS (SELECT query_id, own_label,
+             max(CASE WHEN rk = 1 THEN label END) AS l1,
+             max(CASE WHEN rk = 2 THEN label END) AS l2,
+             max(CASE WHEN rk = 3 THEN label END) AS l3
+      FROM ranked WHERE rk <= 3 GROUP BY query_id, own_label)
+    SELECT query_id, own_label,
+           CAST(CASE WHEN l1 = l2 OR l1 = l3 THEN l1
+                     WHEN l2 = l3 THEN l2 ELSE l1 END AS INT) AS predicted_label,
+           (CASE WHEN l1 = l2 OR l1 = l3 THEN l1
+                 WHEN l2 = l3 THEN l2 ELSE l1 END) = own_label AS correct
+    FROM top3""",
+)
+def emb_knn_label_accuracy(spark, sf_dir):
+    """kNN label classification (k=3, majority vote, nearest wins
+    ties): the end-to-end evaluation of similarity search — broadcast
+    query side, one scored shuffle per query partition, conditional
+    aggregation for the vote."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("own_label"),
+        F.col("embedding").alias("__q"),
+    )
+    from .pipeline.similarity import cosine
+
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "own_label",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("__q")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    ranked = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+    top3 = ranked.groupBy("query_id", "own_label").agg(
+        *[
+            F.max(F.when(F.col("rk") == i, F.col("label"))).alias(f"l{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+    l1, l2, l3 = F.col("l1"), F.col("l2"), F.col("l3")
+    pred = (
+        F.when((l1 == l2) | (l1 == l3), l1).when(l2 == l3, l2).otherwise(l1)
+    )
+    return top3.select(
+        "query_id",
+        "own_label",
+        pred.cast("int").alias("predicted_label"),
+        (pred == F.col("own_label")).alias("correct"),
+    )
 
 
 def _bucket_sql(vec: str = "embedding") -> str:
