@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ALLOW_NLJ = {
     "emb_cosine_topk",   # broadcast single query vector (crossJoin by design)
     "emb_knn_join",      # broadcast few-row query side
+    "emb_knn_label_accuracy",  # broadcast few-row query side
     "emb_ivf_topk",      # broadcast single query vector into probed cells
 }
 # mapInPandas is the designed path here, not an accident

@@ -84,23 +84,13 @@ def minhash_signatures(
     )
 
 
-def minhash_band_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    k: int = 8,
-    bands: int = 4,
-    min_est_jaccard: float = 0.0,
-    shingle_n: int = 3,
-) -> DataFrame:
-    """LSH candidate pairs + estimated Jaccard (matching components / k).
+def _minhash_candidate_pairs(sigs: DataFrame, k: int, bands: int) -> DataFrame:
+    """Distinct LSH candidate pairs from a signature table.
 
     Explode per-band keys, self-join on (band, key) — the only shuffle
     moves (band_id, 32-byte hash, doc_id) triples.
     """
     r = k // bands
-    # the signature table feeds the band explode AND both sides of the
-    # verification join — cache it so the hash pipeline runs once
-    sigs = minhash_signatures(docs, text_col, k, shingle_n).cache()
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -108,16 +98,11 @@ def minhash_band_pairs(
         )
         for b in range(bands)
     ]
-    # Shuffle only (band, key, doc_id) through the candidate join — the
-    # signatures rejoin AFTER pair dedup. Carrying k hash columns through
-    # the band shuffle multiplies the shuffle bytes by ~10x and was the
-    # dominant bench cost at sf0.1.
     exploded = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", "bk.band", "bk.key")
-
     a, b = exploded.alias("a"), exploded.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -127,6 +112,25 @@ def minhash_band_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def minhash_band_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    min_est_jaccard: float = 0.0,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs + estimated Jaccard (matching components / k)."""
+    # the signature table feeds the band explode AND both sides of the
+    # verification join — cache it so the hash pipeline runs once
+    sigs = minhash_signatures(docs, text_col, k, shingle_n).cache()
+    # Shuffle only (band, key, doc_id) through the candidate join — the
+    # signatures rejoin AFTER pair dedup. Carrying k hash columns through
+    # the band shuffle multiplies the shuffle bytes by ~10x and was the
+    # dominant bench cost at sf0.1.
+    pairs = _minhash_candidate_pairs(sigs, k, bands)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
     sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
     est = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(k)) / float(k)
@@ -161,7 +165,8 @@ def minhash_duplicate_groups(
     doesn't grow unboundedly (the classic iterative-algorithm trap on
     Spark).
     """
-    pairs = minhash_band_pairs(docs, text_col, k, bands).select("doc_a", "doc_b")
+    sigs = minhash_signatures(docs, text_col, k)
+    pairs = _minhash_candidate_pairs(sigs, k, bands)
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).cache()
