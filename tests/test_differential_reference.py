@@ -112,6 +112,81 @@ def make_pairs(ref):
     ]
 
 
+def spark_fit_detect(spark, det, train, test):
+    from tsod_spark.frame import TimeSeriesFrame
+
+    def tsf(series):
+        rows = [(ts.to_pydatetime(), float(v)) for ts, v in series.items()]
+        return TimeSeriesFrame(
+            spark.createDataFrame(rows, "ts timestamp, value double")
+        )
+
+    det = det.fit(tsf(train))
+    out = det.detect(tsf(test)).orderBy("ts").select("is_anomaly").collect()
+    return [bool(r[0]) for r in out]
+
+
+@pytest.mark.parametrize("seed", [3, 99])
+def test_fit_detect_chains_match_reference(spark, ref_tsod, seed):
+    """fit() semantics have the reference's quirks baked in (signed max
+    diff, trailing fit window vs centered detect window, nanquantile
+    bounds) — differential-test the whole fit->detect chain."""
+    import tsod_spark as ours
+
+    train = random_series(seed, n=50, nan_frac=0.05)
+    test = random_series(seed + 1, n=50, nan_frac=0.05)
+    pairs = [
+        (
+            "range_quantile_fit",
+            ref_tsod.RangeDetector(quantiles=[0.05, 0.95]),
+            ours.RangeDetector(quantiles=[0.05, 0.95]),
+        ),
+        ("diff_fit", ref_tsod.DiffDetector(), ours.DiffDetector()),
+        ("gradient_fit", ref_tsod.GradientDetector(), ours.GradientDetector()),
+        (
+            "rolling_std_fit",
+            ref_tsod.RollingStandardDeviationDetector(10),
+            ours.RollingStandardDeviationDetector(10),
+        ),
+    ]
+    failures = []
+    for name, ref_det, our_det in pairs:
+        expected = np.asarray(ref_det.fit(train).detect(test), dtype=bool).tolist()
+        got = spark_fit_detect(spark, our_det, train, test)
+        if expected != got:
+            diffs = [i for i, (e, g) in enumerate(zip(expected, got)) if e != g]
+            failures.append(f"{name}: {len(diffs)} diffs at {diffs[:5]}")
+    assert not failures, f"seed={seed}: " + "; ".join(failures)
+
+
+def test_degenerate_series_match_reference(spark, ref_tsod):
+    """Edge profiles: all-constant, heavy-NaN, shorter than the window."""
+    import pandas as pd
+
+    import tsod_spark as ours
+
+    profiles = {
+        "constant": pd.Series(
+            [5.0] * 12, index=pd.date_range("2020-01-01", periods=12, freq="h")
+        ),
+        "mostly_nan": pd.Series(
+            [np.nan, 1.0, np.nan, np.nan, 2.0, np.nan, np.nan, np.nan],
+            index=pd.date_range("2020-01-01", periods=8, freq="h"),
+        ),
+        "short": pd.Series(
+            [1.0, 100.0, 1.0], index=pd.date_range("2020-01-01", periods=3, freq="h")
+        ),
+    }
+    failures = []
+    for pname, series in profiles.items():
+        for name, ref_det, our_det in make_pairs(ref_tsod):
+            expected = np.asarray(ref_det.detect(series), dtype=bool).tolist()
+            got = spark_flags(spark, our_det, series)
+            if expected != got:
+                failures.append(f"{pname}/{name}")
+    assert not failures, failures
+
+
 @pytest.mark.parametrize("seed", [7, 42, 1234])
 def test_all_detectors_match_reference(spark, ref_tsod, seed):
     series = random_series(seed)
