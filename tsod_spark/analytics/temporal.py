@@ -92,8 +92,20 @@ def asof_join(
     return u.where(F.col("__side") == 1).select(*keys, F.col("__row.*"), *fill_cols)
 
 
+_TRUNC_UNITS = {"minute", "hour", "day", "week", "month", "quarter", "year"}
+
+
 def _bucket(ts_col: str, unit: str) -> Column:
-    return F.date_trunc(unit, F.col(ts_col))
+    """Bucket start for a calendar unit (date_trunc) or an arbitrary
+    duration like "15 minutes" (epoch-aligned tumbling window — same
+    alignment as SQL time_bucket)."""
+    if unit in _TRUNC_UNITS:
+        return F.date_trunc(unit, F.col(ts_col))
+    return F.window(ts_col, unit)["start"]
+
+
+def _step(unit: str) -> Column:
+    return F.expr(f"interval 1 {unit}" if unit in _TRUNC_UNITS else f"interval {unit}")
 
 
 def resample(
@@ -157,7 +169,7 @@ def resample(
         F.first(F.when(has, F.col("bucket")), ignorenulls=True).over(nxt).alias("__ft"),
     )
 
-    step = F.expr(f"interval 1 {unit}")
+    step = _step(unit)
     g = a.withColumn(
         "__gb",
         F.explode(

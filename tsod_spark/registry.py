@@ -408,6 +408,60 @@ def ts_window_dataset(spark, sf_dir):
     )
 
 
+@register(
+    "ts_resample_15m",
+    """WITH e AS (SELECT user_id, ts, CASE WHEN isnan(value) THEN NULL ELSE value END AS v FROM events),
+    a AS (SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+                 count(*) AS n, count(v) AS nv,
+                 sum(CAST(round(v*100) AS BIGINT)) AS cents
+          FROM e GROUP BY 1, 2),
+    s AS (SELECT user_id, min(bucket) b0, max(bucket) b1 FROM a GROUP BY 1),
+    g AS (SELECT user_id, unnest(generate_series(b0, b1, INTERVAL '15 minutes')) AS bucket FROM s),
+    j AS (SELECT g.user_id, g.bucket, a.n, a.nv, a.cents,
+                 CASE WHEN a.nv > 0 THEN round(a.cents / 100.0 / a.nv, 6) END AS v_avg
+          FROM g LEFT JOIN a ON g.user_id = a.user_id AND g.bucket = a.bucket),
+    f AS (SELECT user_id, bucket, n, v_avg,
+            last_value(v_avg IGNORE NULLS) OVER wp AS prev_v,
+            last_value(CASE WHEN v_avg IS NOT NULL THEN bucket END IGNORE NULLS) OVER wp AS prev_t,
+            first_value(v_avg IGNORE NULLS) OVER wn AS next_v,
+            first_value(CASE WHEN v_avg IS NOT NULL THEN bucket END IGNORE NULLS) OVER wn AS next_t
+          FROM j
+          WINDOW wp AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, bucket, coalesce(n, 0) AS n_events, v_avg, prev_v AS v_locf,
+           CASE WHEN v_avg IS NOT NULL THEN v_avg
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                THEN prev_v + (next_v - prev_v) * ((epoch_us(bucket) - epoch_us(prev_t)) / CAST(epoch_us(next_t) - epoch_us(prev_t) AS DOUBLE))
+                ELSE prev_v END AS v_lerp,
+           v_avg IS NULL AS is_gap
+    FROM f""",
+)
+def ts_resample_15m(spark, sf_dir):
+    """Sub-calendar-unit resampling: epoch-aligned 15-minute tumbling
+    buckets (F.window start == SQL time_bucket), same gap-fill plan."""
+    return temporal.resample(table(spark, sf_dir, "events"), unit="15 minutes")
+
+
+@register(
+    "ts_range_sqlapi",
+    f"{E_CTE} SELECT event_id, coalesce(v < 1.0 OR v > 300.0, FALSE) AS is_anomaly FROM e",
+)
+def ts_range_sqlapi(spark, sf_dir):
+    """The same D1 range detection expressed PURELY through the SQL
+    front-end (temp view + spark.sql) — demonstrates that every
+    relational operator here is reachable from SQL alone, since the
+    engine IS Spark SQL."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_sqlapi")
+    return spark.sql(
+        """WITH e AS (SELECT event_id,
+                CASE WHEN isnan(value) THEN NULL ELSE value END AS v
+              FROM events_sqlapi)
+        SELECT event_id,
+               coalesce(v < 1.0 OR v > 300.0, FALSE) AS is_anomaly
+        FROM e"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # star-schema analytics (SURVEY §7 phase 4)
 
