@@ -1020,8 +1020,12 @@ def dedup_exact(spark, sf_dir):
 
 
 def _mh_cols_sql(k: int = 8) -> str:
+    # one-permutation slicing: component i = min over shingles of the
+    # 8-hex window i%4 of md5((i//4) || ':' || shingle) — matches
+    # dedup._component exactly
     return ", ".join(
-        f"list_min(list_transform(dtoks, t -> md5('{i}:' || t))) AS mh{i}" for i in range(k)
+        f"list_min(list_transform(dtoks, t -> substr(md5('{i // 4}:' || t), {1 + 8 * (i % 4)}, 8))) AS mh{i}"
+        for i in range(k)
     )
 
 
