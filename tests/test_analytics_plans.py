@@ -64,3 +64,41 @@ def test_q18_aggregates_before_join(t):
     agg_pos = p.find("HashAggregate")
     join_pos = p.find("Join")
     assert agg_pos != -1 and join_pos != -1
+
+
+def test_q7_broadcasts_both_nation_sides(t):
+    p = plan(
+        tpch.q7_volume_shipping(
+            t("lineitem"), t("orders"), t("customer"), t("supplier"), t("nation")
+        )
+    )
+    # only the orders-lineitem join may shuffle; every dim side broadcasts
+    assert p.count("BroadcastHashJoin") >= 4
+
+
+def test_q8_region_restriction_is_semi_join(t):
+    p = plan(
+        tpch.q8_market_share(
+            t("lineitem"), t("orders"), t("customer"), t("supplier"),
+            t("nation"), t("region"), part=t("part"),
+        )
+    )
+    assert "LeftSemi" in p  # customer-region filter must not fan out
+
+
+def test_q13_left_outer_preserves_zero_order_customers(t):
+    p = plan(tpch.q13_customer_distribution(t("customer"), t("orders")))
+    assert "LeftOuter" in p
+
+
+def test_q15_max_filter_is_semi_join_not_recompute(t):
+    p = plan(tpch.q15_top_supplier(t("lineitem"), t("supplier")))
+    assert "LeftSemi" in p
+    # lineitem must be scanned once per aggregation path, not re-joined raw
+    assert "BroadcastHashJoin" in p
+
+
+def test_q16_part_filter_broadcasts(t):
+    p = plan(tpch.q16_parts_supplier_count(t("lineitem"), t("part")))
+    assert "BroadcastHashJoin" in p
+    assert "p_size" in p.split("PushedFilters")[1][:400] if "PushedFilters" in p else True

@@ -351,3 +351,183 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+def q7_volume_shipping(
+    lineitem, orders, customer, supplier, nation,
+    nation_a="NATION_1", nation_b="NATION_2",
+    date_from="1996-01-01", date_to="1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. nation joins twice under different aliases (supplier's
+    vs customer's nation); both sides broadcast — the only shuffle is
+    the orders-lineitem join plus the final tiny group-by."""
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    rev = F.sum(cents("l_extendedprice") * (100 - pct("l_discount"))) / 10000.0
+    pair = (
+        (F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b)
+    ) | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    return (
+        lineitem.where((F.col("l_shipdate") >= F.lit(date_from)) & (F.col("l_shipdate") < F.lit(date_to)))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(rev.alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(
+    lineitem, orders, customer, supplier, nation, region,
+    target_nation="NATION_5", region_name="ASIA", p_type="ECONOMY", part=None,
+    date_from="1996-01-01", date_to="1998-01-01",
+) -> DataFrame:
+    """TPC-H Q8 shape: target nation's share of revenue, by order year,
+    among orders from customers in one region for one part type. The
+    share is a ratio of two exact cents sums (order-independent)."""
+    rev = cents("l_extendedprice") * (100 - pct("l_discount"))
+    nat = F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    cust_region = F.broadcast(
+        customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region.where(F.col("r_name") == region_name), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    li = lineitem.join(F.broadcast(part.where(F.col("p_type") == p_type)), F.col("l_partkey") == F.col("p_partkey"))
+    return (
+        li.join(
+            orders.where((F.col("o_orderdate") >= F.lit(date_from)) & (F.col("o_orderdate") < F.lit(date_to))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust_region, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == target_nation, rev).otherwise(F.lit(0)))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share"),
+            (F.sum(rev) / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_margin(
+    lineitem, orders, supplier, nation, part, name_like="%red%"
+) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table, so profit is gross
+    revenue): revenue from parts whose name matches, by supplier nation
+    and order year. part filter broadcasts into the lineitem scan."""
+    rev = F.sum(cents("l_extendedprice") * (100 - pct("l_discount"))) / 10000.0
+    return (
+        lineitem.join(
+            F.broadcast(part.where(F.col("p_name").like(name_like)).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(rev.alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q10_returned_items(
+    customer, orders, lineitem, nation,
+    date_from="1996-01-01", date_to="1996-04-01", top_n=20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top customers by revenue on returned items in a
+    quarter. lineitem pre-filtered on returnflag before the join."""
+    rev = F.sum(cents("l_extendedprice") * (100 - pct("l_discount"))) / 10000.0
+    return (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where((F.col("o_orderdate") >= F.lit(date_from)) & (F.col("o_orderdate") < F.lit(date_to))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(top_n)
+    )
+
+
+def q12_ship_latency(lineitem, orders, late_days: int = 90) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no shipmode/commitdate columns, so
+    lateness is shipdate > orderdate + late_days): per order priority,
+    late vs on-time line counts. Single fact-fact shuffle, counts only."""
+    late = (F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")).cast("long")
+    return (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(late).alias("late_count"),
+            F.sum(F.lit(1) - late).alias("ontime_count"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q13_customer_distribution(customer, orders) -> DataFrame:
+    """TPC-H Q13 shape: histogram of customers by order count, zero
+    included — LEFT OUTER join then two cascaded group-bys. The first
+    group-by shuffles on custkey; the histogram group-by is tiny."""
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q15_top_supplier(
+    lineitem, supplier, date_from="1996-01-01", date_to="1996-04-01"
+) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving max revenue in a quarter.
+    Revenue stays in exact integer cents for the max-equality test, so
+    ties are exact; the max is computed once and broadcast back."""
+    per_supp = (
+        lineitem.where((F.col("l_shipdate") >= F.lit(date_from)) & (F.col("l_shipdate") < F.lit(date_to)))
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents("l_extendedprice") * (100 - pct("l_discount"))).alias("rev_c"))
+    )
+    top = per_supp.agg(F.max("rev_c").alias("max_rev_c"))
+    return (
+        per_supp.join(F.broadcast(top), F.col("rev_c") == F.col("max_rev_c"), "left_semi")
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", (F.col("rev_c") / 10000.0).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_parts_supplier_count(
+    lineitem, part, exclude_brand="Brand#1", sizes=(1, 5, 10, 15, 20, 25)
+) -> DataFrame:
+    """TPC-H Q16 shape (adapted: supplier-part relationships come from
+    lineitem, there is no partsupp table): distinct supplier count per
+    (brand, type, size) over selected sizes. The part filter broadcasts;
+    count(distinct) shuffles on the grouping key only."""
+    p = part.where((F.col("p_brand") != exclude_brand) & F.col("p_size").isin(*sizes))
+    return (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )

@@ -1480,3 +1480,174 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return det.detect(events_tsf(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H shapes (Q7-Q16 family; adapted where the testdata has
+# no partsupp/commitdate/shipmode columns — see each docstring)
+
+REV_C = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+@register(
+    "tpch_q7",
+    f"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           sum({REV_C}) / 10000.0 AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+)
+def tpch_q7(spark, sf_dir):
+    return tpch.q7_volume_shipping(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "tpch_q8",
+    f"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(sum(CASE WHEN n_name = 'NATION_5' THEN {REV_C} ELSE 0 END)
+                 * 1.0 / sum({REV_C}), 6) AS mkt_share,
+           sum({REV_C}) / 10000.0 AS total_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND o_custkey IN (
+        SELECT c_custkey FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA')
+    GROUP BY 1 ORDER BY 1""",
+)
+def tpch_q8(spark, sf_dir):
+    return tpch.q8_market_share(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "region"),
+        part=table(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "tpch_q9",
+    f"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           sum({REV_C}) / 10000.0 AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1, 2 ORDER BY 1, 2 DESC""",
+)
+def tpch_q9(spark, sf_dir):
+    return tpch.q9_product_margin(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "tpch_q10",
+    f"""SELECT c_custkey, c_name, c_acctbal, n_name,
+           sum({REV_C}) / 10000.0 AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def tpch_q10(spark, sf_dir):
+    return tpch.q10_returned_items(
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "tpch_q12",
+    """SELECT o_orderpriority,
+           CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+           CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                         THEN 0 ELSE 1 END) AS BIGINT) AS ontime_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY 1""",
+)
+def tpch_q12(spark, sf_dir):
+    return tpch.q12_ship_latency(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "tpch_q13",
+    """WITH pc AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY 1)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM pc GROUP BY 1 ORDER BY 2 DESC, 1 DESC""",
+)
+def tpch_q13(spark, sf_dir):
+    return tpch.q13_customer_distribution(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "tpch_q15",
+    f"""WITH ps AS (
+      SELECT l_suppkey, sum({REV_C}) AS rev_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1)
+    SELECT s_suppkey, s_name, rev_c / 10000.0 AS total_revenue
+    FROM ps JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_c = (SELECT max(rev_c) FROM ps)
+    ORDER BY s_suppkey""",
+)
+def tpch_q15(spark, sf_dir):
+    return tpch.q15_top_supplier(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "supplier")
+    )
+
+
+@register(
+    "tpch_q16",
+    """SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25)
+    GROUP BY 1, 2, 3 ORDER BY 4 DESC, 1, 2, 3""",
+)
+def tpch_q16(spark, sf_dir):
+    return tpch.q16_parts_supplier_count(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part")
+    )
