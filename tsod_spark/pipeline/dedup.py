@@ -170,9 +170,12 @@ def minhash_duplicate_groups(
     rounds in practice; ``max_iter`` bounds pathological chains.
 
     Scale notes: the loop is DRIVER-side control flow only — per round
-    one join + groupBy on the edge list, nothing collected except the
-    1-row convergence count. Labels are re-cached per round and the
-    plan is cut with localCheckpoint every few rounds so lineage
+    one join + groupBy on the edge list, nothing collected except a
+    1-row convergence aggregate. The convergence test rides the label
+    frame itself (a ``__changed`` flag folded into the update select,
+    checked with ``max()`` over the round's cache) — no extra join and
+    no second pass over the data. Labels are re-cached per round and
+    the plan is cut with localCheckpoint every few rounds so lineage
     doesn't grow unboundedly (the classic iterative-algorithm trap on
     Spark).
     """
@@ -189,31 +192,31 @@ def minhash_duplicate_groups(
             .groupBy(F.col("doc_b").alias("__n"))
             .agg(F.min("group_id").alias("__nbr"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["__n"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("group_id"), F.coalesce(F.col("__nbr"), F.col("group_id"))
-                ).alias("group_id"),
-            )
+        new_labels = labels.join(
+            nbr_min, labels["doc_id"] == nbr_min["__n"], "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("group_id"), F.coalesce(F.col("__nbr"), F.col("group_id"))
+            ).alias("group_id"),
+            (F.col("__nbr") < F.col("group_id")).alias("__changed"),
         )
         if it % 4 == 3:
             new_labels = new_labels.localCheckpoint(eager=False)
         new_labels = new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.group_id") != F.col("o.group_id"))
-            .limit(1)
-            .count()
-        )
+        # one scan of the just-materialized cache; coalesce covers the
+        # all-NULL case (no doc has any neighbor)
+        changed = new_labels.agg(
+            F.coalesce(F.max("__changed"), F.lit(False)).alias("c")
+        ).first()["c"]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if not changed:
             break
-    sizes = labels.groupBy("group_id").agg(F.count(F.lit(1)).alias("group_size"))
-    return labels.join(sizes, "group_id").select("doc_id", "group_id", "group_size")
+    w = Window.partitionBy("group_id")
+    return labels.select(
+        "doc_id", "group_id", F.count(F.lit(1)).over(w).alias("group_size")
+    )
 
 
 def simhash16(toks: Column) -> Column:
