@@ -1,0 +1,164 @@
+"""Window-ranking / set-operation / grouping OLAP shapes.
+
+The reference has no ranking, set, or grouping-set surface at all
+(SURVEY §2.4); these are north-star additions covering the window
+function families an analytics engine is expected to provide: running
+and time-range sliding aggregates, ranking (row_number / rank /
+ntile / percent_rank), lag-over-aggregate (month-over-month), CUBE
+grouping sets, and INTERSECT.
+
+Money stays in exact integer cents through every sum (see
+``tpch.cents``) so results are bit-identical across engines and
+partial-aggregation orders.
+
+Scale notes per shape are in the docstrings; the one deliberate
+exception is global ranking (ntile over all customers), which is a
+single-reducer operation by definition — its input is a *pre-aggregated*
+per-customer rollup, orders of magnitude smaller than the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .tpch import cents
+
+
+def running_total(events: DataFrame) -> DataFrame:
+    """Per-user cumulative value over time: the running-aggregate shape.
+
+    One shuffle on user_id; the frame is ROWS UNBOUNDED PRECEDING so
+    the aggregate is O(1) per row in Spark's window executor."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v = F.when(F.isnan("value") | F.col("value").isNull(), None).otherwise(F.col("value"))
+    return events.select(
+        "event_id",
+        "user_id",
+        (F.sum(F.round(v * 100).cast("long")).over(w) / 100.0).alias("running_sum"),
+    )
+
+
+def sliding_time_avg(events: DataFrame, window_sec: int = 3600) -> DataFrame:
+    """Per-user sliding aggregate over a TIME-RANGE frame (last hour),
+    not a row-count frame — the one window family rowsBetween can't
+    express. Ordering on unix microseconds makes rangeBetween exact and
+    keeps tie (peer-row) semantics identical to SQL RANGE frames."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-window_sec * 1_000_000, 0)
+    )
+    v = F.when(F.isnan("value") | F.col("value").isNull(), None).otherwise(F.col("value"))
+    vc = F.round(v * 100).cast("long")
+    return events.select(
+        "event_id",
+        F.count(vc).over(w).alias("n_window"),
+        F.round(F.sum(vc).over(w) / 100.0 / F.count(vc).over(w), 6).alias("avg_window"),
+    )
+
+
+def customer_spend_quartiles(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Global ntile(4) over per-customer lifetime spend.
+
+    The unpartitioned window is single-reducer BY DEFINITION (a global
+    ranking); it runs over the grouped per-customer rollup (|customers|
+    rows), never the raw orders."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("spend_c")
+    )
+    w = Window.orderBy(F.desc("spend_c"), "o_custkey")
+    return (
+        per_cust.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            (F.col("spend_c") / 100.0).alias("total_spend"),
+            F.ntile(4).over(w).cast("long").alias("spend_quartile"),
+        )
+    )
+
+
+def top_parts_per_brand(lineitem: DataFrame, part: DataFrame, top_n: int = 3) -> DataFrame:
+    """Top-N per group via row_number over a partitioned ranking window —
+    the grouped-top-k shape. The revenue rollup shuffles on
+    (brand, partkey); the ranking window then shuffles only the small
+    aggregate on brand."""
+    rev_c = F.sum(cents("l_extendedprice") * (100 - F.round(F.col("l_discount") * 100).cast("long")))
+    per_part = (
+        lineitem.join(F.broadcast(part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(rev_c.alias("rev_c"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("rev_c"), "p_partkey")
+    return (
+        per_part.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= top_n)
+        .select("p_brand", "p_partkey", (F.col("rev_c") / 10000.0).alias("revenue"), "rn")
+    )
+
+
+def monthly_revenue_momentum(orders: DataFrame) -> DataFrame:
+    """Month-over-month revenue: lag over an aggregated time series.
+
+    Aggregate first (tiny result), window second — the lag window is a
+    single partition over |months| rows, which is the correct plan: the
+    single-reducer stage sees dozens of rows, not the fact table."""
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(F.sum(cents("o_totalprice")).alias("rev_c"))
+    w = Window.orderBy("month")
+    prev = F.lag("rev_c").over(w)
+    return monthly.select(
+        "month",
+        (F.col("rev_c") / 100.0).alias("revenue"),
+        (prev / 100.0).alias("prev_revenue"),
+        F.round((F.col("rev_c") - prev) * 1.0 / prev, 6).alias("mom_pct"),
+    )
+
+
+def events_cube(events: DataFrame) -> DataFrame:
+    """CUBE over (event_type, month): all four grouping sets in one
+    pass — the grouping-sets family beyond events_rollup's ROLLUP.
+    Partial aggregation applies per grouping set before the shuffle."""
+    v = F.when(F.isnan("value") | F.col("value").isNull(), None).otherwise(F.col("value"))
+    return (
+        events.cube(
+            "event_type", F.date_trunc("month", F.col("ts")).cast("date").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(v * 100).cast("long")) / 100.0).alias("sum_value"),
+        )
+    )
+
+
+def users_purchase_and_error(events: DataFrame) -> DataFrame:
+    """INTERSECT set operation: users with BOTH a purchase and an error.
+
+    Spark plans INTERSECT as a left-semi aggregate join on the distinct
+    keys — no fact-table fan-out."""
+    purchasers = events.where(F.col("event_type") == "purchase").select("user_id")
+    erroring = events.where(F.col("event_type") == "error").select("user_id")
+    return purchasers.intersect(erroring)
+
+
+def supplier_balance_rank(supplier: DataFrame, nation: DataFrame) -> DataFrame:
+    """Partitioned rank + percent_rank: suppliers by account balance
+    within nation. The ranking window shuffles on nationkey — fully
+    parallel across nations (the scale-correct ranking shape, vs the
+    global quartile query's deliberate single reducer)."""
+    w = Window.partitionBy("n_name").orderBy(F.desc(cents("s_acctbal")), F.col("s_suppkey"))
+    return (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey",
+            "n_name",
+            F.col("s_acctbal"),
+            F.rank().over(w).cast("long").alias("bal_rank"),
+            F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        )
+    )
