@@ -1771,3 +1771,121 @@ def supplier_balance_rank(spark, sf_dir):
     return olap.supplier_balance_rank(
         table(spark, sf_dir, "supplier"), table(spark, sf_dir, "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar-function library coverage: date/time, string, and array functions
+# (SURVEY §2.4 notes the reference has no scalar-function surface — these
+# demonstrate the engine-side families over driver testdata, each with an
+# exact cross-engine oracle)
+
+
+@register(
+    "events_date_parts",
+    """SELECT event_id,
+           CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS mo,
+           CAST(day(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h,
+           CAST(minute(ts) AS BIGINT) AS mi,
+           CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           CAST(dayofyear(ts) AS BIGINT) AS doy,
+           CAST(quarter(ts) AS BIGINT) AS q,
+           CAST(date_trunc('day', ts) AS DATE) AS day_start
+    FROM events""",
+)
+def events_date_parts(spark, sf_dir):
+    """Datetime extraction family, JVM-side. DuckDB numbers weekdays
+    Sunday=0 while Spark uses Sunday=1; the oracle normalizes."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("mo"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.minute("ts").cast("long").alias("mi"),
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.dayofyear("ts").cast("long").alias("doy"),
+        F.quarter("ts").cast("long").alias("q"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day_start"),
+    )
+
+
+@register(
+    "doc_string_funcs",
+    """SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           upper(substr(text, 1, 12)) AS head_upper,
+           trim(lower(substr(text, 1, 12))) AS head_lower,
+           regexp_extract(text, '[a-z]+') AS first_word,
+           CAST(instr(text, 'e') AS BIGINT) AS first_e,
+           CAST(levenshtein(substr(text, 1, 8), 'the quick') AS BIGINT) AS lev_d,
+           replace(substr(text, 1, 16), ' ', '_') AS head_snake,
+           reverse(substr(text, 1, 8)) AS head_rev
+    FROM documents""",
+)
+def doc_string_funcs(spark, sf_dir):
+    """String-function family, JVM-side: length/case/trim/regexp/
+    instr/levenshtein/replace/reverse."""
+    d = table(spark, sf_dir, "documents")
+    head = lambda n: F.substring("text", 1, n)  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.upper(head(12)).alias("head_upper"),
+        F.trim(F.lower(head(12))).alias("head_lower"),
+        F.regexp_extract("text", "[a-z]+", 0).alias("first_word"),
+        F.instr("text", "e").cast("long").alias("first_e"),
+        F.levenshtein(head(8), F.lit("the quick")).cast("long").alias("lev_d"),
+        F.replace(head(16), F.lit(" "), F.lit("_")).alias("head_snake"),
+        F.reverse(head(8)).alias("head_rev"),
+    )
+
+
+@register(
+    "emb_array_funcs",
+    f"""WITH v AS (SELECT vec_id, label, {EMB_D} AS ve FROM embeddings)
+    SELECT vec_id, label,
+           CAST(len(ve) AS BIGINT) AS dim,
+           round(ve[1], 6) AS first_el,
+           round(list_min(ve), 6) AS min_el,
+           round(list_max(ve), 6) AS max_el,
+           round(list_sum(ve), 6) AS sum_el,
+           round(sqrt(list_dot_product(ve, ve)), 6) AS l2_norm,
+           round(list_sum(list_transform(ve, x -> abs(x))), 6) AS l1_norm
+    FROM v""",
+)
+def emb_array_funcs(spark, sf_dir):
+    """Array-function family over the embedding column: size/element/
+    min/max/aggregate-sum/norms — all JVM-side higher-order functions,
+    no Python in the path."""
+    e = table(spark, sf_dir, "embeddings")
+    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    zero = F.lit(0.0)
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at(ve, 1), 6).alias("first_el"),
+        F.round(F.array_min(ve), 6).alias("min_el"),
+        F.round(F.array_max(ve), 6).alias("max_el"),
+        F.round(F.aggregate(ve, zero, lambda a, x: a + x), 6).alias("sum_el"),
+        F.round(
+            F.sqrt(F.aggregate(ve, zero, lambda a, x: a + x * x)), 6
+        ).alias("l2_norm"),
+        F.round(F.aggregate(ve, zero, lambda a, x: a + F.abs(x)), 6).alias("l1_norm"),
+    )
+
+
+@register("events_distinct_users_approx")
+def events_distinct_users_approx(spark, sf_dir):
+    """HyperLogLog++ approximate distinct users per event type — the
+    sketch-based scale path beside events_distinct_users' exact
+    count(DISTINCT). rows-only: the sketch is engine-specific, so no
+    cross-engine value oracle exists; the exact twin IS the accuracy
+    reference (rsd=0.01 keeps them equal at testdata cardinalities)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )
