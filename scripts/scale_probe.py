@@ -108,6 +108,16 @@ def main():
         docs = expanded(spark, "documents", m, {"doc_id": 10_000_000})
         return dedup.exact_duplicates(docs)
 
+    def q_minhash_sigs(m):
+        docs = expanded(spark, "documents", m, {"doc_id": 10_000_000})
+        return dedup.minhash_signatures(docs)
+
+    def q_top_parts(m):
+        from tsod_spark.analytics import olap
+
+        li = expanded(spark, "lineitem", m, {"l_orderkey": 10_000_000})
+        return olap.top_parts_per_brand(li, expanded(spark, "part", 1, {}))
+
     QUERIES = {
         "combined_detect": q_combined,
         "asof_join": q_asof,
@@ -115,6 +125,8 @@ def main():
         "sessionize": q_sessions,
         "tpch_q5": q_q5,
         "dedup_exact": q_dedup_exact,
+        "minhash_sigs": q_minhash_sigs,
+        "top_parts_rank": q_top_parts,
     }
 
     # warmup

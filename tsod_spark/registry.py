@@ -1889,3 +1889,71 @@ def events_distinct_users_approx(spark, sf_dir):
         .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_session_window",
+    f"""WITH g AS (
+      SELECT user_id, ts,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)) / 1000000.0 AS gap
+      FROM events),
+    s AS (SELECT user_id, ts,
+          sum(CASE WHEN coalesce(gap > 1800, TRUE) THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g)
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_start""",
+)
+def events_session_window(spark, sf_dir):
+    """Native session-window aggregation (F.session_window): Spark
+    merges events closer than the gap into one session during
+    aggregation — no self-window pre-pass, works identically under
+    Structured Streaming (where the gap-cumsum formulation does not).
+    The oracle is the gap-sessionization formulation, which defines
+    the same partition of events; window.end = last event + gap."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "ts_iqr",
+    f"""{E_CTE}, q AS (
+      SELECT event_id, v,
+             quantile_cont(v, 0.25) OVER ({P}) AS q1,
+             quantile_cont(v, 0.75) OVER ({P}) AS q3
+      FROM e)
+    SELECT event_id,
+           coalesce(v < q1 - 1.5 * (q3 - q1) OR v > q3 + 1.5 * (q3 - q1), FALSE) AS is_anomaly
+    FROM q""",
+)
+def ts_iqr(spark, sf_dir):
+    """Tukey-fence (IQR) outlier detector per series: quantile window
+    aggregates (exact percentile at test scale; the approx-percentile
+    scale path is ts_range_quantile_approx's pattern). NULL/NaN rows
+    are never anomalies, matching the reference's NaN discipline."""
+    from pyspark.sql import Window as _W
+
+    e = table(spark, sf_dir, "events")
+    pw = _W.partitionBy("user_id")
+    v = F.when(F.isnan("value") | F.col("value").isNull(), None).otherwise(F.col("value"))
+    q1 = F.expr("percentile(__v, 0.25)").over(pw)
+    q3 = F.expr("percentile(__v, 0.75)").over(pw)
+    iqr = q3 - q1
+    pred = (F.col("__v") < q1 - 1.5 * iqr) | (F.col("__v") > q3 + 1.5 * iqr)
+    return e.withColumn("__v", v).select(
+        "event_id", F.coalesce(pred, F.lit(False)).alias("is_anomaly")
+    )
