@@ -205,3 +205,63 @@ def test_stream_stateless_range(spark, events_batches):
     assert len(got) == 1000
     expected = batch_flags(spark, RangeDetector(1.0, 300.0))
     assert all(expected[(r.user_id, r.ts)] == r.is_anomaly for r in got)
+
+
+def test_stream_sessionize_emits_closed_sessions(spark, events_batches):
+    from tsod_spark.streaming import stream_sessionize
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_sessionize(src, keys=["user_id"], gap="30 minutes", watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+
+    batch = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    exp_rows = (
+        batch.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .collect()
+    )
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    # watermark 0s => final watermark == global max event time; append
+    # mode emits exactly the sessions whose end precedes it (each user's
+    # trailing session stays open and unemitted — by design)
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in exp_rows
+        if r["session_end"] <= max_ts
+    }
+    closed_subset = {k: v for k, v in got.items()}
+    # every emitted session must be a real final session with the exact
+    # member count (append emits once, post-merge), and all closed
+    # sessions must have been emitted
+    full = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in exp_rows
+    }
+    for k, v in got.items():
+        assert full[k] == v
+    missing = {k for k in expected if k not in got}
+    assert not missing, f"{len(missing)} closed sessions never emitted"

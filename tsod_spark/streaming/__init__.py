@@ -1,1 +1,6 @@
-from .detect import stream_detect, stream_detect_stateless, stream_rollup  # noqa: F401
+from .detect import (  # noqa: F401
+    stream_detect,
+    stream_detect_stateless,
+    stream_rollup,
+    stream_sessionize,
+)

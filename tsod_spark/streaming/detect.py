@@ -288,3 +288,35 @@ def stream_detect(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_sessionize(
+    stream_df: DataFrame,
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming gap-sessionization via native session windows.
+
+    ``F.session_window`` merges events closer than ``gap`` into one
+    growing window per key; the watermark closes a session once event
+    time passes its end, emits it exactly once (append mode), and
+    evicts its state — so state is O(open sessions), not O(history).
+    This is the streaming twin of the batch ``events_session_window``
+    query (identical partition of events into sessions; a session is
+    emitted only when the watermark guarantees no more members).
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(*keys, F.session_window(ts_col, gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *keys,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
