@@ -1957,3 +1957,83 @@ def ts_iqr(spark, sf_dir):
     return e.withColumn("__v", v).select(
         "event_id", F.coalesce(pred, F.lit(False)).alias("is_anomaly")
     )
+
+
+@register(
+    "ts_autocorr",
+    f"""{E_CTE}, lagd AS (
+      SELECT user_id, CAST(round(v * 100) AS BIGINT) AS x,
+             lag(CAST(round(v * 100) AS BIGINT)) OVER ({W}) AS y
+      FROM e),
+    m AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM lagd WHERE x IS NOT NULL AND y IS NOT NULL
+      GROUP BY user_id)
+    SELECT user_id, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS lag1_autocorr
+    FROM m""",
+)
+def ts_autocorr(spark, sf_dir):
+    """Per-series lag-1 autocorrelation from EXACT integer moments:
+    the sums run in the cents domain as longs (order-independent, so
+    partial aggregation over any partitioning is bit-stable), and the
+    Pearson formula is applied once in double at the end — unlike the
+    built-in ``corr``, whose float accumulation order varies by plan."""
+    from pyspark.sql import Window as _W
+
+    e = table(spark, sf_dir, "events")
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.when(F.isnan("value") | F.col("value").isNull(), None).otherwise(F.col("value"))
+    x = F.round(v * 100).cast("long")
+    # lag must see the original row order, so compute lag BEFORE the
+    # null filter
+    lagd = (
+        e.select("user_id", "ts", "event_id", x.alias("x"))
+        .withColumn("y", F.lag("x").over(w))
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    m = lagd.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "user_id",
+        "n",
+        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("lag1_autocorr"),
+    )
+
+
+@register(
+    "events_value_histogram",
+    f"""{E_CTE}
+    SELECT CAST(floor(v / 50.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(v), 6) AS lo, round(max(v), 6) AS hi
+    FROM e GROUP BY 1""",
+)
+def events_value_histogram(spark, sf_dir):
+    """Fixed-width value histogram: bucketing is a pure projection so
+    the aggregate is map-side-combinable; NULL/NaN land in the NULL
+    bucket row rather than silently dropping."""
+    e = table(spark, sf_dir, "events")
+    v = F.when(F.isnan("value") | F.col("value").isNull(), None).otherwise(F.col("value"))
+    return (
+        e.select(v.alias("v"))
+        .groupBy(F.floor(F.col("v") / 50.0).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("v"), 6).alias("lo"),
+            F.round(F.max("v"), 6).alias("hi"),
+        )
+    )
