@@ -2037,3 +2037,90 @@ def events_value_histogram(spark, sf_dir):
             F.round(F.max("v"), 6).alias("hi"),
         )
     )
+
+
+@register(
+    "daily_orders_vs_purchases",
+    f"""WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             sum({O_CENTS}) AS rev_c
+      FROM orders GROUP BY 1),
+    p AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(CASE WHEN isnan(value) THEN NULL
+                      ELSE CAST(round(value * 100) AS BIGINT) END) AS val_c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT coalesce(o.day, p.day) AS day,
+           o.rev_c / 100.0 AS order_revenue,
+           p.val_c / 100.0 AS purchase_value
+    FROM o FULL OUTER JOIN p ON o.day = p.day""",
+)
+def daily_orders_vs_purchases(spark, sf_dir):
+    """FULL OUTER join of two independently-aggregated daily series
+    (orders revenue vs purchase-event value). Aggregate-then-join: the
+    outer join sees |days| rows per side, never the fact tables. The
+    disjoint date ranges in the testdata exercise both null sides."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(tpch.cents("o_totalprice")).alias("rev_c"))
+    )
+    v = F.when(F.isnan("value") | F.col("value").isNull(), None).otherwise(F.col("value"))
+    p = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(v * 100).cast("long")).alias("val_c"))
+    )
+    return (
+        o.join(p, "day", "full_outer")
+        .select(
+            "day",
+            (F.col("rev_c") / 100.0).alias("order_revenue"),
+            (F.col("val_c") / 100.0).alias("purchase_value"),
+        )
+    )
+
+
+@register(
+    "users_error_or_signup",
+    """SELECT user_id FROM events WHERE event_type = 'error'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'signup'""",
+)
+def users_error_or_signup(spark, sf_dir):
+    """UNION (distinct) set operation — planned as union-all + hash
+    aggregate on the key."""
+    e = table(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "error").select("user_id")
+    b = e.where(F.col("event_type") == "signup").select("user_id")
+    return a.union(b).distinct()
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_unpivot",
+    """WITH c AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    d AS (SELECT DISTINCT day FROM c),
+    t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type)
+    SELECT d.day, t.event_type, coalesce(c.n, 0) AS n
+    FROM d CROSS JOIN t
+    LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type""",
+)
+def events_unpivot(spark, sf_dir):
+    """Pivot -> unpivot round trip: wide per-day counts by type, then
+    melted back to long form. The pivot's value list is explicit, so
+    no extra distinct-collection job runs; fillna(0) densifies the
+    cube (the oracle densifies with a day x type cross join)."""
+    e = table(spark, sf_dir, "events")
+    wide = (
+        e.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .fillna(0, subset=EVENT_TYPES)
+    )
+    return wide.unpivot("day", EVENT_TYPES, "event_type", "n")
