@@ -2124,3 +2124,109 @@ def events_unpivot(spark, sf_dir):
         .fillna(0, subset=EVENT_TYPES)
     )
     return wide.unpivot("day", EVENT_TYPES, "event_type", "n")
+
+
+@register(
+    "events_conditional_aggs",
+    f"""{E_CTE}
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE v > 250) AS BIGINT) AS n_high,
+           CAST(count(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_missing,
+           bool_or(v > 450) AS any_extreme,
+           bool_and(v IS NOT NULL) AS all_present
+    FROM e GROUP BY event_type""",
+)
+def events_conditional_aggs(spark, sf_dir):
+    """Conditional-aggregate family: count_if / filtered counts and
+    boolean bool_or/bool_and reductions — all map-side combinable."""
+    e = table(spark, sf_dir, "events")
+    v = F.when(F.isnan("value") | F.col("value").isNull(), None).otherwise(F.col("value"))
+    return (
+        e.select("event_type", v.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count_if(F.col("v") > 250).alias("n_high"),
+            F.count_if(F.col("v").isNull()).alias("n_missing"),
+            F.bool_or(F.col("v") > 450).alias("any_extreme"),
+            F.bool_and(F.col("v").isNotNull()).alias("all_present"),
+        )
+    )
+
+
+@register(
+    "events_daily_ohlc",
+    f"""{E_CTE}, r AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, v,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e)
+    SELECT user_id, day,
+           min(CASE WHEN rn_a = 1 THEN v END) AS open,
+           round(max(v), 6) AS high, round(min(v), 6) AS low,
+           min(CASE WHEN rn_d = 1 THEN v END) AS close
+    FROM r GROUP BY user_id, day""",
+)
+def events_daily_ohlc(spark, sf_dir):
+    """Per-series-per-day OHLC: open/close come from deterministic
+    row_number boundaries (full (ts, event_id) order — arg_min/max on
+    ts alone would be tie-ambiguous), high/low are plain min/max. One
+    shuffle on (user_id, day); both windows share the sort."""
+    from pyspark.sql import Window as _W
+
+    e = table(spark, sf_dir, "events")
+    v = F.when(F.isnan("value") | F.col("value").isNull(), None).otherwise(F.col("value"))
+    day = F.col("ts").cast("date")
+    wa = _W.partitionBy("user_id", day).orderBy("ts", "event_id")
+    wd = _W.partitionBy("user_id", day).orderBy(F.desc("ts"), F.desc("event_id"))
+    r = e.select(
+        "user_id",
+        day.alias("day"),
+        v.alias("v"),
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("user_id", "day").agg(
+        F.min(F.when(F.col("rn_a") == 1, F.col("v"))).alias("open"),
+        F.round(F.max("v"), 6).alias("high"),
+        F.round(F.min("v"), 6).alias("low"),
+        F.min(F.when(F.col("rn_d") == 1, F.col("v"))).alias("close"),
+    )
+
+
+@register(
+    "nation_revenue_share",
+    f"""WITH n AS (
+      SELECT n_name, sum({REV_C}) AS rev_c
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1)
+    SELECT n_name, rev_c / 10000.0 AS revenue,
+           round(rev_c * 1.0 / sum(rev_c) OVER (), 6) AS share
+    FROM n""",
+)
+def nation_revenue_share(spark, sf_dir):
+    """Percent-of-total: a window-over-() share computed on the
+    pre-aggregated per-nation rollup (25 rows), so the unpartitioned
+    window is trivially single-reducer-safe. Exact integer cents make
+    the share an exact long ratio."""
+    from pyspark.sql import Window as _W
+
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    rev = F.sum(tpch.cents("l_extendedprice") * (100 - tpch.pct("l_discount")))
+    per_nation = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(rev.alias("rev_c"))
+    )
+    w = _W.partitionBy()
+    return per_nation.select(
+        "n_name",
+        (F.col("rev_c") / 10000.0).alias("revenue"),
+        F.round(F.col("rev_c") * 1.0 / F.sum("rev_c").over(w), 6).alias("share"),
+    )
