@@ -265,3 +265,45 @@ def test_stream_sessionize_emits_closed_sessions(spark, events_batches):
         assert full[k] == v
     missing = {k for k in expected if k not in got}
     assert not missing, f"{len(missing)} closed sessions never emitted"
+
+
+def test_stream_dedup_exact_drops_within_watermark(spark, events_batches):
+    """Duplicate rows re-injected in the NEXT micro-batch (well inside
+    the watermark) must be dropped; every original row must survive."""
+    import glob
+
+    from tsod_spark.streaming import stream_dedup_exact
+
+    tmp, schema = events_batches
+    # build a doubled source: each batch plus a copy of the previous
+    # batch's rows (exact duplicates arriving one trigger later)
+    dup_src = tempfile.mkdtemp(prefix="stream_dup_")
+    batches = sorted(glob.glob(f"{tmp}/batch_*"))
+    prev = None
+    for i, b in enumerate(batches):
+        cur = spark.read.parquet(b)
+        out = cur if prev is None else cur.unionByName(prev)
+        out.coalesce(1).write.parquet(f"{dup_src}/batch_{i}", mode="overwrite")
+        prev = cur
+    try:
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{dup_src}/batch_*")
+        )
+        out = stream_dedup_exact(src, keys=["event_id"], watermark="10 hours")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT event_id FROM dedup_stream").collect()
+        ids = [r.event_id for r in got]
+        base = spark.read.parquet(f"{tmp}/batch_*")
+        assert len(ids) == len(set(ids)), "duplicates leaked through"
+        assert set(ids) == {r.event_id for r in base.collect()}, "rows lost"
+    finally:
+        shutil.rmtree(dup_src, ignore_errors=True)

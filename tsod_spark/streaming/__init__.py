@@ -1,4 +1,5 @@
 from .detect import (  # noqa: F401
+    stream_dedup_exact,
     stream_detect,
     stream_detect_stateless,
     stream_rollup,

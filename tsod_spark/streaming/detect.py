@@ -320,3 +320,24 @@ def stream_sessionize(
             "n_events",
         )
     )
+
+
+def stream_dedup_exact(
+    stream_df: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication with BOUNDED state.
+
+    ``dropDuplicatesWithinWatermark`` keeps a key only until the
+    watermark passes its event time, then evicts it — so state is
+    O(keys per watermark window), not O(all keys ever seen) as with
+    plain ``dropDuplicates`` on an unbounded stream. Duplicates that
+    arrive further apart than the watermark are NOT caught (documented
+    trade-off; widen the watermark to widen the dedup horizon — the
+    batch ``exact_duplicates`` pass is the full-history ground truth).
+    """
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
