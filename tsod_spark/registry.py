@@ -2230,3 +2230,60 @@ def nation_revenue_share(spark, sf_dir):
         (F.col("rev_c") / 10000.0).alias("revenue"),
         F.round(F.col("rev_c") * 1.0 / F.sum("rev_c").over(w), 6).alias("share"),
     )
+
+
+@register(
+    "events_grouping_sets",
+    f"""{E_CTE}, c AS (SELECT event_type, CAST(ts AS DATE) AS day, v FROM e)
+    SELECT event_type, day,
+           CAST(grouping(event_type) * 2 + grouping(day) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(round(v * 100) AS BIGINT)) / 100.0 AS sum_value
+    FROM c GROUP BY GROUPING SETS ((event_type), (day), ())""",
+)
+def events_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (neither ROLLUP nor CUBE): per-type,
+    per-day, and grand-total slices in one pass, with grouping()
+    flags distinguishing real NULLs from subtotal rows."""
+    e = table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("__ev_gs")
+    return spark.sql(
+        """WITH c AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CASE WHEN isnan(value) THEN NULL ELSE value END AS v
+          FROM __ev_gs)
+        SELECT event_type, day,
+               CAST(grouping(event_type) * 2 + grouping(day) AS BIGINT) AS gid,
+               count(*) AS n_events,
+               sum(CAST(round(v * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS sum_value
+        FROM c GROUP BY GROUPING SETS ((event_type), (day), ())"""
+    )
+
+
+@register(
+    "customers_above_nation_avg",
+    """SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) * (
+            SELECT CAST(count(*) AS BIGINT) FROM customer i
+            WHERE i.c_nationkey = c.c_nationkey)
+          > (SELECT sum(CAST(round(i.c_acctbal * 100) AS BIGINT))
+             FROM customer i WHERE i.c_nationkey = c.c_nationkey)""",
+)
+def customers_above_nation_avg(spark, sf_dir):
+    """Correlated-subquery shape (customers above their nation's mean
+    balance), hand-decorrelated into a window aggregate: one shuffle
+    on nationkey, no per-row subquery execution. The comparison is
+    cross-multiplied into the exact integer domain (bal * n > sum) so
+    no float average is ever materialized in either engine."""
+    from pyspark.sql import Window as _W
+
+    c = table(spark, sf_dir, "customer")
+    w = _W.partitionBy("c_nationkey")
+    bal_c = tpch.cents("c_acctbal")
+    return (
+        c.withColumn("__n", F.count(F.lit(1)).over(w))
+        .withColumn("__s", F.sum(bal_c).over(w))
+        .where(bal_c * F.col("__n") > F.col("__s"))
+        .select("c_custkey", "c_acctbal")
+    )
