@@ -307,3 +307,39 @@ def test_stream_dedup_exact_drops_within_watermark(spark, events_batches):
         assert set(ids) == {r.event_id for r in base.collect()}, "rows lost"
     finally:
         shutil.rmtree(dup_src, ignore_errors=True)
+
+
+def test_stream_detect_to_file_sink(spark, events_batches):
+    """Operational sink path: stream detections to a partitioned
+    parquet sink with a checkpoint, then read the files back and
+    compare against the batch detector — the deploy pattern
+    (configure + fit offline, detect online, land results)."""
+    tmp, schema = events_batches
+    out_dir = tempfile.mkdtemp(prefix="stream_sink_")
+    try:
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/batch_*")
+        )
+        out = stream_detect_stateless(
+            RangeDetector(1.0, 300.0), src, series=["user_id"], tiebreak=["event_id"]
+        )
+        q = (
+            out.select("user_id", "ts", "is_anomaly")
+            .writeStream.format("parquet")
+            .option("path", f"{out_dir}/data")
+            .option("checkpointLocation", f"{out_dir}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        landed = {
+            (r.user_id, r.ts): r.is_anomaly
+            for r in spark.read.parquet(f"{out_dir}/data").collect()
+        }
+        expected = batch_flags(spark, RangeDetector(1.0, 300.0))
+        assert landed == expected
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
