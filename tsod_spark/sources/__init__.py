@@ -5,3 +5,4 @@ from .readers import (  # noqa: F401
     read_parquet_timeseries,
     qc_flag_projection,
 )
+from .writers import write_partitioned  # noqa: F401
