@@ -2287,3 +2287,66 @@ def customers_above_nation_avg(spark, sf_dir):
         .where(bal_c * F.col("__n") > F.col("__s"))
         .select("c_custkey", "c_acctbal")
     )
+
+
+@register(
+    "ts_cusum",
+    f"""{E_CTE}, s AS (
+      SELECT event_id,
+             sum(CAST(round(v * 100) AS BIGINT) - 15000)
+               OVER ({W} ROWS UNBOUNDED PRECEDING) AS s_c
+      FROM e)
+    SELECT event_id, coalesce(abs(s_c) > 500000, FALSE) AS is_anomaly
+    FROM s""",
+)
+def ts_cusum(spark, sf_dir):
+    """CUSUM drift detector (Page's test without reset): running sum of
+    deviations from a target level, flagged when the excursion exceeds
+    h. The accumulation runs entirely in exact integer cents (longs),
+    so the running sum is bit-identical in any engine — no float
+    accumulation-order hazard. NULL rows contribute nothing and are
+    never flagged. Target 150.00, h 5000.00 on the events series."""
+    from pyspark.sql import Window as _W
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        _W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    v = F.when(F.isnan("value") | F.col("value").isNull(), None).otherwise(F.col("value"))
+    dev = F.round(v * 100).cast("long") - 15000
+    s = e.select("event_id", F.sum(dev).over(w).alias("s_c"))
+    return s.select(
+        "event_id",
+        F.coalesce(F.abs(F.col("s_c")) > 500000, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+@register(
+    "emb_label_centroids",
+    f"""WITH u AS (
+      SELECT label, unnest({EMB_D}) AS x,
+             generate_subscripts({EMB_D}, 1) AS pos
+      FROM embeddings)
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(x) / count(*), 6) AS centroid
+    FROM u GROUP BY 1, 2""",
+)
+def emb_label_centroids(spark, sf_dir):
+    """Per-label centroid embedding via posexplode + per-dimension
+    mean — the vector aggregate every clustering/dedup pipeline needs.
+    Shuffles (label, pos, x) triples with map-side partial sums; no
+    Python, no vector UDAF. round(mean, 6) absorbs the (tiny,
+    order-dependent) double-sum tail at test scale."""
+    e = table(spark, sf_dir, "embeddings")
+    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    u = e.select("label", F.posexplode(ve).alias("pos0", "x"))
+    return (
+        u.groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("centroid"),
+        )
+    )
