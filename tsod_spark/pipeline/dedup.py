@@ -185,23 +185,31 @@ def minhash_duplicate_groups(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).cache()
     labels = docs.select("doc_id", F.col("doc_id").alias("group_id"))
-    for it in range(max_iter):
+
+    def step(lbl):
         # each node doc_b takes the min label over its neighbors doc_a
         nbr_min = (
-            edges.join(labels, edges["doc_a"] == labels["doc_id"])
+            edges.join(lbl, edges["doc_a"] == lbl["doc_id"])
             .groupBy(F.col("doc_b").alias("__n"))
             .agg(F.min("group_id").alias("__nbr"))
         )
-        new_labels = labels.join(
-            nbr_min, labels["doc_id"] == nbr_min["__n"], "left"
-        ).select(
+        return lbl.join(nbr_min, lbl["doc_id"] == nbr_min["__n"], "left").select(
             "doc_id",
             F.least(
                 F.col("group_id"), F.coalesce(F.col("__nbr"), F.col("group_id"))
             ).alias("group_id"),
             (F.col("__nbr") < F.col("group_id")).alias("__changed"),
         )
-        if it % 4 == 3:
+
+    for it in range(max_iter):
+        # TWO propagation rounds per materialization: shallow (pair/
+        # small-cluster) graphs converge in round 1 and confirm in
+        # round 2, so fusing them lazily halves the number of job
+        # barriers — the dominant cost under scheduler contention.
+        # Correct for any depth: the convergence flag comes from the
+        # SECOND application, and unconverged graphs just loop again.
+        new_labels = step(step(labels).drop("__changed"))
+        if it % 2 == 1:
             new_labels = new_labels.localCheckpoint(eager=False)
         new_labels = new_labels.cache()
         # one scan of the just-materialized cache; coalesce covers the
