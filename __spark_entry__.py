@@ -25,8 +25,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(registry.QUERIES)
+    # rotated so queries without a driver verdict yet come first (the
+    # driver's oracle run covers the first 50 entries per round)
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(registry.ORACLE)
+    return registry.ordered_oracle()

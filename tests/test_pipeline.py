@@ -115,6 +115,56 @@ def test_simhash_identical_distance_zero(spark, docs):
     assert any({p.doc_a, p.doc_b} == {0, 999999} and p.hamming == 0 for p in out)
 
 
+def test_simhash_full_recall_within_radius(spark, docs):
+    """The pigeonhole chunk join must find EVERY pair within the
+    advertised hamming radius — compare against brute-force all-pairs
+    over the fingerprints. Mutated copies of real docs plant pairs at
+    small nonzero hamming so the assertion isn't vacuous."""
+    mutants = []
+    for i, nwords in enumerate([1, 2, 4, 8, 16]):
+        # replace the LAST nwords words: perturbs ~nwords+2 shingles,
+        # flipping a handful of fingerprint bits
+        src = docs.where(F.col("doc_id") == i)
+        toks = F.split(F.col("text"), r"\s+")
+        kept = F.slice(toks, 1, F.greatest(F.size(toks) - nwords, F.lit(1)))
+        pad = F.array(*[F.lit(f"mut{i}w{j}") for j in range(nwords)])
+        mutants.append(
+            src.select(
+                F.lit(999990 + i).alias("doc_id"),
+                F.array_join(F.concat(kept, pad), " ").alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    corpus = docs
+    for m in mutants:
+        corpus = corpus.unionByName(m)
+
+    sigs = dedup.simhash_fingerprints(corpus).collect()
+    brute = set()
+    for x in range(len(sigs)):
+        for y in range(x + 1, len(sigs)):
+            a, b = sigs[x], sigs[y]
+            if bin(a.simhash ^ b.simhash).count("1") <= 3:
+                brute.add(frozenset((a.doc_id, b.doc_id)))
+    assert brute, "corpus must contain pairs within the radius"
+    assert any(
+        999990 <= max(p) and min(p) < 999990 for p in brute
+    ), "at least one planted mutant pair within radius"
+
+    found = {
+        frozenset((r.doc_a, r.doc_b))
+        for r in dedup.simhash_near_pairs(corpus, max_hamming=3).collect()
+    }
+    assert found == brute
+
+
+def test_simhash_rejects_indivisible_radius(spark, docs):
+    with pytest.raises(ValueError):
+        dedup.simhash_near_pairs(docs, max_hamming=4)  # 5 chunks !| 32
+
+
 def test_jaccard_identical_is_one(spark, docs):
     dup = docs.limit(1).select(
         F.lit(999999).alias("doc_id"), "text", "lang", F.lit("src0").alias("source"), "n_chars"
@@ -219,6 +269,36 @@ def test_persistence_fitted_params(spark, tmp_path):
     save(det, p)
     loaded = load(p)
     assert loaded._min == 0.0 and loaded._max == 4.0
+
+
+def test_persistence_per_series_fit_roundtrip(spark, tmp_path):
+    """Per-series fitted state must survive save/load via the parquet
+    sidecar — a loaded detector with defaulted scalars (±inf bounds)
+    would silently flag nothing."""
+    rows = [("a", i, float(i)) for i in range(5)] + [
+        ("b", i, float(10 * i)) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "series string, hour int, value double").select(
+        "series", F.timestamp_seconds(F.col("hour") * 3600).alias("ts"), "value"
+    )
+    tsf = TimeSeriesFrame(df, ts_col="ts", value_col="value", series=["series"])
+    det = RangeDetector().fit(tsf)
+    assert det._params_df is not None
+
+    p = tmp_path / "per_series.json"
+    save(det, p)
+    loaded = load(p, spark)
+    assert loaded._params_df is not None
+
+    test = spark.createDataFrame(
+        [("a", 6, 5.0), ("b", 6, 5.0)], "series string, hour int, value double"
+    ).select("series", F.timestamp_seconds(F.col("hour") * 3600).alias("ts"), "value")
+    test_tsf = TimeSeriesFrame(test, ts_col="ts", value_col="value", series=["series"])
+    got = {
+        (r.series): r.is_anomaly for r in loaded.detect(test_tsf).collect()
+    }
+    # series a fit on [0,4] -> 5.0 is out of range; series b fit on [0,40]
+    assert got == {"a": True, "b": False}
 
 
 # ---- features ---------------------------------------------------------

@@ -88,11 +88,69 @@ def from_dict(d: dict) -> SparkDetector:
     return cls(**{k: _decode(v) for k, v in d["params"].items()})
 
 
+def _walk(detector: SparkDetector):
+    """Yield leaf detectors in deterministic (depth-first) order."""
+    if type(detector).__name__ == "CombinedDetector":
+        for child in detector:
+            yield from _walk(child)
+    else:
+        yield detector
+
+
 def save(detector: SparkDetector, path) -> None:
-    """Save a detector for later use (cf. base.py:95-104)."""
-    Path(path).write_text(json.dumps(to_dict(detector), indent=2))
+    """Save a detector for later use (cf. base.py:95-104).
+
+    Per-series fitted state (``_params_df``) is written as a parquet
+    sidecar per leaf detector at ``{path}.params/{i}``, with the
+    session-scoped ``__{uid}_`` column prefixes stripped so a reload
+    in a fresh session can re-prefix for its own uids. Scalar fitted
+    state rides in the JSON (fit copies it into the constructor
+    attrs).
+    """
+    doc = {"spec": to_dict(detector), "sidecars": []}
+    for i, leaf in enumerate(_walk(detector)):
+        if leaf._params_df is None:
+            continue
+        prefix = f"__{leaf._uid}_"
+        pdf = leaf._params_df
+        renames = {
+            c: c[len(prefix):] for c in pdf.columns if c.startswith(prefix)
+        }
+        for old, new in renames.items():
+            pdf = pdf.withColumnRenamed(old, new)
+        sidecar = f"{path}.params/{i}"
+        pdf.coalesce(1).write.mode("overwrite").parquet(sidecar)
+        doc["sidecars"].append(
+            {"leaf": i, "path": sidecar, "param_cols": sorted(renames.values())}
+        )
+    Path(path).write_text(json.dumps(doc, indent=2))
 
 
-def load(path) -> SparkDetector:
-    """Load a saved detector (cf. base.py:13-22)."""
-    return from_dict(json.loads(Path(path).read_text()))
+def load(path, spark=None) -> SparkDetector:
+    """Load a saved detector (cf. base.py:13-22).
+
+    Sidecar parquet params are re-read lazily and re-prefixed for the
+    fresh instance's uids; pass ``spark`` explicitly when no session
+    is active.
+    """
+    doc = json.loads(Path(path).read_text())
+    if "spec" not in doc:  # pre-sidecar format
+        return from_dict(doc)
+    detector = from_dict(doc["spec"])
+    if doc["sidecars"]:
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError(
+                    "loading per-series fitted params needs a SparkSession"
+                )
+        leaves = list(_walk(detector))
+        for sc in doc["sidecars"]:
+            leaf = leaves[sc["leaf"]]
+            pdf = spark.read.parquet(sc["path"])
+            for name in sc["param_cols"]:
+                pdf = pdf.withColumnRenamed(name, leaf.tmp(name))
+            leaf._params_df = pdf
+    return detector

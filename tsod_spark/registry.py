@@ -1102,34 +1102,47 @@ def dedup_minhash_groups(spark, sf_dir):
 
 def _simhash_sql(toks: str = "toks") -> str:
     terms = []
-    for b in range(16):
+    for b in range(32):
         terms.append(
             f"(CASE WHEN 2 * len(list_filter({toks}, t -> substr(md5(t), {b + 1}, 1) IN {HIGH_HEX})) >= len({toks}) THEN {1 << b} ELSE 0 END)"
         )
-    return "CAST(" + " + ".join(terms) + " AS INT)"
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
 @register(
     "dedup_simhash",
-    f"""WITH d AS (SELECT doc_id, {DTOKS} AS toks FROM documents)
+    f"""WITH t AS (SELECT doc_id, {TOKS} AS toks0 FROM documents),
+    d AS (SELECT doc_id, {_shingle_sql('toks0', 3)} AS toks FROM t)
     SELECT doc_id, {_simhash_sql()} AS simhash FROM d""",
 )
 def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash over 3-gram shingles (phrase features, not
+    unigrams — see simhash_fingerprints for the bias measurement)."""
     return dedup.simhash_fingerprints(table(spark, sf_dir, "documents"))
 
 
 @register(
     "dedup_simhash_pairs",
-    f"""WITH d AS (SELECT doc_id, {DTOKS} AS toks FROM documents),
+    f"""WITH t AS (SELECT doc_id, {TOKS} AS toks0 FROM documents),
+    d AS (SELECT doc_id, {_shingle_sql('toks0', 3)} AS toks FROM t),
     sig AS (SELECT doc_id, {_simhash_sql()} AS simhash FROM d),
-    c AS (SELECT doc_id, simhash, simhash // 256 AS chunk_hi, simhash % 256 AS chunk_lo FROM sig)
+    c AS (SELECT doc_id, simhash,
+                 (simhash // 1) % 256 AS chunk0,
+                 (simhash // 256) % 256 AS chunk1,
+                 (simhash // 65536) % 256 AS chunk2,
+                 (simhash // 16777216) % 256 AS chunk3
+          FROM sig)
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
     FROM c a JOIN c b
-      ON (a.chunk_hi = b.chunk_hi OR a.chunk_lo = b.chunk_lo) AND a.doc_id < b.doc_id
+      ON (a.chunk0 = b.chunk0 OR a.chunk1 = b.chunk1
+          OR a.chunk2 = b.chunk2 OR a.chunk3 = b.chunk3) AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
 )
 def dedup_simhash_pairs(spark, sf_dir):
+    """Pigeonhole chunk join over 32-bit SimHash: 4 chunks cover the
+    hamming<=3 radius with FULL recall (a pair differing in <=3 bits
+    must agree exactly on one of the 4 chunks)."""
     return dedup.simhash_near_pairs(table(spark, sf_dir, "documents"))
 
 
@@ -2326,27 +2339,78 @@ def ts_cusum(spark, sf_dir):
 @register(
     "emb_label_centroids",
     f"""WITH u AS (
-      SELECT label, unnest({EMB_D}) AS x,
+      SELECT label, CAST(round(unnest({EMB_D}) * 1000000) AS BIGINT) AS xm,
              generate_subscripts({EMB_D}, 1) AS pos
       FROM embeddings)
     SELECT label, CAST(pos AS BIGINT) AS pos,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(x) / count(*), 6) AS centroid
+           round(sum(xm) / (1000000.0 * count(*)), 6) AS centroid
     FROM u GROUP BY 1, 2""",
 )
 def emb_label_centroids(spark, sf_dir):
     """Per-label centroid embedding via posexplode + per-dimension
     mean — the vector aggregate every clustering/dedup pipeline needs.
-    Shuffles (label, pos, x) triples with map-side partial sums; no
-    Python, no vector UDAF. round(mean, 6) absorbs the (tiny,
-    order-dependent) double-sum tail at test scale."""
+    Shuffles (label, pos, xm) triples with map-side partial sums; no
+    Python, no vector UDAF. Values accumulate as exact integer
+    micro-units (round(x*1e6) longs) so the running sum is
+    bit-identical regardless of partial-aggregation order — the same
+    discipline as the money paths; one float division at the end."""
     e = table(spark, sf_dir, "embeddings")
     ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    u = e.select("label", F.posexplode(ve).alias("pos0", "x"))
+    u = e.select("label", F.posexplode(ve).alias("pos0", "x")).select(
+        "label", "pos0", F.round(F.col("x") * 1000000).cast("long").alias("xm")
+    )
     return (
         u.groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("centroid"),
+            F.round(F.sum("xm") / (1000000.0 * F.count(F.lit(1))), 6).alias("centroid"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# driver check-window rotation
+#
+# The driver's per-round oracle run covers the FIRST 50 entries of the
+# queries() dict; round 1 verified exactly the first 50 registration-order
+# names (CORRECTNESS_r01.json), leaving 52 registered-later queries with
+# no driver verdict. Rotate the ordering so every query earns a driver
+# verdict across rounds: names without a green driver row yet come first
+# (in registration order), already-verified names after. The two approx
+# twins of r1-verified exact queries are parked at the window boundary —
+# they are rows-only checks whose exact twins are already green, so they
+# lose the least by waiting a round.
+
+R1_VERIFIED = frozenset({
+    "ts_range", "ts_range_quantile", "ts_diff", "ts_diff_fit",
+    "ts_range_low_only", "ts_diff_positive", "ts_diff_negative",
+    "ts_gradient", "ts_gradient_fit", "ts_rolling_std", "ts_rolling_std_fit",
+    "ts_constant_value", "ts_constant_gradient", "ts_hampel", "ts_combined",
+    "ts_lag_features", "ts_window_dataset", "ts_resample_15m",
+    "ts_range_sqlapi", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+    "tpch_q4", "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
+    "top_customers", "events_daily", "events_props_json", "events_rollup",
+    "events_sessions", "ts_asof_join", "ts_asof_forward", "ts_resample_1h",
+    "events_type_pivot", "events_distinct_users", "users_purchase_no_error",
+    "events_value_percentiles", "doc_stats", "doc_quality",
+    "doc_token_counts", "doc_lang_id", "doc_fingerprints", "dedup_exact",
+    "dedup_minhash_sig", "dedup_minhash_pairs", "dedup_minhash_groups",
+})
+
+_DEFER_TO_R3 = ("ts_range_quantile_approx", "events_distinct_users_approx")
+
+
+def _rotated(d: dict) -> dict:
+    front = [n for n in d if n not in R1_VERIFIED and n not in _DEFER_TO_R3]
+    mid = [n for n in _DEFER_TO_R3 if n in d]
+    back = [n for n in d if n in R1_VERIFIED]
+    return {n: d[n] for n in front + mid + back}
+
+
+def ordered_queries() -> dict:
+    return _rotated(QUERIES)
+
+
+def ordered_oracle() -> dict:
+    return _rotated(ORACLE)
