@@ -41,18 +41,49 @@ def main():
 
     # Untimed warmup: JVM/codegen/scan-footer initialization otherwise
     # lands entirely on whichever query runs first (~3s on a trivial
-    # projection). One tiny action per table gives steady-state
-    # per-query numbers without touching what is measured.
+    # projection, ~5s extra for the first shuffle/join/window/explode
+    # plan compiled). One tiny action per table plus one composite
+    # shuffle-shaped job gives steady-state per-query numbers without
+    # touching what is measured.
+    from pyspark.sql import functions as F
+
     from tsod_spark.registry import table
 
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         table(spark, sf_dir, t).limit(1).write.format("noop").mode("overwrite").save()
+    warm = (
+        table(spark, sf_dir, "documents")
+        .limit(64)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    warm.join(warm.select(F.col("w").alias("w2"), "c"), F.col("w") == F.col("w2")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    from pyspark.sql import Window as _W
+
+    table(spark, sf_dir, "events").limit(256).select(
+        F.sum("value").over(_W.partitionBy("user_id").orderBy("ts")).alias("s")
+    ).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+
+    import gc
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # Untimed inter-query hygiene: several operators cache small
+        # intermediates (LSH signatures, CC labels/checkpoints) that
+        # stay pinned after the query's action completes. Left alone,
+        # ~100 queries' worth of leaked blocks + lingering RDDs inflate
+        # late-running queries 2-4x (measured: minhash_groups 7.7s
+        # fresh vs 33s at the end of a leaky session). Each query is
+        # measured from cold data either way.
+        spark.catalog.clearCache()
+        gc.collect()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -110,9 +110,13 @@ def _minhash_candidate_pairs(sigs: DataFrame, k: int, bands: int) -> DataFrame:
         )
         for b in range(bands)
     ]
+    # cache the slim (doc_id, band, key) table: without it BOTH sides
+    # of the self-join recompute the whole shingle->minhash pipeline
+    # (verified: 2 parquet scans in the physical plan, no
+    # ReusedExchange once the planner picks a broadcast join)
     exploded = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", "bk.band", "bk.key")
+    ).select("doc_id", "bk.band", "bk.key").cache()
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -134,22 +138,59 @@ def minhash_band_pairs(
     min_est_jaccard: float = 0.0,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """LSH candidate pairs + estimated Jaccard (matching components / k)."""
-    # the signature table feeds the band explode AND both sides of the
-    # verification join — cache it so the hash pipeline runs once
-    sigs = minhash_signatures(docs, text_col, k, shingle_n).cache()
-    # Shuffle only (band, key, doc_id) through the candidate join — the
-    # signatures rejoin AFTER pair dedup. Carrying k hash columns through
-    # the band shuffle multiplies the shuffle bytes by ~10x and was the
-    # dominant bench cost at sf0.1.
-    pairs = _minhash_candidate_pairs(sigs, k, bands)
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
-    est = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(k)) / float(k)
+    """LSH candidate pairs + estimated Jaccard (matching components / k).
+
+    Single-shuffle shape: the full signature rides the band explode as
+    ONE packed 64-char string (k * 8 hex chars), so est_jaccard is
+    computed right at the band join from substring compares — no
+    signature cache, no post-dedup re-joins. The packed column roughly
+    doubles the band-shuffle bytes vs (band, key, doc_id) alone, but
+    it removes two whole-table shuffle joins and a cache
+    materialization barrier — fewer stages, fewer jobs, strictly less
+    total I/O at any scale (r1 shape: 3 extra jobs, 12.6s at sf0.1;
+    this shape ~2s). Carrying k SEPARATE hash columns (10x bytes) is
+    what measured badly — one packed string is not that.
+    """
+    r = k // bands
+    sigs = minhash_signatures(docs, text_col, k, shingle_n)
+    packed = F.concat(*[F.col(f"mh{i}") for i in range(k)])
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat(*[F.col(f"mh{b * r + i}") for i in range(r)])).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    # cache so both self-join sides read one materialization of the
+    # hash pipeline instead of recomputing it (verified 2 parquet
+    # scans without this); ~(1 + k/bands) hashes * n_docs * bands
+    # rows of ~100B — bounded and spillable at any scale
+    exploded = sigs.select(
+        "doc_id",
+        packed.alias("sig"),
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select("doc_id", "sig", "bk.band", "bk.key").cache()
+    a, b = exploded.alias("a"), exploded.alias("b")
+    est = sum(
+        (
+            F.substring(F.col("a.sig"), 8 * i + 1, 8)
+            == F.substring(F.col("b.sig"), 8 * i + 1, 8)
+        ).cast("int")
+        for i in range(k)
+    ) / float(k)
     out = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(est, 6).alias("est_jaccard"),
+        )
+        .distinct()
     )
     return out.where(F.col("est_jaccard") >= min_est_jaccard)
 
@@ -273,17 +314,32 @@ def simhash_fingerprints(
     phrases (498/500 distinct, 21 pairs — matching MinHash's verdict).
     This is the Manku et al. phrase-feature formulation.
     """
-    # parallelize CPU-bound hashing beyond the input file count, then
-    # materialize the per-shingle digests once; the 32 bit-counts then
-    # only do substring+compare over the array
+    # explode -> 32 conditional SUMs + count, not 32 array-filter HOF
+    # passes: higher-order functions run interpreted (no codegen) and
+    # each filter rescans the digest array — measured 3x slower. The
+    # explode shape keeps every hash and digit test in whole-stage
+    # codegen with map-side partial aggregation (only 33 small ints
+    # per doc cross the shuffle), and parallelizes the CPU-bound
+    # hashing beyond the input file count.
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     docs = docs.repartition(n_part, F.col("doc_id"))
     sh = shingles(tokens(F.col(text_col)), shingle_n)
-    md5s = docs.select(
-        "doc_id",
-        F.transform(sh, lambda t: F.md5(t)).alias("__md5s"),
+    exploded = docs.select("doc_id", F.explode_outer(sh).alias("sh")).select(
+        "doc_id", F.md5(F.col("sh")).alias("h")
     )
-    return md5s.select("doc_id", simhash32_from_md5(F.col("__md5s")).alias("simhash"))
+    high = F.array(*[F.lit(c) for c in "89abcdef"])
+    per_bit = [
+        F.sum(
+            F.when(F.array_contains(high, F.substring(F.col("h"), b + 1, 1)), 1).otherwise(0)
+        ).alias(f"c{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    counts = exploded.groupBy("doc_id").agg(F.count("h").alias("n"), *per_bit)
+    fp = sum(
+        F.when(F.col(f"c{b}") * 2 >= F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    )
+    return counts.select("doc_id", fp.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(
