@@ -238,10 +238,52 @@ def test_multimodal_decode_stub(spark, docs):
     assert frames.count() > 0
 
 
-def test_multimodal_real_decode_raises(spark, docs):
+def test_multimodal_real_decode_rejects_unknown_format(spark, docs):
+    # fake assets carry raw text bytes — not BMP/PPM/WAV
     assets = multimodal.fake_assets_from_documents(docs.limit(2))
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+    with pytest.raises(Exception, match="unsupported payload format"):
         multimodal.decode_assets(assets, decode_stub=False).collect()
+
+
+def test_multimodal_codec_roundtrip():
+    """build_* payloads parse back to exactly what was written."""
+    from tsod_spark.pipeline.multimodal import (
+        _decode_payload,
+        build_bmp,
+        build_ppm,
+        build_wav,
+    )
+
+    assert _decode_payload(build_bmp(7, 5, 200)) == (7, 5, 1, 200)
+    assert _decode_payload(build_bmp(4, 3, 0)) == (4, 3, 1, 0)
+    assert _decode_payload(build_ppm(12, 9, 33)) == (12, 9, 1, 33)
+    # WAV: (channels, bits, n_samples, mean|amp| >> 8)
+    assert _decode_payload(build_wav(120, 256 * 77)) == (1, 16, 120, 77)
+    assert _decode_payload(build_wav(50, 0)) == (1, 16, 50, 0)
+
+
+def test_multimodal_real_decode_spark_path(spark):
+    """End-to-end: synthetic payloads decoded by the real codecs inside
+    mapInPandas match the generator's arithmetic."""
+    ids = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    out = multimodal.decode_assets(
+        multimodal.synthetic_assets(ids), decode_stub=False
+    ).collect()
+    assert len(out) == 30
+    for r in out:
+        i = r.asset_id
+        if i % 3 == 0:
+            assert (r.width, r.height, r.mean_brightness) == (
+                4 + i % 13, 3 + i % 11, i % 256,
+            )
+        elif i % 3 == 1:
+            assert (r.width, r.height, r.mean_brightness) == (
+                5 + i % 9, 2 + i % 7, (7 * i) % 256,
+            )
+        else:
+            assert (r.width, r.height, r.n_frames, r.mean_brightness) == (
+                1, 16, 50 + i % 100, i % 128,
+            )
 
 
 # ---- persistence ------------------------------------------------------

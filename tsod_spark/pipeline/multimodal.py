@@ -6,11 +6,20 @@ typed metadata struct, processed with Arrow-batched ``mapInPandas``
 Python with zero row-at-a-time overhead, and partitioning/pushdown stay
 intact because metadata lives in ordinary columns).
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
-the decode kernels are stubbed: ``decode_stub=True`` produces a
-deterministic fake decode (hash-derived dimensions and stats) with the
-real schema, batch shape, and partitioning; ``decode_stub=False`` raises
-NotImplementedError where the codec call belongs.
+Two decode paths:
+
+- ``decode_stub=True`` — deterministic fake decode (hash-derived
+  dimensions and stats) with the real schema/batch shape, for plumbing
+  over arbitrary payloads (heavyweight codecs like PIL/ffmpeg are not
+  in this container).
+- ``decode_stub=False`` — REAL decoders for the container-independent
+  formats this module can parse with the stdlib: BMP (24-bit
+  uncompressed), binary PPM (P6), and PCM WAV. Dimensions come from
+  actual header parsing and brightness from the actual pixel/sample
+  bytes (numpy). ``synthetic_assets`` builds valid payloads in these
+  formats whose metadata is arithmetically derivable from the asset
+  id, so a real end-to-end decode is testable — and oracle-checkable —
+  without external fixtures. Unsupported payloads raise ValueError.
 """
 
 from __future__ import annotations
@@ -66,13 +75,95 @@ def fake_assets_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# real pure-stdlib codecs (BMP 24-bit, binary PPM, PCM WAV)
+
+
+def build_bmp(width: int, height: int, value: int) -> bytes:
+    """Minimal valid 24-bit uncompressed BMP filled with gray ``value``."""
+    import struct
+
+    row = (3 * width + 3) // 4 * 4  # rows pad to 4 bytes
+    data_size = row * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + data_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    px = (bytes([value] * (3 * width)) + b"\x00" * (row - 3 * width)) * height
+    return header + dib + px
+
+
+def build_ppm(width: int, height: int, value: int) -> bytes:
+    """Binary PPM (P6), max 255, filled with gray ``value``."""
+    return f"P6\n{width} {height}\n255\n".encode() + bytes([value] * 3) * (width * height)
+
+
+def build_wav(n_samples: int, amplitude: int, sample_rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV holding ``n_samples`` of constant ``amplitude``."""
+    import struct
+
+    data = struct.pack(f"<{n_samples}h", *([amplitude] * n_samples))
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _decode_payload(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse one payload -> (width, height, n_frames, mean_brightness).
+
+    Dispatch on magic bytes; dimensions are read from the actual
+    headers and brightness from the actual pixel/sample bytes.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        if bpp != 24:
+            raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+        row = (3 * width + 3) // 4 * 4
+        px = np.frombuffer(payload, dtype=np.uint8, offset=data_off).reshape(
+            abs(height), row
+        )[:, : 3 * width]
+        return width, abs(height), 1, int(px.mean())
+    if payload[:2] == b"P6":
+        # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
+        parts = payload.split(maxsplit=4)
+        width, height = int(parts[1]), int(parts[2])
+        px = np.frombuffer(payload[-3 * width * height:], dtype=np.uint8)
+        return width, height, 1, int(px.mean())
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        channels, rate = struct.unpack_from("<HI", payload, 22)
+        bits = struct.unpack_from("<H", payload, 34)[0]
+        # find the data chunk (fmt may be followed by extension chunks)
+        off = 12
+        while off < len(payload):
+            cid, csize = payload[off:off + 4], struct.unpack_from("<I", payload, off + 4)[0]
+            if cid == b"data":
+                n = csize // (channels * bits // 8)
+                samples = np.frombuffer(payload, dtype=np.int16, offset=off + 8, count=csize // 2)
+                return channels, bits, n, int(np.abs(samples.astype(np.int64)).mean()) >> 8
+            off += 8 + csize
+        raise ValueError("WAV without data chunk")
+    raise ValueError("unsupported payload format (expect BMP, P6 PPM, or PCM WAV)")
+
+
 def decode_assets(assets: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Decode/feature-extract via mapInPandas (Arrow-batched).
 
-    Real implementation would call the codec per payload inside the
-    batch loop; the stub derives deterministic pseudo-metadata from the
+    ``decode_stub=False`` runs the real stdlib codecs above;
+    ``decode_stub=True`` derives deterministic pseudo-metadata from the
     payload bytes so the full Spark plumbing (schema, batching,
-    partition preservation) is exercised and testable.
+    partition preservation) is exercised on arbitrary payloads.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -80,10 +171,21 @@ def decode_assets(assets: DataFrame, decode_stub: bool = True) -> DataFrame:
 
         for pdf in it:
             if not decode_stub:
-                raise NotImplementedError(
-                    "real image/audio/video codecs are not available in this "
-                    "environment; install PIL/ffmpeg and replace this branch"
+                decoded = [
+                    _decode_payload(bytes(p)) for p in pdf["payload"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "asset_id": pdf["asset_id"],
+                        "kind": pdf["kind"],
+                        "n_bytes": [len(p) for p in pdf["payload"]],
+                        "width": [d[0] for d in decoded],
+                        "height": [d[1] for d in decoded],
+                        "n_frames": [d[2] for d in decoded],
+                        "mean_brightness": [d[3] for d in decoded],
+                    }
                 )
+                continue
             digests = [
                 hashlib.md5(bytes(p)).digest() if p is not None else b"\x00" * 16
                 for p in pdf["payload"]
@@ -105,6 +207,38 @@ def decode_assets(assets: DataFrame, decode_stub: bool = True) -> DataFrame:
             yield out
 
     return assets.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def synthetic_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Valid BMP/PPM/WAV payloads generated per id (round-robin kind).
+
+    Every metadata field is an arithmetic function of the id, so a SQL
+    oracle can predict the REAL decoder's output exactly:
+
+    - id % 3 == 0 -> BMP  w=4+id%13, h=3+id%11, gray v=id%256
+    - id % 3 == 1 -> PPM  w=5+id%9,  h=2+id%7,  gray v=(7*id)%256
+    - id % 3 == 2 -> WAV  mono 16-bit, n=50+id%100 samples of
+      constant amplitude 256*(id%128) -> mean |sample| >> 8 = id%128
+    """
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                if i % 3 == 0:
+                    payload = build_bmp(4 + i % 13, 3 + i % 11, i % 256)
+                    kind, mime = "image", "image/bmp"
+                elif i % 3 == 1:
+                    payload = build_ppm(5 + i % 9, 2 + i % 7, (7 * i) % 256)
+                    kind, mime = "image", "image/x-portable-pixmap"
+                else:
+                    payload = build_wav(50 + i % 100, 256 * (i % 128))
+                    kind, mime = "audio", "audio/wav"
+                rows.append((i, kind, payload, mime))
+            yield pd.DataFrame(rows, columns=["asset_id", "kind", "payload", "mime"])
+
+    return ids.select(id_col).mapInPandas(gen, ASSET_SCHEMA)
 
 
 def resize_images(decoded: DataFrame, max_side: int = 64) -> DataFrame:

@@ -1476,6 +1476,48 @@ def mm_frames(spark, sf_dir):
     return out.select("asset_id", F.col("frame_idx").cast("long").alias("frame_idx"))
 
 
+@register(
+    "mm_real_decode",
+    """WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+    d AS (
+      SELECT asset_id,
+        CASE WHEN asset_id % 3 IN (0, 1) THEN 'image' ELSE 'audio' END AS kind,
+        CASE asset_id % 3
+          WHEN 0 THEN 4 + asset_id % 13
+          WHEN 1 THEN 5 + asset_id % 9
+          ELSE 1 END AS width,
+        CASE asset_id % 3
+          WHEN 0 THEN 3 + asset_id % 11
+          WHEN 1 THEN 2 + asset_id % 7
+          ELSE 16 END AS height,
+        CASE asset_id % 3 WHEN 2 THEN 50 + asset_id % 100 ELSE 1 END AS n_frames,
+        CASE asset_id % 3
+          WHEN 0 THEN asset_id % 256
+          WHEN 1 THEN (7 * asset_id) % 256
+          ELSE asset_id % 128 END AS mean_brightness
+      FROM ids)
+    SELECT asset_id, kind,
+      CAST(CASE asset_id % 3
+        WHEN 0 THEN 54 + ((3 * width + 3) // 4 * 4) * height
+        WHEN 1 THEN 3 + length(CAST(width AS VARCHAR)) + 1
+                     + length(CAST(height AS VARCHAR)) + 5 + 3 * width * height
+        ELSE 44 + 2 * n_frames END AS BIGINT) AS n_bytes,
+      CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+      CAST(n_frames AS INT) AS n_frames,
+      CAST(mean_brightness AS INT) AS mean_brightness
+    FROM d""",
+)
+def mm_real_decode(spark, sf_dir):
+    """REAL decode end-to-end: generate valid BMP/PPM/WAV payloads per
+    doc_id, parse them with the actual stdlib codecs inside Arrow
+    mapInPandas, and let the oracle predict every metadata field
+    arithmetically — full value parity through real byte-level
+    decoding, not a stub."""
+    ids = table(spark, sf_dir, "documents")
+    assets = multimodal.synthetic_assets(ids)
+    return multimodal.decode_assets(assets, decode_stub=False)
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 
@@ -2398,7 +2440,14 @@ R1_VERIFIED = frozenset({
     "dedup_minhash_sig", "dedup_minhash_pairs", "dedup_minhash_groups",
 })
 
-_DEFER_TO_R3 = ("ts_range_quantile_approx", "events_distinct_users_approx")
+# rows-only checks (no value hash to win) whose siblings are verified,
+# parked just past the 50-query window so oracle-backed queries get
+# driver verdicts first
+_DEFER_TO_R3 = (
+    "ts_range_quantile_approx",
+    "events_distinct_users_approx",
+    "emb_ivf_cells",
+)
 
 
 def _rotated(d: dict) -> dict:
