@@ -134,6 +134,79 @@ def test_stream_combined_matches_batch(spark, events_batches):
     assert not mismatches, f"{len(mismatches)} mismatches, first: {mismatches[:3]}"
 
 
+def test_stream_fitted_per_series_matches_batch(spark, events_batches):
+    """A per-series-fitted detector must stream with each key's OWN
+    thresholds (broadcast-joined params), not the constructor's ±inf
+    defaults — the silent-no-anomalies failure mode."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    tsf = TimeSeriesFrame(df, series=["user_id"], tiebreak=["event_id"])
+    det = RangeDetector(quantiles=[0.05, 0.95]).fit(tsf)
+    assert det._params_df is not None
+
+    got = run_stream(spark, events_batches, det)
+    assert len(got) > 0
+    assert any(r.is_anomaly for r in got), "per-key quantile fit must flag tails"
+    rows = det.detect(tsf).select("user_id", "ts", "is_anomaly").collect()
+    expected = {(r.user_id, r.ts): r.is_anomaly for r in rows}
+    mismatches = [
+        (r.user_id, r.ts) for r in got if expected[(r.user_id, r.ts)] != r.is_anomaly
+    ]
+    assert not mismatches, f"{len(mismatches)} mismatches: {mismatches[:3]}"
+
+
+def test_stream_drops_pre_cursor_late_rows(spark, tmp_path):
+    """A row older than the buffered tail is dropped, not emitted out
+    of order (the documented contract)."""
+    import pandas as pd
+
+    schema = "user_id long, ts timestamp, value double"
+    b0 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 1],
+                "ts": pd.to_datetime(["2020-01-01 00:00", "2020-01-01 01:00", "2020-01-01 02:00"]),
+                "value": [1.0, 2.0, 3.0],
+            }
+        ),
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1],
+                # 00:30 is older than the buffered tail (02:00) -> dropped
+                "ts": pd.to_datetime(["2020-01-01 00:30", "2020-01-01 03:00"]),
+                "value": [99.0, 4.0],
+            }
+        ),
+        schema,
+    )
+    src_dir = str(tmp_path / "late_src")
+    b0.coalesce(1).write.parquet(f"{src_dir}/b0")
+    b1.coalesce(1).write.parquet(f"{src_dir}/b1")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/b*")
+    )
+    out = stream_detect(DiffDetector(50.0), src, series=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT ts, value FROM t_late ORDER BY ts").collect()
+    values = [r.value for r in got]
+    assert 99.0 not in values, "pre-cursor late row must be dropped"
+    assert values == [1.0, 2.0, 3.0, 4.0]
+
+
 def test_stream_rollup_matches_batch(spark, events_batches):
     from tsod_spark.streaming import stream_rollup
 

@@ -70,23 +70,66 @@ def stream_detect_stateless(detector: RangeDetector, stream_df: DataFrame, **tsf
     return detector.detect(TimeSeriesFrame(stream_df, **tsf_kwargs))
 
 
+def _leaf_plan(detector, kernel, lookback, lookahead, scalars, fit_map):
+    """Build (kernel, lookback, lookahead, make_kwargs, params_df).
+
+    ``make_kwargs(row)`` resolves the kernel kwargs for one series key:
+    per-series fitted values (broadcast-joined param columns, read from
+    ``row``) override the constructor/globally-fitted scalars; an
+    unfitted key (NULL after the left join) falls back to the scalars.
+    """
+    param_cols = (
+        {kw: detector.tmp(fit_name) for fit_name, kw in fit_map.items()}
+        if detector._params_df is not None
+        else {}
+    )
+
+    def make_kwargs(row):
+        kw = dict(scalars)
+        if row is not None:
+            for k, c in param_cols.items():
+                v = row.get(c)
+                if v is not None and not pd.isna(v):
+                    kw[k] = v
+        return kw
+
+    return (
+        kernel,
+        lookback,
+        lookahead,
+        make_kwargs,
+        [detector._params_df] if detector._params_df is not None else None,
+    )
+
+
 def _plan(detector):
-    """(kernel, lookback, lookahead, kwargs) for a detector instance."""
+    """(kernel, lookback, lookahead, make_kwargs, params_dfs)."""
     if isinstance(detector, RangeDetector):
-        return kernels.range_kernel, 0, 0, {"mn": detector._min, "mx": detector._max}
+        return _leaf_plan(
+            detector,
+            kernels.range_kernel,
+            0,
+            0,
+            {"mn": detector._min, "mx": detector._max},
+            {"min": "mn", "max": "mx"},
+        )
     if isinstance(detector, DiffDetector):
-        return (
+        return _leaf_plan(
+            detector,
             kernels.diff_kernel,
             1,
             0,
             {"max_diff": detector._max_diff, "direction": detector._direction},
+            {"max_diff": "max_diff"},
         )
     if isinstance(detector, GradientDetector):
-        return (
+        return _leaf_plan(
+            detector,
             kernels.gradient_kernel,
             1,
             0,
             {"max_gradient": detector._max_gradient, "direction": detector._direction},
+            {"max_gradient": "max_gradient"},
         )
     if isinstance(detector, RollingStandardDeviationDetector):
         w = detector._window_size
@@ -94,58 +137,66 @@ def _plan(detector):
             lookback, lookahead = w // 2, w - w // 2 - 1
         else:
             lookback, lookahead = w - 1, 0
-        return (
+        return _leaf_plan(
+            detector,
             kernels.rolling_std_kernel,
             lookback,
             lookahead,
-            {
-                "window_size": w,
-                "max_std": detector._max_std,
-                "center": detector._center,
-            },
+            {"window_size": w, "max_std": detector._max_std, "center": detector._center},
+            {"max_std": "max_std"},
         )
     if isinstance(detector, HampelDetector):
         w = detector._window_size
         # lookahead = w reproduces the batch interior bound t < n - w
-        return (
+        return _leaf_plan(
+            detector,
             kernels.hampel_kernel,
             w,
             w,
             {"window_size": w, "threshold": detector._threshold},
+            {},
         )
     if isinstance(detector, ConstantGradientDetector):
         # centered span ±(w//2 | w-w//2-1), +1 for the gradient's
         # neighbor, +1 for the flag dilation
         w = detector._window_size
-        return (
+        return _leaf_plan(
+            detector,
             kernels.constant_gradient_kernel,
             w // 2 + 2,
             w - w // 2 + 1,
             {"window_size": w, "threshold": detector._threshold},
+            {},
         )
     if isinstance(detector, ConstantValueDetector):
         # centered span +1 for the flag dilation
         w = detector._window_size
-        return (
+        return _leaf_plan(
+            detector,
             kernels.constant_value_kernel,
             w // 2 + 1,
             w - w // 2,
             {"window_size": w, "threshold": detector._threshold},
+            {},
         )
     if isinstance(detector, CombinedDetector):
         plans = [_plan(d) for d in detector._detectors]
         lookback = max(p[1] for p in plans)
         lookahead = max(p[2] for p in plans)
 
-        def combined_kernel(ts, value, offset, plans=plans):
+        def combined_kernel(ts, value, offset, resolved=None, plans=plans):
             import numpy as np
 
             out = np.zeros(len(value), dtype=bool)
-            for kern, _, _, params in plans:
-                out |= kern(ts, value, offset, **params)
+            for (kern, _, _, mk, _), kw in zip(plans, resolved):
+                out |= kern(ts, value, offset, **kw)
             return out
 
-        return combined_kernel, lookback, lookahead, {}
+        def make_kwargs(row):
+            return {"resolved": [p[3](row) for p in plans]}
+
+        params_dfs = [df for p in plans if p[4] for df in p[4]] or None
+        return combined_kernel, lookback, lookahead, make_kwargs, params_dfs
     raise NotImplementedError(
         f"streaming not implemented for {type(detector).__name__}"
     )
@@ -200,15 +251,36 @@ def stream_detect(
     ts_col: str = "ts",
     value_col: str = "value",
     series: Sequence[str] = ("user_id",),
+    idle_timeout: str | None = None,
 ) -> DataFrame:
     """Streaming variant of ``detector.detect`` keyed by series columns.
 
     Returns a streaming DataFrame ``(*series, ts, value, is_anomaly)``
     in update output mode.
+
+    Per-series fitted detectors work: each leaf's small params
+    DataFrame is broadcast-joined onto the stream (stream-static left
+    join — no stream shuffle beyond the keyed grouping) and the kernel
+    thresholds resolve per key inside the state operator; keys absent
+    from the fit fall back to the constructor scalars.
+
+    ``idle_timeout`` (e.g. ``"1 hour"``) evicts the state of series
+    that stop sending — without it, per-key tail buffers survive
+    forever and unbounded/churning key cardinality grows state without
+    bound (each buffer is O(lookback+lookahead), but the KEY COUNT is
+    what needs a bound on a 100 TB stream).
     """
-    kernel, lookback, lookahead, params = _plan(detector)
+    from pyspark.sql import functions as F
+
+    kernel, lookback, lookahead, make_kwargs, params_dfs = _plan(detector)
     keep = lookback + lookahead
     series = list(series)
+
+    param_cols: list[str] = []
+    if params_dfs:
+        for pdf_small in params_dfs:
+            stream_df = stream_df.join(F.broadcast(pdf_small), on=series, how="left")
+            param_cols.extend(c for c in pdf_small.columns if c not in series)
 
     key_fields = [stream_df.schema[c] for c in series]
     out_schema = StructType(
@@ -229,18 +301,35 @@ def stream_detect(
     )
 
     def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
         if len(new) == 0:
             return
         new = new.sort_values(ts_col, kind="mergesort")
-        new_ts = pd.to_datetime(new[ts_col]).astype("int64") // 1000  # micros
-        new_vals = new[value_col].astype(float)
+        params = make_kwargs(new.iloc[0].to_dict() if param_cols else None)
 
         if state.exists:
             seen, emitted, tail_ts, tail_vals = state.get
             tail_ts, tail_vals = list(tail_ts), list(tail_vals)
         else:
             seen, emitted, tail_ts, tail_vals = 0, 0, [], []
+
+        new_ts = pd.to_datetime(new[ts_col]).astype("int64") // 1000  # micros
+        # Drop rows at or before the buffered cursor: a row older than
+        # the tail would land before already-emitted positions and
+        # corrupt the sorted-buffer invariant (documented contract —
+        # bound disorder upstream with withWatermark).
+        if tail_ts:
+            ok = new_ts > tail_ts[-1]
+            if not ok.all():
+                new, new_ts = new[ok.to_numpy()], new_ts[ok]
+            if len(new) == 0:
+                if idle_timeout is not None:
+                    state.setTimeoutDuration(idle_timeout)
+                return
+        new_vals = new[value_col].astype(float)
 
         buf_ts = pd.Series(tail_ts + new_ts.tolist(), dtype="int64")
         buf_vals = pd.Series(tail_vals + new_vals.tolist(), dtype=float)
@@ -275,6 +364,8 @@ def stream_detect(
                 buf_vals.iloc[len(buf_vals) - min(keep, len(buf_vals)) :].tolist(),
             )
         )
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
         if out is not None and len(out):
             yield out
 
@@ -285,7 +376,11 @@ def stream_detect(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
