@@ -143,6 +143,46 @@ def main():
         results[name] = {"t1x": t[1], f"t{mult}x": t[mult], "ratio": ratio}
         print(f"{name}: 1x={t[1]}s {mult}x={t[mult]}s ratio={ratio}", flush=True)
 
+    # --- CC loop with a deep-diameter chain ---------------------------
+    # Worst case for label propagation is a long CHAIN of near-dups:
+    # labels must walk the whole diameter, exercising the max_iter
+    # bound, per-round cache turnover, and localCheckpoint cadence.
+    # Chain docs are 50-token sliding windows over a shared token
+    # stream (consecutive windows ~96% Jaccard). The chain length is
+    # FIXED while the background corpus grows mult-x: a healthy loop
+    # scales with corpus volume, not with (volume x diameter).
+    def chained_docs(m, chain_len=40):
+        base = expanded(spark, "documents", m, {"doc_id": 10_000_000})
+        chain = (
+            spark.range(chain_len)
+            .select(
+                (F.col("id") + 900_000_000).alias("doc_id"),
+                F.concat_ws(" ", F.transform(
+                    F.sequence(F.col("id"), F.col("id") + 49),
+                    lambda x: F.concat(F.lit("chainword"), x),
+                )).alias("text"),
+            )
+            .withColumn("lang", F.lit("en"))
+            .withColumn("source", F.lit("chain"))
+            .withColumn("n_chars", F.length("text"))
+        )
+        return base.select(*chain.columns).unionByName(chain)
+
+    t = {}
+    for m in (1, mult):
+        t0 = time.time()
+        labels = dedup.minhash_duplicate_groups(chained_docs(m), max_iter=40)
+        chain_rows = labels.where(F.col("doc_id") >= 900_000_000).collect()
+        t[m] = round(time.time() - t0, 2)
+        n_groups = len({r.group_id for r in chain_rows})
+        assert len(chain_rows) == 40, f"chain rows lost: {len(chain_rows)}"
+        # sliding windows overlap several hops out, so the chain may
+        # resolve to a handful of groups, never 40 singletons
+        assert n_groups <= 5, f"chain fractured into {n_groups} groups"
+    ratio = round(t[mult] / t[1], 2) if t[1] > 0 else None
+    results["minhash_groups_chained"] = {"t1x": t[1], f"t{mult}x": t[mult], "ratio": ratio}
+    print(f"minhash_groups_chained: 1x={t[1]}s {mult}x={t[mult]}s ratio={ratio}", flush=True)
+
     print(json.dumps({"multiplier": mult, "results": results}))
     spark.stop()
 

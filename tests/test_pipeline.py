@@ -313,6 +313,40 @@ def test_persistence_fitted_params(spark, tmp_path):
     assert loaded._min == 0.0 and loaded._max == 4.0
 
 
+def test_persistence_golden_fixture(spark):
+    """Load the COMMITTED golden params file (the operational pattern:
+    configure+fit offline, save, load in production — mirrors
+    /root/reference/tests/test_persistence.py:23-31 where a golden
+    combined.joblib is loaded and type-checked) and assert the loaded
+    detector detects identically to a freshly constructed one."""
+    import pathlib
+
+    golden = pathlib.Path(__file__).parent / "data" / "combined_golden.json"
+    loaded = load(golden)
+    assert isinstance(loaded, CombinedDetector) and len(loaded) == 5
+
+    from tsod_spark import (
+        ConstantValueDetector,
+        GradientDetector,
+    )
+
+    fresh = CombinedDetector(
+        [
+            RangeDetector(1.0, 300.0),
+            DiffDetector(80.0),
+            GradientDetector(0.005),
+            ConstantValueDetector(3, 5.0),
+            HampelDetector(5, 3),
+        ]
+    )
+    df = hourly_series(
+        spark, [10.0, 10.0, 10.0, 10.0, 350.0, 12.0, 100.0, 11.0, 10.5, 9.0]
+    )
+    a = [r.is_anomaly for r in loaded.detect(df).orderBy("ts").collect()]
+    b = [r.is_anomaly for r in fresh.detect(df).orderBy("ts").collect()]
+    assert a == b and any(a)
+
+
 def test_persistence_per_series_fit_roundtrip(spark, tmp_path):
     """Per-series fitted state must survive save/load via the parquet
     sidecar — a loaded detector with defaulted scalars (±inf bounds)
@@ -392,6 +426,47 @@ def test_netcdf_requires_xarray(spark):
         pass
     with pytest.raises(NotImplementedError):
         read_netcdf_timeseries(spark, "/nonexistent.nc", "PSAL")
+
+
+def test_netcdf_fleet_with_injected_decoder(spark, tmp_path):
+    """The binaryFile + mapInPandas fleet path: one decode per file,
+    rows shaped (source, ts, value, qc) with the CMEMS QC companion
+    semantics — exercised with an injected decoder standing in for
+    xarray (absent here)."""
+    import pandas as pd
+
+    from tsod_spark.sources import qc_flag_projection, read_netcdf_fleet
+
+    fleet = tmp_path / "fleet"
+    fleet.mkdir()
+    # fake "station files": each carries its rows as CSV bytes
+    for station in range(3):
+        lines = [
+            f"2021-01-0{i + 1} 00:00:00,{10.0 * station + i},{1 if i != 2 else 4}"
+            for i in range(4)
+        ]
+        (fleet / f"station{station}.nc").write_bytes("\n".join(lines).encode())
+
+    def decoder(content: bytes) -> pd.DataFrame:
+        rows = [ln.split(",") for ln in content.decode().splitlines()]
+        return pd.DataFrame(
+            {
+                "ts": pd.to_datetime([r[0] for r in rows]),
+                "value": [float(r[1]) for r in rows],
+                "qc": [int(r[2]) for r in rows],
+            }
+        )
+
+    out = read_netcdf_fleet(spark, str(fleet / "*.nc"), decoder=decoder)
+    got = qc_flag_projection(out).collect()
+    assert len(got) == 12
+    assert len({r.source for r in got}) == 3
+    # CMEMS semantics: qc flag 1 = good, everything else suspect
+    assert sum(not r.qc_is_good for r in got) == 3
+    by_station = {}
+    for r in got:
+        by_station.setdefault(r.source.rsplit("/", 1)[-1], []).append(r.value)
+    assert sorted(by_station["station2.nc"]) == [20.0, 21.0, 22.0, 23.0]
 
 
 # ---- MLlib detectors --------------------------------------------------

@@ -245,15 +245,22 @@ def q19_disjunctive_revenue(lineitem, part) -> DataFrame:
 
 def q22_global_sales_opportunity(customer, orders, since="2000-01-01") -> DataFrame:
     """TPC-H Q22 shape: above-mean-balance customers with no RECENT
-    orders — scalar aggregate folded into a filter, then a LEFT ANTI
-    join. The mean is the exact ratio of a cents sum and a count, so
-    the comparison is order-independent."""
+    orders — scalar aggregate as a broadcast cross-join (the SQL scalar
+    subquery), then a LEFT ANTI join. The mean is the exact ratio of a
+    cents sum and a count, so the comparison is order-independent.
+
+    Fully lazy single plan: the 1-row aggregate is crossJoin-broadcast
+    instead of collected with ``.first()`` mid-build — one job instead
+    of two, and Catalyst sees the whole tree."""
     pos = customer.where(F.col("c_acctbal") > 0)
-    avg_row = pos.agg(
-        F.sum(cents("c_acctbal")).alias("s"), F.count(F.lit(1)).alias("n")
-    ).first()
-    avg_cents = avg_row["s"] / avg_row["n"]  # double, exact ratio of longs
-    rich = customer.where(cents("c_acctbal") > F.lit(avg_cents))
+    avg_df = pos.agg(
+        (F.sum(cents("c_acctbal")) / F.count(F.lit(1))).alias("__avg_cents")
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(avg_df))
+        .where(cents("c_acctbal") > F.col("__avg_cents"))
+        .drop("__avg_cents")
+    )
     recent = orders.where(F.col("o_orderdate") >= F.lit(since))
     no_orders = rich.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
     return (

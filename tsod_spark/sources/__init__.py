@@ -1,5 +1,6 @@
 from .readers import (  # noqa: F401
     read_csv_timeseries,
+    read_netcdf_fleet,
     read_netcdf_timeseries,
     read_dfs0_timeseries,
     read_parquet_timeseries,

@@ -85,6 +85,67 @@ def read_netcdf_timeseries(
     return spark.createDataFrame(pdf)
 
 
+NETCDF_FLEET_SCHEMA = (
+    "source string, ts timestamp, value double, qc int"
+)
+
+
+def read_netcdf_fleet(
+    spark: SparkSession,
+    glob_path: str,
+    variable: str = "PSAL",
+    qc_suffix: str = "_QC",
+    decoder=None,
+) -> DataFrame:
+    """Fleet-scale NetCDF ingest: one decode task per file, distributed.
+
+    ``binaryFile`` lists the fleet and ships each file's bytes to an
+    executor; ``mapInPandas`` decodes per file inside the Arrow batch
+    loop — the scale shape for thousands of station files (NetCDF is
+    not splittable, but a FLEET of them parallelizes perfectly; driver
+    decode as in :func:`read_netcdf_timeseries` would serialize).
+
+    Output rows are ``(source, ts, value, qc)`` — the CMEMS companion
+    QC-flag layout (variable + variable_QC over the TIME dim, as in
+    /root/reference/notebooks/cmems.ipynb and fixture
+    tests/data/BO_TS_MO_FINO2.nc). ``decoder(content: bytes) ->
+    pandas.DataFrame[ts, value, qc]`` is injectable; the default needs
+    xarray and raises here without it.
+    """
+    import pandas as pd
+
+    if decoder is None:
+
+        def decoder(content: bytes):  # pragma: no cover - xarray absent
+            try:
+                import io
+
+                import xarray as xr  # noqa: PLC0415
+            except ImportError as e:
+                raise NotImplementedError(
+                    "NetCDF decode needs xarray (not installed); pass a "
+                    "custom decoder= or install xarray on the executors"
+                ) from e
+            ds = xr.open_dataset(io.BytesIO(content))
+            pdf = ds[[variable, variable + qc_suffix]].to_dataframe().reset_index()
+            pdf.columns = ["ts", "value", "qc"]
+            return pdf
+
+    def batches(it):
+        for pdf in it:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                out = decoder(bytes(content))
+                out = out.assign(source=path)[["source", "ts", "value", "qc"]]
+                yield pd.DataFrame(out)
+
+    files = spark.read.format("binaryFile").load(glob_path)
+    # one decode task per file: binaryFile packs small files together,
+    # so spread them before the Python stage
+    n = spark.sparkContext.defaultParallelism
+    files = files.select("path", "content").repartition(n, "path")
+    return files.mapInPandas(batches, NETCDF_FLEET_SCHEMA)
+
+
 def read_dfs0_timeseries(spark: SparkSession, path: str, item: int = 0) -> DataFrame:
     """MIKE Dfs0 converter job (same pattern as NetCDF)."""
     try:
