@@ -102,3 +102,26 @@ def test_q16_part_filter_broadcasts(t):
     p = plan(tpch.q16_parts_supplier_count(t("lineitem"), t("part")))
     assert "BroadcastHashJoin" in p
     assert "p_size" in p.split("PushedFilters")[1][:400] if "PushedFilters" in p else True
+
+
+def test_minhash_pairs_single_materialization(t):
+    """Both sides of the LSH band self-join must read ONE cached
+    materialization of the shingle->minhash pipeline — without the
+    cache the planner duplicates the whole hash pipeline per side
+    (2 parquet scans), doubling the dominant compute at any scale."""
+    from tsod_spark.pipeline import dedup
+
+    df = dedup.minhash_band_pairs(t("documents"))
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("InMemoryTableScan") == 2
+    df.sparkSession.catalog.clearCache()
+
+
+def test_simhash_pairs_single_materialization(t):
+    from tsod_spark.pipeline import dedup
+
+    df = dedup.simhash_near_pairs(t("documents"))
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # 4 pigeonhole chunk joins = 8 reads of the one cached fingerprint table
+    assert p.count("InMemoryTableScan") == 8
+    df.sparkSession.catalog.clearCache()

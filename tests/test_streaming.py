@@ -157,6 +157,34 @@ def test_stream_fitted_per_series_matches_batch(spark, events_batches):
     assert not mismatches, f"{len(mismatches)} mismatches: {mismatches[:3]}"
 
 
+def test_operational_lifecycle_fit_save_load_stream(spark, events_batches, tmp_path):
+    """The reference's documented production pattern end-to-end
+    (docs/getting_started.rst:40-51: configure + fit offline, save,
+    load in production, detect on incoming data) — here with
+    per-series fitted thresholds surviving the parquet sidecar AND
+    driving the streaming operator."""
+    from tsod_spark import load, save
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    tsf = TimeSeriesFrame(df, series=["user_id"], tiebreak=["event_id"])
+    fitted = RangeDetector(quantiles=[0.05, 0.95]).fit(tsf)
+    p = tmp_path / "prod_model.json"
+    save(fitted, p)
+
+    loaded = load(p, spark)
+    got = run_stream(spark, events_batches, loaded)
+    assert len(got) > 0 and any(r.is_anomaly for r in got)
+    rows = fitted.detect(tsf).select("user_id", "ts", "is_anomaly").collect()
+    expected = {(r.user_id, r.ts): r.is_anomaly for r in rows}
+    mismatches = [
+        (r.user_id, r.ts) for r in got if expected[(r.user_id, r.ts)] != r.is_anomaly
+    ]
+    assert not mismatches, f"{len(mismatches)} mismatches: {mismatches[:3]}"
+
+
 def test_stream_drops_pre_cursor_late_rows(spark, tmp_path):
     """A row older than the buffered tail is dropped, not emitted out
     of order (the documented contract)."""
