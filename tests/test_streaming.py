@@ -368,6 +368,62 @@ def test_stream_sessionize_emits_closed_sessions(spark, events_batches):
     assert not missing, f"{len(missing)} closed sessions never emitted"
 
 
+def test_stream_dedup_minhash_flags_near_dups_online(spark, tmp_path):
+    """Online LSH near-dup detection: a document arriving after a
+    near-identical one is flagged against the earlier arrival, across
+    micro-batch boundaries; unrelated docs are not flagged. Matches
+    the batch minhash_band_pairs verdict for the planted pair."""
+    import pandas as pd
+
+    from tsod_spark.pipeline import dedup
+    from tsod_spark.streaming import stream_dedup_minhash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = {r.doc_id: r.text for r in docs.limit(3).collect()}
+    # batch 0: originals; batch 1: a near-copy of doc 0 + an unrelated doc
+    b0 = pd.DataFrame({"doc_id": list(base), "text": list(base.values())})
+    b1 = pd.DataFrame(
+        {
+            "doc_id": [901, 902],
+            "text": [base[0] + " zzz", "totally unrelated words " * 10],
+        }
+    )
+    src_dir = str(tmp_path / "docs_src")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(f"{src_dir}/b0")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src_dir}/b1")
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/b*")
+    )
+    out = stream_dedup_minhash(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_neardup")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT DISTINCT doc_id, dup_of FROM t_neardup").collect()
+    flagged = {r.doc_id for r in got}
+    assert 901 in flagged, "near-copy must collide with an earlier bucket holder"
+    assert any(r.doc_id == 901 and r.dup_of == 0 for r in got)
+    assert 902 not in flagged, "unrelated doc must not be flagged"
+
+    # batch twin agrees the planted pair is a candidate pair
+    both = spark.createDataFrame(pd.concat([b0, b1]), schema)
+    pairs = dedup.minhash_band_pairs(
+        both.withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("t"))
+        .withColumn("n_chars", F.length("text"))
+    ).collect()
+    assert any({p.doc_a, p.doc_b} == {0, 901} for p in pairs)
+    spark.catalog.clearCache()
+
+
 def test_stream_dedup_exact_drops_within_watermark(spark, events_batches):
     """Duplicate rows re-injected in the NEXT micro-batch (well inside
     the watermark) must be dropped; every original row must survive."""

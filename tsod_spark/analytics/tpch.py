@@ -14,7 +14,7 @@ so parquet min/max pruning and dictionary pushdown apply.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -521,6 +521,77 @@ def q15_top_supplier(
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", (F.col("rev_c") / 10000.0).alias("total_revenue"))
         .orderBy("s_suppkey")
+    )
+
+
+def q20_dominant_part_suppliers(lineitem, supplier, since="2000-01-01") -> DataFrame:
+    """TPC-H Q20 shape (adapted: shipped quantities from lineitem, no
+    partsupp): suppliers who shipped MORE THAN HALF of some part's
+    total volume since a date — the excess-stock/dominant-supplier
+    probe. Two-level aggregation: per (part, supplier) sums, then a
+    part-total via a window over the already-aggregated (small) frame
+    — the raw fact table is scanned and shuffled exactly once. Exact
+    integer centi-units for the quantity sums."""
+    qsum = (
+        lineitem.where(F.col("l_shipdate") >= F.lit(since))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(cents("l_quantity")).alias("__q"))
+    )
+    total = F.sum("__q").over(Window.partitionBy("l_partkey"))
+    dominant = (
+        qsum.withColumn("__tot", total)
+        .where(F.col("__q") * 2 > F.col("__tot"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts_dominated"))
+    )
+    return (
+        dominant.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_parts_dominated")
+        .orderBy(F.desc("n_parts_dominated"), "s_suppkey")
+        .limit(20)
+    )
+
+
+def q21_sole_blame_suppliers(lineitem, supplier, top_n: int = 20) -> DataFrame:
+    """TPC-H Q21 shape (adapted: 'fault' = returned lines
+    l_returnflag = 'R', since there is no receipt/commit date):
+    suppliers with returned lines in MULTI-supplier orders where no
+    other supplier's lines were returned — Q21's double-correlated
+    EXISTS / NOT EXISTS, expressed as one semi- and one anti-join over
+    a slim distinct (order, supplier) frame. The fact table is reduced
+    to distinct pairs FIRST, so the self-joins move keys, not lines."""
+    pairs = lineitem.select("l_orderkey", "l_suppkey").distinct().cache()
+    returned = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = pairs.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    # EXISTS: another supplier participates in the same order
+    multi = returned.join(
+        other,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    other_ret = returned.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    # NOT EXISTS: no OTHER supplier's lines in the order were returned
+    sole = multi.join(
+        other_ret,
+        (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    counts = sole.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("numwait")
+    )
+    return (
+        counts.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(top_n)
     )
 
 

@@ -1708,6 +1708,50 @@ def tpch_q16(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q20",
+    """WITH qs AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS q
+      FROM lineitem WHERE l_shipdate >= '2000-01-01' GROUP BY 1, 2),
+    tot AS (SELECT *, sum(q) OVER (PARTITION BY l_partkey) AS t FROM qs),
+    dom AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_parts_dominated
+            FROM tot WHERE q * 2 > t GROUP BY 1)
+    SELECT s_suppkey, s_name, n_parts_dominated
+    FROM dom JOIN supplier ON l_suppkey = s_suppkey
+    ORDER BY n_parts_dominated DESC, s_suppkey LIMIT 20""",
+)
+def tpch_q20(spark, sf_dir):
+    return tpch.q20_dominant_part_suppliers(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "supplier")
+    )
+
+
+@register(
+    "tpch_q21",
+    """WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    ret AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_returnflag = 'R'),
+    sole AS (
+      SELECT r.l_orderkey, r.l_suppkey FROM ret r
+      WHERE EXISTS (SELECT 1 FROM pairs p
+                    WHERE p.l_orderkey = r.l_orderkey
+                      AND p.l_suppkey <> r.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM ret r2
+                        WHERE r2.l_orderkey = r.l_orderkey
+                          AND r2.l_suppkey <> r.l_suppkey)),
+    counts AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+               FROM sole GROUP BY 1)
+    SELECT s_suppkey, s_name, numwait
+    FROM counts JOIN supplier ON l_suppkey = s_suppkey
+    ORDER BY numwait DESC, s_suppkey LIMIT 20""",
+)
+def tpch_q21(spark, sf_dir):
+    return tpch.q21_sole_blame_suppliers(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "supplier")
+    )
+
+
 # ---------------------------------------------------------------------------
 # OLAP window-ranking / set / grouping shapes (analytics/olap.py)
 

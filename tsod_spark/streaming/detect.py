@@ -417,6 +417,106 @@ def stream_sessionize(
     )
 
 
+def stream_dedup_minhash(
+    stream_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Online near-duplicate detection over a document stream.
+
+    Per-row MinHash signatures (array-HOF column algebra — stateless,
+    no stream aggregation needed), exploded into LSH band keys; a
+    state operator keyed by ``(band, key)`` remembers the FIRST doc
+    seen per bucket and emits ``(doc_id, band, dup_of)`` for every
+    later arrival that collides — the streaming twin of
+    ``minhash_band_pairs`` restricted to earlier-arrival matches,
+    which is exactly the online semantics a training-data firehose
+    wants ("is this document a near-dup of anything already taken?").
+
+    State is one doc id per occupied bucket; ``idle_timeout`` bounds
+    bucket-count growth on unbounded streams. Aggregate per doc
+    downstream (any collision in >= 1 band => near-dup).
+    """
+    from pyspark.sql import functions as F
+
+    from ..pipeline.dedup import _component
+    from ..pipeline.text import shingles, tokens
+
+    sh = shingles(tokens(F.col(text_col)), shingle_n)
+    # per-row signature: min over the shingle array per component —
+    # interpreted HOFs, but stateless and shuffle-free, which is what
+    # a stream stage needs (the batch explode->groupBy shape would be
+    # a stateful aggregation here)
+    def _min_component(i: int):
+        # NOTE: a 2-arg lambda would make transform() pass (element,
+        # index) — bind i via closure, not a default argument
+        return F.array_min(F.transform(sh, lambda t: _component(i, t))).alias(f"mh{i}")
+
+    mh = [_min_component(i) for i in range(k)]
+    sigs = stream_docs.select(F.col(id_col).alias("doc_id"), *mh)
+    r = k // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat(*[F.col(f"mh{b * r + i}") for i in range(r)])).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    exploded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key").where(F.col("key").isNotNull())
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("band", LongType()),
+            StructField("dup_of", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("first_doc", LongType())])
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        new = new.sort_values("doc_id", kind="mergesort")
+        if state.exists:
+            (first_doc,) = state.get
+        else:
+            first_doc = int(new["doc_id"].iloc[0])
+            state.update((first_doc,))
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        dups = new[new["doc_id"] != first_doc]
+        if len(dups):
+            yield pd.DataFrame(
+                {
+                    "doc_id": dups["doc_id"].astype("int64"),
+                    "band": dups["band"].astype("int64"),
+                    "dup_of": first_doc,
+                }
+            )
+
+    return exploded.groupBy("band", "key").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def stream_dedup_exact(
     stream_df: DataFrame,
     keys: Sequence[str] = ("event_id",),
