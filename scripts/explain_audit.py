@@ -31,9 +31,11 @@ ALLOW_NLJ = {
     "emb_knn_join",      # broadcast few-row query side
     "emb_knn_label_accuracy",  # broadcast few-row query side
     "emb_ivf_topk",      # broadcast single query vector into probed cells
+    "tpch_q22",          # broadcast 1-row scalar-subquery crossJoin (lazy
+                         # above-mean threshold; linear, not quadratic)
 }
 # mapInPandas is the designed path here, not an accident
-ALLOW_PY = {"mm_decode", "mm_resize", "mm_frames"}
+ALLOW_PY = {"mm_decode", "mm_resize", "mm_frames", "mm_real_decode"}
 
 
 def main() -> int:

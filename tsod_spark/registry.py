@@ -2491,6 +2491,8 @@ _DEFER_TO_R3 = (
     "ts_range_quantile_approx",
     "events_distinct_users_approx",
     "emb_ivf_cells",
+    "ts_mllib_residual",
+    "ts_mllib_kmeans",
 )
 
 
