@@ -118,10 +118,15 @@ def test_minhash_pairs_single_materialization(t):
 
 
 def test_simhash_pairs_single_materialization(t):
+    """One exploded (chunk_id, value) self-join over ONE cached
+    materialization of the fingerprint pipeline — the banded-LSH
+    shape. The old 4-separate-chunk-join union was 4 shuffle joins
+    and 8 cache reads; this pin holds it at a single join with both
+    sides on the cache."""
     from tsod_spark.pipeline import dedup
 
     df = dedup.simhash_near_pairs(t("documents"))
     p = df._jdf.queryExecution().executedPlan().toString()
-    # 4 pigeonhole chunk joins = 8 reads of the one cached fingerprint table
-    assert p.count("InMemoryTableScan") == 8
+    assert p.count("InMemoryTableScan") == 2
+    assert p.count("Join") <= 2  # one self-join (name appears per side at most)
     df.sparkSession.catalog.clearCache()

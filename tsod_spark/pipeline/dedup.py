@@ -324,13 +324,17 @@ def simhash_fingerprints(
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     docs = docs.repartition(n_part, F.col("doc_id"))
     sh = shingles(tokens(F.col(text_col)), shingle_n)
+    # high bit of hex digit b <=> the digit is one of 89abcdef <=> its
+    # ASCII code is >= '8' (56): digits sort '0'-'9' then 'a'-'f', so a
+    # single ascii(substring(.,1)) >= 56 replaces the 8-way
+    # string-array membership scan per bit — same truth table, ~8x
+    # less per-row compare work in the 32-sum aggregate.
     exploded = docs.select("doc_id", F.explode_outer(sh).alias("sh")).select(
         "doc_id", F.md5(F.col("sh")).alias("h")
     )
-    high = F.array(*[F.lit(c) for c in "89abcdef"])
     per_bit = [
         F.sum(
-            F.when(F.array_contains(high, F.substring(F.col("h"), b + 1, 1)), 1).otherwise(0)
+            F.when(F.ascii(F.substring(F.col("h"), b + 1, 1)) >= 56, 1).otherwise(0)
         ).alias(f"c{b}")
         for b in range(SIMHASH_BITS)
     ]
@@ -364,34 +368,51 @@ def simhash_near_pairs(
             "so pigeonhole chunks cover the radius exactly"
         )
     width = SIMHASH_BITS // n_chunks
-    # fingerprints feed both sides of every chunk join — hash once
-    sigs = simhash_fingerprints(docs, text_col).cache()
-    sigs = sigs.select(
-        "doc_id",
-        "simhash",
-        *[
-            (F.shiftright(F.col("simhash"), c * width) % (1 << width)).alias(f"chunk{c}")
-            for c in range(n_chunks)
-        ],
-    )
-    a, b = sigs.alias("a"), sigs.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
-
-    def chunk_join(col: str):
-        return (
-            a.join(b, (F.col(f"a.{col}") == F.col(f"b.{col}")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                ham.alias("hamming"),
-            )
-            .where(F.col("hamming") <= max_hamming)
+    # one exploded (chunk_id, chunk_value) table self-joined once — the
+    # same banded shape as MinHash LSH. One shuffle of n_chunks * n
+    # slim rows replaces n_chunks separate self-joins + union (4 joins,
+    # 4 shuffles, 4x plan compile in the old shape). The fingerprint
+    # pipeline is cached so both join sides scan one materialization.
+    chunked = (
+        simhash_fingerprints(docs, text_col)
+        .select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("c"),
+                            (
+                                F.shiftright(F.col("simhash"), c * width)
+                                % (1 << width)
+                            ).alias("v"),
+                        )
+                        for c in range(n_chunks)
+                    ]
+                )
+            ).alias("ck"),
         )
-
-    out = chunk_join("chunk0")
-    for c in range(1, n_chunks):
-        out = out.union(chunk_join(f"chunk{c}"))
-    return out.distinct()
+        .select("doc_id", "simhash", "ck.c", "ck.v")
+        .cache()
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def jaccard_pairs(
