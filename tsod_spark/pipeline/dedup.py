@@ -220,13 +220,22 @@ def minhash_duplicate_groups(
     the plan is cut with localCheckpoint every few rounds so lineage
     doesn't grow unboundedly (the classic iterative-algorithm trap on
     Spark).
+
+    Only docs that occur in at least one candidate pair enter the
+    loop: near-dup graphs are overwhelmingly singletons (no edges), so
+    propagating labels over the full corpus would re-shuffle ~all of
+    100 TB per round for rows that can never change. Singletons are
+    re-attached at the end as their own group via a broadcast
+    anti-join — one pass, no per-round cost.
     """
     sigs = minhash_signatures(docs, text_col, k)
     pairs = _minhash_candidate_pairs(sigs, k, bands)
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).cache()
-    labels = docs.select("doc_id", F.col("doc_id").alias("group_id"))
+    # symmetric edges contain every paired doc as doc_a
+    members = edges.select(F.col("doc_a").alias("doc_id")).distinct().cache()
+    labels = members.select("doc_id", F.col("doc_id").alias("group_id"))
 
     def step(lbl):
         # each node doc_b takes the min label over its neighbors doc_a
@@ -264,9 +273,15 @@ def minhash_duplicate_groups(
         if not changed:
             break
     w = Window.partitionBy("group_id")
-    return labels.select(
+    grouped = labels.select(
         "doc_id", "group_id", F.count(F.lit(1)).over(w).alias("group_size")
     )
+    singletons = docs.join(F.broadcast(members), "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("doc_id").alias("group_id"),
+        F.lit(1).cast("long").alias("group_size"),
+    )
+    return grouped.unionByName(singletons)
 
 
 SIMHASH_BITS = 32
