@@ -27,6 +27,7 @@ from .exceptions import (
     WrongInputSizeError,
 )
 from .frame import TimeSeriesFrame
+from .pandas_api import PandasDetectorAdapter
 from .persistence import load, save
 
 __version__ = "0.1.0"
@@ -43,6 +44,7 @@ __all__ = [
     "RollingStandardDeviationDetector",
     "load",
     "save",
+    "PandasDetectorAdapter",
     "AnomalyDetectionError",
     "InvalidArgumentError",
     "NonMonotonicTimeStampsError",
