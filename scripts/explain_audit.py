@@ -33,6 +33,8 @@ ALLOW_NLJ = {
     "emb_ivf_topk",      # broadcast single query vector into probed cells
     "tpch_q22",          # broadcast 1-row scalar-subquery crossJoin (lazy
                          # above-mean threshold; linear, not quadratic)
+    "tpch_q11",          # broadcast 1-row grand-total crossJoin (lazy
+                         # HAVING-fraction threshold; linear)
 }
 # mapInPandas is the designed path here, not an accident
 ALLOW_PY = {"mm_decode", "mm_resize", "mm_frames", "mm_real_decode"}

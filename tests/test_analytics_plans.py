@@ -104,6 +104,34 @@ def test_q16_part_filter_broadcasts(t):
     assert "p_size" in p.split("PushedFilters")[1][:400] if "PushedFilters" in p else True
 
 
+def test_q2_single_fact_scan_window_min(t):
+    """Q2's correlated MIN must come from a window over the already-
+    aggregated (part, supplier) frame — one scan of lineitem, both
+    dims broadcast. A join-back-against-a-re-aggregation shape would
+    scan the 100 TB fact twice."""
+    p = plan(
+        tpch.q2_min_cost_supplier(
+            t("lineitem"), t("part"), t("supplier"), t("nation"), t("region")
+        )
+    )
+    assert p.count("lineitem.parquet") == 1  # fact scanned once, no rescan
+    assert "BroadcastHashJoin" in p
+    assert "Window" in p
+
+
+def test_q11_lazy_scalar_total_is_broadcast(t):
+    """Q11's grand-total threshold must be a broadcast nested-loop of
+    a 1-row aggregate (lazy scalar subquery), not a driver .first().
+    At runtime AQE must reuse the per-part shuffle exchange for the
+    total side, so the 100 TB fact is scanned ONCE."""
+    df = tpch.q11_important_parts(t("lineitem"), t("supplier"), t("nation"))
+    p = plan(df)
+    assert "BroadcastNestedLoopJoin" in p
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+
+
 def test_minhash_pairs_single_materialization(t):
     """Both sides of the LSH band self-join must read ONE cached
     materialization of the shingle->minhash pipeline — without the

@@ -609,3 +609,116 @@ def q16_parts_supplier_count(
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
+
+
+def q2_min_cost_supplier(
+    lineitem,
+    part,
+    supplier,
+    nation,
+    region,
+    region_name: str = "EUROPE",
+    sizes: tuple = (5, 10, 15, 20),
+    type_suffix: str = "STANDARD",
+) -> DataFrame:
+    """TPC-H Q2 shape (adapted: supply cost is the observed unit price
+    sum(extendedprice)/sum(quantity) per (part, supplier) from lineitem,
+    since there is no partsupp table): for each part of a given size and
+    type, the region's supplier(s) offering the minimum unit cost — the
+    correlated-MIN-subquery shape (reference parity: tsod has no SQL
+    surface; this covers the driver's TPC-H envelope).
+
+    Plan: part filter broadcasts into the fact scan, the supplier→
+    nation→region chain is a broadcast dim snowflake, the per-(part,
+    supplier) aggregation shuffles slim keys once, and the correlated
+    min is a window over that already-aggregated frame — no second scan
+    of lineitem, no join back. Unit cost divides two exact-integer sums
+    (cents / centi-units), so the double is bit-identical across
+    engines and partial-aggregation orders.
+    """
+    p = part.where(
+        F.col("p_size").isin(*sizes) & (F.col("p_type") == type_suffix)
+    ).select("p_partkey", "p_brand", "p_type")
+    eligible = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.where(F.col("r_name") == region_name)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eligible), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            F.sum(cents("l_extendedprice")).alias("__price_c"),
+            F.sum(cents("l_quantity")).alias("__qty_c"),
+        )
+        .withColumn("unit_cost", F.col("__price_c") / F.col("__qty_c"))
+    )
+    min_cost = F.min("unit_cost").over(Window.partitionBy("p_partkey"))
+    return (
+        costs.withColumn("__min", min_cost)
+        .where(F.col("unit_cost") == F.col("__min"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q11_important_parts(
+    lineitem,
+    supplier,
+    nation,
+    nation_name: str = "NATION_3",
+    fraction_inv: int = 1000,
+) -> DataFrame:
+    """TPC-H Q11 shape (adapted: part value is shipped revenue
+    extendedprice*(1-discount) for the nation's suppliers, since there
+    is no partsupp stock valuation): parts whose value exceeds
+    1/fraction_inv of the nation's total — the HAVING-over-scalar-
+    subquery shape.
+
+    Plan: one scan of lineitem filtered through the broadcast
+    supplier-in-nation dim; per-part exact-integer revenue shuffles
+    once; the grand total is a broadcast scalar crossJoin over the
+    SAME aggregated frame (lazy, no driver .first()), and the
+    threshold compare stays in the integer domain: value_c *
+    fraction_inv > total_c — no float drift at any scale, and the
+    multiplier sits on the (small) per-part side so int64 headroom
+    holds even when the grand total nears 2^53.
+    """
+    nat_supp = supplier.join(
+        F.broadcast(nation.where(F.col("n_name") == nation_name)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    rev_c = F.sum(
+        cents("l_extendedprice") * (100 - pct("l_discount"))
+    ).alias("__rev_c")
+    per_part = (
+        lineitem.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(rev_c)
+    )
+    total = per_part.agg(F.sum("__rev_c").alias("__tot_c"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("__rev_c") * F.lit(fraction_inv) > F.col("__tot_c"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("__rev_c") / 10000.0).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )

@@ -1752,6 +1752,67 @@ def tpch_q21(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q2",
+    """WITH p AS (
+      SELECT p_partkey, p_brand FROM part
+      WHERE p_size IN (5, 10, 15, 20) AND p_type = 'STANDARD'),
+    elig AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    costs AS (
+      SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_c,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
+      FROM lineitem
+      JOIN p ON l_partkey = p_partkey
+      JOIN elig ON l_suppkey = s_suppkey
+      GROUP BY 1, 2, 3, 4, 5, 6),
+    mc AS (
+      SELECT *, CAST(price_c AS DOUBLE) / qty_c AS uc,
+             min(CAST(price_c AS DOUBLE) / qty_c)
+               OVER (PARTITION BY p_partkey) AS mn
+      FROM costs)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           round(uc, 6) AS unit_cost
+    FROM mc WHERE uc = mn
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+)
+def tpch_q2(spark, sf_dir):
+    return tpch.q2_min_cost_supplier(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "part"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "tpch_q11",
+    f"""WITH ns AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'),
+    pp AS (
+      SELECT l_partkey, sum({REV_C}) AS rev_c
+      FROM lineitem JOIN ns ON l_suppkey = s_suppkey
+      GROUP BY 1)
+    SELECT l_partkey AS p_partkey, rev_c / 10000.0 AS part_value
+    FROM pp WHERE rev_c * 1000 > (SELECT sum(rev_c) FROM pp)
+    ORDER BY part_value DESC, p_partkey""",
+)
+def tpch_q11(spark, sf_dir):
+    return tpch.q11_important_parts(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "nation"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # OLAP window-ranking / set / grouping shapes (analytics/olap.py)
 
@@ -2484,15 +2545,18 @@ R1_VERIFIED = frozenset({
     "dedup_minhash_sig", "dedup_minhash_pairs", "dedup_minhash_groups",
 })
 
-# rows-only checks (no value hash to win) whose siblings are verified,
-# parked just past the 50-query window so oracle-backed queries get
-# driver verdicts first
+# Parked just past the 50-query window: rows-only checks (no value
+# hash to win) whose siblings are verified, plus queries added in r2
+# AFTER the window plan was fixed — displacing an already-queued query
+# would delay its first verdict a full round, so newcomers wait for r3.
 _DEFER_TO_R3 = (
     "ts_range_quantile_approx",
     "events_distinct_users_approx",
     "emb_ivf_cells",
     "ts_mllib_residual",
     "ts_mllib_kmeans",
+    "tpch_q2",
+    "tpch_q11",
 )
 
 
