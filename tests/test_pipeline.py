@@ -185,6 +185,22 @@ def test_cosine_topk_self_similarity(spark, embeddings):
     assert out[0].vec_id == 999999 and out[0].cos_sim == 1.0
 
 
+def test_embedding_groups_cluster_exact_copies(spark, embeddings):
+    # Two exact copies of vector 0 must land in vector 0's group via
+    # the LSH-bucketed cosine pair graph; every vector labeled once.
+    base = embeddings.where(F.col("vec_id") == 0)
+    copy = lambda i: base.select(  # noqa: E731
+        F.lit(i).alias("vec_id"), "embedding", "label"
+    )
+    with_dups = embeddings.unionByName(copy(999998)).unionByName(copy(999999))
+    out = similarity.embedding_duplicate_groups(with_dups).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(out) == embeddings.count() + 2
+    g = by_id[0]["group_id"]
+    assert by_id[999998]["group_id"] == g and by_id[999999]["group_id"] == g
+    assert by_id[0]["group_size"] >= 3
+
+
 def test_knn_join_shape(spark, embeddings):
     out = similarity.knn_join(embeddings, n_queries=3, k=2).collect()
     assert len(out) == 6

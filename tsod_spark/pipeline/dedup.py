@@ -230,6 +230,35 @@ def minhash_duplicate_groups(
     """
     sigs = minhash_signatures(docs, text_col, k)
     pairs = _minhash_candidate_pairs(sigs, k, bands)
+    return pair_graph_groups(pairs, "doc_a", "doc_b", docs, "doc_id", max_iter)
+
+
+def pair_graph_groups(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    universe: DataFrame,
+    id_col: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected candidate-pair graph via
+    iterative min-label propagation; singletons from ``universe`` are
+    re-attached as their own group. Shared engine for every near-dup
+    family (minhash, simhash, embedding-cosine).
+
+    Returns ``(id_col, group_id, group_size)`` covering all of
+    ``universe``.
+
+    Scale notes (measured on the minhash family): the loop is
+    DRIVER-side control flow only — per round one join + groupBy on
+    the edge list, nothing collected except a 1-row convergence
+    aggregate. Labels are re-cached per round and the plan is cut with
+    localCheckpoint every other round so lineage doesn't grow
+    unboundedly. Only ids that occur in at least one pair enter the
+    loop: near-dup graphs are overwhelmingly singletons, so
+    propagating labels over the full corpus would re-shuffle ~all of
+    100 TB per round for rows that can never change.
+    """
     # symmetric edges in ONE pass over the pair join: exploding each
     # pair into both directions avoids the union-of-two-selects shape,
     # whose branches each recompute the join+distinct (measured: the
@@ -238,20 +267,21 @@ def minhash_duplicate_groups(
         pairs.select(
             F.explode(
                 F.array(
-                    F.struct(F.col("doc_a"), F.col("doc_b")),
                     F.struct(
-                        F.col("doc_b").alias("doc_a"),
-                        F.col("doc_a").alias("doc_b"),
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
                     ),
                 )
             ).alias("e")
         )
-        .select(F.col("e.doc_a").alias("src"), F.col("e.doc_b").alias("dst"))
+        .select("e.src", "e.dst")
         .cache()
     )
-    # symmetric edges contain every paired doc as src
-    members = edges.select(F.col("src").alias("doc_id")).distinct().cache()
-    labels = members.select("doc_id", F.col("doc_id").alias("group_id"))
+    # symmetric edges contain every paired id as src
+    members = edges.select(F.col("src").alias(id_col)).distinct().cache()
+    labels = members.select(id_col, F.col(id_col).alias("group_id"))
 
     def step(lbl):
         # min-label propagation as ONE join + ONE groupBy: each node's
@@ -259,15 +289,15 @@ def minhash_duplicate_groups(
         # incoming edges}; the own-row rides the union (flagged) so the
         # update and the convergence test share a single aggregation —
         # no second join against the old labels.
-        own = lbl.select("doc_id", "group_id", F.lit(True).alias("__own"))
-        via = edges.join(lbl, edges["src"] == lbl["doc_id"]).select(
-            F.col("dst").alias("doc_id"),
+        own = lbl.select(id_col, "group_id", F.lit(True).alias("__own"))
+        via = edges.join(lbl, edges["src"] == lbl[id_col]).select(
+            F.col("dst").alias(id_col),
             "group_id",
             F.lit(False).alias("__own"),
         )
         return (
             own.unionByName(via)
-            .groupBy("doc_id")
+            .groupBy(id_col)
             .agg(
                 F.min("group_id").alias("group_id"),
                 (
@@ -289,7 +319,7 @@ def minhash_duplicate_groups(
             new_labels = new_labels.localCheckpoint(eager=False)
         new_labels = new_labels.cache()
         # one scan of the just-materialized cache; coalesce covers the
-        # all-NULL case (no doc has any neighbor)
+        # all-NULL case (no id has any neighbor)
         changed = new_labels.agg(
             F.coalesce(F.max("__changed"), F.lit(False)).alias("c")
         ).first()["c"]
@@ -299,11 +329,11 @@ def minhash_duplicate_groups(
             break
     w = Window.partitionBy("group_id")
     grouped = labels.select(
-        "doc_id", "group_id", F.count(F.lit(1)).over(w).alias("group_size")
+        id_col, "group_id", F.count(F.lit(1)).over(w).alias("group_size")
     )
-    singletons = docs.join(F.broadcast(members), "doc_id", "left_anti").select(
-        "doc_id",
-        F.col("doc_id").alias("group_id"),
+    singletons = universe.join(F.broadcast(members), id_col, "left_anti").select(
+        id_col,
+        F.col(id_col).alias("group_id"),
         F.lit(1).cast("long").alias("group_size"),
     )
     return grouped.unionByName(singletons)

@@ -223,3 +223,27 @@ def lsh_near_pairs(
         )
         .where(F.col("cos_sim") >= min_cosine)
     )
+
+
+def embedding_duplicate_groups(
+    embeddings: DataFrame,
+    min_cosine: float = 0.9,
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate GROUPS: connected components
+    over the LSH-blocked cosine>=τ pair graph — the third member of
+    the near-dup family (minhash = lexical shingles, simhash =
+    fingerprint hamming, this = semantic embedding distance).
+
+    Scale path: ``lsh_near_pairs`` blocks the quadratic all-pairs scan
+    into per-bucket joins; grouping reuses the shared min-label
+    propagation engine (``dedup.pair_graph_groups``) with singleton
+    vectors re-attached via broadcast anti-join.
+    """
+    from .dedup import pair_graph_groups
+
+    pairs = lsh_near_pairs(embeddings, min_cosine, vec_col)
+    return pair_graph_groups(
+        pairs, "vec_a", "vec_b", embeddings, "vec_id", max_iter
+    )

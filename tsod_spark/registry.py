@@ -1290,6 +1290,39 @@ def emb_lsh_near_pairs(spark, sf_dir):
     return similarity.lsh_near_pairs(table(spark, sf_dir, "embeddings"))
 
 
+_EMB_COS = (
+    "round(list_dot_product(a.ve, b2.ve)"
+    " / (sqrt(list_dot_product(a.ve, a.ve))"
+    " * sqrt(list_dot_product(b2.ve, b2.ve))), 6)"
+)
+
+
+@register(
+    "dedup_embedding_groups",
+    f"""WITH RECURSIVE b AS (
+      SELECT vec_id, {EMB_D} AS ve, {_bucket_sql()} AS bucket FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+      WHERE {_EMB_COS} >= 0.9),
+    edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+              UNION SELECT vec_b, vec_a FROM pairs),
+    reach(vec, root) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.vec),
+    comp AS (SELECT vec, min(root) AS group_id FROM reach GROUP BY vec)
+    SELECT vec AS vec_id, group_id,
+           CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+    FROM comp""",
+)
+def dedup_embedding_groups(spark, sf_dir):
+    """Embedding-cosine near-dup groups (semantic dedup): LSH-bucketed
+    cosine pairs -> shared min-label-propagation CC engine. Oracle:
+    recursive-CTE transitive closure over the same pair graph."""
+    return similarity.embedding_duplicate_groups(table(spark, sf_dir, "embeddings"))
+
+
 @register(
     "ts_zscore",
     f"""{E_CTE}, c AS (SELECT event_id, user_id, CAST(round(v * 100) AS BIGINT) AS vc FROM e),
@@ -2557,6 +2590,7 @@ _DEFER_TO_R3 = (
     "ts_mllib_kmeans",
     "tpch_q2",
     "tpch_q11",
+    "dedup_embedding_groups",
 )
 
 
