@@ -174,6 +174,73 @@ def test_jaccard_identical_is_one(spark, docs):
     assert top[0].jaccard == 1.0 and {top[0].doc_a, top[0].doc_b} == {0, 999999}
 
 
+def test_repetition_signals_crafted(spark):
+    rows = [
+        (1, "spam spam spam spam spam ok"),          # top share 5/6
+        (2, "the quick brown fox jumps over dogs"),  # varied
+        (3, "ab ab ab ab"),                          # dup 2-grams: 3 total, 1 distinct
+        (4, "single"),                               # no 2-grams -> NULL fracs
+        (5, ""),                                     # empty -> all NULL, not flagged
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.repetition_signals(df).collect()}
+    assert out[1].is_repetitive and abs(out[1].top_unigram_share - 5 / 6) < 1e-6
+    assert not out[2].is_repetitive
+    assert out[3].is_repetitive and abs(out[3].dup_2gram_frac - 2 / 3) < 1e-6
+    assert out[4].dup_2gram_frac is None and not out[4].is_repetitive
+    assert out[5].n_tokens == 0 and not out[5].is_repetitive
+
+
+def _union_find_groups(n_ids, edges):
+    parent = list(range(n_ids))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id representative per component
+    root = [find(i) for i in range(n_ids)]
+    rep = {}
+    for i, r in enumerate(root):
+        rep.setdefault(r, min(rep.get(r, i), i))
+    return {i: rep[root[i]] for i in range(n_ids)}
+
+
+def test_pair_graph_groups_vs_union_find(spark):
+    """Differential test of the shared CC engine against a pure-python
+    union-find on a seeded random graph plus a 12-deep chain (depth >
+    2 fused propagation rounds, so the loop must actually iterate)."""
+    import random
+
+    rng = random.Random(7)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(25)]
+    edges = [(a, b) for a, b in edges if a != b]
+    chain = [(100 + i, 100 + i + 1) for i in range(12)]
+    ids = sorted({i for e in edges + chain for i in e} | set(range(n)) | set(range(100, 113)))
+    universe = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    pairs = spark.createDataFrame(edges + chain, "doc_a long, doc_b long")
+    out = {
+        r.doc_id: (r.group_id, r.group_size)
+        for r in dedup.pair_graph_groups(pairs, "doc_a", "doc_b", universe, "doc_id").collect()
+    }
+    # python oracle over a dense relabeling of the same ids
+    idx = {v: i for i, v in enumerate(ids)}
+    expect = _union_find_groups(len(ids), [(idx[a], idx[b]) for a, b in edges + chain])
+    rev = {i: v for v, i in idx.items()}
+    for v in ids:
+        assert out[v][0] == rev[expect[idx[v]]], f"label mismatch at {v}"
+    # chain collapses to one 13-member component labeled 100
+    assert out[112] == (100, 13)
+    assert len(out) == len(ids)
+
+
 # ---- similarity -------------------------------------------------------
 
 

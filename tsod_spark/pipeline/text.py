@@ -40,6 +40,16 @@ def distinct_tokens(text: Column) -> Column:
     return F.array_distinct(tokens(text))
 
 
+def all_shingles(toks: Column, n: int = 3) -> Column:
+    """ALL word n-gram shingles (with repeats) of a token array."""
+    size = F.size(toks)
+    idx = F.sequence(F.lit(1), size - (n - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
+    return F.when(size >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def shingles(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a token array.
 
@@ -48,14 +58,7 @@ def shingles(toks: Column, n: int = 3) -> Column:
     into one LSH bucket (measured: a 3132-doc band bucket at sf0.1
     becomes 8 docs with 3-shingles).
     """
-    size = F.size(toks)
-    idx = F.sequence(F.lit(1), size - (n - 1))
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
-    return F.array_distinct(
-        F.when(size >= n, F.transform(idx, gram)).otherwise(
-            F.array().cast("array<string>")
-        )
-    )
+    return F.array_distinct(all_shingles(toks, n))
 
 
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -129,6 +132,53 @@ def quality_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ratio(n_digit, n_chars).alias("digit_ratio"),
         stop_ratio.alias("stopword_ratio"),
         low.alias("is_low_quality"),
+    )
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters: top-unigram share and duplicate
+    n-gram fractions (Rae et al. 2021 'massive text' repetition rules,
+    adapted to single-line docs — the line/paragraph variants collapse
+    here).
+
+    top_unigram_share = count of the most frequent token / n_tokens;
+    dup_{2,3}gram_frac = 1 - distinct/total n-grams. All ratios are
+    int/int divisions in identical association on both engines, rounded
+    to 6 decimals; the most-frequent count is a per-doc nested
+    higher-order-function scan (O(distinct x n) on ~50-token docs),
+    pure column algebra — no shuffle, no UDF.
+    """
+    t0 = tokens(F.col(text_col))
+    base = docs.select("doc_id", t0.alias("__t"))
+    t = F.col("__t")
+    n_tok = F.size(t)
+    top_cnt = F.array_max(
+        F.transform(F.array_distinct(t), lambda d: F.size(F.filter(t, lambda x: x == d)))
+    )
+    g2, g3 = all_shingles(t, 2), all_shingles(t, 3)
+
+    def dup_frac(g):
+        return F.when(
+            F.size(g) > 0,
+            F.round(1 - F.size(F.array_distinct(g)) / F.size(g), 6),
+        )
+
+    top_share = F.when(n_tok > 0, F.round(top_cnt / n_tok, 6))
+    # the top-share rule only applies to docs long enough for a mode
+    # to mean anything (Gopher applies its repetition rules above a
+    # min length; a 1-token doc is trivially 100% its own mode)
+    rep = (
+        F.coalesce((n_tok >= 10) & (top_share > 0.2), F.lit(False))
+        | F.coalesce(dup_frac(g2) > 0.4, F.lit(False))
+        | F.coalesce(dup_frac(g3) > 0.3, F.lit(False))
+    )
+    return base.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        top_share.alias("top_unigram_share"),
+        dup_frac(g2).alias("dup_2gram_frac"),
+        dup_frac(g3).alias("dup_3gram_frac"),
+        rep.alias("is_repetitive"),
     )
 
 

@@ -1003,6 +1003,36 @@ def doc_fingerprints(spark, sf_dir):
     return text.fingerprints(table(spark, sf_dir, "documents"))
 
 
+@register(
+    "doc_repetition",
+    f"""WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, toks,
+            list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i + 1]) AS g2,
+            list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS g3
+          FROM t),
+    m AS (SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            CASE WHEN len(toks) > 0 THEN round(
+              list_max(list_transform(list_distinct(toks),
+                                      d -> len(list_filter(toks, x -> x = d))))
+              / len(toks), 6) END AS top_unigram_share,
+            CASE WHEN len(g2) > 0 THEN round(1 - len(list_distinct(g2)) / len(g2), 6) END AS dup_2gram_frac,
+            CASE WHEN len(g3) > 0 THEN round(1 - len(list_distinct(g3)) / len(g3), 6) END AS dup_3gram_frac
+          FROM g)
+    SELECT *,
+           coalesce(n_tokens >= 10 AND top_unigram_share > 0.2, FALSE)
+           OR coalesce(dup_2gram_frac > 0.4, FALSE)
+           OR coalesce(dup_3gram_frac > 0.3, FALSE) AS is_repetitive
+    FROM m""",
+)
+def doc_repetition(spark, sf_dir):
+    """Gopher-style repetition quality filters (top-unigram share,
+    duplicate n-gram fractions) — pure column algebra, shuffle-free."""
+    return text.repetition_signals(table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # deduplication (pipeline/dedup.py)
 
@@ -2591,6 +2621,7 @@ _DEFER_TO_R3 = (
     "tpch_q2",
     "tpch_q11",
     "dedup_embedding_groups",
+    "doc_repetition",
 )
 
 
