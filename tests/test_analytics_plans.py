@@ -132,6 +132,33 @@ def test_q11_lazy_scalar_total_is_broadcast(t):
     assert "ReusedExchange" in executed
 
 
+def test_funnel_single_fact_shuffle(t):
+    """All funnel step windows + the per-user aggregate must share ONE
+    hashpartitioning(user_id) exchange; the only other exchange is the
+    1-row final count. A per-step self-join shape would shuffle the
+    fact once per step."""
+    from tsod_spark.analytics import olap
+    from tsod_spark.registry import table
+
+    spark = t("lineitem").sparkSession
+    p = plan(olap.funnel(table(spark, SF, "events")))
+    assert p.count("hashpartitioning(user_id") == 1
+    assert p.count("events.parquet") == 1
+
+
+def test_retention_single_fact_shuffle(t):
+    """The cohort week and the active-week set come from one per-user
+    aggregate (fact scanned and shuffled once); the rollup and ratio
+    window work on the tiny (cohort, offset) frame."""
+    from tsod_spark.analytics import olap
+    from tsod_spark.registry import table
+
+    spark = t("lineitem").sparkSession
+    p = plan(olap.retention_cohorts(table(spark, SF, "events")))
+    assert p.count("events.parquet") == 1
+    assert p.count("hashpartitioning(user_id") == 1
+
+
 def test_minhash_pairs_single_materialization(t):
     """Both sides of the LSH band self-join must read ONE cached
     materialization of the shingle->minhash pipeline — without the

@@ -241,6 +241,30 @@ def test_pair_graph_groups_vs_union_find(spark):
     assert len(out) == len(ids)
 
 
+def test_funnel_order_matters(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [
+        # user 1: view -> click -> purchase (full conversion)
+        (1, t0, 1, "view"), (2, t0 + dt.timedelta(hours=1), 1, "click"),
+        (3, t0 + dt.timedelta(hours=2), 1, "purchase"),
+        # user 2: click BEFORE view, purchase after view but no
+        # post-view click -> counts for view only
+        (4, t0, 2, "click"), (5, t0 + dt.timedelta(hours=1), 2, "view"),
+        (6, t0 + dt.timedelta(hours=2), 2, "purchase"),
+        # user 3: view then purchase, no click -> view only
+        (7, t0, 3, "view"), (8, t0 + dt.timedelta(hours=1), 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    from tsod_spark.analytics import olap
+
+    out = olap.funnel(df).collect()[0]
+    assert (out.n_view, out.n_click, out.n_purchase) == (3, 1, 1)
+
+
 # ---- similarity -------------------------------------------------------
 
 

@@ -162,3 +162,99 @@ def supplier_balance_rank(supplier: DataFrame, nation: DataFrame) -> DataFrame:
             F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
         )
     )
+
+
+def funnel(events: DataFrame, steps=("view", "click", "purchase")) -> DataFrame:
+    """Ordered conversion funnel: per user, step k counts only when it
+    occurs at-or-after that user's qualified step k-1 — the sequential-
+    pattern shape (NOT the set-intersection of users_purchase_and_error:
+    order matters here).
+
+    Plan: ONE shuffle. All step qualifications are running-min windows
+    over the same (user, ts, event_id) ordering, then a per-user
+    aggregate on the identical partitioning — Catalyst chains the
+    windows and the final groupBy without a second exchange. No self
+    joins, no per-step pass over the 100 TB fact.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = events
+    qual_cols = []
+    prev = None
+    for i, step in enumerate(steps):
+        is_step = F.col("event_type") == step
+        if prev is None:
+            q = F.when(is_step, F.col("ts"))
+        else:
+            seen_prev = F.min(prev).over(w)
+            q = F.when(
+                is_step & seen_prev.isNotNull() & (F.col("ts") >= seen_prev),
+                F.col("ts"),
+            )
+        name = f"__q{i}"
+        df = df.withColumn(name, q)
+        qual_cols.append(name)
+        prev = F.col(name)
+    per_user = df.groupBy("user_id").agg(
+        *[F.min(c).alias(f"__t{i}") for i, c in enumerate(qual_cols)]
+    )
+    counts = per_user.agg(
+        *[
+            F.count(f"__t{i}").cast("long").alias(f"n_{s}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    ratio_cols = []
+    for i, s in enumerate(steps[1:], start=1):
+        ratio_cols.append(
+            F.round(
+                F.col(f"n_{s}") / F.col(f"n_{steps[i - 1]}"), 6
+            ).alias(f"conv_{steps[i - 1]}_to_{s}")
+        )
+    return counts.select("*", *ratio_cols)
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    tracked by distinct-active count at each week offset, with the
+    retention ratio against the cohort's week-0 size.
+
+    Plan: the 100 TB fact shuffles ONCE — a single per-user aggregate
+    computes the first-seen week AND the distinct active-week set
+    (collect_set is bounded by the corpus duration in weeks), which
+    explodes shuffle-free into unique (user, week) rows, so the
+    per-offset distinct-user count is a plain count. The naive
+    cohort-agg + distinct + join formulation shuffles the fact three
+    times. The final (cohort, offset) aggregate and the first_value
+    window run over the tiny rollup. Weeks are date_trunc Mondays in
+    both engines, so offsets are exact integers.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"),
+        F.collect_set(F.date_trunc("week", F.col("ts"))).alias("__weeks"),
+    )
+    rolled = (
+        per_user.select(
+            "user_id", "cohort_week", F.explode("__weeks").alias("week")
+        )
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        # rows are unique (user, week) after the per-user explode, so
+        # a plain count IS the distinct-user count
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    w0 = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return rolled.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.round(
+            F.col("n_active") / F.first("n_active").over(w0), 6
+        ).alias("retention"),
+    )

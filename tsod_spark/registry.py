@@ -1996,6 +1996,57 @@ def supplier_balance_rank(spark, sf_dir):
     )
 
 
+@register(
+    "events_funnel",
+    f"""{E_CTE},
+    q0 AS (SELECT user_id, event_id, ts, event_type,
+             CASE WHEN event_type = 'view' THEN ts END AS q0
+           FROM e),
+    q1 AS (SELECT *, CASE WHEN event_type = 'click'
+               AND min(q0) OVER w IS NOT NULL AND ts >= min(q0) OVER w
+               THEN ts END AS q1
+           FROM q0 WINDOW w AS ({W} ROWS UNBOUNDED PRECEDING)),
+    q2 AS (SELECT *, CASE WHEN event_type = 'purchase'
+               AND min(q1) OVER w IS NOT NULL AND ts >= min(q1) OVER w
+               THEN ts END AS q2
+           FROM q1 WINDOW w AS ({W} ROWS UNBOUNDED PRECEDING)),
+    pu AS (SELECT user_id, min(q0) AS t0, min(q1) AS t1, min(q2) AS t2
+           FROM q2 GROUP BY 1),
+    c AS (SELECT CAST(count(t0) AS BIGINT) AS n_view,
+                 CAST(count(t1) AS BIGINT) AS n_click,
+                 CAST(count(t2) AS BIGINT) AS n_purchase
+          FROM pu)
+    SELECT *, round(n_click / n_view, 6) AS conv_view_to_click,
+           round(n_purchase / n_click, 6) AS conv_click_to_purchase
+    FROM c""",
+)
+def events_funnel(spark, sf_dir):
+    """Ordered view->click->purchase conversion funnel (sequential
+    pattern via chained running-min windows, one shuffle)."""
+    return olap.funnel(table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_retention",
+    f"""{E_CTE},
+    c AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+          FROM e GROUP BY 1),
+    a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM e),
+    r AS (SELECT cohort_week,
+                 CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+                 CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+          FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2)
+    SELECT cohort_week, week_offset, n_active,
+           round(n_active / first_value(n_active) OVER
+                 (PARTITION BY cohort_week ORDER BY week_offset), 6) AS retention
+    FROM r""",
+)
+def events_retention(spark, sf_dir):
+    """Weekly retention cohorts (first-seen week x week offset,
+    distinct-active counts, ratio vs week-0 cohort size)."""
+    return olap.retention_cohorts(table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # scalar-function library coverage: date/time, string, and array functions
 # (SURVEY §2.4 notes the reference has no scalar-function surface — these
@@ -2622,6 +2673,8 @@ _DEFER_TO_R3 = (
     "tpch_q11",
     "dedup_embedding_groups",
     "doc_repetition",
+    "events_funnel",
+    "events_retention",
 )
 
 
