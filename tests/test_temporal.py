@@ -47,6 +47,35 @@ def test_asof_join_forward(spark):
     assert out["c"] == (None, None)  # nothing after -> NULL
 
 
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, T(1), "a"), (1, T(5), "b"), (1, T(5, 30), "c")],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, T(0, 30), 5.0), (1, T(5), 50.0)], "k int, ts timestamp, value double"
+    )
+    out = {
+        r["tag"]: (r["asof_ts"], r["asof_value"])
+        for r in asof_join(
+            left, right, ["k"], tolerance="1 HOUR"
+        ).collect()
+    }
+    assert out["a"] == (T(0, 30), 5.0)   # 30 min back: inside tolerance
+    assert out["b"] == (T(5), 50.0)      # exact match
+    assert out["c"] == (T(5), 50.0)      # 30 min back: inside
+    # now shrink the tolerance: 'a' and 'c' matches fall outside
+    out15 = {
+        r["tag"]: (r["asof_ts"], r["asof_value"])
+        for r in asof_join(
+            left, right, ["k"], tolerance="15 MINUTES"
+        ).collect()
+    }
+    assert out15["a"] == (None, None)
+    assert out15["b"] == (T(5), 50.0)
+    assert out15["c"] == (None, None)
+
+
 def test_asof_join_preserves_left_row_count(spark):
     left = spark.range(100).selectExpr(
         "id % 7 AS k", "timestamp_micros(CAST(id * 1000000 AS LONG)) AS ts", "id AS payload"

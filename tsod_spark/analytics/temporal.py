@@ -41,12 +41,19 @@ def asof_join(
     value_cols: Sequence[str] = ("value",),
     prefix: str = "asof_",
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: each left row gets the nearest right row for the
     same key — ``backward`` (default) the greatest ``right_ts <=
     left_ts`` (SQL ``ASOF JOIN ... ON l.ts >= r.ts``), ``forward`` the
     smallest ``right_ts >= left_ts``. Equal timestamps match in both
     directions. Left outer: unmatched left rows keep NULLs.
+
+    ``tolerance`` (an SQL interval string, e.g. ``"1 HOUR"``) mirrors
+    pandas ``merge_asof(tolerance=...)``: a match farther than the
+    tolerance from the left timestamp is nulled out. Applied as a
+    post-fill predicate — the single-shuffle union+fill plan is
+    unchanged.
 
     Plan: union + ordered window fill (one shuffle, no range join) —
     the forward variant just reverses the window's sort. See module
@@ -89,6 +96,15 @@ def asof_join(
     u = l_side.unionByName(r_side)
     for c in fill_cols:
         u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    if tolerance is not None:
+        tol = F.expr(f"INTERVAL {tolerance}")
+        ok = (
+            F.col(out_ts) >= F.col("__ts") - tol
+            if direction == "backward"
+            else F.col(out_ts) <= F.col("__ts") + tol
+        )
+        for c in fill_cols:
+            u = u.withColumn(c, F.when(ok, F.col(c)))
     return u.where(F.col("__side") == 1).select(*keys, F.col("__row.*"), *fill_cols)
 
 

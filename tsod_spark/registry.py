@@ -754,6 +754,33 @@ def ts_asof_join(spark, sf_dir):
 
 
 @register(
+    "ts_asof_tolerance",
+    """WITH p AS (SELECT user_id, ts, CASE WHEN isnan(value) THEN NULL ELSE value END AS value
+           FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT e.event_id, e.ts AS ets, p.ts AS asof_ts, p.value AS asof_value
+          FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts)
+    SELECT event_id,
+           CASE WHEN asof_ts >= ets - INTERVAL '1 HOUR' THEN asof_ts END AS asof_ts,
+           CASE WHEN asof_ts >= ets - INTERVAL '1 HOUR' THEN asof_value END AS asof_value
+    FROM j""",
+)
+def ts_asof_tolerance(spark, sf_dir):
+    """Backward as-of join with a pandas merge_asof-style tolerance:
+    matches older than 1 hour are nulled (post-fill predicate, same
+    single-shuffle plan)."""
+    from .expressions import nan_to_null
+
+    e = table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", nan_to_null(F.col("value")).alias("value")
+    )
+    out = temporal.asof_join(
+        e, p, ["user_id"], value_cols=["value"], tolerance="1 HOUR"
+    )
+    return out.select("event_id", "asof_ts", "asof_value")
+
+
+@register(
     "ts_asof_forward",
     """WITH p AS (SELECT user_id, ts, CASE WHEN isnan(value) THEN NULL ELSE value END AS value
            FROM events WHERE event_type = 'purchase')
@@ -2675,6 +2702,7 @@ _DEFER_TO_R3 = (
     "doc_repetition",
     "events_funnel",
     "events_retention",
+    "ts_asof_tolerance",
 )
 
 
