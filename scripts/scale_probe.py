@@ -118,6 +118,16 @@ def main():
         li = expanded(spark, "lineitem", m, {"l_orderkey": 10_000_000})
         return olap.top_parts_per_brand(li, expanded(spark, "part", 1, {}))
 
+    def q_funnel(m):
+        from tsod_spark.analytics import olap
+
+        return olap.funnel(events(m))
+
+    def q_retention(m):
+        from tsod_spark.analytics import olap
+
+        return olap.retention_cohorts(events(m))
+
     QUERIES = {
         "combined_detect": q_combined,
         "asof_join": q_asof,
@@ -127,6 +137,8 @@ def main():
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "top_parts_rank": q_top_parts,
+        "funnel": q_funnel,
+        "retention": q_retention,
     }
 
     # warmup
