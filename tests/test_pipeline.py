@@ -241,6 +241,65 @@ def test_pair_graph_groups_vs_union_find(spark):
     assert len(out) == len(ids)
 
 
+def test_redact_crafted_pii(spark):
+    from tsod_spark.pipeline import curate
+
+    rows = [
+        (1, "contact Bob.Smith+x@Example.COM or +1 555-123-4567 now"),
+        (2, "customer of the supplier said customers are fine"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in curate.redact(df).collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert "@" not in out[1].redacted_text and "555" not in out[1].redacted_text
+    # word-bounded: 'customers' must NOT match the 'customer' term
+    assert out[2].n_terms == 2
+    assert out[2].redacted_text == "[REDACTED] of the [REDACTED] said customers are fine"
+    assert out[3].n_terms == 0 and out[3].redacted_text == rows[2][1]
+
+
+def test_decontaminate_planted_overlap(spark):
+    from tsod_spark.pipeline import curate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma delta epsilon y"),  # shares 1 distinct 5-gram
+            (2, "totally different words entirely here now"),
+            (3, "too short"),  # no 5-grams at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in curate.decontaminate(corpus, bench, n=5).collect()}
+    assert out[1].is_contaminated and out[1].n_contaminated == 1
+    assert out[1].n_grams == 3 and abs(out[1].contaminated_frac - 1 / 3) < 1e-5
+    assert not out[2].is_contaminated and out[2].n_contaminated == 0
+    assert out[3].n_grams == 0 and out[3].contaminated_frac is None
+
+
+def test_split_assign_content_keyed(spark, docs):
+    from tsod_spark.pipeline import curate
+
+    out = curate.split_assign(docs).collect()
+    by_split = {}
+    for r in out:
+        by_split[r.split] = by_split.get(r.split, 0) + 1
+    assert set(by_split) == {"train", "val", "test"}
+    assert by_split["train"] > by_split["val"]
+    # content-keyed: identical text in a different row gets the same split
+    dup = docs.limit(1).select(
+        F.lit(999999).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    out2 = {
+        r.doc_id: r.split
+        for r in curate.split_assign(docs.unionByName(dup)).collect()
+    }
+    assert out2[999999] == out2[0]
+
+
 def test_funnel_order_matters(spark):
     import datetime as dt
 

@@ -1,0 +1,128 @@
+"""Corpus-curation operators: PII-style redaction, benchmark
+decontamination, deterministic split assignment.
+
+These are the corpus-hygiene steps of a pretraining-data pipeline
+(reference has no text surface at all — SURVEY §2.4; this family is a
+north-star addition alongside dedup/quality/similarity):
+
+- **redact**: regex classes (email, phone) + a denylist term
+  dictionary, replaced in one pass of chained ``regexp_replace`` —
+  pure column algebra, shuffle-free, any SQL engine reproduces it.
+- **decontaminate**: the GPT-3/Dolma-style n-gram collision check.
+  Benchmark suites are tiny next to a 100 TB corpus, so the distinct
+  benchmark n-gram set BROADCASTS; the corpus explodes its distinct
+  n-grams once and hash-joins locally — no corpus shuffle, no
+  all-pairs anything. Contamination = any shared n-gram.
+- **split_assign**: content-hash bucketing (md5 mod) into
+  train/val/test. Keyed on the text itself, not row position, so the
+  assignment is stable under re-partitioning, re-sharding, and
+  incremental corpus growth — the property that makes holdout splits
+  reproducible at scale. Exactly reproducible in any engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import all_shingles, tokens
+
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9\- ]{7,}[0-9]"
+REDACTED = "[REDACTED]"
+
+
+def redact(
+    docs: DataFrame,
+    text_col: str = "text",
+    terms: Sequence[str] = ("customer", "supplier"),
+) -> DataFrame:
+    """Count and mask email/phone patterns and denylist terms.
+
+    Term matches are word-bounded (``\\b``); both Java and RE2 regex
+    engines agree on every construct used here.
+    """
+    txt = F.lower(F.col(text_col))
+    n_emails = F.size(F.regexp_extract_all(txt, F.lit(EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(txt, F.lit(PHONE_RE), 0))
+    term_res = [rf"\b{t}\b" for t in terms]
+    n_terms = sum(
+        F.size(F.regexp_extract_all(txt, F.lit(tr), 0)) for tr in term_res
+    )
+    red = F.regexp_replace(txt, EMAIL_RE, REDACTED)
+    red = F.regexp_replace(red, PHONE_RE, REDACTED)
+    for tr in term_res:
+        red = F.regexp_replace(red, tr, REDACTED)
+    return docs.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        n_terms.cast("long").alias("n_terms"),
+        red.alias("redacted_text"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Flag corpus docs sharing any word n-gram with a benchmark set.
+
+    Per doc: distinct n-gram count, how many collide with the
+    benchmark, the collision fraction, and the contaminated flag.
+    """
+    grams = F.array_distinct(all_shingles(tokens(F.col(text_col)), n))
+    bench_grams = (
+        benchmark.select(F.explode(grams).alias("g")).distinct()
+    )
+    base = docs.select("doc_id", grams.alias("__gs"))
+    doc_grams = base.select("doc_id", F.explode("__gs").alias("g"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    n_grams = F.size("__gs").cast("long")
+    n_hits = F.coalesce(F.col("__hits"), F.lit(0)).cast("long")
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_hits.alias("n_contaminated"),
+            F.when(
+                n_grams > 0, F.round(n_hits / n_grams, 6)
+            ).alias("contaminated_frac"),
+            (n_hits > 0).alias("is_contaminated"),
+        )
+    )
+
+
+def split_assign(
+    docs: DataFrame,
+    text_col: str = "text",
+    buckets: int = 10,
+    train_hi: int = 8,
+    val_hi: int = 9,
+) -> DataFrame:
+    """Deterministic content-hash train/val/test assignment.
+
+    bucket = first 4 md5 hex chars of the text, mod ``buckets``;
+    [0, train_hi) -> train, [train_hi, val_hi) -> val, rest -> test.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 4), 16, 10).cast("long")
+        % buckets
+    )
+    split = (
+        F.when(bucket < train_hi, "train")
+        .when(bucket < val_hi, "val")
+        .otherwise("test")
+    )
+    return docs.select(
+        "doc_id", bucket.alias("bucket"), split.alias("split")
+    )

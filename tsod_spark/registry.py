@@ -1060,6 +1060,74 @@ def doc_repetition(spark, sf_dir):
     return text.repetition_signals(table(spark, sf_dir, "documents"))
 
 
+from .pipeline import curate  # noqa: E402
+
+_RED = "'[REDACTED]', 'g'"
+_EM = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PH = r"\+?[0-9][0-9\- ]{7,}[0-9]"
+
+
+@register(
+    "doc_redact",
+    f"""WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(txt, '{_EM}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(txt, '{_PH}')) AS BIGINT) AS n_phones,
+      CAST(len(regexp_extract_all(txt, '\\bcustomer\\b'))
+           + len(regexp_extract_all(txt, '\\bsupplier\\b')) AS BIGINT) AS n_terms,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        txt, '{_EM}', {_RED}), '{_PH}', {_RED}),
+        '\\bcustomer\\b', {_RED}), '\\bsupplier\\b', {_RED}) AS redacted_text
+    FROM t""",
+)
+def doc_redact(spark, sf_dir):
+    """Regex-class (email/phone) + denylist-term redaction with match
+    counts — one chained regexp_replace pass, shuffle-free."""
+    return curate.redact(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_decontaminate",
+    f"""WITH t AS (SELECT doc_id, source, {TOKS} AS toks0 FROM documents),
+    d AS (SELECT doc_id, source, {{}} AS gs FROM t),
+    bg AS (SELECT DISTINCT unnest(gs) AS g FROM d WHERE source = 'src0'),
+    c AS (SELECT doc_id, gs FROM d WHERE source <> 'src0'),
+    dg AS (SELECT doc_id, unnest(gs) AS g FROM c),
+    h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM dg JOIN bg USING (g) GROUP BY 1)
+    SELECT c.doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+           coalesce(n_hits, 0) AS n_contaminated,
+           CASE WHEN len(gs) > 0
+                THEN round(coalesce(n_hits, 0) / len(gs), 6) END AS contaminated_frac,
+           coalesce(n_hits, 0) > 0 AS is_contaminated
+    FROM c LEFT JOIN h ON c.doc_id = h.doc_id""".format(_shingle_sql("toks0", 5)),
+)
+def doc_decontaminate(spark, sf_dir):
+    """GPT-3-style benchmark decontamination: distinct 5-gram collision
+    against the (broadcast) src0 benchmark slice — no corpus shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return curate.decontaminate(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        n=5,
+    )
+
+
+@register(
+    "doc_split_assign",
+    """SELECT doc_id,
+           ('0x' || substr(md5(text), 1, 4))::BIGINT % 10 AS bucket,
+           CASE WHEN ('0x' || substr(md5(text), 1, 4))::BIGINT % 10 < 8 THEN 'train'
+                WHEN ('0x' || substr(md5(text), 1, 4))::BIGINT % 10 < 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents""",
+)
+def doc_split_assign(spark, sf_dir):
+    """Deterministic content-hash train/val/test assignment (stable
+    under re-sharding and corpus growth)."""
+    return curate.split_assign(table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # deduplication (pipeline/dedup.py)
 
@@ -2703,6 +2771,9 @@ _DEFER_TO_R3 = (
     "events_funnel",
     "events_retention",
     "ts_asof_tolerance",
+    "doc_redact",
+    "doc_decontaminate",
+    "doc_split_assign",
 )
 
 
