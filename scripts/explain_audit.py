@@ -35,6 +35,8 @@ ALLOW_NLJ = {
                          # above-mean threshold; linear, not quadratic)
     "tpch_q11",          # broadcast 1-row grand-total crossJoin (lazy
                          # HAVING-fraction threshold; linear)
+    "doc_tfidf_topk",    # broadcast 1-row corpus-size crossJoin (lazy
+                         # scalar for the idf denominator; linear)
 }
 # mapInPandas is the designed path here, not an accident
 ALLOW_PY = {"mm_decode", "mm_resize", "mm_frames", "mm_real_decode"}

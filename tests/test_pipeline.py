@@ -300,6 +300,41 @@ def test_split_assign_content_keyed(spark, docs):
     assert out2[999999] == out2[0]
 
 
+def test_pack_sequences_boundaries(spark):
+    from tsod_spark.pipeline import curate
+
+    mk = lambda i, n: (i, " ".join(f"w{j}" for j in range(n)), "s")  # noqa: E731
+    # budget 10: doc1 (7 toks) fills [0,7); doc2 (5) straddles into
+    # seq 1; doc3 (3) starts at offset 2 of seq 1; doc4 empty
+    df = spark.createDataFrame(
+        [mk(1, 7), mk(2, 5), mk(3, 3), (4, "", "s")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.doc_id: r
+        for r in curate.pack_sequences(df, budget=10).collect()
+    }
+    assert (out[1].seq_id, out[1].seq_offset, out[1].straddles_boundary) == (0, 0, False)
+    assert (out[2].seq_id, out[2].seq_offset, out[2].straddles_boundary) == (0, 7, True)
+    assert (out[3].seq_id, out[3].seq_offset, out[3].straddles_boundary) == (1, 2, False)
+    assert out[4].n_tokens == 0 and not out[4].straddles_boundary
+
+
+def test_tfidf_rare_term_ranks_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common common rareword common"),
+            (2, "common common common other"),
+            (3, "common other other stuff"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.tfidf_topk(docs, k=2).collect()
+    doc1 = sorted([r for r in out if r.doc_id == 1], key=lambda r: r.rk)
+    # 'rareword' (df=1) outranks 'common' (df=3) despite tf 1 vs 3
+    assert doc1[0].term == "rareword" and doc1[0].df == 1
+
+
 def test_funnel_order_matters(spark):
     import datetime as dt
 

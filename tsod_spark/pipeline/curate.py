@@ -126,3 +126,48 @@ def split_assign(
     return docs.select(
         "doc_id", bucket.alias("bucket"), split.alias("split")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    text_col: str = "text",
+    budget: int = 256,
+    part_col: str = "source",
+) -> DataFrame:
+    """Greedy in-order sequence packing: concatenate documents along
+    the ``doc_id`` order within each ``part_col`` partition and cut
+    fixed token-budget training sequences — the standard concat-and-
+    split batch-prep step for pretraining.
+
+    Per doc: its sequence id, token offset inside that sequence, and
+    whether it straddles a sequence boundary (gets split). Packing is
+    windowed per partition column, NOT a global sort — each source
+    packs independently, so the 100 TB corpus never funnels through
+    one reducer. floor() is applied explicitly on both engines (DuckDB
+    CAST rounds, Spark CAST truncates — floor is the portable choice);
+    cumulative token counts stay exact in doubles below 2^53, far
+    above any per-source corpus.
+    """
+    from pyspark.sql import Window
+
+    n = F.size(tokens(F.col(text_col))).cast("long")
+    base = docs.select("doc_id", F.col(part_col).alias("part"), n.alias("n_tokens"))
+    w = (
+        Window.partitionBy("part")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    seq_id = F.floor(cum_before / budget).cast("long")
+    offset = (cum_before % budget).cast("long")
+    end_seq = F.floor((cum_before + F.col("n_tokens") - 1) / budget).cast("long")
+    return base.select(
+        "doc_id",
+        "part",
+        "n_tokens",
+        seq_id.alias("seq_id"),
+        offset.alias("seq_offset"),
+        F.when(F.col("n_tokens") > 0, end_seq > seq_id)
+        .otherwise(F.lit(False))
+        .alias("straddles_boundary"),
+    )

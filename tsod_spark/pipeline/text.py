@@ -251,3 +251,42 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(bag).alias("bag_md5"),
         bag_hash.alias("bag_hash"),
     )
+
+
+def tfidf_topk(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Top-k TF-IDF keywords per document.
+
+    tf = in-doc term count; idf = ln((N+1)/(df+1)) with df = number of
+    docs containing the term. Plan: the exploded token stream shuffles
+    once into (doc, term) counts; the document-frequency table is a
+    second aggregate over that (much smaller) frame and joins back on
+    the term key — hot stopword terms are exactly the AQE skew-join
+    case; the corpus size N rides a broadcast 1-row crossJoin (lazy
+    scalar). Scores are rounded to 6 decimals BEFORE ranking on both
+    engines so rank ties break identically (term asc), keeping the
+    top-k cross-engine stable.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("__n") + 1) / (F.col("df") + 1)), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )

@@ -1128,6 +1128,49 @@ def doc_split_assign(spark, sf_dir):
     return curate.split_assign(table(spark, sf_dir, "documents"))
 
 
+@register(
+    "doc_pack_sequences",
+    f"""WITH t AS (SELECT doc_id, source AS part,
+                  CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM documents),
+    c AS (SELECT *, coalesce(sum(n_tokens) OVER (
+            PARTITION BY part ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM t)
+    SELECT doc_id, part, n_tokens,
+           CAST(floor(cb / 256) AS BIGINT) AS seq_id,
+           cb % 256 AS seq_offset,
+           CASE WHEN n_tokens > 0
+                THEN floor((cb + n_tokens - 1) / 256) > floor(cb / 256)
+                ELSE FALSE END AS straddles_boundary
+    FROM c""",
+)
+def doc_pack_sequences(spark, sf_dir):
+    """Greedy in-order token-budget sequence packing per source
+    partition (windowed cumsum, no global sort)."""
+    return curate.pack_sequences(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_tfidf_topk",
+    f"""WITH tk AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tk GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+    s AS (SELECT doc_id, tf.term, tf, df,
+                 round(tf * ln((nd + 1) / (df + 1)), 6) AS tfidf
+          FROM tf JOIN dfq USING (term) CROSS JOIN n),
+    r AS (SELECT *, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+          FROM s)
+    SELECT doc_id, term, tf, df, tfidf, rk FROM r WHERE rk <= 5""",
+)
+def doc_tfidf_topk(spark, sf_dir):
+    """Top-5 TF-IDF keywords per doc (round-before-rank keeps the
+    cross-engine top-k stable)."""
+    return text.tfidf_topk(table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # deduplication (pipeline/dedup.py)
 
@@ -2774,6 +2817,8 @@ _DEFER_TO_R3 = (
     "doc_redact",
     "doc_decontaminate",
     "doc_split_assign",
+    "doc_pack_sequences",
+    "doc_tfidf_topk",
 )
 
 
