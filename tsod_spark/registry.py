@@ -1171,6 +1171,77 @@ def doc_tfidf_topk(spark, sf_dir):
     return text.tfidf_topk(table(spark, sf_dir, "documents"))
 
 
+_SW = "('the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'it', 'that')"
+
+
+@register(
+    "doc_curation_pipeline",
+    f"""WITH base AS (SELECT doc_id, text, source FROM documents
+                     WHERE source <> 'src0'),
+    tq AS (SELECT doc_id, text, source, {TOKS} AS toks FROM base),
+    qs AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+             len(list_filter(toks, x -> x IN {_SW})) AS n_stop
+           FROM tq),
+    ql AS (SELECT doc_id, (n_words < 5
+            OR coalesce(CASE WHEN n_words > 0 THEN round(n_stop / n_words, 6) END < 0.01, TRUE)
+            OR coalesce(CASE WHEN n_chars > 0 THEN round(n_punct / n_chars, 6) END > 0.2, TRUE)) AS low
+           FROM qs),
+    rg AS (SELECT doc_id, toks,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS g2,
+             list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS g3
+           FROM tq),
+    rm AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) > 0 THEN round(
+               list_max(list_transform(list_distinct(toks),
+                                       d -> len(list_filter(toks, x -> x = d))))
+               / len(toks), 6) END AS tus,
+             CASE WHEN len(g2) > 0 THEN round(1 - len(list_distinct(g2)) / len(g2), 6) END AS d2,
+             CASE WHEN len(g3) > 0 THEN round(1 - len(list_distinct(g3)) / len(g3), 6) END AS d3
+           FROM rg),
+    rp AS (SELECT doc_id, (coalesce(n_tokens >= 10 AND tus > 0.2, FALSE)
+            OR coalesce(d2 > 0.4, FALSE) OR coalesce(d3 > 0.3, FALSE)) AS rep
+           FROM rm),
+    dk AS (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep_dup
+           FROM base),
+    bg AS (SELECT DISTINCT unnest({_shingle_sql('toks', 5)}) AS g
+           FROM (SELECT {TOKS} AS toks FROM documents WHERE source = 'src0')),
+    dg AS (SELECT doc_id, unnest({_shingle_sql('toks', 5)}) AS g FROM tq),
+    ch AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (g)),
+    kept AS (SELECT b.doc_id, b.text, b.source FROM base b
+             JOIN ql USING (doc_id) JOIN rp USING (doc_id) JOIN dk USING (doc_id)
+             WHERE keep_dup AND NOT low AND NOT rep
+               AND b.doc_id NOT IN (SELECT doc_id FROM ch)),
+    kt AS (SELECT doc_id, source AS part, text,
+                  CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM kept),
+    kc AS (SELECT *, coalesce(sum(n_tokens) OVER (
+             PARTITION BY part ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM kt)
+    SELECT doc_id, part, n_tokens,
+           CAST(floor(cb / 256) AS BIGINT) AS seq_id,
+           cb % 256 AS seq_offset,
+           CASE WHEN ('0x' || substr(md5(text), 1, 4))::BIGINT % 10 < 8 THEN 'train'
+                WHEN ('0x' || substr(md5(text), 1, 4))::BIGINT % 10 < 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM kc""",
+)
+def doc_curation_pipeline(spark, sf_dir):
+    """End-to-end curation composition: quality + repetition + exact-
+    dup keeper + decontamination filters, then split assignment and
+    sequence packing of the survivors — one lazy Catalyst DAG."""
+    docs = table(spark, sf_dir, "documents")
+    return curate.curation_pipeline(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # deduplication (pipeline/dedup.py)
 
@@ -2819,6 +2890,7 @@ _DEFER_TO_R3 = (
     "doc_split_assign",
     "doc_pack_sequences",
     "doc_tfidf_topk",
+    "doc_curation_pipeline",
 )
 
 
