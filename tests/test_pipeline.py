@@ -765,3 +765,15 @@ def test_write_partitioned_salted_file_spread(spark, tmp_path):
         n = len(glob.glob(f"{d}/*.parquet"))
         assert 1 <= n <= 3, f"{d}: {n} files"
     assert spark.read.parquet(out).count() == e.count()
+
+
+def test_build_session_conf_applies():
+    from tsod_spark.conf import build_session, recommended_conf
+
+    s = build_session("conf-test", master="local[2]", total_cores=2)
+    try:
+        assert s.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert s.conf.get("spark.sql.shuffle.partitions") == "6"
+        assert recommended_conf(100)["spark.sql.shuffle.partitions"] == "300"
+    finally:
+        pass  # session is shared JVM-wide; leave it for other tests
