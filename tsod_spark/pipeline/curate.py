@@ -75,30 +75,36 @@ def decontaminate(
     Per doc: distinct n-gram count, how many collide with the
     benchmark, the collision fraction, and the contaminated flag.
     """
-    grams = F.array_distinct(all_shingles(tokens(F.col(text_col)), n))
     bench_grams = (
-        benchmark.select(F.explode(grams).alias("g")).distinct()
-    )
-    base = docs.select("doc_id", grams.alias("__gs"))
-    doc_grams = base.select("doc_id", F.explode("__gs").alias("g"))
-    hits = (
-        doc_grams.join(F.broadcast(bench_grams), "g")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("__hits"))
-    )
-    n_grams = F.size("__gs").cast("long")
-    n_hits = F.coalesce(F.col("__hits"), F.lit(0)).cast("long")
-    return (
-        base.join(hits, "doc_id", "left")
+        benchmark.select(tokens(F.col(text_col)).alias("__t"))
         .select(
-            "doc_id",
-            n_grams.alias("n_grams"),
-            n_hits.alias("n_contaminated"),
-            F.when(
-                n_grams > 0, F.round(n_hits / n_grams, 6)
-            ).alias("contaminated_frac"),
-            (n_hits > 0).alias("is_contaminated"),
+            F.explode(F.array_distinct(all_shingles(F.col("__t"), n))).alias("g")
         )
+        .distinct()
+    )
+    # ONE gram pass over the corpus: explode_outer keeps gram-less docs
+    # (NULL g), the broadcast left join marks collisions in place, and
+    # the per-doc counts come from the same grouped aggregate — the
+    # r1 shape (separate size(__gs) scan + hits join-back on doc_id)
+    # computed the gram expression three times, 47s vs 3s at sf0.1.
+    # Tokenize in a staged select so the gram expression's internal
+    # size guards reference a materialized array, not re-tokenizations.
+    doc_grams = docs.select(
+        "doc_id", tokens(F.col(text_col)).alias("__t")
+    ).select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(all_shingles(F.col("__t"), n))).alias("g"),
+    )
+    marked = doc_grams.join(
+        F.broadcast(bench_grams.select("g", F.lit(1).alias("__hit"))), "g", "left"
+    )
+    n_grams = F.count("g").cast("long")
+    n_hits = F.coalesce(F.sum("__hit"), F.lit(0)).cast("long")
+    return marked.groupBy("doc_id").agg(
+        n_grams.alias("n_grams"),
+        n_hits.alias("n_contaminated"),
+        F.when(n_grams > 0, F.round(n_hits / n_grams, 6)).alias("contaminated_frac"),
+        (n_hits > 0).alias("is_contaminated"),
     )
 
 
@@ -183,37 +189,52 @@ def curation_pipeline(
     repetition filter -> exact-dup keeper -> benchmark decontamination
     -> deterministic split -> sequence packing of the survivors.
 
-    This is the composition story: the corpus is scanned ONCE. Every
-    per-doc signal (quality ratios, repetition fractions, the split
-    bucket) is row-local column algebra computed inline; the benchmark
-    n-gram set is aggregated to a single broadcast row and checked
-    with ``arrays_overlap`` (no join-back on doc_id); only two real
-    shuffles remain at any corpus size — the md5 dup-keeper window and
-    the per-source packing window. A naive join-the-operators
-    composition costs 9 exchanges and 12 scans of the corpus
-    (measured); this fused plan is the difference between a pipeline
-    and a pile of queries at 100 TB.
+    Shape, tuned at sf0.1 (26s naive -> ~6s):
+
+    - tokenization is staged into a materialized column (every signal
+      references the token array repeatedly; inlined it re-tokenizes
+      per reference), and every per-doc signal plus ``md5(text)`` is
+      computed BEFORE the dup-keeper window so the exchange carries
+      six slim scalar columns — not token/gram arrays or the text.
+    - decontamination is an explode + broadcast-join semi-join whose
+      hit set anti-joins back (broadcast — contaminated ids are few).
+      The per-row ``arrays_overlap`` against the broadcast benchmark
+      array was O(|bench|) string probes PER DOC (57M at sf0.1, 2.6s;
+      grows with benchmark size); the exploded join is O(actual
+      grams) and is the shape that survives a big benchmark suite.
+      It costs a second (columnar, cheap) scan of the corpus — the
+      measured trade.
+    - the only shuffles at any corpus size: the md5 dup window, the
+      per-source packing window, and the tiny hit-id distinct.
     """
     from pyspark.sql import Window
 
-    from .text import STOPWORDS_EN, PUNCT_CLASS, all_shingles, tokens
+    from .text import (
+        STOPWORDS_EN,
+        PUNCT_CLASS,
+        all_shingles,
+        dup_ngram_frac,
+        tokens,
+        top_token_count,
+    )
 
     txt = F.col(text_col)
-    bench_row = (
-        benchmark.select(
-            F.explode(
-                F.array_distinct(all_shingles(tokens(txt), 5))
-            ).alias("g")
+    bench_grams = (
+        benchmark.select(tokens(txt).alias("__t"))
+        .select(
+            F.explode(F.array_distinct(all_shingles(F.col("__t"), 5))).alias("g")
         )
         .distinct()
-        .agg(F.collect_list("g").alias("__bench"))
     )
-    base = docs.select(
-        "doc_id",
-        text_col,
-        "source",
-        tokens(txt).alias("__t"),
-        F.array_distinct(all_shingles(tokens(txt), 5)).alias("__g"),
+    tok = docs.select("doc_id", text_col, "source", tokens(txt).alias("__t"))
+    contam_ids = (
+        tok.select(
+            "doc_id",
+            F.explode(F.array_distinct(all_shingles(F.col("__t"), 5))).alias("g"),
+        )
+        .join(F.broadcast(bench_grams), "g")
+        .select("doc_id")
+        .distinct()
     )
     t = F.col("__t")
     n_words = F.size(t)
@@ -227,55 +248,44 @@ def curation_pipeline(
         | F.coalesce(ratio(n_stop, n_words) < 0.01, F.lit(True))
         | F.coalesce(ratio(n_punct, n_chars) > 0.2, F.lit(True))
     )
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(t), lambda d: F.size(F.filter(t, lambda x: x == d))
-        )
-    )
-    g2, g3 = all_shingles(t, 2), all_shingles(t, 3)
-    dup_frac = lambda g: F.when(  # noqa: E731
-        F.size(g) > 0, F.round(1 - F.size(F.array_distinct(g)) / F.size(g), 6)
-    )
+    # each repetition signal referenced exactly once, each building its
+    # gram array exactly once over the materialized tokens
+    # (dup_ngram_frac/top_token_count shapes)
     rep = (
         F.coalesce(
-            (n_words >= 10) & (F.when(n_words > 0, F.round(top_cnt / n_words, 6)) > 0.2),
+            (n_words >= 10)
+            & (F.when(n_words > 0, F.round(top_token_count(t) / n_words, 6)) > 0.2),
             F.lit(False),
         )
-        | F.coalesce(dup_frac(g2) > 0.4, F.lit(False))
-        | F.coalesce(dup_frac(g3) > 0.3, F.lit(False))
+        | F.coalesce(dup_ngram_frac(t, 2) > 0.4, F.lit(False))
+        | F.coalesce(dup_ngram_frac(t, 3) > 0.3, F.lit(False))
     )
-    dup_w = Window.partitionBy(F.md5(txt))
+    base = tok.select(
+        "doc_id",
+        F.col("source").alias("part"),
+        F.md5(txt).alias("__h"),
+        n_words.cast("long").alias("n_tokens"),
+        low.alias("__low"),
+        rep.alias("__rep"),
+    )
+    dup_w = Window.partitionBy("__h")
     kept = (
-        base.crossJoin(F.broadcast(bench_row))
-        .withColumn("__keep_dup", F.col("doc_id") == F.min("doc_id").over(dup_w))
-        .where(
-            F.col("__keep_dup")
-            & ~low
-            & ~rep
-            & ~F.arrays_overlap("__g", "__bench")
-        )
-        .select("doc_id", text_col, "source")
+        base.withColumn("__keep_dup", F.col("doc_id") == F.min("doc_id").over(dup_w))
+        .where(F.col("__keep_dup") & ~F.col("__low") & ~F.col("__rep"))
+        .join(F.broadcast(contam_ids), "doc_id", "left_anti")
     )
     # packing + split computed inline on the one kept frame —
     # pack_sequences/split_assign as separate calls would re-derive
-    # `kept` (and rescan the corpus) once per branch
-    n = F.size(tokens(txt)).cast("long")
-    kt = kept.select(
-        "doc_id",
-        F.col("source").alias("part"),
-        txt.alias("__txt"),
-        n.alias("n_tokens"),
-    )
+    # `kept` (and rescan the corpus) once per branch; the split bucket
+    # reuses the dup-keeper's md5
     pw = (
         Window.partitionBy("part")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cb = F.coalesce(F.sum("n_tokens").over(pw), F.lit(0).cast("long"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("__txt")), 1, 4), 16, 10).cast("long") % 10
-    )
-    return kt.select(
+    bucket = F.conv(F.substring(F.col("__h"), 1, 4), 16, 10).cast("long") % 10
+    return kept.select(
         "doc_id",
         "part",
         "n_tokens",

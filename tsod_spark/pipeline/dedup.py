@@ -89,8 +89,12 @@ def minhash_signatures(
     # shuffle back into one task.
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     docs = docs.repartition(n_part, F.col("doc_id"))
-    sh = shingles(tokens(F.col(text_col)), shingle_n)
-    exploded = docs.select("doc_id", F.explode_outer(sh).alias("sh"))
+    # staged select: the shingle expression references the token array
+    # several times internally (size guards, sequence bound, transform
+    # source) and inlined tokenization re-runs per reference
+    tok = docs.select("doc_id", tokens(F.col(text_col)).alias("__t"))
+    sh = shingles(F.col("__t"), shingle_n)
+    exploded = tok.select("doc_id", F.explode_outer(sh).alias("sh"))
     return exploded.groupBy("doc_id").agg(
         *[F.min(_component(i, F.col("sh"))).alias(f"mh{i}") for i in range(k)]
     )
@@ -393,13 +397,14 @@ def simhash_fingerprints(
     # hashing beyond the input file count.
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     docs = docs.repartition(n_part, F.col("doc_id"))
-    sh = shingles(tokens(F.col(text_col)), shingle_n)
+    tok = docs.select("doc_id", tokens(F.col(text_col)).alias("__t"))
+    sh = shingles(F.col("__t"), shingle_n)
     # high bit of hex digit b <=> the digit is one of 89abcdef <=> its
     # ASCII code is >= '8' (56): digits sort '0'-'9' then 'a'-'f', so a
     # single ascii(substring(.,1)) >= 56 replaces the 8-way
     # string-array membership scan per bit — same truth table, ~8x
     # less per-row compare work in the 32-sum aggregate.
-    exploded = docs.select("doc_id", F.explode_outer(sh).alias("sh")).select(
+    exploded = tok.select("doc_id", F.explode_outer(sh).alias("sh")).select(
         "doc_id", F.md5(F.col("sh")).alias("h")
     )
     per_bit = [
@@ -497,17 +502,16 @@ def jaccard_pairs(
     Blocking bounds the quadratic term: C(n,2) within each block
     instead of globally.
     """
-    grams = (
-        shingles(tokens(F.col(text_col)), shingle_n)
-        if shingle_n > 1
-        else distinct_tokens(F.col(text_col))
-    )
     n_part = docs.sparkSession.sparkContext.defaultParallelism
-    base = (
-        docs.repartition(n_part, F.col("doc_id"))
-        .select("doc_id", F.col(block_col).alias("blk"), grams.alias("toks"))
-        .cache()
+    tok = docs.repartition(n_part, F.col("doc_id")).select(
+        "doc_id", F.col(block_col).alias("blk"), tokens(F.col(text_col)).alias("__t")
     )
+    grams = (
+        shingles(F.col("__t"), shingle_n)
+        if shingle_n > 1
+        else F.array_distinct(F.col("__t"))
+    )
+    base = tok.select("doc_id", "blk", grams.alias("toks")).cache()
     a, b = base.alias("a"), base.alias("b")
     # hash-based set intersect (O(na+nb) per pair); both arrays are
     # distinct, so the count equals |A ∩ B| exactly like the oracle's

@@ -41,10 +41,19 @@ def distinct_tokens(text: Column) -> Column:
 
 
 def all_shingles(toks: Column, n: int = 3) -> Column:
-    """ALL word n-gram shingles (with repeats) of a token array."""
+    """ALL word n-gram shingles (with repeats) of a token array.
+
+    ``array_join(slice(toks, i, n))`` rather than ``concat_ws`` over n
+    ``element_at`` calls: higher-order transform lambdas run
+    interpreted, and each ``element_at`` re-resolves into the array, so
+    the n-lookup formulation measured 4.5x slower at sf0.1 (12.4s vs
+    2.8s per corpus pass) than one slice+join per gram. The ``when``
+    guard matters: ``sequence(1, size-n+1)`` DESCENDS when size < n,
+    which would emit garbage grams instead of an empty array.
+    """
     size = F.size(toks)
     idx = F.sequence(F.lit(1), size - (n - 1))
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
+    gram = lambda i: F.array_join(F.slice(toks, i, n), " ")  # noqa: E731
     return F.when(size >= n, F.transform(idx, gram)).otherwise(
         F.array().cast("array<string>")
     )
@@ -135,6 +144,50 @@ def quality_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def top_token_count(toks: Column) -> Column:
+    """Count of the most frequent token: sort, then one O(n) max-run
+    scan via ``aggregate``.
+
+    The direct formulation — ``array_max(transform(array_distinct(t),
+    d -> size(filter(t, x -> x = d))))`` — is O(distinct * n) of
+    interpreted lambda calls and measured 4.5x slower at sf0.1 (1.2s
+    vs 0.27s per corpus pass). Tokens are never empty strings (the
+    tokenizer filters them), so the "" run-seed cannot collide.
+    """
+    st = F.array_sort(toks)
+    return F.aggregate(
+        st,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def dup_ngram_frac(toks: Column, n: int) -> Column:
+    """1 - distinct/total word n-grams, NULL when the doc has no
+    n-gram.
+
+    total n-grams = size - n + 1 arithmetically — never build the gram
+    array just to measure it. Catalyst does NOT common-subexpression-
+    eliminate higher-order subtrees, so the naive ``size(g)`` +
+    ``size(array_distinct(g))`` pair builds the gram array twice; this
+    shape builds it once (measured: the 2+3-gram signal pair went
+    15.5s -> ~3s per corpus pass at sf0.1).
+    """
+    total = F.size(toks) - (n - 1)
+    distinct = F.size(F.array_distinct(all_shingles(toks, n)))
+    return F.when(total > 0, F.round(1 - distinct / total, 6))
+
+
 def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition filters: top-unigram share and duplicate
     n-gram fractions (Rae et al. 2021 'massive text' repetition rules,
@@ -144,42 +197,42 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     top_unigram_share = count of the most frequent token / n_tokens;
     dup_{2,3}gram_frac = 1 - distinct/total n-grams. All ratios are
     int/int divisions in identical association on both engines, rounded
-    to 6 decimals; the most-frequent count is a per-doc nested
-    higher-order-function scan (O(distinct x n) on ~50-token docs),
-    pure column algebra — no shuffle, no UDF.
+    to 6 decimals; the per-doc signals are pure column algebra — no
+    shuffle, no UDF (see ``top_token_count``/``dup_ngram_frac`` for
+    why these exact shapes).
     """
-    t0 = tokens(F.col(text_col))
-    base = docs.select("doc_id", t0.alias("__t"))
-    t = F.col("__t")
-    n_tok = F.size(t)
-    top_cnt = F.array_max(
-        F.transform(F.array_distinct(t), lambda d: F.size(F.filter(t, lambda x: x == d)))
+    # staged selects: tokenization is the expensive expression here
+    # (split + interpreted filter lambda), and every helper references
+    # the token array several times (size guards, sequence bounds,
+    # transform source) — inlined, it re-tokenizes per reference.
+    # CollapseProject declines to inline a multiply-referenced
+    # non-cheap expression, so the staged projection tokenizes exactly
+    # once per row, and likewise computes each signal once even though
+    # the is_repetitive OR references them again.
+    tok = docs.select("doc_id", tokens(F.col(text_col)).alias("__t"))
+    t0 = F.col("__t")
+    n_tok = F.size(t0)
+    base = tok.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.when(n_tok > 0, F.round(top_token_count(t0) / n_tok, 6)).alias(
+            "top_unigram_share"
+        ),
+        dup_ngram_frac(t0, 2).alias("dup_2gram_frac"),
+        dup_ngram_frac(t0, 3).alias("dup_3gram_frac"),
     )
-    g2, g3 = all_shingles(t, 2), all_shingles(t, 3)
-
-    def dup_frac(g):
-        return F.when(
-            F.size(g) > 0,
-            F.round(1 - F.size(F.array_distinct(g)) / F.size(g), 6),
-        )
-
-    top_share = F.when(n_tok > 0, F.round(top_cnt / n_tok, 6))
     # the top-share rule only applies to docs long enough for a mode
     # to mean anything (Gopher applies its repetition rules above a
     # min length; a 1-token doc is trivially 100% its own mode)
     rep = (
-        F.coalesce((n_tok >= 10) & (top_share > 0.2), F.lit(False))
-        | F.coalesce(dup_frac(g2) > 0.4, F.lit(False))
-        | F.coalesce(dup_frac(g3) > 0.3, F.lit(False))
+        F.coalesce(
+            (F.col("n_tokens") >= 10) & (F.col("top_unigram_share") > 0.2),
+            F.lit(False),
+        )
+        | F.coalesce(F.col("dup_2gram_frac") > 0.4, F.lit(False))
+        | F.coalesce(F.col("dup_3gram_frac") > 0.3, F.lit(False))
     )
-    return base.select(
-        "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
-        top_share.alias("top_unigram_share"),
-        dup_frac(g2).alias("dup_2gram_frac"),
-        dup_frac(g3).alias("dup_3gram_frac"),
-        rep.alias("is_repetitive"),
-    )
+    return base.select("*", rep.alias("is_repetitive"))
 
 
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
