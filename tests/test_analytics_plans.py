@@ -160,9 +160,13 @@ def test_retention_single_fact_shuffle(t):
 
 
 def test_curation_pipeline_fused_single_scan(t):
-    """The end-to-end curation plan must scan the corpus ONCE (plus the
-    tiny benchmark slice) with only the dup-keeper and packing windows
-    shuffling fact rows — the naive join-the-operators composition
+    """The end-to-end curation plan scans the corpus TWICE (signals pass
+    + the exploded-decontamination pass; Catalyst has no cross-branch
+    CSE) plus the tiny benchmark slice, with only the dup-keeper and
+    packing windows shuffling fact rows. The second columnar corpus
+    scan is the measured trade for O(actual grams) decontamination
+    (curate.py docstring); caching the tokenized corpus instead would
+    not survive 100 TB. The naive join-the-operators composition
     measured 9 exchanges / 12 corpus scans."""
     import re
 
@@ -176,7 +180,7 @@ def test_curation_pipeline_fused_single_scan(t):
         docs.where(F.col("source") == "src0"),
     )
     p = plan(df)
-    assert p.count("documents.parquet") == 2  # corpus once + benchmark once
+    assert p.count("documents.parquet") == 3  # corpus twice + benchmark once
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 4
 
 

@@ -18,6 +18,7 @@ from tsod_spark import (
     RangeDetector,
     RollingStandardDeviationDetector,
 )
+from tsod_spark import registry
 from tsod_spark.frame import TimeSeriesFrame
 from tsod_spark.streaming import stream_detect, stream_detect_stateless
 
@@ -27,9 +28,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def events_batches(spark):
     """events split into 4 time-ordered parquet files (= micro-batches)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{SF}/events.parquet")
-    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = registry.table(spark, SF, "events")
     rows = df.orderBy("ts").collect()
     tmp = tempfile.mkdtemp(prefix="stream_src_")
     n = len(rows)
@@ -65,10 +64,7 @@ def run_stream(spark, events_batches, detector):
 
 
 def batch_flags(spark, detector):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{SF}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    df = registry.table(spark, SF, "events")
     tsf = TimeSeriesFrame(df, series=["user_id"], tiebreak=["event_id"])
     rows = detector.detect(tsf).select("user_id", "ts", "is_anomaly").collect()
     return {(r.user_id, r.ts): r.is_anomaly for r in rows}
@@ -138,10 +134,7 @@ def test_stream_fitted_per_series_matches_batch(spark, events_batches):
     """A per-series-fitted detector must stream with each key's OWN
     thresholds (broadcast-joined params), not the constructor's ±inf
     defaults — the silent-no-anomalies failure mode."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{SF}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    df = registry.table(spark, SF, "events")
     tsf = TimeSeriesFrame(df, series=["user_id"], tiebreak=["event_id"])
     det = RangeDetector(quantiles=[0.05, 0.95]).fit(tsf)
     assert det._params_df is not None
@@ -165,10 +158,7 @@ def test_operational_lifecycle_fit_save_load_stream(spark, events_batches, tmp_p
     driving the streaming operator."""
     from tsod_spark import load, save
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{SF}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    df = registry.table(spark, SF, "events")
     tsf = TimeSeriesFrame(df, series=["user_id"], tiebreak=["event_id"])
     fitted = RangeDetector(quantiles=[0.05, 0.95]).fit(tsf)
     p = tmp_path / "prod_model.json"
@@ -260,9 +250,7 @@ def test_stream_rollup_matches_batch(spark, events_batches):
     }
 
     # batch twin computed directly (watermark doesn't apply to batch)
-    batch = spark.read.parquet(f"{SF}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    batch = registry.table(spark, SF, "events")
     from pyspark.sql import functions as FF
 
     v = FF.when(FF.isnan("value") | FF.col("value").isNull(), None).otherwise(FF.col("value"))
@@ -331,9 +319,7 @@ def test_stream_sessionize_emits_closed_sessions(spark, events_batches):
         for r in spark.sql("SELECT * FROM sess_stream").collect()
     }
 
-    batch = spark.read.parquet(f"{SF}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    batch = registry.table(spark, SF, "events")
     exp_rows = (
         batch.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))

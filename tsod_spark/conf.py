@@ -21,8 +21,11 @@ Rationale per knob (all measured/derived, not folklore):
   TPC-H family and the benchmark n-gram set in decontamination are
   designed to broadcast; the default 10m is too small for the
   benchmark-set pattern at real benchmark sizes.
-- **parquet nanosAsLong**: the driver's events table stores
-  TIMESTAMP(NANOS); see ``registry.table``.
+- **parquet nanosAsLong**: fixture parquet has shipped ``ts`` as
+  TIMESTAMP(NANOS) in some rounds; all encodings are normalized in
+  ``tsod_spark.encodings.normalize_ts``.
+- **session timeZone UTC**: makes the TIMESTAMP_NTZ → TIMESTAMP cast
+  in ``encodings.normalize_ts`` a pure reinterpretation.
 """
 
 from __future__ import annotations

@@ -35,6 +35,7 @@ from .detectors import (
     RollingStandardDeviationDetector,
 )
 from .detectors.gradient import gradient_col
+from .encodings import read_table
 from .expressions import as_pred
 from .features import create_dataset, lag_time_series
 from .frame import TimeSeriesFrame
@@ -47,16 +48,12 @@ from .pipeline import dedup, multimodal, similarity, text
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table, normalizing timestamp encodings.
 
-    The driver's events.parquet stores TIMESTAMP(NANOS) which Spark's
-    vectorized reader rejects; read it as raw nanos and truncate to
-    microseconds (identical to what SQL engines reading the same file
-    do natively, so oracle parity holds)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    The driver's events.parquet has shipped ``ts`` as TIMESTAMP(NANOS),
+    TIMESTAMP(MICROS)-UTC, and TIMESTAMP(MICROS)-NTZ across rounds; all
+    three are coerced to plain ``timestamp`` in one shared helper
+    (:mod:`tsod_spark.encodings`) so every downstream ``unix_micros`` /
+    range-window call site sees one type."""
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
 
 
 def events_tsf(spark: SparkSession, sf_dir: str) -> TimeSeriesFrame:
@@ -1523,10 +1520,14 @@ def emb_lsh_buckets(spark, sf_dir):
     SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
            round(list_dot_product(a.ve, b2.ve) / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b2.ve, b2.ve))), 6) AS cos_sim
     FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-    WHERE round(list_dot_product(a.ve, b2.ve) / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b2.ve, b2.ve))), 6) >= 0.9""",
+    WHERE round(list_dot_product(a.ve, b2.ve) / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b2.ve, b2.ve))), 6) >= 0.3""",
 )
 def emb_lsh_near_pairs(spark, sf_dir):
-    return similarity.lsh_near_pairs(table(spark, sf_dir, "embeddings"))
+    """τ=0.3 here (not the 0.9 production default): the synthetic
+    embeddings' in-bucket cosine tops out ≈0.43 at sf0.01, so 0.9
+    hash-matched an empty set — vacuously green. 0.3 keeps the driver
+    check exercising real pairing + cosine logic (~17 rows)."""
+    return similarity.lsh_near_pairs(table(spark, sf_dir, "embeddings"), min_cosine=0.3)
 
 
 _EMB_COS = (
@@ -1543,7 +1544,7 @@ _EMB_COS = (
     pairs AS (
       SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b
       FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-      WHERE {_EMB_COS} >= 0.9),
+      WHERE {_EMB_COS} >= 0.3),
     edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
               UNION SELECT vec_b, vec_a FROM pairs),
     reach(vec, root) AS (
@@ -1558,8 +1559,12 @@ _EMB_COS = (
 def dedup_embedding_groups(spark, sf_dir):
     """Embedding-cosine near-dup groups (semantic dedup): LSH-bucketed
     cosine pairs -> shared min-label-propagation CC engine. Oracle:
-    recursive-CTE transitive closure over the same pair graph."""
-    return similarity.embedding_duplicate_groups(table(spark, sf_dir, "embeddings"))
+    recursive-CTE transitive closure over the same pair graph.
+    τ=0.3 (not the 0.9 production default) so the synthetic fixture
+    yields a non-empty pair graph — see emb_lsh_near_pairs."""
+    return similarity.embedding_duplicate_groups(
+        table(spark, sf_dir, "embeddings"), min_cosine=0.3
+    )
 
 
 @register(
@@ -2868,37 +2873,42 @@ R1_VERIFIED = frozenset({
     "dedup_minhash_sig", "dedup_minhash_pairs", "dedup_minhash_groups",
 })
 
-# Parked just past the 50-query window: rows-only checks (no value
-# hash to win) whose siblings are verified, plus queries added in r2
-# AFTER the window plan was fixed — displacing an already-queued query
-# would delay its first verdict a full round, so newcomers wait for r3.
-_DEFER_TO_R3 = (
-    "ts_range_quantile_approx",
-    "events_distinct_users_approx",
-    "emb_ivf_cells",
-    "ts_mllib_residual",
-    "ts_mllib_kmeans",
-    "tpch_q2",
-    "tpch_q11",
-    "dedup_embedding_groups",
-    "doc_repetition",
-    "events_funnel",
-    "events_retention",
-    "ts_asof_tolerance",
-    "doc_redact",
-    "doc_decontaminate",
-    "doc_split_assign",
-    "doc_pack_sequences",
-    "doc_tfidf_topk",
-    "doc_curation_pipeline",
-)
+# Fully-green rows from CORRECTNESS_r02.json, minus emb_lsh_near_pairs:
+# its r2 "pass" hash-matched an EMPTY result (spark_rows=0) and the
+# registered threshold has since changed (τ 0.9 → 0.3) to make the
+# check non-vacuous, so it must earn a real verdict in r3.
+R2_VERIFIED = frozenset({
+    "anomaly_daily_summary", "customer_spend_quartiles",
+    "customers_above_nation_avg", "daily_orders_vs_purchases",
+    "dedup_jaccard_topk", "dedup_simhash", "dedup_simhash_pairs",
+    "doc_string_funcs", "emb_array_funcs", "emb_cosine_topk",
+    "emb_knn_join", "emb_knn_label_accuracy", "emb_label_centroids",
+    "emb_lsh_buckets", "events_conditional_aggs", "events_cube",
+    "events_daily_ohlc", "events_date_parts", "events_grouping_sets",
+    "events_running_total", "events_session_window", "events_unpivot",
+    "events_value_histogram", "mm_decode", "mm_frames", "mm_real_decode",
+    "mm_resize", "nation_revenue_share", "orders_monthly_momentum",
+    "supplier_balance_rank", "top_parts_per_brand", "tpch_q10",
+    "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q20",
+    "tpch_q21", "tpch_q7", "tpch_q8", "tpch_q9", "ts_autocorr",
+    "ts_cusum", "ts_iqr", "ts_zscore", "users_error_or_signup",
+    "users_purchase_and_error",
+    # rows-only by design (no oracle); its r2 rows-only verdict stands
+    "emb_ivf_topk",
+})
+
+_VERIFIED = R1_VERIFIED | R2_VERIFIED
 
 
 def _rotated(d: dict) -> dict:
-    front = [n for n in d if n not in R1_VERIFIED and n not in _DEFER_TO_R3]
-    mid = [n for n in _DEFER_TO_R3 if n in d]
-    back = [n for n in d if n in R1_VERIFIED]
-    return {n: d[n] for n in front + mid + back}
+    # Names with no real driver verdict yet come first (registration
+    # order): the 18 late-r2 registrations, events_sliding_1h (failed
+    # r2 on the NTZ bug, now fixed), and the re-thresholded
+    # emb_lsh_near_pairs — ~20 names, comfortably inside the driver's
+    # 50-query window, leaving ~30 slots to re-confirm verified ones.
+    front = [n for n in d if n not in _VERIFIED]
+    back = [n for n in d if n in _VERIFIED]
+    return {n: d[n] for n in front + back}
 
 
 def ordered_queries() -> dict:

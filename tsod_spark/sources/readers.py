@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..encodings import read_table
 from ..frame import TimeSeriesFrame
 
 
@@ -49,13 +50,10 @@ def read_parquet_timeseries(
     value_col: str = "value",
     series: list[str] | None = None,
 ) -> TimeSeriesFrame:
-    """Parquet reader with the TIMESTAMP(NANOS) fallback (Spark rejects
-    nano-precision parquet timestamps; read as long and truncate to
-    micros, matching what us-native engines do)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    if df.schema[ts_col].dataType.simpleString() == "bigint":
-        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    """Parquet reader normalizing all three ts encodings the fixtures
+    have shipped (nanos-as-bigint, micros-UTC, micros-NTZ) through the
+    shared :mod:`tsod_spark.encodings` helper."""
+    df = read_table(spark, path, ts_col=ts_col)
     if ts_col != "ts":
         df = df.withColumnRenamed(ts_col, "ts")
     if value_col != "value":
@@ -70,19 +68,39 @@ def read_netcdf_timeseries(
 
     Decodes on the driver (NetCDF is not splittable) and parallelizes
     the rows; for fleets of files, run one decode per file inside
-    ``spark.read.format("binaryFile")`` + mapInPandas instead.
+    ``spark.read.format("binaryFile")`` + mapInPandas instead
+    (:func:`read_netcdf_fleet`).
+
+    Classic-format files (CDF-1/CDF-2 magic) decode with the pure-stdlib
+    codec in :mod:`tsod_spark.sources.netcdf3`; NetCDF-4/HDF5 files fall
+    back to xarray (not installed in this container).
     """
+    with open(path, "rb") as f:
+        content = f.read()
+    pdf = _decode_netcdf_bytes(content, variable, qc_suffix)
+    return spark.createDataFrame(pdf)
+
+
+def _decode_netcdf_bytes(content: bytes, variable: str, qc_suffix: str):
+    """Classic files via the stdlib codec; HDF5-based NetCDF-4 via
+    xarray when available."""
+    if content[:3] == b"CDF":
+        from .netcdf3 import decode_cmems  # noqa: PLC0415
+
+        return decode_cmems(content, variable, qc_suffix)
     try:
+        import io  # noqa: PLC0415
+
         import xarray as xr  # noqa: PLC0415
     except ImportError as e:  # pragma: no cover - xarray absent here
         raise NotImplementedError(
-            "NetCDF ingest needs xarray (not installed in this environment); "
-            "see docstring for the converter-job pattern"
+            "NetCDF-4/HDF5 ingest needs xarray (not installed in this "
+            "environment); classic-format files decode without it"
         ) from e
-    ds = xr.open_dataset(path)  # pragma: no cover
+    ds = xr.open_dataset(io.BytesIO(content))  # pragma: no cover
     pdf = ds[[variable, variable + qc_suffix]].to_dataframe().reset_index()
     pdf.columns = ["ts", "value", "qc"]
-    return spark.createDataFrame(pdf)
+    return pdf
 
 
 NETCDF_FLEET_SCHEMA = (
@@ -109,27 +127,16 @@ def read_netcdf_fleet(
     QC-flag layout (variable + variable_QC over the TIME dim, as in
     /root/reference/notebooks/cmems.ipynb and fixture
     tests/data/BO_TS_MO_FINO2.nc). ``decoder(content: bytes) ->
-    pandas.DataFrame[ts, value, qc]`` is injectable; the default needs
-    xarray and raises here without it.
+    pandas.DataFrame[ts, value, qc]`` is injectable; the default
+    decodes classic files with the stdlib :mod:`.netcdf3` codec and
+    needs xarray only for NetCDF-4/HDF5 payloads.
     """
     import pandas as pd
 
     if decoder is None:
 
-        def decoder(content: bytes):  # pragma: no cover - xarray absent
-            try:
-                import io
-
-                import xarray as xr  # noqa: PLC0415
-            except ImportError as e:
-                raise NotImplementedError(
-                    "NetCDF decode needs xarray (not installed); pass a "
-                    "custom decoder= or install xarray on the executors"
-                ) from e
-            ds = xr.open_dataset(io.BytesIO(content))
-            pdf = ds[[variable, variable + qc_suffix]].to_dataframe().reset_index()
-            pdf.columns = ["ts", "value", "qc"]
-            return pdf
+        def decoder(content: bytes):
+            return _decode_netcdf_bytes(content, variable, qc_suffix)
 
     def batches(it):
         for pdf in it:
