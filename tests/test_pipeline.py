@@ -616,7 +616,9 @@ def test_read_csv_timeseries(spark, tmp_path):
     assert mask == [False, True, False]
 
 
-def test_netcdf_requires_xarray(spark):
+def test_netcdf4_hdf5_requires_xarray(spark, tmp_path):
+    """NetCDF-4 payloads are HDF5 containers; without xarray the reader
+    must say so (classic files decode stdlib-side — test_netcdf.py)."""
     from tsod_spark.sources import read_netcdf_timeseries
 
     try:
@@ -625,8 +627,10 @@ def test_netcdf_requires_xarray(spark):
         pytest.skip("xarray present")
     except ImportError:
         pass
+    p = tmp_path / "nc4.nc"
+    p.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
     with pytest.raises(NotImplementedError):
-        read_netcdf_timeseries(spark, "/nonexistent.nc", "PSAL")
+        read_netcdf_timeseries(spark, str(p), "PSAL")
 
 
 def test_netcdf_fleet_with_injected_decoder(spark, tmp_path):
