@@ -154,3 +154,96 @@ def load(path, spark=None) -> SparkDetector:
                 pdf = pdf.withColumnRenamed(name, leaf.tmp(name))
             leaf._params_df = pdf
     return detector
+
+
+# ---------------------------------------------------------------------------
+# one-way joblib import (migration from reference-era saved detectors)
+
+# reference pickle attribute -> our constructor kwarg; includes attrs
+# the JSON path never writes because the reference always pickles them
+_JOBLIB_ATTRS = {
+    name: dict(attrs)
+    for name, attrs in _PARAM_ATTRS.items()
+}
+_JOBLIB_ATTRS["ConstantGradientDetector"]["_window_size"] = "window_size"
+
+
+def _restricted_joblib_load(content: bytes):
+    """Unpickle a reference ``Detector.save`` artifact WITHOUT importing
+    or executing reference code: every ``tsod.*`` class resolves to an
+    inert attribute-bag stub, numpy scalar reconstruction is allowed
+    (fitted thresholds pickle as numpy float64), everything else is
+    rejected. joblib's default (uncompressed) dump is a plain pickle
+    stream (reference base.py:104 ``joblib.dump(self, path)``);
+    zlib/gzip-compressed variants are unwrapped first."""
+    import io
+    import pickle
+
+    if content[:2] == b"\x1f\x8b":  # joblib compress= writes gzip frames
+        import gzip
+
+        content = gzip.decompress(content)
+    elif content[:1] == b"x":  # bare zlib stream
+        import zlib
+
+        content = zlib.decompress(content)
+
+    class _Stub:
+        def __init__(self, *a, **k):
+            pass
+
+    stubs: dict[str, type] = {}
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module.split(".")[0] == "tsod":
+                if name not in stubs:
+                    stubs[name] = type(name, (_Stub,), {})
+                return stubs[name]
+            if (module, name) in {
+                ("numpy.core.multiarray", "scalar"),
+                ("numpy._core.multiarray", "scalar"),
+                ("numpy", "dtype"),
+                ("numpy", "float64"),
+                ("numpy", "int64"),
+                ("numpy", "bool_"),
+            }:
+                import importlib
+
+                return getattr(importlib.import_module(module), name)
+            raise pickle.UnpicklingError(
+                f"joblib import only accepts tsod detector classes and numpy "
+                f"scalars; refusing {module}.{name}"
+            )
+
+    return _Unpickler(io.BytesIO(content)).load()
+
+
+def _plain(x):
+    """numpy scalar -> python scalar, recursively through lists."""
+    if isinstance(x, list):
+        return [_plain(v) for v in x]
+    if hasattr(x, "item"):
+        return x.item()
+    return x
+
+
+def _stub_to_detector(stub) -> SparkDetector:
+    name = type(stub).__name__
+    if name == "CombinedDetector":
+        return CombinedDetector([_stub_to_detector(c) for c in stub._detectors])
+    if name not in _JOBLIB_ATTRS:
+        raise ValueError(f"unsupported reference detector in joblib: {name}")
+    kwargs = {
+        kwarg: _plain(getattr(stub, attr))
+        for attr, kwarg in _JOBLIB_ATTRS[name].items()
+        if hasattr(stub, attr)
+    }
+    return _REGISTRY[name](**kwargs)
+
+
+def import_joblib(path) -> SparkDetector:
+    """One-way importer for reference ``.joblib`` saves (base.py:95-104):
+    users migrating keep their fitted thresholds without ever executing
+    the pickled code. Re-save with :func:`save` for the JSON format."""
+    return _stub_to_detector(_restricted_joblib_load(Path(path).read_bytes()))
