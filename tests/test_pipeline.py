@@ -781,3 +781,69 @@ def test_build_session_conf_applies():
         assert recommended_conf(100)["spark.sql.shuffle.partitions"] == "300"
     finally:
         pass  # session is shared JVM-wide; leave it for other tests
+
+
+# ---- corpus sampling / chunk dedup ------------------------------------
+
+
+def test_chunk_dedup_drops_repeated_spans(spark):
+    from tsod_spark.pipeline import dedup
+
+    ten = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [
+            (1, ten + " k l m"),          # chunk0 = ten, chunk1 = "k l m"
+            (2, "x y z " + "p q r s t u v w 0 1"),  # unique chunks
+            (3, ten + " k l m"),          # exact repeat of doc 1's chunks
+            (4, ""),                       # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.chunk_dedup(docs).collect()}
+    assert out[1].text_dedup == ten + " k l m"
+    assert out[1].n_kept == 2 and out[1].n_total == 2
+    # doc 3's both chunks already seen at doc 1 -> fully removed
+    assert out[3].text_dedup == "" and out[3].n_kept == 0 and out[3].n_total == 2
+    assert out[2].n_kept == 2  # 13 tokens -> chunks of 10 + 3
+    assert out[4].text_dedup == "" and out[4].n_total == 0
+
+
+def test_chunk_dedup_first_occurrence_within_doc(spark):
+    """A chunk repeated INSIDE one doc keeps only its first occurrence."""
+    from tsod_spark.pipeline import dedup
+
+    ten = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(7, ten + " " + ten)], "doc_id long, text string"
+    )
+    r = dedup.chunk_dedup(docs).collect()[0]
+    assert r.n_total == 2 and r.n_kept == 1 and r.text_dedup == ten
+
+
+def test_mixture_sample_deterministic_and_temperature(spark):
+    from tsod_spark.pipeline import curate
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    a = {r.doc_id for r in curate.mixture_sample(docs, 0.5).collect()}
+    b = {r.doc_id for r in curate.mixture_sample(docs, 0.5).collect()}
+    assert a == b  # content-hash draws, not RNG
+    kept_small = sum(1 for d in a if d >= 1000) / 100
+    kept_big = sum(1 for d in a if d < 1000) / 900
+    # α=0.5 upweights the small source
+    assert kept_small > kept_big
+    assert 0.3 < len(a) / 1000 < 0.7  # overall ≈ target_frac
+
+
+def test_stratified_sample_exact_quota(spark):
+    from tsod_spark.pipeline import curate
+
+    rows = [(i, f"s{i % 7}") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = curate.stratified_sample(docs, per_stratum=5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, set()).add(r.doc_id)
+    assert len(per) == 7 and all(len(v) == 5 for v in per.values())
+    again = curate.stratified_sample(docs, per_stratum=5).collect()
+    assert {(r.doc_id, r.rk) for r in again} == {(r.doc_id, r.rk) for r in out}

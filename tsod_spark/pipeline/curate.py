@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import all_shingles, tokens
@@ -295,4 +295,87 @@ def curation_pipeline(
         .when(bucket < 9, "val")
         .otherwise("test")
         .alias("split"),
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    target_frac: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-reweighted source mixture (the multilingual-LM /
+    data-mixture construction step): sampling probability per source
+    ``p_s ∝ sqrt(n_s)`` (temperature α=0.5 — upweights small sources,
+    downweights giants), scaled so the expected kept fraction of the
+    whole corpus is ``target_frac``. Per-doc keep decisions are
+    content-hash Bernoulli draws, so the sample is deterministic,
+    engine-independent, and stable under re-sharding.
+
+    Scale shape: per-source counts are a TINY aggregate (one row per
+    source) that BROADCASTS back onto the corpus — the fact table never
+    shuffles. The u < r comparison is done in exact int64 space
+    (32-bit hash vs a floor'd threshold); sqrt/mul/div are
+    correctly-rounded IEEE ops, so any engine derives the identical
+    threshold from the identical counts.
+    """
+    counts = docs.groupBy(F.col(source_col).alias("__src")).agg(
+        F.count(F.lit(1)).alias("__ns")
+    )
+    # corpus totals via an unpartitioned window over the TINY per-source
+    # frame (one row per source) — not over the corpus. Sum of sqrt's
+    # accumulates in exact integer micro-units: float addition is
+    # order-sensitive and partial-aggregation order differs across
+    # engines/runs — the same discipline as the money paths.
+    wa = Window.partitionBy()
+    rates = counts.select(
+        "__src",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.lit(target_frac) * F.sum("__ns").over(wa))
+                / (
+                    (
+                        F.sum(F.round(F.sqrt("__ns") * 1e6).cast("long")).over(wa)
+                        / F.lit(1000000.0)
+                    )
+                    * F.sqrt("__ns")
+                ),
+            )
+            * F.lit(4294967296.0)
+        ).alias("__thr"),
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(rates), docs[source_col] == F.col("__src"))
+        .where(h32 < F.col("__thr"))
+        .select(F.col(id_col), F.col(source_col))
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    per_stratum: int = 10,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Exact-quota stratified sampling: the ``per_stratum``
+    lowest-content-hash docs from every stratum — deterministic,
+    engine-independent, exact row counts (unlike Bernoulli sampling's
+    binomial jitter), stable under re-sharding. One window shuffle
+    keyed by the stratum; rank truncation happens map-side-ish via the
+    window, nothing else moves.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(stratum_col).orderBy(h, id_col)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(stratum_col),
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= per_stratum)
+        .select(id_col, stratum_col, F.col("rk").cast("bigint").alias("rk"))
     )

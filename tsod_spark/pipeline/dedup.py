@@ -564,3 +564,71 @@ def jaccard_pairs(
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(top_n)
     )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-wide duplicate-SPAN removal at sub-document granularity
+    (the C4 / Lee-et-al "deduplicate repeated passages" step, over
+    fixed ``chunk_tokens``-token chunks since the fixture corpus has no
+    sentence boundaries). A chunk that appears anywhere earlier in the
+    corpus — same doc or another — is dropped; first occurrence wins,
+    ordered by (doc_id, chunk_idx). Returns one row per input doc with
+    the reassembled surviving text and kept/total chunk counts.
+
+    Scale shape: explode to (chunk, doc_id, ci) and take
+    ``row_number = 1`` per chunk text — ONE hash-partitioned window
+    shuffle over slim chunk rows (hot chunks are exactly what AQE skew
+    splitting handles); reassembly is ONE groupBy(doc_id) with an
+    in-group ``array_sort``; the final attach joins two doc_id-keyed
+    slim frames. No all-pairs anything, no driver state.
+    """
+    k = chunk_tokens
+    base = docs.select("doc_id", tokens(F.col(text_col)).alias("__t")).select(
+        "doc_id",
+        "__t",
+        F.ceil(F.size("__t") / F.lit(k)).cast("bigint").alias("n_chunks"),
+    )
+    chunks = base.where(F.col("n_chunks") > 0).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int")),
+                lambda i: F.struct(
+                    i.cast("bigint").alias("ci"),
+                    F.concat_ws(" ", F.slice(F.col("__t"), i * k + 1, k)).alias(
+                        "chunk"
+                    ),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.ci", "c.chunk")
+    w = Window.partitionBy("chunk").orderBy("doc_id", "ci")
+    kept = (
+        chunks.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ci", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("text_dedup"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_chunks")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.col("n_chunks").alias("n_total"),
+        )
+    )

@@ -2844,6 +2844,64 @@ def emb_label_centroids(spark, sf_dir):
     )
 
 
+@register(
+    "doc_chunk_dedup",
+    f"""WITH t AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    b AS (SELECT doc_id, CAST(ceil(len(t) / 10.0) AS BIGINT) AS n_total, t FROM t),
+    c AS (SELECT doc_id, CAST(u.ci AS BIGINT) AS ci,
+                 array_to_string(t[u.ci * 10 + 1 : u.ci * 10 + 10], ' ') AS chunk
+          FROM b, unnest(range(0, n_total)) AS u(ci)),
+    k AS (SELECT doc_id, ci, chunk,
+                 row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rn
+          FROM c),
+    r AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS text_dedup,
+                 CAST(count(*) AS BIGINT) AS n_kept
+          FROM k WHERE rn = 1 GROUP BY doc_id)
+    SELECT b.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept, b.n_total
+    FROM b LEFT JOIN r ON b.doc_id = r.doc_id""",
+)
+def doc_chunk_dedup(spark, sf_dir):
+    """Corpus-wide duplicate-span removal over fixed 10-token chunks
+    (C4/Lee-et-al passage dedup; first occurrence by (doc_id, ci)
+    wins) with per-doc text reassembly."""
+    return dedup.chunk_dedup(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_mixture_sample",
+    """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+                  FROM documents GROUP BY source),
+    t AS (SELECT sum(ns) AS n,
+                 sum(CAST(round(sqrt(ns) * 1000000) AS BIGINT)) AS ssq_u FROM c),
+    r AS (SELECT source,
+                 CAST(floor(least(1.0, (0.5 * n) / ((ssq_u / 1000000.0) * sqrt(ns)))
+                      * 4294967296.0) AS BIGINT) AS thr
+          FROM c, t)
+    SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT < r.thr""",
+)
+def doc_mixture_sample(spark, sf_dir):
+    """Temperature-α=0.5 source-mixture sampling at target_frac=0.5:
+    deterministic content-hash Bernoulli draws against per-source
+    thresholds derived in exact int64 space."""
+    return curate.mixture_sample(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_stratified_sample",
+    """WITH r AS (SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 10""",
+)
+def doc_stratified_sample(spark, sf_dir):
+    """Exact-quota stratified sample: the 10 lowest-content-hash docs
+    per source — deterministic, exact counts, re-shard-stable."""
+    return curate.stratified_sample(table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # driver check-window rotation
 #
