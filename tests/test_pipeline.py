@@ -847,3 +847,26 @@ def test_stratified_sample_exact_quota(spark):
     assert len(per) == 7 and all(len(v) == 5 for v in per.values())
     again = curate.stratified_sample(docs, per_stratum=5).collect()
     assert {(r.doc_id, r.rk) for r in again} == {(r.doc_id, r.rk) for r in out}
+
+
+def test_canonical_docs_longest_wins(spark, docs):
+    """Planted cluster {0, short-mutant, long-mutant}: the longest text
+    is canonical; singleton docs are each their own canonical."""
+    base = docs.where(F.col("doc_id") == 0)
+    longer = base.select(
+        F.lit(999998).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail tail tail tail")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    same = base.select(
+        F.lit(999999).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    corpus = docs.unionByName(longer).unionByName(same)
+    out = {r.doc_id: r for r in dedup.canonical_docs(corpus).collect()}
+    g = out[0].group_id
+    cluster = [r for r in out.values() if r.group_id == g]
+    assert len(cluster) >= 3
+    assert out[999998].is_canonical  # longest
+    assert not out[0].is_canonical and not out[999999].is_canonical
+    singles = [r for r in out.values() if r.group_size == 1]
+    assert singles and all(r.is_canonical for r in singles)

@@ -632,3 +632,36 @@ def chunk_dedup(
             F.col("n_chunks").alias("n_total"),
         )
     )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Canonical-document selection after near-dup grouping: within
+    each MinHash-LSH connected component, the LONGEST text wins (ties
+    to the lowest doc_id) — the standard "keep best of each dup
+    cluster" curation step, so downstream training sees one canonical
+    copy instead of an arbitrary survivor.
+
+    Scale shape: groups come from the shared CC engine; the length
+    join is doc_id-keyed slim columns; ranking is ONE window keyed by
+    group_id. Returns every doc labeled
+    ``(doc_id, group_id, group_size, is_canonical)``.
+    """
+    groups = minhash_duplicate_groups(docs, text_col, k, bands, max_iter)
+    slim = docs.select("doc_id", F.length(F.col(text_col)).alias("__len"))
+    w = Window.partitionBy("group_id").orderBy(F.desc("__len"), "doc_id")
+    return (
+        groups.join(slim, "doc_id")
+        .withColumn("__rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "group_id",
+            "group_size",
+            (F.col("__rk") == 1).alias("is_canonical"),
+        )
+    )

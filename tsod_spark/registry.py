@@ -1328,6 +1328,34 @@ def dedup_minhash_pairs(spark, sf_dir):
     return dedup.minhash_band_pairs(table(spark, sf_dir, "documents"))
 
 
+def _mh_canonical_sql(k: int = 8, bands: int = 4) -> str:
+    ctes, select = _mh_pairs_parts(k, bands)
+    return f"""WITH RECURSIVE {ctes},
+    pairs AS ({select}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc),
+    comp AS (SELECT doc, min(root) AS group_id FROM reach GROUP BY doc),
+    j AS (SELECT c.doc AS doc_id, c.group_id, length(d.text) AS nlen
+          FROM comp c JOIN documents d ON d.doc_id = c.doc),
+    r AS (SELECT doc_id, group_id,
+            CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size,
+            row_number() OVER (PARTITION BY group_id
+                               ORDER BY nlen DESC, doc_id) AS rk
+          FROM j)
+    SELECT doc_id, group_id, group_size, rk = 1 AS is_canonical FROM r"""
+
+
+@register("dedup_canonical", _mh_canonical_sql())
+def dedup_canonical(spark, sf_dir):
+    """Keep-best-per-cluster: longest text (ties to lowest doc_id)
+    within each MinHash-LSH connected component."""
+    return dedup.canonical_docs(table(spark, sf_dir, "documents"))
+
+
 @register("dedup_minhash_groups", _mh_groups_sql())
 def dedup_minhash_groups(spark, sf_dir):
     """Connected components over the LSH pair graph (iterative
