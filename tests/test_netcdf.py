@@ -12,6 +12,7 @@ QC-validated detector run.
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from tsod_spark.sources.netcdf3 import (
     NC_BYTE,
@@ -141,3 +142,64 @@ def test_fleet_ingest_real_decoder_qc_detector(spark, tmp_path):
     # values run 33.0 .. ~33.47 per station: the top of each series trips
     assert n_anom > 0
     assert flagged.count() == good.count()
+
+
+# ---- NetCDF-4 / HDF5: the reference's ACTUAL committed fixture --------
+
+REF_NC = "/root/reference/tests/data/BO_TS_MO_FINO2.nc"
+
+
+def test_hdf5_reader_decodes_reference_fixture():
+    """The stdlib HDF5 subset reader decodes the reference's committed
+    CMEMS station file (notebooks/cmems.ipynb, tests/data/
+    BO_TS_MO_FINO2.nc): full PSAL series with CF packing and QC
+    companions — no xarray/h5py/netCDF4 anywhere."""
+    from tsod_spark.sources.hdf5 import H5File, decode_cmems_hdf5
+
+    content = open(REF_NC, "rb").read()
+    f = H5File(content)
+    links = f.links(f.root_addr)
+    assert {"TIME", "PSAL", "PSAL_QC", "TEMP", "TEMP_QC"} <= set(links)
+
+    pdf = decode_cmems_hdf5(content)
+    assert len(pdf) == 34797
+    assert str(pdf["ts"].iloc[0]) == "2015-10-01 00:00:00"
+    # Baltic surface salinity ≈ 8 PSU: packing applied correctly
+    assert 7.5 < pdf["value"].dropna().median() < 9.5
+    # CMEMS QC flag vocabulary; fill rows carry qc=9 (missing)
+    assert set(pdf["qc"].unique()) <= {0, 1, 2, 3, 4, 5, 6, 7, 8, 9}
+    assert (pdf["value"].isna() == (pdf["qc"] == 9)).all()
+
+
+def test_hdf5_reader_other_variables():
+    from tsod_spark.sources.hdf5 import decode_cmems_hdf5
+
+    content = open(REF_NC, "rb").read()
+    temp = decode_cmems_hdf5(content, variable="TEMP")
+    assert len(temp) == 34797
+    assert 0.0 < temp["value"].dropna().median() < 25.0  # Baltic SST
+
+
+def test_reference_notebook_workflow_on_spark(spark):
+    """The cmems.ipynb workflow end-to-end on the engine: ingest the
+    real station file distributed, project QC, validate a detector
+    against the independent QC labels (flag 1 = good)."""
+    from tsod_spark.detectors import RangeDetector
+    from tsod_spark.frame import TimeSeriesFrame
+    from tsod_spark.sources import qc_flag_projection, read_netcdf_fleet
+
+    out = read_netcdf_fleet(spark, REF_NC, variable="PSAL")
+    got = qc_flag_projection(out)
+    assert got.count() == 34797
+    by_flag = {r["qc"]: r["n"] for r in got.groupBy("qc").agg(
+        F.count("*").alias("n")).collect()}
+    assert by_flag[1] == 23488 and by_flag[9] == 9271
+
+    good = got.where("qc_is_good AND NOT isnan(value) AND value IS NOT NULL")
+    tsf = TimeSeriesFrame(good.withColumn("station", F.lit("FINO2")),
+                          series=["station"])
+    det = RangeDetector(quantiles=[0.001, 0.999]).fit(tsf)
+    flagged = det.detect(tsf)
+    n = flagged.count()
+    n_anom = flagged.where("is_anomaly").count()
+    assert n == 23488 and 0 < n_anom < n * 0.01

@@ -82,20 +82,30 @@ def read_netcdf_timeseries(
 
 
 def _decode_netcdf_bytes(content: bytes, variable: str, qc_suffix: str):
-    """Classic files via the stdlib codec; HDF5-based NetCDF-4 via
-    xarray when available."""
+    """Classic files via the stdlib NetCDF-3 codec; NetCDF-4/HDF5 via
+    the stdlib HDF5 subset reader (covers what netCDF-C emits for
+    CMEMS station files), falling back to xarray only for HDF5
+    features outside that subset."""
     if content[:3] == b"CDF":
         from .netcdf3 import decode_cmems  # noqa: PLC0415
 
         return decode_cmems(content, variable, qc_suffix)
+    unsupported = None
+    if content[:8] == b"\x89HDF\r\n\x1a\n":
+        from .hdf5 import UnsupportedHDF5, decode_cmems_hdf5  # noqa: PLC0415
+
+        try:
+            return decode_cmems_hdf5(content, variable, qc_suffix)
+        except UnsupportedHDF5 as e:
+            unsupported = e
     try:
         import io  # noqa: PLC0415
 
         import xarray as xr  # noqa: PLC0415
     except ImportError as e:  # pragma: no cover - xarray absent here
         raise NotImplementedError(
-            "NetCDF-4/HDF5 ingest needs xarray (not installed in this "
-            "environment); classic-format files decode without it"
+            "this NetCDF payload needs xarray (not installed in this "
+            f"environment); stdlib decode failed with: {unsupported}"
         ) from e
     ds = xr.open_dataset(io.BytesIO(content))  # pragma: no cover
     pdf = ds[[variable, variable + qc_suffix]].to_dataframe().reset_index()
