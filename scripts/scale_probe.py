@@ -128,6 +128,35 @@ def main():
 
         return olap.retention_cohorts(events(m))
 
+    def q_chunk_dedup(m):
+        docs = expanded(spark, "documents", m, {"doc_id": 10_000_000})
+        return dedup.chunk_dedup(docs)
+
+    def q_jaccard(m):
+        # horizontal growth for blocked-quadratic ops = MORE blocks of
+        # constant size (each expansion copy gets its own block space),
+        # matching the operator's contract. Growing block SIZE 10x is
+        # a different experiment: pairs grow 100x, and a measured run
+        # did 100x pairs in 11x wall (per-pair throughput UP 9x via the
+        # bucket decomposition) — intrinsic to exact in-block all-pairs,
+        # not a plan defect.
+        docs = expanded(spark, "documents", m, {"doc_id": 10_000_000})
+        docs = docs.withColumn(
+            "blk",
+            F.concat(
+                F.col("source"),
+                F.lit("#"),
+                (F.col("doc_id") / 10_000_000).cast("int"),
+            ),
+        )
+        return dedup.jaccard_pairs(docs, block_col="blk")
+
+    def q_mixture(m):
+        from tsod_spark.pipeline import curate
+
+        docs = expanded(spark, "documents", m, {"doc_id": 10_000_000})
+        return curate.mixture_sample(docs)
+
     QUERIES = {
         "combined_detect": q_combined,
         "asof_join": q_asof,
@@ -139,6 +168,9 @@ def main():
         "top_parts_rank": q_top_parts,
         "funnel": q_funnel,
         "retention": q_retention,
+        "chunk_dedup": q_chunk_dedup,
+        "jaccard_pairs": q_jaccard,
+        "mixture_sample": q_mixture,
     }
 
     # warmup
