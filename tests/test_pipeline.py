@@ -870,3 +870,29 @@ def test_canonical_docs_longest_wins(spark, docs):
     assert not out[0].is_canonical and not out[999999].is_canonical
     singles = [r for r in out.values() if r.group_size == 1]
     assert singles and all(r.is_canonical for r in singles)
+
+
+def test_incremental_new_docs(spark, docs):
+    """Batch vs corpus: exact corpus dup, near corpus dup, intra-batch
+    dup, and a genuinely new doc — only the new doc (and the first of
+    the intra-batch pair) survive."""
+    corpus = docs
+    base = docs.where(F.col("doc_id") == 0)
+    mk = lambda i, text_expr: base.select(  # noqa: E731
+        F.lit(i).alias("doc_id"), text_expr.alias("text"), "lang", "source", "n_chars"
+    )
+    batch = (
+        mk(1000001, F.col("text"))  # exact dup of corpus doc 0
+        .unionByName(mk(1000002, F.concat(F.col("text"), F.lit(" zz"))))  # near dup
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (1000003, "completely novel words nowhere else qqq www eee rrr ttt yyy uuu iii", "en", "srcX", 60),
+                    (1000004, "completely novel words nowhere else qqq www eee rrr ttt yyy uuu iii", "en", "srcX", 60),
+                ],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+        )
+    )
+    kept = {r.doc_id for r in dedup.incremental_new_docs(corpus, batch).collect()}
+    assert kept == {1000003}  # 1000004 is an intra-batch exact dup of 1000003

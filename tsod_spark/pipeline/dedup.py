@@ -665,3 +665,108 @@ def canonical_docs(
             (F.col("__rk") == 1).alias("is_canonical"),
         )
     )
+
+
+def _band_frame(sigs: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc_id, sig, band, key) with the full signature packed into one
+    64-char string — the minhash_band_pairs explode shape, reusable."""
+    r = k // bands
+    packed = F.concat(*[F.col(f"mh{i}") for i in range(k)])
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat(*[F.col(f"mh{b * r + i}") for i in range(r)])).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc_id",
+        packed.alias("sig"),
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select("doc_id", "sig", "bk.band", "bk.key")
+
+
+def _est_jaccard(a: str, b: str, k: int):
+    return F.round(
+        sum(
+            (
+                F.substring(F.col(f"{a}.sig"), 8 * i + 1, 8)
+                == F.substring(F.col(f"{b}.sig"), 8 * i + 1, 8)
+            ).cast("int")
+            for i in range(k)
+        )
+        / float(k),
+        6,
+    )
+
+
+def incremental_new_docs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Continuous-ingest dedup: which docs of a NEW batch may be
+    appended to an existing corpus. A batch doc is dropped if it is an
+    exact duplicate (same md5) or an LSH near-duplicate
+    (band collision with est_jaccard >= τ) of ANY corpus doc, or of an
+    EARLIER batch doc (lower doc_id) — so the appended set is
+    internally clean too.
+
+    Scale shape — the property that matters at 100 TB: the CORPUS side
+    never shuffles. The batch's band keys and content hashes are tiny
+    and BROADCAST; the corpus's signature/hash pipeline streams
+    map-side against them (broadcast hash joins), so each ingest tick
+    costs one corpus scan and zero corpus shuffles. In production the
+    corpus band/hash index would be persisted and incrementally
+    appended instead of recomputed — the join shape stays exactly the
+    same; this function takes the corpus frame so the demo is
+    self-contained.
+    """
+    bb = _band_frame(minhash_signatures(batch, text_col, k), k, bands).cache()
+    cb = _band_frame(minhash_signatures(corpus, text_col, k), k, bands)
+
+    near_corpus = (
+        cb.alias("c")
+        .join(
+            F.broadcast(bb.alias("b")),
+            (F.col("c.band") == F.col("b.band")) & (F.col("c.key") == F.col("b.key")),
+        )
+        .where(_est_jaccard("c", "b", k) >= min_est_jaccard)
+        .select(F.col("b.doc_id").alias("doc_id"))
+    )
+    bhash = batch.select("doc_id", F.md5(F.col(text_col)).alias("__h")).cache()
+    exact_corpus = (
+        corpus.select(F.md5(F.col(text_col)).alias("__h"))
+        .join(F.broadcast(bhash), "__h")
+        .select("doc_id")
+    )
+    a, b = bb.alias("a"), bb.alias("b")
+    near_intra = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(_est_jaccard("a", "b", k) >= min_est_jaccard)
+        .select(F.col("b.doc_id").alias("doc_id"))
+    )
+    h1, h2 = bhash.alias("h1"), bhash.alias("h2")
+    exact_intra = (
+        h1.join(
+            h2,
+            (F.col("h1.__h") == F.col("h2.__h"))
+            & (F.col("h1.doc_id") < F.col("h2.doc_id")),
+        )
+        .select(F.col("h2.doc_id").alias("doc_id"))
+    )
+    hits = (
+        near_corpus.unionByName(exact_corpus)
+        .unionByName(near_intra)
+        .unionByName(exact_intra)
+        .distinct()
+    )
+    return batch.join(F.broadcast(hits), "doc_id", "left_anti")

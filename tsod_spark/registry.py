@@ -1323,6 +1323,45 @@ def _mh_groups_sql(k: int = 8, bands: int = 4) -> str:
     FROM comp"""
 
 
+def _mh_incremental_sql(k: int = 8, bands: int = 4, tau: float = 0.5) -> str:
+    ctes, _ = _mh_pairs_parts(k, bands)
+    matches = " + ".join(f"CAST(a.mh{i} = b.mh{i} AS INT)" for i in range(k))
+    est = f"round(({matches}) / {float(k)}, 6)"
+    return f"""WITH {ctes},
+    bb AS (SELECT * FROM bands WHERE doc_id % 20 = 0),
+    cb AS (SELECT * FROM bands WHERE doc_id % 20 <> 0),
+    hits AS (
+      SELECT DISTINCT b.doc_id FROM cb a JOIN bb b
+        ON a.band = b.band AND a.key = b.key WHERE {est} >= {tau}
+      UNION
+      SELECT DISTINCT b.doc_id FROM bb a JOIN bb b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        WHERE {est} >= {tau}
+      UNION
+      SELECT b.doc_id FROM documents a JOIN documents b
+        ON md5(a.text) = md5(b.text)
+        WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+      UNION
+      SELECT b.doc_id FROM documents a JOIN documents b
+        ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 = 0)
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.doc_id % 20 = 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM hits)"""
+
+
+@register("dedup_incremental", _mh_incremental_sql())
+def dedup_incremental(spark, sf_dir):
+    """Continuous-ingest dedup: batch = every 20th doc, corpus = the
+    rest; survivors are batch docs that are neither exact nor LSH
+    near-dups (est_jaccard >= 0.5) of the corpus or of earlier batch
+    docs. Corpus side never shuffles (broadcast batch index)."""
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return dedup.incremental_new_docs(corpus, batch).select("doc_id", "source")
+
+
 @register("dedup_minhash_pairs", _mh_pairs_sql())
 def dedup_minhash_pairs(spark, sf_dir):
     return dedup.minhash_band_pairs(table(spark, sf_dir, "documents"))
