@@ -896,3 +896,43 @@ def test_incremental_new_docs(spark, docs):
     )
     kept = {r.doc_id for r in dedup.incremental_new_docs(corpus, batch).collect()}
     assert kept == {1000003}  # 1000004 is an intra-batch exact dup of 1000003
+
+
+def test_write_read_corpus_roundtrip(spark, docs, tmp_path):
+    """Curate -> export -> manifest -> reload: the full last mile."""
+    from tsod_spark.pipeline import corpus_io, curate
+
+    curated = (
+        curate.split_assign(docs)
+        .join(docs.select("doc_id", "text", "source"), "doc_id")
+        .withColumn("n_tokens", F.size(F.split(F.col("text"), r"\s+")))
+        .select("doc_id", "text", "source", "split", "n_tokens")
+    )
+    path = str(tmp_path / "corpus")
+    manifest = corpus_io.write_corpus(curated, path, partition_by=("split",))
+    assert manifest["n_docs"] == docs.count()
+    assert {p["split"] for p in manifest["partitions"]} <= {"train", "val", "test"}
+    assert manifest["n_tokens"] > 0
+
+    back, m2 = corpus_io.read_corpus(spark, path)
+    assert m2 == manifest
+    assert back.count() == docs.count()
+    assert set(back.columns) == {"doc_id", "text", "source", "split", "n_tokens"}
+    # partition pruning works on the hive layout
+    assert back.where("split = 'train'").count() == next(
+        p["n_docs"] for p in manifest["partitions"] if p["split"] == "train"
+    )
+
+
+def test_jsonl_interop(spark, docs, tmp_path):
+    from tsod_spark.pipeline import corpus_io
+
+    path = str(tmp_path / "corpus_jsonl")
+    corpus_io.write_jsonl(docs.select("doc_id", "text", "source"), path)
+    back = corpus_io.read_jsonl(
+        spark, path, schema="doc_id long, text string, source string"
+    )
+    assert back.count() == docs.count()
+    a = {r.doc_id: r.text for r in back.collect()}
+    b = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert a == b
