@@ -38,8 +38,10 @@ ALLOW_NLJ = {
     "doc_tfidf_topk",    # broadcast 1-row corpus-size crossJoin (lazy
                          # scalar for the idf denominator; linear)
 }
-# mapInPandas is the designed path here, not an accident
-ALLOW_PY = {"mm_decode", "mm_resize", "mm_frames", "mm_real_decode"}
+# mapInPandas is the designed path here, not an accident; ts_ewma is a
+# sequential recurrence (no Spark scan/fold builtin) running pandas'
+# vectorized C ewm kernel per series via applyInPandas
+ALLOW_PY = {"mm_decode", "mm_resize", "mm_frames", "mm_real_decode", "ts_ewma"}
 
 
 def main() -> int:

