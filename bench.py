@@ -66,6 +66,12 @@ def main():
     table(spark, sf_dir, "events").limit(256).select(
         F.sum("value").over(_W.partitionBy("user_id").orderBy("ts")).alias("s")
     ).write.format("noop").mode("overwrite").save()
+    # python-worker + Arrow-serde warmup: the first mapInPandas stage
+    # otherwise pays worker fork + Arrow init (~2s) inside whichever
+    # python-path query happens to run first
+    table(spark, sf_dir, "documents").limit(32).select("doc_id").mapInPandas(
+        lambda it: it, "doc_id long"
+    ).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
     import gc
