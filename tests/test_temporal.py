@@ -135,3 +135,72 @@ def test_ewma_recurrence_and_null_carry(spark):
     assert out[4] == out[3]  # carry-forward across the gap
     assert out[5] == 0.75 * 5.0 + 0.25 * 0.0  # gap invisible to recurrence
     assert out[6] == 10.0  # independent series
+
+
+def test_range_join_bucketized_matches_naive(spark):
+    """The bucketized equi-join decomposition must produce exactly the
+    pairs of the naive BETWEEN predicate, across bucket sizes."""
+    import datetime as dt
+
+    from tsod_spark.analytics.temporal import range_join
+
+    t0 = dt.datetime(2021, 1, 1)
+    events = spark.createDataFrame(
+        [(u, i, t0 + dt.timedelta(minutes=7 * i + u)) for u in (1, 2) for i in range(60)],
+        "user_id long, event_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, 100, t0 + dt.timedelta(minutes=30), t0 + dt.timedelta(minutes=90)),
+            (1, 101, t0 + dt.timedelta(minutes=85), t0 + dt.timedelta(minutes=86)),
+            (2, 102, t0 - dt.timedelta(minutes=60), t0),  # boundary-inclusive
+        ],
+        "user_id long, iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    naive = {
+        (r.event_id, r.iv_id)
+        for r in events.join(
+            iv,
+            (events.user_id == iv.user_id)
+            & (events.ts >= iv.start_ts)
+            & (events.ts <= iv.end_ts),
+        ).collect()
+    }
+    assert naive  # sanity: overlaps exist, including an exact boundary
+    for bsec in (600, 3600, 7200):
+        got = {
+            (r.event_id, r.iv_id)
+            for r in range_join(
+                events, iv, ["user_id"], bucket_seconds=bsec
+            ).collect()
+        }
+        assert got == naive, f"bucket={bsec}"
+
+
+def test_rollup_hierarchy_levels_consistent(spark):
+    """Day-level partials re-aggregated from hour level must equal a
+    direct day aggregation; the raw frame is scanned once."""
+    from tsod_spark import registry
+    from tsod_spark.analytics.temporal import rollup_hierarchy
+
+    df = registry.table(spark, "/root/testdata/sf0.001", "events")
+    out = rollup_hierarchy(df, keys=("event_type",), levels=("hour", "day"))
+    rows = out.collect()
+    hours = [r for r in rows if r.level == "hour"]
+    days = [r for r in rows if r.level == "day"]
+    assert hours and days
+    # per (event_type, day): sum of hour-level n equals day-level n
+    from collections import defaultdict
+
+    agg = defaultdict(int)
+    for r in hours:
+        agg[(r.event_type, r.bucket.date())] += r.n
+    for r in days:
+        assert agg[(r.event_type, r.bucket.date())] == r.n
+    # one raw scan total: every level consumer (the output union AND
+    # the next level's aggregation) reads the previous level's cached
+    # materialization, never raw. (Textual parquet-scan counting is
+    # meaningless here: InMemoryRelation nodes embed their build plan.)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert p.count("InMemoryTableScan") >= 3
+    spark.catalog.clearCache()

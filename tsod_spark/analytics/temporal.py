@@ -277,3 +277,115 @@ def ewma(
         else:
             schema_parts.append(f"{c} {dict(df.dtypes)[c]}")
     return df.groupBy(*keys).applyInPandas(kernel, ", ".join(schema_parts))
+
+
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval range join, decomposed into an EQUI-join.
+
+    The naive ``l.ts BETWEEN i.start AND i.end`` predicate gives Spark
+    no equi-key beyond ``keys`` — low-cardinality keys degenerate into
+    near-cross products (and keyless input into BroadcastNestedLoop).
+    The scale-correct shape: explode each interval into the coarse
+    time BUCKETS it covers, hash-join rows to interval-buckets on
+    ``(keys..., bucket)``, then post-filter the exact bounds. Shuffle
+    volume is rows + interval·buckets_covered — linear as long as
+    ``bucket_seconds`` is chosen near the typical interval length
+    (cost knob, not correctness knob).
+
+    Inclusive bounds on both ends (``BETWEEN`` semantics). Returns
+    left rows matched with every covering interval's columns.
+    """
+    def bstart(col: str) -> Column:
+        # epoch-aligned tumbling grid, plain arithmetic (F.window can't
+        # appear twice in one projection)
+        return F.timestamp_seconds(
+            F.floor(F.unix_seconds(F.col(col)) / bucket_seconds).cast("long")
+            * bucket_seconds
+        )
+
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                bstart(start_col),
+                bstart(end_col),
+                F.expr(f"INTERVAL {bucket_seconds} SECOND"),
+            )
+        ),
+    )
+    lt = left.withColumn("__b", bstart(ts_col))
+    cond = [lt[c] == iv[c] for c in keys] + [lt["__b"] == iv["__b"]]
+    out = lt.join(iv, cond, "inner").where(
+        (lt[ts_col] >= iv[start_col]) & (lt[ts_col] <= iv[end_col])
+    )
+    return out.select(
+        *[lt[c] for c in left.columns],
+        *[iv[c] for c in intervals.columns if c not in keys],
+    )
+
+
+def rollup_hierarchy(
+    df: DataFrame,
+    keys: Sequence[str] = (),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    levels: Sequence[str] = ("hour", "day"),
+) -> DataFrame:
+    """Hypertable-style multi-resolution continuous-aggregate rollup:
+    one pass over the raw data builds the FINEST level; every coarser
+    level re-aggregates the previous level's partials (count/sum
+    in exact integer cents, min/max) — the raw table is scanned ONCE
+    no matter how many levels, which is what makes a 100 TB hypertable
+    rollup a cheap nightly job instead of L full scans. Output is the
+    union of all levels tagged with a ``level`` column; avg is derived
+    at the end from exact sums.
+    """
+    from ..expressions import nan_to_null
+
+    cents = F.round(nan_to_null(F.col(value_col)) * 100).cast("long")
+    finest, *coarser = levels
+    cur = (
+        df.groupBy(*keys, F.date_trunc(finest, F.col(ts_col)).alias("bucket"))
+        .agg(
+            F.count(cents).alias("n"),
+            F.sum(cents).alias("sum_cents"),
+            F.min(cents).alias("min_cents"),
+            F.max(cents).alias("max_cents"),
+        )
+        # each level IS the materialized continuous aggregate (tiny:
+        # bounded by time-span x key cardinality, not row count); the
+        # cache makes the output union and the next level read it
+        # instead of re-scanning raw — Catalyst has no cross-branch CSE
+        .cache()
+    )
+    out = cur.withColumn("level", F.lit(finest))
+    for lvl in coarser:
+        cur = (
+            cur.groupBy(*keys, F.date_trunc(lvl, F.col("bucket")).alias("bucket"))
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_cents").alias("sum_cents"),
+                F.min("min_cents").alias("min_cents"),
+                F.max("max_cents").alias("max_cents"),
+            )
+            .cache()
+        )
+        out = out.unionByName(cur.withColumn("level", F.lit(lvl)))
+    return out.select(
+        "level",
+        *keys,
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sum_cents") / 100.0, 6).alias("sum_value"),
+        F.round(F.col("min_cents") / 100.0, 6).alias("min_value"),
+        F.round(F.col("max_cents") / 100.0, 6).alias("max_value"),
+        F.round(F.col("sum_cents") / (100.0 * F.col("n")), 6).alias("avg_value"),
+    )

@@ -786,6 +786,64 @@ def ts_ewma(spark, sf_dir):
 
 
 @register(
+    "events_range_join",
+    """WITH p AS (SELECT user_id, event_id AS p_event_id,
+           ts - INTERVAL 30 MINUTE AS start_ts,
+           ts + INTERVAL 30 MINUTE AS end_ts
+       FROM events WHERE event_type = 'purchase')
+    SELECT e.event_id, p.p_event_id
+    FROM events e JOIN p
+      ON e.user_id = p.user_id AND e.ts >= p.start_ts AND e.ts <= p.end_ts""",
+)
+def events_range_join(spark, sf_dir):
+    """Point-in-interval range join (every event inside ±30min of a
+    same-user purchase), decomposed into a bucketized EQUI-join — the
+    naive BETWEEN predicate has no equi-key and degenerates toward a
+    per-user cross product; this shape shuffles rows + interval-buckets
+    and hash-joins. Oracle: the plain inequality join."""
+    e = table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_event_id"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTE")).alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("end_ts"),
+    )
+    out = temporal.range_join(
+        e.select("user_id", "event_id", "ts"), p, ["user_id"], bucket_seconds=1800
+    )
+    return out.select("event_id", "p_event_id")
+
+
+@register(
+    "events_rollup_hierarchy",
+    """WITH c AS (SELECT event_type, ts,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100) AS BIGINT) AS vc
+       FROM events),
+    h AS (SELECT 'hour' AS level, event_type, date_trunc('hour', ts) AS bucket,
+                 count(vc) AS n, sum(vc) AS s, min(vc) AS mn, max(vc) AS mx
+          FROM c GROUP BY 2, 3),
+    d AS (SELECT 'day' AS level, event_type, date_trunc('day', ts) AS bucket,
+                 count(vc) AS n, sum(vc) AS s, min(vc) AS mn, max(vc) AS mx
+          FROM c GROUP BY 2, 3),
+    u AS (SELECT * FROM h UNION ALL SELECT * FROM d)
+    SELECT level, event_type, bucket, CAST(n AS BIGINT) AS n,
+           round(s / 100.0, 6) AS sum_value,
+           round(mn / 100.0, 6) AS min_value,
+           round(mx / 100.0, 6) AS max_value,
+           round(s / (100.0 * n), 6) AS avg_value
+    FROM u""",
+)
+def events_rollup_hierarchy(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup (hour -> day in one
+    raw scan; coarser levels re-aggregate the finer level's exact
+    integer-cent partials). Oracle aggregates each level from raw —
+    identical results because count/sum/min/max are associative."""
+    return temporal.rollup_hierarchy(
+        table(spark, sf_dir, "events"), keys=("event_type",), levels=("hour", "day")
+    )
+
+
+@register(
     "ts_asof_tolerance",
     """WITH p AS (SELECT user_id, ts, CASE WHEN isnan(value) THEN NULL ELSE value END AS value
            FROM events WHERE event_type = 'purchase'),
