@@ -204,3 +204,36 @@ def test_rollup_hierarchy_levels_consistent(spark):
     p = out._jdf.queryExecution().executedPlan().toString()
     assert p.count("InMemoryTableScan") >= 3
     spark.catalog.clearCache()
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Bucketized interval-overlap must equal the naive predicate,
+    emitting each overlapping pair exactly once across bucket sizes."""
+    import datetime as dt
+
+    from tsod_spark.analytics.temporal import interval_overlap_join
+
+    t0 = dt.datetime(2021, 1, 1)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [
+            (u, i, t0 + dt.timedelta(minutes=s), t0 + dt.timedelta(minutes=e))
+            for u, i, s, e in rows
+        ],
+        "user_id long, iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    a = mk([(1, 1, 0, 120), (1, 2, 200, 260), (2, 3, 0, 30)])
+    b = mk([(1, 10, 60, 300), (1, 11, 119, 121), (1, 12, 500, 600), (2, 13, 30, 40)])
+    naive = {
+        (ra.iv_id, rb.iv_id)
+        for ra in a.collect()
+        for rb in b.collect()
+        if ra.user_id == rb.user_id
+        and ra.start_ts <= rb.end_ts
+        and rb.start_ts <= ra.end_ts
+    }
+    assert (2, 13) not in naive and (1, 10) in naive and (2, 3) is not None
+    assert (3, 13) in naive  # boundary touch counts (inclusive)
+    for bsec in (600, 3600, 86400):
+        rows = interval_overlap_join(a, b, ["user_id"], bucket_seconds=bsec).collect()
+        got = [(r.iv_id, r.iv_id_b) for r in rows]
+        assert sorted(got) == sorted(naive), f"bucket={bsec}"  # exactly-once

@@ -389,3 +389,65 @@ def rollup_hierarchy(
         F.round(F.col("max_cents") / 100.0, 6).alias("max_value"),
         F.round(F.col("sum_cents") / (100.0 * F.col("n")), 6).alias("avg_value"),
     )
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    keys: Sequence[str],
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 3600,
+    suffix: str = "_b",
+) -> DataFrame:
+    """Interval×interval overlap join (``a.start <= b.end AND b.start
+    <= a.end``, inclusive), bucketized like :func:`range_join`.
+
+    Both sides explode into the epoch-aligned buckets they cover and
+    equi-join on ``(keys, bucket)``. A pair overlapping several shared
+    buckets would match once per bucket, so each pair is attributed to
+    ONE canonical bucket — the bucket of ``greatest(a.start,
+    b.start)``, which every overlapping pair covers on both sides —
+    making the join emit each pair exactly once with no ``distinct``
+    shuffle. Output: ``a``'s columns plus ``b``'s non-key columns
+    renamed with ``suffix``.
+    """
+    keys = list(keys)
+
+    def bstart(c: Column) -> Column:
+        return F.timestamp_seconds(
+            F.floor(F.unix_seconds(c) / bucket_seconds).cast("long")
+            * bucket_seconds
+        )
+
+    def explode_buckets(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__bk",
+            F.explode(
+                F.sequence(
+                    bstart(F.col(s)),
+                    bstart(F.col(e)),
+                    F.expr(f"INTERVAL {bucket_seconds} SECOND"),
+                )
+            ),
+        )
+
+    b_ren = b.select(
+        *keys,
+        *[F.col(c).alias(f"{c}{suffix}") for c in b.columns if c not in keys],
+    )
+    ea = explode_buckets(a, start_col, end_col).alias("a")
+    eb = explode_buckets(
+        b_ren, f"{start_col}{suffix}", f"{end_col}{suffix}"
+    ).alias("b")
+    sa, ea_end = F.col(f"a.{start_col}"), F.col(f"a.{end_col}")
+    sb, eb_end = F.col(f"b.{start_col}{suffix}"), F.col(f"b.{end_col}{suffix}")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in keys] + [
+        F.col("a.__bk") == F.col("b.__bk")
+    ]
+    joined = ea.join(eb, cond).where(
+        (sa <= eb_end) & (sb <= ea_end) & (F.col("a.__bk") == bstart(F.greatest(sa, sb)))
+    )
+    return joined.select(
+        *[F.col(f"a.{c}") for c in a.columns],
+        *[F.col(f"b.{c}{suffix}") for c in b.columns if c not in keys],
+    )

@@ -815,6 +815,35 @@ def events_range_join(spark, sf_dir):
 
 
 @register(
+    "events_interval_overlap",
+    """WITH p AS (SELECT user_id, event_id AS iv_id,
+           ts - INTERVAL 30 MINUTE AS start_ts,
+           ts + INTERVAL 30 MINUTE AS end_ts
+       FROM events WHERE event_type = 'purchase')
+    SELECT a.iv_id AS iv_a, b.iv_id AS iv_b
+    FROM p a JOIN p b
+      ON a.user_id = b.user_id AND a.iv_id < b.iv_id
+     AND a.start_ts <= b.end_ts AND b.start_ts <= a.end_ts""",
+)
+def events_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap self-join (same-user purchase windows
+    within 60min of each other), bucketized with exactly-once pair
+    emission via canonical-bucket attribution. Oracle: the naive
+    inequality self-join."""
+    e = table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("iv_id"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTE")).alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("end_ts"),
+    )
+    out = temporal.interval_overlap_join(p, p, ["user_id"], bucket_seconds=1800)
+    return out.where(F.col("iv_id") < F.col("iv_id_b")).select(
+        F.col("iv_id").alias("iv_a"), F.col("iv_id_b").alias("iv_b")
+    )
+
+
+@register(
     "events_rollup_hierarchy",
     """WITH c AS (SELECT event_type, ts,
            CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100) AS BIGINT) AS vc
