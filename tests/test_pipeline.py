@@ -936,3 +936,23 @@ def test_jsonl_interop(spark, docs, tmp_path):
     a = {r.doc_id: r.text for r in back.collect()}
     b = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
     assert a == b
+
+
+def test_contamination_stats_planted(spark, docs):
+    """A corpus doc sharing a 5-gram with the benchmark slice drives
+    its source's contamination count; untouched sources report 0."""
+    from tsod_spark.pipeline import curate
+
+    bench = spark.createDataFrame(
+        [(900001, "alpha beta gamma delta epsilon zeta", "bench", "en", 30)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    leak = spark.createDataFrame(
+        [(900002, "x alpha beta gamma delta epsilon y", "srcLeak", "en", 30),
+         (900003, "totally clean words here nothing shared", "srcClean", "en", 30)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = {r.source: r for r in curate.contamination_stats(leak, bench).collect()}
+    assert out["srcLeak"].n_contaminated == 1
+    assert out["srcLeak"].contamination_rate == 1.0
+    assert out["srcClean"].n_contaminated == 0 and out["srcClean"].contamination_rate == 0.0

@@ -379,3 +379,36 @@ def stratified_sample(
         .where(F.col("rk") <= per_stratum)
         .select(id_col, stratum_col, F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+def contamination_stats(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    group_col: str = "source",
+) -> DataFrame:
+    """Eval-integrity report: per ``group_col`` (source/domain), how
+    much of the corpus collides with the benchmark n-gram set — the
+    table a data-governance review reads before a training run
+    ("which supplier's crawl is leaking the eval sets?").
+
+    Same broadcast-benchmark shape as :func:`decontaminate` (the
+    corpus never shuffles for the marking; only the tiny per-doc flag
+    frame aggregates by group), plus a per-group contamination rate
+    in exact int64 counts with one final rounded division.
+    """
+    per_doc = decontaminate(docs, benchmark, text_col, n)
+    flagged = docs.select("doc_id", group_col).join(
+        per_doc.select("doc_id", "is_contaminated"), "doc_id"
+    )
+    n_docs = F.count(F.lit(1)).cast("long")
+    n_bad = F.sum(F.col("is_contaminated").cast("int")).cast("long")
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            n_docs.alias("n_docs"),
+            n_bad.alias("n_contaminated"),
+            F.round(n_bad / n_docs, 6).alias("contamination_rate"),
+        )
+    )

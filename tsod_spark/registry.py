@@ -3034,6 +3034,35 @@ def emb_label_centroids(spark, sf_dir):
 
 
 @register(
+    "doc_contamination_stats",
+    f"""WITH bt AS (SELECT {TOKS} AS t FROM documents WHERE source = 'src0'),
+    bg AS (SELECT DISTINCT unnest({_shingle_sql('t', 5)}) AS g FROM bt),
+    dt AS (SELECT doc_id, source, {TOKS} AS t FROM documents
+           WHERE source <> 'src0'),
+    dg AS (SELECT doc_id, source, unnest({_shingle_sql('t', 5)}) AS g FROM dt),
+    hit AS (SELECT doc_id, max(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS h
+            FROM dg LEFT JOIN bg ON dg.g = bg.g GROUP BY doc_id),
+    f AS (SELECT d.doc_id, d.source, coalesce(h.h, 0) AS h
+          FROM (SELECT doc_id, source FROM documents WHERE source <> 'src0') d
+          LEFT JOIN hit h ON h.doc_id = d.doc_id)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(h) AS BIGINT) AS n_contaminated,
+           round(sum(h) / CAST(count(*) AS DOUBLE), 6) AS contamination_rate
+    FROM f GROUP BY source""",
+)
+def doc_contamination_stats(spark, sf_dir):
+    """Per-source contamination rates against the src0 benchmark slice
+    — the eval-integrity table a governance review reads ("which
+    supplier's crawl leaks the eval sets?"). Broadcast-benchmark shape;
+    corpus never shuffles for the marking."""
+    docs = table(spark, sf_dir, "documents")
+    return curate.contamination_stats(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+    )
+
+
+@register(
     "doc_chunk_dedup",
     f"""WITH t AS (SELECT doc_id, {TOKS} AS t FROM documents),
     b AS (SELECT doc_id, CAST(ceil(len(t) / 10.0) AS BIGINT) AS n_total, t FROM t),
