@@ -210,3 +210,14 @@ def test_simhash_pairs_single_materialization(t):
     assert p.count("InMemoryTableScan") == 2
     assert p.count("Join") <= 2  # one self-join (name appears per side at most)
     df.sparkSession.catalog.clearCache()
+
+
+def test_latest_by_key_single_shuffle(t):
+    """CDC keep-last: one hash-partitioned window shuffle, nothing else."""
+    import re
+
+    from tsod_spark.analytics import olap
+
+    p = plan(olap.latest_by_key(t("events")))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert p.count("hashpartitioning(user_id") == 1

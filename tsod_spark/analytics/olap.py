@@ -258,3 +258,26 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
             F.col("n_active") / F.first("n_active").over(w0), 6
         ).alias("retention"),
     )
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys=("user_id",),
+    ts_col: str = "ts",
+    tiebreak=("event_id",),
+) -> DataFrame:
+    """CDC/upsert compaction: the LATEST record per key by event time
+    (greatest ``ts``, ties broken by the highest ``tiebreak`` — arrival
+    order). The keep-last step of every merge-on-read ingestion
+    pipeline; at scale this is ONE hash-partitioned window shuffle and
+    the map-side-combinable alternative (``max_by`` on a packed
+    struct) shares the same exchange, so the window form is the
+    simplest plan that is also the right one.
+    """
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -815,6 +815,22 @@ def events_range_join(spark, sf_dir):
 
 
 @register(
+    "events_latest_by_key",
+    """WITH r AS (SELECT *, row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       FROM events)
+    SELECT event_id, user_id, event_type FROM r WHERE rn = 1""",
+)
+def events_latest_by_key(spark, sf_dir):
+    """CDC/upsert compaction: latest event per user (keep-last of
+    merge-on-read ingestion). One hash-partitioned window shuffle."""
+    from .analytics import olap
+
+    out = olap.latest_by_key(table(spark, sf_dir, "events"))
+    return out.select("event_id", "user_id", "event_type")
+
+
+@register(
     "events_interval_overlap",
     """WITH p AS (SELECT user_id, event_id AS iv_id,
            ts - INTERVAL 30 MINUTE AS start_ts,
