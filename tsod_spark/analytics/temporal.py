@@ -242,11 +242,18 @@ def ewma(
     A sequential recurrence does NOT decompose into Spark window
     functions (no scan/fold builtin, and the closed-form power trick
     overflows on long series), so this is the documented legitimate
-    ``applyInPandas`` case: one Arrow batch per series, the recurrence
-    runs in pandas' vectorized C ``ewm`` kernel (zero per-row Python),
-    and the per-series partition is the irreducible unit of sequential
-    state — exactly what a 1000-executor cluster parallelizes over.
-    Memory bound = one series per task (a single sensor's history).
+    ``applyInPandas`` case: the recurrence runs in pandas' vectorized C
+    ``ewm`` kernel (zero per-row Python math), and the per-series
+    partition is the irreducible unit of sequential state — exactly
+    what a 1000-executor cluster parallelizes over.
+
+    Batching: grouping Spark-side by the raw series key ships ONE Arrow
+    batch per series — for many small series the per-batch overhead
+    dominates (measured 4.6s for 1.5k series at sf0.1). Instead the
+    shuffle key is ``hash(series) % n_buckets`` and the kernel runs the
+    per-series recurrence inside each bucket — 23× fewer Arrow batches,
+    same results, and per-task memory is bounded by corpus/n_buckets
+    (raise ``n_buckets`` for bigger corpora).
 
     Cross-engine exactness: with ``adjust=False`` pandas computes
     ``((1-α)·y + α·x) / ((1-α) + α)`` — for α whose complement is an
@@ -257,18 +264,20 @@ def ewma(
     import pandas as pd  # noqa: PLC0415
 
     keys = list(series)
-    order = [ts_col, *tiebreak]
+    order = keys + [ts_col, *tiebreak]
     out_fields = keys + list(tiebreak) + [ts_col, out_col]
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order)
-        v = pdf[value_col]
-        compact = v.dropna()
-        y = compact.ewm(alpha=alpha, adjust=False).mean()
-        out = y.reindex(v.index).ffill()
-        # no rounding here: pandas .round is half-even, Spark/DuckDB
-        # round() is half-away — callers round JVM-side for parity
-        return pdf.assign(**{out_col: out})[out_fields]
+        parts = []
+        for _, g in pdf.groupby(keys, sort=False):
+            v = g[value_col]
+            compact = v.dropna()
+            y = compact.ewm(alpha=alpha, adjust=False).mean()
+            # no rounding here: pandas .round is half-even, Spark/DuckDB
+            # round() is half-away — callers round JVM-side for parity
+            parts.append(g.assign(**{out_col: y.reindex(v.index).ffill()}))
+        return pd.concat(parts)[out_fields]
 
     schema_parts = []
     for c in out_fields:
@@ -276,7 +285,13 @@ def ewma(
             schema_parts.append(f"{out_col} double")
         else:
             schema_parts.append(f"{c} {dict(df.dtypes)[c]}")
-    return df.groupBy(*keys).applyInPandas(kernel, ", ".join(schema_parts))
+    n_buckets = df.sparkSession.sparkContext.defaultParallelism * 2
+    bucket = F.pmod(F.xxhash64(*keys), F.lit(n_buckets))
+    return (
+        df.withColumn("__bk", bucket)
+        .groupBy("__bk")
+        .applyInPandas(kernel, ", ".join(schema_parts))
+    )
 
 
 def range_join(
