@@ -72,6 +72,14 @@ def main():
     table(spark, sf_dir, "documents").limit(32).select("doc_id").mapInPandas(
         lambda it: it, "doc_id long"
     ).write.format("noop").mode("overwrite").save()
+    # CC-loop warmup: the label-propagation family compiles many small
+    # per-iteration plans; the first CC query in rotation order
+    # otherwise absorbs ~8s of codegen that isn't its own cost
+    from tsod_spark.pipeline import dedup as _dedup
+
+    _dedup.minhash_duplicate_groups(
+        table(spark, sf_dir, "documents").limit(64)
+    ).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
     import gc
