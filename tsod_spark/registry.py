@@ -1711,6 +1711,42 @@ def _bucket_sql(vec: str = "embedding") -> str:
 
 
 @register(
+    "emb_quantize",
+    f"""WITH b AS (SELECT vec_id, {EMB_D} AS x FROM embeddings),
+    s AS (SELECT vec_id, x, list_min(x) AS mn, list_max(x) AS mx FROM b),
+    q AS (SELECT vec_id, x, mn, (mx - mn) / 255.0 AS sc FROM s),
+    c AS (SELECT vec_id, x, mn, sc,
+            CASE WHEN sc > 0
+                 THEN list_transform(x, v -> CAST(floor((v - mn) / sc + 0.5) AS INT))
+                 ELSE list_transform(x, v -> 0) END AS codes FROM q),
+    d AS (SELECT vec_id, x, mn, sc, codes,
+            list_transform(codes, cc -> mn + cc * sc) AS deq FROM c)
+    SELECT vec_id,
+           array_to_string(list_transform(codes, cc -> CAST(cc AS VARCHAR)), ',') AS codes,
+           round(mn, 6) AS q_min, round(sc, 9) AS q_scale,
+           round(list_sum(list_transform(range(1, len(x) + 1),
+                 i -> (x[i] - deq[i]) * (x[i] - deq[i]))) / len(x), 9) AS mse
+    FROM d""",
+)
+def emb_quantize(spark, sf_dir):
+    """Per-vector int8-range scalar quantization with in-line
+    reconstruction MSE — pure array-HOF column algebra, explicit
+    floor(+0.5) rounding so both engines derive identical codes.
+    Codes serialize to a CSV string for the driver's scalar-column
+    value hash."""
+    out = similarity.quantize_embeddings(table(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",").alias(
+            "codes"
+        ),
+        "q_min",
+        "q_scale",
+        "mse",
+    )
+
+
+@register(
     "emb_lsh_buckets",
     f"""SELECT {_bucket_sql()} AS bucket, CAST(count(*) AS BIGINT) AS n_vectors
     FROM embeddings GROUP BY 1""",
