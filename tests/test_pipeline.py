@@ -991,3 +991,21 @@ def test_quantize_embeddings_roundtrip(spark):
         assert all(0 <= c <= 255 for c in r.codes)
         if r.q_scale > 0:
             assert r.mse <= (r.q_scale / 2) ** 2 + 1e-12
+
+
+def test_audio_energy_windows_real_wav(spark):
+    """Real PCM parsing: constant-amplitude WAV gives every window the
+    same quantized RMS; the tail window is short; images are skipped."""
+    from tsod_spark.pipeline import multimodal
+
+    ids = spark.createDataFrame([(2,), (5,), (3,)], "doc_id long")  # 2,5 audio; 3 image
+    out = multimodal.audio_energy_windows(multimodal.synthetic_assets(ids)).collect()
+    by_asset = {}
+    for r in out:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    assert set(by_asset) == {2, 5}
+    for aid, rows in by_asset.items():
+        n = 50 + aid % 100
+        assert sum(r.n_samples for r in rows) == n
+        assert len(rows) == -(-n // 25)
+        assert all(r.rms_q == aid % 128 for r in rows)

@@ -1995,6 +1995,31 @@ def mm_frames(spark, sf_dir):
 
 
 @register(
+    "mm_audio_energy",
+    """WITH a AS (SELECT doc_id AS asset_id, 50 + doc_id % 100 AS n,
+                        doc_id % 128 AS amp8
+           FROM documents WHERE doc_id % 3 = 2),
+    w AS (SELECT asset_id, CAST(u.w AS INT) AS win_id, n, amp8
+          FROM a, unnest(range(0, CAST(ceil(n / 25.0) AS BIGINT))) AS u(w))
+    SELECT asset_id, win_id,
+           CAST(CASE WHEN (win_id + 1) * 25 <= n THEN 25
+                     ELSE n - win_id * 25 END AS INT) AS n_samples,
+           CAST(amp8 AS INT) AS rms_q
+    FROM w""",
+)
+def mm_audio_energy(spark, sf_dir):
+    """Windowed RMS energy over REAL PCM WAV payloads (stdlib decode in
+    Arrow mapInPandas). The synthetic WAVs hold constant amplitude
+    256*(id%128) over 50+id%100 samples, so the oracle predicts every
+    window's quantized RMS arithmetically — full value parity through
+    actual byte-level DSP."""
+    assets = multimodal.synthetic_assets(table(spark, sf_dir, "documents"))
+    return multimodal.audio_energy_windows(assets)
+
+
+
+
+@register(
     "mm_real_decode",
     """WITH ids AS (SELECT doc_id AS asset_id FROM documents),
     d AS (
