@@ -1009,3 +1009,26 @@ def test_audio_energy_windows_real_wav(spark):
         assert sum(r.n_samples for r in rows) == n
         assert len(rows) == -(-n // 25)
         assert all(r.rms_q == aid % 128 for r in rows)
+
+
+def test_resize_pixels_roundtrip(spark):
+    """Pixel path: 16x12 gray BMP -> max_side 8 -> 8x6 P6 whose decoded
+    bytes preserve the gray value; small images pass through unscaled."""
+    from tsod_spark.pipeline import multimodal
+
+    ids = spark.createDataFrame([(12,), (1,)], "doc_id long")  # 12: BMP 16x... compute
+    assets = multimodal.synthetic_assets(ids)
+    resized = multimodal.resize_images_pixels(assets, max_side=8)
+    out = {r.asset_id: r for r in multimodal.decode_assets(
+        resized, decode_stub=False).collect()}
+    for aid, r in out.items():
+        w = 4 + aid % 13 if aid % 3 == 0 else 5 + aid % 9
+        h = 3 + aid % 11 if aid % 3 == 0 else 2 + aid % 7
+        sc = min(1.0, 8.0 / max(w, h))
+        assert (r.width, r.height) == (-(-w * sc // 1), -(-h * sc // 1)) or (
+            r.width == int(-(-(w * sc)) // 1)
+        )
+        import math
+        assert r.width == math.ceil(w * sc) and r.height == math.ceil(h * sc)
+        v = aid % 256 if aid % 3 == 0 else (7 * aid) % 256
+        assert r.mean_brightness == v  # constant gray survives resampling

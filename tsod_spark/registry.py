@@ -1995,6 +1995,36 @@ def mm_frames(spark, sf_dir):
 
 
 @register(
+    "mm_resize_pixels",
+    """WITH a AS (SELECT doc_id AS asset_id,
+        CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 13 ELSE 5 + doc_id % 9 END AS w,
+        CASE doc_id % 3 WHEN 0 THEN 3 + doc_id % 11 ELSE 2 + doc_id % 7 END AS h,
+        CASE doc_id % 3 WHEN 0 THEN doc_id % 256 ELSE (7 * doc_id) % 256 END AS v
+      FROM documents WHERE doc_id % 3 IN (0, 1)),
+    s AS (SELECT asset_id, w, h, v,
+                 least(1.0, 8.0 / greatest(w, h)) AS sc FROM a)
+    SELECT asset_id, 'image' AS kind,
+           CAST(ceil(w * sc) AS INT) AS width,
+           CAST(ceil(h * sc) AS INT) AS height,
+           CAST(1 AS INT) AS n_frames,
+           CAST(v AS INT) AS mean_brightness
+    FROM s""",
+)
+def mm_resize_pixels(spark, sf_dir):
+    """REAL pixel thumbnailing end-to-end: decode BMP/PPM pixels,
+    nearest-neighbor resample to max side 8, re-encode as P6, then
+    RE-DECODE the produced bytes with the stdlib codec. The oracle
+    predicts the resized dimensions arithmetically and the brightness
+    invariance (constant-gray sources) — value parity through two real
+    byte-level codec passes and an actual pixel transform."""
+    assets = multimodal.synthetic_assets(table(spark, sf_dir, "documents"))
+    resized = multimodal.resize_images_pixels(assets, max_side=8)
+    return multimodal.decode_assets(resized, decode_stub=False).select(
+        "asset_id", "kind", "width", "height", "n_frames", "mean_brightness"
+    )
+
+
+@register(
     "mm_audio_energy",
     """WITH a AS (SELECT doc_id AS asset_id, 50 + doc_id % 100 AS n,
                         doc_id % 128 AS amp8
