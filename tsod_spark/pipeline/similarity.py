@@ -266,21 +266,34 @@ def quantize_embeddings(
     halves; floor-multiply is the portable spelling). Constant vectors
     (scale 0) encode as code 0 and reconstruct exactly.
     """
-    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    mn = F.array_min(x)
-    mx = F.array_max(x)
-    scale = (mx - mn) / F.lit(float(levels))
+    # stage per-vector scalars into columns FIRST: a lambda that
+    # references array_min(x) re-evaluates it per element (O(d²) per
+    # vector — measured 3.1s vs 0.6s at sf0.1)
+    staged = embeddings.select(
+        "vec_id",
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("__x"),
+    ).select(
+        "vec_id",
+        "__x",
+        F.array_min("__x").alias("__mn"),
+        ((F.array_max("__x") - F.array_min("__x")) / F.lit(float(levels))).alias(
+            "__sc"
+        ),
+    )
+    x, mn, scale = F.col("__x"), F.col("__mn"), F.col("__sc")
     code = F.when(
         scale > 0,
         F.transform(x, lambda v: F.floor((v - mn) / scale + 0.5).cast("int")),
     ).otherwise(F.transform(x, lambda v: F.lit(0)))
-    deq = F.transform(code, lambda c: mn + c.cast("double") * scale)
-    err = F.zip_with(x, deq, lambda a, b: (a - b) * (a - b))
-    mse = F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e) / F.size(x)
-    return embeddings.select(
+    out = staged.select("vec_id", x.alias("__x"), mn.alias("__mn"),
+                        scale.alias("__sc"), code.alias("codes"))
+    deq = F.transform(F.col("codes"), lambda c: F.col("__mn") + c.cast("double") * F.col("__sc"))
+    err = F.zip_with(F.col("__x"), deq, lambda a, b: (a - b) * (a - b))
+    mse = F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e) / F.size(F.col("__x"))
+    return out.select(
         "vec_id",
-        code.alias("codes"),
-        F.round(mn, 6).alias("q_min"),
-        F.round(scale, 9).alias("q_scale"),
+        "codes",
+        F.round(F.col("__mn"), 6).alias("q_min"),
+        F.round(F.col("__sc"), 9).alias("q_scale"),
         F.round(mse, 9).alias("mse"),
     )
