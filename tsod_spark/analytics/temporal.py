@@ -326,6 +326,11 @@ def range_join(
             * bucket_seconds
         )
 
+    # Explicit side aliases: `lt[c] == iv[c]` attribute-style conditions
+    # rely on Spark's auto-disambiguation when both frames derive from
+    # the same source (the self-join case), which emits the "trivially
+    # true equals predicate" warning — string-qualified columns are the
+    # robust shape (same style as interval_overlap_join).
     iv = intervals.withColumn(
         "__b",
         F.explode(
@@ -335,15 +340,18 @@ def range_join(
                 F.expr(f"INTERVAL {bucket_seconds} SECOND"),
             )
         ),
-    )
-    lt = left.withColumn("__b", bstart(ts_col))
-    cond = [lt[c] == iv[c] for c in keys] + [lt["__b"] == iv["__b"]]
+    ).alias("iv")
+    lt = left.withColumn("__b", bstart(ts_col)).alias("lt")
+    cond = [F.col(f"lt.{c}") == F.col(f"iv.{c}") for c in keys] + [
+        F.col("lt.__b") == F.col("iv.__b")
+    ]
     out = lt.join(iv, cond, "inner").where(
-        (lt[ts_col] >= iv[start_col]) & (lt[ts_col] <= iv[end_col])
+        (F.col(f"lt.{ts_col}") >= F.col(f"iv.{start_col}"))
+        & (F.col(f"lt.{ts_col}") <= F.col(f"iv.{end_col}"))
     )
     return out.select(
-        *[lt[c] for c in left.columns],
-        *[iv[c] for c in intervals.columns if c not in keys],
+        *[F.col(f"lt.{c}") for c in left.columns],
+        *[F.col(f"iv.{c}") for c in intervals.columns if c not in keys],
     )
 
 

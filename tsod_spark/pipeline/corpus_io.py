@@ -36,17 +36,22 @@ def write_corpus(
     total and per-partition row counts, plus token sums when
     ``token_col`` exists in the frame.
     """
-    aggs = [F.count(F.lit(1)).alias("n_docs")]
-    if token_col and token_col in df.columns:
-        aggs.append(F.sum(token_col).cast("long").alias("n_tokens"))
-    stats_rows = df.groupBy(*partition_by).agg(*aggs).collect()
-
     (
         df.write.partitionBy(*partition_by)
         .option("maxRecordsPerFile", max_records_per_file)
         .mode(mode)
         .parquet(path)
     )
+    # Manifest stats come from re-reading the WRITTEN output, not from
+    # re-executing df's plan: a non-deterministic input (unseeded
+    # sampling, current-timestamp columns) would recompute between two
+    # actions and the manifest could disagree with the parquet on disk.
+    # The re-read is footer/partition-column cheap (column-pruned scan).
+    written = df.sparkSession.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if token_col and token_col in written.columns:
+        aggs.append(F.sum(token_col).cast("long").alias("n_tokens"))
+    stats_rows = written.groupBy(*partition_by).agg(*aggs).collect()
     partitions = [
         {
             **{c: r[c] for c in partition_by},

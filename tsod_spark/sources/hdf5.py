@@ -43,9 +43,10 @@ class H5File:
             raise ValueError("not an HDF5 file")
         ver = content[8]
         if ver in (0, 1):
-            # v0/v1: sizes at 13/14, root symbol-table entry after 24+8*4
+            # v0/v1: sizes at 13/14; v1 inserts 4 extra bytes (Indexed
+            # Storage Internal Node K + reserved) before the address block
             self.off_size, self.len_size = content[13], content[14]
-            base = 24
+            base = 24 if ver == 0 else 28
             end_addrs = base + 4 * self.off_size
             # root group symbol table entry: link name offset, header addr
             self.root_addr = struct.unpack_from(
@@ -283,6 +284,11 @@ class H5File:
             p = 8
             pad = lambda n: (n + 7) // 8 * 8  # noqa: E731
         elif ver == 3:
+            # flags bits 0/1 mark shared datatype/dataspace: the message
+            # body then holds a shared-message reference, not an inline
+            # definition — fall back rather than misparse it.
+            if body[1] & 0x3:
+                raise UnsupportedHDF5("shared datatype/dataspace attribute")
             nsz, dtsz, dssz = struct.unpack_from("<HHH", body, 2)
             p = 9  # + charset byte
             pad = lambda n: n  # noqa: E731

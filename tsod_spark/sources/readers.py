@@ -18,6 +18,8 @@ container, so they raise a clear error unless the libraries exist.
 
 from __future__ import annotations
 
+import struct
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -96,7 +98,10 @@ def _decode_netcdf_bytes(content: bytes, variable: str, qc_suffix: str):
 
         try:
             return decode_cmems_hdf5(content, variable, qc_suffix)
-        except UnsupportedHDF5 as e:
+        except (UnsupportedHDF5, struct.error, IndexError, ValueError) as e:
+            # malformed/truncated files surface low-level decode errors;
+            # route them to the xarray fallback (or its clear
+            # NotImplementedError) instead of propagating raw
             unsupported = e
     try:
         import io  # noqa: PLC0415
