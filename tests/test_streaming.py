@@ -486,3 +486,155 @@ def test_stream_detect_to_file_sink(spark, events_batches):
         assert landed == expected
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# --- streaming twins of the r3 temporal operators -------------------------
+
+
+def test_stream_ewma_matches_batch(spark, events_batches):
+    """EWMA recurrence continues bit-identically across micro-batch
+    boundaries: state is just the prior smoothed value."""
+    from tsod_spark.analytics import temporal
+    from tsod_spark.streaming import stream_ewma
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_ewma(src, alpha=0.25, series=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in spark.sql("SELECT event_id, ewma FROM ewma_stream").collect()
+    }
+    batch = temporal.ewma(registry.table(spark, SF, "events"))
+    expected = {r["event_id"]: r["ewma"] for r in batch.collect()}
+    assert len(got) == len(expected) == 1000  # causal: every row emits
+    mism = [
+        (k, got[k], expected[k])
+        for k in expected
+        if got[k] != expected[k] and not (got[k] is None and expected[k] is None)
+    ]
+    assert not mism, f"{len(mism)} mismatches, first: {mism[:3]}"
+
+
+def test_stream_latest_by_key_matches_batch(spark, events_batches):
+    """CDC keep-last: the final emission per key equals the batch
+    window-compaction result."""
+    from tsod_spark.analytics import olap
+    from tsod_spark.streaming import stream_latest_by_key
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_latest_by_key(src, keys=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("latest_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM latest_stream").collect()
+    # emissions per key are strictly increasing in (ts, event_id), so
+    # the final state is the per-key max over emitted rows
+    final = {}
+    for r in emitted:
+        k = r["user_id"]
+        if k not in final or (r["ts"], r["event_id"]) > (final[k]["ts"], final[k]["event_id"]):
+            final[k] = r
+    batch = olap.latest_by_key(registry.table(spark, SF, "events"))
+    expected = {r["user_id"]: r for r in batch.collect()}
+    assert set(final) == set(expected)
+    for k, e in expected.items():
+        g = final[k]
+        assert (g["event_id"], g["ts"], g["event_type"], g["value"]) == (
+            e["event_id"], e["ts"], e["event_type"], e["value"]
+        ), k
+    # changelog compaction: at most one emission per key per micro-batch
+    assert len(emitted) <= 4 * len(expected)
+
+
+def test_stream_rollup_hierarchy_matches_batch(spark, events_batches):
+    """Chained continuous aggregates (hour -> day partial re-agg):
+    append-mode emissions are final and equal the batch rollup for the
+    same buckets."""
+    from tsod_spark.analytics import temporal as batch_temporal
+    from tsod_spark.streaming import stream_rollup_hierarchy
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    levels = stream_rollup_hierarchy(src, keys=["event_type"], watermark="2 hours")
+    for name, df in levels.items():
+        q = (
+            df.writeStream.format("memory")
+            .queryName(f"rollup_{name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    batch = batch_temporal.rollup_hierarchy(
+        registry.table(spark, SF, "events"), keys=("event_type",), levels=("hour", "day")
+    )
+    expected = {
+        (r["level"], r["event_type"], r["bucket"]): (
+            r["n"], r["sum_value"], r["min_value"], r["max_value"], r["avg_value"]
+        )
+        for r in batch.collect()
+    }
+    n_emitted = 0
+    for name in levels:
+        for r in spark.sql(f"SELECT * FROM rollup_{name}").collect():
+            k = (r["level"], r["event_type"], r["bucket"])
+            assert k in expected, k
+            assert (
+                r["n"], r["sum_value"], r["min_value"], r["max_value"], r["avg_value"]
+            ) == expected[k], k
+            n_emitted += 1
+    # the watermark must have closed a substantial share of windows
+    assert n_emitted >= len(expected) // 2, (n_emitted, len(expected))
+
+
+def test_stream_regression_residual_matches_batch(spark, events_batches):
+    """The fitted linear model is coefficients + a scalar threshold, so
+    it streams through the same state operator as the rule detectors."""
+    from tsod_spark.detectors.mllib import RegressionResidualDetector
+
+    tmp, schema = events_batches
+    df = registry.table(spark, SF, "events")
+    tsf = TimeSeriesFrame(df, series=["user_id"], tiebreak=["event_id"])
+    det = RegressionResidualDetector(time_steps=5, n_sigmas=4.0).fit(tsf)
+
+    got = run_stream(spark, events_batches, det)
+    assert len(got) > 0
+    batch_rows = det.detect(tsf).select("user_id", "ts", "is_anomaly").collect()
+    expected = {(r.user_id, r.ts): r.is_anomaly for r in batch_rows}
+    mismatches = []
+    for r in got:
+        k = (r.user_id, r.ts)
+        # rows the batch plan drops (incomplete/NaN lag windows) must
+        # stream as False
+        want = expected.get(k, False)
+        if want != r.is_anomaly:
+            mismatches.append((k, r.is_anomaly, want))
+    assert not mismatches, f"{len(mismatches)} mismatches, first: {mismatches[:3]}"
+    # every batch-scored row is eventually emitted (causal detector)
+    assert len(got) >= len(expected)

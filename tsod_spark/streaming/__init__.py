@@ -6,3 +6,8 @@ from .detect import (  # noqa: F401
     stream_rollup,
     stream_sessionize,
 )
+from .temporal import (  # noqa: F401
+    stream_ewma,
+    stream_latest_by_key,
+    stream_rollup_hierarchy,
+)

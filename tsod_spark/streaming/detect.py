@@ -179,6 +179,32 @@ def _plan(detector):
             {"window_size": w, "threshold": detector._threshold},
             {},
         )
+    from ..detectors.mllib import RegressionResidualDetector
+
+    if isinstance(detector, RegressionResidualDetector):
+        # The fitted "model" is T coefficients + intercept + a residual
+        # stddev — plain scalars, so streaming scoring is a per-row dot
+        # product over the trailing lag window, same state shape as the
+        # rule-based window detectors. (KMeans novelty is the one
+        # learned detector that genuinely needs model state and stays
+        # batch-only — see the NotImplementedError below.)
+        if detector._model is None or detector._resid_std is None:
+            from ..exceptions import NotFittedError
+
+            raise NotFittedError("stream_detect")
+        coef = [float(c) for c in detector._model.coefficients]
+        return _leaf_plan(
+            detector,
+            kernels.regression_residual_kernel,
+            len(coef),
+            0,
+            {
+                "coef": coef,
+                "intercept": float(detector._model.intercept),
+                "threshold": float(detector._n_sigmas * detector._resid_std),
+            },
+            {},
+        )
     if isinstance(detector, CombinedDetector):
         plans = [_plan(d) for d in detector._detectors]
         lookback = max(p[1] for p in plans)
@@ -198,7 +224,11 @@ def _plan(detector):
         params_dfs = [df for p in plans if p[4] for df in p[4]] or None
         return combined_kernel, lookback, lookahead, make_kwargs, params_dfs
     raise NotImplementedError(
-        f"streaming not implemented for {type(detector).__name__}"
+        f"streaming not implemented for {type(detector).__name__}: "
+        "KMeansDistanceDetector needs the fitted centroid matrix inside the "
+        "state operator (a genuinely different design — model scoring in "
+        "transformWithState); score it in micro-batches via foreachBatch "
+        "with detector.detect instead"
     )
 
 

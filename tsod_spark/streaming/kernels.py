@@ -110,6 +110,33 @@ def constant_gradient_kernel(ts, value, offset, window_size, threshold=1e-7):
     return _dilate(cf) | _dilate(cb)
 
 
+def regression_residual_kernel(ts, value, offset, coef, intercept, threshold):
+    """Streaming twin of RegressionResidualDetector.detect: the fitted
+    model is just coefficients, so scoring is a dot product over the
+    trailing ``T = len(coef)`` values (features for row j are
+    ``v[j-T .. j-1]``, matching create_dataset's window order).
+
+    Rows the batch plan does not score — the first T rows of a series
+    (incomplete window) and rows whose window or own value is NaN
+    (prediction/residual NaN, coalesced False in batch) — emit False.
+    """
+    v = value.to_numpy(dtype=float)
+    n = len(v)
+    T = len(coef)
+    out = np.zeros(n, dtype=bool)
+    if n <= T:
+        return out
+    pred = np.full(n, np.nan)
+    acc = np.full(n - T, float(intercept))
+    for i, c in enumerate(coef):
+        acc += float(c) * v[i : n - T + i]
+    pred[T:] = acc
+    resid = np.abs(v - pred)
+    with np.errstate(invalid="ignore"):
+        out = resid > threshold
+    return np.where(np.isnan(resid), False, out)
+
+
 def hampel_kernel(ts, value, offset, window_size, threshold, k=1.4826):
     # /root/reference/tsod/hampel.py:27-60 (half-open [t-w, t+w) window,
     # interior points only). The n-w upper bound is enforced by the

@@ -1,0 +1,298 @@
+"""Streaming twins of the batch temporal operators (SURVEY §7 phase S).
+
+Three canonical continuous-pipeline shapes, each the streaming
+counterpart of a batch operator in :mod:`tsod_spark.analytics.temporal`
+/ :mod:`tsod_spark.analytics.olap`, with row-for-row batch-equivalence
+tests in ``tests/test_streaming.py``:
+
+- :func:`stream_ewma` — the sequential recurrence. Per-series state is
+  ONE double (the running smoothed value) plus a (ts, tiebreak) cursor;
+  the recurrence continues bit-identically across micro-batches because
+  ``y_t = (1-α)·y_{t-1} + α·x_t`` only needs ``y_{t-1}``.
+- :func:`stream_latest_by_key` — CDC keep-last compaction
+  (`transformWithState`-style keep-last expressed on
+  ``applyInPandasWithState``). State is exactly one row per key; each
+  micro-batch emits a key only when its latest row changed — an upsert
+  changelog, which is what a downstream merge-on-read sink consumes.
+- :func:`stream_rollup_hierarchy` — hypertable continuous aggregates:
+  the finest level is a watermarked windowed aggregation over raw rows;
+  every coarser level re-aggregates the finer level's exact integer-cent
+  partials (chained stateful operators, append mode) — the raw stream is
+  consumed ONCE no matter how many levels, mirroring the batch
+  one-scan property.
+
+Scale notes: EWMA state is O(1) per series and keep-last state is one
+row per key — key COUNT is the only growth axis, bounded by
+``idle_timeout`` eviction where offered. The rollup's state is O(open
+windows × keys) with watermark eviction, independent of stream length.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_LEVEL_DURATION = {
+    "minute": "1 minute",
+    "hour": "1 hour",
+    "day": "1 day",
+    "week": "7 days",
+}
+
+
+def stream_ewma(
+    stream_df: DataFrame,
+    alpha: float = 0.25,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+    out_col: str = "ewma",
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming per-series EWMA, batch twin of ``temporal.ewma``.
+
+    ``y_t = (1-α)·y_{t-1} + α·x_t`` over non-null values in
+    (ts, tiebreak) order; null/NaN rows carry the previous smoothed
+    value forward (null before the first observation). The recurrence
+    is causal, so every row emits in the micro-batch it arrives in; the
+    continuation is bit-identical to the batch pandas ``ewm`` kernel
+    because each step only reads the prior smoothed value, which IS the
+    state (pandas computes ``((1-α)y + αx)/((1-α)+α)`` — for α with an
+    exact-double complement the denominator is exactly 1).
+
+    Rows at or before the per-series (ts, tiebreak) cursor would land
+    before already-emitted positions and are dropped — bound disorder
+    upstream with ``withWatermark`` (same contract as ``stream_detect``).
+    """
+    series = list(series)
+    key_fields = [stream_df.schema[c] for c in series]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField(tiebreak, stream_df.schema[tiebreak].dataType),
+            StructField("ts", stream_df.schema[ts_col].dataType),
+            StructField(out_col, DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("y", DoubleType()),
+            StructField("has_y", BooleanType()),
+            StructField("cur_ts", LongType()),  # micros
+            StructField("cur_tb", LongType()),
+        ]
+    )
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        new = new.sort_values([ts_col, tiebreak], kind="mergesort")
+        if state.exists:
+            y, has_y, cur_ts, cur_tb = state.get
+        else:
+            y, has_y, cur_ts, cur_tb = 0.0, False, None, None
+
+        new_ts = pd.to_datetime(new[ts_col]).astype("int64") // 1000
+        new_tb = new[tiebreak].astype("int64")
+        if cur_ts is not None:
+            ok = (new_ts > cur_ts) | ((new_ts == cur_ts) & (new_tb > cur_tb))
+            if not ok.all():
+                new = new[ok.to_numpy()]
+                new_ts, new_tb = new_ts[ok], new_tb[ok]
+            if len(new) == 0:
+                if idle_timeout is not None:
+                    state.setTimeoutDuration(idle_timeout)
+                return
+
+        v = new[value_col].astype(float)
+        compact = v.dropna()
+        if len(compact):
+            if has_y:
+                # prepend the state as observation 0 (ewm's y_0 = x_0
+                # seed), then drop it — exact continuation of the batch
+                # recurrence across the micro-batch boundary
+                seeded = pd.concat([pd.Series([y]), compact], ignore_index=True)
+                smoothed = seeded.ewm(alpha=alpha, adjust=False).mean().iloc[1:]
+                smoothed.index = compact.index
+            else:
+                smoothed = compact.ewm(alpha=alpha, adjust=False).mean()
+            out_y = smoothed.reindex(v.index).ffill()
+            if has_y:
+                out_y = out_y.fillna(y)
+            y, has_y = float(smoothed.iloc[-1]), True
+        else:
+            out_y = pd.Series([y if has_y else None] * len(v), index=v.index, dtype=float)
+
+        state.update((y, has_y, int(new_ts.iloc[-1]), int(new_tb.iloc[-1])))
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        yield pd.DataFrame(
+            {
+                **{c: key[i] for i, c in enumerate(series)},
+                tiebreak: new[tiebreak].to_numpy(),
+                "ts": new[ts_col].to_numpy(),
+                out_col: out_y.to_numpy(),
+            }
+        )
+
+    return stream_df.groupBy(*series).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def stream_latest_by_key(
+    stream_df: DataFrame,
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming CDC keep-last, batch twin of ``olap.latest_by_key``.
+
+    State per key is exactly ONE row (the current latest by event time,
+    ties broken by the highest ``tiebreak``); a micro-batch emits a key
+    only when its latest row CHANGED — the output is an upsert
+    changelog whose last emission per key equals the batch keep-last
+    result over the same rows. Unlike the stream-side window
+    formulation (unsupported on streams), this needs no sort and no
+    shuffle beyond the keyed grouping; state size scales with key
+    cardinality only (bound churn with ``idle_timeout``).
+    """
+    keys = list(keys)
+    carry = [c for c in stream_df.columns if c not in keys]
+    key_fields = [stream_df.schema[c] for c in keys]
+    carry_fields = [stream_df.schema[c] for c in carry]
+    out_schema = StructType(key_fields + carry_fields)
+    # state stores ts as micros + the tiebreak + the carried row values
+    state_schema = StructType(
+        [StructField("cur_ts", LongType()), StructField("cur_tb", LongType())]
+        + [StructField(f"v_{f.name}", f.dataType) for f in carry_fields]
+    )
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        ts_us = pd.to_datetime(new[ts_col]).astype("int64") // 1000
+        tb = new[tiebreak].astype("int64")
+        best = new.assign(__ts=ts_us, __tb=tb).sort_values(["__ts", "__tb"]).iloc[-1]
+        if state.exists:
+            cur = state.get
+            if (best["__ts"], best["__tb"]) <= (cur[0], cur[1]):
+                if idle_timeout is not None:
+                    state.setTimeoutDuration(idle_timeout)
+                return
+        state.update(
+            (int(best["__ts"]), int(best["__tb"]))
+            + tuple(best[c] for c in carry)
+        )
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        yield pd.DataFrame(
+            [{**{c: key[i] for i, c in enumerate(keys)}, **{c: best[c] for c in carry}}]
+        )
+
+    return stream_df.groupBy(*keys).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def stream_rollup_hierarchy(
+    stream_df: DataFrame,
+    keys: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    levels: Sequence[str] = ("hour", "day"),
+    watermark: str = "2 hours",
+) -> dict[str, DataFrame]:
+    """Streaming hypertable rollup, batch twin of
+    ``temporal.rollup_hierarchy``.
+
+    Returns ``{level: DataFrame}`` — one continuous aggregate per level,
+    each meant for its own sink/table (exactly how materialized
+    continuous aggregates deploy). The finest level aggregates the raw
+    watermarked stream into tumbling windows; every coarser level
+    re-windows the FINER level's partials (chained stateful operators —
+    append mode required), so the raw stream is consumed once no matter
+    how many levels, and counts/sums stay exact because the partials
+    are associative integer cents.
+
+    Append mode means a window emits exactly once, when the watermark
+    passes its end — emitted rows are final and equal the batch rollup
+    for the same bucket (asserted in tests); still-open windows at the
+    head of the stream simply haven't emitted yet.
+    """
+    from ..expressions import nan_to_null
+
+    cents = F.round(nan_to_null(F.col(value_col)) * 100).cast("long")
+    finest, *coarser = levels
+    cur = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, _LEVEL_DURATION[finest]).alias("win"), *keys)
+        .agg(
+            F.count(cents).alias("n"),
+            F.sum(cents).alias("sum_cents"),
+            F.min(cents).alias("min_cents"),
+            F.max(cents).alias("max_cents"),
+        )
+    )
+
+    def finish(df: DataFrame, level: str) -> DataFrame:
+        return df.select(
+            F.lit(level).alias("level"),
+            *keys,
+            F.col("win.start").alias("bucket"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("sum_cents") / 100.0, 6).alias("sum_value"),
+            F.round(F.col("min_cents") / 100.0, 6).alias("min_value"),
+            F.round(F.col("max_cents") / 100.0, 6).alias("max_value"),
+            F.round(F.col("sum_cents") / (100.0 * F.col("n")), 6).alias("avg_value"),
+        )
+
+    out = {finest: finish(cur, finest)}
+    for lvl in coarser:
+        cur = cur.groupBy(
+            F.window(F.col("win"), _LEVEL_DURATION[lvl]).alias("win"), *keys
+        ).agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+        out[lvl] = finish(cur, lvl)
+    return out
