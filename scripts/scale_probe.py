@@ -157,6 +157,35 @@ def main():
         docs = expanded(spark, "documents", m, {"doc_id": 10_000_000})
         return curate.mixture_sample(docs)
 
+    def _purchase_intervals(e):
+        return e.where(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("iv_id"),
+            (F.col("ts") - F.expr("INTERVAL 30 MINUTE")).alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("end_ts"),
+        )
+
+    def q_range_join(m):
+        e = events(m)
+        return temporal.range_join(
+            e.select("user_id", "event_id", "ts"),
+            _purchase_intervals(e),
+            ["user_id"],
+            bucket_seconds=1800,
+        )
+
+    def q_interval_overlap(m):
+        p = _purchase_intervals(events(m))
+        return temporal.interval_overlap_join(p, p, ["user_id"], bucket_seconds=1800)
+
+    def q_incremental(m):
+        # the production shape: a FIXED-size ingest tick against a
+        # corpus that grows mult-x — cost must track the corpus scan,
+        # with zero corpus-side exchanges (plan-pinned in tests)
+        corpus = expanded(spark, "documents", m, {"doc_id": 10_000_000})
+        batch = expanded(spark, "documents", 1, {}).where(F.col("doc_id") % 5 == 0)
+        return dedup.incremental_new_docs(corpus, batch)
+
     QUERIES = {
         "combined_detect": q_combined,
         "asof_join": q_asof,
@@ -171,6 +200,9 @@ def main():
         "chunk_dedup": q_chunk_dedup,
         "jaccard_pairs": q_jaccard,
         "mixture_sample": q_mixture,
+        "range_join": q_range_join,
+        "interval_overlap": q_interval_overlap,
+        "incremental_dedup": q_incremental,
     }
 
     # warmup

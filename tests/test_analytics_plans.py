@@ -8,7 +8,10 @@ or a regression silently turns a broadcast into a 100 TB shuffle.
 
 from __future__ import annotations
 
+import re
+
 import pytest
+from pyspark.sql import functions as F
 
 from tsod_spark.analytics import tpch
 
@@ -221,3 +224,48 @@ def test_latest_by_key_single_shuffle(t):
     p = plan(olap.latest_by_key(t("events")))
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_incremental_dedup_corpus_text_never_shuffles(t):
+    """The scale-critical property of continuous-ingest dedup: no
+    exchange may carry the corpus TEXT. Allowed exchanges: the batch
+    signature repartition, the corpus per-doc partial-minima aggregate
+    (doc_id + k slim hashes), and the tiny hit-id distinct — and none
+    of their inputs may include the text column."""
+    from tsod_spark.pipeline import dedup
+
+    docs = t("documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    df = dedup.incremental_new_docs(corpus, batch)
+    p = plan(df)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 3
+    # formatted explain lists each node with its Input columns: text may
+    # ride only the explicit BATCH spread repartition (REPARTITION_BY_NUM
+    # — the ingest tick is small by definition); no required exchange
+    # (ENSURE_REQUIREMENTS, i.e. the corpus aggregate / joins / distinct)
+    # and no broadcast may carry it
+    for block in re.split(r"\n\(\d+\) ", p):
+        head, *rest = block.split("\n")
+        body = "\n".join(rest)
+        if head.startswith("Exchange") and "REPARTITION_BY_NUM" not in body:
+            assert "text#" not in body, head
+        if head.startswith("BroadcastExchange"):
+            assert "text#" not in body, head
+    df.sparkSession.catalog.clearCache()
+
+
+def test_rowwise_signatures_match_groupby_signatures(t):
+    """minhash_signatures_rowwise (zero-shuffle fold) must produce
+    bit-identical component minima to the explode->groupBy path, and
+    its plan must contain no exchange at all."""
+    from tsod_spark.pipeline import dedup
+
+    docs = t("documents")
+    rowwise = dedup.minhash_signatures_rowwise(docs.select("doc_id", "text"))
+    assert "Exchange" not in plan(rowwise)
+    a = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(8))
+         for r in dedup.minhash_signatures(docs).collect()}
+    b = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(8))
+         for r in rowwise.collect()}
+    assert a == b

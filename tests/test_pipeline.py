@@ -421,6 +421,30 @@ def test_ivf_topk_recall_vs_brute_force(spark, embeddings):
     assert len(exact & got) >= 6
 
 
+def test_ivf_mean_recall_at_10(spark, embeddings):
+    """Quantified recall guarantee for the rows-only IVF queries: mean
+    recall@10 over a query sample, probing a SHARED prebuilt index
+    (index build and probe separated, as in production)."""
+    index = similarity.ivf_index(embeddings, n_cells=8)
+    index = (index[0].cache(), index[1])
+    queries = [0, 50, 100, 200, 300, 400, 499]
+    recalls = []
+    for qid in queries:
+        exact = {
+            r["vec_id"]
+            for r in similarity.cosine_topk(embeddings, query_vec_id=qid, k=10).collect()
+        }
+        got = {
+            r["vec_id"]
+            for r in similarity.ivf_topk(
+                embeddings, query_vec_id=qid, k=10, n_probe=4, index=index
+            ).collect()
+        }
+        recalls.append(len(exact & got) / 10)
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.7, (mean_recall, recalls)
+
+
 # ---- multimodal -------------------------------------------------------
 
 

@@ -70,7 +70,11 @@ def _component(i: int, sh: Column) -> Column:
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", k: int = 8, shingle_n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    shingle_n: int = 3,
+    spread: bool = True,
 ) -> DataFrame:
     """Shingle -> MinHash signatures (k components over word n-grams).
 
@@ -81,14 +85,23 @@ def minhash_signatures(
     measured 7x slower), and the explode parallelizes a skewed few-docs
     partition across the cluster. Map-side partial min keeps the
     shuffle at k hashes per doc.
+
+    ``spread=False`` skips the up-front text repartition: hashing runs
+    at scan parallelism and the ONLY exchange carries the slim per-doc
+    partial minima (doc_id + k 8-char hashes — the text never moves).
+    Use it when the input is large and well-partitioned at rest (e.g.
+    the standing corpus of incremental ingest); the default spread
+    exists for small/few-file inputs where scan partitioning would cap
+    CPU-bound hash work.
     """
-    # spread compute-bound per-doc work across all cores: a small corpus
-    # arrives as one parquet file = one task, and shingling+hashing is
-    # CPU-bound, so scan-partition count must not cap parallelism. The
-    # explicit partition count keeps AQE from coalescing the tiny
-    # shuffle back into one task.
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    docs = docs.repartition(n_part, F.col("doc_id"))
+    if spread:
+        # spread compute-bound per-doc work across all cores: a small
+        # corpus arrives as one parquet file = one task, and
+        # shingling+hashing is CPU-bound, so scan-partition count must
+        # not cap parallelism. The explicit partition count keeps AQE
+        # from coalescing the tiny shuffle back into one task.
+        n_part = docs.sparkSession.sparkContext.defaultParallelism
+        docs = docs.repartition(n_part, F.col("doc_id"))
     # staged select: the shingle expression references the token array
     # several times internally (size guards, sequence bound, transform
     # source) and inlined tokenization re-runs per reference
@@ -98,6 +111,55 @@ def minhash_signatures(
     return exploded.groupBy("doc_id").agg(
         *[F.min(_component(i, F.col("sh"))).alias(f"mh{i}") for i in range(k)]
     )
+
+
+def minhash_signatures_rowwise(
+    docs: DataFrame, text_col: str = "text", k: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """Per-row MinHash signatures as a stateless projection — ZERO
+    shuffle, same values as :func:`minhash_signatures`.
+
+    Digest work matches the explode->groupBy path (k components come
+    from k/4 md5 invocations per shingle, sliced into 8-hex-char
+    windows); each stage is wrapped in a 1-element ``explode`` so the
+    Generate node acts as a projection barrier (ProjectCollapse would
+    otherwise inline the shingle/digest arrays into every consumer and
+    re-run them per reference).
+
+    Trade-off vs explode->groupBy: interpreted HOFs cost extra CPU per
+    element — but NO exchange. This is the formulation for sides that
+    must not shuffle: the per-row streaming path and the corpus side
+    of incremental ingest, where re-shuffling the corpus every tick
+    dwarfs any CPU delta at 100 TB. (On a single-row-group local
+    fixture the scan is one task, so wall time understates the
+    parallel path — at scale the scan splits like any other.)
+    """
+    keep = [c for c in docs.columns if c != text_col]
+    n_seeds = (k + 3) // 4
+    sh_staged = docs.select(
+        *keep,
+        F.explode(F.array(shingles(tokens(F.col(text_col)), shingle_n))).alias("__sh"),
+    )
+
+    def digests(seed: int) -> Column:
+        return F.transform(
+            F.col("__sh"), lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x))
+        )
+
+    dg_staged = sh_staged.select(
+        *keep,
+        F.explode(
+            F.array(F.struct(*[digests(s).alias(f"d{s}") for s in range(n_seeds)]))
+        ).alias("__dg"),
+    )
+
+    def component_min(i: int) -> Column:
+        pos = 1 + 8 * (i % 4)
+        return F.array_min(
+            F.transform(F.col(f"__dg.d{i // 4}"), lambda h: F.substring(h, pos, 8))
+        ).alias(f"mh{i}")
+
+    return dg_staged.select(*keep, *[component_min(i) for i in range(k)])
 
 
 def _minhash_candidate_pairs(sigs: DataFrame, k: int, bands: int) -> DataFrame:
@@ -715,18 +777,27 @@ def incremental_new_docs(
     EARLIER batch doc (lower doc_id) — so the appended set is
     internally clean too.
 
-    Scale shape — the property that matters at 100 TB: the CORPUS side
-    never shuffles. The batch's band keys and content hashes are tiny
-    and BROADCAST; the corpus's signature/hash pipeline streams
-    map-side against them (broadcast hash joins), so each ingest tick
-    costs one corpus scan and zero corpus shuffles. In production the
-    corpus band/hash index would be persisted and incrementally
-    appended instead of recomputed — the join shape stays exactly the
-    same; this function takes the corpus frame so the demo is
-    self-contained.
+    Scale shape — the property that matters at 100 TB: the corpus TEXT
+    never shuffles. Corpus signatures run at scan parallelism with
+    ``spread=False`` — whole-stage-codegen hashing map-side, and the
+    only corpus exchange carries the per-doc partial minima (doc_id +
+    k 8-char hashes, ~100 bytes/doc: for a 100 TB corpus that is a
+    ~100 GB slim shuffle vs re-shuffling 100 TB of text every tick).
+    The batch's band keys and content hashes are tiny and BROADCAST,
+    so everything downstream of the corpus aggregate is a map-side
+    broadcast join (plan-pinned in tests/test_analytics_plans.py: no
+    exchange anywhere touches the text column). A fully shuffle-free
+    corpus path exists (:func:`minhash_signatures_rowwise`) but costs
+    ~5x CPU in interpreted HOFs — the slim aggregate is the better
+    trade. In production the corpus band/hash index would be persisted
+    and incrementally appended instead of recomputed — the join shape
+    stays exactly the same; this function takes the corpus frame so
+    the demo is self-contained.
     """
     bb = _band_frame(minhash_signatures(batch, text_col, k), k, bands).cache()
-    cb = _band_frame(minhash_signatures(corpus, text_col, k), k, bands)
+    cb = _band_frame(
+        minhash_signatures(corpus, text_col, k, spread=False), k, bands
+    )
 
     near_corpus = (
         cb.alias("c")

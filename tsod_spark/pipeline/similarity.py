@@ -159,6 +159,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     vec_col: str = "embedding",
+    index: tuple[DataFrame, list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` cells nearest the
     query and brute-force cosine only inside them.
@@ -166,8 +167,15 @@ def ivf_topk(
     Scale path vs ``cosine_topk``: the candidate scan shrinks by
     ~n_probe/n_cells, and with cell-partitioned storage the untouched
     cells are never read (partition pruning on ``cell``).
+
+    Pass ``index`` (the ``ivf_index`` result) to probe a prebuilt
+    index — in production, index build and probe are separate jobs and
+    the refit-per-call default exists only for the self-contained
+    registered demo query.
     """
-    assigned, centroids = ivf_index(embeddings, n_cells, seed, vec_col)
+    assigned, centroids = (
+        index if index is not None else ivf_index(embeddings, n_cells, seed, vec_col)
+    )
     qrow = embeddings.where(F.col("vec_id") == query_vec_id).select(vec_col).first()
     query = [float(x) for x in qrow[0]]
     probe = _nearest_cells(query, centroids, n_probe)

@@ -473,21 +473,18 @@ def stream_dedup_minhash(
     """
     from pyspark.sql import functions as F
 
-    from ..pipeline.dedup import _component
-    from ..pipeline.text import shingles, tokens
+    from ..pipeline.dedup import minhash_signatures_rowwise
 
-    sh = shingles(tokens(F.col(text_col)), shingle_n)
-    # per-row signature: min over the shingle array per component —
-    # interpreted HOFs, but stateless and shuffle-free, which is what
-    # a stream stage needs (the batch explode->groupBy shape would be
-    # a stateful aggregation here)
-    def _min_component(i: int):
-        # NOTE: a 2-arg lambda would make transform() pass (element,
-        # index) — bind i via closure, not a default argument
-        return F.array_min(F.transform(sh, lambda t: _component(i, t))).alias(f"mh{i}")
-
-    mh = [_min_component(i) for i in range(k)]
-    sigs = stream_docs.select(F.col(id_col).alias("doc_id"), *mh)
+    # per-row signatures: stateless and shuffle-free, which is what a
+    # stream stage needs (the batch explode->groupBy shape would be a
+    # stateful aggregation here); the rowwise formulation shares
+    # digests across components (k/4 md5s per shingle, not k)
+    sigs = minhash_signatures_rowwise(
+        stream_docs.select(F.col(id_col).alias("doc_id"), text_col),
+        text_col,
+        k,
+        shingle_n,
+    )
     r = k // bands
     band_cols = [
         F.struct(
