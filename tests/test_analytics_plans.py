@@ -269,3 +269,14 @@ def test_rowwise_signatures_match_groupby_signatures(t):
     b = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(8))
          for r in rowwise.collect()}
     assert a == b
+
+
+def test_seasonal_decompose_single_shuffle(t):
+    """Trend, phase-mean seasonal, grand mean, and residual all ride
+    ONE hash exchange on the series key (hashpartitioning(user_id)
+    satisfies the (user_id, phase) clustering, so the phase window
+    re-sorts without re-shuffling)."""
+    from tsod_spark.analytics import temporal
+
+    p = plan(temporal.seasonal_decompose(t("events")))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1

@@ -294,6 +294,91 @@ def ewma(
     )
 
 
+def seasonal_decompose(
+    df: DataFrame,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = ("event_id",),
+    trend_window: int = 12,
+) -> DataFrame:
+    """Additive seasonal decomposition: ``value = trend + seasonal +
+    residual`` per series, the classic pre-pass for seasonal-aware
+    anomaly detection (a rule detector on raw values flags every rush
+    hour; on residuals it flags only departures from the pattern).
+
+    - **trend**: centered moving average over ``2*trend_window + 1``
+      rows, full windows only (edges and windows containing missing
+      values yield NULL — the min_periods discipline every detector
+      here uses).
+    - **seasonal**: mean by (series, hour-of-day phase) minus the
+      series grand mean — the mean-by-phase estimator, which unlike
+      the detrended-mean variant stays in EXACT integer-cent sums
+      (sums of longs divided once), so both engines produce identical
+      doubles with no float-summation order sensitivity.
+    - **residual**: ``value - trend - seasonal`` (NULL where trend is).
+
+    Semantics are defined on cent-quantized values (``round(v*100)``
+    as int64) like every money-exact aggregate in this repo.
+
+    Scale: ONE sort shuffle per series for the row window, plus the
+    (series, phase) and (series) partial aggregates — the phase/grand
+    means ride window functions over the same data, no joins. At 100 TB
+    this is the same profile as any keyed window detector.
+    """
+    from ..expressions import nan_to_null
+
+    keys = list(series)
+    full = 2 * trend_window + 1
+    w_row = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col, *tiebreak)
+        .rowsBetween(-trend_window, trend_window)
+    )
+    w_phase = Window.partitionBy(*keys, "__phase")
+    w_series = Window.partitionBy(*keys)
+
+    out = df.withColumn(
+        "__vc", F.round(nan_to_null(F.col(value_col)) * 100).cast("long")
+    ).withColumn("__phase", F.hour(ts_col))
+    trend = F.when(
+        F.count("__vc").over(w_row) == full,
+        F.sum("__vc").over(w_row) / (100.0 * full),
+    )
+    seasonal = F.sum("__vc").over(w_phase) / (
+        100.0 * F.count("__vc").over(w_phase)
+    ) - F.sum("__vc").over(w_series) / (100.0 * F.count("__vc").over(w_series))
+    resid = F.col("__vc") / 100.0 - trend - seasonal
+    return (
+        out.withColumn("trend", trend)
+        .withColumn("seasonal", seasonal)
+        .withColumn("resid", resid)
+        .drop("__vc", "__phase")
+    )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = ("event_id",),
+    trend_window: int = 12,
+    quantile: float = 0.99,
+) -> DataFrame:
+    """Seasonal-aware anomaly flags: ``|residual|`` above the per-series
+    exact ``quantile`` of ``|residual|``. Exact percentile (not stddev)
+    keeps the threshold deterministic across engines — float stddev is
+    summation-order sensitive, order statistics are not."""
+    keys = list(series)
+    dec = seasonal_decompose(df, series, ts_col, value_col, tiebreak, trend_window)
+    w_series = Window.partitionBy(*keys)
+    thr = F.percentile(F.abs(F.col("resid")), F.lit(quantile)).over(w_series)
+    return dec.withColumn(
+        "is_anomaly", F.coalesce(F.abs(F.col("resid")) > thr, F.lit(False))
+    )
+
+
 def range_join(
     left: DataFrame,
     intervals: DataFrame,
