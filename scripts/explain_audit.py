@@ -40,8 +40,17 @@ ALLOW_NLJ = {
 }
 # mapInPandas is the designed path here, not an accident; ts_ewma is a
 # sequential recurrence (no Spark scan/fold builtin) running pandas'
-# vectorized C ewm kernel per series via applyInPandas
-ALLOW_PY = {"mm_decode", "mm_resize", "mm_frames", "mm_real_decode", "ts_ewma"}
+# vectorized C ewm kernel per series via applyInPandas; emb_pq_topk's
+# encode is dense numeric kernel work where both Column formulations
+# lose (interpreted HOFs / Janino method-limit blowup — similarity.py)
+ALLOW_PY = {
+    "mm_decode",
+    "mm_resize",
+    "mm_frames",
+    "mm_real_decode",
+    "ts_ewma",
+    "emb_pq_topk",
+}
 
 
 def main() -> int:

@@ -445,6 +445,55 @@ def test_ivf_mean_recall_at_10(spark, embeddings):
     assert mean_recall >= 0.7, (mean_recall, recalls)
 
 
+def test_pq_adc_recall_vs_brute_force(spark, embeddings):
+    """PQ/ADC search over a shared prebuilt index: mean recall@10
+    against exact L2 brute force over a query sample, plus an encode
+    sanity check (codes in range, one per subspace)."""
+    books = similarity.pq_train(embeddings, m=16, n_centroids=16)
+    codes = similarity.pq_encode(embeddings, books).cache()
+    first = codes.first()
+    assert len(first["codes"]) == 16
+    assert all(0 <= c < 16 for c in first["codes"])
+
+    from pyspark.sql import functions as FF
+
+    queries = [0, 100, 250, 400, 499]
+    recalls = []
+    for qid in queries:
+        q = embeddings.where(FF.col("vec_id") == qid).select(
+            FF.col("embedding").alias("__q")
+        )
+        d2 = FF.aggregate(
+            FF.zip_with(
+                FF.col("embedding"),
+                FF.col("__q"),
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            FF.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        exact = {
+            r["vec_id"]
+            for r in embeddings.where(FF.col("vec_id") != qid)
+            .crossJoin(FF.broadcast(q))
+            .select("vec_id", d2.alias("d2"))
+            .orderBy("d2", "vec_id")
+            .limit(10)
+            .collect()
+        }
+        got = {
+            r["vec_id"]
+            for r in similarity.pq_topk(
+                embeddings, query_vec_id=qid, k=10, index=(codes, books)
+            ).collect()
+        }
+        recalls.append(len(exact & got) / 10)
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.6, (mean_recall, recalls)
+    codes.unpersist()
+
+
 # ---- multimodal -------------------------------------------------------
 
 

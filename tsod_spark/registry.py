@@ -2080,6 +2080,16 @@ def emb_ivf_cells(spark, sf_dir):
     return similarity.ivf_cell_histogram(table(spark, sf_dir, "embeddings"))
 
 
+@register("emb_pq_topk")
+def emb_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k — IVF's companion in the standard
+    100 TB ANN stack (codes are 4 bytes/vector; the search scan never
+    touches the float vectors). rows-only: codebooks come from seeded
+    KMeans; recall vs the brute-force twin is quantified in
+    tests/test_pipeline.py."""
+    return similarity.pq_topk(table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (pipeline/multimodal.py). The decode kernel runs
 # through the real mapInPandas/Arrow path; because the stub derives its
