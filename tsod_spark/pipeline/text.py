@@ -70,6 +70,56 @@ def shingles(toks: Column, n: int = 3) -> Column:
     return F.array_distinct(all_shingles(toks, n))
 
 
+def lm_rarity(
+    docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Reference-LM rarity signals per document — the KenLM-style
+    quality-filter stage of a curation pipeline (CCNet filters on LM
+    perplexity; this is the exact cross-engine formulation: integer
+    count statistics and an order-statistic, instead of float log-prob
+    sums whose value depends on summation order).
+
+    Per document, against the unigram counts of ``reference``:
+    ``n_tokens``, ``n_oov`` (tokens unseen in the reference),
+    ``oov_rate``, and ``median_ref_count`` (the median reference
+    frequency of the doc's tokens, OOV as 0 — low medians mean rare /
+    off-domain vocabulary, the perplexity proxy).
+
+    Scale: the reference vocabulary aggregates once (map-side partial
+    counts) and BROADCASTS — fine for a pruned vocabulary
+    (``min_count`` drops the hapax tail, which is most of Heaps-law
+    growth); for an unpruned 100 TB-corpus vocabulary switch the
+    lookup to a plain shuffle join by dropping the broadcast hint —
+    the per-doc aggregate shape is unchanged.
+    """
+    ref_counts = (
+        reference.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .where(F.col("__c") >= min_count)
+    )
+    doc_tokens = docs.select(
+        "doc_id", F.explode_outer(tokens(F.col(text_col))).alias("w")
+    ).join(F.broadcast(ref_counts), "w", "left")
+    n_tokens = F.count("w").cast("long")
+    n_oov = F.sum(F.when(F.col("__c").isNull() & F.col("w").isNotNull(), 1).otherwise(0)).cast("long")
+    return doc_tokens.groupBy("doc_id").agg(
+        n_tokens.alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        F.when(n_tokens > 0, F.round(n_oov / n_tokens, 6)).alias("oov_rate"),
+        F.round(
+            F.percentile(
+                F.when(F.col("w").isNotNull(), F.coalesce(F.col("__c"), F.lit(0))),
+                F.lit(0.5),
+            ),
+            6,
+        ).alias("median_ref_count"),
+    )
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality metrics: token counts, type-token ratio,
     mean word length, a composite quality score.

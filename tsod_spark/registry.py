@@ -1390,6 +1390,35 @@ def doc_pack_sequences(spark, sf_dir):
 
 
 @register(
+    "doc_lm_rarity",
+    f"""WITH ref AS (SELECT unnest({TOKS}) AS w FROM documents
+                    WHERE source IN ('src0', 'src1', 'src2')),
+    rc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ref GROUP BY w),
+    dt AS (SELECT doc_id, unnest({TOKS}) AS w FROM documents
+           WHERE source NOT IN ('src0', 'src1', 'src2')),
+    j AS (SELECT doc_id, dt.w, rc.c FROM dt LEFT JOIN rc USING (w))
+    SELECT doc_id, CAST(count(w) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END)
+                 / CAST(count(w) AS DOUBLE), 6) AS oov_rate,
+           round(quantile_cont(coalesce(c, 0), 0.5), 6) AS median_ref_count
+    FROM j GROUP BY doc_id""",
+)
+def doc_lm_rarity(spark, sf_dir):
+    """Reference-LM rarity scoring (CCNet-style quality filter): exact
+    OOV counts + median reference frequency per doc against a unigram
+    LM built from three reference sources — integer statistics and an
+    order statistic instead of float log-prob sums, so the oracle
+    matches exactly."""
+    docs = table(spark, sf_dir, "documents")
+    ref_sources = ("src0", "src1", "src2")
+    return text.lm_rarity(
+        docs.where(~F.col("source").isin(*ref_sources)),
+        docs.where(F.col("source").isin(*ref_sources)),
+    )
+
+
+@register(
     "doc_tfidf_topk",
     f"""WITH tk AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
     tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
