@@ -1,0 +1,77 @@
+"""SeasonalResidualDetector: fit/detect lifecycle equals the one-pass
+seasonal_anomaly operator, in both per-series and global-fit modes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsod_spark import SeasonalResidualDetector
+from tsod_spark.analytics import temporal
+from tsod_spark.frame import TimeSeriesFrame
+from tsod_spark.registry import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_fit_detect_matches_one_pass_operator(spark):
+    df = table(spark, SF, "events")
+    tsf = TimeSeriesFrame(df, series=["user_id"], tiebreak=["event_id"])
+    det = SeasonalResidualDetector().fit(tsf)
+    got = {
+        (r["user_id"], r["ts"]): r["is_anomaly"]
+        for r in det.detect(tsf).select("user_id", "ts", "is_anomaly").collect()
+    }
+    exp = {
+        (r["user_id"], r["ts"]): r["is_anomaly"]
+        for r in temporal.seasonal_anomaly(df)
+        .select("user_id", "ts", "is_anomaly")
+        .collect()
+    }
+    assert got == exp
+    assert sum(got.values()) > 0  # flags something
+
+
+def test_global_fit_single_series(spark):
+    df = table(spark, SF, "events")
+    uid = df.select("user_id").first()[0]
+    one = df.where(F.col("user_id") == uid)
+    tsf = TimeSeriesFrame(one, series=[], tiebreak=["event_id"])
+    det = SeasonalResidualDetector().fit(tsf)
+    out = det.detect(tsf)
+    assert out.count() == one.count()
+    assert "is_anomaly" in out.columns
+
+
+def test_detect_unfitted_raises(spark):
+    from tsod_spark.exceptions import NotFittedError
+
+    df = table(spark, SF, "events")
+    tsf = TimeSeriesFrame(df.where(F.col("user_id") == 0), series=[], tiebreak=["event_id"])
+    with pytest.raises(NotFittedError):
+        SeasonalResidualDetector().detect(tsf)
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    from tsod_spark import persistence
+
+    df = table(spark, SF, "events")
+    tsf = TimeSeriesFrame(df, series=["user_id"], tiebreak=["event_id"])
+    det = SeasonalResidualDetector(trend_window=6, quantile=0.98).fit(tsf)
+    p = str(tmp_path / "det.json")
+    persistence.save(det, p)
+    det2 = persistence.load(p, spark=spark)
+    a = {(r["user_id"], r["ts"]): r["is_anomaly"]
+         for r in det.detect(tsf).select("user_id", "ts", "is_anomaly").collect()}
+    b = {(r["user_id"], r["ts"]): r["is_anomaly"]
+         for r in det2.detect(tsf).select("user_id", "ts", "is_anomaly").collect()}
+    assert a == b
+
+    # global-fit roundtrip (scalar params ride the JSON)
+    uid = df.select("user_id").first()[0]
+    one = TimeSeriesFrame(df.where(F.col("user_id") == uid), series=[], tiebreak=["event_id"])
+    g = SeasonalResidualDetector().fit(one)
+    pg = str(tmp_path / "det_g.json")
+    persistence.save(g, pg)
+    g2 = persistence.load(pg, spark=spark)
+    ga = {r["ts"]: r["is_anomaly"] for r in g.detect(one).select("ts", "is_anomaly").collect()}
+    gb = {r["ts"]: r["is_anomaly"] for r in g2.detect(one).select("ts", "is_anomaly").collect()}
+    assert ga == gb

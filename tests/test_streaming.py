@@ -638,3 +638,26 @@ def test_stream_regression_residual_matches_batch(spark, events_batches):
     assert not mismatches, f"{len(mismatches)} mismatches, first: {mismatches[:3]}"
     # every batch-scored row is eventually emitted (causal detector)
     assert len(got) >= len(expected)
+
+
+def test_stream_seasonal_residual_matches_batch(spark, events_batches):
+    """Seasonal detector streams with per-series ARRAY params (the
+    24-phase profile broadcast-joins onto the stream and resolves
+    inside the state operator) — flags match batch row-for-row."""
+    from tsod_spark import SeasonalResidualDetector
+
+    df = registry.table(spark, SF, "events")
+    tsf = TimeSeriesFrame(df, series=["user_id"], tiebreak=["event_id"])
+    det = SeasonalResidualDetector(trend_window=12, quantile=0.99).fit(tsf)
+
+    got = run_stream(spark, events_batches, det)
+    assert len(got) > 0
+    expected = batch_flags(spark, det)
+    mismatches = [
+        (r.user_id, r.ts, r.is_anomaly, expected[(r.user_id, r.ts)])
+        for r in got
+        if expected[(r.user_id, r.ts)] != r.is_anomaly
+    ]
+    assert not mismatches, f"{len(mismatches)} mismatches, first: {mismatches[:3]}"
+    # the stream must actually emit flags, not all-False
+    assert any(r.is_anomaly for r in got)

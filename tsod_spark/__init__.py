@@ -15,6 +15,7 @@ from .detectors import (
     HampelDetector,
     RangeDetector,
     RollingStandardDeviationDetector,
+    SeasonalResidualDetector,
 )
 from .exceptions import (
     AnomalyDetectionError,
@@ -42,6 +43,7 @@ __all__ = [
     "HampelDetector",
     "RangeDetector",
     "RollingStandardDeviationDetector",
+    "SeasonalResidualDetector",
     "load",
     "save",
     "PandasDetectorAdapter",

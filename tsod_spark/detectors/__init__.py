@@ -6,8 +6,10 @@ from .gradient import GradientDetector
 from .hampel import HampelDetector
 from .range import RangeDetector
 from .rolling_std import RollingStandardDeviationDetector
+from .seasonal import SeasonalResidualDetector
 
 __all__ = [
+    "SeasonalResidualDetector",
     "SparkDetector",
     "as_tsf",
     "CombinedDetector",

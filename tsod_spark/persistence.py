@@ -23,6 +23,7 @@ from .detectors import (
     HampelDetector,
     RangeDetector,
     RollingStandardDeviationDetector,
+    SeasonalResidualDetector,
     SparkDetector,
 )
 
@@ -36,6 +37,7 @@ _REGISTRY = {
         ConstantValueDetector,
         ConstantGradientDetector,
         HampelDetector,
+        SeasonalResidualDetector,
         CombinedDetector,
     )
 }
@@ -53,6 +55,10 @@ _PARAM_ATTRS = {
     "ConstantValueDetector": {"_window_size": "window_size", "_threshold": "threshold"},
     "ConstantGradientDetector": {"_window_size": "window_size"},
     "HampelDetector": {"_window_size": "window_size", "_threshold": "threshold"},
+    "SeasonalResidualDetector": {
+        "_trend_window": "trend_window",
+        "_quantile": "quantile",
+    },
 }
 
 
@@ -78,14 +84,23 @@ def to_dict(detector: SparkDetector) -> dict:
         kwarg: _encode(getattr(detector, attr))
         for attr, kwarg in _PARAM_ATTRS[name].items()
     }
-    return {"type": name, "params": params}
+    out = {"type": name, "params": params}
+    if detector._params is not None:
+        # globally-fitted state that does NOT mirror a constructor
+        # kwarg (e.g. the seasonal profile + threshold) — JSON-safe
+        # scalars and lists by construction
+        out["fitted"] = detector._params
+    return out
 
 
 def from_dict(d: dict) -> SparkDetector:
     cls = _REGISTRY[d["type"]]
     if d["type"] == "CombinedDetector":
         return CombinedDetector([from_dict(c) for c in d["detectors"]])
-    return cls(**{k: _decode(v) for k, v in d["params"].items()})
+    det = cls(**{k: _decode(v) for k, v in d["params"].items()})
+    if d.get("fitted") is not None:
+        det._params = d["fitted"]
+    return det
 
 
 def _walk(detector: SparkDetector):

@@ -85,12 +85,19 @@ def _leaf_plan(detector, kernel, lookback, lookahead, scalars, fit_map):
     )
 
     def make_kwargs(row):
+        import numpy as np
+
         kw = dict(scalars)
         if row is not None:
             for k, c in param_cols.items():
                 v = row.get(c)
-                if v is not None and not pd.isna(v):
-                    kw[k] = v
+                if v is None:
+                    continue
+                # array-valued params (e.g. a seasonal profile) can't go
+                # through scalar pd.isna
+                if np.ndim(v) == 0 and pd.isna(v):
+                    continue
+                kw[k] = v
         return kw
 
     return (
@@ -178,6 +185,23 @@ def _plan(detector):
             w - w // 2,
             {"window_size": w, "threshold": detector._threshold},
             {},
+        )
+    from ..detectors.seasonal import SeasonalResidualDetector
+
+    if isinstance(detector, SeasonalResidualDetector):
+        w = detector._trend_window
+        p = detector._params or {}
+        return _leaf_plan(
+            detector,
+            kernels.seasonal_residual_kernel,
+            w,
+            w,
+            {
+                "trend_window": w,
+                "seasonal": p.get("seasonal"),
+                "thr": p.get("thr"),
+            },
+            {"seasonal": "seasonal", "thr": "thr"},
         )
     from ..detectors.mllib import RegressionResidualDetector
 

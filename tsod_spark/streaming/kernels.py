@@ -110,6 +110,33 @@ def constant_gradient_kernel(ts, value, offset, window_size, threshold=1e-7):
     return _dilate(cf) | _dilate(cb)
 
 
+def seasonal_residual_kernel(ts, value, offset, seasonal, thr, trend_window):
+    """Streaming twin of SeasonalResidualDetector.detect: residual =
+    cents/100 - centered-MA trend (full windows only, exact cent sums
+    divided once — identical arithmetic to the batch Column plan) -
+    fitted seasonal offset for the row's hour; flag |resid| > thr.
+    NULL/edge trends and NULL seasonal phases emit False, like batch.
+    """
+    if seasonal is None or thr is None:
+        return np.zeros(len(value), dtype=bool)
+    full = 2 * trend_window + 1
+    v = value.to_numpy(dtype=float)
+    # round-half-away like Spark's F.round (np.round is half-even)
+    vc = np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)
+    tr = (
+        pd.Series(vc).rolling(full, center=True, min_periods=full).sum().to_numpy()
+        / (100.0 * full)
+    )
+    season = np.asarray(
+        [float("nan") if s is None else float(s) for s in seasonal], dtype=float
+    )
+    hours = ts.dt.hour.to_numpy()
+    resid = vc / 100.0 - tr - season[hours]
+    with np.errstate(invalid="ignore"):
+        out = np.abs(resid) > float(thr)
+    return np.where(np.isnan(resid), False, out)
+
+
 def regression_residual_kernel(ts, value, offset, coef, intercept, threshold):
     """Streaming twin of RegressionResidualDetector.detect: the fitted
     model is just coefficients, so scoring is a dot product over the
