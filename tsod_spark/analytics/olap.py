@@ -260,6 +260,25 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
     )
 
 
+def scd2_intervals(
+    df: DataFrame,
+    keys=("user_id",),
+    ts_col: str = "ts",
+    tiebreak=("event_id",),
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: turn a change log into
+    validity intervals — each record is valid from its own timestamp
+    until the key's next change (NULL ``valid_to`` = current record).
+    With :func:`latest_by_key` (compaction) and the point-in-time
+    snapshot query this completes the bitemporal read family. One
+    keyed window shuffle; the interval table joins back to facts via
+    the bucketized range join at scale."""
+    w = Window.partitionBy(*keys).orderBy(ts_col, *tiebreak)
+    return df.withColumn("valid_from", F.col(ts_col)).withColumn(
+        "valid_to", F.lead(ts_col).over(w)
+    )
+
+
 def latest_by_key(
     df: DataFrame,
     keys=("user_id",),

@@ -866,6 +866,24 @@ def events_asof_snapshot(spark, sf_dir):
 
 
 @register(
+    "events_scd2",
+    """SELECT event_id, user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to
+    FROM events""",
+)
+def events_scd2(spark, sf_dir):
+    """SCD type-2 build: change log -> validity intervals (valid until
+    the key's next change; NULL = current). One keyed window shuffle;
+    completes the bitemporal family next to keep-last compaction and
+    the as-of snapshot."""
+    from .analytics import olap
+
+    out = olap.scd2_intervals(table(spark, sf_dir, "events"))
+    return out.select("event_id", "user_id", "event_type", "valid_from", "valid_to")
+
+
+@register(
     "ts_seasonal_decompose",
     f"""{E_CTE}, c AS (
       SELECT event_id, user_id, ts,
