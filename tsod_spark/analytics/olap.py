@@ -260,6 +260,98 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
     )
 
 
+def profile_table(df: DataFrame, columns=None) -> DataFrame:
+    """One-pass data profiling (the ``ANALYZE TABLE`` a 100 TB ingest
+    runs before anything else): per column, row count, null count,
+    exact distinct count, and min/max rendered as strings so mixed
+    column types stack into one long-format frame.
+
+    All metrics ride ONE aggregate job — count_distinct expands the
+    single scan rather than launching a scan per column. Swap
+    ``approx_count_distinct`` in at scales where exact distinct's
+    expand becomes the bottleneck (same plan shape).
+    """
+    columns = list(columns or df.columns)
+    aggs = []
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(col.isNull().cast("int")).cast("long").alias(f"__nn_{c}"),
+            F.count_distinct(col).alias(f"__nd_{c}"),
+            F.min(col).cast("string").alias(f"__mn_{c}"),
+            F.max(col).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"__n_{c}").alias("n_rows"),
+            F.col(f"__nn_{c}").alias("n_null"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_value"),
+            F.col(f"__mx_{c}").alias("max_value"),
+        )
+        for c in columns
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def histogram_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str = "value",
+    keys=("event_type",),
+    bin_width: float = 10.0,
+) -> DataFrame:
+    """Distribution drift between two snapshots of the same table —
+    the monitoring pass a continuously-ingested corpus runs per tick.
+
+    Per key: fixed-width histograms of both sides and the L1 distance
+    between the normalized histograms (total-variation x2), computed
+    ENTIRELY in exact integer space — ``sum |n_a*T_b - n_b*T_a|``
+    over bins (longs, order-independent) divided once by ``T_a*T_b``
+    — so the score is engine-deterministic (summing per-bin float
+    proportions would depend on summation order; log-space PSI would
+    additionally depend on the libm). Each side is one grouped count;
+    the bin join is on (keys, bin) — tiny frames, the raw tables are
+    scanned once.
+    """
+    keys = list(keys)
+
+    def hist(df, side):
+        v = F.when(F.isnan(value_col) | F.col(value_col).isNull(), None).otherwise(
+            F.col(value_col)
+        )
+        return (
+            df.withColumn("__bin", F.floor(v / bin_width).cast("long"))
+            .where(F.col("__bin").isNotNull())
+            .groupBy(*keys, "__bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"n_{side}"))
+        )
+
+    ha, hb = hist(a, "a"), hist(b, "b")
+    joined = ha.join(hb, [*keys, "__bin"], "full").fillna(
+        0, subset=["n_a", "n_b"]
+    )
+    w = Window.partitionBy(*keys)
+    joined = joined.withColumn("__ta", F.sum("n_a").over(w)).withColumn(
+        "__tb", F.sum("n_b").over(w)
+    )
+    cross = F.abs(F.col("n_a") * F.col("__tb") - F.col("n_b") * F.col("__ta"))
+    return (
+        joined.withColumn("__ci", cross)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_a").cast("long").alias("n_a"),
+            F.sum("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.sum("__ci") / (F.max("__ta") * F.max("__tb")), 6
+            ).alias("l1_drift"),
+        )
+    )
+
+
 def scd2_intervals(
     df: DataFrame,
     keys=("user_id",),

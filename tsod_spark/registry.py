@@ -883,6 +883,76 @@ def events_scd2(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type", "valid_from", "valid_to")
 
 
+_PROFILE_COL_SQL = """SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value FROM e"""
+
+
+@register(
+    "events_profile",
+    "WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us "
+    "FROM events) "
+    + " UNION ALL ".join(
+        _PROFILE_COL_SQL.format(c=c)
+        for c in ("event_id", "user_id", "event_type", "ts_us")
+    ),
+)
+def events_profile(spark, sf_dir):
+    """One-pass table profiling (row/null/exact-distinct counts +
+    min/max per column) — the ANALYZE a 100 TB ingest runs first; all
+    metrics ride one aggregate job over one scan. Timestamps profile
+    as epoch micros (string rendering of timestamps/doubles is
+    engine-specific; integer casts are not)."""
+    from .analytics import olap
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    return olap.profile_table(e)
+
+
+@register(
+    "events_value_drift",
+    """WITH e AS (SELECT event_type, ts,
+           CASE WHEN isnan(value) THEN NULL ELSE value END AS v FROM events),
+    a AS (SELECT event_type, CAST(floor(v / 10.0) AS BIGINT) AS bin,
+                 CAST(count(*) AS BIGINT) AS n_a
+          FROM e WHERE ts < TIMESTAMP '2024-01-16' AND v IS NOT NULL
+          GROUP BY 1, 2),
+    b AS (SELECT event_type, CAST(floor(v / 10.0) AS BIGINT) AS bin,
+                 CAST(count(*) AS BIGINT) AS n_b
+          FROM e WHERE ts >= TIMESTAMP '2024-01-16' AND v IS NOT NULL
+          GROUP BY 1, 2),
+    j AS (SELECT coalesce(a.event_type, b.event_type) AS event_type,
+                 coalesce(a.bin, b.bin) AS bin,
+                 coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+          FROM a FULL JOIN b ON a.event_type = b.event_type AND a.bin = b.bin),
+    t AS (SELECT *, sum(n_a) OVER (PARTITION BY event_type) AS ta,
+                 sum(n_b) OVER (PARTITION BY event_type) AS tb FROM j)
+    SELECT event_type, CAST(sum(n_a) AS BIGINT) AS n_a,
+           CAST(sum(n_b) AS BIGINT) AS n_b,
+           round(CAST(sum(abs(n_a * tb - n_b * ta)) AS DOUBLE)
+                 / (CAST(max(ta) AS DOUBLE) * max(tb)), 6) AS l1_drift
+    FROM t GROUP BY event_type""",
+)
+def events_value_drift(spark, sf_dir):
+    """Distribution-drift monitoring between two snapshots (first vs
+    second half of the month): per event type, the L1 distance between
+    normalized value histograms, computed entirely in exact integer
+    cross-products divided once — engine-deterministic where per-bin
+    float sums and log-space PSI are not."""
+    from .analytics import olap
+
+    e = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return olap.histogram_drift(
+        e.where(F.col("ts") < cut), e.where(F.col("ts") >= cut)
+    )
+
+
 @register(
     "ts_seasonal_decompose",
     f"""{E_CTE}, c AS (
