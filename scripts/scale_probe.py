@@ -186,6 +186,35 @@ def main():
         batch = expanded(spark, "documents", 1, {}).where(F.col("doc_id") % 5 == 0)
         return dedup.incremental_new_docs(corpus, batch)
 
+    def q_seasonal(m):
+        return temporal.seasonal_anomaly(events(m))
+
+    def q_lm_rarity(m):
+        from tsod_spark.pipeline import text as _text
+
+        docs = expanded(spark, "documents", m, {"doc_id": 10_000_000})
+        ref = expanded(spark, "documents", 1, {}).where(
+            F.col("source").isin("src0", "src1", "src2")
+        )
+        return _text.lm_rarity(docs, ref)
+
+    def q_profile(m):
+        from tsod_spark.analytics import olap
+
+        e = events(m).select(
+            "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+        )
+        return olap.profile_table(e)
+
+    def q_drift(m):
+        from tsod_spark.analytics import olap
+
+        e = events(m)
+        cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        return olap.histogram_drift(
+            e.where(F.col("ts") < cut), e.where(F.col("ts") >= cut)
+        )
+
     QUERIES = {
         "combined_detect": q_combined,
         "asof_join": q_asof,
@@ -203,6 +232,10 @@ def main():
         "range_join": q_range_join,
         "interval_overlap": q_interval_overlap,
         "incremental_dedup": q_incremental,
+        "seasonal_anomaly": q_seasonal,
+        "lm_rarity": q_lm_rarity,
+        "profile": q_profile,
+        "histogram_drift": q_drift,
     }
 
     # warmup

@@ -75,3 +75,26 @@ def test_save_load_roundtrip(spark, tmp_path):
     ga = {r["ts"]: r["is_anomaly"] for r in g.detect(one).select("ts", "is_anomaly").collect()}
     gb = {r["ts"]: r["is_anomaly"] for r in g2.detect(one).select("ts", "is_anomaly").collect()}
     assert ga == gb
+
+
+def test_per_series_regression_fit_detect(spark):
+    """per_series=True fits one small numpy ridge per series inside
+    applyInPandas; detect joins the broadcast params and scores with a
+    fold that matches the streaming kernel's accumulation order."""
+    from tsod_spark.detectors.mllib import RegressionResidualDetector
+
+    df = table(spark, SF, "events")
+    tsf = TimeSeriesFrame(df, series=["user_id"], tiebreak=["event_id"])
+    det = RegressionResidualDetector(time_steps=3, per_series=True).fit(tsf)
+    assert det._params_df is not None
+    out = det.detect(tsf)
+    rows = out.select("user_id", "ts", "is_anomaly").collect()
+    assert len(rows) > 0
+    assert all(r["is_anomaly"] in (True, False) for r in rows)
+    # the fitted frame holds one row per series with a T-vector
+    params = det._params_df.collect()
+    n_series = df.select("user_id").distinct().count()
+    assert len(params) == n_series
+    fitted = [p for p in params if p[det.tmp("coef")] is not None]
+    assert len(fitted) > 0
+    assert all(len(p[det.tmp("coef")]) == 3 for p in fitted)

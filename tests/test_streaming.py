@@ -661,3 +661,26 @@ def test_stream_seasonal_residual_matches_batch(spark, events_batches):
     assert not mismatches, f"{len(mismatches)} mismatches, first: {mismatches[:3]}"
     # the stream must actually emit flags, not all-False
     assert any(r.is_anomaly for r in got)
+
+
+def test_stream_per_series_regression_matches_batch(spark, events_batches):
+    """Per-series-fitted linear models (numpy ridge per key) stream
+    through the same state operator: coef arrays broadcast-join onto
+    the stream and resolve per key."""
+    from tsod_spark.detectors.mllib import RegressionResidualDetector
+
+    df = registry.table(spark, SF, "events")
+    tsf = TimeSeriesFrame(df, series=["user_id"], tiebreak=["event_id"])
+    det = RegressionResidualDetector(time_steps=3, n_sigmas=3.0, per_series=True).fit(tsf)
+
+    got = run_stream(spark, events_batches, det)
+    assert len(got) > 0
+    batch_rows = det.detect(tsf).select("user_id", "ts", "is_anomaly").collect()
+    expected = {(r.user_id, r.ts): r.is_anomaly for r in batch_rows}
+    mismatches = []
+    for r in got:
+        want = expected.get((r.user_id, r.ts), False)
+        if want != r.is_anomaly:
+            mismatches.append(((r.user_id, r.ts), r.is_anomaly, want))
+    assert not mismatches, f"{len(mismatches)} mismatches, first: {mismatches[:3]}"
+    assert any(r.is_anomaly for r in got)

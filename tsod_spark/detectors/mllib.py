@@ -37,19 +37,40 @@ def _lag_matrix(tsf, time_steps: int) -> DataFrame:
 
 
 class RegressionResidualDetector(SparkDetector):
-    """value ~ linear(lags) residual thresholding."""
+    """value ~ linear(lags) residual thresholding.
 
-    def __init__(self, time_steps: int = 5, n_sigmas: float = 4.0):
+    ``per_series=True`` fits ONE SMALL MODEL PER SERIES instead of a
+    single global model: the per-series lag matrices are tiny (rows x
+    T), so the right scale shape is embarrassingly-parallel numpy
+    ridge solves inside ``applyInPandas`` — a million series means a
+    million 5x5 normal-equation solves spread across executors, not
+    one distributed solver. The fitted (coef, intercept, thr) frame is
+    the same broadcast-params shape every per-series detector uses, so
+    detect and the streaming kernel are shared with the global path.
+    """
+
+    def __init__(
+        self,
+        time_steps: int = 5,
+        n_sigmas: float = 4.0,
+        per_series: bool = False,
+        reg: float = 1e-6,
+    ):
         super().__init__()
         self._time_steps = time_steps
         self._n_sigmas = n_sigmas
+        self._per_series = per_series
+        self._reg = reg
         self._model = None
         self._resid_std = None
 
     def fit(self, data):
+        tsf = as_tsf(data)
+        if self._per_series and tsf.series:
+            self._fit_per_series(tsf)
+            return self
         from pyspark.ml.regression import LinearRegression
 
-        tsf = as_tsf(data)
         train = _lag_matrix(tsf, self._time_steps)
         # "normal" = closed-form normal equations: one distributed pass
         # to build X'X (5x5 here), no iterative solver rounds
@@ -64,15 +85,87 @@ class RegressionResidualDetector(SparkDetector):
         )
         return self
 
+    def _fit_per_series(self, tsf) -> None:
+        import numpy as np
+        import pandas as pd  # noqa: PLC0415
+
+        T, reg, n_sig = self._time_steps, self._reg, self._n_sigmas
+        keys = list(tsf.series)
+        train = create_dataset(tsf, time_steps=T).select(*keys, "features", "y")
+        c_coef, c_int, c_thr = (
+            self.tmp("coef"),
+            self.tmp("intercept"),
+            self.tmp("thr"),
+        )
+
+        def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+            X = np.stack(pdf["features"].to_numpy())
+            y = pdf["y"].to_numpy(dtype=float)
+            ok = np.isfinite(X).all(axis=1) & np.isfinite(y)
+            key_vals = {k: pdf[k].iloc[0] for k in keys}
+            if ok.sum() < T + 2:  # underdetermined series: no model
+                return pd.DataFrame(
+                    [{**key_vals, c_coef: None, c_int: None, c_thr: None}]
+                )
+            Xo, yo = X[ok], y[ok]
+            A = np.hstack([Xo, np.ones((len(Xo), 1))])
+            G = A.T @ A + reg * np.eye(T + 1)
+            w = np.linalg.solve(G, A.T @ yo)
+            resid = yo - A @ w
+            std = float(resid.std(ddof=1))
+            return pd.DataFrame(
+                [
+                    {
+                        **key_vals,
+                        c_coef: list(w[:T].astype(float)),
+                        c_int: float(w[T]),
+                        c_thr: n_sig * std,
+                    }
+                ]
+            )
+
+        key_schema = ", ".join(
+            f"{k} {dict(train.dtypes)[k]}" for k in keys
+        )
+        self._params_df = train.groupBy(*keys).applyInPandas(
+            solve,
+            f"{key_schema}, {c_coef} array<double>, {c_int} double, {c_thr} double",
+        )
+        self._model = None
+        self._resid_std = None
+
     def _attach(self, tsf, out_col: str):
         raise NotImplementedError("use detect()")
 
     def detect(self, data, out_col: str = "is_anomaly") -> DataFrame:
+        tsf = as_tsf(data)
+        if self._params_df is not None:
+            feats = create_dataset(tsf, time_steps=self._time_steps)
+            joined = feats.join(
+                F.broadcast(self._params_df), on=tsf.series, how="left"
+            )
+            # fold matches the streaming kernel's accumulation order:
+            # start at the intercept, add coef[i]*lag[i] in lag order
+            pred = F.aggregate(
+                F.zip_with(
+                    F.col("features"), self.p("coef"), lambda a, c: a * c
+                ),
+                self.p("intercept"),
+                lambda acc, x: acc + x,
+            )
+            resid = F.abs(F.col("y") - pred)
+            out = joined.withColumn(
+                out_col, F.coalesce(resid > self.p("thr"), F.lit(False))
+            )
+            return out.drop(
+                "features",
+                *[c for c in out.columns if c.startswith(f"__{self._uid}_")],
+                "y",
+            )
         if self._model is None or self._resid_std is None:
             from ..exceptions import NotFittedError
 
             raise NotFittedError("detect")
-        tsf = as_tsf(data)
         scored = self._model.transform(_lag_matrix(tsf, self._time_steps))
         resid = F.abs(F.col("y") - F.col("prediction"))
         thr = float(self._n_sigmas * self._resid_std)

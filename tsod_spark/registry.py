@@ -2161,6 +2161,20 @@ def ts_range_quantile_approx(spark, sf_dir):
 # tests/test_pipeline.py / test_golden_detectors.py.
 
 
+@register("ts_mllib_residual_per_series")
+def ts_mllib_residual_per_series(spark, sf_dir):
+    """One small ridge model PER SERIES (numpy normal-equation solves
+    inside applyInPandas — a million series = a million 5x5 solves
+    spread across executors), scored via broadcast coef arrays.
+    rows-only: float model params; batch-vs-stream equivalence and fit
+    shape are pytest-verified."""
+    from .detectors.mllib import RegressionResidualDetector
+
+    tsf = events_tsf(spark, sf_dir)
+    det = RegressionResidualDetector(time_steps=5, n_sigmas=4.0, per_series=True).fit(tsf)
+    return det.detect(tsf).select("event_id", "is_anomaly")
+
+
 @register("ts_mllib_residual")
 def ts_mllib_residual(spark, sf_dir):
     """Linear value~lags model; flag |residual| > n_sigmas * train std."""

@@ -212,6 +212,15 @@ def _plan(detector):
         # rule-based window detectors. (KMeans novelty is the one
         # learned detector that genuinely needs model state and stays
         # batch-only — see the NotImplementedError below.)
+        if detector._params_df is not None:  # per-series numpy fit
+            return _leaf_plan(
+                detector,
+                kernels.regression_residual_kernel,
+                detector._time_steps,
+                0,
+                {"coef": None, "intercept": None, "threshold": None},
+                {"coef": "coef", "intercept": "intercept", "thr": "threshold"},
+            )
         if detector._model is None or detector._resid_std is None:
             from ..exceptions import NotFittedError
 

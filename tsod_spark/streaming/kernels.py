@@ -145,10 +145,14 @@ def regression_residual_kernel(ts, value, offset, coef, intercept, threshold):
 
     Rows the batch plan does not score — the first T rows of a series
     (incomplete window) and rows whose window or own value is NaN
-    (prediction/residual NaN, coalesced False in batch) — emit False.
+    (prediction/residual NaN, coalesced False in batch) — emit False,
+    as do series with no fitted model (per_series fit on an
+    underdetermined or unseen key).
     """
     v = value.to_numpy(dtype=float)
     n = len(v)
+    if coef is None or intercept is None or threshold is None:
+        return np.zeros(n, dtype=bool)
     T = len(coef)
     out = np.zeros(n, dtype=bool)
     if n <= T:
