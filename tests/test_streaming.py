@@ -684,3 +684,60 @@ def test_stream_per_series_regression_matches_batch(spark, events_batches):
             mismatches.append(((r.user_id, r.ts), r.is_anomaly, want))
     assert not mismatches, f"{len(mismatches)} mismatches, first: {mismatches[:3]}"
     assert any(r.is_anomaly for r in got)
+
+
+def test_stream_attribution_join_matches_batch(spark, events_batches):
+    """Watermarked stream-stream join (views -> purchases within 30min
+    per user): emitted pairs equal the batch interval join. The time
+    bound is the state-retention contract — without it a stream-stream
+    join buffers forever."""
+    from tsod_spark.streaming.temporal import stream_attribution_join
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    views = src.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    buys = src.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ts_r"),
+        F.col("event_id").alias("buy_id"),
+    )
+    out = stream_attribution_join(views, buys, max_delay="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["view_id"], r["buy_id"])
+        for r in spark.sql("SELECT view_id, buy_id FROM attrib_stream").collect()
+    }
+
+    batch = registry.table(spark, SF, "events")
+    bv = batch.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    bb = batch.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"),
+        F.col("ts").alias("ts_r"),
+        F.col("event_id").alias("buy_id"),
+    )
+    expected = {
+        (r["view_id"], r["buy_id"])
+        for r in bv.join(
+            bb,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("ts_r") >= F.col("ts"))
+            & (F.col("ts_r") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")),
+        ).collect()
+    }
+    # append-mode inner join with availableNow emits every matched pair
+    assert got == expected and len(expected) > 0

@@ -7,6 +7,7 @@ from .detect import (  # noqa: F401
     stream_sessionize,
 )
 from .temporal import (  # noqa: F401
+    stream_attribution_join,
     stream_ewma,
     stream_latest_by_key,
     stream_rollup_hierarchy,

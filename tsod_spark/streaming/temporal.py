@@ -232,6 +232,41 @@ def stream_latest_by_key(
     )
 
 
+def stream_attribution_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str] = ("user_id",),
+    left_ts: str = "ts",
+    right_ts: str = "ts_r",
+    max_delay: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event with
+    the right-stream events that follow it within ``max_delay`` on the
+    same key (the click-attribution / trigger-response shape).
+
+    Both sides carry watermarks and the join condition time-bounds the
+    match window, so Spark can evict buffered rows once the watermark
+    passes ``left_ts + max_delay`` — state is O(events per delay
+    window x keys), not O(stream history). Without the time bound a
+    stream-stream join must buffer both streams forever; the interval
+    condition IS the state-retention contract.
+    """
+    keys = list(keys)
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys] + [
+        F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"),
+        F.col(f"r.{right_ts}")
+        <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}"),
+    ]
+    return lw.join(rw, cond, "inner").select(
+        *[F.col(f"l.{k}") for k in keys],
+        *[F.col(f"l.{c}") for c in left.columns if c not in keys],
+        *[F.col(f"r.{c}") for c in right.columns if c not in keys],
+    )
+
+
 def stream_rollup_hierarchy(
     stream_df: DataFrame,
     keys: Sequence[str] = ("event_type",),
