@@ -298,6 +298,58 @@ def curation_pipeline(
     )
 
 
+def budget_select(
+    docs: DataFrame,
+    token_budget: int = 2000,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Token-budget-aware selection: per source, keep the
+    highest-quality documents until the token budget fills — the
+    "best data under a compute budget" step of curation pipelines
+    (quality-ranked greedy take, the shape behind data-pruning /
+    curriculum papers).
+
+    Quality key = stopword ratio (a cheap fluency proxy — swap in any
+    deterministic per-doc score); a doc is kept while the cumulative
+    token count of better-ranked docs is under budget (windowed exact
+    int64 cumsum, same discipline as pack_sequences). One window
+    shuffle per the per-source partition; NO global sort — at 100 TB
+    each source ranks independently.
+    """
+    from .text import STOPWORDS_EN, tokens
+
+    t = tokens(F.col(text_col))
+    n_tokens = F.size(t).cast("long")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    quality = F.when(F.size(t) > 0, F.round(n_stop / F.size(t), 6))
+    staged = docs.select(
+        "doc_id",
+        F.col(source_col).alias("part"),
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality"),
+    )
+    w = Window.partitionBy("part").orderBy(
+        F.col("quality").desc_nulls_last(), "doc_id"
+    )
+    cb = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        staged.withColumn("__cb", cb)
+        .where(F.col("__cb") < token_budget)
+        .select(
+            "doc_id",
+            "part",
+            "n_tokens",
+            "quality",
+            F.row_number().over(w).cast("long").alias("sel_rank"),
+        )
+    )
+
+
 def mixture_sample(
     docs: DataFrame,
     target_frac: float = 0.5,

@@ -1283,6 +1283,33 @@ _SW = ", ".join(f"'{s}'" for s in text.STOPWORDS_EN)
 
 
 @register(
+    "doc_budget_select",
+    f"""WITH d AS (SELECT doc_id, source AS part, {TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, part, CAST(len(toks) AS BIGINT) AS n_tokens,
+            CASE WHEN len(toks) > 0
+                 THEN round(len(list_filter(toks, x -> x IN ({_SW})))
+                            / CAST(len(toks) AS DOUBLE), 6) END AS quality
+        FROM d),
+    r AS (SELECT *, coalesce(sum(n_tokens) OVER w_rank, 0) AS cb,
+            CAST(row_number() OVER (PARTITION BY part
+                 ORDER BY quality DESC NULLS LAST, doc_id) AS BIGINT) AS sel_rank
+        FROM s
+        WINDOW w_rank AS (PARTITION BY part
+                          ORDER BY quality DESC NULLS LAST, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT doc_id, part, n_tokens, quality, sel_rank
+    FROM r WHERE cb < 600""",
+)
+def doc_budget_select(spark, sf_dir):
+    """Token-budget-aware curation: per source, greedily keep the
+    highest-stopword-ratio (fluency-proxy) docs until a 600-token
+    budget fills (roughly the top 40% of each source's tokens, so the
+    cut is non-vacuous at every test scale) — quality-ranked selection via a windowed exact-int
+    cumsum, no global sort."""
+    return curate.budget_select(table(spark, sf_dir, "documents"), token_budget=600)
+
+
+@register(
     "doc_quality",
     f"""WITH d AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
     s AS (SELECT doc_id,
