@@ -1789,6 +1789,41 @@ def dedup_minhash_groups(spark, sf_dir):
     return dedup.minhash_duplicate_groups(table(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_rate_by_source",
+    f"""WITH groups AS ({_mh_groups_sql()})
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN g.group_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_near_dup,
+           round(sum(CASE WHEN g.group_size > 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS near_dup_rate
+    FROM documents d JOIN groups g USING (doc_id)
+    GROUP BY d.source""",
+)
+def dedup_rate_by_source(spark, sf_dir):
+    """Data-governance metric: per source, the fraction of documents
+    sitting in a near-dup cluster — the table that decides which
+    supplier's crawl is redundant. Exact integer counts over the LSH
+    connected components (group labels are min-doc-id, deterministic),
+    so even the CC-derived rate hash-matches the recursive-CTE
+    oracle."""
+    docs = table(spark, sf_dir, "documents")
+    groups = dedup.minhash_duplicate_groups(docs)
+    n = F.count(F.lit(1)).cast("long")
+    nd = F.sum((F.col("group_size") > 1).cast("int")).cast("long")
+    return (
+        docs.select("doc_id", "source")
+        .join(groups, "doc_id")
+        .groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            nd.alias("n_near_dup"),
+            F.round(nd / n, 6).alias("near_dup_rate"),
+        )
+    )
+
+
 def _simhash_sql(toks: str = "toks") -> str:
     terms = []
     for b in range(32):
