@@ -1,9 +1,11 @@
 """Streaming twins of the batch temporal operators (SURVEY §7 phase S).
 
-Three canonical continuous-pipeline shapes, each the streaming
-counterpart of a batch operator in :mod:`tsod_spark.analytics.temporal`
-/ :mod:`tsod_spark.analytics.olap`, with row-for-row batch-equivalence
-tests in ``tests/test_streaming.py``:
+Canonical continuous-pipeline shapes, each the streaming counterpart
+of a batch operator in :mod:`tsod_spark.analytics.temporal` /
+:mod:`tsod_spark.analytics.olap`, with row-for-row batch-equivalence
+tests in ``tests/test_streaming.py`` (plus
+:func:`stream_attribution_join`, the watermarked stream-stream
+interval join whose time bound is the state-retention contract):
 
 - :func:`stream_ewma` — the sequential recurrence. Per-series state is
   ONE double (the running smoothed value) plus a (ts, tiebreak) cursor;
