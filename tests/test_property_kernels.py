@@ -107,3 +107,52 @@ def test_batch_equals_kernel(spark, case, values):
     assert got_batch == got_kernel, (
         f"values={values}\nbatch ={got_batch}\nkernel={got_kernel}"
     )
+
+
+seasonal_values = st.lists(
+    st.one_of(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        st.just(float("nan")),
+    ),
+    min_size=8,
+    max_size=60,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(values=seasonal_values)
+def test_seasonal_batch_equals_kernel(spark, values):
+    """The seasonal detector's batch Column plan and streaming kernel
+    are independent formulations of the same cent-exact arithmetic —
+    fit once, then both must emit identical flags (including the
+    degenerate no-complete-window case, where both go all-False)."""
+    from tsod_spark import SeasonalResidualDetector
+    from tsod_spark.streaming.kernels import seasonal_residual_kernel
+
+    det = SeasonalResidualDetector(trend_window=2, quantile=0.8)
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [(t0 + dt.timedelta(hours=i), float(v)) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    tsf = TimeSeriesFrame(df)
+    det.fit(tsf)
+    got_batch = [
+        bool(r[0])
+        for r in det.detect(tsf).orderBy("ts").select("is_anomaly").collect()
+    ]
+
+    ts = pd.Series([t0 + dt.timedelta(hours=i) for i in range(len(values))])
+    vals = pd.Series([float(v) for v in values])
+    got_kernel = [
+        bool(x)
+        for x in seasonal_residual_kernel(
+            ts,
+            vals,
+            0,
+            seasonal=det._params["seasonal"],
+            thr=det._params["thr"],
+            trend_window=2,
+        )
+    ]
+    assert got_batch == got_kernel, (
+        f"values={values}\nbatch ={got_batch}\nkernel={got_kernel}"
+    )

@@ -119,6 +119,11 @@ class SeasonalResidualDetector(SparkDetector):
                 from ..exceptions import NotFittedError
 
                 raise NotFittedError("detect")
+            if self._params["thr"] is None:
+                # degenerate training data (no complete trend window /
+                # all missing): threshold undefined -> nothing flags,
+                # matching the NULL-threshold per-series behavior
+                return tsf.df.withColumn(out_col, F.lit(False))
             seasonal = _seasonal_lit(self._params["seasonal"])
             thr = F.lit(float(self._params["thr"]))
         resid = self._resid(tsf, seasonal)
