@@ -156,3 +156,42 @@ def test_seasonal_batch_equals_kernel(spark, values):
     assert got_batch == got_kernel, (
         f"values={values}\nbatch ={got_batch}\nkernel={got_kernel}"
     )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(values=seasonal_values)
+def test_per_series_regression_batch_equals_kernel(spark, values):
+    """Per-series numpy-fitted linear model: the batch fold (init =
+    intercept, add coef[i]*lag[i] in lag order) and the streaming
+    kernel accumulate in the same order, so flags must match exactly;
+    underdetermined series go all-False on both paths."""
+    from tsod_spark.detectors.mllib import RegressionResidualDetector
+    from tsod_spark.streaming.kernels import regression_residual_kernel
+
+    det = RegressionResidualDetector(time_steps=2, n_sigmas=1.5, per_series=True)
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [
+        (7, t0 + dt.timedelta(hours=i), float(v), i) for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, value double, event_id long")
+    tsf = TimeSeriesFrame(df, series=["uid"], tiebreak=["event_id"])
+    det.fit(tsf)
+    got_batch = {
+        r["event_id"]: bool(r["is_anomaly"])
+        for r in det.detect(tsf).select("event_id", "is_anomaly").collect()
+    }
+
+    p = det._params_df.first()  # None when every window was incomplete
+    coef = p[det.tmp("coef")] if p else None
+    intercept = p[det.tmp("intercept")] if p else None
+    thr = p[det.tmp("thr")] if p else None
+    ts = pd.Series([t0 + dt.timedelta(hours=i) for i in range(len(values))])
+    vals = pd.Series([float(v) for v in values])
+    flags = regression_residual_kernel(
+        ts, vals, 0, coef=coef, intercept=intercept, threshold=thr
+    )
+    # batch drops rows with incomplete/NaN windows; those must be False
+    # in the kernel, and scored rows must match exactly
+    for i, f in enumerate(flags):
+        want = got_batch.get(i, False)
+        assert bool(f) == want, (i, values)
