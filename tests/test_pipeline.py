@@ -1137,3 +1137,58 @@ def test_minhash_lsh_precision_recall_vs_exact_jaccard(spark, docs):
     # measured on the fixture: precision 0.97, recall 1.0
     assert precision >= 0.8, (precision, len(pred), len(truth))
     assert recall >= 0.9, (recall, len(pred), len(truth))
+
+
+def test_ivfpq_recall_vs_brute_force(spark, embeddings):
+    """The composed IVF+PQ search over a shared prebuilt index: mean
+    recall@10 vs exact L2 brute force — the probe restriction plus PQ
+    approximation must still recover most true neighbors after the
+    exact refine stage."""
+    from pyspark.sql import functions as FF
+
+    assigned, centroids = similarity.ivf_index(embeddings, n_cells=8)
+    books = similarity.pq_train(embeddings, m=16, n_centroids=16)
+    assigned_codes = (
+        assigned.select("vec_id", "cell")
+        .join(similarity.pq_encode(embeddings, books), "vec_id")
+        .cache()
+    )
+    queries = [0, 100, 250, 400, 499]
+    recalls = []
+    for qid in queries:
+        qv = embeddings.where(FF.col("vec_id") == qid).select(
+            FF.col("embedding").alias("__q")
+        )
+        d2 = FF.aggregate(
+            FF.zip_with(
+                FF.col("embedding"),
+                FF.col("__q"),
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            FF.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        exact = {
+            r["vec_id"]
+            for r in embeddings.where(FF.col("vec_id") != qid)
+            .crossJoin(FF.broadcast(qv))
+            .select("vec_id", d2.alias("d2"))
+            .orderBy("d2", "vec_id")
+            .limit(10)
+            .collect()
+        }
+        got = {
+            r["vec_id"]
+            for r in similarity.ivfpq_topk(
+                embeddings,
+                query_vec_id=qid,
+                k=10,
+                n_probe=4,
+                index=(assigned_codes, centroids, books),
+            ).collect()
+        }
+        recalls.append(len(exact & got) / 10)
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, (mean_recall, recalls)
+    assigned_codes.unpersist()

@@ -434,6 +434,21 @@ def pq_topk(
         codes = pq_encode(embeddings, books, vec_col)
     qrow = embeddings.where(F.col("vec_id") == query_vec_id).select(vec_col).first()
     q = [float(x) for x in qrow[0]]
+    return _adc_topk(codes, books, q, k, refine, embeddings, vec_col, query_vec_id)
+
+
+def _adc_topk(
+    codes: DataFrame,
+    books: list[list[list[float]]],
+    q: list[float],
+    k: int,
+    refine: int,
+    embeddings: DataFrame,
+    vec_col: str,
+    exclude_id: int,
+) -> DataFrame:
+    """ADC scan of a codes frame + optional exact refine (shared by
+    pq_topk and ivfpq_topk)."""
     dsub = len(books[0][0])
     dtable = [
         [
@@ -450,7 +465,7 @@ def pq_topk(
         )
         adc = term if adc is None else adc + term
     shortlist = (
-        codes.where(F.col("vec_id") != query_vec_id)
+        codes.where(F.col("vec_id") != exclude_id)
         .select("vec_id", F.round(adc, 6).alias("adc_d2"))
         .orderBy("adc_d2", "vec_id")
         .limit(k * refine if refine else k)
@@ -473,3 +488,46 @@ def pq_topk(
         .orderBy("d2", "vec_id")
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    n_centroids: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    refine: int = 4,
+    index: tuple[DataFrame, list[list[float]], list[list[list[float]]]] | None = None,
+) -> DataFrame:
+    """IVF+PQ — the canonical 100 TB ANN composition: the coarse IVF
+    quantizer routes the probe to ``n_probe`` cells (with
+    cell-partitioned storage, unprobed cells are never READ), and
+    within the probed cells the scan touches only the m-byte PQ codes
+    (ADC); the float vectors are read solely for the broadcast
+    shortlist's exact re-rank. This flat-PQ variant (codes over raw
+    vectors, not cell residuals) trades a little recall for a single
+    shared codebook — the residual-encoding upgrade changes only
+    pq_train/pq_encode inputs.
+
+    ``index = (assigned_codes, centroids, codebooks)`` where
+    ``assigned_codes`` is (vec_id, cell, codes) — build once, probe
+    many, as the registered demo's refit-per-call default is only for
+    self-containment.
+    """
+    if index is not None:
+        assigned_codes, centroids, books = index
+    else:
+        assigned, centroids = ivf_index(embeddings, n_cells, seed, vec_col)
+        books = pq_train(embeddings, m, n_centroids, seed, vec_col)
+        assigned_codes = assigned.select("vec_id", "cell").join(
+            pq_encode(embeddings, books, vec_col), "vec_id"
+        )
+    qrow = embeddings.where(F.col("vec_id") == query_vec_id).select(vec_col).first()
+    q = [float(x) for x in qrow[0]]
+    probe = _nearest_cells(q, centroids, n_probe)
+    cand = assigned_codes.where(F.col("cell").isin(probe)).select("vec_id", "codes")
+    return _adc_topk(cand, books, q, k, refine, embeddings, vec_col, query_vec_id)

@@ -2273,6 +2273,15 @@ def emb_ivf_cells(spark, sf_dir):
     return similarity.ivf_cell_histogram(table(spark, sf_dir, "embeddings"))
 
 
+@register("emb_ivfpq_topk")
+def emb_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ composition: coarse cells route the probe, the probed
+    cells scan m-byte ADC codes, floats read only for the exact
+    re-rank. rows-only (seeded quantizers); recall quantified in
+    tests/test_pipeline.py."""
+    return similarity.ivfpq_topk(table(spark, sf_dir, "embeddings"))
+
+
 @register("emb_pq_topk")
 def emb_pq_topk(spark, sf_dir):
     """Product-quantization ADC top-k — IVF's companion in the standard
