@@ -793,3 +793,66 @@ def test_stream_kmeans_via_foreachbatch(spark, events_batches):
         for key, flag in [((r["user_id"], r["ts"]), r["is_anomaly"]) for r in scored]:
             if key in exp:
                 assert exp[key] == flag, key
+
+
+def test_stream_histogram_drift_matches_batch(spark, events_batches):
+    """Windowed drift vs a static reference: append-mode emissions are
+    final and equal a batch computation of the identical exact-integer
+    formula for the same windows."""
+    from tsod_spark.streaming import stream_histogram_drift
+
+    tmp, schema = events_batches
+    batch = registry.table(spark, SF, "events")
+    reference = batch.where(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_histogram_drift(src, reference, window="1 day", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("drift_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["bucket"], r["event_type"]): (r["n_window"], r["n_reference"], r["l1_drift"])
+        for r in spark.sql("SELECT * FROM drift_stream").collect()
+    }
+    assert len(got) > 0
+
+    # batch twin: same formula per (day window, key) over the full data
+    v = F.when(F.isnan("value") | F.col("value").isNull(), None).otherwise(F.col("value"))
+    binc = F.floor(v / 10.0).cast("long")
+    wb = (
+        batch.withColumn("__bin", binc)
+        .where(F.col("__bin").isNotNull())
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type", "__bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    rb = (
+        reference.withColumn("__bin", binc)
+        .where(F.col("__bin").isNotNull())
+        .groupBy("event_type", "__bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    ref = {}
+    for r in rb:
+        ref.setdefault(r["event_type"], {})[r["__bin"]] = r["n"]
+    per_win = {}
+    for r in wb:
+        per_win.setdefault((r["win"]["start"], r["event_type"]), {})[r["__bin"]] = r["n"]
+    for (bucket, key), (n_win, n_ref, drift) in got.items():
+        bins = per_win[(bucket, key)]
+        rbins = ref[key]
+        t_win, t_ref = sum(bins.values()), sum(rbins.values())
+        assert (n_win, n_ref) == (t_win, t_ref), (bucket, key)
+        num = sum(abs(n * t_ref - rbins.get(b, 0) * t_win) for b, n in bins.items())
+        num += sum(n * t_win for b, n in rbins.items() if b not in bins)
+        assert drift == round(num / (t_win * t_ref), 6), (bucket, key)

@@ -9,6 +9,7 @@ from .detect import (  # noqa: F401
 from .temporal import (  # noqa: F401
     stream_attribution_join,
     stream_ewma,
+    stream_histogram_drift,
     stream_latest_by_key,
     stream_rollup_hierarchy,
 )

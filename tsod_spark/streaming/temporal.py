@@ -269,6 +269,102 @@ def stream_attribution_join(
     )
 
 
+def stream_histogram_drift(
+    stream_df: DataFrame,
+    reference: DataFrame,
+    keys: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bin_width: float = 10.0,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming distribution-drift monitoring: per event-time window
+    and key, the L1 distance between the window's value histogram and
+    a STATIC reference snapshot's — the continuous twin of the batch
+    ``olap.histogram_drift`` tick.
+
+    Shape: a watermarked windowed (key, bin) count, a chained
+    append-mode aggregation collecting each window's bins, then a
+    stream-static broadcast join against the reference's per-key bin
+    map (tiny — one row per key) and a pure-HOF fold computing
+    ``sum |n·T_ref - ref(bin)·T_win|`` over the union of bins in EXACT
+    integer space, divided once. Every per-window emission is final
+    (append mode) and engine-deterministic for the same rows.
+    """
+    keys = list(keys)
+    v = F.when(
+        F.isnan(value_col) | F.col(value_col).isNull(), None
+    ).otherwise(F.col(value_col))
+    binc = F.floor(v / bin_width).cast("long")
+
+    ref_hist = (
+        reference.withColumn("__bin", binc)
+        .where(F.col("__bin").isNotNull())
+        .groupBy(*keys, "__bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .groupBy(*keys)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__bin", "__n"))
+            ).alias("__ref"),
+            F.sum("__n").cast("long").alias("__tref"),
+        )
+    )
+
+    win_bins = (
+        stream_df.withWatermark(ts_col, watermark)
+        .withColumn("__bin", binc)
+        .where(F.col("__bin").isNotNull())
+        .groupBy(F.window(ts_col, window).alias("win"), *keys, "__bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    collected = win_bins.groupBy("win", *keys).agg(
+        F.collect_list(F.struct("__bin", "__n")).alias("__bins")
+    )
+
+    joined = collected.join(F.broadcast(ref_hist), keys, "inner")
+    t_win = F.aggregate(
+        "__bins", F.lit(0).cast("long"), lambda acc, e: acc + e["__n"]
+    )
+    stream_bin_ids = F.transform("__bins", lambda e: e["__bin"])
+    # bins present in the window: |n*T_ref - ref(bin)*T_win|
+    part_stream = F.aggregate(
+        "__bins",
+        F.lit(0).cast("long"),
+        lambda acc, e: acc
+        + F.abs(
+            e["__n"] * F.col("__tref")
+            - F.coalesce(F.element_at("__ref", e["__bin"]), F.lit(0))
+            * F.col("__twin")
+        ),
+    )
+    # reference-only bins: ref(bin)*T_win each
+    part_ref_only = F.aggregate(
+        F.map_values(
+            F.map_filter(
+                "__ref", lambda b, _: ~F.array_contains(stream_bin_ids, b)
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, n: acc + n * F.col("__twin"),
+    )
+    return (
+        joined.withColumn("__twin", t_win)
+        .select(
+            F.col("win.start").alias("bucket"),
+            *keys,
+            F.col("__twin").alias("n_window"),
+            F.col("__tref").alias("n_reference"),
+            F.round(
+                (part_stream + part_ref_only)
+                / (F.col("__twin").cast("double") * F.col("__tref")),
+                6,
+            ).alias("l1_drift"),
+        )
+    )
+
+
 def stream_rollup_hierarchy(
     stream_df: DataFrame,
     keys: Sequence[str] = ("event_type",),
