@@ -98,3 +98,28 @@ def test_per_series_regression_fit_detect(spark):
     fitted = [p for p in params if p[det.tmp("coef")] is not None]
     assert len(fitted) > 0
     assert all(len(p[det.tmp("coef")]) == 3 for p in fitted)
+
+
+def test_dow_phase_matches_operator(spark):
+    df = table(spark, SF, "events")
+    tsf = TimeSeriesFrame(df, series=["user_id"], tiebreak=["event_id"])
+    det = SeasonalResidualDetector(phase_unit="dow").fit(tsf)
+    got = {
+        (r["user_id"], r["ts"]): r["is_anomaly"]
+        for r in det.detect(tsf).select("user_id", "ts", "is_anomaly").collect()
+    }
+    exp = {
+        (r["user_id"], r["ts"]): r["is_anomaly"]
+        for r in temporal.seasonal_anomaly(df, phase_unit="dow")
+        .select("user_id", "ts", "is_anomaly")
+        .collect()
+    }
+    assert got == exp
+    # 7-slot profile, not 24
+    p = det._params_df.first()
+    assert len(p[det.tmp("seasonal")]) == 7
+
+
+def test_bad_phase_unit_rejected(spark):
+    with pytest.raises(ValueError):
+        SeasonalResidualDetector(phase_unit="month")

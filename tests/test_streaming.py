@@ -856,3 +856,24 @@ def test_stream_histogram_drift_matches_batch(spark, events_batches):
         num = sum(abs(n * t_ref - rbins.get(b, 0) * t_win) for b, n in bins.items())
         num += sum(n * t_win for b, n in rbins.items() if b not in bins)
         assert drift == round(num / (t_win * t_ref), 6), (bucket, key)
+
+
+def test_stream_seasonal_dow_matches_batch(spark, events_batches):
+    """Day-of-week phase streams through the same kernel (pandas
+    Mon=0 dayofweek remapped onto Spark's Sunday-first indexing)."""
+    from tsod_spark import SeasonalResidualDetector
+
+    df = registry.table(spark, SF, "events")
+    tsf = TimeSeriesFrame(df, series=["user_id"], tiebreak=["event_id"])
+    det = SeasonalResidualDetector(
+        trend_window=6, quantile=0.95, phase_unit="dow"
+    ).fit(tsf)
+    got = run_stream(spark, events_batches, det)
+    assert len(got) > 0
+    expected = batch_flags(spark, det)
+    mismatches = [
+        (r.user_id, r.ts) for r in got
+        if expected[(r.user_id, r.ts)] != r.is_anomaly
+    ]
+    assert not mismatches, f"{len(mismatches)} mismatches: {mismatches[:3]}"
+    assert any(r.is_anomaly for r in got)

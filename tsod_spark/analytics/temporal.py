@@ -301,11 +301,14 @@ def seasonal_decompose(
     value_col: str = "value",
     tiebreak: Sequence[str] = ("event_id",),
     trend_window: int = 12,
+    phase_unit: str = "hour",
 ) -> DataFrame:
     """Additive seasonal decomposition: ``value = trend + seasonal +
     residual`` per series, the classic pre-pass for seasonal-aware
     anomaly detection (a rule detector on raw values flags every rush
     hour; on residuals it flags only departures from the pattern).
+    ``phase_unit`` picks the cycle: "hour" (hour-of-day, intraday
+    pattern) or "dow" (day-of-week, weekly pattern).
 
     - **trend**: centered moving average over ``2*trend_window + 1``
       rows, full windows only (edges and windows containing missing
@@ -338,9 +341,10 @@ def seasonal_decompose(
     w_phase = Window.partitionBy(*keys, "__phase")
     w_series = Window.partitionBy(*keys)
 
+    phase_fns = {"hour": F.hour, "dow": F.dayofweek}
     out = df.withColumn(
         "__vc", F.round(nan_to_null(F.col(value_col)) * 100).cast("long")
-    ).withColumn("__phase", F.hour(ts_col))
+    ).withColumn("__phase", phase_fns[phase_unit](ts_col))
     trend = F.when(
         F.count("__vc").over(w_row) == full,
         F.sum("__vc").over(w_row) / (100.0 * full),
@@ -365,13 +369,16 @@ def seasonal_anomaly(
     tiebreak: Sequence[str] = ("event_id",),
     trend_window: int = 12,
     quantile: float = 0.99,
+    phase_unit: str = "hour",
 ) -> DataFrame:
     """Seasonal-aware anomaly flags: ``|residual|`` above the per-series
     exact ``quantile`` of ``|residual|``. Exact percentile (not stddev)
     keeps the threshold deterministic across engines — float stddev is
     summation-order sensitive, order statistics are not."""
     keys = list(series)
-    dec = seasonal_decompose(df, series, ts_col, value_col, tiebreak, trend_window)
+    dec = seasonal_decompose(
+        df, series, ts_col, value_col, tiebreak, trend_window, phase_unit
+    )
     w_series = Window.partitionBy(*keys)
     thr = F.percentile(F.abs(F.col("resid")), F.lit(quantile)).over(w_series)
     return dec.withColumn(

@@ -43,11 +43,29 @@ def _seasonal_lit(values):
     )
 
 
+_N_PHASES = {"hour": 24, "dow": 7}
+
+
 class SeasonalResidualDetector(SparkDetector):
-    def __init__(self, trend_window: int = 12, quantile: float = 0.99):
+    def __init__(
+        self,
+        trend_window: int = 12,
+        quantile: float = 0.99,
+        phase_unit: str = "hour",
+    ):
         super().__init__()
         self._trend_window = trend_window
         self._quantile = quantile
+        if phase_unit not in _N_PHASES:
+            raise ValueError(f"phase_unit must be one of {sorted(_N_PHASES)}")
+        self._phase_unit = phase_unit
+
+    def _phase(self, tsf: TimeSeriesFrame):
+        # 0-based phase index: hour 0-23, or day-of-week 0-6
+        # (Spark dayofweek is 1=Sunday..7=Saturday)
+        if self._phase_unit == "hour":
+            return F.hour(tsf.ts)
+        return F.dayofweek(tsf.ts) - 1
 
     # -- shared plan pieces ---------------------------------------------
     def _cents(self, tsf: TimeSeriesFrame):
@@ -65,19 +83,19 @@ class SeasonalResidualDetector(SparkDetector):
 
     def _resid(self, tsf: TimeSeriesFrame, seasonal_col):
         vc = self._cents(tsf)
-        seasonal = F.element_at(seasonal_col, F.hour(tsf.ts) + 1)
+        seasonal = F.element_at(seasonal_col, self._phase(tsf) + 1)
         return vc / 100.0 - self._trend(tsf) - seasonal
 
     # -- fit -------------------------------------------------------------
     def _fit(self, tsf: TimeSeriesFrame) -> None:
         vc = self._cents(tsf)
-        ph = F.hour(tsf.ts)
+        ph = self._phase(tsf)
         grand = F.sum(vc) / (100.0 * F.count(vc))
         seasonal = F.array(
             *[
                 F.sum(F.when(ph == h, vc)) / (100.0 * F.count(F.when(ph == h, vc)))
                 - grand
-                for h in range(24)
+                for h in range(_N_PHASES[self._phase_unit])
             ]
         )
         # pass 1: the seasonal profile (one grouped aggregate)

@@ -58,6 +58,7 @@ _PARAM_ATTRS = {
     "SeasonalResidualDetector": {
         "_trend_window": "trend_window",
         "_quantile": "quantile",
+        "_phase_unit": "phase_unit",
     },
 }
 

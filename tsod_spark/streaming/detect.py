@@ -198,6 +198,7 @@ def _plan(detector):
             w,
             {
                 "trend_window": w,
+                "phase_unit": detector._phase_unit,
                 "seasonal": p.get("seasonal"),
                 "thr": p.get("thr"),
             },

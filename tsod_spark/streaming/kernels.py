@@ -110,7 +110,7 @@ def constant_gradient_kernel(ts, value, offset, window_size, threshold=1e-7):
     return _dilate(cf) | _dilate(cb)
 
 
-def seasonal_residual_kernel(ts, value, offset, seasonal, thr, trend_window):
+def seasonal_residual_kernel(ts, value, offset, seasonal, thr, trend_window, phase_unit="hour"):
     """Streaming twin of SeasonalResidualDetector.detect: residual =
     cents/100 - centered-MA trend (full windows only, exact cent sums
     divided once — identical arithmetic to the batch Column plan) -
@@ -130,8 +130,11 @@ def seasonal_residual_kernel(ts, value, offset, seasonal, thr, trend_window):
     season = np.asarray(
         [float("nan") if s is None else float(s) for s in seasonal], dtype=float
     )
-    hours = ts.dt.hour.to_numpy()
-    resid = vc / 100.0 - tr - season[hours]
+    if phase_unit == "hour":
+        idx = ts.dt.hour.to_numpy()
+    else:  # dow: map pandas Mon=0..Sun=6 onto Spark's 0-based Sun=0
+        idx = ((ts.dt.dayofweek.to_numpy() + 1) % 7)
+    resid = vc / 100.0 - tr - season[idx]
     with np.errstate(invalid="ignore"):
         out = np.abs(resid) > float(thr)
     return np.where(np.isnan(resid), False, out)
