@@ -294,6 +294,51 @@ def ewma(
     )
 
 
+def benchmark_correlation(
+    df: DataFrame,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Cross-series statistics: per series, the Pearson correlation
+    between its per-bucket value totals and the GLOBAL per-bucket
+    totals — the "beta to the benchmark" screen (which sensors track
+    the aggregate signal, which move independently).
+
+    Exactness discipline: totals are integer cents, so every Pearson
+    term (``n·Σxy − Σx·Σy`` etc.) is an exact int64 product-sum and
+    the final expression divides deterministically — a float-mean
+    formulation would be summation-order sensitive. Shuffle shape: one
+    (series, bucket) aggregate, a broadcast-sized global bucket frame
+    joined back, one per-series aggregate.
+    """
+    from ..expressions import nan_to_null
+
+    keys = list(series)
+    cents = F.round(nan_to_null(F.col(value_col)) * 100).cast("long")
+    per = df.groupBy(*keys, F.date_trunc(bucket, F.col(ts_col)).alias("__b")).agg(
+        F.sum(cents).alias("__x")
+    )
+    glob = per.groupBy("__b").agg(F.sum("__x").alias("__y"))
+    j = per.join(F.broadcast(glob), "__b").where(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    n = F.count(F.lit(1)).cast("long")
+    sx, sy = F.sum("__x").cast("long"), F.sum("__y").cast("long")
+    sxy = F.sum(F.col("__x") * F.col("__y")).cast("long")
+    sxx = F.sum(F.col("__x") * F.col("__x")).cast("long")
+    syy = F.sum(F.col("__y") * F.col("__y")).cast("long")
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
+        (n * syy - sy * sy).cast("double")
+    )
+    return j.groupBy(*keys).agg(
+        n.alias("n_buckets"),
+        F.when(den > 0, F.round(num / den, 6)).alias("benchmark_corr"),
+    )
+
+
 def seasonal_decompose(
     df: DataFrame,
     series: Sequence[str] = ("user_id",),

@@ -845,6 +845,33 @@ def events_latest_by_key(spark, sf_dir):
 
 
 @register(
+    "ts_benchmark_corr",
+    """WITH c AS (SELECT user_id, date_trunc('hour', ts) AS b,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc FROM events),
+    p AS (SELECT user_id, b, sum(vc) AS x FROM c GROUP BY 1, 2),
+    g AS (SELECT b, sum(x) AS y FROM p GROUP BY 1),
+    j AS (SELECT p.user_id, p.x, g.y FROM p JOIN g USING (b)
+          WHERE p.x IS NOT NULL AND g.y IS NOT NULL)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_buckets,
+           CASE WHEN sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE))
+                     * sqrt(CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE)) > 0
+                THEN round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+                     / (sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE))
+                        * sqrt(CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE))), 6)
+           END AS benchmark_corr
+    FROM j GROUP BY user_id""",
+)
+def ts_benchmark_corr(spark, sf_dir):
+    """Per-series Pearson correlation to the global per-hour benchmark
+    ("beta screening" — which sensors track the aggregate signal).
+    Every Pearson term is an exact int64 product-sum over integer
+    cents, so the correlation is engine-deterministic where float-mean
+    formulations are not."""
+    return temporal.benchmark_correlation(table(spark, sf_dir, "events"))
+
+
+@register(
     "events_asof_snapshot",
     """WITH r AS (SELECT *, row_number() OVER (
            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
