@@ -339,6 +339,53 @@ def benchmark_correlation(
     )
 
 
+def rolling_benchmark_correlation(
+    df: DataFrame,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+    window_buckets: int = 24,
+) -> DataFrame:
+    """Rolling Pearson correlation between each series' per-bucket
+    totals and the global per-bucket totals over a trailing
+    ``window_buckets`` window — the time-varying version of
+    :func:`benchmark_correlation` (regime changes show as correlation
+    breaks). Same exactness discipline: every Pearson term is a
+    windowed sum of int64 products, divided once per row; full windows
+    only (NULL until ``window_buckets`` buckets have accumulated).
+    One (series) sort shuffle after the bucket aggregate.
+    """
+    from ..expressions import nan_to_null
+
+    keys = list(series)
+    cents = F.round(nan_to_null(F.col(value_col)) * 100).cast("long")
+    per = df.groupBy(*keys, F.date_trunc(bucket, F.col(ts_col)).alias("bucket")).agg(
+        F.sum(cents).alias("__x")
+    )
+    glob = per.groupBy("bucket").agg(F.sum("__x").alias("__y"))
+    j = per.join(F.broadcast(glob), "bucket").where(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(-(window_buckets - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w).cast("long")
+    sx = F.sum("__x").over(w).cast("long")
+    sy = F.sum("__y").over(w).cast("long")
+    sxy = F.sum(F.col("__x") * F.col("__y")).over(w).cast("long")
+    sxx = F.sum(F.col("__x") * F.col("__x")).over(w).cast("long")
+    syy = F.sum(F.col("__y") * F.col("__y")).over(w).cast("long")
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
+        (n * syy - sy * sy).cast("double")
+    )
+    corr = F.when((n == window_buckets) & (den > 0), F.round(num / den, 6))
+    return j.select(*keys, "bucket", corr.alias("rolling_corr"))
+
+
 def seasonal_decompose(
     df: DataFrame,
     series: Sequence[str] = ("user_id",),

@@ -872,6 +872,41 @@ def ts_benchmark_corr(spark, sf_dir):
 
 
 @register(
+    "ts_rolling_corr",
+    """WITH c AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc FROM events),
+    p AS (SELECT user_id, bucket, sum(vc) AS x FROM c GROUP BY 1, 2),
+    g AS (SELECT bucket, sum(x) AS y FROM p GROUP BY 1),
+    j AS (SELECT p.user_id, p.bucket, p.x, g.y FROM p JOIN g USING (bucket)
+          WHERE p.x IS NOT NULL AND g.y IS NOT NULL),
+    t AS (SELECT user_id, bucket,
+            count(*) OVER w AS n,
+            sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+            sum(x * y) OVER w AS sxy,
+            sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+      FROM j
+      WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+    SELECT user_id, bucket,
+           CASE WHEN n = 24
+                 AND sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS rolling_corr
+    FROM t""",
+)
+def ts_rolling_corr(spark, sf_dir):
+    """Rolling 24-bucket Pearson correlation of each series' hourly
+    totals to the global benchmark — regime changes show as
+    correlation breaks. Windowed exact int64 product-sums divided
+    once per row; full windows only."""
+    return temporal.rolling_benchmark_correlation(table(spark, sf_dir, "events"))
+
+
+@register(
     "events_asof_snapshot",
     """WITH r AS (SELECT *, row_number() OVER (
            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
