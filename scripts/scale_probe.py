@@ -232,6 +232,7 @@ def main():
         "range_join": q_range_join,
         "interval_overlap": q_interval_overlap,
         "incremental_dedup": q_incremental,
+        "rolling_corr": lambda m: temporal.rolling_benchmark_correlation(events(m)),
         "seasonal_anomaly": q_seasonal,
         "lm_rarity": q_lm_rarity,
         "profile": q_profile,
