@@ -1933,6 +1933,46 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 
 @register(
+    "dedup_simhash_groups",
+    f"""WITH RECURSIVE t AS (SELECT doc_id, {TOKS} AS toks0 FROM documents),
+    d AS (SELECT doc_id, {_shingle_sql('toks0', 3)} AS toks FROM t),
+    sig AS (SELECT doc_id, {_simhash_sql()} AS simhash FROM d),
+    c AS (SELECT doc_id, simhash,
+                 (simhash // 1) % 256 AS chunk0,
+                 (simhash // 256) % 256 AS chunk1,
+                 (simhash // 65536) % 256 AS chunk2,
+                 (simhash // 16777216) % 256 AS chunk3
+          FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM c a JOIN c b
+        ON (a.chunk0 = b.chunk0 OR a.chunk1 = b.chunk1
+            OR a.chunk2 = b.chunk2 OR a.chunk3 = b.chunk3)
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc),
+    comp AS (SELECT doc, min(root) AS group_id FROM reach GROUP BY doc)
+    SELECT doc AS doc_id, group_id,
+           CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+    FROM comp""",
+)
+def dedup_simhash_groups(spark, sf_dir):
+    """Connected components over the SimHash pigeonhole pair graph —
+    the second LSH family gets the same shared CC engine (min-label
+    propagation over edges only) the MinHash path uses; min-doc-id
+    labels are deterministic, so the whole clustering hash-matches the
+    recursive-CTE oracle."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_pairs(docs).select("doc_a", "doc_b")
+    return dedup.pair_graph_groups(pairs, "doc_a", "doc_b", docs, "doc_id")
+
+
+@register(
     "dedup_jaccard_topk",
     f"""WITH t AS (SELECT doc_id, source AS blk, {TOKS} AS toks0 FROM documents),
     d AS (SELECT doc_id, blk, {_shingle_sql('toks0', 2)} AS toks FROM t),
