@@ -237,3 +237,45 @@ def test_interval_overlap_join_matches_naive(spark):
         rows = interval_overlap_join(a, b, ["user_id"], bucket_seconds=bsec).collect()
         got = [(r.iv_id, r.iv_id_b) for r in rows]
         assert sorted(got) == sorted(naive), f"bucket={bsec}"  # exactly-once
+
+
+def test_profile_table_counts(spark):
+    from tsod_spark.analytics import olap
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "id long, s string"
+    )
+    rows = {r["col_name"]: r for r in olap.profile_table(df).collect()}
+    assert rows["id"]["n_rows"] == 3 and rows["id"]["n_null"] == 0
+    assert rows["id"]["n_distinct"] == 2
+    assert rows["s"]["n_null"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["id"]["min_value"] == "1" and rows["id"]["max_value"] == "2"
+
+
+def test_histogram_drift_identical_is_zero_and_disjoint_is_two(spark):
+    from tsod_spark.analytics import olap
+
+    a = spark.createDataFrame(
+        [("k", float(v)) for v in (1, 2, 11, 12)], "event_type string, value double"
+    )
+    same = olap.histogram_drift(a, a).collect()
+    assert all(r["l1_drift"] == 0.0 for r in same)
+    # fully disjoint histograms: L1 of normalized distributions = 2
+    b = spark.createDataFrame(
+        [("k", float(v)) for v in (101, 102, 111)], "event_type string, value double"
+    )
+    dis = olap.histogram_drift(a, b).collect()
+    assert dis[0]["l1_drift"] == 2.0
+
+
+def test_benchmark_corr_bounds(spark):
+    from tsod_spark.analytics import temporal
+    from tsod_spark.registry import table
+
+    out = temporal.benchmark_correlation(
+        table(spark, "/root/testdata/sf0.001", "events")
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        if r["benchmark_corr"] is not None:
+            assert -1.0 <= r["benchmark_corr"] <= 1.0
