@@ -280,3 +280,18 @@ def test_seasonal_decompose_single_shuffle(t):
 
     p = plan(temporal.seasonal_decompose(t("events")))
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_benchmark_corr_single_fact_scan(t):
+    """Global bucket totals must come from a window over the compact
+    bucket aggregate — a separate aggregate branch would re-scan the
+    100 TB fact (Catalyst has no cross-branch CSE)."""
+    from tsod_spark.analytics import temporal
+
+    for fn in (
+        temporal.benchmark_correlation,
+        temporal.rolling_benchmark_correlation,
+    ):
+        p = plan(fn(t("events")))
+        assert p.count("events.parquet") == 1, fn.__name__
+        assert len(re.findall(r"\(\d+\) Exchange", p)) <= 3, fn.__name__

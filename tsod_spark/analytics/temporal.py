@@ -309,9 +309,11 @@ def benchmark_correlation(
     Exactness discipline: totals are integer cents, so every Pearson
     term (``n·Σxy − Σx·Σy`` etc.) is an exact int64 product-sum and
     the final expression divides deterministically — a float-mean
-    formulation would be summation-order sensitive. Shuffle shape: one
-    (series, bucket) aggregate, a broadcast-sized global bucket frame
-    joined back, one per-series aggregate.
+    formulation would be summation-order sensitive. Shuffle shape: the
+    FACT scans once into the (series, bucket) aggregate; the global
+    bucket totals come from a window over that COMPACT frame (a
+    separate aggregate branch would re-scan the fact — Catalyst has no
+    cross-branch CSE); then one per-series aggregate.
     """
     from ..expressions import nan_to_null
 
@@ -320,10 +322,9 @@ def benchmark_correlation(
     per = df.groupBy(*keys, F.date_trunc(bucket, F.col(ts_col)).alias("__b")).agg(
         F.sum(cents).alias("__x")
     )
-    glob = per.groupBy("__b").agg(F.sum("__x").alias("__y"))
-    j = per.join(F.broadcast(glob), "__b").where(
-        F.col("__x").isNotNull() & F.col("__y").isNotNull()
-    )
+    j = per.withColumn(
+        "__y", F.sum("__x").over(Window.partitionBy("__b"))
+    ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
     n = F.count(F.lit(1)).cast("long")
     sx, sy = F.sum("__x").cast("long"), F.sum("__y").cast("long")
     sxy = F.sum(F.col("__x") * F.col("__y")).cast("long")
@@ -354,7 +355,8 @@ def rolling_benchmark_correlation(
     breaks). Same exactness discipline: every Pearson term is a
     windowed sum of int64 products, divided once per row; full windows
     only (NULL until ``window_buckets`` buckets have accumulated).
-    One (series) sort shuffle after the bucket aggregate.
+    Fact scanned once (global totals via a window over the compact
+    bucket frame), then one (series) sort shuffle.
     """
     from ..expressions import nan_to_null
 
@@ -363,10 +365,9 @@ def rolling_benchmark_correlation(
     per = df.groupBy(*keys, F.date_trunc(bucket, F.col(ts_col)).alias("bucket")).agg(
         F.sum(cents).alias("__x")
     )
-    glob = per.groupBy("bucket").agg(F.sum("__x").alias("__y"))
-    j = per.join(F.broadcast(glob), "bucket").where(
-        F.col("__x").isNotNull() & F.col("__y").isNotNull()
-    )
+    j = per.withColumn(
+        "__y", F.sum("__x").over(Window.partitionBy("bucket"))
+    ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
     w = (
         Window.partitionBy(*keys)
         .orderBy("bucket")
