@@ -320,6 +320,71 @@ def test_pack_sequences_boundaries(spark):
     assert out[4].n_tokens == 0 and not out[4].straddles_boundary
 
 
+def test_bm25_tf_saturation_and_idf(spark):
+    """BM25: rarer term outweighs common term; repeated-term gain
+    saturates (doubling tf far from doubles the score); only docs
+    containing a query term are returned, ranked desc with rk 1..n."""
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common filler filler"),
+            (2, "common common filler filler"),
+            (3, "common filler filler filler"),
+            (4, "filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        text.bm25_search(docs, ["rare", "common"], top_k=10).collect(),
+        key=lambda r: r.rk,
+    )
+    assert [r.doc_id for r in out][0] == 1  # rare+common beats common x2
+    assert {r.doc_id for r in out} == {1, 2, 3}  # doc 4 has no hit
+    assert [r.rk for r in out] == [1, 2, 3]
+    scores = {r.doc_id: r.score for r in out}
+    assert scores[2] < 2 * scores[3]  # tf saturation
+    assert all(a.score >= b.score for a, b in zip(out, out[1:]))
+
+
+def test_vocab_overlap_pair_matrix(spark):
+    """Full pair matrix including zero-overlap pairs; jaccard exact on
+    a constructed vocabulary."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),
+            (2, "a b c e", "s2"),
+            (3, "x y z w", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.source_a, r.source_b): r
+        for r in text.vocab_overlap(docs, n=2).collect()
+    }
+    assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    r12 = out[("s1", "s2")]
+    # bigrams s1: {a b, b c, c d}; s2: {a b, b c, c e} -> 2 common of 4
+    assert (r12.vocab_a, r12.vocab_b, r12.n_common) == (3, 3, 2)
+    assert r12.jaccard == 0.5
+    assert out[("s1", "s3")].n_common == 0 and out[("s1", "s3")].jaccard == 0.0
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    """E-S keys: deterministic under re-run/re-order, k exact, and a
+    heavily-weighted row is overwhelmingly likely to be picked first."""
+    from tsod_spark.pipeline import curate
+
+    rows = [(i, f"doc {i}", 10 if i else 100000) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out1 = curate.weighted_sample(docs, k=5).collect()
+    out2 = curate.weighted_sample(
+        spark.createDataFrame(list(reversed(rows)), docs.schema), k=5
+    ).collect()
+    assert [r.doc_id for r in out1] == [r.doc_id for r in out2]  # re-order stable
+    assert len(out1) == 5
+    assert [r.rk for r in sorted(out1, key=lambda r: r.es_key)] == [1, 2, 3, 4, 5]
+    assert out1[0].doc_id == 0  # weight 1e5 vs 10: Exp(1e5) min wins
+
+
 def test_tfidf_rare_term_ranks_first(spark):
     docs = spark.createDataFrame(
         [

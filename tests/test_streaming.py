@@ -527,6 +527,52 @@ def test_stream_ewma_matches_batch(spark, events_batches):
     assert not mism, f"{len(mism)} mismatches, first: {mism[:3]}"
 
 
+def test_stream_holt_matches_batch(spark, events_batches):
+    """Holt's two-state recurrence continues bit-identically across
+    micro-batch boundaries: state is exactly the (level, trend) pair."""
+    import math
+
+    from tsod_spark.analytics import temporal
+    from tsod_spark.streaming import stream_holt
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_holt(src, alpha=0.5, beta=0.25, series=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("holt_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["level"], r["trend"])
+        for r in spark.sql("SELECT event_id, level, trend FROM holt_stream").collect()
+    }
+    batch = temporal.holt(registry.table(spark, SF, "events"))
+    expected = {
+        r["event_id"]: (r["level"], r["trend"]) for r in batch.collect()
+    }
+    assert len(got) == len(expected) == 1000  # causal: every row emits
+
+    def same(x, y):
+        if x is None or y is None:
+            return x is y
+        return x == y or (math.isnan(x) and math.isnan(y))
+
+    mism = [
+        (k, got[k], expected[k])
+        for k in expected
+        if not (same(got[k][0], expected[k][0]) and same(got[k][1], expected[k][1]))
+    ]
+    assert not mism, f"{len(mism)} mismatches, first: {mism[:3]}"
+
+
 def test_stream_latest_by_key_matches_batch(spark, events_batches):
     """CDC keep-last: the final emission per key equals the batch
     window-compaction result."""

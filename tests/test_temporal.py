@@ -137,6 +137,57 @@ def test_ewma_recurrence_and_null_carry(spark):
     assert out[6] == 10.0  # independent series
 
 
+def test_holt_recurrence_and_null_carry(spark):
+    """level/trend follow Holt's two-state recurrence over non-nulls;
+    NaN rows carry both states; first obs seeds (level=y, trend=0)."""
+    import math
+
+    from tsod_spark.analytics.temporal import holt
+
+    rows = [
+        (1, "2021-01-01 00:00:00", 1, float("nan")),
+        (1, "2021-01-01 01:00:00", 2, 4.0),
+        (1, "2021-01-01 02:00:00", 3, 8.0),
+        (1, "2021-01-01 03:00:00", 4, float("nan")),
+        (1, "2021-01-01 04:00:00", 5, 6.0),
+        (2, "2021-01-01 00:00:00", 6, 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_id long, value double"
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) ts", "event_id", "value")
+    out = {r.event_id: (r.level, r.trend) for r in holt(df).collect()}
+    assert math.isnan(out[1][0]) and math.isnan(out[1][1])  # no obs yet
+    assert out[2] == (4.0, 0.0)  # seed
+    # step at y=8: nl = 0.5*8 + 0.5*(4+0) = 6; nt = 0.25*(6-4) + 0.75*0 = 0.5
+    assert out[3] == (6.0, 0.5)
+    assert out[4] == out[3]  # NaN carries both states
+    # step at y=6: nl = 0.5*6 + 0.5*(6+0.5) = 6.25; nt = 0.25*0.25 + 0.75*0.5
+    assert out[5] == (6.25, 0.25 * 0.25 + 0.75 * 0.5)
+    assert out[6] == (10.0, 0.0)  # independent series
+
+
+def test_table_diff_statuses(spark):
+    """added/removed/changed classification; unchanged keys dropped;
+    null-safe comparison counts NULL<->value as a change."""
+    from tsod_spark.analytics.olap import table_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (4, None), (5, 50.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, 21.0), (3, 30.0), (4, 40.0), (5, 50.0)], "k long, v double"
+    )
+    out = {
+        r.k: (r.status, r.old_v, r.new_v)
+        for r in table_diff(old, new, keys=("k",), compare_cols=("v",)).collect()
+    }
+    assert out[1] == ("removed", 10.0, None)
+    assert out[2] == ("changed", 20.0, 21.0)
+    assert out[3] == ("added", None, 30.0)
+    assert out[4] == ("changed", None, 40.0)  # NULL -> value is a change
+    assert 5 not in out  # unchanged dropped
+
+
 def test_range_join_bucketized_matches_naive(spark):
     """The bucketized equi-join decomposition must produce exactly the
     pairs of the naive BETWEEN predicate, across bucket sizes."""

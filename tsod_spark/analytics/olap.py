@@ -371,6 +371,51 @@ def scd2_intervals(
     )
 
 
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys=("user_id",),
+    compare_cols=("value",),
+) -> DataFrame:
+    """Snapshot diff: classify every key as added / removed / changed
+    between two table versions (the audit step behind incremental
+    loads, day-over-day partition reconciliation, and CDC replay
+    validation). Unchanged keys are dropped — at 100 TB the diff
+    output is proportional to the churn, not the table.
+
+    One full-outer shuffle on the key columns (zero-Exchange when both
+    snapshots are bucketed on the key, same as test_bucketed's joins);
+    comparison is null-safe per column, so NULL->value and
+    value->NULL edits count as changes.
+    """
+    kl = list(keys)
+    o = old.select(
+        *kl,
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *kl,
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, kl, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    status = (
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(~same, "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.withColumn("status", status)
+        .where(F.col("status") != "unchanged")
+        .drop("__in_old", "__in_new")
+    )
+
+
 def latest_by_key(
     df: DataFrame,
     keys=("user_id",),

@@ -294,6 +294,88 @@ def ewma(
     )
 
 
+def holt(
+    df: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = ("event_id",),
+    level_col: str = "level",
+    trend_col: str = "trend",
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per series:
+
+    ``level_t = α·y_t + (1-α)·(level + trend)``;
+    ``trend_t = β·(level_t - level) + (1-β)·trend``,
+
+    initialized at the first observation with ``trend = 0``. Null/NaN
+    rows carry the state forward unchanged (null until first obs) —
+    identical null semantics to :func:`ewma`.
+
+    Like EWMA this is a genuinely sequential two-state recurrence (no
+    window-function decomposition; the closed form overflows), so it
+    runs in the same bucketed ``applyInPandas`` shape: shuffle key is
+    ``hash(series) % n_buckets`` so many small series share one Arrow
+    batch, and the per-series scan inside the kernel is a tight numpy
+    loop (the irreducible sequential unit a 1000-executor cluster
+    parallelizes over; per-task memory bounded by corpus/n_buckets).
+
+    Cross-engine exactness: with dyadic α/β (0.5, 0.25) every multiply
+    is IEEE-exact-reproducible, and the kernel's operation order —
+    ``nl = α·y + (1-α)·(l+t)`` then ``t = β·(nl-l) + (1-β)·t`` —
+    matches the SQL recursion term-for-term, so results are
+    bit-identical before the final round(6).
+    """
+    import math  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    keys = list(series)
+    order = keys + [ts_col, *tiebreak]
+    out_fields = keys + list(tiebreak) + [ts_col, level_col, trend_col]
+    a, b = float(alpha), float(beta)
+    ca, cb = 1.0 - a, 1.0 - b
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        parts = []
+        for _, g in pdf.groupby(keys, sort=False):
+            v = g[value_col].to_numpy(dtype="float64")
+            lv = np.empty(len(v))
+            tr = np.empty(len(v))
+            l = t = math.nan
+            for i in range(len(v)):
+                y = v[i]
+                if not math.isnan(y):
+                    if math.isnan(l):
+                        l, t = y, 0.0
+                    else:
+                        nl = a * y + ca * (l + t)
+                        t = b * (nl - l) + cb * t
+                        l = nl
+                lv[i] = l
+                tr[i] = t
+            parts.append(g.assign(**{level_col: lv, trend_col: tr}))
+        return pd.concat(parts)[out_fields]
+
+    schema_parts = []
+    for c in out_fields:
+        if c in (level_col, trend_col):
+            schema_parts.append(f"{c} double")
+        else:
+            schema_parts.append(f"{c} {dict(df.dtypes)[c]}")
+    n_buckets = df.sparkSession.sparkContext.defaultParallelism * 2
+    bucket = F.pmod(F.xxhash64(*keys), F.lit(n_buckets))
+    return (
+        df.withColumn("__bk", bucket)
+        .groupBy("__bk")
+        .applyInPandas(kernel, ", ".join(schema_parts))
+    )
+
+
 def benchmark_correlation(
     df: DataFrame,
     series: Sequence[str] = ("user_id",),

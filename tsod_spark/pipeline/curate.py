@@ -433,6 +433,44 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 50,
+    weight_col: str = "n_chars",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling WITHOUT replacement:
+    every row gets key ``-ln(u) / w`` (an Exp(w) draw, so the k
+    smallest keys are a true weighted sample) with ``u`` a
+    DETERMINISTIC content-hash uniform — rerunning on a re-sharded or
+    re-ordered corpus selects the identical rows, which is what makes
+    a 100 TB sampling job reproducible and auditable.
+
+    Plan: one scan computing the key, then a global smallest-k via
+    orderBy+limit => TakeOrderedAndProject (per-partition heap, k-row
+    driver merge) — no single-partition window, no full sort. Keys
+    round to 6 decimals before ranking so cross-engine libm ln()
+    last-ulp differences can't flip the order (ties break on id).
+    """
+    h32 = F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast(
+        "long"
+    )
+    u = (h32 + 0.5) / 4294967296.0
+    key = F.round(-F.log(u) / F.col(weight_col), 6)
+    top = (
+        docs.select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            key.alias("es_key"),
+        )
+        .orderBy("es_key", id_col)
+        .limit(k)
+    )
+    w = Window.orderBy("es_key", id_col)
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
 def contamination_stats(
     docs: DataFrame,
     benchmark: DataFrame,

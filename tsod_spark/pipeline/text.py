@@ -356,6 +356,128 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 full-text search: rank documents for a fixed bag-of-words
+    query (Robertson/Sparck-Jones idf, Okapi tf saturation + length
+    normalization).
+
+    Plan shape for 100 TB: the exploded token stream is filtered to the
+    broadcast query-term set BEFORE any shuffle, so the only (doc,
+    term) aggregation runs over matching postings — corpus-size work is
+    a single column-pruned scan. The per-term document frequency is a
+    tiny aggregate of that posting frame, and the global corpus stats
+    (doc count, total token count) ride a broadcast 1-row crossJoin.
+    In production those two scalars come from the corpus manifest
+    (see :mod:`corpus_io`) instead of a second scan per query.
+
+    Cross-engine exactness: ``dl/avgdl`` is computed as the exact
+    product/ratio ``dl * n_docs / total_tokens`` of bigints so both
+    engines evaluate the same float expression tree; scores round to 6
+    decimals BEFORE ranking with a doc_id tie-break.
+    """
+    from pyspark.sql import Window
+
+    terms = [t.lower() for t in query_terms]
+    toks = tokens(F.col(text_col))
+    lens = docs.select("doc_id", F.size(toks).cast("long").alias("dl"), toks.alias("__t"))
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("dl").cast("long").alias("st"),
+    )
+    tf = (
+        lens.select("doc_id", "dl", F.explode("__t").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") * F.col("nd") / F.col("st")
+    )
+    contrib = idf * (F.col("tf") * (k1 + 1.0) / norm)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+    )
+    # global top-k via orderBy+limit => TakeOrderedAndProject (per-partition
+    # heap + driver merge of k rows), NOT a row_number window that would
+    # drag every scored row into a single partition; the rank window then
+    # runs over only the k survivors.
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(top_k)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.withColumn("rk", F.row_number().over(w).cast("long")).select(
+        "doc_id", "score", "n_terms_hit", "rk"
+    )
+
+
+def vocab_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 2,
+) -> DataFrame:
+    """Pairwise n-gram vocabulary overlap between corpus slices —
+    the corpus-diversity diagnostic behind mixture design (how much of
+    source B's phrasing does source A already cover?).
+
+    Plan: the corpus collapses to DISTINCT (group, gram) in one
+    exploded aggregation — all later work runs on the vocabulary,
+    which is orders of magnitude smaller than the corpus. The
+    vocabulary self-joins on the gram key (per-gram fan-out is bounded
+    by the number of groups, so no quadratic blow-up), and the full
+    pair matrix — including zero-overlap pairs — comes from a
+    broadcast cross of the tiny per-group size table.
+    """
+    grams = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(shingles(tokens(F.col(text_col)), n)).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("vsz"))
+    inter = (
+        grams.alias("a")
+        .join(grams.alias("b"), "gram")
+        .where(F.col("a.g") < F.col("b.g"))
+        .groupBy(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    pairs = (
+        sizes.select(F.col("g").alias("ga"), F.col("vsz").alias("vocab_a"))
+        .crossJoin(
+            F.broadcast(
+                sizes.select(F.col("g").alias("gb"), F.col("vsz").alias("vocab_b"))
+            )
+        )
+        .where(F.col("ga") < F.col("gb"))
+    )
+    out = pairs.join(F.broadcast(inter), ["ga", "gb"], "left").fillna(
+        0, subset=["n_common"]
+    )
+    jac = F.col("n_common") / (
+        F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")
+    )
+    return out.select(
+        F.col("ga").alias("source_a"),
+        F.col("gb").alias("source_b"),
+        "vocab_a",
+        "vocab_b",
+        "n_common",
+        F.round(jac, 6).alias("jaccard"),
+    )
+
+
 def tfidf_topk(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """Top-k TF-IDF keywords per document.
 

@@ -800,6 +800,45 @@ def ts_ewma(spark, sf_dir):
 
 
 @register(
+    "ts_holt",
+    """WITH RECURSIVE e AS (SELECT event_id, user_id, ts,
+           CASE WHEN isnan(value) THEN NULL ELSE value END AS v FROM events),
+    o AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS rn FROM e),
+    r AS (
+      SELECT user_id, rn, event_id, v AS l,
+             CASE WHEN v IS NULL THEN CAST(NULL AS DOUBLE) ELSE 0.0 END AS t
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT user_id, rn, event_id, nl,
+             CASE WHEN v IS NULL THEN pt
+                  WHEN pl IS NULL THEN 0.0
+                  ELSE 0.25 * (nl - pl) + 0.75 * pt END
+      FROM (
+        SELECT o.user_id, o.rn, o.event_id, o.v, r.l AS pl, r.t AS pt,
+               CASE WHEN o.v IS NULL THEN r.l
+                    WHEN r.l IS NULL THEN o.v
+                    ELSE 0.5 * o.v + 0.5 * (r.l + r.t) END AS nl
+        FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1))
+    SELECT event_id, round(l, 6) AS level, round(t, 6) AS trend FROM r""",
+)
+def ts_holt(spark, sf_dir):
+    """Holt's linear-trend double exponential smoothing (α=0.5,
+    β=0.25): the two-state sequential recurrence, Arrow-batched numpy
+    kernel vs recursive-CTE oracle, bit-identical before rounding
+    because α/β and their complements are exact doubles and the
+    operation order matches term-for-term (temporal.holt)."""
+    from .expressions import nan_to_null
+
+    out = temporal.holt(table(spark, sf_dir, "events"))
+    return out.select(
+        "event_id",
+        nan_to_null(duck_round6(F.col("level"))).alias("level"),
+        nan_to_null(duck_round6(F.col("trend"))).alias("trend"),
+    )
+
+
+@register(
     "events_range_join",
     """WITH p AS (SELECT user_id, event_id AS p_event_id,
            ts - INTERVAL 30 MINUTE AS start_ts,
@@ -842,6 +881,49 @@ def events_latest_by_key(spark, sf_dir):
 
     out = olap.latest_by_key(table(spark, sf_dir, "events"))
     return out.select("event_id", "user_id", "event_type")
+
+
+@register(
+    "events_table_diff",
+    """WITH c AS (SELECT user_id, ts, event_id,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS cents FROM events),
+    o AS (SELECT user_id, cents AS old_cents FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn
+            FROM c WHERE ts < TIMESTAMP '2024-01-16') WHERE rn = 1),
+    n AS (SELECT user_id, cents AS new_cents FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn
+            FROM c WHERE ts >= TIMESTAMP '2024-01-16') WHERE rn = 1),
+    j AS (SELECT coalesce(o.user_id, n.user_id) AS user_id,
+                 old_cents, new_cents,
+                 o.user_id IS NOT NULL AS in_old,
+                 n.user_id IS NOT NULL AS in_new
+          FROM o FULL OUTER JOIN n ON o.user_id = n.user_id)
+    SELECT user_id, old_cents, new_cents,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM j
+    WHERE NOT (in_old AND in_new
+               AND old_cents IS NOT DISTINCT FROM new_cents)""",
+)
+def events_table_diff(spark, sf_dir):
+    """Snapshot diff between two time-sliced versions of the per-user
+    latest state: added / removed / changed keys only — diff output
+    scales with churn, not table size (olap.table_diff)."""
+    from .analytics import olap
+    from .expressions import nan_to_null
+
+    cut = F.lit("2024-01-16").cast("timestamp")
+    base = table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(nan_to_null(F.col("value")) * 100).cast("long")
+    )
+    old = olap.latest_by_key(base.where(F.col("ts") < cut))
+    new = olap.latest_by_key(base.where(F.col("ts") >= cut))
+    diff = olap.table_diff(old, new, keys=("user_id",), compare_cols=("cents",))
+    return diff.select("user_id", "old_cents", "new_cents", "status")
 
 
 @register(
@@ -1614,6 +1696,62 @@ def doc_tfidf_topk(spark, sf_dir):
     """Top-5 TF-IDF keywords per doc (round-before-rank keeps the
     cross-engine top-k stable)."""
     return text.tfidf_topk(table(spark, sf_dir, "documents"))
+
+
+BM25_TERMS = ("spark", "window", "merge")
+
+
+@register(
+    "doc_bm25_search",
+    f"""WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tk),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                  CAST(sum(dl) AS BIGINT) AS stt FROM lens),
+    tf AS (SELECT doc_id, dl, w AS term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, dl, unnest(toks) AS w FROM lens)
+           WHERE w IN ('spark', 'window', 'merge')
+           GROUP BY 1, 2, 3),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    s AS (SELECT doc_id,
+            round(sum(ln((nd - df + 0.5) / (df + 0.5) + 1.0)
+                  * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl * nd / stt)))),
+                  6) AS score,
+            CAST(count(*) AS BIGINT) AS n_terms_hit
+          FROM tf JOIN dfq USING (term) CROSS JOIN st GROUP BY doc_id),
+    r AS (SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                         AS BIGINT) AS rk FROM s)
+    SELECT doc_id, score, n_terms_hit, rk FROM r WHERE rk <= 20""",
+)
+def doc_bm25_search(spark, sf_dir):
+    """Okapi BM25 full-text ranking for a fixed 3-term query: postings
+    filtered to the broadcast term set before any shuffle, exact
+    bigint dl·N/Σdl length normalization (see text.bm25_search)."""
+    return text.bm25_search(table(spark, sf_dir, "documents"), list(BM25_TERMS))
+
+
+@register(
+    "doc_vocab_overlap",
+    f"""WITH tk AS (SELECT source, {TOKS} AS toks FROM documents),
+    v AS (SELECT DISTINCT source AS g, unnest({_shingle_sql('toks', 2)}) AS gram
+          FROM tk),
+    sz AS (SELECT g, CAST(count(*) AS BIGINT) AS vsz FROM v GROUP BY g),
+    inter AS (SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS n_common
+              FROM v a JOIN v b USING (gram) WHERE a.g < b.g GROUP BY 1, 2),
+    p AS (SELECT sa.g AS source_a, sb.g AS source_b,
+                 sa.vsz AS vocab_a, sb.vsz AS vocab_b
+          FROM sz sa CROSS JOIN sz sb WHERE sa.g < sb.g)
+    SELECT source_a, source_b, vocab_a, vocab_b,
+           CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+           round(coalesce(n_common, 0)
+                 / CAST(vocab_a + vocab_b - coalesce(n_common, 0) AS DOUBLE),
+                 6) AS jaccard
+    FROM p LEFT JOIN inter ON source_a = ga AND source_b = gb""",
+)
+def doc_vocab_overlap(spark, sf_dir):
+    """Pairwise bigram-vocabulary Jaccard between the 20 sources —
+    corpus collapses to a distinct (source, gram) vocabulary first, so
+    the self-join runs on vocab scale, not corpus scale."""
+    return text.vocab_overlap(table(spark, sf_dir, "documents"))
 
 
 _SW = "('the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'it', 'that')"
@@ -3690,6 +3828,23 @@ def doc_stratified_sample(spark, sf_dir):
     """Exact-quota stratified sample: the 10 lowest-content-hash docs
     per source — deterministic, exact counts, re-shard-stable."""
     return curate.stratified_sample(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_weighted_sample",
+    """WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           round(-ln((('0x' || substr(md5(text), 1, 8))::BIGINT + 0.5)
+                     / 4294967296.0) / n_chars, 6) AS es_key
+        FROM documents),
+    r AS (SELECT *, CAST(row_number() OVER (ORDER BY es_key, doc_id)
+                         AS BIGINT) AS rk FROM s)
+    SELECT doc_id, weight, es_key, rk FROM r WHERE rk <= 50""",
+)
+def doc_weighted_sample(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sampling without replacement with a
+    deterministic content-hash uniform: k smallest Exp(weight) keys via
+    TakeOrderedAndProject, no global sort (curate.weighted_sample)."""
+    return curate.weighted_sample(table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

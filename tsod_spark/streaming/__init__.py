@@ -10,6 +10,7 @@ from .temporal import (  # noqa: F401
     stream_attribution_join,
     stream_ewma,
     stream_histogram_drift,
+    stream_holt,
     stream_latest_by_key,
     stream_rollup_hierarchy,
 )

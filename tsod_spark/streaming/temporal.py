@@ -166,6 +166,122 @@ def stream_ewma(
     )
 
 
+def stream_holt(
+    stream_df: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming Holt linear-trend smoothing, batch twin of
+    ``temporal.holt``. Per-series state is the (level, trend) pair plus
+    the (ts, tiebreak) cursor — the two-state recurrence continues
+    bit-identically across micro-batches because each step only reads
+    the prior pair, which IS the state. Null/NaN rows carry state
+    forward; rows at or before the cursor are dropped (same disorder
+    contract as :func:`stream_ewma`)."""
+    import math  # noqa: PLC0415
+
+    series = list(series)
+    a, b = float(alpha), float(beta)
+    ca, cb = 1.0 - a, 1.0 - b
+    key_fields = [stream_df.schema[c] for c in series]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField(tiebreak, stream_df.schema[tiebreak].dataType),
+            StructField("ts", stream_df.schema[ts_col].dataType),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("l", DoubleType()),
+            StructField("t", DoubleType()),
+            StructField("has", BooleanType()),
+            StructField("cur_ts", LongType()),
+            StructField("cur_tb", LongType()),
+        ]
+    )
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        new = new.sort_values([ts_col, tiebreak], kind="mergesort")
+        if state.exists:
+            l, t, has, cur_ts, cur_tb = state.get
+        else:
+            l, t, has, cur_ts, cur_tb = 0.0, 0.0, False, None, None
+
+        new_ts = pd.to_datetime(new[ts_col]).astype("int64") // 1000
+        new_tb = new[tiebreak].astype("int64")
+        if cur_ts is not None:
+            ok = (new_ts > cur_ts) | ((new_ts == cur_ts) & (new_tb > cur_tb))
+            if not ok.all():
+                new = new[ok.to_numpy()]
+                new_ts, new_tb = new_ts[ok], new_tb[ok]
+            if len(new) == 0:
+                if idle_timeout is not None:
+                    state.setTimeoutDuration(idle_timeout)
+                return
+
+        v = new[value_col].astype(float).to_numpy()
+        lv, tr = [], []
+        if not has:
+            l = t = math.nan
+        for y in v:
+            if not math.isnan(y):
+                if math.isnan(l):
+                    l, t = y, 0.0
+                else:
+                    nl = a * y + ca * (l + t)
+                    t = b * (nl - l) + cb * t
+                    l = nl
+            lv.append(l)
+            tr.append(t)
+        has = not math.isnan(l)
+        state.update(
+            (
+                l if has else 0.0,
+                t if has else 0.0,
+                has,
+                int(new_ts.iloc[-1]),
+                int(new_tb.iloc[-1]),
+            )
+        )
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        yield pd.DataFrame(
+            {
+                **{c: key[i] for i, c in enumerate(series)},
+                tiebreak: new[tiebreak].to_numpy(),
+                "ts": new[ts_col].to_numpy(),
+                "level": lv,
+                "trend": tr,
+            }
+        )
+
+    return stream_df.groupBy(*series).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def stream_latest_by_key(
     stream_df: DataFrame,
     keys: Sequence[str] = ("user_id",),
