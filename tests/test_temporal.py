@@ -156,7 +156,9 @@ def test_holt_recurrence_and_null_carry(spark):
         rows, "user_id long, ts_s string, event_id long, value double"
     ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) ts", "event_id", "value")
     out = {r.event_id: (r.level, r.trend) for r in holt(df).collect()}
-    assert math.isnan(out[1][0]) and math.isnan(out[1][1])  # no obs yet
+    lvl, trd = out[1]
+    assert lvl is None or math.isnan(lvl)  # no obs yet (Arrow NaN -> NULL)
+    assert trd is None or math.isnan(trd)
     assert out[2] == (4.0, 0.0)  # seed
     # step at y=8: nl = 0.5*8 + 0.5*(4+0) = 6; nt = 0.25*(6-4) + 0.75*0 = 0.5
     assert out[3] == (6.0, 0.5)

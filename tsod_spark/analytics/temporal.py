@@ -318,9 +318,13 @@ def holt(
     window-function decomposition; the closed form overflows), so it
     runs in the same bucketed ``applyInPandas`` shape: shuffle key is
     ``hash(series) % n_buckets`` so many small series share one Arrow
-    batch, and the per-series scan inside the kernel is a tight numpy
-    loop (the irreducible sequential unit a 1000-executor cluster
-    parallelizes over; per-task memory bounded by corpus/n_buckets).
+    batch. The kernel compacts each series to its non-NaN observations
+    first and runs the two-state recurrence once per OBSERVATION (the
+    irreducible sequential unit a 1000-executor cluster parallelizes
+    over); the null-carry rows never enter the loop — they get their
+    state from a vectorized searchsorted forward-fill, so sparse
+    series cost observations, not rows. Per-task memory is bounded by
+    corpus/n_buckets.
 
     Cross-engine exactness: with dyadic α/β (0.5, 0.25) every multiply
     is IEEE-exact-reproducible, and the kernel's operation order —
@@ -344,20 +348,25 @@ def holt(
         parts = []
         for _, g in pdf.groupby(keys, sort=False):
             v = g[value_col].to_numpy(dtype="float64")
-            lv = np.empty(len(v))
-            tr = np.empty(len(v))
-            l = t = math.nan
-            for i in range(len(v)):
-                y = v[i]
-                if not math.isnan(y):
-                    if math.isnan(l):
-                        l, t = y, 0.0
-                    else:
-                        nl = a * y + ca * (l + t)
-                        t = b * (nl - l) + cb * t
-                        l = nl
-                lv[i] = l
-                tr[i] = t
+            n = len(v)
+            lv = np.full(n, math.nan)
+            tr = np.full(n, math.nan)
+            obs = np.flatnonzero(~np.isnan(v))
+            if obs.size:
+                y = v[obs]
+                ol = np.empty(obs.size)
+                ot = np.empty(obs.size)
+                l, t = y[0], 0.0
+                ol[0], ot[0] = l, t
+                for i in range(1, obs.size):
+                    nl = a * y[i] + ca * (l + t)
+                    t = b * (nl - l) + cb * t
+                    l = nl
+                    ol[i], ot[i] = l, t
+                idx = np.searchsorted(obs, np.arange(n), side="right") - 1
+                seen = idx >= 0
+                lv[seen] = ol[idx[seen]]
+                tr[seen] = ot[idx[seen]]
             parts.append(g.assign(**{level_col: lv, trend_col: tr}))
         return pd.concat(parts)[out_fields]
 

@@ -449,15 +449,19 @@ def weighted_sample(
 
     Plan: one scan computing the key, then a global smallest-k via
     orderBy+limit => TakeOrderedAndProject (per-partition heap, k-row
-    driver merge) — no single-partition window, no full sort. Keys
-    round to 6 decimals before ranking so cross-engine libm ln()
-    last-ulp differences can't flip the order (ties break on id).
+    driver merge) — no single-partition window, no full sort. The
+    ``-ln(u)`` term (range ~(0, 22]) rounds to 9 decimals BEFORE the
+    divide so cross-engine libm ln() last-ulp differences can't flip
+    the order; rounding the quotient itself would collapse keys onto
+    an absolute 1e-6 grid for large weights and degrade the E-S
+    property to a doc_id sort. IEEE division by the exact integer
+    weight is then bit-deterministic across engines.
     """
     h32 = F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast(
         "long"
     )
     u = (h32 + 0.5) / 4294967296.0
-    key = F.round(-F.log(u) / F.col(weight_col), 6)
+    key = F.round(-F.log(u), 9) / F.col(weight_col)
     top = (
         docs.select(
             F.col(id_col),

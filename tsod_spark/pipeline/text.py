@@ -438,14 +438,28 @@ def vocab_overlap(
     which is orders of magnitude smaller than the corpus. The
     vocabulary self-joins on the gram key (per-gram fan-out is bounded
     by the number of groups, so no quadratic blow-up), and the full
-    pair matrix — including zero-overlap pairs — comes from a
-    broadcast cross of the tiny per-group size table.
+    pair matrix — including zero-overlap pairs AND groups whose docs
+    are all shorter than ``n`` tokens (empty vocabulary ⇒ vsz 0) —
+    comes from a broadcast cross of the tiny per-group size table,
+    which is seeded from DISTINCT group values of the corpus itself so
+    no group can silently vanish.
     """
     grams = docs.select(
         F.col(group_col).alias("g"),
         F.explode(shingles(tokens(F.col(text_col)), n)).alias("gram"),
     ).distinct()
-    sizes = grams.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("vsz"))
+    sizes = (
+        docs.select(F.col(group_col).alias("g"))
+        .distinct()
+        .join(
+            grams.groupBy("g").agg(
+                F.count(F.lit(1)).cast("long").alias("vsz")
+            ),
+            "g",
+            "left",
+        )
+        .fillna(0, subset=["vsz"])
+    )
     inter = (
         grams.alias("a")
         .join(grams.alias("b"), "gram")
@@ -465,9 +479,8 @@ def vocab_overlap(
     out = pairs.join(F.broadcast(inter), ["ga", "gb"], "left").fillna(
         0, subset=["n_common"]
     )
-    jac = F.col("n_common") / (
-        F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")
-    )
+    den = F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")
+    jac = F.when(den > 0, F.col("n_common") / den).otherwise(F.lit(0.0))
     return out.select(
         F.col("ga").alias("source_a"),
         F.col("gb").alias("source_b"),

@@ -1734,7 +1734,10 @@ def doc_bm25_search(spark, sf_dir):
     f"""WITH tk AS (SELECT source, {TOKS} AS toks FROM documents),
     v AS (SELECT DISTINCT source AS g, unnest({_shingle_sql('toks', 2)}) AS gram
           FROM tk),
-    sz AS (SELECT g, CAST(count(*) AS BIGINT) AS vsz FROM v GROUP BY g),
+    sz AS (SELECT s.g, CAST(coalesce(c.vsz, 0) AS BIGINT) AS vsz
+           FROM (SELECT DISTINCT source AS g FROM documents) s
+           LEFT JOIN (SELECT g, count(*) AS vsz FROM v GROUP BY g) c
+             USING (g)),
     inter AS (SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS n_common
               FROM v a JOIN v b USING (gram) WHERE a.g < b.g GROUP BY 1, 2),
     p AS (SELECT sa.g AS source_a, sb.g AS source_b,
@@ -1742,9 +1745,11 @@ def doc_bm25_search(spark, sf_dir):
           FROM sz sa CROSS JOIN sz sb WHERE sa.g < sb.g)
     SELECT source_a, source_b, vocab_a, vocab_b,
            CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
-           round(coalesce(n_common, 0)
-                 / CAST(vocab_a + vocab_b - coalesce(n_common, 0) AS DOUBLE),
-                 6) AS jaccard
+           CASE WHEN vocab_a + vocab_b - coalesce(n_common, 0) > 0
+                THEN round(coalesce(n_common, 0)
+                     / CAST(vocab_a + vocab_b - coalesce(n_common, 0) AS DOUBLE),
+                     6)
+                ELSE 0.0 END AS jaccard
     FROM p LEFT JOIN inter ON source_a = ga AND source_b = gb""",
 )
 def doc_vocab_overlap(spark, sf_dir):
@@ -3834,7 +3839,7 @@ def doc_stratified_sample(spark, sf_dir):
     "doc_weighted_sample",
     """WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
            round(-ln((('0x' || substr(md5(text), 1, 8))::BIGINT + 0.5)
-                     / 4294967296.0) / n_chars, 6) AS es_key
+                     / 4294967296.0), 9) / n_chars AS es_key
         FROM documents),
     r AS (SELECT *, CAST(row_number() OVER (ORDER BY es_key, doc_id)
                          AS BIGINT) AS rk FROM s)
