@@ -73,9 +73,15 @@ class RegressionResidualDetector(SparkDetector):
 
         train = _lag_matrix(tsf, self._time_steps)
         # "normal" = closed-form normal equations: one distributed pass
-        # to build X'X (5x5 here), no iterative solver rounds
+        # to build X'X (time_steps x time_steps), no iterative solver
+        # rounds. reg=0 makes the fit exact OLS — bit-for-bit the
+        # analytic closed form, which is what lets the T=1 variant be
+        # reproduced by a SQL oracle.
         lr = LinearRegression(
-            featuresCol="features_vec", labelCol="y", regParam=1e-6, solver="normal"
+            featuresCol="features_vec",
+            labelCol="y",
+            regParam=self._reg,
+            solver="normal",
         )
         self._model = lr.fit(train)
         pred = self._model.transform(train)

@@ -531,3 +531,36 @@ def ivfpq_topk(
     probe = _nearest_cells(q, centroids, n_probe)
     cand = assigned_codes.where(F.col("cell").isin(probe)).select("vec_id", "codes")
     return _adc_topk(cand, books, q, k, refine, embeddings, vec_col, query_vec_id)
+
+
+def recall_certificate(
+    embeddings: DataFrame,
+    ann: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    min_recall: float = 0.5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k rows + an in-plan ``recall_ok`` boolean
+    certifying the ANN result against them.
+
+    This is what turns an approximate search into an ORACLE-CHECKABLE
+    query (the scheme the approx-sketch family uses): the output rows
+    are the exact, SQL-reproducible ground truth, and ``recall_ok`` =
+    (|ann ∩ exact| >= ceil(min_recall * k)) is constant TRUE whenever
+    the index earns its keep, so a DuckDB oracle can reproduce the
+    whole result as exact-top-k + literal TRUE. The exact twin is a
+    TEST-SCALE certificate: at 100 TB you run the ANN path alone and
+    sample-audit recall offline — the certificate's cost (one extra
+    brute-force scan) is paid only at validation scale.
+    """
+    import math  # noqa: PLC0415
+
+    exact = cosine_topk(embeddings, query_vec_id, k, vec_col)
+    need = int(math.ceil(min_recall * k))
+    hits = (
+        exact.select("vec_id")
+        .join(ann.select("vec_id"), "vec_id")
+        .agg((F.count(F.lit(1)) >= need).alias("recall_ok"))
+    )
+    return exact.crossJoin(F.broadcast(hits))

