@@ -1,0 +1,105 @@
+"""Round-5 operators: Gopher quality gate, LTTB downsampling,
+time-weighted average, winsorization."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2021, 1, 1, 0, minute, second)
+
+
+def test_gopher_filter_bounds_and_signals(spark):
+    """Word-count floor, symbol ratio, bullet lines, stopword floor,
+    and the empty-doc NULL-ratio path all gate pass_gopher."""
+    from tsod_spark.pipeline.text import gopher_filter
+
+    good = "the cat sat of the mat and it is that " * 3  # 30 words, stopword-rich
+    rows = [
+        (1, good),
+        (2, "short doc"),  # < min_words
+        (3, ("# " * 15) + good),  # symbol ratio 15/60 > 0.1
+        (4, "\n".join(["- bullet line the a of and to in is it that"] * 30)),
+        (5, ""),  # empty: ratios NULL -> pass False
+        (6, " ".join(["zz"] * 30)),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_filter(df).collect()}
+    assert out[1].pass_gopher
+    assert not out[2].pass_gopher and out[2].n_words == 2
+    assert not out[3].pass_gopher and out[3].symbol_word_ratio > 0.1
+    # doc 4: every line is a bullet -> bullet_line_frac 1.0 > 0.9
+    assert not out[4].pass_gopher and out[4].bullet_line_frac == 1.0
+    assert not out[5].pass_gopher and out[5].mean_word_len is None
+    assert not out[6].pass_gopher and out[6].n_stopword_hits == 0
+
+
+def test_lttb_pins_endpoints_and_picks_max_area(spark):
+    """First/last points always kept; the middle bucket keeps the
+    point farthest from the neighbor-anchor chord (the spike)."""
+    from tsod_spark.analytics.temporal import lttb_downsample
+
+    # 9 points, n_out=3 -> buckets of 3. Middle bucket has a spike at
+    # event 5 that dominates any triangle area.
+    rows = [(1, _ts(i), i + 1, [1.0, 1.0, 1.0, 1.0, 50.0, 1.0, 1.0, 1.0, 1.0][i]) for i in range(9)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    out = sorted(
+        (r.event_id, r.bucket) for r in lttb_downsample(df, n_out=3).collect()
+    )
+    assert [e for e, _ in out] == [1, 5, 9]
+    assert [b for _, b in out] == [0, 1, 2]
+
+
+def test_lttb_null_values_dropped_and_small_series_kept(spark):
+    """NaN/NULL rows never become candidates; a series shorter than
+    n_out keeps every point."""
+    from tsod_spark.analytics.temporal import lttb_downsample
+
+    rows = [
+        (1, _ts(0), 1, 5.0),
+        (1, _ts(1), 2, float("nan")),
+        (1, _ts(2), 3, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    out = sorted(r.event_id for r in lttb_downsample(df, n_out=20).collect())
+    assert out == [1, 3]
+
+
+def test_time_weighted_avg_burst_and_single_obs(spark):
+    """A burst of readings weighs by holding time, not row count; a
+    single-observation bucket falls back to the plain mean."""
+    from tsod_spark.analytics.temporal import time_weighted_avg
+
+    rows = [
+        # hour 0: v=10 held 0:00->0:54 (3240s), then v=0 burst at
+        # 0:54..0:59 (5 x 60s), last obs zero-weight
+        (1, _ts(0), 1, 10.0),
+        *[(1, _ts(54 + i), 2 + i, 0.0) for i in range(6)],
+        # hour 1 (user 2): single obs
+        (2, dt.datetime(2021, 1, 1, 1, 30), 100, 42.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    out = {(r.user_id, r.bucket.hour): r for r in time_weighted_avg(df).collect()}
+    # weights: 10.0 for 3240s, 0.0 for 300s (last obs 0 weight)
+    assert out[(1, 0)].time_weighted_avg == round(10.0 * 3240 / 3540, 6)
+    assert out[(1, 0)].n_events == 7
+    assert out[(2, 1)].time_weighted_avg == 42.0
+
+
+def test_winsorize_clips_and_ignores_nulls(spark):
+    """Values outside [p05, p95] clip to the band; NULL/NaN rows pass
+    through unclipped with is_clipped False."""
+    from tsod_spark.analytics.temporal import winsorize
+
+    vals = [float(i) for i in range(1, 20)] + [1000.0, float("nan")]
+    rows = [(1, _ts(i), i + 1, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    out = {r.event_id: r for r in winsorize(df).collect()}
+    clipped = [e for e, r in out.items() if r.is_clipped]
+    # the 1000.0 outlier and the low tail clip; NaN row untouched
+    assert out[20].is_clipped and out[20].value_winsorized < 1000.0
+    assert out[21].value is None and out[21].value_winsorized is None
+    assert not out[21].is_clipped
+    assert out[10].value_winsorized == out[10].value  # mid-band unchanged
+    assert len(clipped) >= 2

@@ -750,3 +750,208 @@ def interval_overlap_join(
         *[F.col(f"a.{c}") for c in a.columns],
         *[F.col(f"b.{c}{suffix}") for c in b.columns if c not in keys],
     )
+
+
+def lttb_downsample(
+    events: DataFrame,
+    n_out: int = 20,
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling, parallel
+    fixed-anchor variant: per series, split the (non-null) points into
+    ``n_out`` equal-count buckets and keep, per bucket, the point
+    maximizing the triangle area against the NEIGHBOR BUCKET AVERAGES
+    (classic LTTB anchors on the previously *selected* point, which is
+    sequential; anchoring on bucket means is the standard
+    deterministic parallelization — every bucket decides
+    independently, so the whole operator is two window passes and one
+    small join, no per-series sequential scan). First/last buckets pin
+    the series endpoints, as in the original algorithm.
+
+    Cross-engine exactness: bucket assignment is pure integer math
+    ``(rn-1)*n_out div cnt``; anchor coordinates are exact integer
+    sums (rebased micros, value cents) divided once, and the area is
+    one fixed-order cross-product expression — bit-identical in any
+    engine, so the per-bucket argmax (ties to first row) is
+    hash-stable.
+    """
+    keys = list(keys)
+    v = F.when(
+        F.isnan(value_col) | F.col(value_col).isNull(), None
+    ).otherwise(F.col(value_col))
+    pw = Window.partitionBy(*keys)
+    ow = pw.orderBy(ts_col, *tiebreak)
+    d = (
+        events.withColumn("__v", v)
+        .where(F.col("__v").isNotNull())
+        .select(
+            *keys,
+            *tiebreak,
+            ts_col,
+            F.col("__v").alias("__y"),
+            F.row_number().over(ow).alias("__rn"),
+            F.count(F.lit(1)).over(pw).alias("__cnt"),
+            (
+                F.unix_micros(F.col(ts_col))
+                - F.min(F.unix_micros(F.col(ts_col))).over(pw)
+            ).alias("__x"),
+        )
+        .withColumn(
+            "bucket",
+            # floor() before the cast: DuckDB CAST(double AS BIGINT)
+            # rounds while Spark truncates — floor makes both exact
+            F.floor((F.col("__rn") - 1) * n_out / F.col("__cnt")).cast(
+                "long"
+            ),
+        )
+    )
+    agg = d.groupBy(*keys, "bucket").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum(F.round(F.col("__y") * 100).cast("long")).alias("__sc"),
+    )
+    bw = Window.partitionBy(*keys).orderBy("bucket")
+    ax = F.col("__sx").cast("double") / F.col("__n")
+    ay = F.col("__sc").cast("double") / F.col("__n") / 100.0
+    anchors = agg.select(
+        *keys,
+        "bucket",
+        F.lag(ax).over(bw).alias("__pax"),
+        F.lag(ay).over(bw).alias("__pay"),
+        F.lead(ax).over(bw).alias("__nax"),
+        F.lead(ay).over(bw).alias("__nay"),
+        (F.row_number().over(bw) == 1).alias("__is_first"),
+        (
+            F.row_number().over(Window.partitionBy(*keys).orderBy(F.desc("bucket")))
+            == 1
+        ).alias("__is_last"),
+    )
+    j = d.join(anchors, [*keys, "bucket"])
+    area = F.abs(
+        (F.col("__pax") - F.col("__nax")) * (F.col("__y") - F.col("__pay"))
+        - (F.col("__pax") - F.col("__x")) * (F.col("__nay") - F.col("__pay"))
+    )
+    # endpoint buckets pin the series endpoints; middle buckets rank by
+    # area (desc, row-order tiebreak)
+    rank_key = F.when(
+        F.col("__is_first"), F.col("__rn").cast("double")
+    ).otherwise(
+        F.when(F.col("__is_last"), -F.col("__rn").cast("double")).otherwise(
+            -area
+        )
+    )
+    sel = Window.partitionBy(*keys, "bucket").orderBy(rank_key, "__rn")
+    return (
+        j.withColumn("__sel", F.row_number().over(sel))
+        .where(F.col("__sel") == 1)
+        .select(
+            *keys,
+            *tiebreak,
+            ts_col,
+            F.col("__y").alias(value_col),
+            F.col("bucket").cast("long").alias("bucket"),
+        )
+    )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = ("event_id",),
+    unit: str = "hour",
+) -> DataFrame:
+    """Time-weighted average per key per ``unit`` bucket — the
+    irregular-sampling-proof aggregate (a sensor emitting 1000 readings
+    in one minute and one reading for the rest of the hour should not
+    average as if the burst lasted the hour): each (non-null)
+    observation is weighted by its holding time until the next
+    observation in the bucket; single-observation buckets fall back to
+    the plain mean.
+
+    All sums are exact integers (value cents x gap micros fit int64
+    with 5 orders of margin), divided once at the end — engine
+    summation order cannot perturb the result. One shuffle on
+    (keys, bucket); the lead() window rides the same partitioning.
+    """
+    keys = list(keys)
+    v = F.when(
+        F.isnan(value_col) | F.col(value_col).isNull(), None
+    ).otherwise(F.col(value_col))
+    d = (
+        events.withColumn("__v", v)
+        .where(F.col("__v").isNotNull())
+        .withColumn("bucket", _bucket(ts_col, unit))
+    )
+    w = Window.partitionBy(*keys, "bucket").orderBy(ts_col, *tiebreak)
+    mu = F.unix_micros(F.col(ts_col))
+    d = d.select(
+        *keys,
+        "bucket",
+        F.round(F.col("__v") * 100).cast("long").alias("__c"),
+        (F.coalesce(F.lead(mu).over(w), mu) - mu).alias("__w"),
+    )
+    g = d.groupBy(*keys, "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("__w").alias("__sw"),
+        F.sum(F.col("__c") * F.col("__w")).alias("__scw"),
+        F.sum("__c").alias("__sc"),
+    )
+    twa = F.when(
+        F.col("__sw") > 0,
+        F.col("__scw") / F.col("__sw").cast("double") / 100.0,
+    ).otherwise(F.col("__sc").cast("double") / F.col("n_events") / 100.0)
+    return g.select(
+        *keys, "bucket", "n_events", F.round(twa, 6).alias("time_weighted_avg")
+    )
+
+
+def winsorize(
+    events: DataFrame,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    keys: Sequence[str] = ("user_id",),
+    value_col: str = "value",
+    id_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Per-series winsorization: clip values to the exact
+    [q_lower, q_upper] percentile band — the outlier-robust
+    normalization applied before training-statistics jobs.
+
+    Exact ``percentile`` (linear interpolation == DuckDB
+    ``quantile_cont``; the repo-wide fit pattern, detectors/range.py)
+    per key in one grouped pass, broadcast back, clip with
+    ``least(greatest(...))``. At 100 TB swap the exact percentile for
+    ``percentile_approx`` with a documented tolerance certificate
+    (the ts_range_quantile_approx scheme).
+    """
+    keys = list(keys)
+    v = F.when(
+        F.isnan(value_col) | F.col(value_col).isNull(), None
+    ).otherwise(F.col(value_col))
+    d = events.withColumn("__v", v)
+    q = d.groupBy(*keys).agg(
+        F.percentile("__v", F.lit(float(lower))).alias("__lo"),
+        F.percentile("__v", F.lit(float(upper))).alias("__hi"),
+    )
+    j = d.join(F.broadcast(q), keys)
+    # guard on non-null v: least/greatest SKIP nulls in both Spark and
+    # DuckDB, so an unguarded clip would turn a NULL value into q_lo
+    clipped = F.when(
+        F.col("__v").isNotNull(),
+        F.least(F.greatest(F.col("__v"), F.col("__lo")), F.col("__hi")),
+    )
+    return j.select(
+        *id_cols,
+        *keys,
+        F.round("__v", 6).alias(value_col),
+        F.round(clipped, 6).alias("value_winsorized"),
+        F.coalesce(
+            (F.col("__v") < F.col("__lo")) | (F.col("__v") > F.col("__hi")),
+            F.lit(False),
+        ).alias("is_clipped"),
+    )

@@ -528,3 +528,88 @@ def tfidf_topk(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame
         .where(F.col("rk") <= k)
         .select("doc_id", "term", "tf", "df", "tfidf", "rk")
     )
+
+
+def gopher_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.6,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style pretraining quality gate (Rae et al. 2021, §A1.1):
+    per-document repetition-independent heuristics — word-count bounds,
+    mean word length bounds, symbol-to-word ratio (# and ellipsis),
+    bullet-/ellipsis-line fractions, alphabetic-word fraction, and a
+    minimum count of distinct English stopwords — folded into one
+    ``pass_gopher`` boolean.
+
+    One corpus scan of pure Column algebra: the token array and line
+    array each materialize once in a first projection (Catalyst does
+    not CSE array-HOF subtrees), every signal is an exact int/int
+    ratio, and comparisons run on the UNROUNDED quotients (IEEE
+    division is bit-deterministic cross-engine for identical operand
+    order) while the emitted ratio columns round to 6 decimals. At
+    100 TB this is the map-side gate you run before any shuffle-heavy
+    dedup — it drops garbage without moving it.
+    """
+    txt = F.col(text_col)
+    base = docs.select(
+        "doc_id",
+        tokens(txt).alias("__t"),
+        F.split(txt, "\n").alias("__l"),
+        (
+            (F.length(txt) - F.length(F.regexp_replace(txt, "#", "")))
+            + F.size(
+                F.filter(
+                    F.split(txt, " "),
+                    lambda x: x.rlike("(\\.\\.\\.|…)"),
+                )
+            )
+        ).alias("__nsym"),
+    )
+    t, lines = F.col("__t"), F.col("__l")
+    n_words = F.size(t)
+    total_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda x: x.rlike("^\\s*[-*•]")))
+    n_ellip = F.size(F.filter(lines, lambda x: x.rlike("(\\.\\.\\.|…)\\s*$")))
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike("[a-zA-Z]")))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    stop_hits = F.size(F.filter(sw, lambda s: F.array_contains(t, s)))
+    # every ratio guards its denominator (NULL on empty docs — ANSI
+    # mode would otherwise raise DIVIDE_BY_ZERO); NULL comparisons
+    # propagate NULL through the AND chain and coalesce to False
+    mean_wl = F.when(n_words > 0, total_len / n_words)
+    sym_ratio = F.when(n_words > 0, F.col("__nsym") / n_words)
+    bullet_frac = F.when(n_lines > 0, n_bullet / n_lines)
+    ellip_frac = F.when(n_lines > 0, n_ellip / n_lines)
+    alpha_frac = F.when(n_words > 0, n_alpha / n_words)
+    ok = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_word_ratio)
+        & (bullet_frac <= max_bullet_line_frac)
+        & (ellip_frac <= max_ellipsis_line_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return base.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellip_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("n_stopword_hits"),
+        F.coalesce(ok, F.lit(False)).alias("pass_gopher"),
+    )

