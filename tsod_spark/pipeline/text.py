@@ -444,10 +444,20 @@ def vocab_overlap(
     which is seeded from DISTINCT group values of the corpus itself so
     no group can silently vanish.
     """
-    grams = docs.select(
-        F.col(group_col).alias("g"),
-        F.explode(shingles(tokens(F.col(text_col)), n)).alias("gram"),
-    ).distinct()
+    # spread the CPU-bound shingling across cores: a small corpus is
+    # one parquet file = one scan task, and tokenize+shingle+explode
+    # dominates this operator (the dedup.py `spread` pattern; measured
+    # 6x on the single-file fixture). The distinct right after explode
+    # would shuffle anyway, so the extra exchange only moves raw text.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        docs.repartition(n_part, "doc_id")
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(shingles(tokens(F.col(text_col)), n)).alias("gram"),
+        )
+        .distinct()
+    )
     sizes = (
         docs.select(F.col(group_col).alias("g"))
         .distinct()

