@@ -37,6 +37,14 @@ ALLOW_NLJ = {
                          # HAVING-fraction threshold; linear)
     "doc_tfidf_topk",    # broadcast 1-row corpus-size crossJoin (lazy
                          # scalar for the idf denominator; linear)
+    "doc_bm25_search",   # broadcast few-row query-term side + 1-row
+                         # avgdl scalar crossJoin; one corpus scan
+    "doc_vocab_overlap", # broadcast cross of the two per-GROUP size
+                         # tables (#groups rows each, ~20) — the pair
+                         # matrix is quadratic in groups, not corpus
+    "emb_pq_topk",       # broadcast single query vector + 1-row
+                         # recall-certificate crossJoin
+    "emb_ivfpq_topk",    # same certificate shape as emb_pq_topk
 }
 # mapInPandas is the designed path here, not an accident; ts_ewma is a
 # sequential recurrence (no Spark scan/fold builtin) running pandas'
