@@ -923,3 +923,43 @@ def test_stream_seasonal_dow_matches_batch(spark, events_batches):
     ]
     assert not mismatches, f"{len(mismatches)} mismatches: {mismatches[:3]}"
     assert any(r.is_anomaly for r in got)
+
+
+def test_stream_time_weighted_avg_matches_batch(spark, events_batches):
+    """Every CLOSED bucket (a later-bucket observation arrived for the
+    series) emits exactly once and equals the batch TWA bit-for-bit;
+    each series' open head bucket has not emitted yet."""
+    from pyspark.sql import functions as F
+
+    from tsod_spark.analytics import temporal
+    from tsod_spark.streaming import stream_time_weighted_avg
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_time_weighted_avg(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("twa_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.bucket): (r.n_events, r.time_weighted_avg)
+        for r in spark.sql("SELECT * FROM twa_stream").collect()
+    }
+    batch = temporal.time_weighted_avg(registry.table(spark, SF, "events"))
+    # drop each series' LAST bucket: still open at stream head
+    last = batch.groupBy("user_id").agg(F.max("bucket").alias("bucket"))
+    closed = batch.join(last, ["user_id", "bucket"], "left_anti")
+    expected = {
+        (r.user_id, r.bucket): (r.n_events, r.time_weighted_avg)
+        for r in closed.collect()
+    }
+    assert len(expected) > 50
+    assert got == expected

@@ -13,4 +13,5 @@ from .temporal import (  # noqa: F401
     stream_holt,
     stream_latest_by_key,
     stream_rollup_hierarchy,
+    stream_time_weighted_avg,
 )

@@ -23,6 +23,13 @@ interval join whose time bound is the state-retention contract):
   consumed ONCE no matter how many levels, mirroring the batch
   one-scan property.
 
+- :func:`stream_time_weighted_avg` — irregular-sampling TWA. State per
+  series is the open bucket's exact integer accumulators + the last
+  observation; buckets close (and emit once, append-style) when a
+  later-bucket observation arrives, because the batch semantics give a
+  bucket's last observation zero weight — no future row can change a
+  closed bucket.
+
 Scale notes: EWMA state is O(1) per series and keep-last state is one
 row per key — key COUNT is the only growth axis, bounded by
 ``idle_timeout`` eviction where offered. The rollup's state is O(open
@@ -545,3 +552,138 @@ def stream_rollup_hierarchy(
         )
         out[lvl] = finish(cur, lvl)
     return out
+
+
+def stream_time_weighted_avg(
+    stream_df: DataFrame,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+    bucket_micros: int = 3_600_000_000,
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming per-series hourly time-weighted average, batch twin of
+    ``temporal.time_weighted_avg``.
+
+    State per series is O(1): the open bucket's exact integer
+    accumulators (Σweight micros, Σcents·weight, Σcents, n) plus the
+    last observation's (ts, cents) — the only thing the next weight
+    needs. A bucket is FINAL exactly when the first observation of a
+    later bucket arrives for that series (the batch semantics give the
+    bucket's last observation zero weight, so no future row can change
+    a closed bucket), and emits once, append-style. The float division
+    happens OUTSIDE the kernel in the same Spark Column expression the
+    batch operator uses, so emitted rows are bit-identical to the
+    batch result for every closed bucket.
+
+    Rows at or before the per-series (ts, tiebreak) cursor are dropped
+    (same disorder contract as ``stream_ewma``); the open bucket at
+    stream head has not emitted yet.
+    """
+    series = list(series)
+    key_fields = [stream_df.schema[c] for c in series]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("bucket_micros", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sw", LongType()),
+            StructField("scw", LongType()),
+            StructField("sc", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("bucket", LongType()),
+            StructField("prev_ts", LongType()),
+            StructField("prev_c", LongType()),
+            StructField("sw", LongType()),
+            StructField("scw", LongType()),
+            StructField("sc", LongType()),
+            StructField("n", LongType()),
+            StructField("cur_tb", LongType()),
+        ]
+    )
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        new = new.sort_values([ts_col, tiebreak], kind="mergesort")
+        if state.exists:
+            bucket, prev_ts, prev_c, sw, scw, sc, n, cur_tb = state.get
+        else:
+            bucket = prev_ts = prev_c = cur_tb = None
+            sw = scw = sc = n = 0
+
+        ts_us = (pd.to_datetime(new[ts_col]).astype("int64") // 1000).to_numpy()
+        tb = new[tiebreak].astype("int64").to_numpy()
+        vals = new[value_col].astype(float).to_numpy()
+
+        closed = []
+        for t, b, v in zip(ts_us, tb, vals):
+            if prev_ts is not None and (t, b) <= (prev_ts, cur_tb):
+                continue  # disorder: behind the cursor
+            cur_tb = int(b)
+            if v != v:  # NaN: invisible to the aggregate, cursor moves
+                prev_ts = int(t) if prev_ts is None else prev_ts
+                continue
+            c = int(
+                -int(-v * 100 + 0.5) if v < 0 else int(v * 100 + 0.5)
+            )  # round-half-away == F.round on cents
+            bk = (t // bucket_micros) * bucket_micros
+            if bucket is None:
+                bucket, prev_ts, prev_c = int(bk), int(t), c
+                sw, scw, sc, n = 0, 0, c, 1
+            elif bk == bucket:
+                w = int(t) - prev_ts
+                sw += w
+                scw += prev_c * w
+                sc += c
+                n += 1
+                prev_ts, prev_c = int(t), c
+            else:
+                closed.append((bucket, n, sw, scw, sc))
+                bucket, prev_ts, prev_c = int(bk), int(t), c
+                sw, scw, sc, n = 0, 0, c, 1
+
+        state.update((bucket, prev_ts, prev_c, sw, scw, sc, n, cur_tb))
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    **{c_: key[i] for i, c_ in enumerate(series)},
+                    "bucket_micros": [r[0] for r in closed],
+                    "n_events": [r[1] for r in closed],
+                    "sw": [r[2] for r in closed],
+                    "scw": [r[3] for r in closed],
+                    "sc": [r[4] for r in closed],
+                }
+            )
+
+    raw = stream_df.groupBy(*series).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+    # identical Column expression to the batch operator => bit-identical
+    twa = F.when(
+        F.col("sw") > 0, F.col("scw") / F.col("sw").cast("double") / 100.0
+    ).otherwise(F.col("sc").cast("double") / F.col("n_events") / 100.0)
+    return raw.select(
+        *series,
+        F.timestamp_micros(F.col("bucket_micros")).alias("bucket"),
+        "n_events",
+        F.round(twa, 6).alias("time_weighted_avg"),
+    )
