@@ -237,6 +237,14 @@ def main():
         "lm_rarity": q_lm_rarity,
         "profile": q_profile,
         "histogram_drift": q_drift,
+        # r5 operators: one map-side corpus scan; three keyed-window/
+        # grouped shapes whose horizontal growth axis is key count
+        "gopher_filter": lambda m: __import__(
+            "tsod_spark.pipeline.text", fromlist=["text"]
+        ).gopher_filter(expanded(spark, "documents", m, {"doc_id": 10_000_000})),
+        "lttb_downsample": lambda m: temporal.lttb_downsample(events(m)),
+        "time_weighted_avg": lambda m: temporal.time_weighted_avg(events(m)),
+        "winsorize": lambda m: temporal.winsorize(events(m)),
     }
 
     # warmup
