@@ -103,3 +103,52 @@ def test_winsorize_clips_and_ignores_nulls(spark):
     assert not out[21].is_clipped
     assert out[10].value_winsorized == out[10].value  # mid-band unchanged
     assert len(clipped) >= 2
+
+
+def test_ivf_assign_expr_matches_mllib(spark):
+    """The serve-time Column-expression cell assignment reproduces the
+    MLlib predictor row-for-row (incl. lowest-index tie-breaking), on
+    batch AND through a streaming micro-batch."""
+    import shutil
+    import tempfile
+
+    from tsod_spark.pipeline.similarity import (
+        ivf_assign_expr,
+        ivf_index,
+        stream_ivf_assign,
+    )
+    from tsod_spark.registry import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    assigned, centroids = ivf_index(emb)
+    expected = {r.vec_id: r.cell for r in assigned.select("vec_id", "cell").collect()}
+
+    got = {
+        r.vec_id: r.cell
+        for r in emb.withColumn("cell", ivf_assign_expr(centroids))
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert got == expected and len(got) == 500
+
+    tmp = tempfile.mkdtemp(prefix="ivf_stream_")
+    try:
+        emb.write.parquet(f"{tmp}/src", mode="overwrite")
+        src = spark.readStream.schema(emb.schema).parquet(f"{tmp}/src")
+        q = (
+            stream_ivf_assign(src, centroids)
+            .select("vec_id", "cell")
+            .writeStream.format("memory")
+            .queryName("ivf_assign_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = {
+            r.vec_id: r.cell
+            for r in spark.sql("SELECT * FROM ivf_assign_stream").collect()
+        }
+        assert streamed == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

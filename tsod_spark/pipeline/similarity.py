@@ -564,3 +564,47 @@ def recall_certificate(
         .agg((F.count(F.lit(1)) >= need).alias("recall_ok"))
     )
     return exact.crossJoin(F.broadcast(hits))
+
+
+def ivf_assign_expr(
+    centroids: list[list[float]], vec_col: str = "embedding"
+):
+    """Nearest-centroid cell id as a pure Column expression (L2 argmin,
+    ties to the lowest cell index — matching MLlib's predictor).
+
+    This is the SERVE-TIME half of the IVF index: once centroids are
+    trained (``ivf_index``), continuous ingest assigns vectors with
+    broadcast-literal arithmetic — no MLlib, no model object, works
+    identically on a batch frame or a Structured Streaming source
+    (stateless, so the stream twin is the same expression). At 100 TB
+    you follow it with a cell-partitioned write so probes prune files.
+    """
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    v = F.col(vec_col)
+    d2s = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(
+                v, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    # array_position returns the FIRST index of the min -> lowest cell
+    # wins ties, same as MLlib's sequential argmin
+    return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+
+
+def stream_ivf_assign(
+    stream_emb,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+):
+    """Streaming IVF ingest: tag each arriving vector with its coarse
+    cell (stateless stream-static 'join' — the centroid matrix is a
+    broadcast literal), ready for a cell-partitioned sink. Row-for-row
+    equal to the batch ``ivf_index`` assignment (tested)."""
+    return stream_emb.withColumn("cell", ivf_assign_expr(centroids, vec_col))
