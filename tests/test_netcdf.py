@@ -203,3 +203,23 @@ def test_reference_notebook_workflow_on_spark(spark):
     n = flagged.count()
     n_anom = flagged.where("is_anomaly").count()
     assert n == 23488 and 0 < n_anom < n * 0.01
+
+
+def test_python_datasource_matches_fleet_reader(spark):
+    """spark.read.format('netcdf_timeseries') — the Spark-4 Python
+    DataSource — returns the same rows as read_netcdf_fleet on the
+    reference's real CMEMS fixture (one InputPartition per file, Arrow
+    batch emission)."""
+    from tsod_spark.sources import NetCDFTimeseriesDataSource, read_netcdf_fleet
+
+    spark.dataSource.register(NetCDFTimeseriesDataSource)
+    ds = (
+        spark.read.format("netcdf_timeseries")
+        .option("variable", "PSAL")
+        .load(REF_NC)
+    )
+    got = {(r.ts, r.value, r.qc) for r in ds.collect()}
+    fleet = read_netcdf_fleet(spark, REF_NC, variable="PSAL")
+    expected = {(r.ts, r.value, r.qc) for r in fleet.collect()}
+    assert got == expected and len(got) > 100
+    assert ds.rdd.getNumPartitions() == 1  # one file -> one partition

@@ -6,4 +6,5 @@ from .readers import (  # noqa: F401
     read_parquet_timeseries,
     qc_flag_projection,
 )
+from .datasource import NetCDFTimeseriesDataSource  # noqa: F401
 from .writers import write_partitioned  # noqa: F401
