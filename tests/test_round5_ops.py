@@ -152,3 +152,24 @@ def test_ivf_assign_expr_matches_mllib(spark):
         assert streamed == expected
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_merge_upsert_update_insert_carry(spark):
+    """update-wins per key; unmatched updates insert; untouched target
+    rows carry over; duplicate update rows compact to last-writer."""
+    from tsod_spark.analytics.olap import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, 10, _ts(0), 1.0), (2, 20, _ts(0), 2.0)],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, 30, _ts(5), 10.0),
+            (1, 31, _ts(6), 11.0),  # later: wins among the dup updates
+            (3, 40, _ts(7), 30.0),  # new key: insert
+        ],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    out = {r.user_id: (r.event_id, r.value) for r in merge_upsert(target, updates).collect()}
+    assert out == {1: (31, 11.0), 2: (20, 2.0), 3: (40, 30.0)}

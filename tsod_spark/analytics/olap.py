@@ -437,3 +437,43 @@ def latest_by_key(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys=("user_id",),
+    ts_col: str = "ts",
+    tiebreak=("event_id",),
+) -> DataFrame:
+    """Batch MERGE: apply an update batch onto a target table —
+    update-wins per key (the latest update row replaces the target
+    row; unmatched updates insert; unmatched target rows carry over).
+    The batch twin of a lakehouse ``MERGE INTO`` whose ON clause is
+    the key equality, with last-writer-wins among duplicate update
+    rows.
+
+    Plan: compact the update batch to one row per key
+    (:func:`latest_by_key` — one window shuffle of the SMALL side),
+    then a single full-outer join on the key, coalescing update
+    columns over target columns. The target shuffles once on the same
+    key it would be bucketed/partitioned by at rest — with bucketed
+    storage the join is exchange-free on the big side (see
+    sources/bucketed.py).
+    """
+    keys = list(keys)
+    payload = [c for c in target.columns if c not in keys]
+    latest = latest_by_key(updates, keys, ts_col, tiebreak)
+    u = latest.select(
+        *keys, *[F.col(c).alias(f"__u_{c}") for c in payload]
+    ).withColumn("__has_u", F.lit(True))
+    merged = target.join(u, keys, "full_outer")
+    return merged.select(
+        *keys,
+        *[
+            F.when(F.coalesce(F.col("__has_u"), F.lit(False)), F.col(f"__u_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in payload
+        ],
+    )

@@ -4067,6 +4067,41 @@ def ts_time_weighted_avg(spark, sf_dir):
 
 
 @register(
+    "events_merge_upsert",
+    """WITH t0 AS (SELECT *, row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+    t AS (SELECT user_id, event_id, ts, value FROM t0 WHERE rn = 1),
+    u0 AS (SELECT *, row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-16' AND event_type = 'purchase'),
+    u AS (SELECT user_id, event_id, ts, value FROM u0 WHERE rn = 1)
+    SELECT coalesce(t.user_id, u.user_id) AS user_id,
+           CASE WHEN u.user_id IS NOT NULL THEN u.event_id ELSE t.event_id END AS event_id,
+           CASE WHEN u.user_id IS NOT NULL THEN u.ts ELSE t.ts END AS ts,
+           CASE WHEN u.user_id IS NOT NULL THEN u.value ELSE t.value END AS value
+    FROM t FULL OUTER JOIN u ON t.user_id = u.user_id""",
+)
+def events_merge_upsert(spark, sf_dir):
+    """Lakehouse-style batch MERGE: the compacted pre-cutoff state per
+    user, upserted with the latest post-cutoff purchase (update-wins;
+    unmatched updates insert, untouched users carry over). One window
+    shuffle on the small update side + one full-outer key join
+    (olap.merge_upsert)."""
+    from .analytics import olap
+
+    e = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    slim = ["user_id", "event_id", "ts", "value"]
+    target = olap.latest_by_key(e.where(F.col("ts") < cut)).select(*slim)
+    updates = e.where(
+        (F.col("ts") >= cut) & (F.col("event_type") == "purchase")
+    ).select(*slim)
+    return olap.merge_upsert(target, updates)
+
+
+@register(
     "ts_winsorize",
     f"""{E_CTE},
     q AS (SELECT user_id, quantile_cont(v, 0.05) AS lo,
