@@ -173,3 +173,22 @@ def test_merge_upsert_update_insert_carry(spark):
     )
     out = {r.user_id: (r.event_id, r.value) for r in merge_upsert(target, updates).collect()}
     assert out == {1: (31, 11.0), 2: (20, 2.0), 3: (40, 30.0)}
+
+
+def test_esd_peels_masked_outlier(spark):
+    """Two outliers where one masks the other for a plain z-score:
+    round 1 peels the huge spike, round 2 re-estimates sigma without
+    it and catches the second; inliers stay unflagged."""
+    from tsod_spark.analytics.temporal import esd_anomalies
+
+    vals = [10.0, 11.0, 9.0, 10.0, 10.5, 9.5, 10.0, 11.0, 9.0, 10.0,
+            10.0, 11.0, 9.0, 10.0, 10.5, 9.5, 10.0, 11.0, 9.0, 10.0,
+            1000.0, 60.0]
+    rows = [(1, i + 1, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    out = {r.event_id: r.is_anomaly for r in esd_anomalies(df).collect()}
+    assert out[21] and out[22]
+    assert sum(out.values()) == 2
+    # plain one-round peeling misses the masked 60.0
+    one = {r.event_id: r.is_anomaly for r in esd_anomalies(df, rounds=1).collect()}
+    assert one[21] and not one[22]

@@ -955,3 +955,71 @@ def winsorize(
             F.lit(False),
         ).alias("is_clipped"),
     )
+
+
+def esd_anomalies(
+    events: DataFrame,
+    rounds: int = 3,
+    z: int = 3,
+    keys: Sequence[str] = ("user_id",),
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Generalized-ESD-style iterative outlier peeling (the z-score
+    variant of Rosner's test, fixed threshold ``z`` instead of the
+    t-distribution critical value): per series, ``rounds`` times,
+    remove the single most deviant remaining point if its deviation
+    exceeds ``z``·stddev of the remaining points — the classic fix for
+    ordinary z-scores' masking problem (one huge outlier inflates σ
+    and hides the second outlier; peeling re-estimates σ without it).
+
+    EXACT integer formulation: with cents ``c``, ``S=Σc``, ``Q=Σc²``,
+    ``n`` over the unflagged rows, the test ``|c-μ| > z·σ`` is
+    equivalent to ``(n·c-S)²·(n-1) > z²·n·(n·Q-S²)`` — pure int64
+    arithmetic, so candidate ranking and the flag decision are
+    bit-identical in any engine (no float summation order anywhere).
+    Magnitude bound: |n·c| ≲ n·maxcents must fit int64 — holds to
+    ~1e9 rows × 1e4-cent values; beyond that, segment the series.
+
+    Plan: each round is one grouped aggregate over the unflagged rows
+    + a broadcast join back + one argmax window — ``rounds`` is a
+    small constant (deeper peeling at 100 TB would switch to the
+    sketch-threshold form), so the whole detector is a fixed-depth
+    plan with no driver-side loop over data.
+    """
+    keys = list(keys)
+    v = F.when(
+        F.isnan(value_col) | F.col(value_col).isNull(), None
+    ).otherwise(F.col(value_col))
+    d = events.select(
+        *keys,
+        id_col,
+        F.round(v * 100).cast("long").alias("__c"),
+    ).withColumn("__f", F.lit(False))
+    z2 = z * z
+    for _ in range(rounds):
+        live = F.when(~F.col("__f"), F.col("__c"))
+        stats = d.groupBy(*keys).agg(
+            F.count(live).alias("__n"),
+            F.coalesce(F.sum(live), F.lit(0)).alias("__s"),
+            F.coalesce(F.sum(live * live), F.lit(0)).alias("__q"),
+        )
+        j = d.join(F.broadcast(stats), keys)
+        dev = F.col("__n") * F.col("__c") - F.col("__s")
+        dev2 = F.when(~F.col("__f") & F.col("__c").isNotNull(), dev * dev)
+        j = j.withColumn("__dev2", dev2)
+        w = Window.partitionBy(*keys).orderBy(F.desc("__dev2"), id_col)
+        crit = (
+            F.col("__dev2") * (F.col("__n") - 1)
+            > z2 * F.col("__n")
+            * (F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s"))
+        )
+        hit = (
+            F.col("__dev2").isNotNull()
+            & (F.row_number().over(w) == 1)
+            & crit
+        )
+        d = j.withColumn("__f", F.col("__f") | F.coalesce(hit, F.lit(False))).select(
+            *keys, id_col, "__c", "__f"
+        )
+    return d.select(*keys, id_col, F.col("__f").alias("is_anomaly"))

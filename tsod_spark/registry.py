@@ -4066,6 +4066,55 @@ def ts_time_weighted_avg(spark, sf_dir):
     return temporal.time_weighted_avg(table(spark, sf_dir, "events"))
 
 
+def _esd_sql(rounds: int = 3, z2: int = 9) -> str:
+    """Unrolled CTE chain for the integer-exact ESD peeling rounds."""
+    parts = [
+        E_CTE,
+        """r0 AS (SELECT user_id, event_id,
+             CAST(round(v * 100) AS BIGINT) AS c, FALSE AS f FROM e)""",
+    ]
+    for i in range(rounds):
+        p, q = i, i + 1
+        parts.append(
+            f"""s{q} AS (SELECT user_id,
+               count(CASE WHEN NOT f THEN c END) AS n,
+               coalesce(sum(CASE WHEN NOT f THEN c END), 0) AS s,
+               coalesce(sum(CASE WHEN NOT f THEN c * c END), 0) AS q
+             FROM r{p} GROUP BY user_id),
+    c{q} AS (SELECT r{p}.user_id, r{p}.event_id, r{p}.c, r{p}.f,
+               s{q}.n, s{q}.s, s{q}.q,
+               CASE WHEN NOT r{p}.f AND r{p}.c IS NOT NULL
+                    THEN (s{q}.n * r{p}.c - s{q}.s) * (s{q}.n * r{p}.c - s{q}.s)
+               END AS dev2
+             FROM r{p} JOIN s{q} USING (user_id)),
+    m{q} AS (SELECT user_id, event_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY dev2 DESC, event_id) AS rk
+               FROM c{q} WHERE dev2 IS NOT NULL)
+             WHERE rk = 1 AND dev2 * (n - 1) > {z2} * n * (n * q - s * s)),
+    r{q} AS (SELECT c.user_id, c.event_id, c.c,
+               c.f OR (m.event_id IS NOT NULL) AS f
+             FROM c{q} c LEFT JOIN m{q} m
+               ON c.user_id = m.user_id AND c.event_id = m.event_id)"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT user_id, event_id, f AS is_anomaly FROM r{rounds}"
+    )
+
+
+@register("ts_esd", _esd_sql())
+def ts_esd(spark, sf_dir):
+    """Generalized-ESD-style iterative outlier peeling, 3 rounds at
+    z=3: each round removes the most deviant remaining point per
+    series if it exceeds 3 sigma of the REMAINING points (fixes
+    z-score masking). The test runs entirely in int64 cents
+    arithmetic — (n·c-S)²·(n-1) > 9·n·(n·Q-S²) — so ranking and flag
+    decisions are bit-identical across engines
+    (temporal.esd_anomalies)."""
+    return temporal.esd_anomalies(table(spark, sf_dir, "events"))
+
+
 @register(
     "events_merge_upsert",
     """WITH t0 AS (SELECT *, row_number() OVER (
