@@ -80,6 +80,23 @@ def main():
     _dedup.minhash_duplicate_groups(
         table(spark, sf_dir, "documents").limit(64)
     ).write.format("noop").mode("overwrite").save()
+    # MLlib warmup: estimator classloading + netlib BLAS/LAPACK probe +
+    # KMeans/WLS codegen otherwise land on the first MLlib query in
+    # rotation order (~15s measured on ts_mllib_kmeans at sf0.1)
+    from pyspark.ml.clustering import KMeans as _KM
+    from pyspark.ml.functions import array_to_vector as _a2v
+    from pyspark.ml.regression import LinearRegression as _LR
+
+    _w = (
+        table(spark, sf_dir, "embeddings")
+        .limit(64)
+        .select(
+            _a2v(F.col("embedding").cast("array<double>")).alias("features"),
+            F.lit(1.0).alias("y"),
+        )
+    )
+    _KM(k=2, seed=1, maxIter=1, featuresCol="features").fit(_w)
+    _LR(featuresCol="features", labelCol="y", solver="normal").fit(_w)
     spark.catalog.clearCache()
 
     import gc
