@@ -192,3 +192,27 @@ def test_esd_peels_masked_outlier(spark):
     # plain one-round peeling misses the masked 60.0
     one = {r.event_id: r.is_anomaly for r in esd_anomalies(df, rounds=1).collect()}
     assert one[21] and not one[22]
+
+
+def test_dq_checks_detects_violations(spark):
+    """Each constraint fails on exactly the data that violates it and
+    the metric reports the conforming fraction."""
+    from tsod_spark.analytics.olap import dq_checks, referential_check
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (1, None), (2, 50.0), (3, 7.0)],  # dup key, null, oob
+        "event_id long, value double",
+    )
+    out = {
+        r.check: (r.metric, r.passed)
+        for r in dq_checks(df, bounds={"value": (0, 10)}).collect()
+    }
+    assert out["row_count"] == (4.0, True)
+    assert out["completeness(value)"] == (0.75, False)
+    assert out["uniqueness(event_id)"] == (0.75, False)
+    assert out["bounds(value)"] == (0.5, False)  # null and 50.0 fail
+
+    child = spark.createDataFrame([(1,), (2,), (9,)], "k long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "p long")
+    fk = referential_check(child, parent, "k", "p").collect()[0]
+    assert fk.check == "fk(k->p)" and fk.metric == round(2 / 3, 6) and not fk.passed

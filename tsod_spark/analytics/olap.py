@@ -477,3 +477,106 @@ def merge_upsert(
             for c in payload
         ],
     )
+
+
+def dq_checks(
+    df: DataFrame,
+    completeness=("value",),
+    unique=("event_id",),
+    bounds: dict | None = None,
+    min_rows: int = 1,
+) -> DataFrame:
+    """Deequ-style declarative data-quality suite in ONE aggregation
+    pass: row count, per-column completeness (non-null fraction),
+    key uniqueness (distinct/total), and value-bound conformance,
+    each emitted as ``(check, metric, passed)`` rows.
+
+    Everything is exact integer counting divided once at the end —
+    no sampling, no sketches — and the whole suite is a single
+    grouped-less aggregate, so at 100 TB it costs one scan with
+    map-side partial aggregation and a 1-row shuffle. Constraint
+    thresholds are plain literals, so the pass booleans are
+    hash-stable.
+    """
+    bounds = bounds or {}
+    n = F.count(F.lit(1))
+    aggs = [n.alias("__n")]
+    checks = []  # (name, metric expr over agg row, threshold expr)
+    for c in completeness:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        checks.append(
+            (
+                f"completeness({c})",
+                F.col(f"__nn_{c}") / F.col("__n"),
+                F.col(f"__nn_{c}") == F.col("__n"),
+            )
+        )
+    for c in unique:
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__d_{c}"))
+        checks.append(
+            (
+                f"uniqueness({c})",
+                F.col(f"__d_{c}") / F.col("__n"),
+                F.col(f"__d_{c}") == F.col("__n"),
+            )
+        )
+    for c, (lo, hi) in bounds.items():
+        ok = F.col(c).between(F.lit(lo), F.lit(hi))
+        aggs.append(
+            F.sum(F.coalesce(ok.cast("long"), F.lit(0))).alias(f"__b_{c}")
+        )
+        checks.append(
+            (
+                f"bounds({c})",
+                F.col(f"__b_{c}") / F.col("__n"),
+                F.col(f"__b_{c}") == F.col("__n"),
+            )
+        )
+    agg = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit("row_count").alias("check"),
+            F.col("__n").cast("double").alias("metric"),
+            (F.col("__n") >= min_rows).alias("passed"),
+        )
+    ] + [
+        F.struct(
+            F.lit(name).alias("check"),
+            F.round(metric, 6).alias("metric"),
+            passed.alias("passed"),
+        )
+        for name, metric, passed in checks
+    ]
+    return agg.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.check", "r.metric", "r.passed")
+
+
+def referential_check(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Foreign-key conformance: fraction of child rows whose key exists
+    in the parent, as one lazy ``(check, metric, passed)`` row — a
+    single plan (no driver-side counts): broadcast the distinct parent
+    keys (a dim table), LEFT join, count hits map-side."""
+    pk = (
+        parent.select(F.col(parent_key).alias(child_key))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    agg = (
+        child.select(child_key)
+        .join(F.broadcast(pk), child_key, "left")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__ok"),
+        )
+    )
+    return agg.select(
+        F.lit(f"fk({child_key}->{parent_key})").alias("check"),
+        F.round(F.col("__ok") / F.col("__n"), 6).alias("metric"),
+        (F.col("__ok") == F.col("__n")).alias("passed"),
+    )

@@ -4103,6 +4103,49 @@ def _esd_sql(rounds: int = 3, z2: int = 9) -> str:
     )
 
 
+@register(
+    "dq_suite",
+    """WITH a AS (SELECT count(*) AS n, count(value) AS nn,
+             count(DISTINCT event_id) AS d,
+             sum(CASE WHEN value BETWEEN -10000 AND 10000
+                 THEN 1 ELSE 0 END) AS b
+           FROM events),
+    fk AS (SELECT count(*) AS n,
+             sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS ok
+           FROM orders o
+           LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON o.o_custkey = c.c_custkey)
+    SELECT 'row_count' AS check, CAST(n AS DOUBLE) AS metric,
+           n >= 1 AS passed FROM a
+    UNION ALL
+    SELECT 'completeness(value)', round(nn / CAST(n AS DOUBLE), 6), nn = n FROM a
+    UNION ALL
+    SELECT 'uniqueness(event_id)', round(d / CAST(n AS DOUBLE), 6), d = n FROM a
+    UNION ALL
+    SELECT 'bounds(value)', round(b / CAST(n AS DOUBLE), 6), b = n FROM a
+    UNION ALL
+    SELECT 'fk(o_custkey->c_custkey)', round(ok / CAST(n AS DOUBLE), 6),
+           ok = n FROM fk""",
+)
+def dq_suite(spark, sf_dir):
+    """Deequ-style data-quality suite: completeness/uniqueness/bounds
+    over events in ONE aggregate scan, plus orders->customer FK
+    conformance via a broadcast left join — each constraint one
+    (check, metric, passed) row (olap.dq_checks/referential_check)."""
+    from .analytics import olap
+
+    e = table(spark, sf_dir, "events")
+    fk = olap.referential_check(
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+    )
+    return olap.dq_checks(
+        e, bounds={"value": (-10000, 10000)}
+    ).unionByName(fk)
+
+
 @register("ts_esd", _esd_sql())
 def ts_esd(spark, sf_dir):
     """Generalized-ESD-style iterative outlier peeling, 3 rounds at
