@@ -1023,3 +1023,65 @@ def esd_anomalies(
             *keys, id_col, "__c", "__f"
         )
     return d.select(*keys, id_col, F.col("__f").alias("is_anomaly"))
+
+
+def lagged_cross_correlation(
+    df: DataFrame,
+    max_lag: int = 3,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Cross-correlation function (CCF): per series, the Pearson
+    correlation between its per-bucket totals and the GLOBAL totals
+    shifted by each lag in [-max_lag, +max_lag] — the lead/lag screen
+    (does this sensor anticipate the aggregate signal, follow it, or
+    co-move?). Lag ``k`` correlates x_t with y_{t+k}.
+
+    Same exactness discipline as :func:`benchmark_correlation`: integer
+    cents, int64 product-sums, one deterministic division (the n·Σy²
+    term bounds the exact-int64 domain at roughly 1e9 cent-sum
+    benchmarks × 1e3 buckets; beyond that, rescale cents or demean in
+    int128/decimal — same caveat as the benchmark-correlation family). Shuffle
+    shape: the fact scans ONCE into the (series, bucket) aggregate;
+    the global bucket-totals table is bucket-count-sized and
+    BROADCASTS to the lag join (each series row explodes into
+    2·max_lag+1 lag rows — constant fan-out, not data growth); one
+    final (series, lag) aggregate. Missing buckets drop out of the
+    pairing naturally (the join is on the shifted bucket), so gaps
+    never misalign the lag the way a row-number shift would.
+    """
+    from ..expressions import nan_to_null
+
+    keys = list(series)
+    cents = F.round(nan_to_null(F.col(value_col)) * 100).cast("long")
+    per = df.groupBy(
+        *keys, F.date_trunc(bucket, F.col(ts_col)).alias("__b")
+    ).agg(F.sum(cents).alias("__x"))
+    per = per.where(F.col("__x").isNotNull())
+    glob = per.groupBy("__b").agg(F.sum("__x").alias("__y"))
+    lags = F.array(*[F.lit(i) for i in range(-max_lag, max_lag + 1)])
+    e = per.select(
+        *keys, "__b", "__x", F.explode(lags).alias("lag")
+    ).withColumn(
+        "__tb",
+        F.col("__b")
+        + F.col("lag") * F.expr(f"INTERVAL 1 {bucket}"),
+    )
+    j = e.join(
+        F.broadcast(glob.select(F.col("__b").alias("__tb"), "__y")), "__tb"
+    )
+    n = F.count(F.lit(1)).cast("long")
+    sx, sy = F.sum("__x").cast("long"), F.sum("__y").cast("long")
+    sxy = F.sum(F.col("__x") * F.col("__y")).cast("long")
+    sxx = F.sum(F.col("__x") * F.col("__x")).cast("long")
+    syy = F.sum(F.col("__y") * F.col("__y")).cast("long")
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
+        (n * syy - sy * sy).cast("double")
+    )
+    return j.groupBy(*keys, "lag").agg(
+        n.alias("n_buckets"),
+        F.when(den > 0, F.round(num / den, 6)).alias("ccf"),
+    )

@@ -4104,6 +4104,40 @@ def _esd_sql(rounds: int = 3, z2: int = 9) -> str:
 
 
 @register(
+    "ts_ccf",
+    f"""{E_CTE},
+    p AS (SELECT user_id, date_trunc('hour', ts) AS b,
+            sum(CAST(round(v * 100) AS BIGINT)) AS x
+          FROM e GROUP BY 1, 2),
+    p2 AS (SELECT * FROM p WHERE x IS NOT NULL),
+    g AS (SELECT b, sum(x) AS y FROM p2 GROUP BY b),
+    ex AS (SELECT p2.user_id, p2.b, p2.x, l.lag,
+             p2.b + to_hours(l.lag) AS tb
+           FROM p2 CROSS JOIN (SELECT unnest(range(-3, 4)) AS lag) l),
+    j AS (SELECT ex.user_id, CAST(ex.lag AS INT) AS lag, ex.x, g.y
+          FROM ex JOIN g ON ex.tb = g.b),
+    a AS (SELECT user_id, lag, CAST(count(*) AS BIGINT) AS n,
+            sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+            sum(x*x) AS sxx, sum(y*y) AS syy
+          FROM j GROUP BY 1, 2)
+    SELECT user_id, lag, n AS n_buckets,
+      CASE WHEN sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                * sqrt(CAST(n*syy - sy*sy AS DOUBLE)) > 0
+           THEN round(CAST(n*sxy - sx*sy AS DOUBLE)
+                / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                   * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)
+      END AS ccf
+    FROM a""",
+)
+def ts_ccf(spark, sf_dir):
+    """Per-series cross-correlation function vs the global benchmark at
+    lags -3..+3 hours — exact int64 Pearson product-sums, one fact
+    scan, broadcast bucket-totals lag join
+    (temporal.lagged_cross_correlation)."""
+    return temporal.lagged_cross_correlation(table(spark, sf_dir, "events"))
+
+
+@register(
     "dq_suite",
     """WITH a AS (SELECT count(*) AS n, count(value) AS nn,
              count(DISTINCT event_id) AS d,
