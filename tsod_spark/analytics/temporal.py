@@ -1059,7 +1059,11 @@ def lagged_cross_correlation(
     per = df.groupBy(
         *keys, F.date_trunc(bucket, F.col(ts_col)).alias("__b")
     ).agg(F.sum(cents).alias("__x"))
-    per = per.where(F.col("__x").isNotNull())
+    # both the lag-exploded side AND the global-totals side derive from
+    # this compact frame; Catalyst has no cross-branch CSE, so without
+    # the checkpoint the 100 TB fact would scan twice (the per-frame is
+    # series-x-buckets-sized — cheap to pin; plan-asserted in tests)
+    per = per.where(F.col("__x").isNotNull()).localCheckpoint(eager=False)
     glob = per.groupBy("__b").agg(F.sum("__x").alias("__y"))
     lags = F.array(*[F.lit(i) for i in range(-max_lag, max_lag + 1)])
     e = per.select(
