@@ -216,3 +216,26 @@ def test_dq_checks_detects_violations(spark):
     parent = spark.createDataFrame([(1,), (2,), (3,)], "p long")
     fk = referential_check(child, parent, "k", "p").collect()[0]
     assert fk.check == "fk(k->p)" and fk.metric == round(2 / 3, 6) and not fk.passed
+
+
+def test_chunk_split_windows_and_tail(spark):
+    """Stride windows cover every token; the tail chunk is short;
+    overlap = chunk - stride; empty docs emit nothing."""
+    from tsod_spark.pipeline.text import chunk_split
+
+    text10 = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text10), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_split(df, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.start_token for r in c1] == [1, 4, 7, 10]
+    assert [r.n_tokens for r in c1] == [4, 4, 4, 1]
+    assert c1[0].chunk_text == "w0 w1 w2 w3"
+    assert c1[1].chunk_text == "w3 w4 w5 w6"  # 1-token overlap
+    assert c1[3].chunk_text == "w9"
+    assert [r.n_tokens for r in by_doc[2]] == [2]
+    assert 3 not in by_doc

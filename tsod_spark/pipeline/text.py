@@ -623,3 +623,39 @@ def gopher_filter(
         stop_hits.cast("long").alias("n_stopword_hits"),
         F.coalesce(ok, F.lit(False)).alias("pass_gopher"),
     )
+
+
+def chunk_split(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style chunking: split each document into overlapping
+    token windows of ``chunk_tokens`` at ``stride`` (overlap =
+    chunk_tokens - stride), emitting ``(doc_id, chunk_id, start_token,
+    n_tokens, chunk_text)`` — the retrieval-corpus preparation step
+    that feeds the embedding + ANN index half of this module.
+
+    One map-side pass: tokenize once, generate window starts with
+    ``sequence`` (1, 1+stride, ...), slice+join per start — all
+    JVM-side array ops, no shuffle, no Python. Empty docs emit no
+    chunks. The tail window is shorter than ``chunk_tokens`` when the
+    doc doesn't divide evenly; every token belongs to >=1 chunk.
+    """
+    base = docs.select("doc_id", tokens(F.col(text_col)).alias("__t"))
+    n = F.size("__t")
+    starts = F.when(
+        n > 0, F.sequence(F.lit(1), n, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    e = base.select(
+        "doc_id", "__t", F.posexplode(starts).alias("chunk_id", "__s")
+    )
+    piece = F.slice(F.col("__t"), F.col("__s"), chunk_tokens)
+    return e.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("__s").cast("long").alias("start_token"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

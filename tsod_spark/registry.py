@@ -4104,6 +4104,27 @@ def _esd_sql(rounds: int = 3, z2: int = 9) -> str:
 
 
 @register(
+    "doc_chunk_split",
+    f"""WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    e AS (SELECT doc_id, toks,
+            unnest(range(1, len(toks) + 1, 48)) AS s,
+            generate_subscripts(range(1, len(toks) + 1, 48), 1) - 1 AS cid
+          FROM t WHERE len(toks) > 0)
+    SELECT doc_id,
+      CAST(cid AS BIGINT) AS chunk_id,
+      CAST(s AS BIGINT) AS start_token,
+      CAST(len(toks[s : least(s + 63, len(toks))]) AS BIGINT) AS n_tokens,
+      array_to_string(toks[s : least(s + 63, len(toks))], ' ') AS chunk_text
+    FROM e""",
+)
+def doc_chunk_split(spark, sf_dir):
+    """RAG chunking: overlapping 64-token windows at stride 48 per
+    document — one map-side tokenize+slice pass, no shuffle
+    (text.chunk_split); feeds the embedding/ANN retrieval half."""
+    return text.chunk_split(table(spark, sf_dir, "documents"))
+
+
+@register(
     "ts_ccf",
     f"""{E_CTE},
     p AS (SELECT user_id, date_trunc('hour', ts) AS b,
