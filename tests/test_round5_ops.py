@@ -239,3 +239,22 @@ def test_chunk_split_windows_and_tail(spark):
     assert c1[3].chunk_text == "w9"
     assert [r.n_tokens for r in by_doc[2]] == [2]
     assert 3 not in by_doc
+
+
+def test_rag_search_ranks_matching_chunk_first(spark):
+    """The chunk containing the query tokens must outrank unrelated
+    chunks; scores are unit-cosine in [0, 1]."""
+    from tsod_spark.pipeline.text import rag_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta " * 20),
+            (2, "the quick brown fox " * 20),
+            (3, "needle haystack retrieval target " * 20),
+        ],
+        "doc_id long, text string",
+    )
+    out = rag_search(df, "needle haystack retrieval", k=3).collect()
+    assert out[0].doc_id == 3
+    assert all(0.0 <= r.cos_sim <= 1.000001 for r in out)
+    assert out[0].cos_sim > out[-1].cos_sim

@@ -4124,6 +4124,61 @@ def doc_chunk_split(spark, sf_dir):
     return text.chunk_split(table(spark, sf_dir, "documents"))
 
 
+_HBX = (
+    "list_transform({T}, x -> ('0x' || substr(md5(x), 1, 4))::BIGINT % 32)"
+)
+_HB = (
+    "list_transform(range(0, 32), b -> "
+    "CAST(len(list_filter({B}, v -> v = b)) AS DOUBLE))"
+)
+_QTOKS = (
+    "list_filter(regexp_split_to_array(lower('spark window query over table'), "
+    "'\\s+'), x -> x <> '')"
+)
+
+
+@register(
+    "doc_rag_search",
+    f"""WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    e AS (SELECT doc_id, toks,
+            unnest(range(1, len(toks) + 1, 48)) AS s,
+            generate_subscripts(range(1, len(toks) + 1, 48), 1) - 1 AS cid
+          FROM t WHERE len(toks) > 0),
+    c AS (SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+            array_to_string(toks[s : least(s + 63, len(toks))], ' ') AS chunk_text,
+            toks[s : least(s + 63, len(toks))] AS ct
+          FROM e),
+    cb AS (SELECT doc_id, chunk_id, chunk_text,
+             {_HBX.format(T='ct')} AS bx FROM c),
+    cv AS (SELECT doc_id, chunk_id, chunk_text,
+             {_HB.format(B='bx')} AS cl FROM cb),
+    cn AS (SELECT *, sqrt(list_sum(list_transform(cl, x -> x * x))) AS nrm
+           FROM cv),
+    ce AS (SELECT doc_id, chunk_id, chunk_text,
+             CASE WHEN nrm > 0
+                  THEN list_transform(cl, x -> x / nrm) ELSE cl END AS ve
+           FROM cn),
+    q0 AS (SELECT {_HB.format(B=_HBX.format(T=_QTOKS))} AS ql),
+    q AS (SELECT CASE WHEN sqrt(list_sum(list_transform(ql, x -> x * x))) > 0
+                 THEN list_transform(ql,
+                   x -> x / sqrt(list_sum(list_transform(ql, y -> y * y))))
+                 ELSE ql END AS qe FROM q0)
+    SELECT doc_id, chunk_id, chunk_text,
+           round(list_dot_product(ve, qe), 6) AS cos_sim
+    FROM ce, q
+    ORDER BY cos_sim DESC, doc_id, chunk_id LIMIT 10""",
+)
+def doc_rag_search(spark, sf_dir):
+    """End-to-end retrieval pipeline as ONE lazy plan: chunk the
+    corpus (64-token windows, stride 48), feature-hash-embed every
+    chunk AND the query string with the same deterministic hashing
+    trick, rank by cosine, top-10 via TakeOrderedAndProject — no
+    shuffle anywhere (text.rag_search)."""
+    return text.rag_search(
+        table(spark, sf_dir, "documents"), "spark window query over table"
+    )
+
+
 @register(
     "ts_ccf",
     f"""{E_CTE},
