@@ -258,3 +258,45 @@ def test_rag_search_ranks_matching_chunk_first(spark):
     assert out[0].doc_id == 3
     assert all(0.0 <= r.cos_sim <= 1.000001 for r in out)
     assert out[0].cos_sim > out[-1].cos_sim
+
+
+def test_shesd_catches_seasonal_masked_anomaly(spark):
+    """A spike that is small relative to raw variance but large
+    relative to the residual variance: plain ESD on raw values misses
+    it (the seasonal swing inflates sigma); S-H-ESD flags it."""
+    import datetime as dt
+
+    from tsod_spark.analytics.temporal import esd_anomalies, seasonal_decompose
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2021, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(6):
+        for hour in range(24):
+            eid += 1
+            import math as _m
+
+            base = 50.0 + 40.0 * _m.sin(hour * _m.pi / 12)  # smooth diurnal
+            v = round(base, 2) + (8.0 if (day == 3 and hour == 3) else 0.0)
+            rows.append((1, eid, t0 + dt.timedelta(days=day, hours=hour), v))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    spike_id = 3 * 24 + 4  # day 3, hour 3
+
+    raw = {r.event_id: r.is_anomaly for r in esd_anomalies(df).collect()}
+    assert not raw[spike_id]  # masked by the diurnal swing
+
+    dec = seasonal_decompose(df)
+    rc = F.when(
+        F.col("resid") >= 0, F.floor(F.col("resid") * 100 + 0.5)
+    ).otherwise(-F.floor(-F.col("resid") * 100 + 0.5))
+    d = dec.where(F.col("resid").isNotNull()).select(
+        "user_id", "event_id", rc.cast("long").alias("rc")
+    )
+    sh = {
+        r.event_id: r.is_anomaly
+        for r in esd_anomalies(d, value_col="rc", precomputed_cents=True).collect()
+    }
+    assert sh[spike_id]

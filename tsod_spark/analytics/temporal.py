@@ -964,6 +964,7 @@ def esd_anomalies(
     keys: Sequence[str] = ("user_id",),
     value_col: str = "value",
     id_col: str = "event_id",
+    precomputed_cents: bool = False,
 ) -> DataFrame:
     """Generalized-ESD-style iterative outlier peeling (the z-score
     variant of Rosner's test, fixed threshold ``z`` instead of the
@@ -988,14 +989,19 @@ def esd_anomalies(
     plan with no driver-side loop over data.
     """
     keys = list(keys)
-    v = F.when(
-        F.isnan(value_col) | F.col(value_col).isNull(), None
-    ).otherwise(F.col(value_col))
-    d = events.select(
-        *keys,
-        id_col,
-        F.round(v * 100).cast("long").alias("__c"),
-    ).withColumn("__f", F.lit(False))
+    if precomputed_cents:
+        # caller already quantized (e.g. S-H-ESD on decomposition
+        # residuals, which needs the half-away quantizer mirroring
+        # DuckDB's round() for tie behavior on quotient doubles)
+        c = F.col(value_col).cast("long")
+    else:
+        v = F.when(
+            F.isnan(value_col) | F.col(value_col).isNull(), None
+        ).otherwise(F.col(value_col))
+        c = F.round(v * 100).cast("long")
+    d = events.select(*keys, id_col, c.alias("__c")).withColumn(
+        "__f", F.lit(False)
+    )
     z2 = z * z
     for _ in range(rounds):
         live = F.when(~F.col("__f"), F.col("__c"))

@@ -4066,11 +4066,16 @@ def ts_time_weighted_avg(spark, sf_dir):
     return temporal.time_weighted_avg(table(spark, sf_dir, "events"))
 
 
-def _esd_sql(rounds: int = 3, z2: int = 9) -> str:
-    """Unrolled CTE chain for the integer-exact ESD peeling rounds."""
+def _esd_sql(rounds: int = 3, z2: int = 9, base: str | None = None) -> str:
+    """Unrolled CTE chain for the integer-exact ESD peeling rounds.
+    ``base`` overrides the r0 source CTEs: it must end with an ``r0``
+    CTE producing (user_id, event_id, c BIGINT, f BOOLEAN)."""
     parts = [
-        E_CTE,
-        """r0 AS (SELECT user_id, event_id,
+        base
+        if base is not None
+        else E_CTE
+        + """,
+    r0 AS (SELECT user_id, event_id,
              CAST(round(v * 100) AS BIGINT) AS c, FALSE AS f FROM e)""",
     ]
     for i in range(rounds):
@@ -4254,6 +4259,55 @@ def dq_suite(spark, sf_dir):
     return olap.dq_checks(
         e, bounds={"value": (-10000, 10000)}
     ).unionByName(fk)
+
+
+# S-H-ESD base: the seasonal-decomposition residual, quantized to
+# cents with DuckDB's native round (the Spark side mirrors it with the
+# duck_round half-away-from-zero formulation); edge rows with NULL
+# trend are excluded — ESD then peels on the residual space.
+_SHESD_BASE = f"""{E_CTE}, c0 AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(v * 100) AS BIGINT) AS vc, hour(ts) AS ph FROM e),
+    t0 AS (SELECT *,
+          sum(vc) OVER wr AS swc, count(vc) OVER wr AS nwc,
+          sum(vc) OVER (PARTITION BY user_id, ph) AS sp,
+          count(vc) OVER (PARTITION BY user_id, ph) AS np,
+          sum(vc) OVER (PARTITION BY user_id) AS sg,
+          count(vc) OVER (PARTITION BY user_id) AS ng
+      FROM c0
+      WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+    d0 AS (SELECT user_id, event_id,
+          vc / 100.0
+            - (CASE WHEN nwc = 25 THEN swc / (100.0 * 25) END)
+            - (sp / (100.0 * np) - sg / (100.0 * ng)) AS resid
+      FROM t0),
+    r0 AS (SELECT user_id, event_id,
+             CAST(round(resid * 100) AS BIGINT) AS c, FALSE AS f
+           FROM d0 WHERE resid IS NOT NULL)"""
+
+
+@register("ts_shesd", _esd_sql(base=_SHESD_BASE))
+def ts_shesd(spark, sf_dir):
+    """Seasonal-Hybrid ESD (the Twitter AnomalyDetection shape):
+    additive seasonal decomposition first (centered-MA trend +
+    hour-of-day mean-by-phase seasonal, exact integer cents), then
+    generalized-ESD peeling on the RESIDUALS — rush-hour peaks stop
+    masking true anomalies because the seasonal pattern is subtracted
+    before the sigma test. Residuals quantize to cents with the
+    duck_round half-away formulation (cross-engine tie behavior on
+    quotient doubles); rows without a complete trend window are
+    excluded (min_periods discipline)."""
+    dec = temporal.seasonal_decompose(table(spark, sf_dir, "events"))
+    rc = F.when(
+        F.col("resid") >= 0, F.floor(F.col("resid") * 100 + 0.5)
+    ).otherwise(-F.floor(-F.col("resid") * 100 + 0.5))
+    d = dec.where(F.col("resid").isNotNull()).select(
+        "user_id", "event_id", rc.cast("long").alias("rc")
+    )
+    return temporal.esd_anomalies(
+        d, value_col="rc", precomputed_cents=True
+    )
 
 
 @register("ts_esd", _esd_sql())
