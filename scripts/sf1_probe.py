@@ -1,0 +1,203 @@
+"""Materialized sf1 probe: a second MEASURED decade of scale.
+
+`scale_probe.py` expands sf0.1 logically (unioned key-shifted scans).
+This script goes one step further and MATERIALIZES a real sf1-scale
+parquet dataset (10x row counts: lineitem 6M, orders 1.5M, events 1M,
+documents 50k, embeddings 20k — the genuine TPC-H sf1 cardinalities)
+under ``.scaledata/sf1/`` inside the repo, then times headline
+registry queries at sf0.1 and sf1 against real parquet scans — footer
+pruning, pushdown, and I/O included, which the logical expansion
+cannot exercise.
+
+Expansion model = horizontal growth: every copy shifts its keys by a
+stride (10x KEY COUNT, constant per-key cardinality/structure), and
+document text is word-salted per copy (``c3foo``) so the duplicate /
+near-duplicate structure of the original corpus is replicated per
+copy rather than turning every doc into a 10-way cross-copy clique —
+the same contract `scale_probe.py` documents. Embeddings get a tiny
+deterministic first-component offset per copy for the same reason.
+Fixed dims (nation, region) stay 1x, as in TPC-H itself.
+
+Usage: python scripts/sf1_probe.py [--rebuild]
+Writes SCALE_sf1.json at the repo root: {"queries": {name: {"sf0.1":
+sec, "sf1": sec, "ratio": r}}}. A ratio <= ~14x for 10x data on a
+fixed 32-core box means no hidden quadratic / single-partition
+collapse; most shapes should land well under that because sf0.1
+underutilizes 32 cores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.path.join(REPO, ".scaledata", "sf1")
+MULT = 10
+
+# per-table key strides (copy i adds i*stride; FK columns share the
+# stride of the key they reference so referential integrity survives)
+STRIDES: dict[str, dict[str, int]] = {
+    "region": {},
+    "nation": {},
+    "customer": {"c_custkey": 100_000},
+    "supplier": {"s_suppkey": 100_000},
+    "part": {"p_partkey": 1_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 100_000},
+    "lineitem": {
+        "l_orderkey": 10_000_000,
+        "l_partkey": 1_000_000,
+        "l_suppkey": 100_000,
+    },
+    "events": {"event_id": 10_000_000, "user_id": 10_000},
+    "documents": {"doc_id": 10_000_000},
+    "embeddings": {"vec_id": 10_000_000},
+}
+FIXED_DIMS = {"region", "nation"}
+# files per output table: enough parallelism for a 32-core scan
+# without drowning small dims in footers
+N_FILES = {"lineitem": 16, "orders": 8, "events": 8, "documents": 4}
+
+HEADLINE = [
+    "ts_combined",
+    "ts_hampel",
+    "ts_rolling_corr",
+    "ts_resample_1h",
+    "ts_seasonal_anomaly",
+    "events_sessions",
+    "tpch_q1",
+    "tpch_q9",
+    "tpch_q21",
+    "dedup_minhash_groups",
+    "dedup_incremental",
+    "doc_curation_pipeline",
+    "doc_stats",
+    "emb_cosine_topk",
+]
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from tsod_spark.registry import table
+
+    os.makedirs(os.path.dirname(DST), exist_ok=True)
+    tmp = DST + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    for name, strides in STRIDES.items():
+        base = table(spark, SRC, name)
+        if name in FIXED_DIMS:
+            out = base
+        else:
+            parts = []
+            for i in range(MULT):
+                df = base
+                for col, stride in strides.items():
+                    df = df.withColumn(col, F.col(col) + F.lit(i * stride))
+                if name == "documents" and i > 0:
+                    # word-salt copy i: unique shingles per copy, so the
+                    # corpus' dup structure replicates instead of every
+                    # doc becoming a 10-way cross-copy near-dup clique
+                    df = df.withColumn(
+                        "text", F.regexp_replace("text", r"(\S+)", f"c{i}$1")
+                    ).withColumn("n_chars", F.length("text"))
+                if name == "embeddings" and i > 0:
+                    df = df.withColumn(
+                        "embedding",
+                        F.concat(
+                            F.array(
+                                (F.element_at("embedding", 1) + i * 0.017).cast(
+                                    "float"
+                                )
+                            ),
+                            F.slice("embedding", 2, 1_000_000),
+                        ),
+                    )
+                parts.append(df)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        nf = N_FILES.get(name, 2)
+        out.repartition(nf).write.mode("overwrite").parquet(
+            os.path.join(tmp, f"{name}.parquet")
+        )
+    shutil.rmtree(DST, ignore_errors=True)
+    os.rename(tmp, DST)
+
+
+def main() -> None:
+    rebuild = "--rebuild" in sys.argv
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("sf1-probe")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if rebuild or not os.path.isdir(DST):
+        t0 = time.time()
+        build(spark)
+        print(f"materialized sf1 under {DST} in {time.time() - t0:.1f}s", flush=True)
+
+    import gc
+
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+    # warmup (same rationale as bench.py, abbreviated)
+    from pyspark.sql import functions as F
+
+    from tsod_spark.registry import table
+
+    for t in STRIDES:
+        table(spark, DST, t).limit(1).write.format("noop").mode("overwrite").save()
+    table(spark, SRC, "documents").limit(32).select("doc_id").mapInPandas(
+        lambda it: it, "doc_id long"
+    ).write.format("noop").mode("overwrite").save()
+    from tsod_spark.pipeline import dedup as _dedup
+
+    _dedup.minhash_duplicate_groups(
+        table(spark, SRC, "documents").limit(64)
+    ).write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict[str, float | None]] = {}
+    for name in HEADLINE:
+        fn = qmap[name]
+        t: dict[str, float] = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t[label] = round(time.time() - t0, 2)
+            spark.catalog.clearCache()
+            gc.collect()
+        ratio = round(t["sf1"] / t["sf0.1"], 2) if t["sf0.1"] > 0 else None
+        results[name] = {**t, "ratio": ratio}
+        print(
+            f"{name}: sf0.1={t['sf0.1']}s sf1={t['sf1']}s ratio={ratio}",
+            flush=True,
+        )
+
+    payload = json.dumps({"multiplier": MULT, "queries": results}, indent=1)
+    with open(os.path.join(REPO, "SCALE_sf1.json"), "w") as fh:
+        fh.write(payload + "\n")
+    print(payload)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
