@@ -672,6 +672,22 @@ def hash_buckets(toks: Column, dim: int = 32) -> Column:
     )
 
 
+def query_hash_counts(query: str, dim: int = 32) -> list[int]:
+    """Bucket-count histogram of a literal query string under the SAME
+    md5 bucket map as :func:`hash_buckets`, computed driver-side
+    (``hashlib.md5`` of the UTF-8 token == Spark's ``md5``; O(|query|)
+    work) so it folds into the plan as a ``dim``-int literal."""
+    import hashlib
+    import re
+
+    counts = [0] * dim
+    for t in re.split(r"\s+", query.lower()):
+        if t:
+            b = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:4], 16) % dim
+            counts[b] += 1
+    return counts
+
+
 def hash_embed(toks: Column, dim: int = 32) -> Column:
     """Feature-hashing ("hashing trick") embedding of a BUCKET-int
     array (:func:`hash_buckets` output):
@@ -713,18 +729,25 @@ def rag_search(
     text_col: str = "text",
 ) -> DataFrame:
     """End-to-end retrieval: chunk the corpus (:func:`chunk_split`),
-    hash-embed every chunk and the query string, rank chunks by
-    cosine, return the top ``k`` — the full RAG-prep pipeline
-    (split -> embed -> search) as ONE lazy plan ending in
-    TakeOrderedAndProject.
+    feature-hash every chunk and the query with the same md5 bucket
+    map, rank chunks by cosine, return the top ``k`` — the full
+    RAG-prep pipeline (split -> embed -> search) as ONE lazy plan
+    ending in TakeOrderedAndProject.
 
-    The chunk histograms come from explode + hash-aggregate (token
-    rows shuffle as slim (chunk, bucket) ints — whole-stage-codegen
-    speed; the pure-HOF formulation recomputes the bucket array
-    through Catalyst's project-collapse and measured 38s vs ~2s per
-    corpus pass at sf0.1). The query's embedding is the
-    :func:`hash_embed` expression over a literal, constant-folded
-    into the plan — no driver-side vector math.
+    Cosine is computed in EXACT int64 product-sums, never through a
+    densified vector: with integer bucket counts ``c_b`` (chunk) and
+    ``q_b`` (query), ``cos = sum(c_b*q_b) / (sqrt(sum(c_b^2)) *
+    sqrt(sum(q_b^2)))`` — the numerator and both sums of squares are
+    exact integers, so addition order cannot perturb the result, and
+    the single final divide is correctly-rounded IEEE on any engine
+    (the same trick the exact-Pearson correlation operators use).
+    Token rows shuffle as slim (chunk, bucket) ints through two
+    hash-aggregates with map-side combine; there is no per-chunk
+    dense array, no higher-order-function tree in the hot path (the
+    earlier dense-vector formulation generated so much code that
+    first-execution JVM warmup cost ~10x the steady-state query).
+    The query's 32-int histogram is an O(|query|) driver-side
+    constant folded into the plan as a literal.
     """
     # spread the CPU-bound tokenize+chunk+hash work across cores (the
     # single-file-corpus scan-task cap; dedup.py `spread` pattern)
@@ -732,6 +755,8 @@ def rag_search(
     chunks = chunk_split(
         docs.repartition(n_part, "doc_id"), chunk_tokens, stride, text_col
     )
+    qcnt = query_hash_counts(query, dim)
+    ssq = sum(c * c for c in qcnt)
     tok = chunks.select(
         "doc_id",
         "chunk_id",
@@ -741,40 +766,30 @@ def rag_search(
         ),
     )
     cnt = tok.groupBy("doc_id", "chunk_id", "chunk_text", "__b").agg(
-        F.count(F.lit(1)).cast("double").alias("__c")
+        F.count(F.lit(1)).alias("__c")
     )
-    vec = cnt.groupBy("doc_id", "chunk_id", "chunk_text").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("__b", "__c"))
-        ).alias("__m")
+    qlit = F.array(*[F.lit(int(c)) for c in qcnt])
+    agg = cnt.groupBy("doc_id", "chunk_id", "chunk_text").agg(
+        F.sum(
+            F.col("__c")
+            * F.element_at(qlit, (F.col("__b") + 1).cast("int"))
+        ).alias("__dot"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__ss"),
     )
-    counts = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(
-            F.element_at(F.col("__m"), i.cast("long")), F.lit(0.0)
+    cos = F.when(
+        (F.col("__ss") > 0) & F.lit(ssq > 0),
+        F.round(
+            F.col("__dot")
+            / (F.sqrt(F.col("__ss")) * F.sqrt(F.lit(float(ssq)))),
+            6,
         ),
-    )
-    norm = F.sqrt(
-        F.aggregate(counts, F.lit(0.0), lambda acc, c: acc + c * c)
-    )
-    staged = vec.select(
-        "doc_id",
-        "chunk_id",
-        "chunk_text",
-        F.transform(counts, lambda c: c / norm).alias("__e"),
-    )
-    qemb = hash_embed(hash_buckets(tokens(F.lit(query)), dim), dim)
-    dot = F.aggregate(
-        F.zip_with(F.col("__e"), qemb, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, p: acc + p,
-    )
+    ).otherwise(F.lit(0.0))
     return (
-        staged.select(
+        agg.select(
             "doc_id",
             "chunk_id",
             "chunk_text",
-            F.round(dot, 6).alias("cos_sim"),
+            cos.alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), "doc_id", "chunk_id")
         .limit(k)

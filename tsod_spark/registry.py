@@ -4132,14 +4132,13 @@ def doc_chunk_split(spark, sf_dir):
 _HBX = (
     "list_transform({T}, x -> ('0x' || substr(md5(x), 1, 4))::BIGINT % 32)"
 )
-_HB = (
-    "list_transform(range(0, 32), b -> "
-    "CAST(len(list_filter({B}, v -> v = b)) AS DOUBLE))"
-)
-_QTOKS = (
-    "list_filter(regexp_split_to_array(lower('spark window query over table'), "
-    "'\\s+'), x -> x <> '')"
-)
+# query histogram under the same md5 bucket map, computed once at
+# import (hashlib.md5 == Spark md5 == DuckDB md5 on the same bytes) —
+# both engines get the identical dim-int literal, and cosine reduces
+# to exact int64 product-sums with ONE final IEEE divide
+_RAG_QCNT = text.query_hash_counts("spark window query over table", 32)
+_RAG_SSQ = sum(c * c for c in _RAG_QCNT)
+_RAG_QLIT = "[" + ", ".join(str(c) for c in _RAG_QCNT) + "]"
 
 
 @register(
@@ -4154,31 +4153,29 @@ _QTOKS = (
             toks[s : least(s + 63, len(toks))] AS ct
           FROM e),
     cb AS (SELECT doc_id, chunk_id, chunk_text,
-             {_HBX.format(T='ct')} AS bx FROM c),
-    cv AS (SELECT doc_id, chunk_id, chunk_text,
-             {_HB.format(B='bx')} AS cl FROM cb),
-    cn AS (SELECT *, sqrt(list_sum(list_transform(cl, x -> x * x))) AS nrm
-           FROM cv),
-    ce AS (SELECT doc_id, chunk_id, chunk_text,
-             CASE WHEN nrm > 0
-                  THEN list_transform(cl, x -> x / nrm) ELSE cl END AS ve
-           FROM cn),
-    q0 AS (SELECT {_HB.format(B=_HBX.format(T=_QTOKS))} AS ql),
-    q AS (SELECT CASE WHEN sqrt(list_sum(list_transform(ql, x -> x * x))) > 0
-                 THEN list_transform(ql,
-                   x -> x / sqrt(list_sum(list_transform(ql, y -> y * y))))
-                 ELSE ql END AS qe FROM q0)
+             unnest({_HBX.format(T='ct')}) AS b FROM c),
+    cnt AS (SELECT doc_id, chunk_id, chunk_text, b,
+              CAST(count(*) AS BIGINT) AS c
+            FROM cb GROUP BY doc_id, chunk_id, chunk_text, b),
+    agg AS (SELECT doc_id, chunk_id, chunk_text,
+              CAST(sum(c * ({_RAG_QLIT})[b + 1]) AS BIGINT) AS dot_i,
+              CAST(sum(c * c) AS BIGINT) AS ss
+            FROM cnt GROUP BY doc_id, chunk_id, chunk_text)
     SELECT doc_id, chunk_id, chunk_text,
-           round(list_dot_product(ve, qe), 6) AS cos_sim
-    FROM ce, q
+           CASE WHEN ss > 0 AND {_RAG_SSQ} > 0
+                THEN round(dot_i / (sqrt(ss) * sqrt(CAST({_RAG_SSQ} AS DOUBLE))), 6)
+                ELSE 0.0 END AS cos_sim
+    FROM agg
     ORDER BY cos_sim DESC, doc_id, chunk_id LIMIT 10""",
 )
 def doc_rag_search(spark, sf_dir):
     """End-to-end retrieval pipeline as ONE lazy plan: chunk the
-    corpus (64-token windows, stride 48), feature-hash-embed every
-    chunk AND the query string with the same deterministic hashing
-    trick, rank by cosine, top-10 via TakeOrderedAndProject — no
-    shuffle anywhere (text.rag_search)."""
+    corpus (64-token windows, stride 48), feature-hash every chunk
+    AND the query string with the same deterministic md5 bucket map,
+    rank by cosine computed in exact int64 product-sums (slim
+    (chunk, bucket) rows through two map-side-combined hash
+    aggregates — no dense per-chunk vector), top-10 via
+    TakeOrderedAndProject (text.rag_search)."""
     return text.rag_search(
         table(spark, sf_dir, "documents"), "spark window query over table"
     )
