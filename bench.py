@@ -101,6 +101,25 @@ def main():
 
     import gc
 
+    # Full compile pass at sf0.001 (JMH-style warmup iteration): every
+    # registered plan executes once on the tiny fixture so Janino
+    # compile + HotSpot JIT of each query's generated classes happen
+    # OUTSIDE the timed loop. Without this, whichever queries lead the
+    # rotation window absorb multi-second first-execution costs that
+    # are not their own (measured: doc_vocab_overlap 11.8s as bench
+    # query #1 vs 3.6s steady-state on the same box). The timed loop
+    # below still reads sf0.1 cold — only code, not data, is warm,
+    # matching the compile-once-run-daily shape of a production job.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_dir):
+        for _name, _fn in entrymod.queries().items():
+            try:
+                _fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass  # a fixture-shape miss must not sink the bench
+            spark.catalog.clearCache()
+        gc.collect()
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()
