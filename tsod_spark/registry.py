@@ -4466,48 +4466,60 @@ R4_VERIFIED = frozenset({
     "ts_seasonal_decompose", "ts_window_dataset", "users_purchase_no_error",
 })
 
-_VERIFIED = R1_VERIFIED | R2_VERIFIED | R3_VERIFIED | R4_VERIFIED
+# Fully-green rows from CORRECTNESS_r05.json (driver sf0.01 oracle, 50/50).
+R5_VERIFIED = frozenset({
+    "anomaly_daily_summary", "dedup_exact", "dedup_jaccard_topk",
+    "dedup_minhash_groups", "dedup_minhash_pairs", "dedup_minhash_sig",
+    "dedup_simhash", "dedup_simhash_pairs", "doc_chunk_split",
+    "doc_fingerprints", "doc_gopher_filter", "doc_lang_id", "doc_quality",
+    "doc_rag_search", "doc_token_counts", "doc_vocab_overlap",
+    "doc_weighted_sample", "dq_suite", "emb_cosine_topk", "emb_ivf_cells",
+    "emb_ivf_topk", "emb_ivfpq_topk", "emb_knn_join",
+    "emb_knn_label_accuracy", "emb_lsh_buckets", "emb_pq_topk",
+    "events_merge_upsert", "mm_decode", "mm_frames", "mm_real_decode",
+    "mm_resize", "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16",
+    "tpch_q20", "tpch_q7", "tpch_q8", "tpch_q9", "ts_ccf", "ts_esd",
+    "ts_lttb", "ts_mllib_kmeans", "ts_mllib_residual",
+    "ts_mllib_residual_per_series", "ts_shesd", "ts_time_weighted_avg",
+    "ts_winsorize", "ts_zscore",
+})
 
-# Queries whose verdict must be (re-)earned in r5: the previously
-# rows-only ANN/ridge family is hash-checkable for the first time
-# (recall/balance certificates, closed-form T=1 ridge oracles), the two
-# r4-green names whose oracles changed this round (E-S key precision,
-# vocab zero-group completeness), and the four new operators. All 152
-# registered names were additionally re-verified against the current
-# tree by a full local parity run this round (151 pass, 0 fail —
-# scripts/parity_check.py at sf0.01).
-_R5_PRIORITY = (
-    "emb_ivf_topk",
-    "emb_ivf_cells",
-    "emb_ivfpq_topk",
-    "emb_pq_topk",
-    "ts_mllib_residual",
-    "ts_mllib_residual_per_series",
-    "ts_mllib_kmeans",
-    "doc_weighted_sample",
-    "doc_vocab_overlap",
+_ROUND_SETS = (
+    (5, R5_VERIFIED),
+    (4, R4_VERIFIED),
+    (3, R3_VERIFIED),
+    (2, R2_VERIFIED),
+    (1, R1_VERIFIED),
 )
+
+# Queries whose verdict must be (re-)earned first in r6: names whose
+# oracle or plan changed this round (hot-bucket caps for banded dedup
+# joins, if any semantics shift) plus brand-new registrations. Empty
+# entries are fine — tier 0 then just falls through to staleness.
+_R6_PRIORITY = ()
+
+
+def _latest_verified_round(n: str) -> int:
+    """Most recent driver round whose CORRECTNESS file has this query
+    fully green; 0 if never verified."""
+    for rnd, s in _ROUND_SETS:
+        if n in s:
+            return rnd
+    return 0
 
 
 def _rotated(d: dict) -> dict:
     # The driver checks the FIRST 50 names per round, so ordering is the
-    # verification schedule. r5 window: (1) queries needing a fresh
-    # verdict (newly certificate-oracled ANN/ridge family, changed
-    # oracles, and new registrations this round), then (2) the stalest
-    # green verdicts — R1 names never re-confirmed — then R2, then
-    # R3/R4 (newest). As of r5 every registered query has an oracle —
-    # no rows-only parking remains.
+    # verification schedule. r6 window: (1) new/changed queries needing
+    # a fresh verdict, then (2) stalest latest-verdicts first — after
+    # r5 the stalest tier is the 25 names whose latest green is r2
+    # (tpch_q21, events_running_total, customer_spend_quartiles, ...),
+    # then the oldest r3 names fill the remainder of the 50.
 
     def age(n: str) -> int:
-        if n in _R5_PRIORITY or n not in _VERIFIED:
+        if n in _R6_PRIORITY:
             return 0
-        if n in R1_VERIFIED and n not in (R3_VERIFIED | R4_VERIFIED):
-            return 1
-        if n in R2_VERIFIED and n not in (R3_VERIFIED | R4_VERIFIED):
-            return 2
-        if n in R3_VERIFIED and n not in R4_VERIFIED:
-            return 3
-        return 4
+        return _latest_verified_round(n)  # 0 = never verified, first
 
     names = sorted(d, key=lambda n: age(n))  # stable: registration order within tier
     return {n: d[n] for n in names}
