@@ -39,6 +39,19 @@ def main():
 
     import __spark_entry__ as entrymod
 
+    # Cold-start honesty number: one designated query timed as the very
+    # first action of the session — before any warmup — so the record
+    # shows what a cold driver actually pays (JVM init + first codegen +
+    # parquet footer reads), alongside the steady-state totals below.
+    cold_name = os.environ.get("SPARK_GRAFT_COLD_QUERY", "tpch_q1")
+    cold_first_query_s = None
+    cold_fn = entrymod.queries().get(cold_name)
+    if cold_fn is not None:
+        t0 = time.time()
+        cold_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold_first_query_s = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+
     # Untimed warmup: JVM/codegen/scan-footer initialization otherwise
     # lands entirely on whichever query runs first (~3s on a trivial
     # projection, ~5s extra for the first shuffle/join/window/explode
@@ -111,20 +124,39 @@ def main():
     # below still reads sf0.1 cold — only code, not data, is warm,
     # matching the compile-once-run-daily shape of a production job.
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    warmup_skipped: list[str] = []
     if os.path.isdir(warm_dir):
         for _name, _fn in entrymod.queries().items():
             try:
                 _fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
             except Exception:
-                pass  # a fixture-shape miss must not sink the bench
+                # A fixture-shape miss must not sink the bench, but a
+                # silently-skipped warmup puts that query's Janino/JIT
+                # first-execution cost back into its timed measurement —
+                # record it so partial warm coverage is visible.
+                warmup_skipped.append(_name)
             spark.catalog.clearCache()
         gc.collect()
+        if warmup_skipped:
+            print(f"warmup skipped: {warmup_skipped}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
+    # The CC/label-propagation dedup family shows 2-4x run-to-run
+    # variance even on an idle box (many small iterative jobs +
+    # localCheckpoint I/O make them scheduler/GC sensitive), so a
+    # single sample is not a comparable record. These run median-of-3
+    # with the spread reported; everything else runs once.
+    cc_family = frozenset(
+        os.environ.get(
+            "SPARK_GRAFT_MEDIAN3",
+            "dedup_canonical dedup_rate_by_source dedup_simhash_pairs "
+            "dedup_simhash_groups dedup_minhash_groups doc_repetition",
+        ).split()
+    )
+
+    def _run_once(fn) -> float:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        elapsed = time.time() - t0
         # Untimed inter-query hygiene: several operators cache small
         # intermediates (LSH signatures, CC labels/checkpoints) that
         # stay pinned after the query's action completes. Left alone,
@@ -134,6 +166,17 @@ def main():
         # measured from cold data either way.
         spark.catalog.clearCache()
         gc.collect()
+        return elapsed
+
+    timings: dict[str, float] = {}
+    median3: dict[str, dict] = {}
+    for name, fn in entrymod.queries().items():
+        if name in cc_family:
+            runs = [round(_run_once(fn), 3) for _ in range(3)]
+            timings[name] = sorted(runs)[1]
+            median3[name] = {"runs": runs, "spread": round(max(runs) - min(runs), 3)}
+        else:
+            timings[name] = round(_run_once(fn), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = json.dumps(
@@ -143,6 +186,10 @@ def main():
             "unit": "sec",
             "queries": timings,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "cold_first_query": cold_name,
+            "cold_first_query_s": cold_first_query_s,
+            "median3": median3,
+            "warmup_skipped": warmup_skipped,
         }
     )
     print(payload)

@@ -136,15 +136,20 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    # Parallelism/memory derive from the box (overridable like bench.py)
+    # so SCALE_sf1.json is reproducible on machines smaller than the
+    # 32-core reference box.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = (
-        SparkSession.builder.master("local[32]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .appName("sf1-probe")
-        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.shuffle.partitions", str(2 * int(cpus)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", "24g")
+        .config("spark.driver.memory", driver_mem)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

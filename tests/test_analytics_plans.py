@@ -356,3 +356,29 @@ def test_dq_checks_single_aggregate_pass(t):
 
     p = plan(olap.dq_checks(t("events"), bounds={"value": (0, 100)}))
     assert p.count("events.parquet") == 1
+
+
+def test_capped_pair_generators_cap_inside_single_materialization(t):
+    """Hot-bucket guard plan pin: the window-count filter must sit
+    INSIDE the cached explode materialization (computed once, not once
+    per self-join side), and both join sides must still read that one
+    cache. Bounded fan-out is the behavioral twin in
+    test_pipeline.test_cap_hot_buckets_truncates_clique_keeps_planted_pair."""
+    from tsod_spark.pipeline import dedup
+
+    for build in (
+        lambda d: dedup.minhash_band_pairs(d, max_bucket=2),
+        lambda d: dedup.simhash_near_pairs(d, max_bucket=4),
+    ):
+        # build right before planning: clearCache() between the two
+        # would otherwise unpersist the second df's not-yet-planned cache
+        df = build(t("documents"))
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "Filter (__bsz" in p and "Window [count(1)" in p
+        assert p.count("InMemoryTableScan") == 2
+        df.sparkSession.catalog.clearCache()
+
+    # uncapped plans must stay guard-free (no window, no extra exchange)
+    df = dedup.minhash_band_pairs(t("documents"))
+    assert "__bsz" not in df._jdf.queryExecution().executedPlan().toString()
+    df.sparkSession.catalog.clearCache()

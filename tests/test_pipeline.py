@@ -1257,3 +1257,60 @@ def test_ivfpq_recall_vs_brute_force(spark, embeddings):
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.5, (mean_recall, recalls)
     assigned_codes.unpersist()
+
+
+# ---- hot-bucket guard (cap_hot_buckets) -------------------------------
+
+
+def test_cap_hot_buckets_noop_below_cap(spark, docs):
+    """Recall contract: when every bucket is at or under the cap, the
+    capped generators are bit-identical to the uncapped ones."""
+    un_mh = {tuple(r) for r in dedup.minhash_band_pairs(docs).collect()}
+    cap_mh = {
+        tuple(r)
+        for r in dedup.minhash_band_pairs(docs, max_bucket=10**6).collect()
+    }
+    assert cap_mh == un_mh
+    spark.catalog.clearCache()
+    un_sh = {tuple(r) for r in dedup.simhash_near_pairs(docs).collect()}
+    cap_sh = {
+        tuple(r)
+        for r in dedup.simhash_near_pairs(docs, max_bucket=10**6).collect()
+    }
+    assert cap_sh == un_sh
+    spark.catalog.clearCache()
+
+
+def test_cap_hot_buckets_truncates_clique_keeps_planted_pair(spark, docs):
+    """A boilerplate clique larger than the cap contributes ZERO pairs
+    (all its buckets are dropped whole — bounded fan-out instead of a
+    B^2 blowup), while a planted near-dup pair sitting in small
+    buckets is still found."""
+    boiler = spark.range(30).select(
+        (F.col("id") + 500000).alias("doc_id"),
+        F.lit(
+            "the quick brown fox jumps over the lazy dog again and again"
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("boiler").alias("source"),
+        F.lit(60).alias("n_chars"),
+    )
+    planted = docs.where(F.col("doc_id") == 0).select(
+        F.lit(999999).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = docs.unionByName(boiler).unionByName(planted)
+    clique = set(range(500000, 500030))
+
+    mh = dedup.minhash_band_pairs(corpus, max_bucket=8).collect()
+    assert not any(p.doc_a in clique and p.doc_b in clique for p in mh)
+    assert any({p.doc_a, p.doc_b} == {0, 999999} for p in mh)
+    spark.catalog.clearCache()
+
+    sh = dedup.simhash_near_pairs(corpus, max_bucket=8).collect()
+    assert not any(p.doc_a in clique and p.doc_b in clique for p in sh)
+    assert any({p.doc_a, p.doc_b} == {0, 999999} for p in sh)
+    spark.catalog.clearCache()

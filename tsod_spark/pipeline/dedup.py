@@ -162,11 +162,53 @@ def minhash_signatures_rowwise(
     return dg_staged.select(*keep, *[component_min(i) for i in range(k)])
 
 
-def _minhash_candidate_pairs(sigs: DataFrame, k: int, bands: int) -> DataFrame:
+def cap_hot_buckets(
+    exploded: DataFrame, key_cols: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Drop whole buckets larger than ``max_bucket`` before a banded
+    self-join — the hot-bucket guard for LSH/pigeonhole candidate
+    generation.
+
+    A bucket of B members fans out to B^2/2 candidate pairs: one
+    boilerplate band/chunk value shared by 1M short docs makes a
+    single 10^12-pair bucket that no amount of salting can make
+    tractable (salting spreads quadratic work; it cannot shrink it).
+    Oversized buckets are degenerate by construction — a band key or
+    simhash chunk shared by millions of documents carries ~no
+    discriminating signal, and a genuinely-near pair inside one
+    almost always also agrees on another, smaller bucket.
+
+    Mechanics: one unordered window count over the bucket key (linear
+    per bucket — the hot bucket costs O(B), never O(B^2)), filter,
+    drop. The window's exchange on ``key_cols`` is the same
+    partitioning the self-join needs, so no extra shuffle survives in
+    the physical plan. DETERMINISTIC truncation (whole buckets, no
+    sampling) so an ANSI-SQL oracle reproduces it with the identical
+    ``count(*) OVER (PARTITION BY ...)`` filter.
+
+    Recall contract: pairs whose EVERY agreeing bucket exceeds the cap
+    are lost; below the cap the output is bit-identical to the
+    uncapped generator (property-tested). ``max_bucket=None`` disables
+    the guard.
+    """
+    if max_bucket is None:
+        return exploded
+    w = Window.partitionBy(*key_cols)
+    return (
+        exploded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .where(F.col("__bsz") <= max_bucket)
+        .drop("__bsz")
+    )
+
+
+def _minhash_candidate_pairs(
+    sigs: DataFrame, k: int, bands: int, max_bucket: int | None = None
+) -> DataFrame:
     """Distinct LSH candidate pairs from a signature table.
 
     Explode per-band keys, self-join on (band, key) — the only shuffle
-    moves (band_id, 32-byte hash, doc_id) triples.
+    moves (band_id, 32-byte hash, doc_id) triples. ``max_bucket``
+    drops degenerate hot buckets (see :func:`cap_hot_buckets`).
     """
     r = k // bands
     band_cols = [
@@ -182,7 +224,11 @@ def _minhash_candidate_pairs(sigs: DataFrame, k: int, bands: int) -> DataFrame:
     # ReusedExchange once the planner picks a broadcast join)
     exploded = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", "bk.band", "bk.key").cache()
+    ).select("doc_id", "bk.band", "bk.key")
+    # cap BEFORE the cache: the materialization then already holds only
+    # surviving buckets, so the window count + its exchange run once,
+    # not once per join side
+    exploded = cap_hot_buckets(exploded, ["band", "key"], max_bucket).cache()
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -203,8 +249,13 @@ def minhash_band_pairs(
     bands: int = 4,
     min_est_jaccard: float = 0.0,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs + estimated Jaccard (matching components / k).
+
+    ``max_bucket`` drops degenerate hot band-buckets before the
+    self-join (see :func:`cap_hot_buckets`) — the 100 TB guard against
+    a boilerplate band key fanning out quadratically.
 
     Single-shuffle shape: the full signature rides the band explode as
     ONE packed 64-char string (k * 8 hex chars), so est_jaccard is
@@ -235,7 +286,8 @@ def minhash_band_pairs(
         "doc_id",
         packed.alias("sig"),
         F.explode(F.array(*band_cols)).alias("bk"),
-    ).select("doc_id", "sig", "bk.band", "bk.key").cache()
+    ).select("doc_id", "sig", "bk.band", "bk.key")
+    exploded = cap_hot_buckets(exploded, ["band", "key"], max_bucket).cache()
     a, b = exploded.alias("a"), exploded.alias("b")
     est = sum(
         (
@@ -484,9 +536,17 @@ def simhash_fingerprints(
 
 
 def simhash_near_pairs(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance via pigeonhole chunks.
+
+    ``max_bucket`` drops degenerate hot chunk-buckets before the
+    self-join (see :func:`cap_hot_buckets`) — with 256-way 8-bit
+    chunks, short boilerplate docs sharing a chunk value are the one
+    quadratic residual at corpus scale.
 
     The 32-bit fingerprint splits into ``max_hamming + 1`` equal-width
     chunks: a pair within the hamming radius has fewer differing bits
@@ -531,8 +591,8 @@ def simhash_near_pairs(
             ).alias("ck"),
         )
         .select("doc_id", "simhash", "ck.c", "ck.v")
-        .cache()
     )
+    chunked = cap_hot_buckets(chunked, ["c", "v"], max_bucket).cache()
     a, b = chunked.alias("a"), chunked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
     return (

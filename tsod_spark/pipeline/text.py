@@ -676,12 +676,19 @@ def query_hash_counts(query: str, dim: int = 32) -> list[int]:
     """Bucket-count histogram of a literal query string under the SAME
     md5 bucket map as :func:`hash_buckets`, computed driver-side
     (``hashlib.md5`` of the UTF-8 token == Spark's ``md5``; O(|query|)
-    work) so it folds into the plan as a ``dim``-int literal."""
+    work) so it folds into the plan as a ``dim``-int literal.
+
+    Tokenization matches the engine contract exactly: corpus tokens
+    split on Java-regex ``\\s`` (ASCII-only ``[ \\t\\n\\x0b\\f\\r]``),
+    so the query splits on the same ASCII whitespace classes — Python's
+    Unicode-aware ``\\s`` would bucket a query containing U+00A0 or
+    other Unicode whitespace differently than the identical corpus
+    text does engine-side."""
     import hashlib
     import re
 
     counts = [0] * dim
-    for t in re.split(r"\s+", query.lower()):
+    for t in re.split(r"[ \t\n\x0b\f\r]+", query.lower()):
         if t:
             b = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:4], 16) % dim
             counts[b] += 1

@@ -1870,9 +1870,14 @@ def dedup_minhash_sig(spark, sf_dir):
     return dedup.minhash_signatures(table(spark, sf_dir, "documents"))
 
 
-def _mh_pairs_parts(k: int = 8, bands: int = 4) -> tuple[str, str]:
+def _mh_pairs_parts(
+    k: int = 8, bands: int = 4, max_bucket: int | None = None
+) -> tuple[str, str]:
     """(CTE list without WITH, final pair SELECT) — shared by the pair
-    query and the recursive-CTE component oracle."""
+    query and the recursive-CTE component oracle. ``max_bucket``
+    mirrors the engine's hot-bucket guard (cap_hot_buckets): whole
+    band-buckets larger than the cap are dropped with the identical
+    ``count(*) OVER (PARTITION BY band, key)`` filter."""
     r = k // bands
     mh_list = ", ".join(f"mh{i}" for i in range(k))
     band_selects = []
@@ -1883,9 +1888,17 @@ def _mh_pairs_parts(k: int = 8, bands: int = 4) -> tuple[str, str]:
         )
     bands_cte = " UNION ALL ".join(band_selects)
     matches = " + ".join(f"CAST(a.mh{i} = b.mh{i} AS INT)" for i in range(k))
+    cap_cte = ""
+    bands_name = "bands"
+    if max_bucket is not None:
+        bands_name = "bands0"
+        cap_cte = f""",
+    bands AS (SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz FROM bands0)
+      WHERE bsz <= {max_bucket})"""
     ctes = f"""{MH_BASE[len("WITH "):]},
     sig AS (SELECT doc_id, {_mh_cols_sql(k)} FROM d),
-    bands AS ({bands_cte})"""
+    {bands_name} AS ({bands_cte}){cap_cte}"""
     select = f"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(({matches}) / {float(k)}, 6) AS est_jaccard
     FROM bands a JOIN bands b
@@ -1893,8 +1906,8 @@ def _mh_pairs_parts(k: int = 8, bands: int = 4) -> tuple[str, str]:
     return ctes, select
 
 
-def _mh_pairs_sql(k: int = 8, bands: int = 4) -> str:
-    ctes, select = _mh_pairs_parts(k, bands)
+def _mh_pairs_sql(k: int = 8, bands: int = 4, max_bucket: int | None = None) -> str:
+    ctes, select = _mh_pairs_parts(k, bands, max_bucket)
     return f"WITH {ctes} {select}"
 
 
@@ -1956,6 +1969,20 @@ def dedup_incremental(spark, sf_dir):
 @register("dedup_minhash_pairs", _mh_pairs_sql())
 def dedup_minhash_pairs(spark, sf_dir):
     return dedup.minhash_band_pairs(table(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_pairs_capped", _mh_pairs_sql(max_bucket=2))
+def dedup_minhash_pairs_capped(spark, sf_dir):
+    """LSH pairs with the hot-bucket guard ACTIVE: band-buckets larger
+    than the cap are dropped whole before the self-join
+    (dedup.cap_hot_buckets) — the 100 TB defense against a boilerplate
+    band key fanning out to B^2 candidate pairs. The cap (2) is chosen
+    to TRIGGER at sf0.01 (the fixture has 4 buckets of size 3), so the
+    oracle verifies the truncation semantics, not a no-op; the oracle
+    reproduces the identical count-over-bucket filter."""
+    return dedup.minhash_band_pairs(
+        table(spark, sf_dir, "documents"), max_bucket=2
+    )
 
 
 def _mh_canonical_sql(k: int = 8, bands: int = 4) -> str:
@@ -2073,6 +2100,45 @@ def dedup_simhash_pairs(spark, sf_dir):
     hamming<=3 radius with FULL recall (a pair differing in <=3 bits
     must agree exactly on one of the 4 chunks)."""
     return dedup.simhash_near_pairs(table(spark, sf_dir, "documents"))
+
+
+_SH_CHUNK_EXPLODE = """ck AS (
+      SELECT doc_id, simhash, 0 AS c, (simhash // 1) % 256 AS v FROM sig
+      UNION ALL
+      SELECT doc_id, simhash, 1, (simhash // 256) % 256 FROM sig
+      UNION ALL
+      SELECT doc_id, simhash, 2, (simhash // 65536) % 256 FROM sig
+      UNION ALL
+      SELECT doc_id, simhash, 3, (simhash // 16777216) % 256 FROM sig)"""
+
+
+@register(
+    "dedup_simhash_pairs_capped",
+    f"""WITH t AS (SELECT doc_id, {TOKS} AS toks0 FROM documents),
+    d AS (SELECT doc_id, {_shingle_sql('toks0', 3)} AS toks FROM t),
+    sig AS (SELECT doc_id, {_simhash_sql()} AS simhash FROM d),
+    {_SH_CHUNK_EXPLODE},
+    kept AS (SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY c, v) AS bsz FROM ck)
+      WHERE bsz <= 4)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM kept a JOIN kept b
+      ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
+def dedup_simhash_pairs_capped(spark, sf_dir):
+    """SimHash pigeonhole pairs with the hot-bucket guard ACTIVE:
+    chunk-buckets larger than the cap are dropped whole before the
+    self-join (dedup.cap_hot_buckets) — with 256-way 8-bit chunks,
+    short boilerplate docs sharing a chunk value are the quadratic
+    residual at corpus scale. The cap (4) TRIGGERS at sf0.01 (the
+    fixture has 51 buckets of size 5-8), so the oracle verifies the
+    truncation semantics against the identical exploded-chunk
+    count-over-bucket filter, not a no-op."""
+    return dedup.simhash_near_pairs(
+        table(spark, sf_dir, "documents"), max_bucket=4
+    )
 
 
 @register(
