@@ -226,19 +226,27 @@ def test_pair_graph_groups_vs_union_find(spark):
     ids = sorted({i for e in edges + chain for i in e} | set(range(n)) | set(range(100, 113)))
     universe = spark.createDataFrame([(i,) for i in ids], "doc_id long")
     pairs = spark.createDataFrame(edges + chain, "doc_a long, doc_b long")
-    out = {
-        r.doc_id: (r.group_id, r.group_size)
-        for r in dedup.pair_graph_groups(pairs, "doc_a", "doc_b", universe, "doc_id").collect()
-    }
     # python oracle over a dense relabeling of the same ids
     idx = {v: i for i, v in enumerate(ids)}
     expect = _union_find_groups(len(ids), [(idx[a], idx[b]) for a, b in edges + chain])
     rev = {i: v for v, i in idx.items()}
-    for v in ids:
-        assert out[v][0] == rev[expect[idx[v]]], f"label mismatch at {v}"
-    # chain collapses to one 13-member component labeled 100
-    assert out[112] == (100, 13)
-    assert len(out) == len(ids)
+    # both engine paths must agree with the oracle: the bounded
+    # driver-side union-find short-circuit (default) AND the iterative
+    # min-label propagation loop (forced via driver_cc_max_edges=0 —
+    # the 100 TB path)
+    for cap in (1_000_000, 0):
+        out = {
+            r.doc_id: (r.group_id, r.group_size)
+            for r in dedup.pair_graph_groups(
+                pairs, "doc_a", "doc_b", universe, "doc_id",
+                driver_cc_max_edges=cap,
+            ).collect()
+        }
+        for v in ids:
+            assert out[v][0] == rev[expect[idx[v]]], f"label mismatch at {v} (cap={cap})"
+        # chain collapses to one 13-member component labeled 100
+        assert out[112] == (100, 13)
+        assert len(out) == len(ids)
 
 
 def test_redact_crafted_pii(spark):
