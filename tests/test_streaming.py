@@ -789,13 +789,41 @@ def test_stream_attribution_join_matches_batch(spark, events_batches):
     assert got == expected and len(expected) > 0
 
 
+def test_stream_kmeans_distance_matches_batch(spark, events_batches):
+    """KMeans novelty scoring streams through the SAME state operator
+    as the rule detectors: the fitted model is a k x T centroid matrix
+    + scalar threshold (closure-captured floats), and the per-row
+    feature vector is the trailing T-value window the operator already
+    buffers. Flags match batch detect row-for-row; rows the batch plan
+    drops (incomplete lag windows) stream as False."""
+    from tsod_spark.detectors.mllib import KMeansDistanceDetector
+
+    df = registry.table(spark, SF, "events")
+    tsf = TimeSeriesFrame(df, series=["user_id"], tiebreak=["event_id"])
+    det = KMeansDistanceDetector(time_steps=4, k=4, quantile=0.95).fit(tsf)
+
+    got = run_stream(spark, events_batches, det)
+    assert len(got) > 0
+    batch_rows = det.detect(tsf).select("user_id", "ts", "is_anomaly").collect()
+    expected = {(r.user_id, r.ts): r.is_anomaly for r in batch_rows}
+    mismatches = []
+    for r in got:
+        k = (r.user_id, r.ts)
+        want = expected.get(k, False)
+        if want != r.is_anomaly:
+            mismatches.append((k, r.is_anomaly, want))
+    assert not mismatches, f"{len(mismatches)} mismatches, first: {mismatches[:3]}"
+    assert len(got) >= len(expected)
+    # the stream must actually emit flags, not all-False
+    assert any(r.is_anomaly for r in got)
+
+
 def test_stream_kmeans_via_foreachbatch(spark, events_batches):
-    """The documented workaround for the one learned detector that
-    does not stream natively: score each micro-batch with
+    """The alternative micro-batch path: score each micro-batch with
     detector.detect inside foreachBatch. Deterministic per-batch
     scoring (the model is frozen at fit time); rows whose lag window
     spans a micro-batch boundary are simply unscored in that batch —
-    the stated delta vs the stateful kernels."""
+    the stated delta vs the stateful kernel path above."""
     from tsod_spark.detectors.mllib import KMeansDistanceDetector
 
     tmp, schema = events_batches

@@ -239,6 +239,26 @@ def _plan(detector):
             },
             {},
         )
+    from ..detectors.mllib import KMeansDistanceDetector
+
+    if isinstance(detector, KMeansDistanceDetector):
+        # The fitted "model" is the k x T centroid matrix + a scalar
+        # threshold — closure-captured floats, same leaf shape as the
+        # regression coefficients. Scoring state is the trailing
+        # T-value window the rule-based detectors already keep.
+        if detector._model is None or detector._threshold is None:
+            from ..exceptions import NotFittedError
+
+            raise NotFittedError("stream_detect")
+        centers = [[float(x) for x in c] for c in detector._model.clusterCenters()]
+        return _leaf_plan(
+            detector,
+            kernels.kmeans_distance_kernel,
+            detector._time_steps,
+            0,
+            {"centers": centers, "threshold": float(detector._threshold)},
+            {},
+        )
     if isinstance(detector, CombinedDetector):
         plans = [_plan(d) for d in detector._detectors]
         lookback = max(p[1] for p in plans)
@@ -258,11 +278,8 @@ def _plan(detector):
         params_dfs = [df for p in plans if p[4] for df in p[4]] or None
         return combined_kernel, lookback, lookahead, make_kwargs, params_dfs
     raise NotImplementedError(
-        f"streaming not implemented for {type(detector).__name__}: "
-        "KMeansDistanceDetector needs the fitted centroid matrix inside the "
-        "state operator (a genuinely different design — model scoring in "
-        "transformWithState); score it in micro-batches via foreachBatch "
-        "with detector.detect instead"
+        f"streaming not implemented for {type(detector).__name__}; "
+        "score it in micro-batches via foreachBatch with detector.detect"
     )
 
 

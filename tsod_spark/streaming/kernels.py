@@ -171,6 +171,46 @@ def regression_residual_kernel(ts, value, offset, coef, intercept, threshold):
     return np.where(np.isnan(resid), False, out)
 
 
+def kmeans_distance_kernel(ts, value, offset, centers, threshold):
+    """Streaming twin of KMeansDistanceDetector.detect: the fitted
+    model is the k x T centroid matrix plus a scalar distance
+    threshold — plain numbers, closure-captured exactly like the
+    regression coefficients, so KMeans novelty scoring needs no model
+    object inside the state operator.
+
+    Row j's feature vector is the trailing exclusive window
+    ``v[j-T .. j-1]`` (create_dataset order); the score is the
+    Euclidean distance to the nearest centroid. Per-centroid squared
+    distances accumulate component-by-component in index order — the
+    same association as the batch plan's ``aggregate(zip_with(...))``
+    Column fold — so the float result is bit-identical and threshold
+    comparisons cannot flip. Rows the batch plan does not score
+    (incomplete window, NaN anywhere in the window -> NaN distance,
+    coalesced False in batch) emit False.
+    """
+    v = value.to_numpy(dtype=float)
+    n = len(v)
+    if centers is None or threshold is None:
+        return np.zeros(n, dtype=bool)
+    C = [list(map(float, c)) for c in centers]
+    T = len(C[0])
+    out = np.zeros(n, dtype=bool)
+    if n <= T:
+        return out
+    m = n - T  # scored rows j = T .. n-1
+    best = None
+    for c in C:
+        acc = np.zeros(m)
+        for i in range(T):
+            acc += (v[i : m + i] - c[i]) ** 2
+        best = acc if best is None else np.minimum(best, acc)
+    dist = np.sqrt(best)
+    with np.errstate(invalid="ignore"):
+        flags = dist > float(threshold)
+    out[T:] = np.where(np.isnan(dist), False, flags)
+    return out
+
+
 def hampel_kernel(ts, value, offset, window_size, threshold, k=1.4826):
     # /root/reference/tsod/hampel.py:27-60 (half-open [t-w, t+w) window,
     # interior points only). The n-w upper bound is enforced by the
