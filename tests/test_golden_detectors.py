@@ -243,3 +243,16 @@ def test_hampel_argument_validation(spark):
         HampelDetector(window_size=-1)
     with pytest.raises(InvalidArgumentError):
         HampelDetector(threshold=-5)
+
+
+def test_hampel_rejects_oversized_window():
+    """The O(w)-per-row memory contract is code, not a docstring: a
+    window above MAX_WINDOW_SIZE raises at construction."""
+    import pytest as _pytest
+
+    from tsod_spark.detectors.hampel import MAX_WINDOW_SIZE, HampelDetector
+    from tsod_spark.exceptions import InvalidArgumentError
+
+    HampelDetector(MAX_WINDOW_SIZE, 3)  # boundary accepted
+    with _pytest.raises(InvalidArgumentError):
+        HampelDetector(MAX_WINDOW_SIZE + 1, 3)

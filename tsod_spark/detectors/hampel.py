@@ -32,11 +32,24 @@ from .base import SparkDetector
 GAUSSIAN_SCALE_FACTOR = 1.4826  # 1/Phi^-1(3/4), hampel.py:10-13
 
 
+# The collect_list window materializes 2w values per ROW, so memory and
+# compute are O(w) per row — fine at the reference's documented w≈5-20,
+# quadratic-feeling at w in the thousands. The guard backs the
+# documented contract with code instead of a docstring.
+MAX_WINDOW_SIZE = 1000
+
+
 def _validate_arguments(window_size, threshold):
     if not isinstance(window_size, int):
         raise NotIntegerError("window_size")
     if window_size <= 0:
         raise InvalidArgumentError("window_size", "nonnegative")
+    if window_size > MAX_WINDOW_SIZE:
+        raise InvalidArgumentError(
+            "window_size",
+            f"<= {MAX_WINDOW_SIZE} (the exact-median plan keeps 2w values "
+            "per row; larger windows need an approximate-quantile design)",
+        )
     if threshold < 0:
         raise InvalidArgumentError("threshold", "positive")
 
