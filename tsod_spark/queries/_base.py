@@ -1,0 +1,115 @@
+"""Driver-facing query registry: Spark query builders + DuckDB oracle SQL.
+
+Every operator from SURVEY.md §2 (and the LLM-pipeline additions) gets a
+``(spark, sf_dir) -> DataFrame`` builder here plus, where SQL can
+express it, an ANSI-SQL twin with IDENTICAL semantics:
+
+- anomaly flags are booleans (exact), keys are ints (exact);
+- money sums run in integer cents (bit-exact across engines regardless
+  of partial-aggregation order);
+- unavoidable float outputs (quantiles, stddev, cosine) are computed
+  with the same operation order/association in both engines and
+  rounded to 6 decimals;
+- integer outputs are cast to 64-bit on both sides.
+
+Column names are aliased identically on both sides (the driver's
+compare sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..analytics import temporal, tpch
+from ..detectors import (
+    CombinedDetector,
+    ConstantGradientDetector,
+    ConstantValueDetector,
+    DiffDetector,
+    GradientDetector,
+    HampelDetector,
+    RangeDetector,
+    RollingStandardDeviationDetector,
+)
+from ..detectors.gradient import gradient_col
+from ..encodings import read_table
+from ..expressions import as_pred
+from ..features import create_dataset, lag_time_series
+from ..frame import TimeSeriesFrame
+from ..pipeline import dedup, multimodal, similarity, text
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table, normalizing timestamp encodings.
+
+    The driver's events.parquet has shipped ``ts`` as TIMESTAMP(NANOS),
+    TIMESTAMP(MICROS)-UTC, and TIMESTAMP(MICROS)-NTZ across rounds; all
+    three are coerced to plain ``timestamp`` in one shared helper
+    (:mod:`tsod_spark.encodings`) so every downstream ``unix_micros`` /
+    range-window call site sees one type."""
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+def events_tsf(spark: SparkSession, sf_dir: str) -> TimeSeriesFrame:
+    return TimeSeriesFrame(
+        table(spark, sf_dir, "events"),
+        ts_col="ts",
+        value_col="value",
+        series=["user_id"],
+        tiebreak=["event_id"],
+    )
+
+
+# oracle fragments ----------------------------------------------------------
+
+E_CTE = (
+    "WITH e AS (SELECT event_id, user_id, event_type, ts, "
+    "CASE WHEN isnan(value) THEN NULL ELSE value END AS v FROM events)"
+)
+W = "PARTITION BY user_id ORDER BY ts, event_id"
+P = "PARTITION BY user_id"
+TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+DTOKS = f"list_distinct({TOKS})"
+
+
+def _shingle_sql(toks: str = "toks", n: int = 3) -> str:
+    """Distinct word n-gram shingles of token-list column ``toks``
+    (DuckDB range(a,b) is empty when b <= a, matching the Spark guard)."""
+    gram = " || ' ' || ".join(f"{toks}[i + {j}]" if j else f"{toks}[i]" for j in range(n))
+    return f"list_distinct(list_transform(range(1, len({toks}) - {n - 2}), i -> {gram}))"
+HIGH_HEX = "('8','9','a','b','c','d','e','f')"
+
+
+def duck_round6(col: Column) -> Column:
+    """round(x, 6) mirroring DuckDB's multiply-then-round-half-away
+    double algorithm (floor(|x|*1e6 + 0.5)) — Spark's F.round is Java
+    BigDecimal HALF_UP on the shortest decimal repr and disagrees on
+    dyadic-heavy values (see ts_ewma; verify-skill gotcha)."""
+    return (
+        F.when(col >= 0, F.floor(col * 1e6 + 0.5)).otherwise(
+            -F.floor(-col * 1e6 + 0.5)
+        )
+        / 1e6
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+

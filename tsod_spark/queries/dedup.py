@@ -1,0 +1,409 @@
+"""Deduplication (pipeline/dedup.py).
+
+Part of the driver-facing query registry (see ``tsod_spark.registry``,
+the facade that imports every family module in registration order and
+owns the verification rotation). Registration side-effects populate
+``tsod_spark.queries._base.QUERIES`` / ``ORACLE``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from ..analytics import temporal, tpch  # noqa: F401
+from ..detectors import (  # noqa: F401
+    CombinedDetector,
+    ConstantGradientDetector,
+    ConstantValueDetector,
+    DiffDetector,
+    GradientDetector,
+    HampelDetector,
+    RangeDetector,
+    RollingStandardDeviationDetector,
+)
+from ..detectors.gradient import gradient_col  # noqa: F401
+from ..expressions import as_pred  # noqa: F401
+from ..features import create_dataset, lag_time_series  # noqa: F401
+from ..frame import TimeSeriesFrame  # noqa: F401
+from ..pipeline import dedup, multimodal, similarity, text  # noqa: F401
+from ._base import (  # noqa: F401
+    DTOKS,
+    E_CTE,
+    HIGH_HEX,
+    P,
+    TOKS,
+    W,
+    _shingle_sql,
+    duck_round6,
+    events_tsf,
+    register,
+    table,
+)
+
+
+# deduplication (pipeline/dedup.py)
+
+
+@register(
+    "dedup_exact",
+    """SELECT doc_id,
+           CAST(count(*) OVER wd AS BIGINT) AS group_size,
+           min(doc_id) OVER wd AS keeper_doc_id,
+           (count(*) OVER wd) > 1 AS is_duplicate_group
+    FROM documents WINDOW wd AS (PARTITION BY md5(text))""",
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(table(spark, sf_dir, "documents"))
+
+
+def _mh_cols_sql(k: int = 8) -> str:
+    # one-permutation slicing: component i = min over shingles of the
+    # 8-hex window i%4 of md5((i//4) || ':' || shingle) — matches
+    # dedup._component exactly
+    return ", ".join(
+        f"list_min(list_transform(dtoks, t -> substr(md5('{i // 4}:' || t), {1 + 8 * (i % 4)}, 8))) AS mh{i}"
+        for i in range(k)
+    )
+
+
+MH_BASE = (
+    f"WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents), "
+    f"d AS (SELECT doc_id, {_shingle_sql('toks', 3)} AS dtoks FROM t)"
+)
+
+
+@register(
+    "dedup_minhash_sig",
+    f"{MH_BASE} SELECT doc_id, {_mh_cols_sql()} FROM d",
+)
+def dedup_minhash_sig(spark, sf_dir):
+    return dedup.minhash_signatures(table(spark, sf_dir, "documents"))
+
+
+def _mh_pairs_parts(
+    k: int = 8, bands: int = 4, max_bucket: int | None = None
+) -> tuple[str, str]:
+    """(CTE list without WITH, final pair SELECT) — shared by the pair
+    query and the recursive-CTE component oracle. ``max_bucket``
+    mirrors the engine's hot-bucket guard (cap_hot_buckets): whole
+    band-buckets larger than the cap are dropped with the identical
+    ``count(*) OVER (PARTITION BY band, key)`` filter."""
+    r = k // bands
+    mh_list = ", ".join(f"mh{i}" for i in range(k))
+    band_selects = []
+    for b in range(bands):
+        key = " || ".join(f"mh{b * r + i}" for i in range(r))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({key}) AS key, {mh_list} FROM sig"
+        )
+    bands_cte = " UNION ALL ".join(band_selects)
+    matches = " + ".join(f"CAST(a.mh{i} = b.mh{i} AS INT)" for i in range(k))
+    cap_cte = ""
+    bands_name = "bands"
+    if max_bucket is not None:
+        bands_name = "bands0"
+        cap_cte = f""",
+    bands AS (SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz FROM bands0)
+      WHERE bsz <= {max_bucket})"""
+    ctes = f"""{MH_BASE[len("WITH "):]},
+    sig AS (SELECT doc_id, {_mh_cols_sql(k)} FROM d),
+    {bands_name} AS ({bands_cte}){cap_cte}"""
+    select = f"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(({matches}) / {float(k)}, 6) AS est_jaccard
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
+    return ctes, select
+
+
+def _mh_pairs_sql(k: int = 8, bands: int = 4, max_bucket: int | None = None) -> str:
+    ctes, select = _mh_pairs_parts(k, bands, max_bucket)
+    return f"WITH {ctes} {select}"
+
+
+def _mh_groups_sql(k: int = 8, bands: int = 4) -> str:
+    ctes, select = _mh_pairs_parts(k, bands)
+    return f"""WITH RECURSIVE {ctes},
+    pairs AS ({select}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc),
+    comp AS (SELECT doc, min(root) AS group_id FROM reach GROUP BY doc)
+    SELECT doc AS doc_id, group_id,
+           CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+    FROM comp"""
+
+
+def _mh_incremental_sql(k: int = 8, bands: int = 4, tau: float = 0.5) -> str:
+    ctes, _ = _mh_pairs_parts(k, bands)
+    matches = " + ".join(f"CAST(a.mh{i} = b.mh{i} AS INT)" for i in range(k))
+    est = f"round(({matches}) / {float(k)}, 6)"
+    return f"""WITH {ctes},
+    bb AS (SELECT * FROM bands WHERE doc_id % 20 = 0),
+    cb AS (SELECT * FROM bands WHERE doc_id % 20 <> 0),
+    hits AS (
+      SELECT DISTINCT b.doc_id FROM cb a JOIN bb b
+        ON a.band = b.band AND a.key = b.key WHERE {est} >= {tau}
+      UNION
+      SELECT DISTINCT b.doc_id FROM bb a JOIN bb b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        WHERE {est} >= {tau}
+      UNION
+      SELECT b.doc_id FROM documents a JOIN documents b
+        ON md5(a.text) = md5(b.text)
+        WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+      UNION
+      SELECT b.doc_id FROM documents a JOIN documents b
+        ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 = 0)
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.doc_id % 20 = 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM hits)"""
+
+
+@register("dedup_incremental", _mh_incremental_sql())
+def dedup_incremental(spark, sf_dir):
+    """Continuous-ingest dedup: batch = every 20th doc, corpus = the
+    rest; survivors are batch docs that are neither exact nor LSH
+    near-dups (est_jaccard >= 0.5) of the corpus or of earlier batch
+    docs. Corpus side never shuffles (broadcast batch index)."""
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return dedup.incremental_new_docs(corpus, batch).select("doc_id", "source")
+
+
+@register("dedup_minhash_pairs", _mh_pairs_sql())
+def dedup_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_band_pairs(table(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_pairs_capped", _mh_pairs_sql(max_bucket=2))
+def dedup_minhash_pairs_capped(spark, sf_dir):
+    """LSH pairs with the hot-bucket guard ACTIVE: band-buckets larger
+    than the cap are dropped whole before the self-join
+    (dedup.cap_hot_buckets) — the 100 TB defense against a boilerplate
+    band key fanning out to B^2 candidate pairs. The cap (2) is chosen
+    to TRIGGER at sf0.01 (the fixture has 4 buckets of size 3), so the
+    oracle verifies the truncation semantics, not a no-op; the oracle
+    reproduces the identical count-over-bucket filter."""
+    return dedup.minhash_band_pairs(
+        table(spark, sf_dir, "documents"), max_bucket=2
+    )
+
+
+def _mh_canonical_sql(k: int = 8, bands: int = 4) -> str:
+    ctes, select = _mh_pairs_parts(k, bands)
+    return f"""WITH RECURSIVE {ctes},
+    pairs AS ({select}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc),
+    comp AS (SELECT doc, min(root) AS group_id FROM reach GROUP BY doc),
+    j AS (SELECT c.doc AS doc_id, c.group_id, length(d.text) AS nlen
+          FROM comp c JOIN documents d ON d.doc_id = c.doc),
+    r AS (SELECT doc_id, group_id,
+            CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size,
+            row_number() OVER (PARTITION BY group_id
+                               ORDER BY nlen DESC, doc_id) AS rk
+          FROM j)
+    SELECT doc_id, group_id, group_size, rk = 1 AS is_canonical FROM r"""
+
+
+@register("dedup_canonical", _mh_canonical_sql())
+def dedup_canonical(spark, sf_dir):
+    """Keep-best-per-cluster: longest text (ties to lowest doc_id)
+    within each MinHash-LSH connected component."""
+    return dedup.canonical_docs(table(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_groups", _mh_groups_sql())
+def dedup_minhash_groups(spark, sf_dir):
+    """Connected components over the LSH pair graph (iterative
+    min-label propagation; driver loop, nothing collected). Oracle:
+    recursive-CTE transitive closure."""
+    return dedup.minhash_duplicate_groups(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_rate_by_source",
+    f"""WITH groups AS ({_mh_groups_sql()})
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN g.group_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_near_dup,
+           round(sum(CASE WHEN g.group_size > 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS near_dup_rate
+    FROM documents d JOIN groups g USING (doc_id)
+    GROUP BY d.source""",
+)
+def dedup_rate_by_source(spark, sf_dir):
+    """Data-governance metric: per source, the fraction of documents
+    sitting in a near-dup cluster — the table that decides which
+    supplier's crawl is redundant. Exact integer counts over the LSH
+    connected components (group labels are min-doc-id, deterministic),
+    so even the CC-derived rate hash-matches the recursive-CTE
+    oracle."""
+    docs = table(spark, sf_dir, "documents")
+    groups = dedup.minhash_duplicate_groups(docs)
+    n = F.count(F.lit(1)).cast("long")
+    nd = F.sum((F.col("group_size") > 1).cast("int")).cast("long")
+    return (
+        docs.select("doc_id", "source")
+        .join(groups, "doc_id")
+        .groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            nd.alias("n_near_dup"),
+            F.round(nd / n, 6).alias("near_dup_rate"),
+        )
+    )
+
+
+def _simhash_sql(toks: str = "toks") -> str:
+    terms = []
+    for b in range(32):
+        terms.append(
+            f"(CASE WHEN 2 * len(list_filter({toks}, t -> substr(md5(t), {b + 1}, 1) IN {HIGH_HEX})) >= len({toks}) THEN {1 << b} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "dedup_simhash",
+    f"""WITH t AS (SELECT doc_id, {TOKS} AS toks0 FROM documents),
+    d AS (SELECT doc_id, {_shingle_sql('toks0', 3)} AS toks FROM t)
+    SELECT doc_id, {_simhash_sql()} AS simhash FROM d""",
+)
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash over 3-gram shingles (phrase features, not
+    unigrams — see simhash_fingerprints for the bias measurement)."""
+    return dedup.simhash_fingerprints(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""WITH t AS (SELECT doc_id, {TOKS} AS toks0 FROM documents),
+    d AS (SELECT doc_id, {_shingle_sql('toks0', 3)} AS toks FROM t),
+    sig AS (SELECT doc_id, {_simhash_sql()} AS simhash FROM d),
+    c AS (SELECT doc_id, simhash,
+                 (simhash // 1) % 256 AS chunk0,
+                 (simhash // 256) % 256 AS chunk1,
+                 (simhash // 65536) % 256 AS chunk2,
+                 (simhash // 16777216) % 256 AS chunk3
+          FROM sig)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM c a JOIN c b
+      ON (a.chunk0 = b.chunk0 OR a.chunk1 = b.chunk1
+          OR a.chunk2 = b.chunk2 OR a.chunk3 = b.chunk3) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """Pigeonhole chunk join over 32-bit SimHash: 4 chunks cover the
+    hamming<=3 radius with FULL recall (a pair differing in <=3 bits
+    must agree exactly on one of the 4 chunks)."""
+    return dedup.simhash_near_pairs(table(spark, sf_dir, "documents"))
+
+
+_SH_CHUNK_EXPLODE = """ck AS (
+      SELECT doc_id, simhash, 0 AS c, (simhash // 1) % 256 AS v FROM sig
+      UNION ALL
+      SELECT doc_id, simhash, 1, (simhash // 256) % 256 FROM sig
+      UNION ALL
+      SELECT doc_id, simhash, 2, (simhash // 65536) % 256 FROM sig
+      UNION ALL
+      SELECT doc_id, simhash, 3, (simhash // 16777216) % 256 FROM sig)"""
+
+
+@register(
+    "dedup_simhash_pairs_capped",
+    f"""WITH t AS (SELECT doc_id, {TOKS} AS toks0 FROM documents),
+    d AS (SELECT doc_id, {_shingle_sql('toks0', 3)} AS toks FROM t),
+    sig AS (SELECT doc_id, {_simhash_sql()} AS simhash FROM d),
+    {_SH_CHUNK_EXPLODE},
+    kept AS (SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY c, v) AS bsz FROM ck)
+      WHERE bsz <= 4)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM kept a JOIN kept b
+      ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
+def dedup_simhash_pairs_capped(spark, sf_dir):
+    """SimHash pigeonhole pairs with the hot-bucket guard ACTIVE:
+    chunk-buckets larger than the cap are dropped whole before the
+    self-join (dedup.cap_hot_buckets) — with 256-way 8-bit chunks,
+    short boilerplate docs sharing a chunk value are the quadratic
+    residual at corpus scale. The cap (4) TRIGGERS at sf0.01 (the
+    fixture has 51 buckets of size 5-8), so the oracle verifies the
+    truncation semantics against the identical exploded-chunk
+    count-over-bucket filter, not a no-op."""
+    return dedup.simhash_near_pairs(
+        table(spark, sf_dir, "documents"), max_bucket=4
+    )
+
+
+@register(
+    "dedup_simhash_groups",
+    f"""WITH RECURSIVE t AS (SELECT doc_id, {TOKS} AS toks0 FROM documents),
+    d AS (SELECT doc_id, {_shingle_sql('toks0', 3)} AS toks FROM t),
+    sig AS (SELECT doc_id, {_simhash_sql()} AS simhash FROM d),
+    c AS (SELECT doc_id, simhash,
+                 (simhash // 1) % 256 AS chunk0,
+                 (simhash // 256) % 256 AS chunk1,
+                 (simhash // 65536) % 256 AS chunk2,
+                 (simhash // 16777216) % 256 AS chunk3
+          FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM c a JOIN c b
+        ON (a.chunk0 = b.chunk0 OR a.chunk1 = b.chunk1
+            OR a.chunk2 = b.chunk2 OR a.chunk3 = b.chunk3)
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc),
+    comp AS (SELECT doc, min(root) AS group_id FROM reach GROUP BY doc)
+    SELECT doc AS doc_id, group_id,
+           CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+    FROM comp""",
+)
+def dedup_simhash_groups(spark, sf_dir):
+    """Connected components over the SimHash pigeonhole pair graph —
+    the second LSH family gets the same shared CC engine (min-label
+    propagation over edges only) the MinHash path uses; min-doc-id
+    labels are deterministic, so the whole clustering hash-matches the
+    recursive-CTE oracle."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_pairs(docs).select("doc_a", "doc_b")
+    return dedup.pair_graph_groups(pairs, "doc_a", "doc_b", docs, "doc_id")
+
+
+@register(
+    "dedup_jaccard_topk",
+    f"""WITH t AS (SELECT doc_id, source AS blk, {TOKS} AS toks0 FROM documents),
+    d AS (SELECT doc_id, blk, {_shingle_sql('toks0', 2)} AS toks FROM t),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS inter,
+             len(a.toks) + len(b.toks) AS tot
+          FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (tot - inter), 6) AS jaccard
+    FROM p ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
+)
+def dedup_jaccard_topk(spark, sf_dir):
+    return dedup.jaccard_pairs(table(spark, sf_dir, "documents"))
+
+
