@@ -73,6 +73,12 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # 1g JIT code cache: 165 codegen-heavy plans overflow the 240m
+        # default and fall to interpreted execution (see bench.py note)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

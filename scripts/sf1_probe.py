@@ -79,6 +79,15 @@ HEADLINE = [
     "doc_curation_pipeline",
     "doc_stats",
     "emb_cosine_topk",
+    # r5/r6 newcomers + the CC family (r6 VERDICT item 4)
+    "ts_esd",
+    "ts_shesd",
+    "ts_ccf",
+    "doc_rag_search",
+    "dq_suite",
+    "dedup_canonical",
+    "dedup_simhash_pairs",
+    "dedup_simhash_pairs_capped",
 ]
 
 
@@ -149,6 +158,13 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # 165 codegen-heavy plans overflow the JVM's default 240m JIT
+        # code cache mid-session; once it fills, compilation stops and
+        # CPU-bound generated code (md5 dedup pipelines) runs
+        # interpreted 3-7x slower -- the root cause of the CC-family
+        # run-to-run variance (measured: pairs phase 3s->10s across
+        # trials, steady 1.6s with this flag).
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
         .config("spark.driver.memory", driver_mem)
         .getOrCreate()
     )
@@ -180,20 +196,33 @@ def main() -> None:
         table(spark, SRC, "documents").limit(64)
     ).write.format("noop").mode("overwrite").save()
 
+    # Median-of-3 per (query, scale): single samples of the CC/dedup
+    # family vary 2-7x run-to-run inside a long session (GC/scheduler
+    # jitter — same reason bench.py runs that family median-of-3), and
+    # a probe that exists to measure SCALING cannot ride on one noisy
+    # sample per decade.
+    def run3(fn, sf_dir) -> tuple[float, float]:
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 2))
+            spark.catalog.clearCache()
+            gc.collect()
+        return sorted(runs)[1], round(max(runs) - min(runs), 2)
+
     results: dict[str, dict[str, float | None]] = {}
     for name in HEADLINE:
         fn = qmap[name]
         t: dict[str, float] = {}
+        spread: dict[str, float] = {}
         for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            t[label] = round(time.time() - t0, 2)
-            spark.catalog.clearCache()
-            gc.collect()
+            t[label], spread[label] = run3(fn, sf_dir)
         ratio = round(t["sf1"] / t["sf0.1"], 2) if t["sf0.1"] > 0 else None
-        results[name] = {**t, "ratio": ratio}
+        results[name] = {**t, "ratio": ratio, "spread": spread}
         print(
-            f"{name}: sf0.1={t['sf0.1']}s sf1={t['sf1']}s ratio={ratio}",
+            f"{name}: sf0.1={t['sf0.1']}s sf1={t['sf1']}s ratio={ratio} "
+            f"spread={spread}",
             flush=True,
         )
 

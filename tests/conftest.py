@@ -14,6 +14,13 @@ def spark():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
+        # 165 codegen-heavy plans overflow the JVM's default 240m JIT
+        # code cache mid-session; once it fills, compilation stops and
+        # CPU-bound generated code (md5 dedup pipelines) runs
+        # interpreted 3-7x slower -- the root cause of the CC-family
+        # run-to-run variance (measured: pairs phase 3s->10s across
+        # trials, steady 1.6s with this flag).
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
         .getOrCreate()
     )
     yield s

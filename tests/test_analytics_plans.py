@@ -382,3 +382,22 @@ def test_capped_pair_generators_cap_inside_single_materialization(t):
     df = dedup.minhash_band_pairs(t("documents"))
     assert "__bsz" not in df._jdf.queryExecution().executedPlan().toString()
     df.sparkSession.catalog.clearCache()
+
+
+def test_q21_single_aggregate_no_self_join(t):
+    """Q21's double-correlated EXISTS/NOT-EXISTS must stay collapsed
+    into ONE per-order min/max aggregate: no self-join over the fact
+    table (the only join is the broadcast supplier dim), no Expand
+    (countDistinct+collect_set would double the 6M fact rows through
+    one), and exactly two exchanges — the per-order partial agg and
+    the tiny per-supplier count."""
+    from tsod_spark.analytics import tpch
+
+    p = plan(tpch.q21_sole_blame_suppliers(t("lineitem"), t("supplier")))
+    assert "BroadcastHashJoin" in p
+    # no fact self-join survives: the broadcast dim join is the only one
+    assert len(re.findall(r"\(\d+\) \w*Join", p)) == 1
+    assert "Expand" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("lineitem.parquet") == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2

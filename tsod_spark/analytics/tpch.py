@@ -557,33 +557,32 @@ def q21_sole_blame_suppliers(lineitem, supplier, top_n: int = 20) -> DataFrame:
     l_returnflag = 'R', since there is no receipt/commit date):
     suppliers with returned lines in MULTI-supplier orders where no
     other supplier's lines were returned — Q21's double-correlated
-    EXISTS / NOT EXISTS, expressed as one semi- and one anti-join over
-    a slim distinct (order, supplier) frame. The fact table is reduced
-    to distinct pairs FIRST, so the self-joins move keys, not lines."""
-    pairs = lineitem.select("l_orderkey", "l_suppkey").distinct().cache()
-    returned = (
-        lineitem.where(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    EXISTS / NOT EXISTS.
+
+    Formulated as ONE per-order min/max aggregate instead of the
+    textbook distinct + semi-join + anti-join self-join stack: a
+    supplier "waits" for order o exactly when o has >1 distinct
+    suppliers (⇔ ``min(supp) != max(supp)``) and the set of suppliers
+    with returned lines is exactly {s} (⇔ ``min(ret_supp) ==
+    max(ret_supp)`` non-null, s = that value). Four plain min/max
+    aggregates stay in whole-stage codegen with full map-side partial
+    aggregation — no Expand (countDistinct + collect_set together
+    double the fact rows through one), no sets, no 6M-row cache, no
+    self-joins. Measured at sf1 (6M lines): EXISTS/NOT-EXISTS join
+    stack 9-21s, countDistinct+collect_set 10.5s, this shape ~2s —
+    and only the slim partial rows (orderkey + 4 suppkeys) shuffle."""
+    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.min("l_suppkey").alias("__mn"),
+        F.max("l_suppkey").alias("__mx"),
+        F.min(ret_supp).alias("__rmn"),
+        F.max(ret_supp).alias("__rmx"),
     )
-    other = pairs.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
-    )
-    # EXISTS: another supplier participates in the same order
-    multi = returned.join(
-        other,
-        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
-        "left_semi",
-    )
-    other_ret = returned.select(
-        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
-    )
-    # NOT EXISTS: no OTHER supplier's lines in the order were returned
-    sole = multi.join(
-        other_ret,
-        (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
-        "left_anti",
-    )
+    sole = per_order.where(
+        (F.col("__mn") != F.col("__mx"))
+        & F.col("__rmn").isNotNull()
+        & (F.col("__rmn") == F.col("__rmx"))
+    ).select(F.col("__rmn").alias("l_suppkey"))
     counts = sole.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).cast("long").alias("numwait")
     )
