@@ -156,7 +156,8 @@ def main():
         os.environ.get(
             "SPARK_GRAFT_MEDIAN3",
             "dedup_canonical dedup_rate_by_source dedup_simhash_pairs "
-            "dedup_simhash_groups dedup_minhash_groups doc_repetition",
+            "dedup_simhash_groups dedup_minhash_groups doc_repetition "
+            "dedup_minhash_pairs emb_ivfpq_topk emb_pq_topk",
         ).split()
     )
 
