@@ -1322,3 +1322,61 @@ def test_cap_hot_buckets_truncates_clique_keeps_planted_pair(spark, docs):
     assert not any(p.doc_a in clique and p.doc_b in clique for p in sh)
     assert any({p.doc_a, p.doc_b} == {0, 999999} for p in sh)
     spark.catalog.clearCache()
+
+
+# ---- winnowing fingerprints -------------------------------------------
+
+
+def _py_winnow(text: str, k: int = 5, window: int = 4) -> set[int]:
+    import hashlib
+    import re as _re
+
+    toks = [t for t in _re.split(r"\s+", text.lower()) if t]
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [
+        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) for g in grams
+    ]
+    return {
+        min(hs[j : j + window]) for j in range(len(hs) - window + 1)
+    }
+
+
+def test_winnow_fingerprints_match_python_oracle(spark, docs):
+    """Differential: the Column-algebra winnowing (MOSS) must produce
+    the exact fingerprint set of an independent python implementation
+    for every document."""
+    got: dict[int, set[int]] = {}
+    for r in text.winnow_fingerprints(docs).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    rows = docs.select("doc_id", "text").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert got.get(r.doc_id, set()) == _py_winnow(r.text), r.doc_id
+
+
+def test_winnow_overlap_detects_planted_shared_span(spark, docs):
+    """The MOSS guarantee: two documents sharing a token run of
+    >= window + k - 1 = 8 tokens share at least one fingerprint; a
+    planted 30-token common span across otherwise-different docs must
+    surface as an overlap pair (and near-total containment for a doc
+    that IS the span)."""
+    span = " ".join(f"planted{i}" for i in range(30))
+    a = docs.where(F.col("doc_id") == 0).select(
+        F.lit(888888).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + span)).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    b = docs.where(F.col("doc_id") == 1).select(
+        F.lit(999999).alias("doc_id"),
+        F.concat(F.lit(span + " "), F.col("text")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(a).unionByName(b)
+    pairs = {
+        (p.doc_a, p.doc_b): (p.shared_fps, p.containment)
+        for p in dedup.winnow_overlap_pairs(corpus).collect()
+    }
+    spark.catalog.clearCache()
+    assert (888888, 999999) in pairs
+    shared, containment = pairs[(888888, 999999)]
+    assert shared >= 2 and 0 < containment <= 1.0

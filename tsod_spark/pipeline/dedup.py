@@ -685,6 +685,66 @@ def simhash_near_pairs(
     )
 
 
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Partial-overlap (plagiarism-style) pairs via winnowing
+    fingerprints: documents sharing >= ``min_shared`` selected k-gram
+    fingerprints, with the shared count and containment ratio
+    ``shared / min(|A|, |B|)``.
+
+    This catches SHARED SPANS (any common token run of length >=
+    window + k - 1 is guaranteed a shared fingerprint — the MOSS
+    property), which whole-document MinHash misses when the overlap is
+    a small fraction of each document.
+
+    Scale shape: the candidate generator is a bucketed equi-join on
+    the fingerprint value — the same banded-LSH join pattern as
+    MinHash bands / SimHash chunks, so the same hot-bucket guard
+    applies (``max_bucket``, :func:`cap_hot_buckets`): a boilerplate
+    span shared by millions of docs is a degenerate bucket. Per-doc
+    fingerprint counts ride the (already shuffled-by-doc) distinct
+    explode; only (fp, doc_id, n_fp) triples cross the join shuffle.
+    """
+    from .text import winnow_fingerprints
+
+    fps = winnow_fingerprints(docs, text_col, k, window)
+    w = Window.partitionBy("doc_id")
+    sized = fps.select(
+        "doc_id", "fp", F.count(F.lit(1)).over(w).alias("n_fp")
+    ).cache()
+    sized = cap_hot_buckets(sized, ["fp"], max_bucket)
+    a, b = sized.alias("a"), sized.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_fp").alias("__na"),
+            F.col("b.n_fp").alias("__nb"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            F.round(
+                F.col("shared_fps") / F.least("__na", "__nb"), 6
+            ).alias("containment"),
+        )
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

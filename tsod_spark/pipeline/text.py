@@ -356,6 +356,67 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm), over word ``k``-grams.
+
+    Every positional k-gram hashes to a 32-bit int (md5-prefix,
+    engine-portable); a window of ``window`` consecutive k-gram hashes
+    slides over the sequence and the MINIMUM of each window is
+    selected. The guarantee: any shared token run of length >=
+    ``window + k - 1`` between two documents shares at least one
+    selected fingerprint, while only ~2/(window+1) of all grams are
+    kept — the partial-overlap detector that whole-document hashes
+    (:func:`fingerprints`) cannot provide.
+
+    Returns exploded distinct ``(doc_id, fp)`` rows — a bucketed
+    equi-join key for overlap detection
+    (:func:`tsod_spark.pipeline.dedup.winnow_overlap_pairs`).
+
+    Plan shape: pure per-row Column algebra, zero shuffle before the
+    final per-doc distinct explode. Each HOF stage (tokens -> grams ->
+    hashes -> window minima) is wrapped in a 1-element explode so the
+    Generate node acts as a projection barrier — ProjectCollapse would
+    otherwise re-inline the token/gram/hash arrays into EVERY downstream
+    reference and re-run them per element (Catalyst has no cross-HOF
+    CSE; measured 47s vs 0.6s at sf0.01 for this exact function —
+    the minhash_signatures_rowwise lesson). Short docs (< k tokens, or
+    fewer than ``window`` grams) yield no fingerprints, matching the
+    DuckDB oracle's empty ranges.
+    """
+
+    def barrier(df, expr, name):
+        return df.select("doc_id", F.explode(F.array(expr)).alias(name))
+
+    staged = barrier(docs, tokens(F.col(text_col)), "__t")
+    n = F.size("__t")
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice("__t", i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = barrier(staged, grams, "__g")
+    hashes = F.transform(
+        F.col("__g"),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+    staged = barrier(staged, hashes, "__h")
+    m = F.size("__h")
+    fps = F.when(
+        m >= window,
+        F.transform(
+            F.sequence(F.lit(1), m - (window - 1)),
+            lambda j: F.array_min(F.slice("__h", j, window)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    staged = barrier(staged, F.array_distinct(fps), "__fp")
+    return staged.select("doc_id", F.explode("__fp").alias("fp"))
+
+
 def bm25_search(
     docs: DataFrame,
     query_terms: list[str],

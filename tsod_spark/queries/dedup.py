@@ -407,3 +407,43 @@ def dedup_jaccard_topk(spark, sf_dir):
     return dedup.jaccard_pairs(table(spark, sf_dir, "documents"))
 
 
+
+
+@register(
+    "dedup_winnow_overlap",
+    f"""WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id,
+            list_transform(range(1, len(toks) - 3),
+                           i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+              AS grams
+          FROM t),
+    h AS (SELECT doc_id,
+            list_transform(grams,
+                           x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+          FROM g),
+    f AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(hs) - 2),
+                          j -> list_min(list_slice(hs, j, j + 3)))) AS fps
+          FROM h),
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    sized AS (SELECT doc_id, fp,
+                     CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_fp
+              FROM e)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_fps,
+           round(CAST(count(*) AS DOUBLE) / least(a.n_fp, b.n_fp), 6)
+             AS containment
+    FROM sized a JOIN sized b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.n_fp, b.n_fp
+    HAVING count(*) >= 2""",
+)
+def dedup_winnow_overlap(spark, sf_dir):
+    """Partial-overlap (plagiarism-style) detection: pairs sharing >= 2
+    winnowing fingerprints, with shared count and containment ratio
+    shared/min(|A|,|B|). Catches SHARED SPANS (>= 8 common tokens
+    guarantees a shared fingerprint) that whole-document MinHash misses
+    when the overlap is a small fraction of each doc. The candidate
+    generator is the same bucketed equi-join shape as the LSH families
+    and accepts the same hot-bucket cap (dedup.cap_hot_buckets)."""
+    return dedup.winnow_overlap_pairs(table(spark, sf_dir, "documents"))

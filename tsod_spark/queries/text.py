@@ -468,3 +468,34 @@ def doc_curation_pipeline(spark, sf_dir):
     )
 
 
+
+
+_WINNOW_FPS_CTE = f"""t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id,
+            list_transform(range(1, len(toks) - 3),
+                           i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+              AS grams
+          FROM t),
+    h AS (SELECT doc_id,
+            list_transform(grams,
+                           x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+          FROM g),
+    f AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(hs) - 2),
+                          j -> list_min(list_slice(hs, j, j + 3)))) AS fps
+          FROM h)"""
+
+
+@register(
+    "doc_winnow_fingerprints",
+    f"""WITH {_WINNOW_FPS_CTE}
+    SELECT doc_id, unnest(fps) AS fp FROM f""",
+)
+def doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (MOSS, Schleimer et al. SIGMOD'03): the
+    minimum 32-bit k-gram hash of every sliding window of 4
+    consecutive word-5-gram hashes, distinct per doc. Guarantees any
+    shared token run of >= window+k-1 = 8 tokens shares a fingerprint
+    while keeping ~2/(window+1) of grams. Pure per-row Column algebra
+    (each HOF stage in its own projection), one explode."""
+    return text.winnow_fingerprints(table(spark, sf_dir, "documents"))
