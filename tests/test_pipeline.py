@@ -1380,3 +1380,27 @@ def test_winnow_overlap_detects_planted_shared_span(spark, docs):
     assert (888888, 999999) in pairs
     shared, containment = pairs[(888888, 999999)]
     assert shared >= 2 and 0 < containment <= 1.0
+
+
+def test_diverse_sample_exact_budget_and_proportional(spark, embeddings):
+    """Hamilton allocation contract: exactly n rows delivered, every
+    bucket gets floor or floor+1 of its proportional share, and the
+    selection is deterministic."""
+    n = 40
+    out = similarity.diverse_sample(embeddings, n=n).collect()
+    assert len(out) == n
+    out2 = similarity.diverse_sample(embeddings, n=n).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    from collections import Counter
+
+    got = Counter(r.bucket for r in out)
+    sizes = Counter(
+        r.bucket
+        for r in embeddings.select(
+            similarity.sign_lsh_bucket(F.col("embedding")).alias("bucket")
+        ).collect()
+    )
+    total = sum(sizes.values())
+    for b, s in sizes.items():
+        base = (n * s) // total
+        assert base <= got.get(b, 0) <= base + 1, (b, s, got.get(b, 0))

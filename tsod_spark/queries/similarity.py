@@ -549,3 +549,35 @@ def emb_pq_topk(spark, sf_dir):
     )
 
 
+
+
+@register(
+    "emb_diverse_sample",
+    f"""WITH b AS (SELECT vec_id, {_bucket_sql()} AS bucket FROM embeddings),
+    sz AS (SELECT bucket, CAST(count(*) AS BIGINT) AS bsz FROM b GROUP BY bucket),
+    q0 AS (SELECT bucket, bsz,
+             CAST(sum(bsz) OVER () AS BIGINT) AS total
+           FROM sz),
+    q1 AS (SELECT bucket, bsz, total,
+             (200 * bsz) // total AS qb,
+             (200 * bsz) % total AS rem
+           FROM q0),
+    q AS (SELECT bucket,
+            qb + CASE WHEN row_number() OVER (ORDER BY rem DESC, bucket)
+                      <= 200 - sum(qb) OVER () THEN 1 ELSE 0 END AS quota
+          FROM q1),
+    r AS (SELECT vec_id, bucket,
+            row_number() OVER (PARTITION BY bucket
+                               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+              AS rk
+          FROM b)
+    SELECT r.vec_id, r.bucket FROM r JOIN q USING (bucket)
+    WHERE r.rk <= q.quota""",
+)
+def emb_diverse_sample(spark, sf_dir):
+    """Diversity-preserving subset selection (SemDeDup/D4-style):
+    sign-LSH buckets stratify embedding space; each bucket contributes
+    its exact proportional share of the 200-row budget, ranked by a
+    deterministic md5-of-id priority. One window per bucket + a
+    broadcast 1-row total — no global window."""
+    return similarity.diverse_sample(table(spark, sf_dir, "embeddings"), n=200)
