@@ -212,3 +212,51 @@ def events_retention(spark, sf_dir):
     return olap.retention_cohorts(table(spark, sf_dir, "events"))
 
 
+
+
+@register(
+    "events_salted_join",
+    """WITH dim AS (
+      SELECT event_type,
+             CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS type_id
+      FROM (SELECT DISTINCT event_type FROM events)),
+    e AS (SELECT event_type,
+                 CASE WHEN isnan(value) THEN NULL ELSE value END AS v
+          FROM events)
+    SELECT d.type_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM e JOIN dim d USING (event_type)
+    GROUP BY d.type_id""",
+)
+def events_salted_join(spark, sf_dir):
+    """Skew-mitigated fact-to-dim join (analytics/skew.py salted_join):
+    the events fact is salted across 8 buckets on a deterministic row
+    hash and the tiny type dim is exploded once per salt, so a hot
+    event_type can never collapse onto one shuffle partition. The
+    oracle is the PLAIN join — salting must be result-invariant, and
+    the exact-cents aggregate hash-checks that it is."""
+    from ..analytics.skew import salted_join
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").alias("__v")
+    )
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn(
+            "type_id",
+            F.row_number()
+            .over(Window.orderBy("event_type"))
+            .cast("long"),
+        )
+    )
+    v = F.when(F.isnan("__v") | F.col("__v").isNull(), None).otherwise(F.col("__v"))
+    joined = salted_join(e, dim, ["event_type"], n_salts=8)
+    return (
+        joined.groupBy("type_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(v * 100).cast("long")).cast("long").alias("cents"),
+        )
+    )
