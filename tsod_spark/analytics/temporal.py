@@ -31,6 +31,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import default_parallelism
+
 
 def asof_join(
     left: DataFrame,
@@ -285,7 +287,7 @@ def ewma(
             schema_parts.append(f"{out_col} double")
         else:
             schema_parts.append(f"{c} {dict(df.dtypes)[c]}")
-    n_buckets = df.sparkSession.sparkContext.defaultParallelism * 2
+    n_buckets = default_parallelism(df.sparkSession) * 2
     bucket = F.pmod(F.xxhash64(*keys), F.lit(n_buckets))
     return (
         df.withColumn("__bk", bucket)
@@ -376,7 +378,7 @@ def holt(
             schema_parts.append(f"{c} double")
         else:
             schema_parts.append(f"{c} {dict(df.dtypes)[c]}")
-    n_buckets = df.sparkSession.sparkContext.defaultParallelism * 2
+    n_buckets = default_parallelism(df.sparkSession) * 2
     bucket = F.pmod(F.xxhash64(*keys), F.lit(n_buckets))
     return (
         df.withColumn("__bk", bucket)

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import default_parallelism
 from .text import distinct_tokens, shingles, tokens
 
 MERSENNE31 = 2147483647
@@ -100,7 +101,7 @@ def minhash_signatures(
         # shingling+hashing is CPU-bound, so scan-partition count must
         # not cap parallelism. The explicit partition count keeps AQE
         # from coalescing the tiny shuffle back into one task.
-        n_part = docs.sparkSession.sparkContext.defaultParallelism
+        n_part = default_parallelism(docs.sparkSession)
         docs = docs.repartition(n_part, F.col("doc_id"))
     # staged select: the shingle expression references the token array
     # several times internally (size guards, sequence bound, transform
@@ -582,7 +583,7 @@ def simhash_fingerprints(
     # codegen with map-side partial aggregation (only 33 small ints
     # per doc cross the shuffle), and parallelizes the CPU-bound
     # hashing beyond the input file count.
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    n_part = default_parallelism(docs.sparkSession)
     docs = docs.repartition(n_part, F.col("doc_id"))
     tok = docs.select("doc_id", tokens(F.col(text_col)).alias("__t"))
     sh = shingles(F.col("__t"), shingle_n)
@@ -775,7 +776,7 @@ def jaccard_pairs(
       any practical significance), a fraction of the hash/compare
       cost, and a B×-smaller replication payload.
     """
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    n_part = default_parallelism(docs.sparkSession)
     tok = docs.repartition(n_part, F.col("doc_id")).select(
         "doc_id", F.col(block_col).alias("blk"), tokens(F.col(text_col)).alias("__t")
     )

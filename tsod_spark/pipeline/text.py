@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import default_parallelism
+
 # Deterministic marker vocabularies for the n-gram/stopword language
 # heuristic. Order matters: ties resolve to the earlier language.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -510,7 +512,7 @@ def vocab_overlap(
     # dominates this operator (the dedup.py `spread` pattern; measured
     # 6x on the single-file fixture). The distinct right after explode
     # would shuffle anyway, so the extra exchange only moves raw text.
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    n_part = default_parallelism(docs.sparkSession)
     grams = (
         docs.repartition(n_part, "doc_id")
         .select(
@@ -819,7 +821,7 @@ def rag_search(
     """
     # spread the CPU-bound tokenize+chunk+hash work across cores (the
     # single-file-corpus scan-task cap; dedup.py `spread` pattern)
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    n_part = default_parallelism(docs.sparkSession)
     chunks = chunk_split(
         docs.repartition(n_part, "doc_id"), chunk_tokens, stride, text_col
     )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..encodings import read_table
+from ..util import default_parallelism
 from ..frame import TimeSeriesFrame
 
 
@@ -163,7 +164,7 @@ def read_netcdf_fleet(
     files = spark.read.format("binaryFile").load(glob_path)
     # one decode task per file: binaryFile packs small files together,
     # so spread them before the Python stage
-    n = spark.sparkContext.defaultParallelism
+    n = default_parallelism(spark)
     files = files.select("path", "content").repartition(n, "path")
     return files.mapInPandas(batches, NETCDF_FLEET_SCHEMA)
 
