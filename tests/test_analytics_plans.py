@@ -401,3 +401,51 @@ def test_q21_single_aggregate_no_self_join(t):
     assert "SortMergeJoin" not in p
     assert p.count("lineitem.parquet") == 1
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+
+
+def test_winnow_overlap_single_materialization_no_cartesian(t):
+    """Both sides of the fingerprint self-join must read ONE cached
+    materialization of the winnow pipeline (tokens->grams->hashes->
+    minima is the dominant compute), and the join must stay a bucketed
+    equi-join on the fingerprint value."""
+    from tsod_spark.pipeline import dedup
+
+    df = dedup.winnow_overlap_pairs(t("documents"))
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("InMemoryTableScan") == 2
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    df.sparkSession.catalog.clearCache()
+
+
+def test_diverse_sample_corpus_shuffles_once_on_bucket(t):
+    """Hamilton-allocation sampling plan pin: the corpus shuffles
+    exactly once on the bucket id (the rank window); the allocation
+    windows run on the per-bucket aggregate (<= 256 rows, the only
+    SinglePartition frames); quotas join back broadcast. A global
+    corpus window here would single-partition 100 TB."""
+    import re
+
+    from tsod_spark.pipeline import similarity
+
+    df = similarity.diverse_sample(t("embeddings"), n=50)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert p.count("hashpartitioning(bucket") >= 1
+    # slim 2-col scans, one per use of the base projection — no more
+    assert p.count("embeddings.parquet") == 2
+    # SinglePartition exchanges belong to the bounded allocation frame
+    assert len(re.findall(r"Exchange SinglePartition", p)) <= 2
+
+
+def test_salted_join_broadcasts_exploded_dim(t):
+    """The salted fact-dim join must broadcast the salt-exploded dim
+    (never shuffle the fact on the hot key alone) and keep the salt
+    explode as a Generate over the tiny side."""
+    from tsod_spark.registry import QUERIES, table  # noqa: F401
+
+    spark = t("lineitem").sparkSession
+    df = QUERIES["events_salted_join"](spark, SF)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Generate" in p and "explode" in p
