@@ -157,7 +157,9 @@ def main():
             "SPARK_GRAFT_MEDIAN3",
             "dedup_canonical dedup_rate_by_source dedup_simhash_pairs "
             "dedup_simhash_groups dedup_minhash_groups doc_repetition "
-            "dedup_minhash_pairs emb_ivfpq_topk emb_pq_topk doc_vocab_overlap",
+            "dedup_minhash_pairs emb_ivfpq_topk emb_pq_topk doc_vocab_overlap "
+            "dedup_minhash_pairs_capped dedup_simhash_pairs_capped "
+            "dedup_winnow_overlap",
         ).split()
     )
 

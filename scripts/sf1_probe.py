@@ -88,6 +88,16 @@ HEADLINE = [
     "dedup_canonical",
     "dedup_simhash_pairs",
     "dedup_simhash_pairs_capped",
+    # r6 newcomers (r6 VERDICT item 1: the only operators with no scale
+    # evidence yet — winnow explodes ~2/(window+1) of all grams, so its
+    # per-decade ratio is the number a 100 TB user needs) + r7's
+    # truncation-observability aggregate
+    "doc_winnow_fingerprints",
+    "dedup_winnow_overlap",
+    "emb_diverse_sample",
+    "events_salted_join",
+    "dedup_minhash_pairs_capped",
+    "dedup_cap_drop_stats",
 ]
 
 

@@ -417,6 +417,23 @@ def test_winnow_overlap_single_materialization_no_cartesian(t):
     df.sparkSession.catalog.clearCache()
 
 
+def test_winnow_overlap_cap_inside_single_materialization(t):
+    """Hot-bucket guard ordering for the winnow generator (the
+    _minhash_candidate_pairs contract): the bucket-size window count +
+    filter must sit INSIDE the cached explode, so they execute once —
+    not once per self-join side — and both sides read one post-cap
+    materialization. The per-doc n_fp window also lives inside the
+    cache (computed over the UNCAPPED fingerprint set: containment
+    denominators must not shrink when buckets are dropped)."""
+    from tsod_spark.pipeline import dedup
+
+    df = dedup.winnow_overlap_pairs(t("documents"), max_bucket=64)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Filter (__bsz" in p and "Window [count(1)" in p
+    assert p.count("InMemoryTableScan") == 2
+    df.sparkSession.catalog.clearCache()
+
+
 def test_diverse_sample_corpus_shuffles_once_on_bucket(t):
     """Hamilton-allocation sampling plan pin: the corpus shuffles
     exactly once on the bucket id (the rank window); the allocation

@@ -1324,6 +1324,55 @@ def test_cap_hot_buckets_truncates_clique_keeps_planted_pair(spark, docs):
     spark.catalog.clearCache()
 
 
+def test_hot_bucket_stats_counts_exactly(spark):
+    """Truncation observability ("no silent caps"): for a frame with
+    known bucket sizes the one-row stats aggregate must report the
+    exact dropped bucket/row counts the cap would discard."""
+    rows = (
+        [("k1", i) for i in range(5)]    # size 5 -> dropped at cap 3
+        + [("k2", i) for i in range(3)]  # size 3 -> kept
+        + [("k3", i) for i in range(1)]  # size 1 -> kept
+    )
+    df = spark.createDataFrame(rows, "key string, doc_id long")
+    s = dedup.hot_bucket_stats(df, ["key"], max_bucket=3).collect()[0]
+    assert s.total_buckets == 3 and s.dropped_buckets == 1
+    assert s.total_rows == 9 and s.dropped_rows == 5
+    assert abs(s.dropped_row_frac - round(5 / 9, 6)) < 1e-12
+    # consistency with the cap itself: surviving rows == total - dropped
+    kept = dedup.cap_hot_buckets(df, ["key"], 3).count()
+    assert kept == s.total_rows - s.dropped_rows
+
+
+def test_hot_bucket_stats_matches_capped_band_join(spark, docs):
+    """Integration: on the real corpus, the rows the stats frame says
+    are dropped at cap=2 must equal the row-count delta between the
+    uncapped and capped band tables."""
+    sigs = dedup.minhash_signatures(docs)
+    exploded = dedup.minhash_band_table(sigs)
+    s = dedup.hot_bucket_stats(exploded, ["band", "key"], max_bucket=2).collect()[0]
+    n_all = exploded.count()
+    n_kept = dedup.cap_hot_buckets(exploded, ["band", "key"], 2).count()
+    assert s.total_rows == n_all
+    assert s.dropped_rows == n_all - n_kept
+    assert s.dropped_buckets >= 1  # cap=2 triggers on this fixture
+    spark.catalog.clearCache()
+
+
+def test_winnow_overlap_cap_below_threshold_is_noop(spark, docs):
+    """Below-cap equivalence for the winnow overlap generator: with a
+    cap larger than any fingerprint bucket the output is bit-identical
+    to the uncapped run (containment denominators included — n_fp is
+    computed over the UNCAPPED fingerprint set)."""
+    un = {tuple(r) for r in dedup.winnow_overlap_pairs(docs).collect()}
+    spark.catalog.clearCache()
+    capped = {
+        tuple(r)
+        for r in dedup.winnow_overlap_pairs(docs, max_bucket=10**6).collect()
+    }
+    spark.catalog.clearCache()
+    assert capped == un and len(un) > 0
+
+
 # ---- winnowing fingerprints -------------------------------------------
 
 

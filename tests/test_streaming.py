@@ -410,6 +410,72 @@ def test_stream_dedup_minhash_flags_near_dups_online(spark, tmp_path):
     spark.catalog.clearCache()
 
 
+def test_stream_winnow_overlap_flags_shared_span_online(spark, tmp_path):
+    """Online span-overlap screening: a document arriving with a
+    >= window + k - 1 = 8 token run copied from an earlier arrival
+    must collide on at least one winnowing fingerprint (the MOSS
+    guarantee), across micro-batch boundaries; an unrelated doc must
+    not. Matches the batch winnow_overlap_pairs verdict for the
+    planted pair."""
+    import pandas as pd
+
+    from tsod_spark.pipeline import dedup
+    from tsod_spark.streaming import stream_winnow_overlap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = {r.doc_id: r.text for r in docs.limit(2).collect()}
+    span = " ".join(f"planted{i}" for i in range(30))
+    first = base[0] + " " + span
+    # batch 0: original + span; batch 1: different doc carrying the
+    # same span + an unrelated doc
+    b0 = pd.DataFrame({"doc_id": [0], "text": [first]})
+    b1 = pd.DataFrame(
+        {
+            "doc_id": [901, 902],
+            "text": [span + " " + base[1], "totally unrelated words " * 10],
+        }
+    )
+    src_dir = str(tmp_path / "wdocs_src")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(f"{src_dir}/b0")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src_dir}/b1")
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/b*")
+    )
+    out = stream_winnow_overlap(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_winnow")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT doc_id, overlap_with, count(*) AS shared FROM t_winnow "
+        "GROUP BY doc_id, overlap_with"
+    ).collect()
+    hits = {(r.doc_id, r.overlap_with): r.shared for r in got}
+    assert (901, 0) in hits, "span carrier must collide with the earlier doc"
+    assert hits[(901, 0)] >= 2, "a 30-token span shares many fingerprints"
+    assert not any(d == 902 for d, _ in hits), "unrelated doc must not collide"
+
+    # batch twin agrees the planted pair overlaps
+    both = spark.createDataFrame(pd.concat([b0, b1]), schema).select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.lit("t").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    pairs = dedup.winnow_overlap_pairs(both).collect()
+    assert any({p.doc_a, p.doc_b} == {0, 901} for p in pairs)
+    spark.catalog.clearCache()
+
+
 def test_stream_dedup_exact_drops_within_watermark(spark, events_batches):
     """Duplicate rows re-injected in the NEXT micro-batch (well inside
     the watermark) must be dropped; every original row must survive."""

@@ -55,6 +55,19 @@ def _validate_arguments(window_size, threshold):
 
 
 class HampelDetector(SparkDetector):
+    """Rolling median/MAD outlier filter (see module docstring for the
+    exact reference-parity semantics).
+
+    **Reference-compat delta**: ``window_size`` is capped at
+    ``MAX_WINDOW_SIZE`` (1000). The reference implementation
+    (reference tsod/hampel.py ``_validate_arguments``) accepts any
+    positive int; this engine's exact-median plan keeps ``2w`` values
+    per row, so the cap backs the O(w)-per-row memory contract with a
+    raise instead of an OOM. Callers migrating with larger windows get
+    an ``InvalidArgumentError`` pointing at an approximate-quantile
+    design rather than a runtime blow-up.
+    """
+
     def __init__(self, window_size: int = 5, threshold: float = 3):
         super().__init__()
         _validate_arguments(window_size, threshold)

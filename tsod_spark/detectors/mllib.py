@@ -195,16 +195,28 @@ class KMeansDistanceDetector(SparkDetector):
         from pyspark.ml.functions import vector_to_array
 
         tsf = as_tsf(data)
-        train = _lag_matrix(tsf, self._time_steps)
-        # novelty thresholding only needs stable centroids, not full
-        # convergence — 10 rounds halves the fit's shuffle count
-        km = KMeans(featuresCol="features_vec", k=self._k, seed=42, maxIter=10)
-        self._model = km.fit(train)
-        scored = self._model.transform(train)
-        dist = self._distance_col(scored)
-        self._threshold = scored.withColumn("__d", dist).agg(
-            F.percentile(F.col("__d"), F.lit(self._quantile)).alias("q")
-        ).first()["q"]
+        # cache across the Lloyd iterations: KMeans re-scans its input
+        # once per round, and uncached that re-executes the whole
+        # lag-window pipeline (sort + collect over the events scan)
+        # 10x — the dominant cost of fit, not the centroid math
+        train = _lag_matrix(tsf, self._time_steps).cache()
+        try:
+            # novelty thresholding only needs stable centroids, not full
+            # convergence — 10 rounds halves the fit's shuffle count
+            km = KMeans(
+                featuresCol="features_vec", k=self._k, seed=42, maxIter=10
+            )
+            self._model = km.fit(train)
+            # the threshold is the exact quantile over the FULL distance
+            # distribution (centroids only steer scoring), so the flagged
+            # fraction stays pinned at ~(1 - quantile) by construction
+            scored = self._model.transform(train)
+            dist = self._distance_col(scored)
+            self._threshold = scored.withColumn("__d", dist).agg(
+                F.percentile(F.col("__d"), F.lit(self._quantile)).alias("q")
+            ).first()["q"]
+        finally:
+            train.unpersist()
         return self
 
     def _distance_col(self, scored):

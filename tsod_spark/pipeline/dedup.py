@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..util import default_parallelism
+from ..util import default_parallelism, round_half_away6
 from .text import distinct_tokens, shingles, tokens
 
 MERSENNE31 = 2147483647
@@ -202,6 +202,56 @@ def cap_hot_buckets(
     )
 
 
+def hot_bucket_stats(
+    exploded: DataFrame, key_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """Truncation observability for :func:`cap_hot_buckets` — "no
+    silent caps" at 100 TB: an operator that discards candidate mass
+    must make the recall loss measurable in production, not just in
+    tests.
+
+    Returns a ONE-ROW frame the caller can surface as a job metric:
+    ``total_buckets``, ``dropped_buckets`` (buckets whose size exceeds
+    ``max_bucket``), ``total_rows``, ``dropped_rows``, and
+    ``dropped_row_frac``. One map-side-combinable groupBy over the
+    bucket key plus a 1-row aggregate — O(rows), no window, safe to
+    run alongside the capped join (on a cached explode it reuses the
+    materialization).
+    """
+    per_bucket = exploded.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("__bsz")
+    )
+    dropped_rows = F.sum(
+        F.when(F.col("__bsz") > max_bucket, F.col("__bsz")).otherwise(F.lit(0))
+    ).cast("long")
+    total_rows = F.sum("__bsz").cast("long")
+    return per_bucket.agg(
+        F.count(F.lit(1)).cast("long").alias("total_buckets"),
+        F.sum((F.col("__bsz") > max_bucket).cast("long")).alias("dropped_buckets"),
+        total_rows.alias("total_rows"),
+        dropped_rows.alias("dropped_rows"),
+        round_half_away6(dropped_rows / total_rows).alias("dropped_row_frac"),
+    )
+
+
+def minhash_band_table(sigs: DataFrame, k: int = 8, bands: int = 4) -> DataFrame:
+    """The slim ``(doc_id, band, key)`` explode of a signature table —
+    the bucketed join-key frame LSH candidate generation self-joins
+    on. Public so truncation observability (:func:`hot_bucket_stats`)
+    can aggregate the SAME frame the pair generator caps."""
+    r = k // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat(*[F.col(f"mh{b * r + i}") for i in range(r)])).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+
+
 def _minhash_candidate_pairs(
     sigs: DataFrame, k: int, bands: int, max_bucket: int | None = None
 ) -> DataFrame:
@@ -211,21 +261,11 @@ def _minhash_candidate_pairs(
     moves (band_id, 32-byte hash, doc_id) triples. ``max_bucket``
     drops degenerate hot buckets (see :func:`cap_hot_buckets`).
     """
-    r = k // bands
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat(*[F.col(f"mh{b * r + i}") for i in range(r)])).alias("key"),
-        )
-        for b in range(bands)
-    ]
     # cache the slim (doc_id, band, key) table: without it BOTH sides
     # of the self-join recompute the whole shingle->minhash pipeline
     # (verified: 2 parquet scans in the physical plan, no
     # ReusedExchange once the planner picks a broadcast join)
-    exploded = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", "bk.band", "bk.key")
+    exploded = minhash_band_table(sigs, k, bands)
     # cap BEFORE the cache: the materialization then already holds only
     # surviving buckets, so the window count + its exchange run once,
     # not once per join side
@@ -452,18 +492,36 @@ def pair_graph_groups(
     n_edges = edges.count()  # materializes the cache; needed either way
     if n_edges <= 2 * driver_cc_max_edges:
         spark = pairs.sparkSession
-        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-        half = edges.where(F.col("src") < F.col("dst")).toPandas()
-        ids, gids, sizes = _driver_union_find(half, "src", "dst")
-        id_t = dict(universe.dtypes)[id_col]
-        import pandas as pd
+        # Arrow serde for the bounded toPandas/createDataFrame hop only:
+        # save + restore the session value so a library call doesn't
+        # leak a conf change (and its dtype behavior) into the caller's
+        # unrelated toPandas() calls.
+        _ARROW_KEY = "spark.sql.execution.arrow.pyspark.enabled"
+        try:
+            _arrow_prev = spark.conf.get(_ARROW_KEY)
+        except Exception:
+            _arrow_prev = None
+        spark.conf.set(_ARROW_KEY, "true")
+        try:
+            half = edges.where(F.col("src") < F.col("dst")).toPandas()
+            ids, gids, sizes = _driver_union_find(half, "src", "dst")
+            id_t = dict(universe.dtypes)[id_col]
+            import pandas as pd
 
-        labels_pdf = pd.DataFrame(
-            {id_col: ids, "group_id": gids, "group_size": sizes}
-        )
-        grouped = spark.createDataFrame(
-            labels_pdf, schema=f"{id_col} {id_t}, group_id {id_t}, group_size bigint"
-        )
+            labels_pdf = pd.DataFrame(
+                {id_col: ids, "group_id": gids, "group_size": sizes}
+            )
+            # pandas->Arrow conversion happens eagerly inside this call,
+            # so restoring the conf right after is safe for the lazy plan
+            grouped = spark.createDataFrame(
+                labels_pdf,
+                schema=f"{id_col} {id_t}, group_id {id_t}, group_size bigint",
+            )
+        finally:
+            if _arrow_prev is None:
+                spark.conf.unset(_ARROW_KEY)
+            else:
+                spark.conf.set(_ARROW_KEY, _arrow_prev)
         singletons = universe.join(
             F.broadcast(grouped.select(id_col)), id_col, "left_anti"
         ).select(
@@ -716,10 +774,16 @@ def winnow_overlap_pairs(
 
     fps = winnow_fingerprints(docs, text_col, k, window)
     w = Window.partitionBy("doc_id")
+    # n_fp rides the doc_id-partitioned window over the UNCAPPED
+    # fingerprint set — containment denominators must not shrink when
+    # hot buckets are dropped; the cap then runs BEFORE the cache (the
+    # _minhash_candidate_pairs ordering above) so the materialization
+    # holds only surviving buckets and the bucket-size window count +
+    # its exchange execute once, not once per self-join side.
     sized = fps.select(
         "doc_id", "fp", F.count(F.lit(1)).over(w).alias("n_fp")
-    ).cache()
-    sized = cap_hot_buckets(sized, ["fp"], max_bucket)
+    )
+    sized = cap_hot_buckets(sized, ["fp"], max_bucket).cache()
     a, b = sized.alias("a"), sized.alias("b")
     return (
         a.join(
@@ -739,8 +803,11 @@ def winnow_overlap_pairs(
             "doc_a",
             "doc_b",
             "shared_fps",
-            F.round(
-                F.col("shared_fps") / F.least("__na", "__nb"), 6
+            # containment has arbitrary denominators (shared/min(n)),
+            # so round half-away like the SQL engines do — F.round's
+            # BigDecimal HALF_UP disagrees on boundary doubles
+            round_half_away6(
+                F.col("shared_fps") / F.least("__na", "__nb")
             ).alias("containment"),
         )
     )

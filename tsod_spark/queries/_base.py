@@ -90,13 +90,11 @@ def duck_round6(col: Column) -> Column:
     """round(x, 6) mirroring DuckDB's multiply-then-round-half-away
     double algorithm (floor(|x|*1e6 + 0.5)) — Spark's F.round is Java
     BigDecimal HALF_UP on the shortest decimal repr and disagrees on
-    dyadic-heavy values (see ts_ewma; verify-skill gotcha)."""
-    return (
-        F.when(col >= 0, F.floor(col * 1e6 + 0.5)).otherwise(
-            -F.floor(-col * 1e6 + 0.5)
-        )
-        / 1e6
-    )
+    dyadic-heavy values (see ts_ewma; verify-skill gotcha). Shared
+    with the operator layer as :func:`tsod_spark.util.round_half_away6`."""
+    from ..util import round_half_away6
+
+    return round_half_away6(col)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -196,6 +196,36 @@ def dedup_minhash_pairs_capped(spark, sf_dir):
     )
 
 
+def _cap_stats_sql(max_bucket: int = 2) -> str:
+    ctes, _ = _mh_pairs_parts()
+    drop = f"CASE WHEN bsz > {max_bucket} THEN bsz ELSE 0 END"
+    return f"""WITH {ctes},
+    pb AS (SELECT band, key, CAST(count(*) AS BIGINT) AS bsz
+           FROM bands GROUP BY band, key)
+    SELECT CAST(count(*) AS BIGINT) AS total_buckets,
+           CAST(sum(CASE WHEN bsz > {max_bucket} THEN 1 ELSE 0 END) AS BIGINT)
+               AS dropped_buckets,
+           CAST(sum(bsz) AS BIGINT) AS total_rows,
+           CAST(sum({drop}) AS BIGINT) AS dropped_rows,
+           round(CAST(sum({drop}) AS DOUBLE) / sum(bsz), 6) AS dropped_row_frac
+    FROM pb"""
+
+
+@register("dedup_cap_drop_stats", _cap_stats_sql())
+def dedup_cap_drop_stats(spark, sf_dir):
+    """Truncation observability for the hot-bucket guard — the "no
+    silent caps" metric: bucket/row counts the cap in
+    dedup_minhash_pairs_capped would drop (same band explode, same
+    cap=2, which TRIGGERS at sf0.01). At 100 TB this one-row aggregate
+    is what makes LSH recall loss visible in production instead of
+    only in tests; it is a map-side-combinable groupBy over the bucket
+    key, runnable alongside the capped join at marginal cost."""
+    sigs = dedup.minhash_signatures(table(spark, sf_dir, "documents"))
+    return dedup.hot_bucket_stats(
+        dedup.minhash_band_table(sigs), ["band", "key"], max_bucket=2
+    )
+
+
 def _mh_canonical_sql(k: int = 8, bands: int = 4) -> str:
     ctes, select = _mh_pairs_parts(k, bands)
     return f"""WITH RECURSIVE {ctes},

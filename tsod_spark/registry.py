@@ -151,7 +151,29 @@ R5_VERIFIED = frozenset({
     "ts_winsorize", "ts_zscore",
 })
 
+# Fully-green rows from CORRECTNESS_r06.json (driver sf0.01 oracle, 50/50).
+R6_VERIFIED = frozenset({
+    "customer_spend_quartiles", "customers_above_nation_avg",
+    "daily_orders_vs_purchases", "dedup_minhash_pairs_capped",
+    "dedup_simhash_pairs_capped", "dedup_winnow_overlap",
+    "doc_string_funcs", "doc_winnow_fingerprints", "emb_array_funcs",
+    "emb_diverse_sample", "emb_label_centroids", "events_conditional_aggs",
+    "events_cube", "events_daily_ohlc", "events_date_parts",
+    "events_grouping_sets", "events_latest_by_key", "events_range_join",
+    "events_running_total", "events_salted_join", "events_session_window",
+    "events_unpivot", "events_value_histogram", "nation_revenue_share",
+    "orders_monthly_momentum", "supplier_balance_rank",
+    "top_parts_per_brand", "tpch_q21", "ts_autocorr", "ts_combined",
+    "ts_constant_gradient", "ts_constant_value", "ts_cusum", "ts_diff",
+    "ts_diff_fit", "ts_diff_negative", "ts_diff_positive", "ts_ewma",
+    "ts_gradient", "ts_gradient_fit", "ts_hampel", "ts_iqr",
+    "ts_lag_features", "ts_range", "ts_range_low_only",
+    "ts_range_quantile", "ts_rolling_std", "ts_rolling_std_fit",
+    "users_error_or_signup", "users_purchase_and_error",
+})
+
 _ROUND_SETS = (
+    (6, R6_VERIFIED),
     (5, R5_VERIFIED),
     (4, R4_VERIFIED),
     (3, R3_VERIFIED),
@@ -159,11 +181,17 @@ _ROUND_SETS = (
     (1, R1_VERIFIED),
 )
 
-# Queries whose verdict must be (re-)earned first in r6: names whose
-# oracle or plan changed this round (hot-bucket caps for banded dedup
-# joins, if any semantics shift) plus brand-new registrations. Empty
-# entries are fine — tier 0 then just falls through to staleness.
-_R6_PRIORITY = ()
+# Queries whose verdict must be (re-)earned first in r7: names whose
+# plan or semantics changed this round (winnow containment now rounds
+# half-away via round_half_away6; the KMeans fit caches its lag matrix)
+# plus brand-new registrations (which are tier 0 anyway — listing them
+# is documentation). Empty entries are fine — tier 0 then just falls
+# through to staleness.
+_R6_PRIORITY = (
+    "dedup_cap_drop_stats",
+    "dedup_winnow_overlap",
+    "ts_mllib_kmeans",
+)
 
 
 def _latest_verified_round(n: str) -> int:

@@ -5,6 +5,7 @@ from .detect import (  # noqa: F401
     stream_detect_stateless,
     stream_rollup,
     stream_sessionize,
+    stream_winnow_overlap,
 )
 from .temporal import (  # noqa: F401
     stream_attribution_join,

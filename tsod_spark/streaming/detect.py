@@ -595,6 +595,100 @@ def stream_dedup_minhash(
     )
 
 
+def stream_winnow_overlap(
+    stream_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Online span-overlap screening over a document stream — the
+    streaming twin of :func:`tsod_spark.pipeline.dedup.
+    winnow_overlap_pairs`, in the incremental-dedup shape: "does this
+    incoming document share a span with anything already taken?"
+
+    Per-row winnowing fingerprints (:func:`tsod_spark.pipeline.text.
+    winnow_fingerprints` is pure per-row Column algebra — its barrier
+    explodes are stateless Generate nodes, so the batch plan streams
+    unchanged); a state operator keyed by ``fp`` remembers the FIRST
+    doc seen per fingerprint and emits ``(doc_id, fp, overlap_with)``
+    for every later arrival that collides. The MOSS guarantee carries
+    over: a new doc sharing a token run of >= ``window + k - 1`` with
+    any earlier doc collides on at least one fingerprint.
+
+    Aggregate downstream per ``(doc_id, overlap_with)`` and threshold
+    on the collision count for the batch operator's ``min_shared``
+    semantics (collision events keep this operator single-stateful —
+    chaining a second stateful aggregation inside one update-mode
+    query is the Structured Streaming restriction this shape avoids).
+
+    State is one doc id per distinct fingerprint ever seen;
+    ``idle_timeout`` bounds growth on unbounded streams (evicting a
+    fingerprint forgets overlaps against docs idle longer than the
+    timeout — the same horizon trade-off ``stream_dedup_exact``
+    documents for its watermark).
+    """
+    from pyspark.sql import functions as F
+
+    from ..pipeline.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(
+        stream_docs.select(F.col(id_col).alias("doc_id"), text_col),
+        text_col,
+        k,
+        window,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("fp", LongType()),
+            StructField("overlap_with", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("first_doc", LongType())])
+
+    def process(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        new = new.sort_values("doc_id", kind="mergesort")
+        if state.exists:
+            (first_doc,) = state.get
+        else:
+            first_doc = int(new["doc_id"].iloc[0])
+            state.update((first_doc,))
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        hits = new[new["doc_id"] != first_doc]
+        if len(hits):
+            yield pd.DataFrame(
+                {
+                    "doc_id": hits["doc_id"].astype("int64"),
+                    "fp": hits["fp"].astype("int64"),
+                    "overlap_with": first_doc,
+                }
+            )
+
+    return fps.groupBy("fp").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def stream_dedup_exact(
     stream_df: DataFrame,
     keys: Sequence[str] = ("event_id",),
