@@ -180,74 +180,81 @@ class RegressionResidualDetector(SparkDetector):
 
 
 class KMeansDistanceDetector(SparkDetector):
-    """Distance-to-nearest-centroid over lag-window vectors."""
+    """Distance-to-nearest-centroid over lag-window vectors.
+
+    Centroids train ON THE DRIVER from a bounded sample (4096 lag
+    windows, seeded vectorized-numpy Lloyd's — the PQ-codebook pattern,
+    :func:`tsod_spark.pipeline.similarity.pq_train`): centroids only
+    STEER scoring, while the novelty threshold below is the exact
+    ``quantile`` of the FULL distance distribution, so the flagged
+    fraction stays pinned at ~(1 - quantile) by construction no matter
+    how representative the sample is. The alternative — a distributed
+    MLlib fit — costs ~10 scheduler-bound jobs per fit (measured 3.5s
+    vs ~1s for the whole sf0.1 query) to compute k x T numbers.
+    Scoring is pure Column algebra (min distance over the broadcast
+    centroid matrix) — fully distributed, no Python in the hot path.
+    """
 
     def __init__(self, time_steps: int = 8, k: int = 8, quantile: float = 0.99):
         super().__init__()
         self._time_steps = time_steps
         self._k = k
         self._quantile = quantile
-        self._model = None
+        self._centers: list[list[float]] | None = None
         self._threshold = None
 
     def fit(self, data):
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import vector_to_array
+        import numpy as np
 
         tsf = as_tsf(data)
-        # cache across the Lloyd iterations: KMeans re-scans its input
-        # once per round, and uncached that re-executes the whole
-        # lag-window pipeline (sort + collect over the events scan)
-        # 10x — the dominant cost of fit, not the centroid math
-        train = _lag_matrix(tsf, self._time_steps).cache()
-        try:
-            # novelty thresholding only needs stable centroids, not full
-            # convergence — 10 rounds halves the fit's shuffle count
-            km = KMeans(
-                featuresCol="features_vec", k=self._k, seed=42, maxIter=10
-            )
-            self._model = km.fit(train)
-            # the threshold is the exact quantile over the FULL distance
-            # distribution (centroids only steer scoring), so the flagged
-            # fraction stays pinned at ~(1 - quantile) by construction
-            scored = self._model.transform(train)
-            dist = self._distance_col(scored)
-            self._threshold = scored.withColumn("__d", dist).agg(
-                F.percentile(F.col("__d"), F.lit(self._quantile)).alias("q")
-            ).first()["q"]
-        finally:
-            train.unpersist()
+        train = create_dataset(tsf, time_steps=self._time_steps)
+        rows = train.select("features").limit(4096).collect()
+        X = np.asarray([[float(v) for v in r[0]] for r in rows])
+        rng = np.random.default_rng(42)
+        k = min(self._k, len(X))
+        cents = X[rng.choice(len(X), k, replace=False)].copy()
+        for _ in range(10):
+            d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = X[mask].mean(axis=0)
+        self._centers = [[float(x) for x in c] for c in cents]
+        # exact quantile over the FULL distance distribution — one
+        # distributed pass; this is what pins the flagged fraction
+        self._threshold = train.agg(
+            F.percentile(self._distance_col(), F.lit(self._quantile)).alias("q")
+        ).first()["q"]
         return self
 
-    def _distance_col(self, scored):
-        from pyspark.ml.functions import vector_to_array
-
-        centers = self._model.clusterCenters()
+    def _distance_col(self):
         centers_arr = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in self._centers]
         )
-        own = F.element_at(centers_arr, F.col("prediction") + 1)
-        vec = vector_to_array("features_vec")
-        return F.sqrt(
-            F.aggregate(
-                F.zip_with(vec, own, lambda a, b: (a - b) * (a - b)),
+        vec = F.col("features")
+        d2 = F.transform(
+            centers_arr,
+            lambda ctr: F.aggregate(
+                F.zip_with(vec, ctr, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
-            )
+            ),
         )
+        return F.sqrt(F.array_min(d2))
 
     def _attach(self, tsf, out_col: str):
         raise NotImplementedError("use detect()")
 
     def detect(self, data, out_col: str = "is_anomaly") -> DataFrame:
-        if self._model is None or self._threshold is None:
+        if self._centers is None or self._threshold is None:
             from ..exceptions import NotFittedError
 
             raise NotFittedError("detect")
         tsf = as_tsf(data)
-        scored = self._model.transform(_lag_matrix(tsf, self._time_steps))
+        scored = create_dataset(tsf, time_steps=self._time_steps)
         out = scored.withColumn(
             out_col,
-            F.coalesce(self._distance_col(scored) > float(self._threshold), F.lit(False)),
+            F.coalesce(self._distance_col() > float(self._threshold), F.lit(False)),
         )
-        return out.drop("features", "features_vec", "y", "prediction")
+        return out.drop("features", "y")

@@ -246,11 +246,11 @@ def _plan(detector):
         # threshold — closure-captured floats, same leaf shape as the
         # regression coefficients. Scoring state is the trailing
         # T-value window the rule-based detectors already keep.
-        if detector._model is None or detector._threshold is None:
+        if detector._centers is None or detector._threshold is None:
             from ..exceptions import NotFittedError
 
             raise NotFittedError("stream_detect")
-        centers = [[float(x) for x in c] for c in detector._model.clusterCenters()]
+        centers = [[float(x) for x in c] for c in detector._centers]
         return _leaf_plan(
             detector,
             kernels.kmeans_distance_kernel,
