@@ -98,6 +98,7 @@ HEADLINE = [
     "events_salted_join",
     "dedup_minhash_pairs_capped",
     "dedup_cap_drop_stats",
+    "doc_winnow_screen",
 ]
 
 

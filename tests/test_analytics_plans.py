@@ -255,6 +255,27 @@ def test_incremental_dedup_corpus_text_never_shuffles(t):
     df.sparkSession.catalog.clearCache()
 
 
+def test_winnow_screen_corpus_text_never_shuffles(t):
+    """Span-screening ingest shares the incremental-dedup scale
+    contract: corpus fingerprints are per-row Column algebra and the
+    batch fingerprint table is broadcast, so NO exchange (and no
+    broadcast) may carry any text column — only slim (doc_id, fp)
+    collision aggregates move."""
+    from tsod_spark.pipeline import dedup
+
+    docs = t("documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    df = dedup.winnow_screen_new_docs(corpus, batch)
+    p = plan(df)
+    for block in re.split(r"\n\(\d+\) ", p):
+        head, *rest = block.split("\n")
+        body = "\n".join(rest)
+        if head.startswith(("Exchange", "BroadcastExchange")):
+            assert "text#" not in body, head
+    df.sparkSession.catalog.clearCache()
+
+
 def test_rowwise_signatures_match_groupby_signatures(t):
     """minhash_signatures_rowwise (zero-shuffle fold) must produce
     bit-identical component minima to the explode->groupBy path, and

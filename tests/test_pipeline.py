@@ -1373,6 +1373,35 @@ def test_winnow_overlap_cap_below_threshold_is_noop(spark, docs):
     assert capped == un and len(un) > 0
 
 
+def test_winnow_screen_drops_span_carrier_keeps_clean(spark, docs):
+    """Continuous-ingest span screening: a batch doc that lifts a
+    >= 8-token span from a corpus doc is rejected; a batch doc with
+    fresh content survives; an intra-batch later copy of an earlier
+    batch doc's span is rejected too."""
+    corpus = docs.where(F.col("doc_id") < 40)
+    span_src = " ".join(
+        docs.where(F.col("doc_id") == 0).select("text").collect()[0][0].split()[:12]
+    )
+    extra = spark.createDataFrame(
+        [
+            (1001, span_src + " completely new trailing content here", "en", "t", 10),
+            (1002, "fresh unrelated totally novel wording all the way through ok", "en", "t", 10),
+            (1003, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "t", 10),
+            (1004, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "t", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    survivors = {
+        r.doc_id
+        for r in dedup.winnow_screen_new_docs(corpus, extra).collect()
+    }
+    spark.catalog.clearCache()
+    assert 1001 not in survivors, "span lifted from corpus must be screened"
+    assert 1002 in survivors, "fresh doc must survive"
+    assert 1003 in survivors, "earlier batch doc wins"
+    assert 1004 not in survivors, "later intra-batch span copy is screened"
+
+
 # ---- winnowing fingerprints -------------------------------------------
 
 

@@ -1102,3 +1102,65 @@ def incremental_new_docs(
         .distinct()
     )
     return batch.join(F.broadcast(hits), "doc_id", "left_anti")
+
+
+def winnow_screen_new_docs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Continuous-ingest SPAN screening: which docs of a new batch may
+    be appended to a standing corpus, where a batch doc is dropped if
+    it shares >= ``min_shared`` winnowing fingerprints with ANY corpus
+    doc or any EARLIER batch doc (lower doc_id) — the partial-overlap
+    complement of :func:`incremental_new_docs`, which screens
+    whole-document near-duplicates. A quote or boilerplate span of
+    >= ``window + k - 1`` tokens lifted from a corpus doc collides by
+    the MOSS guarantee even when the rest of the document is new.
+
+    Scale shape (the :func:`incremental_new_docs` contract): corpus
+    fingerprints are pure per-row Column algebra
+    (:func:`tsod_spark.pipeline.text.winnow_fingerprints` — zero
+    shuffle), and the batch fingerprint table is tiny and BROADCAST,
+    so the corpus side never exchanges: the whole corpus leg is one
+    scan -> fingerprint projection -> broadcast-hash semi-computation.
+    Only per-(corpus_doc, batch_doc) collision counts aggregate, and
+    those are bounded by the batch's fingerprint set. The streaming
+    twin is :func:`tsod_spark.streaming.stream_winnow_overlap`.
+    """
+    from .text import winnow_fingerprints
+
+    bfp = winnow_fingerprints(batch, text_col, k, window).cache()
+    cfp = winnow_fingerprints(corpus, text_col, k, window)
+
+    hits_corpus = (
+        cfp.alias("c")
+        .join(F.broadcast(bfp.alias("b")), F.col("c.fp") == F.col("b.fp"))
+        .groupBy(
+            F.col("c.doc_id").alias("corpus_doc"),
+            F.col("b.doc_id").alias("doc_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .where(F.col("__shared") >= min_shared)
+        .select("doc_id")
+    )
+    a, b = bfp.alias("a"), bfp.alias("b")
+    hits_intra = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("earlier"),
+            F.col("b.doc_id").alias("doc_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .where(F.col("__shared") >= min_shared)
+        .select("doc_id")
+    )
+    hits = hits_corpus.unionByName(hits_intra).distinct()
+    return batch.join(F.broadcast(hits), "doc_id", "left_anti")

@@ -439,9 +439,10 @@ def dedup_jaccard_topk(spark, sf_dir):
 
 
 
-@register(
-    "dedup_winnow_overlap",
-    f"""WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+# winnowing fingerprint CTE chain: tokens -> positional 5-gram hashes
+# (md5-prefix int) -> window-4 minima, distinct — ends with
+# ``e(doc_id, fp)``; mirrors text.winnow_fingerprints exactly
+WINNOW_E_CTE = f"""t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
     g AS (SELECT doc_id,
             list_transform(range(1, len(toks) - 3),
                            i -> array_to_string(list_slice(toks, i, i + 4), ' '))
@@ -455,19 +456,36 @@ def dedup_jaccard_topk(spark, sf_dir):
             list_distinct(list_transform(range(1, len(hs) - 2),
                           j -> list_min(list_slice(hs, j, j + 3)))) AS fps
           FROM h),
-    e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM f)"""
+
+
+def _winnow_overlap_sql(max_bucket: int | None = None) -> str:
+    """Overlap-pair oracle; ``max_bucket`` mirrors cap_hot_buckets on
+    the fp key. n_fp (the containment denominator) is computed over the
+    UNCAPPED fingerprint set, exactly like the engine."""
+    cap_cte = ""
+    joined = "sized"
+    if max_bucket is not None:
+        joined = "capped"
+        cap_cte = f""",
+    capped AS (SELECT doc_id, fp, n_fp FROM (
+        SELECT *, count(*) OVER (PARTITION BY fp) AS bsz FROM sized)
+      WHERE bsz <= {max_bucket})"""
+    return f"""WITH {WINNOW_E_CTE},
     sized AS (SELECT doc_id, fp,
                      CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_fp
-              FROM e)
+              FROM e){cap_cte}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(*) AS BIGINT) AS shared_fps,
            round(CAST(count(*) AS DOUBLE) / least(a.n_fp, b.n_fp), 6)
              AS containment
-    FROM sized a JOIN sized b
+    FROM {joined} a JOIN {joined} b
       ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id, a.n_fp, b.n_fp
-    HAVING count(*) >= 2""",
-)
+    HAVING count(*) >= 2"""
+
+
+@register("dedup_winnow_overlap", _winnow_overlap_sql())
 def dedup_winnow_overlap(spark, sf_dir):
     """Partial-overlap (plagiarism-style) detection: pairs sharing >= 2
     winnowing fingerprints, with shared count and containment ratio
@@ -477,3 +495,50 @@ def dedup_winnow_overlap(spark, sf_dir):
     generator is the same bucketed equi-join shape as the LSH families
     and accepts the same hot-bucket cap (dedup.cap_hot_buckets)."""
     return dedup.winnow_overlap_pairs(table(spark, sf_dir, "documents"))
+
+
+@register("dedup_winnow_overlap_capped", _winnow_overlap_sql(max_bucket=2))
+def dedup_winnow_overlap_capped(spark, sf_dir):
+    """Winnow overlap pairs with the hot-bucket guard ACTIVE —
+    completes the capped family (minhash/simhash twins above): whole
+    fingerprint buckets above the cap are dropped before the
+    self-join, while containment denominators stay computed over the
+    UNCAPPED per-doc fingerprint sets. The cap (2) TRIGGERS at sf0.01
+    (28 fp-buckets of size 3 exist; 25 uncapped pairs -> 22 capped) so
+    the driver verifies the truncation semantics, not a no-op."""
+    return dedup.winnow_overlap_pairs(
+        table(spark, sf_dir, "documents"), max_bucket=2
+    )
+
+
+def _winnow_screen_sql(min_shared: int = 2) -> str:
+    return f"""WITH {WINNOW_E_CTE},
+    bf AS (SELECT * FROM e WHERE doc_id % 20 = 0),
+    cf AS (SELECT * FROM e WHERE doc_id % 20 <> 0),
+    hits AS (
+      SELECT b.doc_id FROM cf c JOIN bf b ON c.fp = b.fp
+      GROUP BY c.doc_id, b.doc_id HAVING count(*) >= {min_shared}
+      UNION
+      SELECT b.doc_id FROM bf a JOIN bf b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= {min_shared})
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.doc_id % 20 = 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM hits)"""
+
+
+@register("doc_winnow_screen", _winnow_screen_sql())
+def doc_winnow_screen(spark, sf_dir):
+    """Continuous-ingest SPAN screening (batch = every 20th doc,
+    corpus = the rest): survivors are batch docs sharing >= 2 winnowing
+    fingerprints with NO corpus doc and no earlier batch doc — the
+    partial-overlap complement of dedup_incremental (which screens
+    whole-document near-dups; a lifted >= 8-token span collides here
+    even when the rest of the document is new). Corpus side: per-row
+    Column-algebra fingerprints, batch fingerprints broadcast — the
+    corpus text never shuffles. Streaming twin:
+    streaming.stream_winnow_overlap."""
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return dedup.winnow_screen_new_docs(corpus, batch).select("doc_id", "source")

@@ -190,6 +190,8 @@ _ROUND_SETS = (
 _R6_PRIORITY = (
     "dedup_cap_drop_stats",
     "dedup_winnow_overlap",
+    "dedup_winnow_overlap_capped",
+    "doc_winnow_screen",
     "ts_mllib_kmeans",
 )
 
