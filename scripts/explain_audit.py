@@ -45,6 +45,11 @@ ALLOW_NLJ = {
     "emb_pq_topk",       # broadcast single query vector + 1-row
                          # recall-certificate crossJoin
     "emb_ivfpq_topk",    # same certificate shape as emb_pq_topk
+    "events_hll_overlap",  # broadcast self-pairing of the per-GROUP
+                         # HLL sketch table (#event_types rows, ~5) —
+                         # the pair matrix is quadratic in groups,
+                         # never in the fact table (doc_vocab_overlap
+                         # shape)
 }
 # mapInPandas is the designed path here, not an accident; ts_ewma is a
 # sequential recurrence (no Spark scan/fold builtin) running pandas'

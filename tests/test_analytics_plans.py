@@ -255,6 +255,34 @@ def test_incremental_dedup_corpus_text_never_shuffles(t):
     df.sparkSession.catalog.clearCache()
 
 
+def test_kll_quantiles_single_scan_single_aggregate(t):
+    """The KLL certificate query must stay ONE pass: sketch + exact
+    percentiles + band bounds all ride the same groupBy aggregate —
+    one events scan, no join, no second aggregation of the fact."""
+    from tsod_spark.analytics import sketches
+
+    p = plan(sketches.kll_quantiles(t("events")))
+    assert p.count("events.parquet") == 1
+    assert len(re.findall(r"\(\d+\) \w*Join", p)) == 0
+
+
+def test_hll_overlap_sketches_built_in_one_fact_scan(t):
+    """The sketch leg of the overlap query must build every per-group
+    HLL in ONE events scan; the only other fact scan is the exact
+    certificate leg (test-scale only). The pair matrix joins the tiny
+    per-group sketch table, never the fact."""
+    from tsod_spark.analytics import sketches
+
+    df = sketches.hll_audience_overlap(t("events"))
+    p = plan(df)
+    # sketch leg + exact-certificate leg, each cached once: both pair
+    # self-joins read InMemoryTableScans, so exactly TWO fact scans
+    # survive (and the production sketch-only leg is one)
+    assert p.count("events.parquet") == 2
+    assert p.count("InMemoryTableScan") >= 3
+    df.sparkSession.catalog.clearCache()
+
+
 def test_winnow_screen_corpus_text_never_shuffles(t):
     """Span-screening ingest shares the incremental-dedup scale
     contract: corpus fingerprints are per-row Column algebra and the

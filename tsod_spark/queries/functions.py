@@ -179,6 +179,58 @@ def events_distinct_users_approx(spark, sf_dir):
 
 
 @register(
+    "events_kll_quantiles",
+    f"""{E_CTE}
+    SELECT event_type,
+           round(quantile_cont(v, 0.50), 6) AS exact_p50,
+           TRUE AS kll_p50_in_band,
+           round(quantile_cont(v, 0.95), 6) AS exact_p95,
+           TRUE AS kll_p95_in_band,
+           round(quantile_cont(v, 0.99), 6) AS exact_p99,
+           TRUE AS kll_p99_in_band
+    FROM e GROUP BY event_type ORDER BY event_type""",
+)
+def events_kll_quantiles(spark, sf_dir):
+    """Per-group quantiles from a mergeable Datasketches KLL sketch —
+    the single-pass quantile path at 100 TB (one map-side-combinable
+    aggregate with O(k) state per group vs the exact percentile's
+    per-group sort). Certificate scheme: the sketch estimate for rank
+    p must land inside the exact [p-0.05, p+0.05] quantile band,
+    computed in the SAME aggregate — the exact columns and the
+    in-band booleans are what the oracle reproduces. KLL k=200 bounds
+    rank error at ~1.65%, so the certificate is effectively
+    deterministic."""
+    from ..analytics import sketches
+
+    return sketches.kll_quantiles(events_tsf(spark, sf_dir).df)
+
+
+@register(
+    "events_hll_overlap",
+    """WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS exact_overlap,
+           TRUE AS overlap_within_tol
+    FROM d a JOIN d b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    ORDER BY type_a, type_b""",
+)
+def events_hll_overlap(spark, sf_dir):
+    """Pairwise audience overlap (distinct users present in BOTH event
+    types) for every unordered type pair, estimated via HLL-sketch
+    inclusion-exclusion (est(A) + est(B) - est(A∪B), hll_union on
+    mergeable per-group sketches built in ONE fact scan) and certified
+    against the exact intersection — the set-INTERSECTION query plain
+    approx_count_distinct cannot answer. At test-scale cardinalities
+    the sketches run in sparse (exact) mode so the certificate is
+    deterministic; at 100 TB only the sketch leg runs."""
+    from ..analytics import sketches
+
+    return sketches.hll_audience_overlap(table(spark, sf_dir, "events"))
+
+
+@register(
     "events_session_window",
     f"""WITH g AS (
       SELECT user_id, ts,

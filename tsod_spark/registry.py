@@ -192,6 +192,8 @@ _R6_PRIORITY = (
     "dedup_winnow_overlap",
     "dedup_winnow_overlap_capped",
     "doc_winnow_screen",
+    "events_kll_quantiles",
+    "events_hll_overlap",
     "ts_mllib_kmeans",
 )
 
