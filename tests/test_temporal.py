@@ -332,3 +332,52 @@ def test_benchmark_corr_bounds(spark):
     for r in out:
         if r["benchmark_corr"] is not None:
             assert -1.0 <= r["benchmark_corr"] <= 1.0
+
+
+def test_changepoint_localizes_planted_mean_shift(spark):
+    """A series of 40 values at 10.0 then 30 at 25.0 must put the
+    changepoint exactly after row 40, with the pre/post means exact;
+    a constant series has a well-defined (degenerate) argmax but a
+    zero-shift gstat of 0."""
+    import datetime as dtm
+
+    from tsod_spark.analytics.temporal import changepoint_mean_shift
+
+    rows = []
+    for i in range(70):
+        val = 10.0 if i < 40 else 25.0
+        rows.append((1, i, dtm.datetime(2024, 1, 1) + dtm.timedelta(hours=i), val))
+        rows.append((2, i, dtm.datetime(2024, 1, 1) + dtm.timedelta(hours=i), 7.0))
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"
+    )
+    out = {r.user_id: r for r in changepoint_mean_shift(df).collect()}
+    cp = out[1]
+    assert cp.k_pre == 40 and cp.n_rows == 70
+    assert cp.pre_mean == 10.0 and cp.post_mean == 25.0
+    assert cp.gstat > 0
+    assert out[2].gstat == 0  # constant series: no shift signal
+
+
+def test_changepoint_ignores_null_rows_and_single_row_series(spark):
+    """NULL values carry no level information (dropped before
+    positions are assigned); a 1-observation series emits nothing."""
+    import datetime as dtm
+
+    from tsod_spark.analytics.temporal import changepoint_mean_shift
+
+    base = dtm.datetime(2024, 1, 1)
+    rows = [
+        (1, 0, base, 10.0),
+        (1, 1, base + dtm.timedelta(hours=1), None),
+        (1, 2, base + dtm.timedelta(hours=2), 10.0),
+        (1, 3, base + dtm.timedelta(hours=3), 50.0),
+        (2, 0, base, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"
+    )
+    out = {r.user_id: r for r in changepoint_mean_shift(df).collect()}
+    assert out[1].n_rows == 3  # NULL row not counted
+    assert out[1].k_pre == 2 and out[1].post_mean == 50.0
+    assert 2 not in out  # single-observation series emits nothing

@@ -1104,3 +1104,72 @@ def lagged_cross_correlation(
         n.alias("n_buckets"),
         F.when(den > 0, F.round(num / den, 6)).alias("ccf"),
     )
+
+
+def changepoint_mean_shift(
+    df: DataFrame,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Single mean-shift changepoint per series via the exact CUSUM
+    argmax estimator: the changepoint after position ``k`` maximizes
+    ``G_k = |n*S_k - k*S_n|`` (the scaled deviation of the prefix sum
+    from the global trend line), the classical AMOC estimator for a
+    mean shift. Where :func:`tsod_spark.queries.functions.ts_cusum`
+    DETECTS drift (threshold excursion), this LOCALIZES it — the row
+    after which the level changed, with pre/post means and the shift.
+
+    Exactness: values accumulate as integer cents (longs), the
+    statistic is pure int64 (``n*S_k`` at n=10^6 rows of ~150.00
+    values stays under 2^62), and the argmax tie-breaks on smallest k
+    — so the selected row is bit-identical in any engine, no float
+    accumulation-order hazard (the ts_cusum / ts_esd discipline).
+
+    Scale shape: three window passes over ONE series-partitioned
+    shuffle (prefix sums, per-series totals, argmax rank) — no join,
+    no iteration; a million series cost one exchange. NULL/NaN rows
+    are dropped before positions are assigned (they carry no level
+    information). Series with fewer than 2 observations emit nothing.
+    Binary segmentation at depth d = d recursive applications on the
+    emitted sub-segments; depth 1 is registered as the oracle query.
+    """
+    sl = [F.col(c) for c in series]
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    v = F.col(value_col)
+    f = df.where(~F.isnan(v) & v.isNotNull()).select(
+        *series, ts_col, *tiebreak, F.round(v * 100).cast("long").alias("__c")
+    )
+    w = Window.partitionBy(*sl).orderBy(*order)
+    wall = Window.partitionBy(*sl)
+    p = f.select(
+        *series,
+        ts_col,
+        F.row_number().over(w).alias("__k"),
+        F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__sk"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+        F.sum("__c").over(wall).alias("__sn"),
+    )
+    g = p.where(F.col("__k") < F.col("__n")).withColumn(
+        "__g", F.abs(F.col("__n") * F.col("__sk") - F.col("__k") * F.col("__sn"))
+    )
+    from ..util import round_half_away6
+
+    r = g.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(*sl).orderBy(F.col("__g").desc(), F.col("__k"))
+        ),
+    ).where(F.col("__rn") == 1)
+    return r.select(
+        *series,
+        F.col(ts_col).alias("cp_ts"),
+        F.col("__k").cast("long").alias("k_pre"),
+        F.col("__n").cast("long").alias("n_rows"),
+        F.col("__g").cast("long").alias("gstat"),
+        round_half_away6(F.col("__sk") / (100.0 * F.col("__k"))).alias("pre_mean"),
+        round_half_away6(
+            (F.col("__sn") - F.col("__sk")) / (100.0 * (F.col("__n") - F.col("__k")))
+        ).alias("post_mean"),
+    )

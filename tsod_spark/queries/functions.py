@@ -663,6 +663,40 @@ def ts_cusum(spark, sf_dir):
 
 
 @register(
+    "ts_changepoint",
+    f"""{E_CTE},
+    f AS (SELECT user_id, ts, event_id, CAST(round(v * 100) AS BIGINT) AS c
+          FROM e WHERE v IS NOT NULL),
+    p AS (SELECT user_id, ts,
+            row_number() OVER ({W}) AS k,
+            sum(c) OVER ({W} ROWS UNBOUNDED PRECEDING) AS sk,
+            count(*) OVER (PARTITION BY user_id) AS n,
+            sum(c) OVER (PARTITION BY user_id) AS sn
+          FROM f),
+    g AS (SELECT *, abs(n * sk - k * sn) AS gstat FROM p WHERE k < n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY gstat DESC, k) AS rn FROM g)
+    SELECT user_id, ts AS cp_ts,
+           CAST(k AS BIGINT) AS k_pre, CAST(n AS BIGINT) AS n_rows,
+           CAST(gstat AS BIGINT) AS gstat,
+           round(sk / (100.0 * k), 6) AS pre_mean,
+           round((sn - sk) / (100.0 * (n - k)), 6) AS post_mean
+    FROM r WHERE rn = 1""",
+)
+def ts_changepoint(spark, sf_dir):
+    """Mean-shift changepoint LOCALIZATION per series (exact CUSUM
+    argmax / AMOC estimator): the row maximizing |n*S_k - k*S_n| over
+    integer-cent prefix sums, with pre/post means. Complements
+    ts_cusum (which detects threshold excursions, this one points at
+    WHERE the level changed). Pure int64 statistic + smallest-k
+    tie-break => the selected row is bit-identical in any engine;
+    three windows over one series-partitioned shuffle, no join."""
+    from ..analytics import temporal
+
+    return temporal.changepoint_mean_shift(table(spark, sf_dir, "events"))
+
+
+@register(
     "emb_label_centroids",
     f"""WITH u AS (
       SELECT label, CAST(round(unnest({EMB_D}) * 1000000) AS BIGINT) AS xm,

@@ -194,6 +194,7 @@ _R6_PRIORITY = (
     "doc_winnow_screen",
     "events_kll_quantiles",
     "events_hll_overlap",
+    "ts_changepoint",
     "ts_mllib_kmeans",
 )
 
