@@ -1057,3 +1057,37 @@ def test_stream_time_weighted_avg_matches_batch(spark, events_batches):
     }
     assert len(expected) > 50
     assert got == expected
+
+
+def test_stream_cusum_matches_batch(spark, events_batches):
+    """The CUSUM running sum continues exactly across micro-batch
+    boundaries: state is one int64. Every row's flag must equal the
+    batch ts_cusum query's flag for the same event."""
+    from tsod_spark.streaming import stream_cusum
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_cusum(src, target=150.0, h=5000.0, series=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: r["is_anomaly"]
+        for r in spark.sql("SELECT event_id, is_anomaly FROM cusum_stream").collect()
+    }
+    expected = {
+        r["event_id"]: r["is_anomaly"]
+        for r in registry.QUERIES["ts_cusum"](spark, SF).collect()
+    }
+    assert len(got) == len(expected) == 1000
+    mism = [(k, got[k], expected[k]) for k in expected if got[k] != expected[k]]
+    assert not mism, f"{len(mism)} mismatches, first: {mism[:3]}"

@@ -23,6 +23,11 @@ interval join whose time bound is the state-retention contract):
   consumed ONCE no matter how many levels, mirroring the batch
   one-scan property.
 
+- :func:`stream_cusum` — Page's-test drift detection. State per series
+  is ONE int64 (the exact integer-cent running sum), so the excursion
+  continues bit-identically across micro-batches; every arriving row
+  emits its flag (batch twin: the ``ts_cusum`` registry query).
+
 - :func:`stream_time_weighted_avg` — irregular-sampling TWA. State per
   series is the open bucket's exact integer accumulators + the last
   observation; buckets close (and emit once, append-style) when a
@@ -686,4 +691,115 @@ def stream_time_weighted_avg(
         F.timestamp_micros(F.col("bucket_micros")).alias("bucket"),
         "n_events",
         F.round(twa, 6).alias("time_weighted_avg"),
+    )
+
+
+def stream_cusum(
+    stream_df: DataFrame,
+    target: float = 150.0,
+    h: float = 5000.0,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming CUSUM drift detector — the twin of the batch
+    ``ts_cusum`` query (Page's test without reset): per-series running
+    sum of integer-cent deviations from ``target``, every arriving row
+    flagged when the excursion exceeds ``h``.
+
+    State per series is ONE int64 (the running sum, exact — no float
+    accumulation drift across micro-batches, the ts_cusum discipline)
+    plus a seen-any-observation bit and the (ts, tiebreak) cursor.
+    Null/NaN rows contribute nothing but still emit (flagged by the
+    current excursion, exactly like the batch window sum); rows before
+    the first observation emit False (the batch NULL-sum coalesce).
+    Rows at or behind the cursor are dropped — bound disorder upstream
+    with ``withWatermark`` (the stream_detect contract).
+    """
+    import numpy as np
+
+    series = list(series)
+    target_c = int(round(target * 100))
+    h_c = int(round(h * 100))
+    key_fields = [stream_df.schema[c] for c in series]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField(tiebreak, stream_df.schema[tiebreak].dataType),
+            StructField("ts", stream_df.schema[ts_col].dataType),
+            StructField("is_anomaly", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("s", LongType()),
+            StructField("seen", BooleanType()),
+            StructField("cur_ts", LongType()),
+            StructField("cur_tb", LongType()),
+        ]
+    )
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        new = new.sort_values([ts_col, tiebreak], kind="mergesort")
+        if state.exists:
+            s, seen, cur_ts, cur_tb = state.get
+        else:
+            s, seen, cur_ts, cur_tb = 0, False, None, None
+
+        new_ts = pd.to_datetime(new[ts_col]).astype("int64") // 1000
+        new_tb = new[tiebreak].astype("int64")
+        if cur_ts is not None:
+            ok = (new_ts > cur_ts) | ((new_ts == cur_ts) & (new_tb > cur_tb))
+            if not ok.all():
+                new = new[ok.to_numpy()]
+                new_ts, new_tb = new_ts[ok], new_tb[ok]
+            if len(new) == 0:
+                if idle_timeout is not None:
+                    state.setTimeoutDuration(idle_timeout)
+                return
+
+        v = new[value_col].astype(float).to_numpy()
+        obs = ~np.isnan(v)
+        # integer cents, rounded half-away-from-zero (Spark F.round's
+        # HALF_UP on the value's decimal repr) — the running sum stays
+        # exact int64 across any number of micro-batches
+        cents = np.zeros(len(v), dtype="int64")
+        av = np.abs(v[obs]) * 100
+        cents[obs] = (np.sign(v[obs]) * np.floor(av + 0.5)).astype("int64") - target_c
+        run = cents.cumsum() + s
+        seen_mask = (obs.cumsum() > 0) | seen
+        flags = seen_mask & (np.abs(run) > h_c)
+
+        state.update(
+            (int(run[-1]), bool(seen or obs.any()), int(new_ts.iloc[-1]), int(new_tb.iloc[-1]))
+        )
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        yield pd.DataFrame(
+            {
+                **{c: key[i] for i, c in enumerate(series)},
+                tiebreak: new[tiebreak].to_numpy(),
+                "ts": new[ts_col].to_numpy(),
+                "is_anomaly": flags,
+            }
+        )
+
+    return stream_df.groupBy(*series).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
