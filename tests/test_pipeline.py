@@ -1482,3 +1482,54 @@ def test_diverse_sample_exact_budget_and_proportional(spark, embeddings):
     for b, s in sizes.items():
         base = (n * s) // total
         assert base <= got.get(b, 0) <= base + 1, (b, s, got.get(b, 0))
+
+
+# ---- persisted LSH ingest index ---------------------------------------
+
+
+def test_indexed_incremental_matches_self_contained(spark, docs, tmp_path):
+    """The persisted-index screen must accept exactly the docs the
+    self-contained incremental_new_docs accepts, after a parquet
+    round-trip of the index (the production tick: read index, screen
+    batch, append accepted docs' index rows)."""
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    batch = docs.where(F.col("doc_id") % 20 == 0)
+
+    expected = {
+        r.doc_id for r in dedup.incremental_new_docs(corpus, batch).collect()
+    }
+    spark.catalog.clearCache()
+
+    path = str(tmp_path / "corpus_index")
+    dedup.build_corpus_index(corpus).write.mode("overwrite").parquet(path)
+    index = spark.read.parquet(path)
+    accepted = dedup.incremental_new_docs_indexed(index, batch)
+    got = {r.doc_id for r in accepted.collect()}
+    assert got == expected and len(got) > 0
+    spark.catalog.clearCache()
+
+    # maintenance: append the accepted docs' own index rows; the next
+    # tick's index must now reject a re-submission of an accepted doc
+    dedup.build_corpus_index(accepted).write.mode("append").parquet(path)
+    index2 = spark.read.parquet(path)
+    some_accepted = sorted(got)[0]
+    resubmit = docs.where(F.col("doc_id") == some_accepted).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    survivors = dedup.incremental_new_docs_indexed(index2, resubmit).count()
+    assert survivors == 0
+    spark.catalog.clearCache()
+
+
+def test_corpus_index_has_no_text_and_bounded_width(spark, docs):
+    """The index carries signatures/keys/hashes only — never text —
+    and exactly `bands` rows per doc."""
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    idx = dedup.build_corpus_index(corpus)
+    assert "text" not in idx.columns
+    per_doc = idx.groupBy("doc_id").count().agg(
+        F.min("count").alias("lo"), F.max("count").alias("hi")
+    ).collect()[0]
+    assert per_doc.lo == per_doc.hi == 4
+    spark.catalog.clearCache()

@@ -381,3 +381,33 @@ def test_changepoint_ignores_null_rows_and_single_row_series(spark):
     assert out[1].n_rows == 3  # NULL row not counted
     assert out[1].k_pre == 2 and out[1].post_mean == 50.0
     assert 2 not in out  # single-observation series emits nothing
+
+
+def test_binseg_recovers_two_planted_shifts(spark):
+    """Three-level series (30x10.0, 30x25.0, 30x40.0): level 1 finds
+    one of the two true breaks; level 2 finds the other inside the
+    longer segment. Both true breakpoints (k=30 and k=60) must appear
+    among the emitted global positions with correct segment-local
+    means."""
+    import datetime as dtm
+
+    from tsod_spark.analytics.temporal import changepoint_binseg
+
+    rows = []
+    for i in range(90):
+        val = 10.0 if i < 30 else (25.0 if i < 60 else 40.0)
+        rows.append((1, i, dtm.datetime(2024, 1, 1) + dtm.timedelta(hours=i), val))
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"
+    )
+    out = changepoint_binseg(df, depth=2).collect()
+    spark.catalog.clearCache()
+    found = {r.k_pre for r in out}
+    assert {30, 60} <= found, found
+    by_k = {r.k_pre: r for r in out}
+    # whichever level found k=30, its segment-local means are exact
+    assert by_k[30].pre_mean == 10.0
+    assert by_k[60].post_mean == 40.0
+    # level-1 rows cover the full series; level-2 rows are sub-segments
+    levels = {r.level for r in out}
+    assert levels == {1, 2}

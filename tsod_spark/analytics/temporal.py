@@ -1173,3 +1173,120 @@ def changepoint_mean_shift(
             (F.col("__sn") - F.col("__sk")) / (100.0 * (F.col("__n") - F.col("__k")))
         ).alias("post_mean"),
     )
+
+
+def changepoint_binseg(
+    df: DataFrame,
+    depth: int = 2,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Binary-segmentation changepoints: recursively apply the AMOC
+    argmax (:func:`changepoint_mean_shift`) to the sub-segments left
+    and right of each found changepoint, ``depth`` levels deep — up to
+    ``2^depth - 1`` changepoints per series.
+
+    Declarative recursion, not iteration over data: the integer-cent
+    prefix sums ``(k, S_k, n, S_n)`` are computed ONCE (one
+    series-partitioned window pass, cached); every deeper level is a
+    slim equi-join of that frame against the previous level's segment
+    bounds, because a segment's local statistic needs only global
+    prefix sums at its endpoints: ``S_local = S_k - S_lo``,
+    ``n_local = hi - lo``. No re-sort, no re-scan — depth d costs d
+    joins over an already-partitioned cached frame.
+
+    Same exactness contract as the single-changepoint operator: pure
+    int64 statistic, smallest-k tie-break, NULL rows dropped before
+    positions. Segments shorter than 2 observations stop splitting.
+    Emits (series, level, seg_lo, seg_hi, cp_ts, k_pre, gstat,
+    pre_mean, post_mean) with k positions GLOBAL to the series.
+    """
+    from ..util import round_half_away6
+
+    sl = [F.col(c) for c in series]
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    v = F.col(value_col)
+    f = df.where(~F.isnan(v) & v.isNotNull()).select(
+        *series, ts_col, *tiebreak, F.round(v * 100).cast("long").alias("__c")
+    )
+    w = Window.partitionBy(*sl).orderBy(*order)
+    wall = Window.partitionBy(*sl)
+    p = f.select(
+        *series,
+        ts_col,
+        F.row_number().over(w).alias("__k"),
+        F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__sk"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+        F.sum("__c").over(wall).alias("__sn"),
+    ).cache()
+
+    segs = (
+        p.groupBy(*series)
+        .agg(F.max("__n").alias("hi"), F.max("__sn").alias("sk_hi"))
+        .select(
+            *series,
+            F.lit(0).cast("long").alias("lo"),
+            F.lit(0).cast("long").alias("sk_lo"),
+            F.col("hi").cast("long"),
+            "sk_hi",
+        )
+    )
+    outs = []
+    for level in range(1, depth + 1):
+        j = p.join(segs, list(series)).where(
+            (F.col("__k") > F.col("lo")) & (F.col("__k") < F.col("hi"))
+        )
+        n_loc = F.col("hi") - F.col("lo")
+        k_loc = F.col("__k") - F.col("lo")
+        s_loc = F.col("__sk") - F.col("sk_lo")
+        sn_loc = F.col("sk_hi") - F.col("sk_lo")
+        g = j.withColumn("__g", F.abs(n_loc * s_loc - k_loc * sn_loc))
+        cp = g.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*sl, "lo").orderBy(
+                    F.col("__g").desc(), F.col("__k")
+                )
+            ),
+        ).where(F.col("__rn") == 1)
+        outs.append(
+            cp.select(
+                *series,
+                F.lit(level).alias("level"),
+                F.col("lo").alias("seg_lo"),
+                F.col("hi").alias("seg_hi"),
+                F.col(ts_col).alias("cp_ts"),
+                F.col("__k").cast("long").alias("k_pre"),
+                F.col("__g").cast("long").alias("gstat"),
+                round_half_away6(s_loc / (100.0 * k_loc)).alias("pre_mean"),
+                round_half_away6(
+                    (sn_loc - s_loc) / (100.0 * (n_loc - k_loc))
+                ).alias("post_mean"),
+            )
+        )
+        if level < depth:
+            halves = F.array(
+                F.struct(
+                    F.col("lo").alias("lo"),
+                    F.col("sk_lo").alias("sk_lo"),
+                    F.col("__k").cast("long").alias("hi"),
+                    F.col("__sk").alias("sk_hi"),
+                ),
+                F.struct(
+                    F.col("__k").cast("long").alias("lo"),
+                    F.col("__sk").alias("sk_lo"),
+                    F.col("hi").alias("hi"),
+                    F.col("sk_hi").alias("sk_hi"),
+                ),
+            )
+            segs = (
+                cp.select(*series, F.explode(halves).alias("h"))
+                .select(*series, "h.lo", "h.sk_lo", "h.hi", "h.sk_hi")
+                .where(F.col("hi") - F.col("lo") >= 2)
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

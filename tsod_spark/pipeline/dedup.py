@@ -1050,15 +1050,33 @@ def incremental_new_docs(
     exchange anywhere touches the text column). A fully shuffle-free
     corpus path exists (:func:`minhash_signatures_rowwise`) but costs
     ~5x CPU in interpreted HOFs — the slim aggregate is the better
-    trade. In production the corpus band/hash index would be persisted
-    and incrementally appended instead of recomputed — the join shape
-    stays exactly the same; this function takes the corpus frame so
+    trade. The persisted-index production variant of this screen is
+    :func:`incremental_new_docs_indexed` (same join shape, corpus text
+    read ZERO times per tick); this function takes the corpus frame so
     the demo is self-contained.
     """
-    bb = _band_frame(minhash_signatures(batch, text_col, k), k, bands).cache()
     cb = _band_frame(
         minhash_signatures(corpus, text_col, k, spread=False), k, bands
     )
+    corpus_hashes = corpus.select(F.md5(F.col(text_col)).alias("__h"))
+    return _screen_batch_against(
+        cb, corpus_hashes, batch, text_col, k, bands, min_est_jaccard
+    )
+
+
+def _screen_batch_against(
+    cb: DataFrame,
+    corpus_hashes: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    k: int,
+    bands: int,
+    min_est_jaccard: float,
+) -> DataFrame:
+    """Shared ingest-screen core: drop batch docs that are exact or
+    LSH near-dups of the corpus side (given as its slim band frame +
+    content-hash frame — never its text) or of an earlier batch doc."""
+    bb = _band_frame(minhash_signatures(batch, text_col, k), k, bands).cache()
 
     near_corpus = (
         cb.alias("c")
@@ -1071,9 +1089,7 @@ def incremental_new_docs(
     )
     bhash = batch.select("doc_id", F.md5(F.col(text_col)).alias("__h")).cache()
     exact_corpus = (
-        corpus.select(F.md5(F.col(text_col)).alias("__h"))
-        .join(F.broadcast(bhash), "__h")
-        .select("doc_id")
+        corpus_hashes.join(F.broadcast(bhash), "__h").select("doc_id")
     )
     a, b = bb.alias("a"), bb.alias("b")
     near_intra = (
@@ -1164,3 +1180,52 @@ def winnow_screen_new_docs(
     )
     hits = hits_corpus.unionByName(hits_intra).distinct()
     return batch.join(F.broadcast(hits), "doc_id", "left_anti")
+
+
+def build_corpus_index(
+    corpus: DataFrame, text_col: str = "text", k: int = 8, bands: int = 4
+) -> DataFrame:
+    """Persistable LSH ingest index of a corpus: one row per (doc,
+    band) carrying the packed k-component signature, the band bucket
+    key, and the doc's content md5 — everything continuous-ingest
+    screening needs, with NO text column.
+
+    This is the production form of the "corpus side" of
+    :func:`incremental_new_docs`: ~``bands`` rows x ~140 bytes per doc
+    REGARDLESS of document size, so a 100 TB corpus indexes to well
+    under 1 TB of parquet. Each ingest tick scans the index instead of
+    the corpus (text read ZERO times per tick), and accepted docs
+    append their own index rows (``build_corpus_index(accepted)`` +
+    ``.write.mode("append")``) — the index is maintained incrementally,
+    never recomputed. Join shape downstream is identical to the
+    self-contained demo (:func:`incremental_new_docs_indexed`).
+    """
+    sigs = minhash_signatures(corpus, text_col, k, spread=False)
+    bandf = _band_frame(sigs, k, bands)
+    hashes = corpus.select("doc_id", F.md5(F.col(text_col)).alias("content_md5"))
+    # both sides are slim per-doc frames (no text); the equi-join on
+    # doc_id is the only exchange beyond the signature partial-minima
+    return bandf.join(hashes, "doc_id")
+
+
+def incremental_new_docs_indexed(
+    index: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """:func:`incremental_new_docs` against a PERSISTED corpus index
+    (:func:`build_corpus_index`, typically read back from parquet):
+    identical screening semantics and join shape, but the corpus text
+    is read zero times per tick — the only corpus-side scan is the
+    slim index table. Survivors equal the self-contained variant
+    (differential-tested)."""
+    cb = index.select("doc_id", "sig", "band", "key")
+    corpus_hashes = index.where(F.col("band") == 0).select(
+        F.col("content_md5").alias("__h")
+    )
+    return _screen_batch_against(
+        cb, corpus_hashes, batch, text_col, k, bands, min_est_jaccard
+    )

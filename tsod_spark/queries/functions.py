@@ -696,6 +696,69 @@ def ts_changepoint(spark, sf_dir):
     return temporal.changepoint_mean_shift(table(spark, sf_dir, "events"))
 
 
+def _binseg_level_sql(seg: str, src: str = "p") -> str:
+    """One binary-segmentation level: argmax of the segment-local AMOC
+    statistic, computed from GLOBAL prefix sums at the segment
+    endpoints (S_local = sk - sk_lo, n_local = hi - lo)."""
+    g = ("abs((s.hi - s.lo) * (p.sk - s.sk_lo)"
+         " - (p.k - s.lo) * (s.sk_hi - s.sk_lo))")
+    return f"""SELECT * FROM (
+      SELECT q.*, row_number() OVER (PARTITION BY q.user_id, q.lo
+                                     ORDER BY q.g DESC, q.k) AS rn
+      FROM (SELECT p.user_id, p.ts, p.k, p.sk,
+                   s.lo, s.sk_lo, s.hi, s.sk_hi, {g} AS g
+            FROM {src} p JOIN {seg} s
+              ON p.user_id = s.user_id AND p.k > s.lo AND p.k < s.hi) q)
+    WHERE rn = 1"""
+
+
+def _binseg_out_sql(cp: str, level: int) -> str:
+    return f"""SELECT user_id, {level} AS level,
+           CAST(lo AS BIGINT) AS seg_lo, CAST(hi AS BIGINT) AS seg_hi,
+           ts AS cp_ts, CAST(k AS BIGINT) AS k_pre, CAST(g AS BIGINT) AS gstat,
+           round((sk - sk_lo) / (100.0 * (k - lo)), 6) AS pre_mean,
+           round((sk_hi - sk) / (100.0 * (hi - k)), 6) AS post_mean
+    FROM {cp}"""
+
+
+@register(
+    "ts_changepoint_binseg",
+    f"""{E_CTE},
+    f AS (SELECT user_id, ts, event_id, CAST(round(v * 100) AS BIGINT) AS c
+          FROM e WHERE v IS NOT NULL),
+    p AS (SELECT user_id, ts,
+            row_number() OVER ({W}) AS k,
+            sum(c) OVER ({W} ROWS UNBOUNDED PRECEDING) AS sk,
+            count(*) OVER (PARTITION BY user_id) AS n,
+            sum(c) OVER (PARTITION BY user_id) AS sn
+          FROM f),
+    seg1 AS (SELECT user_id, CAST(0 AS BIGINT) AS lo, CAST(0 AS BIGINT) AS sk_lo,
+                    CAST(max(n) AS BIGINT) AS hi, max(sn) AS sk_hi
+             FROM p GROUP BY user_id),
+    cp1 AS ({_binseg_level_sql('seg1')}),
+    seg2 AS (SELECT user_id, lo, sk_lo, k AS hi, sk AS sk_hi FROM cp1
+             WHERE k - lo >= 2
+             UNION ALL
+             SELECT user_id, k, sk, hi, sk_hi FROM cp1 WHERE hi - k >= 2),
+    cp2 AS ({_binseg_level_sql('seg2')})
+    {_binseg_out_sql('cp1', 1)}
+    UNION ALL
+    {_binseg_out_sql('cp2', 2)}""",
+)
+def ts_changepoint_binseg(spark, sf_dir):
+    """Binary-segmentation changepoints, depth 2 (up to 3 per series):
+    the AMOC argmax applied recursively to the sub-segments of the
+    level-1 changepoint. Declarative recursion — the integer-cent
+    prefix sums are computed once (one window pass, cached) and every
+    deeper level is a slim join against the previous level's segment
+    bounds, since a segment's local statistic needs only global prefix
+    sums at its endpoints. Same int64/tie-break exactness contract as
+    ts_changepoint."""
+    from ..analytics import temporal
+
+    return temporal.changepoint_binseg(table(spark, sf_dir, "events"), depth=2)
+
+
 @register(
     "emb_label_centroids",
     f"""WITH u AS (

@@ -195,6 +195,7 @@ _R6_PRIORITY = (
     "events_kll_quantiles",
     "events_hll_overlap",
     "ts_changepoint",
+    "ts_changepoint_binseg",
     "ts_mllib_kmeans",
 )
 
