@@ -99,6 +99,11 @@ HEADLINE = [
     "dedup_minhash_pairs_capped",
     "dedup_cap_drop_stats",
     "doc_winnow_screen",
+    # late-r7 operators: sketch paths + changepoint localization
+    "events_kll_quantiles",
+    "events_hll_overlap",
+    "ts_changepoint",
+    "ts_changepoint_binseg",
 ]
 
 
