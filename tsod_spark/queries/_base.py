@@ -86,6 +86,35 @@ def _shingle_sql(toks: str = "toks", n: int = 3) -> str:
 HIGH_HEX = "('8','9','a','b','c','d','e','f')"
 
 
+def spark_quantile_sql(arr: str, q: float) -> str:
+    """DuckDB expression reproducing Spark ``percentile`` BIT-EXACTLY
+    over a sorted 1-based list column ``arr``:
+    ``lower + (upper - lower) * frac`` with ``pos = q * (len - 1)`` in
+    DOUBLE math.
+
+    Two traps this sidesteps (both bit at sf0.1):
+    - DuckDB ``quantile_cont`` interpolates as the two-product
+      ``lower*(1-f) + upper*f``, which diverges by 1 ulp when the
+      quantile lands on a repeated data value (lower == upper) — a
+      strict comparison against the threshold then flips exactly on
+      the boundary row (ts_range_quantile: lo = 0.88 vs
+      0.8800000000000001 at sf0.1).
+    - a bare ``0.02`` literal parses as DECIMAL in DuckDB, making the
+      position arithmetic exact-decimal while Spark's is double —
+      hence the explicit CAST.
+
+    ``coalesce(..., 0)`` covers frac == 0 at the list tail, where
+    ``arr[i + 2]`` is out of range and DuckDB returns NULL; an empty
+    list yields NULL overall (callers coalesce the comparison)."""
+    h = f"(CAST({q} AS DOUBLE) * (len({arr}) - 1))"
+    i = f"CAST(floor({h}) AS BIGINT)"
+    lower = f"{arr}[{i} + 1]"
+    upper = f"{arr}[{i} + 2]"
+    return (
+        f"({lower} + coalesce(({upper} - {lower}) * ({h} - floor({h})), 0))"
+    )
+
+
 def duck_round6(col: Column) -> Column:
     """round(x, 6) mirroring DuckDB's multiply-then-round-half-away
     double algorithm (floor(|x|*1e6 + 0.5)) — Spark's F.round is Java

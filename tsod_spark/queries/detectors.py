@@ -38,6 +38,7 @@ from ._base import (  # noqa: F401
     duck_round6,
     events_tsf,
     register,
+    spark_quantile_sql,
     table,
 )
 
@@ -57,12 +58,14 @@ def ts_range(spark, sf_dir):
 
 @register(
     "ts_range_quantile",
-    f"""{E_CTE}, s AS (
-      SELECT event_id, v,
-             quantile_cont(v, 0.02) OVER ({P}) AS lo,
-             quantile_cont(v, 0.98) OVER ({P}) AS hi
-      FROM e)
-    SELECT event_id, coalesce(v < lo OR v > hi, FALSE) AS is_anomaly FROM s""",
+    f"""{E_CTE},
+    arr AS (SELECT user_id, list_sort(list(v) FILTER (v IS NOT NULL)) AS a
+            FROM e GROUP BY user_id),
+    th AS (SELECT user_id, {spark_quantile_sql('a', 0.02)} AS lo,
+                  {spark_quantile_sql('a', 0.98)} AS hi
+           FROM arr)
+    SELECT e.event_id, coalesce(e.v < th.lo OR e.v > th.hi, FALSE) AS is_anomaly
+    FROM e LEFT JOIN th USING (user_id)""",
 )
 def ts_range_quantile(spark, sf_dir):
     """D1f quantile fit + detect in one pass (detectors.py:104-119)."""

@@ -38,6 +38,7 @@ from ._base import (  # noqa: F401
     duck_round6,
     events_tsf,
     register,
+    spark_quantile_sql,
     table,
 )
 from ..pipeline import curate  # noqa: F401
@@ -270,14 +271,16 @@ def events_session_window(spark, sf_dir):
 
 @register(
     "ts_iqr",
-    f"""{E_CTE}, q AS (
-      SELECT event_id, v,
-             quantile_cont(v, 0.25) OVER ({P}) AS q1,
-             quantile_cont(v, 0.75) OVER ({P}) AS q3
-      FROM e)
-    SELECT event_id,
-           coalesce(v < q1 - 1.5 * (q3 - q1) OR v > q3 + 1.5 * (q3 - q1), FALSE) AS is_anomaly
-    FROM q""",
+    f"""{E_CTE},
+    arr AS (SELECT user_id, list_sort(list(v) FILTER (v IS NOT NULL)) AS a
+            FROM e GROUP BY user_id),
+    th AS (SELECT user_id, {spark_quantile_sql('a', 0.25)} AS q1,
+                  {spark_quantile_sql('a', 0.75)} AS q3
+           FROM arr)
+    SELECT e.event_id,
+           coalesce(e.v < th.q1 - 1.5 * (th.q3 - th.q1)
+                    OR e.v > th.q3 + 1.5 * (th.q3 - th.q1), FALSE) AS is_anomaly
+    FROM e LEFT JOIN th USING (user_id)""",
 )
 def ts_iqr(spark, sf_dir):
     """Tukey-fence (IQR) outlier detector per series: quantile window

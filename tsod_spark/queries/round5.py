@@ -38,6 +38,7 @@ from ._base import (  # noqa: F401
     duck_round6,
     events_tsf,
     register,
+    spark_quantile_sql,
     table,
 )
 
@@ -445,9 +446,11 @@ def events_merge_upsert(spark, sf_dir):
 @register(
     "ts_winsorize",
     f"""{E_CTE},
-    q AS (SELECT user_id, quantile_cont(v, 0.05) AS lo,
-                 quantile_cont(v, 0.95) AS hi
-          FROM e GROUP BY user_id),
+    arr AS (SELECT user_id, list_sort(list(v) FILTER (v IS NOT NULL)) AS a
+            FROM e GROUP BY user_id),
+    q AS (SELECT user_id, {spark_quantile_sql('a', 0.05)} AS lo,
+                 {spark_quantile_sql('a', 0.95)} AS hi
+          FROM arr),
     j AS (SELECT e.event_id, e.user_id, e.v, q.lo, q.hi
           FROM e JOIN q USING (user_id))
     SELECT event_id, user_id, round(v, 6) AS value,

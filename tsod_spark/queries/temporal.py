@@ -38,6 +38,7 @@ from ._base import (  # noqa: F401
     duck_round6,
     events_tsf,
     register,
+    spark_quantile_sql,
     table,
 )
 
@@ -451,11 +452,13 @@ def ts_seasonal_decompose(spark, sf_dir):
     d AS (SELECT event_id, user_id,
           abs(vc / 100.0
               - CASE WHEN nwc = 25 THEN swc / (100.0 * 25) END
-              - (sp / (100.0 * np) - sg / (100.0 * ng))) AS ar FROM t)
-    SELECT event_id,
-           coalesce(ar > quantile_cont(ar, 0.99) OVER (PARTITION BY user_id),
-                    FALSE) AS is_anomaly
-    FROM d""",
+              - (sp / (100.0 * np) - sg / (100.0 * ng))) AS ar FROM t),
+    qa AS (SELECT user_id, list_sort(list(ar) FILTER (ar IS NOT NULL)) AS a
+           FROM d GROUP BY user_id),
+    qt AS (SELECT user_id, {spark_quantile_sql('a', 0.99)} AS q99 FROM qa)
+    SELECT d.event_id,
+           coalesce(d.ar > qt.q99, FALSE) AS is_anomaly
+    FROM d LEFT JOIN qt USING (user_id)""",
 )
 def ts_seasonal_anomaly(spark, sf_dir):
     """Seasonal-aware detection: |residual| above the per-series exact

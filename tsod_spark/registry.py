@@ -181,13 +181,13 @@ _ROUND_SETS = (
     (1, R1_VERIFIED),
 )
 
-# Queries whose verdict must be (re-)earned first in r7: names whose
-# plan or semantics changed this round (winnow containment now rounds
-# half-away via round_half_away6; the KMeans fit caches its lag matrix)
-# plus brand-new registrations (which are tier 0 anyway — listing them
-# is documentation). Empty entries are fine — tier 0 then just falls
-# through to staleness.
-_R6_PRIORITY = (
+# Queries whose verdict must be (re-)earned first in the CURRENT round:
+# names whose plan or semantics changed (r7: winnow containment rounds
+# half-away; KMeans fit retrained via driver Lloyd) plus brand-new
+# registrations (tier 0 anyway — listing them is documentation).
+# Empty is fine — tier 0 then just falls through to staleness.
+# Refresh this tuple each round alongside the R{N}_VERIFIED set.
+_CURRENT_ROUND_PRIORITY = (
     "dedup_cap_drop_stats",
     "dedup_winnow_overlap",
     "dedup_winnow_overlap_capped",
@@ -211,14 +211,14 @@ def _latest_verified_round(n: str) -> int:
 
 def _rotated(d: dict) -> dict:
     # The driver checks the FIRST 50 names per round, so ordering is the
-    # verification schedule. r6 window: (1) new/changed queries needing
-    # a fresh verdict, then (2) stalest latest-verdicts first — after
-    # r5 the stalest tier is the 25 names whose latest green is r2
-    # (tpch_q21, events_running_total, customer_spend_quartiles, ...),
-    # then the oldest r3 names fill the remainder of the 50.
+    # verification schedule: (1) new/changed queries needing a fresh
+    # verdict (the priority tuple + never-verified names), then
+    # (2) stalest latest-verdicts first, registration order within each
+    # tier. r7 window: 7 new + 2 changed + the 24 r3-era names + the
+    # oldest r4 names.
 
     def age(n: str) -> int:
-        if n in _R6_PRIORITY:
+        if n in _CURRENT_ROUND_PRIORITY:
             return 0
         return _latest_verified_round(n)  # 0 = never verified, first
 
