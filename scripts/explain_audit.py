@@ -50,6 +50,15 @@ ALLOW_NLJ = {
                          # the pair matrix is quadratic in groups,
                          # never in the fact table (doc_vocab_overlap
                          # shape)
+    "events_theta_sets",  # same shape: per-GROUP theta sketch table
+                         # self-paired (~5 rows/side) + per-group
+                         # count grid; quadratic in groups only
+    "events_assoc_rules",  # per-ITEM count grid self-paired (~5
+                         # rows/side) + broadcast 1-row distinct-user
+                         # total crossJoin; quadratic in items only
+    "doc_bigram_heavy_hitters",  # broadcast 1-row corpus-total
+                         # crossJoin (lazy ceil(phi*N) threshold
+                         # scalar; linear)
 }
 # mapInPandas is the designed path here, not an accident; ts_ewma is a
 # sequential recurrence (no Spark scan/fold builtin) running pandas'

@@ -1,0 +1,223 @@
+"""Round-7 late additions: frequent-pattern mining, theta set algebra,
+rank statistics.  Cross-validated against pure-python/pandas
+re-implementations (the differential strategy of the property suites).
+"""
+
+import datetime
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsod_spark.analytics import sketches, temporal
+from tsod_spark.pipeline import frequent
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+
+
+def test_mg_fold_invariants_random():
+    """MG summary invariants vs exact counts under random folds:
+    stored count is a lower bound; any absent item's true count is at
+    most N/(k+1); state never exceeds k counters."""
+    rng = random.Random(7)
+    for trial in range(50):
+        k = rng.choice([2, 4, 8])
+        vocab = [f"w{i}" for i in range(rng.randint(1, 40))]
+        stream = [rng.choice(vocab) for _ in range(rng.randint(0, 500))]
+        exact: dict = {}
+        for it in stream:
+            exact[it] = exact.get(it, 0) + 1
+        cnt: dict = {}
+        i = 0
+        while i < len(stream):
+            step = rng.randint(1, 50)
+            batch = stream[i : i + step]
+            bc: dict = {}
+            for it in batch:
+                bc[it] = bc.get(it, 0) + 1
+            cnt = frequent.mg_fold(cnt, bc, k)
+            i += step
+        assert len(cnt) <= k
+        n = len(stream)
+        for it, c in cnt.items():
+            assert c <= exact[it]
+            assert exact[it] - c <= n / (k + 1)
+        for it, c in exact.items():
+            if it not in cnt:
+                assert c <= n / (k + 1)
+
+
+def test_heavy_hitters_eviction_exact(spark):
+    """End-to-end with k SMALLER than the vocabulary (real eviction
+    pressure): the two-pass output still equals the exact GROUP BY /
+    HAVING result, because pass 2 re-counts candidates exactly."""
+    rng = random.Random(42)
+    heavy = [f"h{i}" for i in range(3)]
+    rare = [f"r{i}" for i in range(60)]
+    items = heavy * 100 + [rng.choice(rare) for _ in range(100)]
+    rng.shuffle(items)
+    df = spark.createDataFrame([(it,) for it in items], "item string").repartition(4)
+    phi = 0.2  # > 1/(k+1) with k=8
+    out = frequent.heavy_hitters(df, "item", k=8, phi=phi).collect()
+    n = len(items)
+    thr = math.ceil(phi * n)
+    exact = {}
+    for it in items:
+        exact[it] = exact.get(it, 0) + 1
+    expected = sorted(
+        [(it, c) for it, c in exact.items() if c >= thr],
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert [(r.item, r.cnt) for r in out] == expected
+    for r in out:
+        assert r.support == pytest.approx(
+            math.floor(abs(r.cnt / n) * 1e6 + 0.5) / 1e6, abs=0
+        )
+
+
+def test_heavy_hitters_phi_guard(spark):
+    df = spark.range(2).select(F.lit("a").alias("item"))
+    with pytest.raises(ValueError, match="Misra-Gries"):
+        frequent.heavy_hitters(df, "item", k=4, phi=0.1)
+
+
+# ---------------------------------------------------------------------------
+# theta sketch set algebra
+
+
+def test_theta_set_ops_exact_and_certified(spark):
+    rows = []
+    for u in range(40):
+        rows.append((u, "a"))
+        if u % 2 == 0:
+            rows.append((u, "b"))
+        if u % 3 == 0:
+            rows.append((u, "c"))
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {
+        (r.type_a, r.type_b): r
+        for r in sketches.theta_set_ops(df).collect()
+    }
+    ab = out[("a", "b")]
+    assert (ab.exact_intersect, ab.exact_a_not_b, ab.exact_b_not_a) == (20, 20, 0)
+    ac = out[("a", "c")]
+    assert (ac.exact_intersect, ac.exact_a_not_b, ac.exact_b_not_a) == (14, 26, 0)
+    bc = out[("b", "c")]
+    assert (bc.exact_intersect, bc.exact_b_not_a) == (7, 7)
+    for r in out.values():
+        assert r.a_not_b_within_tol and r.b_not_a_within_tol and r.intersect_within_tol
+
+
+# ---------------------------------------------------------------------------
+# association rules
+
+
+def test_cooccurrence_rules_values(spark):
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"), (2, "y"),  # duplicate event collapses
+        (3, "x"),
+        (4, "z"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {(r.type_a, r.type_b): r for r in frequent.cooccurrence_rules(df).collect()}
+    assert set(out) == {("x", "y"), ("x", "z"), ("y", "z")}
+    xy = out[("x", "y")]
+    # 4 users total; x:{1,2,3} y:{1,2} both:{1,2}
+    assert xy.pair_users == 2
+    assert xy.support_pair == pytest.approx(0.5)
+    assert xy.conf_a_to_b == pytest.approx(round(2 / 3, 6))
+    assert xy.conf_b_to_a == pytest.approx(1.0)
+    assert xy.lift == pytest.approx(round(2 * 4 / (3 * 2), 6))
+    xz = out[("x", "z")]
+    assert xz.pair_users == 0 and xz.lift == 0.0
+
+
+# ---------------------------------------------------------------------------
+# rank statistics
+
+
+def _mk_events(spark, triples):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (int(i), int(u), t0 + datetime.timedelta(hours=int(h)), float(v))
+        for i, (u, h, v) in enumerate(triples)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+
+def _spearman(xs, ys):
+    def avg_ranks(v):
+        order = sorted(range(len(v)), key=lambda i: v[i])
+        r = [0.0] * len(v)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and v[order[j + 1]] == v[order[i]]:
+                j += 1
+            avg = (i + j) / 2 + 1
+            for t in range(i, j + 1):
+                r[order[t]] = avg
+            i = j + 1
+        return r
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(sum((a - mx) ** 2 for a in rx)) * math.sqrt(
+        sum((b - my) ** 2 for b in ry)
+    )
+    return num / den
+
+
+def test_spearman_matches_pure_python(spark):
+    rng = random.Random(3)
+    triples = []
+    for u in (1, 2):
+        for h in range(12):
+            triples.append((u, h, round(rng.uniform(-5, 5), 2)))
+    df = _mk_events(spark, triples)
+    out = {r.user_id: r for r in temporal.benchmark_spearman(df).collect()}
+    # reconstruct the bucket series in cents exactly as the operator does
+    for u in (1, 2):
+        xs, ys = [], []
+        for h in range(12):
+            x = sum(
+                int(round(v * 100))
+                for (uu, hh, v) in triples
+                if uu == u and hh == h
+            )
+            y = sum(int(round(v * 100)) for (_, hh, v) in triples if hh == h)
+            xs.append(x)
+            ys.append(y)
+        assert out[u].n_buckets == 12
+        assert out[u].spearman == pytest.approx(_spearman(xs, ys), abs=1e-6)
+
+
+def test_runs_test_known_sequence(spark):
+    # values alternate far above/below median -> maximal runs
+    vals = [10.0, -10.0] * 8  # median 0 interpolated, no ties
+    triples = [(1, h, v) for h, v in enumerate(vals)]
+    df = _mk_events(spark, triples)
+    r = temporal.runs_test(df).collect()[0]
+    n1 = n2 = 8
+    n = n1 + n2
+    runs = 16
+    e = 1 + 2 * n1 * n2 / n
+    v = (2 * n1 * n2 * (2 * n1 * n2 - n)) / (n * n * (n - 1))
+    assert (r.n_pos, r.n_neg, r.runs) == (n1, n2, runs)
+    assert r.runs_z == pytest.approx(round((runs - e) / math.sqrt(v), 6), abs=1e-9)
+
+
+def test_runs_test_excludes_median_ties(spark):
+    vals = [1.0, 1.0, 1.0, 5.0, -3.0]  # median 1.0 -> three excluded ties
+    triples = [(1, h, v) for h, v in enumerate(vals)]
+    df = _mk_events(spark, triples)
+    r = temporal.runs_test(df).collect()[0]
+    assert (r.n_pos, r.n_neg, r.runs) == (1, 1, 2)

@@ -84,6 +84,109 @@ def kll_quantiles(
     return agg.select(*out).orderBy(group_col)
 
 
+def theta_set_ops(
+    events: DataFrame,
+    group_col: str = "event_type",
+    id_col: str = "user_id",
+    rel_tol: float = 0.10,
+    abs_tol: float = 5.0,
+) -> DataFrame:
+    """Full distinct-set algebra for every unordered group pair —
+    ``|A \\ B|``, ``|B \\ A|``, and ``|A ∩ B|`` — estimated from
+    mergeable THETA sketches and certified against the exact values.
+
+    Where :func:`hll_audience_overlap` can only reach the intersection
+    via inclusion-exclusion (HLL supports union alone), theta sketches
+    keep the sampled hash SET, so ``theta_difference`` /
+    ``theta_intersection`` are first-class — the operations an
+    audience / A-B cohort analysis actually asks for ("users who
+    clicked but never purchased").
+
+    The 100 TB shape mirrors the HLL query: per-group sketches build
+    in ONE map-side-combinable scan (default lgNomEntries=12 -> at
+    most 4096 retained hashes per group); all pairwise set algebra
+    runs on the tiny per-group sketch table.  The exact leg reduces to
+    distinct (group, id) once, takes per-group counts plus the pair
+    intersection, and derives both differences arithmetically
+    (``|A \\ B| = |A| - |A ∩ B|``) — no second fact scan.
+
+    Certificate per estimate: ``|est - exact| <= max(abs_tol,
+    rel_tol * exact)``.  Below ~4096 distinct ids per group the theta
+    sketch is in exact (sampling-free) mode, so at test scale the
+    certificates are deterministic; at production cardinalities the
+    relative error is ~1.6% rsd.
+    """
+    sketches = (
+        events.groupBy(group_col)
+        .agg(F.theta_sketch_agg(id_col).alias("__sk"))
+        .cache()
+    )
+    a, b = sketches.alias("a"), sketches.alias("b")
+    est = a.join(b, F.col(f"a.{group_col}") < F.col(f"b.{group_col}")).select(
+        F.col(f"a.{group_col}").alias("type_a"),
+        F.col(f"b.{group_col}").alias("type_b"),
+        F.theta_sketch_estimate(F.theta_difference("a.__sk", "b.__sk")).alias(
+            "__e_ab"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("b.__sk", "a.__sk")).alias(
+            "__e_ba"
+        ),
+        F.theta_sketch_estimate(F.theta_intersection("a.__sk", "b.__sk")).alias(
+            "__e_i"
+        ),
+    )
+    d = events.select(group_col, id_col).distinct().cache()
+    n = d.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    da, db = d.alias("da"), d.alias("db")
+    inter = (
+        da.join(
+            db,
+            (F.col(f"da.{id_col}") == F.col(f"db.{id_col}"))
+            & (F.col(f"da.{group_col}") < F.col(f"db.{group_col}")),
+        )
+        .groupBy(
+            F.col(f"da.{group_col}").alias("type_a"),
+            F.col(f"db.{group_col}").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__i"))
+    )
+    na, nb = n.alias("na"), n.alias("nb")
+    exact = (
+        na.join(nb, F.col(f"na.{group_col}") < F.col(f"nb.{group_col}"))
+        .select(
+            F.col(f"na.{group_col}").alias("type_a"),
+            F.col(f"nb.{group_col}").alias("type_b"),
+            F.col("na.__n").alias("__na"),
+            F.col("nb.__n").alias("__nb"),
+        )
+        .join(F.broadcast(inter), ["type_a", "type_b"], "left")
+        .withColumn("__i", F.coalesce(F.col("__i"), F.lit(0).cast("long")))
+    )
+
+    def cert(est_col, exact_col):
+        tol = F.greatest(F.lit(abs_tol), F.lit(rel_tol) * exact_col.cast("double"))
+        return F.coalesce(
+            F.abs(F.col(est_col) - exact_col.cast("double")) <= tol, F.lit(False)
+        )
+
+    ab = F.col("__na") - F.col("__i")
+    ba = F.col("__nb") - F.col("__i")
+    return (
+        exact.join(F.broadcast(est), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            ab.cast("long").alias("exact_a_not_b"),
+            ba.cast("long").alias("exact_b_not_a"),
+            F.col("__i").alias("exact_intersect"),
+            cert("__e_ab", ab).alias("a_not_b_within_tol"),
+            cert("__e_ba", ba).alias("b_not_a_within_tol"),
+            cert("__e_i", F.col("__i")).alias("intersect_within_tol"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 def hll_audience_overlap(
     events: DataFrame,
     group_col: str = "event_type",

@@ -433,6 +433,134 @@ def benchmark_correlation(
     )
 
 
+def benchmark_spearman(
+    df: DataFrame,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Per-series SPEARMAN rank correlation to the global per-bucket
+    benchmark — the robust twin of :func:`benchmark_correlation`:
+    monotone association on ranks, immune to the heavy-tailed bucket
+    totals that dominate a Pearson estimate.
+
+    Exactness discipline: ties take the AVERAGE rank, but instead of
+    the fractional average this uses its integer double,
+    ``2*avg_rank = 2*min_rank + ties - 1`` (Pearson is scale/shift
+    invariant, so the correlation of doubled ranks IS the Spearman
+    rho) — every product-sum stays exact int64 and the single double
+    division is engine-deterministic, the house pattern.
+
+    Shuffle shape matches benchmark_correlation: one fact scan into
+    the (series, bucket) aggregate, global totals via a window over
+    that compact frame, then two rank windows (per-series sorts over
+    ~bucket-count rows each) and one per-series aggregate.
+    """
+    from ..expressions import nan_to_null
+
+    keys = list(series)
+    cents = F.round(nan_to_null(F.col(value_col)) * 100).cast("long")
+    per = df.groupBy(*keys, F.date_trunc(bucket, F.col(ts_col)).alias("__b")).agg(
+        F.sum(cents).alias("__x")
+    )
+    j = per.withColumn(
+        "__y", F.sum("__x").over(Window.partitionBy("__b"))
+    ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+
+    def rank2(col: str) -> Column:
+        wr = Window.partitionBy(*keys).orderBy(col)
+        wt = Window.partitionBy(*keys, col)
+        return (
+            F.lit(2) * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - F.lit(1)
+        ).cast("long")
+
+    r = j.select(*keys, rank2("__x").alias("__rx"), rank2("__y").alias("__ry"))
+    n = F.count(F.lit(1)).cast("long")
+    sx, sy = F.sum("__rx").cast("long"), F.sum("__ry").cast("long")
+    sxy = F.sum(F.col("__rx") * F.col("__ry")).cast("long")
+    sxx = F.sum(F.col("__rx") * F.col("__rx")).cast("long")
+    syy = F.sum(F.col("__ry") * F.col("__ry")).cast("long")
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
+        (n * syy - sy * sy).cast("double")
+    )
+    return r.groupBy(*keys).agg(
+        n.alias("n_buckets"),
+        F.when(den > 0, F.round(num / den, 6)).alias("spearman"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Wald-Wolfowitz runs test per series: is the sign sequence of
+    (value - series median) random, or does it trend/cluster?  Emits
+    the observed above/below counts, the run count, and the normal-
+    approximation z-score — the classic distribution-free "is this
+    sensor drifting" screen.
+
+    Exactness discipline: values quantize to int64 cents; the median
+    compares in the bit-exact Spark interpolation both engines
+    reproduce (`spark_quantile_sql`); ties with the median are
+    EXCLUDED (standard treatment).  ``2*n1*n2`` stays int64 (safe to
+    ~3e9 observations per series); the variance expression converts
+    each factor to double in a fixed textual order so the z-score is
+    engine-deterministic before the final round.
+
+    Shuffle shape: one per-series median aggregate joined back on the
+    series key (no broadcast assumption — series count can be
+    arbitrarily large), one ordered window for the sign-change scan,
+    one per-series aggregate.
+    """
+    from ..expressions import nan_to_null
+
+    keys = list(series)
+    order = [F.col(ts_col)] + [F.col(t) for t in tiebreak]
+    cents = F.round(nan_to_null(F.col(value_col)) * 100).cast("long")
+    obs = df.select(*keys, *[F.col(ts_col)], *[F.col(t) for t in tiebreak],
+                    cents.alias("__c")).where(F.col("__c").isNotNull())
+    med = obs.groupBy(*keys).agg(F.percentile(F.col("__c"), F.lit(0.5)).alias("__m"))
+    signed = (
+        obs.join(med, keys)
+        .where(F.col("__c") != F.col("__m"))
+        .withColumn("__s", F.when(F.col("__c") > F.col("__m"), F.lit(1)).otherwise(F.lit(-1)))
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    runs = signed.withColumn(
+        "__chg",
+        F.when(
+            F.lag("__s").over(w).isNull() | (F.col("__s") != F.lag("__s").over(w)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    n1 = F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).cast("long")
+    n2 = F.sum(F.when(F.col("__s") == -1, 1).otherwise(0)).cast("long")
+    r = F.sum("__chg").cast("long")
+    agg = runs.groupBy(*keys).agg(
+        n1.alias("n_pos"), n2.alias("n_neg"), r.alias("runs")
+    )
+    n = (F.col("n_pos") + F.col("n_neg")).cast("long")
+    a = (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("long")
+    e = F.lit(1.0) + a.cast("double") / n.cast("double")
+    v = (a.cast("double") * (a - n).cast("double")) / (
+        n.cast("double") * n.cast("double") * (n - F.lit(1)).cast("double")
+    )
+    return agg.select(
+        *keys,
+        "n_pos",
+        "n_neg",
+        "runs",
+        F.when(
+            (n > 1) & (v > 0), F.round((F.col("runs").cast("double") - e) / F.sqrt(v), 6)
+        ).alias("runs_z"),
+    ).orderBy(*keys)
+
+
 def rolling_benchmark_correlation(
     df: DataFrame,
     series: Sequence[str] = ("user_id",),

@@ -197,6 +197,13 @@ _CURRENT_ROUND_PRIORITY = (
     "ts_changepoint",
     "ts_changepoint_binseg",
     "ts_mllib_kmeans",
+    # late-r7 registrations (never-verified -> tier 0 regardless;
+    # listed for documentation)
+    "doc_bigram_heavy_hitters",
+    "events_theta_sets",
+    "events_assoc_rules",
+    "ts_spearman",
+    "ts_runs_test",
 )
 
 
