@@ -59,6 +59,11 @@ ALLOW_NLJ = {
     "doc_bigram_heavy_hitters",  # broadcast 1-row corpus-total
                          # crossJoin (lazy ceil(phi*N) threshold
                          # scalar; linear)
+    "events_ks_drift",   # ECDF grid = distinct-cent table crossed
+                         # with the tiny group list (linear in the
+                         # value domain) + 1-row total crossJoin
+    "events_mannwhitney",  # broadcast 1-row (total, tie-sum) scalar
+                         # crossJoin; all frames domain-bounded
 }
 # mapInPandas is the designed path here, not an accident; ts_ewma is a
 # sequential recurrence (no Spark scan/fold builtin) running pandas'

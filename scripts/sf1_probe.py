@@ -104,6 +104,14 @@ HEADLINE = [
     "events_hll_overlap",
     "ts_changepoint",
     "ts_changepoint_binseg",
+    # round-7 closers: frequent-pattern + theta set algebra + rank
+    # stats (heavy hitters re-scans the exploded bigrams twice by
+    # design — the decade ratio shows what the two-pass costs)
+    "doc_bigram_heavy_hitters",
+    "events_theta_sets",
+    "events_assoc_rules",
+    "ts_spearman",
+    "ts_runs_test",
 ]
 
 

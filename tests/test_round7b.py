@@ -221,3 +221,86 @@ def test_runs_test_excludes_median_ties(spark):
     df = _mk_events(spark, triples)
     r = temporal.runs_test(df).collect()[0]
     assert (r.n_pos, r.n_neg, r.runs) == (1, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# distribution drift tests
+
+
+def test_ks_drift_matches_pure_python(spark):
+    from tsod_spark.analytics import stattests
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(200):
+        rows.append((i, 1, datetime.datetime(2024, 1, 1), "a", rng.gauss(0, 1)))
+    for i in range(150):
+        rows.append((1000 + i, 1, datetime.datetime(2024, 1, 1), "b", rng.gauss(1.0, 1)))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r.event_type: r for r in stattests.ks_drift(df).collect()}
+
+    cents = [(t, int(round(v * 100))) for (_, _, _, t, v) in rows]
+
+    def ecdf_gap(group):
+        xs = sorted({c for _, c in cents})
+        n1 = sum(1 for t, _ in cents if t == group)
+        n2 = len(cents) - n1
+        best, best_at = -1.0, None
+        c1 = c2 = 0
+        for x in xs:
+            c1 += sum(1 for t, c in cents if t == group and c == x)
+            c2 += sum(1 for t, c in cents if t != group and c == x)
+            d = abs(c1 / n1 - c2 / n2)
+            if d > best:
+                best, best_at = d, x
+        return n1, best, best_at
+
+    for grp in ("a", "b"):
+        n1, best, best_at = ecdf_gap(grp)
+        assert out[grp].n_group == n1
+        assert out[grp].ks == pytest.approx(round(best, 6), abs=1e-9)
+        assert out[grp].ks_at_cent == best_at
+        # a 1-sigma mean shift on 200-vs-150 must reject at alpha=0.05
+        assert out[grp].drift_flag
+
+
+def test_mann_whitney_matches_pure_python(spark):
+    from tsod_spark.analytics import stattests
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(120):
+        rows.append((i, 1, datetime.datetime(2024, 1, 1), "a", rng.gauss(0, 1)))
+    for i in range(80):
+        rows.append((500 + i, 1, datetime.datetime(2024, 1, 1), "b", rng.gauss(0.8, 1)))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r.event_type: r for r in stattests.mann_whitney(df).collect()}
+
+    cents = [(t, int(round(v * 100))) for (_, _, _, t, v) in rows]
+    pooled = sorted(c for _, c in cents)
+    n = len(pooled)
+
+    def avg_rank(x):
+        lo = sum(1 for c in pooled if c < x)
+        t = sum(1 for c in pooled if c == x)
+        return lo + (t + 1) / 2
+
+    from collections import Counter
+
+    ties = Counter(pooled)
+    big_t = sum(t**3 - t for t in ties.values())
+    for grp in ("a", "b"):
+        n1 = sum(1 for t, _ in cents if t == grp)
+        n2 = n - n1
+        r1 = sum(avg_rank(c) for t, c in cents if t == grp)
+        u1 = r1 - n1 * (n1 + 1) / 2
+        mu = n1 * n2 / 2
+        var = n1 * n2 / 12 * ((n + 1) - big_t / (n * (n - 1)))
+        z = (u1 - mu) / math.sqrt(var)
+        assert out[grp].u2 == int(2 * u1)
+        assert out[grp].mw_z == pytest.approx(round(z, 6), abs=1e-6)
+        assert out[grp].shift_flag == (abs(z) > 1.96)

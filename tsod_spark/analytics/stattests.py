@@ -1,0 +1,192 @@
+"""Distribution-drift hypothesis tests: two-sample Kolmogorov-Smirnov
+and Mann-Whitney U, each group vs the rest of the population.
+
+The 100 TB design point: both tests are computed from the
+``(group, quantized value)`` COUNT aggregate, never from row-level
+ranks — the fact table reduces in one map-side-combinable pass to a
+frame bounded by ``|groups| x |value domain|`` (values quantize to
+int64 cents, so the domain is bounded by the sensor range, not the
+row count).  ECDFs come from cumulative-sum windows over that compact
+frame, and Mann-Whitney rank sums use the closed form over tie
+groups (the doubled average rank of a tie group is
+``2*cum_before + t + 1``, an integer), so every statistic is an exact
+int64 product-sum divided once in double — the repo's
+engine-determinism pattern.
+
+Reference scope note: the reference library (reference tsod/) offers
+threshold/robust-statistic detectors only; these tests extend the
+engine's drift-screening surface (ts_shesd / events_value_drift
+family) with distribution-free two-sample decisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _type_cent_counts(
+    events: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    from ..expressions import nan_to_null
+
+    cents = F.round(nan_to_null(F.col(value_col)) * 100).cast("long")
+    return (
+        events.select(F.col(group_col), cents.alias("__c"))
+        .where(F.col("__c").isNotNull())
+        .groupBy(group_col, "__c")
+        .agg(F.count(F.lit(1)).cast("long").alias("__ct"))
+    )
+
+
+def ks_drift(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    alpha_coeff: float = 1.358,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift screen: for every group,
+    the KS distance between the group's value distribution and the
+    REST of the population, the value (in cents) where the ECDF gap
+    peaks, and the alpha=0.05 rejection flag
+    (``D > c(alpha) * sqrt((n1+n2)/(n1*n2))``, c = 1.358).
+
+    Plan shape: one fact scan into (group, cent) counts; the ECDF
+    grid is the global distinct-cent table crossed with the tiny
+    group list (linear in the value domain, quadratic in nothing);
+    cumulative windows partition by group.  The argmax row is
+    recovered by an exact float-equality join against the per-group
+    max — sound because both sides are the SAME doubles computed by
+    the same expressions.
+    """
+    tc = _type_cent_counts(events, group_col, value_col).cache()
+    g = tc.groupBy("__c").agg(F.sum("__ct").cast("long").alias("__cg"))
+    nt = tc.groupBy(group_col).agg(F.sum("__ct").cast("long").alias("__n1"))
+    tot = g.agg(F.sum("__cg").cast("long").alias("__nn"))
+    grid = g.crossJoin(F.broadcast(nt))
+    j = grid.join(F.broadcast(tc), [group_col, "__c"], "left").withColumn(
+        "__ct", F.coalesce(F.col("__ct"), F.lit(0).cast("long"))
+    )
+    w = Window.partitionBy(group_col).orderBy("__c")
+    cum = j.select(
+        group_col,
+        "__c",
+        "__n1",
+        F.sum("__ct").over(w).alias("__c1"),
+        F.sum("__cg").over(w).alias("__cgc"),
+    )
+    dd = cum.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "__c",
+        "__n1",
+        "__nn",
+        F.abs(
+            F.col("__c1").cast("double") / F.col("__n1").cast("double")
+            - (F.col("__cgc") - F.col("__c1")).cast("double")
+            / (F.col("__nn") - F.col("__n1")).cast("double")
+        ).alias("__d"),
+    )
+    mx = dd.groupBy(group_col, "__n1", "__nn").agg(F.max("__d").alias("__ks"))
+    loc = (
+        dd.join(
+            F.broadcast(mx.select(group_col, "__ks")),
+            [group_col],
+        )
+        .where(F.col("__d") == F.col("__ks"))
+        .groupBy(group_col)
+        .agg(F.min("__c").alias("ks_at_cent"))
+    )
+    n2 = F.col("__nn") - F.col("__n1")
+    crit = F.lit(alpha_coeff) * F.sqrt(
+        (F.col("__n1") + n2).cast("double") / (F.col("__n1") * n2).cast("double")
+    )
+    return (
+        mx.join(F.broadcast(loc), [group_col])
+        .select(
+            group_col,
+            F.col("__n1").alias("n_group"),
+            F.round(F.col("__ks"), 6).alias("ks"),
+            "ks_at_cent",
+            (F.col("__ks") > crit).alias("drift_flag"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def mann_whitney(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) per group vs the rest, with
+    the tie-corrected normal approximation and no continuity
+    correction.
+
+    All integer arithmetic: the doubled rank sum of a group is
+    ``sum(ct * (2*cum_before + t + 1))`` over pooled tie groups, so
+    the doubled statistic ``u2 = 2*U1 = r2 - n1*(n1+1)`` is exact
+    int64 (emitted as-is), and
+    ``z = (2*U1 - n1*n2) / sqrt(n1*n2 * ((n+1) - T/(n*(n-1))) / 3)``
+    evaluates each factor in a fixed textual order both engines
+    share (``T = sum(t^3 - t)``; int64-safe while no single tie
+    group exceeds ~2e6 rows — beyond that, pre-bucket coarser).
+    ``n1*n2`` and the global cumulative window run on the
+    domain-bounded (group, cent) aggregate, never on raw rows.
+    """
+    tc = _type_cent_counts(events, group_col, value_col).cache()
+    g = tc.groupBy("__c").agg(F.sum("__ct").cast("long").alias("__cg"))
+    gc = g.select(
+        "__c",
+        "__cg",
+        (
+            F.sum("__cg").over(Window.orderBy("__c")) - F.col("__cg")
+        ).alias("__before"),
+    )
+    nt = tc.groupBy(group_col).agg(F.sum("__ct").cast("long").alias("__n1"))
+    tot = g.agg(
+        F.sum("__cg").cast("long").alias("__nn"),
+        F.sum(
+            F.col("__cg") * F.col("__cg") * F.col("__cg") - F.col("__cg")
+        ).cast("long").alias("__t"),
+    )
+    r2 = (
+        tc.join(F.broadcast(gc), "__c")
+        .groupBy(group_col)
+        .agg(
+            F.sum(
+                F.col("__ct")
+                * (F.lit(2) * F.col("__before") + F.col("__cg") + F.lit(1))
+            )
+            .cast("long")
+            .alias("__r2")
+        )
+    )
+    out = (
+        nt.join(F.broadcast(r2), [group_col])
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "u2", (F.col("__r2") - F.col("__n1") * (F.col("__n1") + 1)).cast("long")
+        )
+    )
+    n1, nn = F.col("__n1"), F.col("__nn")
+    n2 = nn - n1
+    num = (F.col("u2") - n1 * n2).cast("double")
+    den = F.sqrt(
+        (n1 * n2).cast("double")
+        * (
+            (nn.cast("double") + F.lit(1.0))
+            - F.col("__t").cast("double")
+            / (nn.cast("double") * (nn.cast("double") - F.lit(1.0)))
+        )
+        / F.lit(3.0)
+    )
+    return out.select(
+        group_col,
+        n1.alias("n_group"),
+        "u2",
+        F.when(den > 0, F.round(num / den, 6)).alias("mw_z"),
+        F.coalesce(F.abs(num / den) > F.lit(z_crit), F.lit(False)).alias(
+            "shift_flag"
+        ),
+    ).orderBy(group_col)

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..analytics import sketches, temporal
+from ..analytics import sketches, stattests, temporal
 from ..pipeline import frequent, text
 from ._base import TOKS, register, spark_quantile_sql, table
 
@@ -205,3 +205,95 @@ def ts_runs_test(spark, sf_dir):
     median-ties are excluded, and the variance converts each int64
     factor to double in a fixed textual order both engines share."""
     return temporal.runs_test(table(spark, sf_dir, "events"))
+
+
+_TC_CTE = """WITH c AS (SELECT event_type,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc FROM events),
+    o AS (SELECT * FROM c WHERE vc IS NOT NULL),
+    tc AS (SELECT event_type, vc, CAST(count(*) AS BIGINT) AS ct
+           FROM o GROUP BY 1, 2),
+    g AS (SELECT vc, CAST(sum(ct) AS BIGINT) AS cg FROM tc GROUP BY 1),
+    nt AS (SELECT event_type, CAST(sum(ct) AS BIGINT) AS n1 FROM tc GROUP BY 1),
+    tot AS (SELECT CAST(sum(cg) AS BIGINT) AS nn,
+                   CAST(sum(cg * cg * cg - cg) AS BIGINT) AS t FROM g)"""
+
+
+@register(
+    "events_ks_drift",
+    f"""{_TC_CTE},
+    grid AS (SELECT nt.event_type, g.vc, g.cg, nt.n1 FROM g CROSS JOIN nt),
+    jj AS (SELECT grid.event_type, grid.vc, grid.cg, grid.n1,
+                  coalesce(tc.ct, 0) AS ct
+           FROM grid LEFT JOIN tc
+             ON tc.event_type = grid.event_type AND tc.vc = grid.vc),
+    cum AS (SELECT event_type, vc, n1,
+              sum(ct) OVER (PARTITION BY event_type ORDER BY vc) AS c1,
+              sum(cg) OVER (PARTITION BY event_type ORDER BY vc) AS cgc
+            FROM jj),
+    dd AS (SELECT cum.event_type, vc, n1, tot.nn,
+              abs(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(cgc - c1 AS DOUBLE) / CAST(tot.nn - n1 AS DOUBLE)) AS d
+           FROM cum CROSS JOIN tot),
+    mx AS (SELECT event_type, n1, nn, max(d) AS ksd FROM dd GROUP BY 1, 2, 3),
+    loc AS (SELECT dd.event_type, min(dd.vc) AS ks_at_cent
+            FROM dd JOIN mx ON dd.event_type = mx.event_type AND dd.d = mx.ksd
+            GROUP BY 1)
+    SELECT mx.event_type, CAST(mx.n1 AS BIGINT) AS n_group,
+           round(mx.ksd, 6) AS ks, loc.ks_at_cent,
+           mx.ksd > 1.358 * sqrt(CAST(mx.n1 + (mx.nn - mx.n1) AS DOUBLE)
+                                 / CAST(mx.n1 * (mx.nn - mx.n1) AS DOUBLE))
+             AS drift_flag
+    FROM mx JOIN loc ON loc.event_type = mx.event_type
+    ORDER BY mx.event_type""",
+)
+def events_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift screen per event type (vs
+    the rest of the population): KS distance, the cent value where the
+    ECDF gap peaks, and the alpha=0.05 rejection flag.  Computed
+    entirely on the domain-bounded (type, cent) count aggregate —
+    ECDFs are cumulative windows over that compact frame, so the fact
+    table is scanned once and never sorted row-level."""
+    return stattests.ks_drift(table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_mannwhitney",
+    f"""{_TC_CTE},
+    gc AS (SELECT vc, cg, sum(cg) OVER (ORDER BY vc) - cg AS cumbefore FROM g),
+    r2 AS (SELECT tc.event_type,
+                  CAST(sum(tc.ct * (2 * gc.cumbefore + gc.cg + 1)) AS BIGINT) AS r2
+           FROM tc JOIN gc ON tc.vc = gc.vc GROUP BY 1),
+    uu AS (SELECT nt.event_type, nt.n1, tot.nn, tot.t,
+                  CAST(r2.r2 - nt.n1 * (nt.n1 + 1) AS BIGINT) AS u2
+           FROM nt JOIN r2 ON r2.event_type = nt.event_type CROSS JOIN tot)
+    SELECT event_type, CAST(n1 AS BIGINT) AS n_group, u2,
+           CASE WHEN sqrt(CAST(n1 * (nn - n1) AS DOUBLE)
+                     * ((CAST(nn AS DOUBLE) + 1.0)
+                        - CAST(t AS DOUBLE)
+                          / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))
+                     / 3.0) > 0
+                THEN round(CAST(u2 - n1 * (nn - n1) AS DOUBLE)
+                     / sqrt(CAST(n1 * (nn - n1) AS DOUBLE)
+                       * ((CAST(nn AS DOUBLE) + 1.0)
+                          - CAST(t AS DOUBLE)
+                            / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))
+                       / 3.0), 6)
+           END AS mw_z,
+           coalesce(abs(CAST(u2 - n1 * (nn - n1) AS DOUBLE)
+                    / sqrt(CAST(n1 * (nn - n1) AS DOUBLE)
+                      * ((CAST(nn AS DOUBLE) + 1.0)
+                         - CAST(t AS DOUBLE)
+                           / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))
+                      / 3.0)) > 1.96, FALSE) AS shift_flag
+    FROM uu ORDER BY event_type""",
+)
+def events_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U (rank-sum) location-shift test per event type vs
+    the rest, tie-corrected normal approximation, no continuity
+    correction.  The doubled rank sum computes in closed form over
+    pooled tie groups of the (type, cent) aggregate (doubled average
+    rank of a tie group = 2*cum_before + t + 1, an integer), so u2 =
+    2*U1 is exact int64 and the z-score divides once in a fixed
+    textual order both engines share."""
+    return stattests.mann_whitney(table(spark, sf_dir, "events"))

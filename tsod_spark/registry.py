@@ -204,6 +204,8 @@ _CURRENT_ROUND_PRIORITY = (
     "events_assoc_rules",
     "ts_spearman",
     "ts_runs_test",
+    "events_ks_drift",
+    "events_mannwhitney",
 )
 
 
