@@ -1091,3 +1091,68 @@ def test_stream_cusum_matches_batch(spark, events_batches):
     assert len(got) == len(expected) == 1000
     mism = [(k, got[k], expected[k]) for k in expected if got[k] != expected[k]]
     assert not mism, f"{len(mism)} mismatches, first: {mism[:3]}"
+
+
+def test_stream_heavy_hitters_bounded_state_summary(spark, tmp_path):
+    """Streaming MG summary across micro-batches: state stays bounded
+    at k counters per bucket, heavy items survive with lower-bound
+    counts, and the no-false-negative guarantee holds vs exact counts
+    of the full stream (the batch two-pass contract, online)."""
+    import pandas as pd
+
+    from tsod_spark.streaming import stream_heavy_hitters
+
+    k, n_buckets = 4, 2
+    # heavy items dominate; rare tail forces eviction pressure (>k
+    # distinct per bucket)
+    heavy = ["aaa"] * 40 + ["bbb"] * 30
+    rare = [f"r{i}" for i in range(30)]
+    b0 = heavy[:35] + rare[:15]
+    b1 = heavy[35:] + rare[15:]
+    src_dir = str(tmp_path / "items_src")
+    schema = "item string"
+    spark.createDataFrame(pd.DataFrame({"item": b0}), schema).coalesce(1).write.parquet(
+        f"{src_dir}/b0"
+    )
+    spark.createDataFrame(pd.DataFrame({"item": b1}), schema).coalesce(1).write.parquet(
+        f"{src_dir}/b1"
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/b*")
+    )
+    out = stream_heavy_hitters(src, "item", k=k, n_buckets=n_buckets)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_hh")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted summary per bucket = the final state
+    rows = spark.sql(
+        """SELECT * FROM (
+             SELECT *, max(bucket_rows) OVER (PARTITION BY bucket) AS mr
+             FROM t_hh) WHERE bucket_rows = mr"""
+    ).collect()
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, {})[r.item] = (r.mg_count, r.bucket_rows)
+    exact: dict = {}
+    for it in b0 + b1:
+        exact[it] = exact.get(it, 0) + 1
+    # state bound: at most k counters per bucket
+    for b, summ in by_bucket.items():
+        assert len(summ) <= k
+    # guarantee: items above bucket_rows/(k+1) of their bucket must be
+    # present with a sound lower bound
+    all_items = {it for summ in by_bucket.values() for it in summ}
+    for b, summ in by_bucket.items():
+        rows_b = next(iter(summ.values()))[1]
+        for it, (c, _) in summ.items():
+            assert c <= exact[it]
+            assert exact[it] - c <= rows_b / (k + 1)
+    for it in ("aaa", "bbb"):
+        assert it in all_items, f"heavy item {it} evicted — MG bound violated"

@@ -3,6 +3,7 @@ from .detect import (  # noqa: F401
     stream_dedup_minhash,
     stream_detect,
     stream_detect_stateless,
+    stream_heavy_hitters,
     stream_rollup,
     stream_sessionize,
     stream_winnow_overlap,

@@ -46,6 +46,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -707,4 +708,93 @@ def stream_dedup_exact(
     """
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
+    )
+
+def stream_heavy_hitters(
+    stream_items: DataFrame,
+    item_col: str = "item",
+    k: int = 64,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Bounded-state streaming frequency tracking — the streaming twin
+    of :func:`tsod_spark.pipeline.frequent.heavy_hitters`' candidate
+    pass, for firehoses whose distinct-item space cannot live in a
+    stateful ``groupBy(item).count()`` (every distinct n-gram ever
+    seen would be a state row).
+
+    Items route to ``n_buckets`` deterministic hash buckets
+    (``pmod(xxhash64(item), B)``); each bucket key folds its batch
+    counts into ONE Misra-Gries summary of at most ``k`` counters held
+    in grouped state (:func:`tsod_spark.pipeline.frequent.mg_fold` —
+    the same pure kernel the batch pass runs, so the MG bound is
+    shared, not re-derived).  Hard global state bound: ``B * k``
+    counters, regardless of stream length or vocabulary.
+
+    Because routing is deterministic, an item's ENTIRE history lands
+    in one bucket, so the per-bucket MG guarantee applies to its full
+    stream-lifetime count: any item with true count >
+    ``bucket_rows / (k + 1)`` is guaranteed present in that bucket's
+    summary, with ``mg_count`` a lower bound within
+    ``bucket_rows / (k + 1)`` of exact.  Each batch emits the
+    bucket's refreshed summary (update mode) with ``bucket_rows`` so
+    downstream can apply the threshold; confirm candidates exactly
+    with the batch pass 2 (broadcast semi-join re-count) — the same
+    two-phase contract as the batch operator.
+    """
+    from pyspark.sql import functions as F
+
+    from ..pipeline.frequent import mg_fold
+
+    routed = stream_items.select(
+        F.col(item_col).alias("item"),
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_buckets)).alias("bucket"),
+    ).where(F.col("item").isNotNull())
+
+    out_schema = StructType(
+        [
+            StructField("bucket", LongType()),
+            StructField("item", StringType()),
+            StructField("mg_count", LongType()),
+            StructField("bucket_rows", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("items", ArrayType(StringType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("rows", LongType()),
+        ]
+    )
+
+    def process(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, rows = state.get
+            cnt = dict(zip(list(items), [int(c) for c in counts]))
+            rows = int(rows)
+        else:
+            cnt, rows = {}, 0
+        for pdf in pdfs:
+            col = pdf["item"].dropna()
+            rows += len(col)
+            cnt = mg_fold(cnt, col.value_counts().to_dict(), k)
+        state.update((list(cnt.keys()), [int(v) for v in cnt.values()], rows))
+        if cnt:
+            out = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))
+            yield pd.DataFrame(
+                {
+                    "bucket": int(key[0]),
+                    "item": [it for it, _ in out],
+                    "mg_count": [c for _, c in out],
+                    "bucket_rows": rows,
+                }
+            )
+
+    return routed.groupBy("bucket").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
