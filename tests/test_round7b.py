@@ -304,3 +304,43 @@ def test_mann_whitney_matches_pure_python(spark):
         assert out[grp].u2 == int(2 * u1)
         assert out[grp].mw_z == pytest.approx(round(z, 6), abs=1e-6)
         assert out[grp].shift_flag == (abs(z) > 1.96)
+
+
+def test_theil_sen_matches_pure_python(spark):
+    from tsod_spark.analytics import temporal as T
+
+    rng = random.Random(9)
+    # user 1: upward trend + noise; user 2: flat with an outlier spike
+    triples = []
+    for d in range(10):
+        triples.append((1, 24 * d, 1.0 * d + rng.uniform(-0.1, 0.1)))
+        triples.append((2, 24 * d, 5.0 if d == 4 else 1.0))
+    df = _mk_events(spark, triples)
+    out = {r.user_id: r for r in T.robust_trend(df).collect()}
+
+    for u in (1, 2):
+        daily = {}
+        for uu, h, v in triples:
+            if uu == u:
+                daily[h // 24] = daily.get(h // 24, 0) + int(round(v * 100))
+        ds = sorted(daily)
+        slopes, s = [], 0
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                dx, dy = ds[j] - ds[i], daily[ds[j]] - daily[ds[i]]
+                slopes.append(dy / dx)
+                s += (dy > 0) - (dy < 0)
+        slopes.sort()
+        n = len(slopes)
+        h = 0.5 * (n - 1)
+        lo = int(h)
+        sen = slopes[lo] + (slopes[lo + 1] - slopes[lo]) * (h - lo) if lo + 1 < n else slopes[lo]
+        r = out[u]
+        assert r.n_days == len(ds)
+        assert r.mk_s == s
+        assert r.sen_slope == pytest.approx(round(sen, 6), abs=1e-9)
+    # the trend user must flag, the outlier-only user must not
+    assert out[1].trend_flag
+    assert not out[2].trend_flag
+    # outlier immunity: user 2's Sen slope is 0 despite the spike
+    assert out[2].sen_slope == 0.0

@@ -561,6 +561,92 @@ def runs_test(
     ).orderBy(*keys)
 
 
+def robust_trend(
+    df: DataFrame,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Robust trend screen per series: Theil-Sen slope (median of all
+    pairwise daily-total slopes) plus the Mann-Kendall S statistic and
+    its tie-corrected z — the standard distribution-free "is this
+    sensor trending" battery (outlier-immune where OLS slope is not).
+
+    Scale shape: the fact table reduces once to per-(series, day)
+    int64 cent totals; the pairwise self-join runs on that CACHED
+    bucketed frame keyed by series (n_days^2/2 rows per series —
+    bounded by the observation horizon, ~435 pairs per 30-day series —
+    never by the event count; re-bucket coarser for multi-year
+    horizons).  Slopes are single double divisions of int64 deltas,
+    the Sen slope is the engine-exact percentile interpolation both
+    engines share, and the MK variance converts one int64 expression
+    to double before a lone division by 18.
+    """
+    from ..expressions import nan_to_null
+
+    keys = list(series)
+    cents = F.round(nan_to_null(F.col(value_col)) * 100).cast("long")
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01")).cast("int")
+    daily = (
+        df.groupBy(*keys, day.alias("__d"))
+        .agg(F.sum(cents).alias("__x"))
+        .where(F.col("__x").isNotNull())
+        .cache()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    cond = (F.col("a.__d") < F.col("b.__d"))
+    for c in keys:
+        cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
+    pairs = a.join(b, cond).select(
+        *[F.col(f"a.{c}").alias(c) for c in keys],
+        (
+            (F.col("b.__x") - F.col("a.__x")).cast("double")
+            / (F.col("b.__d") - F.col("a.__d")).cast("double")
+        ).alias("__slope"),
+        F.when(F.col("b.__x") > F.col("a.__x"), F.lit(1))
+        .when(F.col("b.__x") < F.col("a.__x"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("__sgn"),
+    )
+    agg = pairs.groupBy(*keys).agg(
+        F.percentile(F.col("__slope"), F.lit(0.5)).alias("__sen"),
+        F.sum("__sgn").cast("long").alias("mk_s"),
+    )
+    nd = daily.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    tie = (
+        daily.groupBy(*keys, "__x")
+        .agg(F.count(F.lit(1)).cast("long").alias("__t"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.col("__t") * (F.col("__t") - 1) * (F.lit(2) * F.col("__t") + 5)
+            )
+            .cast("long")
+            .alias("__tsum")
+        )
+    )
+    j = nd.join(agg, keys).join(tie, keys)
+    n = F.col("n_days")
+    var = (
+        n * (n - 1) * (F.lit(2) * n + 5) - F.col("__tsum")
+    ).cast("double") / F.lit(18.0)
+    num = (
+        F.when(F.col("mk_s") > 0, (F.col("mk_s") - 1).cast("double"))
+        .when(F.col("mk_s") < 0, (F.col("mk_s") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+    z = num / F.sqrt(var)
+    return j.select(
+        *keys,
+        "n_days",
+        F.round(F.col("__sen"), 6).alias("sen_slope"),
+        "mk_s",
+        F.when(var > 0, F.round(z, 6)).alias("mk_z"),
+        F.coalesce(F.abs(z) > F.lit(z_crit), F.lit(False)).alias("trend_flag"),
+    ).orderBy(*keys)
+
+
 def rolling_benchmark_correlation(
     df: DataFrame,
     series: Sequence[str] = ("user_id",),

@@ -207,6 +207,53 @@ def ts_runs_test(spark, sf_dir):
     return temporal.runs_test(table(spark, sf_dir, "events"))
 
 
+_MK_VAR = "CAST(nd.n * (nd.n - 1) * (2 * nd.n + 5) - tie.tsum AS DOUBLE) / 18.0"
+_MK_NUM = (
+    "(CASE WHEN agg.s > 0 THEN CAST(agg.s - 1 AS DOUBLE) "
+    "WHEN agg.s < 0 THEN CAST(agg.s + 1 AS DOUBLE) ELSE 0.0 END)"
+)
+
+
+@register(
+    "ts_theil_sen",
+    f"""WITH c AS (SELECT user_id,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc FROM events),
+    daily AS (SELECT user_id, d, sum(vc) AS x FROM c GROUP BY 1, 2),
+    dd AS (SELECT * FROM daily WHERE x IS NOT NULL),
+    p AS (SELECT a.user_id,
+            CAST(b.x - a.x AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope,
+            CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+          FROM dd a JOIN dd b ON a.user_id = b.user_id AND a.d < b.d),
+    agg AS (SELECT user_id, CAST(sum(sgn) AS BIGINT) AS s,
+                   list_sort(list(slope)) AS sl FROM p GROUP BY 1),
+    nd AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM dd GROUP BY 1),
+    tie AS (SELECT user_id,
+                   CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+            FROM (SELECT user_id, x, CAST(count(*) AS BIGINT) AS t
+                  FROM dd GROUP BY 1, 2) GROUP BY 1)
+    SELECT nd.user_id, nd.n AS n_days,
+           round({spark_quantile_sql("agg.sl", 0.5)}, 6) AS sen_slope,
+           agg.s AS mk_s,
+           CASE WHEN {_MK_VAR} > 0
+                THEN round({_MK_NUM} / sqrt({_MK_VAR}), 6) END AS mk_z,
+           coalesce(abs({_MK_NUM} / sqrt({_MK_VAR})) > 1.96, FALSE) AS trend_flag
+    FROM nd JOIN agg ON agg.user_id = nd.user_id
+    JOIN tie ON tie.user_id = nd.user_id
+    ORDER BY nd.user_id""",
+)
+def ts_theil_sen(spark, sf_dir):
+    """Robust trend screen per series: Theil-Sen slope (median of all
+    pairwise daily-total slopes — outlier-immune where OLS is not)
+    plus the tie-corrected Mann-Kendall z and its 5% trend flag, the
+    standard distribution-free sensor-trend battery.  Pairs enumerate
+    on the per-(series, day) int64 cent aggregate (bounded by the
+    horizon, never the event count); the Sen slope interpolates with
+    the engine-exact percentile both engines share."""
+    return temporal.robust_trend(table(spark, sf_dir, "events"))
+
+
 _TC_CTE = """WITH c AS (SELECT event_type,
            CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
                 AS BIGINT) AS vc FROM events),

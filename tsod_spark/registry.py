@@ -206,6 +206,7 @@ _CURRENT_ROUND_PRIORITY = (
     "ts_runs_test",
     "events_ks_drift",
     "events_mannwhitney",
+    "ts_theil_sen",
 )
 
 
