@@ -64,6 +64,12 @@ ALLOW_NLJ = {
                          # value domain) + 1-row total crossJoin
     "events_mannwhitney",  # broadcast 1-row (total, tie-sum) scalar
                          # crossJoin; all frames domain-bounded
+    "orders_rfm",        # broadcast 1-row max-order-date scalar
+                         # crossJoin; quintile windows sort the
+                         # customer-dim aggregate only
+    "parts_abc",         # broadcast 1-row grand-total scalar
+                         # crossJoin; cumulative window over the
+                         # part-dim aggregate only
 }
 # mapInPandas is the designed path here, not an accident; ts_ewma is a
 # sequential recurrence (no Spark scan/fold builtin) running pandas'

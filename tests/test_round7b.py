@@ -344,3 +344,63 @@ def test_theil_sen_matches_pure_python(spark):
     assert not out[2].trend_flag
     # outlier immunity: user 2's Sen slope is 0 despite the spike
     assert out[2].sen_slope == 0.0
+
+
+# ---------------------------------------------------------------------------
+# classic analytics: Gini + Benford kernels
+
+
+def test_gini_rank_formula_pure_python(spark):
+    """The rank-formula Gini matches the textbook mean-absolute-
+    difference definition on a known distribution."""
+    import itertools
+
+    # equal distribution -> gini 0; one-holder -> (n-1)/n
+    xs_equal = [100, 100, 100, 100]
+    xs_skew = [0, 0, 0, 400]
+
+    def gini_rank(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+        return num / (n * sum(xs))
+
+    def gini_mad(xs):
+        n = len(xs)
+        mu = sum(xs) / n
+        mad = sum(abs(a - b) for a, b in itertools.product(xs, xs)) / (n * n)
+        return mad / (2 * mu)
+
+    for xs in (xs_equal, xs_skew, [10, 20, 30, 40, 500]):
+        assert gini_rank(xs) == pytest.approx(gini_mad(xs), abs=1e-12)
+    assert gini_rank(xs_equal) == 0.0
+    assert gini_rank(xs_skew) == pytest.approx(0.75)
+
+
+def test_benford_chi2_conforming_and_violating(spark):
+    from tsod_spark.queries.round7 import _BENFORD_P, benford_screen
+
+    # Benford-conforming sample: magnitudes spread log-uniformly
+    rng = random.Random(2)
+    conforming = [10 ** rng.uniform(0, 3) for _ in range(3000)]
+    violating = [5.0 + rng.uniform(0, 0.4) for _ in range(3000)]  # all lead with 5
+    rows = []
+    for i, v in enumerate(conforming):
+        rows.append((i, 1, datetime.datetime(2024, 1, 1), "ok", v))
+    for i, v in enumerate(violating):
+        rows.append((10_000 + i, 1, datetime.datetime(2024, 1, 1), "bad", v))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r.event_type: r for r in benford_screen(df).collect()}
+    assert not out["ok"].benford_flag, f"log-uniform sample flagged: chi2={out['ok'].chi2}"
+    assert out["bad"].benford_flag
+    # chi2 cross-check vs pure python for the violating group
+    cents = [int(round(v * 100)) for v in violating]
+    digs = [int(str(abs(c))[0]) for c in cents if c != 0]
+    n = len(digs)
+    chi2 = sum(
+        (digs.count(d) - n * p) ** 2 / (n * p)
+        for d, p in zip(range(1, 10), _BENFORD_P)
+    )
+    assert out["bad"].chi2 == pytest.approx(round(chi2, 6), abs=1e-6)

@@ -344,3 +344,294 @@ def events_mannwhitney(spark, sf_dir):
     2*U1 is exact int64 and the z-score divides once in a fixed
     textual order both engines share."""
     return stattests.mann_whitney(table(spark, sf_dir, "events"))
+
+
+O_CENTS7 = "CAST(round(o_totalprice * 100) AS BIGINT)"
+REV_C7 = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+@register(
+    "orders_rfm",
+    f"""WITH per AS (SELECT o_custkey,
+           max(CAST(o_orderdate AS DATE)) AS last_d,
+           CAST(count(*) AS BIGINT) AS frequency,
+           CAST(sum({O_CENTS7}) AS BIGINT) AS monetary_cents
+         FROM orders GROUP BY 1),
+    nw AS (SELECT max(CAST(o_orderdate AS DATE)) AS now_d FROM orders),
+    r AS (SELECT per.*,
+            CAST(date_diff('day', last_d, now_d) AS BIGINT) AS recency_days
+          FROM per CROSS JOIN nw),
+    s AS (SELECT o_custkey, recency_days, frequency, monetary_cents,
+        CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS BIGINT)
+          AS r_score,
+        CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_score,
+        CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS BIGINT)
+          AS m_score
+      FROM r)
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                  THEN 'champion'
+                WHEN f_score >= 4 THEN 'loyal'
+                WHEN m_score >= 4 THEN 'big_spender'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM s ORDER BY o_custkey""",
+)
+def orders_rfm(spark, sf_dir):
+    """RFM customer segmentation: recency / frequency / monetary
+    quintile scores (deterministic ntile with custkey tiebreaks — both
+    engines share the standard remainder-to-first-buckets ntile) and
+    the classic segment labels.  The quintile windows sort the
+    customer-DIM-sized aggregate, never the fact table; the reference
+    date is the max order date via a broadcast 1-row scalar."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(cents).alias("monetary_cents"),
+    )
+    now = o.agg(F.max(F.to_date("o_orderdate")).alias("__now"))
+    r = per.crossJoin(F.broadcast(now)).withColumn(
+        "recency_days", F.datediff(F.col("__now"), F.col("__last")).cast("long")
+    )
+    w_r = Window.orderBy(F.col("recency_days").desc(), "o_custkey")
+    w_f = Window.orderBy(F.col("frequency"), "o_custkey")
+    w_m = Window.orderBy(F.col("monetary_cents"), "o_custkey")
+    s = r.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(w_r).cast("long").alias("r_score"),
+        F.ntile(5).over(w_f).cast("long").alias("f_score"),
+        F.ntile(5).over(w_m).cast("long").alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            F.lit("champion"),
+        )
+        .when(F.col("f_score") >= 4, F.lit("loyal"))
+        .when(F.col("m_score") >= 4, F.lit("big_spender"))
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), F.lit("at_risk"))
+        .when(F.col("r_score") <= 2, F.lit("hibernating"))
+        .otherwise(F.lit("regular"))
+    )
+    return s.withColumn("segment", seg).orderBy("o_custkey")
+
+
+@register(
+    "parts_abc",
+    f"""WITH pr AS (SELECT l_partkey, CAST(sum({REV_C7}) AS BIGINT) AS revenue_c
+          FROM lineitem GROUP BY 1),
+    t AS (SELECT CAST(sum(revenue_c) AS BIGINT) AS tot FROM pr),
+    c AS (SELECT l_partkey, revenue_c,
+            sum(revenue_c) OVER (ORDER BY revenue_c DESC, l_partkey) AS cum
+          FROM pr)
+    SELECT l_partkey, revenue_c,
+           round(CAST(cum AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS cum_share,
+           CASE WHEN CAST(cum AS DOUBLE) / CAST(t.tot AS DOUBLE) <= 0.8 THEN 'A'
+                WHEN CAST(cum AS DOUBLE) / CAST(t.tot AS DOUBLE) <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c CROSS JOIN t ORDER BY revenue_c DESC, l_partkey""",
+)
+def parts_abc(spark, sf_dir):
+    """ABC / Pareto inventory classification: parts ranked by exact
+    int64 revenue cents, cumulative-share thresholds at 80% / 95%.
+    The cumulative window sorts the part-DIM-sized aggregate (the fact
+    table reduces in one map-side-combinable pass); the grand total is
+    a broadcast 1-row scalar and each share divides once in double."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    pr = li.groupBy("l_partkey").agg(F.sum(rev).cast("long").alias("revenue_c"))
+    tot = pr.agg(F.sum("revenue_c").cast("long").alias("__tot"))
+    w = Window.orderBy(F.col("revenue_c").desc(), "l_partkey")
+    c = pr.withColumn("__cum", F.sum("revenue_c").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    share = F.col("__cum").cast("double") / F.col("__tot").cast("double")
+    return c.select(
+        "l_partkey",
+        "revenue_c",
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.8, F.lit("A"))
+        .when(share <= 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    ).orderBy(F.col("revenue_c").desc(), "l_partkey")
+
+
+@register(
+    "customer_gini_by_nation",
+    f"""WITH sp AS (SELECT o_custkey, CAST(sum({O_CENTS7}) AS BIGINT) AS x
+          FROM orders GROUP BY 1),
+    cs AS (SELECT c.c_nationkey, sp.o_custkey, sp.x
+           FROM sp JOIN customer c ON c.c_custkey = sp.o_custkey),
+    r AS (SELECT c_nationkey, x,
+            row_number() OVER (PARTITION BY c_nationkey ORDER BY x, o_custkey)
+              AS i,
+            count(*) OVER (PARTITION BY c_nationkey) AS n,
+            sum(x) OVER (PARTITION BY c_nationkey) AS sx
+          FROM cs),
+    g AS (SELECT c_nationkey, CAST(max(n) AS BIGINT) AS n_customers,
+            CAST(sum((2 * i - n - 1) * x) AS BIGINT) AS num,
+            CAST(max(n * sx) AS BIGINT) AS den
+          FROM r GROUP BY 1)
+    SELECT nt.n_name AS nation, g.n_customers,
+           CASE WHEN g.den > 0
+                THEN round(CAST(g.num AS DOUBLE) / CAST(g.den AS DOUBLE), 6)
+           END AS gini
+    FROM g JOIN nation nt ON nt.n_nationkey = g.c_nationkey
+    ORDER BY nation""",
+)
+def customer_gini_by_nation(spark, sf_dir):
+    """Gini coefficient of customer spend per nation — the inequality
+    screen over the rank formulation ``sum((2i - n - 1) x_i) / (n
+    sum(x))`` with spend sorted ascending (custkey tiebreak), which
+    keeps every term an exact int64 product-sum and divides once.
+    Windows partition by nation over the customer-DIM-sized spend
+    aggregate; the nation dim joins broadcast."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    sp = o.groupBy("o_custkey").agg(F.sum(cents).alias("x"))
+    cs = sp.join(
+        cust.select(F.col("c_custkey"), "c_nationkey"),
+        sp["o_custkey"] == F.col("c_custkey"),
+    ).select("c_nationkey", "o_custkey", "x")
+    wp = Window.partitionBy("c_nationkey")
+    r = cs.select(
+        "c_nationkey",
+        "x",
+        F.row_number().over(wp.orderBy("x", "o_custkey")).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("x").over(wp).alias("sx"),
+    )
+    g = r.groupBy("c_nationkey").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.sum(
+            (F.lit(2) * F.col("i") - F.col("n") - 1) * F.col("x")
+        ).cast("long").alias("__num"),
+        F.max(F.col("n") * F.col("sx")).cast("long").alias("__den"),
+    )
+    return (
+        g.join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            g["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_customers",
+            F.when(
+                F.col("__den") > 0,
+                F.round(F.col("__num").cast("double") / F.col("__den").cast("double"), 6),
+            ).alias("gini"),
+        )
+        .orderBy("nation")
+    )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), shared as literal
+# doubles so both engines parse the identical values (no libm log10 in
+# either plan — engine log implementations differ in the last ulp)
+_BENFORD_P = (
+    0.301029995663981,
+    0.176091259055681,
+    0.1249387366083,
+    0.096910013008056,
+    0.079181246047625,
+    0.066946789630613,
+    0.057991946977687,
+    0.051152522447381,
+    0.045757490560675,
+)
+_BENFORD_SQL_CHI2 = " + ".join(
+    f"(CAST(o{d} AS DOUBLE) - CAST(n AS DOUBLE) * {p})"
+    f" * (CAST(o{d} AS DOUBLE) - CAST(n AS DOUBLE) * {p})"
+    f" / (CAST(n AS DOUBLE) * {p})"
+    for d, p in zip(range(1, 10), _BENFORD_P)
+)
+_BENFORD_OS = ",\n".join(
+    f"CAST(sum(CASE WHEN dig = {d} THEN 1 ELSE 0 END) AS BIGINT) AS o{d}"
+    for d in range(1, 10)
+)
+
+
+@register(
+    "events_benford",
+    f"""WITH c AS (SELECT event_type,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc FROM events),
+    d AS (SELECT event_type,
+                 CAST(substr(CAST(abs(vc) AS VARCHAR), 1, 1) AS BIGINT) AS dig
+          FROM c WHERE vc IS NOT NULL AND vc <> 0),
+    p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 {_BENFORD_OS}
+          FROM d GROUP BY 1)
+    SELECT event_type, n, round({_BENFORD_SQL_CHI2}, 6) AS chi2,
+           ({_BENFORD_SQL_CHI2}) > 15.507 AS benford_flag
+    FROM p ORDER BY event_type""",
+)
+def events_benford(spark, sf_dir):
+    """Benford first-significant-digit conformance screen per event
+    type: chi-square distance of the observed leading-digit histogram
+    (of int64 cent magnitudes — digit extraction is string-based, so
+    no float log in either engine) from the Benford expectation, with
+    the 5% rejection flag (chi2 > 15.507, df=8).  The expected
+    probabilities are shared literal doubles and the nine chi-square
+    terms sum in one fixed textual order, keeping the statistic
+    engine-deterministic.  One map-side-combinable aggregate over the
+    fact table; everything after is a 9-column projection."""
+    return benford_screen(table(spark, sf_dir, "events"))
+
+
+def benford_screen(e):
+    """The events_benford plan on an arbitrary events-shaped frame
+    (shared with the differential tests)."""
+    from ..expressions import nan_to_null
+
+    cents = F.round(nan_to_null(F.col("value")) * 100).cast("long")
+    d = (
+        e.select("event_type", cents.alias("__vc"))
+        .where(F.col("__vc").isNotNull() & (F.col("__vc") != 0))
+        .select(
+            "event_type",
+            F.substring(F.abs(F.col("__vc")).cast("string"), 1, 1)
+            .cast("long")
+            .alias("__dig"),
+        )
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")] + [
+        F.sum(F.when(F.col("__dig") == dd, 1).otherwise(0))
+        .cast("long")
+        .alias(f"o{dd}")
+        for dd in range(1, 10)
+    ]
+    p = d.groupBy("event_type").agg(*aggs)
+    chi2 = None
+    for dd, prob in zip(range(1, 10), _BENFORD_P):
+        o = F.col(f"o{dd}").cast("double")
+        exp = F.col("n").cast("double") * F.lit(prob)
+        term = (o - exp) * (o - exp) / exp
+        chi2 = term if chi2 is None else chi2 + term
+    return p.select(
+        "event_type",
+        "n",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(15.507)).alias("benford_flag"),
+    ).orderBy("event_type")

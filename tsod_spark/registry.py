@@ -207,6 +207,10 @@ _CURRENT_ROUND_PRIORITY = (
     "events_ks_drift",
     "events_mannwhitney",
     "ts_theil_sen",
+    "orders_rfm",
+    "parts_abc",
+    "customer_gini_by_nation",
+    "events_benford",
 )
 
 
