@@ -112,6 +112,13 @@ HEADLINE = [
     "events_assoc_rules",
     "ts_spearman",
     "ts_runs_test",
+    "events_ks_drift",
+    "events_mannwhitney",
+    "ts_theil_sen",
+    "orders_rfm",
+    "parts_abc",
+    "customer_gini_by_nation",
+    "events_benford",
 ]
 
 

@@ -54,10 +54,12 @@ def ks_drift(
     Plan shape: one fact scan into (group, cent) counts; the ECDF
     grid is the global distinct-cent table crossed with the tiny
     group list (linear in the value domain, quadratic in nothing);
-    cumulative windows partition by group.  The argmax row is
-    recovered by an exact float-equality join against the per-group
-    max — sound because both sides are the SAME doubles computed by
-    the same expressions.
+    cumulative windows partition by group.  The peak and its location
+    come from ONE aggregate — ``max(struct(d, -cent))`` compares
+    lexicographically, giving (max gap, min cent on ties) with no
+    second read of the grid; the oracle's two-step max + equality
+    join selects the same row because both engines compute the same
+    doubles from the same expressions.
     """
     tc = _type_cent_counts(events, group_col, value_col).cache()
     g = tc.groupBy("__c").agg(F.sum("__ct").cast("long").alias("__cg"))
@@ -86,31 +88,25 @@ def ks_drift(
             / (F.col("__nn") - F.col("__n1")).cast("double")
         ).alias("__d"),
     )
-    mx = dd.groupBy(group_col, "__n1", "__nn").agg(F.max("__d").alias("__ks"))
-    loc = (
-        dd.join(
-            F.broadcast(mx.select(group_col, "__ks")),
-            [group_col],
-        )
-        .where(F.col("__d") == F.col("__ks"))
-        .groupBy(group_col)
-        .agg(F.min("__c").alias("ks_at_cent"))
+    # argmax in ONE aggregate: structs compare lexicographically, so
+    # max(struct(d, -cent)) is (max gap, min cent on ties) — no
+    # equality join, no second read of the grid
+    mx = dd.groupBy(group_col, "__n1", "__nn").agg(
+        F.max(
+            F.struct(F.col("__d").alias("d"), (-F.col("__c")).alias("negc"))
+        ).alias("__mx")
     )
     n2 = F.col("__nn") - F.col("__n1")
     crit = F.lit(alpha_coeff) * F.sqrt(
         (F.col("__n1") + n2).cast("double") / (F.col("__n1") * n2).cast("double")
     )
-    return (
-        mx.join(F.broadcast(loc), [group_col])
-        .select(
-            group_col,
-            F.col("__n1").alias("n_group"),
-            F.round(F.col("__ks"), 6).alias("ks"),
-            "ks_at_cent",
-            (F.col("__ks") > crit).alias("drift_flag"),
-        )
-        .orderBy(group_col)
-    )
+    return mx.select(
+        group_col,
+        F.col("__n1").alias("n_group"),
+        F.round(F.col("__mx.d"), 6).alias("ks"),
+        (-F.col("__mx.negc")).alias("ks_at_cent"),
+        (F.col("__mx.d") > crit).alias("drift_flag"),
+    ).orderBy(group_col)
 
 
 def mann_whitney(

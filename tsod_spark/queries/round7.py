@@ -46,8 +46,16 @@ def doc_bigram_heavy_hitters(spark, sf_dir):
     distinct bigrams (below k, no eviction pressure — eviction
     correctness is pytest-covered on a synthetic wide-vocabulary
     fixture with k=8)."""
+    from ..util import default_parallelism
+
     docs = table(spark, sf_dir, "documents")
-    bigrams = docs.select(
+    # spread the corpus before the CPU-heavy tokenize+shingle explode:
+    # a single-file corpus otherwise runs BOTH passes on one core
+    # (measured 5.6s -> 0.6s for the explode alone at sf0.1); at
+    # production scale the source arrives multi-file and this is a
+    # cheap no-op-shaped round-robin of text bytes
+    spread = docs.repartition(default_parallelism(spark), "doc_id")
+    bigrams = spread.select(
         F.explode(text.all_shingles(text.tokens(F.col("text")), 2)).alias("bigram")
     )
     return frequent.heavy_hitters(bigrams, "bigram", k=1024, phi=0.0012)
