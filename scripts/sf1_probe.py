@@ -173,6 +173,10 @@ def build(spark) -> None:
 
 def main() -> None:
     rebuild = "--rebuild" in sys.argv
+    # optional query-name args: probe only those HEADLINE entries and
+    # MERGE into the existing SCALE_sf1.json (newcomer top-up without
+    # re-timing the whole list)
+    only = {a for a in sys.argv[1:] if not a.startswith("--")}
 
     from pyspark.sql import SparkSession
 
@@ -243,7 +247,13 @@ def main() -> None:
         return sorted(runs)[1], round(max(runs) - min(runs), 2)
 
     results: dict[str, dict[str, float | None]] = {}
+    out_path = os.path.join(REPO, "SCALE_sf1.json")
+    if only and os.path.exists(out_path):
+        with open(out_path) as fh:
+            results.update(json.load(fh).get("queries", {}))
     for name in HEADLINE:
+        if only and name not in only:
+            continue
         fn = qmap[name]
         t: dict[str, float] = {}
         spread: dict[str, float] = {}
@@ -258,7 +268,7 @@ def main() -> None:
         )
 
     payload = json.dumps({"multiplier": MULT, "queries": results}, indent=1)
-    with open(os.path.join(REPO, "SCALE_sf1.json"), "w") as fh:
+    with open(out_path, "w") as fh:
         fh.write(payload + "\n")
     print(payload)
     spark.stop()
