@@ -643,3 +643,156 @@ def benford_screen(e):
         F.round(chi2, 6).alias("chi2"),
         (chi2 > F.lit(15.507)).alias("benford_flag"),
     ).orderBy("event_type")
+
+
+@register(
+    "ts_backtest_snaive",
+    """WITH c AS (SELECT user_id, date_trunc('hour', ts) AS b,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc FROM events),
+    p AS (SELECT user_id, b, sum(vc) AS x FROM c GROUP BY 1, 2),
+    pp AS (SELECT * FROM p WHERE x IS NOT NULL),
+    s AS (SELECT a.user_id, abs(a.x - f.x) AS es
+          FROM pp a JOIN pp f
+            ON f.user_id = a.user_id AND f.b = a.b - INTERVAL 24 HOUR),
+    n1 AS (SELECT a.user_id, abs(a.x - f.x) AS ep
+           FROM pp a JOIN pp f
+             ON f.user_id = a.user_id AND f.b = a.b - INTERVAL 1 HOUR),
+    sa AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_scored,
+                  CAST(sum(es) AS BIGINT) AS se FROM s GROUP BY 1),
+    na AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_persist,
+                  CAST(sum(ep) AS BIGINT) AS sp FROM n1 GROUP BY 1)
+    SELECT sa.user_id, sa.n_scored,
+           round(CAST(sa.se AS DOUBLE) / CAST(sa.n_scored AS DOUBLE), 6)
+             AS mae_cents,
+           CASE WHEN na.sp > 0
+                THEN round(CAST(sa.se * na.n_persist AS DOUBLE)
+                           / CAST(sa.n_scored * na.sp AS DOUBLE), 6)
+           END AS mase
+    FROM sa JOIN na ON na.user_id = sa.user_id
+    ORDER BY sa.user_id""",
+)
+def ts_backtest_snaive(spark, sf_dir):
+    """Rolling-origin backtest of the SEASONAL-NAIVE forecaster per
+    series: predict each hourly total with the value 24 hours earlier,
+    score MAE (exact int64 error sum, one division) and MASE against
+    the 1-hour persistence baseline — MASE is a ratio of two exact
+    ratios, so it reduces to integer cross-products divided once.
+    Forecast lookup is a self-join on the bucket timestamp (gap-safe:
+    a missing t-24h bucket scores nothing, unlike a row-lag), both
+    joins keyed by series over the bucketed aggregate — the standard
+    "is a model even worth training" screen run before any MLlib fit."""
+    from ..expressions import nan_to_null
+
+    e = table(spark, sf_dir, "events")
+    cents = F.round(nan_to_null(F.col("value")) * 100).cast("long")
+    p = (
+        e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("__b"))
+        .agg(F.sum(cents).alias("__x"))
+        .where(F.col("__x").isNotNull())
+        .cache()
+    )
+    a, f = p.alias("a"), p.alias("f")
+
+    def err_agg(hours, n_name, s_name):
+        j = a.join(
+            f,
+            (F.col("f.user_id") == F.col("a.user_id"))
+            & (
+                F.col("f.__b")
+                == F.col("a.__b") - F.expr(f"INTERVAL {hours} HOUR")
+            ),
+        )
+        return j.groupBy(F.col("a.user_id").alias("user_id")).agg(
+            F.count(F.lit(1)).cast("long").alias(n_name),
+            F.sum(F.abs(F.col("a.__x") - F.col("f.__x")))
+            .cast("long")
+            .alias(s_name),
+        )
+
+    sa = err_agg(24, "n_scored", "__se")
+    na = err_agg(1, "__np", "__sp")
+    out = sa.join(na, "user_id")
+    mae = F.col("__se").cast("double") / F.col("n_scored").cast("double")
+    mase = (F.col("__se") * F.col("__np")).cast("double") / (
+        F.col("n_scored") * F.col("__sp")
+    ).cast("double")
+    return out.select(
+        "user_id",
+        "n_scored",
+        F.round(mae, 6).alias("mae_cents"),
+        F.when(F.col("__sp") > 0, F.round(mase, 6)).alias("mase"),
+    ).orderBy("user_id")
+
+
+@register(
+    "orders_cohort_ltv",
+    """WITH om AS (SELECT o_custkey,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders),
+    first AS (SELECT o_custkey, min(ym) AS cohort_ym FROM om GROUP BY 1),
+    cs AS (SELECT cohort_ym, CAST(count(*) AS BIGINT) AS cohort_size
+           FROM first GROUP BY 1),
+    j AS (SELECT f.cohort_ym, om.ym - f.cohort_ym AS age_months, om.cents
+          FROM om JOIN first f ON f.o_custkey = om.o_custkey),
+    g AS (SELECT cohort_ym, CAST(age_months AS BIGINT) AS age_months,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(cents) AS BIGINT) AS revenue_cents
+          FROM j GROUP BY 1, 2),
+    cum AS (SELECT *, sum(revenue_cents) OVER (
+              PARTITION BY cohort_ym ORDER BY age_months) AS cum_revenue_cents
+            FROM g)
+    SELECT cum.cohort_ym, cum.age_months, cum.n_orders, cum.revenue_cents,
+           CAST(cum.cum_revenue_cents AS BIGINT) AS cum_revenue_cents,
+           round(CAST(cum.cum_revenue_cents AS DOUBLE)
+                 / CAST(cs.cohort_size AS DOUBLE), 6) AS ltv_cents_per_customer
+    FROM cum JOIN cs ON cs.cohort_ym = cum.cohort_ym
+    ORDER BY cum.cohort_ym, cum.age_months""",
+)
+def orders_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value matrix: customers cohorted by first-order
+    month (integer year*12+month key — no date formatting ambiguity
+    between engines), revenue accumulated by cohort age in months, and
+    cumulative LTV per cohort customer (exact int64 cents, one double
+    division against the cohort size).  The cumulative window runs per
+    cohort over the month-grain aggregate; the first-order table and
+    cohort sizes are customer-dim-sized."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    om = o.select("o_custkey", ym.alias("__ym"), cents.alias("__c"))
+    first = om.groupBy("o_custkey").agg(F.min("__ym").alias("cohort_ym"))
+    cs = first.groupBy("cohort_ym").agg(
+        F.count(F.lit(1)).cast("long").alias("__size")
+    )
+    g = (
+        om.join(first, "o_custkey")
+        .groupBy("cohort_ym", (F.col("__ym") - F.col("cohort_ym")).cast("long").alias("age_months"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("__c").cast("long").alias("revenue_cents"),
+        )
+    )
+    w = Window.partitionBy("cohort_ym").orderBy("age_months")
+    cum = g.withColumn(
+        "cum_revenue_cents", F.sum("revenue_cents").over(w).cast("long")
+    )
+    return (
+        cum.join(F.broadcast(cs), "cohort_ym")
+        .select(
+            "cohort_ym",
+            "age_months",
+            "n_orders",
+            "revenue_cents",
+            "cum_revenue_cents",
+            F.round(
+                F.col("cum_revenue_cents").cast("double")
+                / F.col("__size").cast("double"),
+                6,
+            ).alias("ltv_cents_per_customer"),
+        )
+        .orderBy("cohort_ym", "age_months")
+    )

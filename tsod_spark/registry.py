@@ -211,6 +211,8 @@ _CURRENT_ROUND_PRIORITY = (
     "parts_abc",
     "customer_gini_by_nation",
     "events_benford",
+    "ts_backtest_snaive",
+    "orders_cohort_ltv",
 )
 
 
