@@ -70,6 +70,9 @@ ALLOW_NLJ = {
     "parts_abc",         # broadcast 1-row grand-total scalar
                          # crossJoin; cumulative window over the
                          # part-dim aggregate only
+    "events_markov",     # broadcast 1-row grand-total scalar
+                         # crossJoin onto the |types|^2 pair table
+                         # (lift denominator; linear in the fact)
 }
 # mapInPandas is the designed path here, not an accident; ts_ewma is a
 # sequential recurrence (no Spark scan/fold builtin) running pandas'

@@ -109,6 +109,110 @@ def ks_drift(
     ).orderBy(group_col)
 
 
+def hour_anova(
+    events: DataFrame,
+    series_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    f_crit: float = 1.52,
+) -> DataFrame:
+    """Per-series one-way ANOVA of the quantized value across
+    hour-of-day bins — the classic "is there any daily seasonality"
+    screen (F-statistic + eta-squared effect size) run before fitting
+    a seasonal model.
+
+    Numerical discipline: all moments (n, sum, sum-of-squares per
+    (series, hour) cell) are exact int64 on cents; the series is then
+    CENTERED on its integer floor-mean *algebraically* (``s' = s -
+    n*mu``, ``q' = q - 2*mu*s + n*mu^2`` — derived from the first-pass
+    moments, no second data scan), which removes the catastrophic
+    cancellation of the textbook ``sum(s^2/n) - S^2/N`` form: after
+    centering the correction term is ``(S mod N)^2/N < N`` and every
+    between-group term is variance-scale, so the <=24-term double sum
+    carries ~1e-15 relative error into round(.,6).  ``mu`` is
+    ``floor(S/N)`` computed in IEEE double (exact: |S| < 2^53), the
+    same correctly-rounded result in both engines.
+
+    Plan shape: one fact scan to (series, hour) cells (map-side
+    combinable), a window over ``series`` to attach totals (the only
+    other exchange), then a final series-grain aggregate that reuses
+    the window's partitioning — 2 shuffles total, all on frames
+    bounded by |series| x 24.
+    """
+    from ..expressions import nan_to_null
+
+    cents = F.round(nan_to_null(F.col(value_col)) * 100).cast("long")
+    gh = (
+        events.select(
+            F.col(series_col),
+            F.hour(F.col(ts_col)).cast("long").alias("__h"),
+            cents.alias("__vc"),
+        )
+        .where(F.col("__vc").isNotNull())
+        .groupBy(series_col, "__h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__vc").cast("long").alias("__s"),
+            F.sum(F.col("__vc") * F.col("__vc")).cast("long").alias("__q"),
+        )
+    )
+    w = Window.partitionBy(series_col)
+    tot = gh.select(
+        series_col,
+        "__n",
+        "__s",
+        F.sum("__n").over(w).cast("long").alias("__nn"),
+        F.sum("__s").over(w).cast("long").alias("__ss"),
+        F.sum("__q").over(w).cast("long").alias("__qq"),
+        F.count(F.lit(1)).over(w).cast("long").alias("__k"),
+    )
+    mu = F.floor(
+        F.col("__ss").cast("double") / F.col("__nn").cast("double")
+    ).cast("long")
+    sc = (F.col("__s") - F.col("__n") * mu).cast("double")
+    rows = tot.select(
+        series_col,
+        "__nn",
+        "__ss",
+        "__qq",
+        "__k",
+        mu.alias("__mu"),
+        ((sc * sc) / F.col("__n").cast("double")).alias("__term"),
+    )
+    per = rows.groupBy(series_col).agg(
+        F.first("__nn").alias("__nn"),
+        F.first("__ss").alias("__ss"),
+        F.first("__qq").alias("__qq"),
+        F.first("__k").alias("__k"),
+        F.first("__mu").alias("__mu"),
+        F.sum("__term").alias("__t"),
+    )
+    nn, ss, qq, k, m = (
+        F.col("__nn"),
+        F.col("__ss"),
+        F.col("__qq"),
+        F.col("__k"),
+        F.col("__mu"),
+    )
+    s_ctr = (ss - nn * m).cast("double")
+    corr = (s_ctr * s_ctr) / nn.cast("double")
+    ssb = F.col("__t") - corr
+    sst = (qq - F.lit(2) * m * ss + nn * m * m).cast("double") - corr
+    ssw = sst - ssb
+    f_ok = (k > 1) & (nn > k) & (ssw > 0)
+    f_stat = (ssb / (k - 1).cast("double")) / (ssw / (nn - k).cast("double"))
+    return per.select(
+        series_col,
+        nn.alias("n_obs"),
+        k.alias("k_hours"),
+        F.when(f_ok, F.round(f_stat, 6)).alias("f_stat"),
+        F.when(sst > 0, F.round(ssb / sst, 6)).alias("eta_sq"),
+        F.coalesce(
+            F.when(f_ok, f_stat) > F.lit(f_crit), F.lit(False)
+        ).alias("seasonal_flag"),
+    ).orderBy(series_col)
+
+
 def mann_whitney(
     events: DataFrame,
     group_col: str = "event_type",

@@ -796,3 +796,349 @@ def orders_cohort_ltv(spark, sf_dir):
         )
         .orderBy("cohort_ym", "age_months")
     )
+
+
+@register(
+    "ts_hour_anova",
+    """WITH c AS (SELECT user_id, CAST(hour(ts) AS BIGINT) AS h,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc FROM events),
+    o AS (SELECT * FROM c WHERE vc IS NOT NULL),
+    gh AS (SELECT user_id, h, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(vc) AS BIGINT) AS s,
+                  CAST(sum(vc * vc) AS BIGINT) AS q
+           FROM o GROUP BY 1, 2),
+    per AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(sum(s) AS BIGINT) AS ss,
+                   CAST(sum(q) AS BIGINT) AS qq,
+                   CAST(count(*) AS BIGINT) AS k FROM gh GROUP BY 1),
+    m AS (SELECT *, CAST(floor(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+                         AS BIGINT) AS mu FROM per),
+    t AS (SELECT gh.user_id,
+            sum((CAST(gh.s - gh.n * m.mu AS DOUBLE)
+                 * CAST(gh.s - gh.n * m.mu AS DOUBLE))
+                / CAST(gh.n AS DOUBLE)) AS term
+          FROM gh JOIN m ON m.user_id = gh.user_id GROUP BY 1),
+    fin AS (SELECT m.user_id, m.nn, m.k,
+              t.term - (CAST(m.ss - m.nn * m.mu AS DOUBLE)
+                        * CAST(m.ss - m.nn * m.mu AS DOUBLE))
+                       / CAST(m.nn AS DOUBLE) AS ssb,
+              CAST(m.qq - 2 * m.mu * m.ss + m.nn * m.mu * m.mu AS DOUBLE)
+                - (CAST(m.ss - m.nn * m.mu AS DOUBLE)
+                   * CAST(m.ss - m.nn * m.mu AS DOUBLE))
+                  / CAST(m.nn AS DOUBLE) AS sst
+            FROM m JOIN t ON t.user_id = m.user_id)
+    SELECT user_id, nn AS n_obs, k AS k_hours,
+           CASE WHEN k > 1 AND nn > k AND (sst - ssb) > 0
+                THEN round((ssb / CAST(k - 1 AS DOUBLE))
+                           / ((sst - ssb) / CAST(nn - k AS DOUBLE)), 6)
+           END AS f_stat,
+           CASE WHEN sst > 0 THEN round(ssb / sst, 6) END AS eta_sq,
+           coalesce((CASE WHEN k > 1 AND nn > k AND (sst - ssb) > 0
+                THEN (ssb / CAST(k - 1 AS DOUBLE))
+                     / ((sst - ssb) / CAST(nn - k AS DOUBLE)) END) > 1.52,
+                FALSE) AS seasonal_flag
+    FROM fin ORDER BY user_id""",
+)
+def ts_hour_anova(spark, sf_dir):
+    """Per-series one-way ANOVA across hour-of-day bins (F statistic +
+    eta-squared): the "does this series have daily seasonality at all"
+    screen run before ts_seasonal_decompose / seasonal models.  Exact
+    int64 cell moments, algebraic integer-floor-mean centering (no
+    second scan, no catastrophic cancellation), 2 shuffles on frames
+    bounded by |series| x 24 — see stattests.hour_anova.  f_crit=1.52
+    is the alpha=.05 critical value for df=(23, inf)."""
+    return stattests.hour_anova(table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_markov",
+    """WITH s AS (SELECT user_id, event_type,
+            lag(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev
+          FROM events),
+    p AS (SELECT prev AS from_type, event_type AS to_type,
+                 CAST(count(*) AS BIGINT) AS transitions
+          FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT from_type, CAST(sum(transitions) AS BIGINT) AS row_total
+          FROM p GROUP BY 1),
+    col AS (SELECT to_type, CAST(sum(transitions) AS BIGINT) AS col_total
+            FROM p GROUP BY 1),
+    g AS (SELECT CAST(sum(transitions) AS BIGINT) AS grand FROM p)
+    SELECT p.from_type, p.to_type, p.transitions,
+           round(CAST(p.transitions AS DOUBLE) / CAST(r.row_total AS DOUBLE),
+                 6) AS prob,
+           round(CAST(p.transitions * g.grand AS DOUBLE)
+                 / CAST(r.row_total * col.col_total AS DOUBLE), 6) AS lift
+    FROM p JOIN r ON r.from_type = p.from_type
+    JOIN col ON col.to_type = p.to_type CROSS JOIN g
+    ORDER BY p.from_type, p.to_type""",
+)
+def events_markov(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (from_type, to_type) pair the transition
+    count, row-conditional probability, and lift vs the destination's
+    marginal share (lift as ONE division of exact int64
+    cross-products).  Sequencing is a lag window per user with an
+    event_id tiebreak (deterministic under timestamp ties in both
+    engines); the pair counts map-side-combine down to |types|^2 rows,
+    and the row/column marginals join broadcast-small."""
+    return markov_matrix(table(spark, sf_dir, "events"))
+
+
+def markov_matrix(e):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lag("event_type").over(w).alias("__prev")
+    ).where(F.col("__prev").isNotNull())
+    p = (
+        s.groupBy(
+            F.col("__prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("transitions"))
+        .cache()
+    )
+    r = p.groupBy("from_type").agg(
+        F.sum("transitions").cast("long").alias("__rt")
+    )
+    c = p.groupBy("to_type").agg(
+        F.sum("transitions").cast("long").alias("__ct")
+    )
+    g = p.agg(F.sum("transitions").cast("long").alias("__g"))
+    return (
+        p.join(F.broadcast(r), "from_type")
+        .join(F.broadcast(c), "to_type")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "from_type",
+            "to_type",
+            "transitions",
+            F.round(
+                F.col("transitions").cast("double")
+                / F.col("__rt").cast("double"),
+                6,
+            ).alias("prob"),
+            F.round(
+                (F.col("transitions") * F.col("__g")).cast("double")
+                / (F.col("__rt") * F.col("__ct")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
+    "ts_ols_fit",
+    """WITH c AS (SELECT user_id, date_trunc('hour', ts) AS b,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc FROM events),
+    p AS (SELECT user_id, b, sum(vc) AS y0 FROM c GROUP BY 1, 2),
+    pp AS (SELECT user_id, epoch_us(b) // 3600000000 AS hb,
+                  CAST(y0 AS BIGINT) AS y0 FROM p WHERE y0 IS NOT NULL),
+    x AS (SELECT user_id,
+            CAST(hb - min(hb) OVER (PARTITION BY user_id) AS BIGINT) AS x,
+            CAST(y0 - CAST(floor(
+                CAST(sum(y0) OVER (PARTITION BY user_id) AS DOUBLE)
+                / CAST(count(*) OVER (PARTITION BY user_id) AS DOUBLE))
+              AS BIGINT) AS BIGINT) AS y,
+            CAST(floor(CAST(sum(y0) OVER (PARTITION BY user_id) AS DOUBLE)
+                / CAST(count(*) OVER (PARTITION BY user_id) AS DOUBLE))
+              AS BIGINT) AS muy
+          FROM pp),
+    agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(min(muy) AS BIGINT) AS muy
+            FROM x GROUP BY 1),
+    d AS (SELECT *, CAST(n * sxy - sx * sy AS BIGINT) AS num,
+                 CAST(n * sxx - sx * sx AS BIGINT) AS dx,
+                 CAST(n * syy - sy * sy AS BIGINT) AS dy
+          FROM agg)
+    SELECT user_id, n AS n_buckets,
+       CASE WHEN dx > 0
+            THEN round(CAST(num AS DOUBLE) / CAST(dx AS DOUBLE), 6)
+       END AS slope_cents_per_hour,
+       CASE WHEN dx > 0
+            THEN round(CAST(muy AS DOUBLE)
+              + (CAST(sy AS DOUBLE)
+                 - (CAST(num AS DOUBLE) / CAST(dx AS DOUBLE))
+                   * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+       END AS intercept_cents,
+       CASE WHEN dx > 0 AND dy > 0
+            THEN round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                       / (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6)
+       END AS r2,
+       CASE WHEN dx > 0 AND n > 0
+            THEN round(sqrt((CAST(dy AS DOUBLE)
+                - CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                  / CAST(dx AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+       END AS rmse_cents
+    FROM d ORDER BY user_id""",
+)
+def ts_ols_fit(spark, sf_dir):
+    """Exact per-series OLS trend fit on hourly totals: slope
+    (cents/hour), intercept at the series' first bucket, R^2, and
+    residual RMSE — the least-squares complement to ts_theil_sen's
+    robust slope.  Closed-form normal equations over exact int64
+    moments: x is rebased to hours-since-series-start (window min) and
+    y centered on its integer floor-mean (window sum/count, IEEE-exact
+    in both engines), so every product-sum (n*sxy - sx*sy etc.) stays
+    variance-scale int64 with no cancellation; each output divides
+    once in a fixed textual order.  One fact scan, one (series,
+    bucket) aggregate, one window + final aggregate co-partitioned on
+    the series key."""
+    return ols_fit(table(spark, sf_dir, "events"))
+
+
+def ols_fit(e):
+    from ..expressions import nan_to_null
+    from pyspark.sql import Window
+
+    cents = F.round(nan_to_null(F.col("value")) * 100).cast("long")
+    p = (
+        e.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("__b")
+        )
+        .agg(F.sum(cents).alias("__y0"))
+        .where(F.col("__y0").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_micros(__b) div 3600000000").alias("__hb"),
+            F.col("__y0").cast("long"),
+        )
+    )
+    w = Window.partitionBy("user_id")
+    muy = F.floor(
+        F.sum("__y0").over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+    ).cast("long")
+    x = p.select(
+        "user_id",
+        (F.col("__hb") - F.min("__hb").over(w)).cast("long").alias("__x"),
+        (F.col("__y0") - muy).cast("long").alias("__y"),
+        muy.alias("__muy"),
+    )
+    agg = x.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
+        F.sum(F.col("__y") * F.col("__y")).cast("long").alias("__syy"),
+        F.min("__muy").cast("long").alias("__muy"),
+    )
+    n, sx, sy = F.col("__n"), F.col("__sx"), F.col("__sy")
+    num = (n * F.col("__sxy") - sx * sy).cast("long")
+    dx = (n * F.col("__sxx") - sx * sx).cast("long")
+    dy = (n * F.col("__syy") - sy * sy).cast("long")
+    d = agg.select(
+        "user_id", "__n", "__sx", "__sy", "__muy",
+        num.alias("__num"), dx.alias("__dx"), dy.alias("__dy"),
+    )
+    numd = F.col("__num").cast("double")
+    dxd = F.col("__dx").cast("double")
+    dyd = F.col("__dy").cast("double")
+    nd = F.col("__n").cast("double")
+    slope = numd / dxd
+    return d.select(
+        "user_id",
+        F.col("__n").alias("n_buckets"),
+        F.when(F.col("__dx") > 0, F.round(slope, 6)).alias(
+            "slope_cents_per_hour"
+        ),
+        F.when(
+            F.col("__dx") > 0,
+            F.round(
+                F.col("__muy").cast("double")
+                + (F.col("__sy").cast("double") - slope * F.col("__sx").cast("double"))
+                / nd,
+                6,
+            ),
+        ).alias("intercept_cents"),
+        F.when(
+            (F.col("__dx") > 0) & (F.col("__dy") > 0),
+            F.round((numd * numd) / (dxd * dyd), 6),
+        ).alias("r2"),
+        F.when(
+            (F.col("__dx") > 0) & (F.col("__n") > 0),
+            F.round(F.sqrt((dyd - numd * numd / dxd) / (nd * nd)), 6),
+        ).alias("rmse_cents"),
+    ).orderBy("user_id")
+
+
+@register(
+    "events_interarrival",
+    """WITH s AS (SELECT user_id,
+            epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id) AS du
+          FROM events),
+    g AS (SELECT user_id, du // 1000000 AS gap FROM s WHERE du IS NOT NULL),
+    a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                 CAST(sum(gap) AS BIGINT) AS t,
+                 CAST(sum(gap * gap) AS BIGINT) AS q FROM g GROUP BY 1)
+    SELECT user_id, n_gaps,
+       round(CAST(t AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_s,
+       round(sqrt(CAST(n_gaps * q - t * t AS DOUBLE))
+             / CAST(n_gaps AS DOUBLE), 6) AS std_gap_s,
+       CASE WHEN t > 0
+            THEN round(sqrt(CAST(n_gaps * q - t * t AS DOUBLE))
+                       / CAST(t AS DOUBLE), 6) END AS cv,
+       CASE WHEN sqrt(CAST(n_gaps * q - t * t AS DOUBLE))
+                 + CAST(t AS DOUBLE) > 0
+            THEN round((sqrt(CAST(n_gaps * q - t * t AS DOUBLE))
+                        - CAST(t AS DOUBLE))
+                       / (sqrt(CAST(n_gaps * q - t * t AS DOUBLE))
+                          + CAST(t AS DOUBLE)), 6) END AS burstiness
+    FROM a ORDER BY user_id""",
+)
+def events_interarrival(spark, sf_dir):
+    """Inter-arrival-time profile per series: mean/std gap (seconds),
+    coefficient of variation, and the Goh-Barabasi burstiness index
+    B = (sigma - mu)/(sigma + mu) in [-1, 1] (B=-1 perfectly periodic,
+    B=0 Poisson, B->1 bursty) — the standard arrival-process
+    characterization for event streams.  Gaps come from one lag window
+    per series (event_id tiebreak); whole-second truncation keeps the
+    moment sums int64-exact with sum(gap^2) <= (sum gap)^2 = span^2,
+    so n*q - t^2 never overflows for spans to ~3e9 s; sigma and B
+    reduce to expressions of sqrt(n*q - t*t) and t alone (the 1/n
+    normalizations cancel), each divided once."""
+    return interarrival_profile(table(spark, sf_dir, "events"))
+
+
+def interarrival_profile(e):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    du = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w)
+    g = (
+        e.select("user_id", du.alias("__du"))
+        .where(F.col("__du").isNotNull())
+        .select("user_id", F.expr("__du div 1000000").alias("__gap"))
+    )
+    a = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("__gap").cast("long").alias("__t"),
+        F.sum(F.col("__gap") * F.col("__gap")).cast("long").alias("__q"),
+    )
+    n, t, q = F.col("n_gaps"), F.col("__t"), F.col("__q")
+    root = F.sqrt((n * q - t * t).cast("double"))
+    return a.select(
+        "user_id",
+        "n_gaps",
+        F.round(t.cast("double") / n.cast("double"), 6).alias("mean_gap_s"),
+        F.round(root / n.cast("double"), 6).alias("std_gap_s"),
+        F.when(t > 0, F.round(root / t.cast("double"), 6)).alias("cv"),
+        F.when(
+            root + t.cast("double") > 0,
+            F.round((root - t.cast("double")) / (root + t.cast("double")), 6),
+        ).alias("burstiness"),
+    ).orderBy("user_id")

@@ -213,6 +213,10 @@ _CURRENT_ROUND_PRIORITY = (
     "events_benford",
     "ts_backtest_snaive",
     "orders_cohort_ltv",
+    "ts_hour_anova",
+    "events_markov",
+    "ts_ols_fit",
+    "events_interarrival",
 )
 
 
