@@ -73,6 +73,9 @@ ALLOW_NLJ = {
     "events_markov",     # broadcast 1-row grand-total scalar
                          # crossJoin onto the |types|^2 pair table
                          # (lift denominator; linear in the fact)
+    "orders_km_survival",  # broadcast 1-row max-date scalar crossJoin
+                         # onto the per-customer censored tails
+                         # (customer-dim sized; linear)
 }
 # mapInPandas is the designed path here, not an accident; ts_ewma is a
 # sequential recurrence (no Spark scan/fold builtin) running pandas'

@@ -1,0 +1,280 @@
+"""Round-8 operators (Haar energy, dispersion, entropy, Kaplan-Meier,
+Hill tail index) cross-validated against pure-python / numpy
+re-implementations on synthetic frames.
+"""
+
+import datetime
+import math
+import random
+
+import pytest
+
+from tsod_spark.queries.round8 import (
+    dispersion_profile,
+    haar_energy,
+    hill_tail,
+    km_survival,
+    type_entropy,
+)
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+
+
+def _orders_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Haar energy
+
+
+def _haar_python(series):
+    """series: dict hour_index -> cents value (missing = 0)."""
+    if not series:
+        return {}
+    lo = min(series)
+    rb = {h - lo: y for h, y in series.items()}
+    out = {}
+    for l, half, width in ((1, 1, 2), (2, 2, 4), (3, 4, 8), (4, 8, 16)):
+        det: dict = {}
+        for r, y in rb.items():
+            s = y if (r // half) % 2 == 0 else -y
+            det[r // width] = det.get(r // width, 0) + s
+        out[l] = (len(det), sum(d * d for d in det.values()))
+    return out
+
+
+def test_haar_energy_matches_pure_python(spark):
+    rng = random.Random(5)
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    series: dict = {1: {}, 2: {}}
+    # user 1: alternating high/low every hour (level-1 energy dominates)
+    for h in range(0, 48):
+        v = 10.0 if h % 2 == 0 else 0.0
+        rows.append((eid, 1, base + datetime.timedelta(hours=h), "a", v)); eid += 1
+        series[1][h] = series[1].get(h, 0) + int(round(v * 100))
+    # user 2: random values on a gappy grid (some hours missing)
+    for h in range(0, 80):
+        if rng.random() < 0.4:
+            continue
+        v = rng.uniform(-5, 5)
+        rows.append((eid, 2, base + datetime.timedelta(hours=h), "a", v)); eid += 1
+        series[2][h] = series[2].get(h, 0) + int(round(v * 100))
+    out: dict = {}
+    for r in haar_energy(_events_df(spark, rows)).collect():
+        out[(r.user_id, r.level)] = r
+    for u, s in series.items():
+        py = _haar_python(s)
+        tot = sum(e for _, e in py.values())
+        for l, (nb, en) in py.items():
+            r = out[(u, l)]
+            assert r.n_blocks == nb and r.energy == en
+            if tot > 0:
+                assert r.energy_share == pytest.approx(round(en / tot, 6), abs=1e-9)
+    # the alternating square wave concentrates energy at level 1
+    assert out[(1, 1)].energy_share > 0.9
+
+
+# ---------------------------------------------------------------------------
+# dispersion
+
+
+def test_dispersion_poisson_vs_clustered(spark):
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # user 1: exactly one event every hour for 100 hours -> D = 0
+    for h in range(100):
+        rows.append((eid, 1, base + datetime.timedelta(hours=h), "a", 1.0)); eid += 1
+    # user 2: 100 events all in hour 0, then one in hour 99 (clustered)
+    for _ in range(100):
+        rows.append((eid, 2, base + datetime.timedelta(minutes=1), "a", 1.0)); eid += 1
+    rows.append((eid, 2, base + datetime.timedelta(hours=99), "a", 1.0)); eid += 1
+    out = {r.user_id: r for r in dispersion_profile(_events_df(spark, rows)).collect()}
+
+    r1 = out[1]
+    assert r1.n_buckets == 100 and r1.n_events == 100
+    assert r1.mean_per_hour == 1.0
+    assert r1.dispersion == 0.0 and not r1.overdispersed
+
+    # pure-python check for user 2 (zeros over the span included)
+    counts = [0] * 100
+    counts[0] = 100
+    counts[99] = 1
+    n = len(counts)
+    t = sum(counts)
+    mean = t / n
+    var = sum(c * c for c in counts) / n - mean * mean
+    r2 = out[2]
+    assert r2.n_buckets == 100 and r2.n_events == 101
+    assert r2.dispersion == pytest.approx(round(var / mean, 6), abs=1e-6)
+    assert r2.overdispersed
+
+
+# ---------------------------------------------------------------------------
+# entropy
+
+
+def test_type_entropy_matches_pure_python(spark):
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    mixes = {1: {"a": 10, "b": 10, "c": 10, "d": 10},  # uniform
+             2: {"a": 97, "b": 1, "c": 1, "d": 1},      # near-degenerate
+             3: {"a": 40}}                                # single type
+    for u, mix in mixes.items():
+        for t, c in mix.items():
+            for i in range(c):
+                rows.append((eid, u, base + datetime.timedelta(minutes=eid), t, 1.0)); eid += 1
+    out = {r.user_id: r for r in type_entropy(_events_df(spark, rows)).collect()}
+    for u, mix in mixes.items():
+        n = sum(mix.values())
+        h = math.log(n) - sum(c * math.log(c) for c in mix.values()) / n
+        r = out[u]
+        assert r.n_events == n and r.k_types == len(mix)
+        assert r.entropy_nats == pytest.approx(round(h, 6), abs=1e-9)
+        assert r.perplexity == pytest.approx(round(math.exp(h), 6), abs=1e-6)
+        if len(mix) > 1:
+            assert r.entropy_norm == pytest.approx(round(h / math.log(len(mix)), 6), abs=1e-6)
+        else:
+            assert r.entropy_norm is None
+    assert out[1].entropy_norm == pytest.approx(1.0)
+    assert out[3].entropy_nats == 0.0 and out[3].perplexity == 1.0
+    assert out[1].entropy_nats > out[2].entropy_nats
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier
+
+
+def _km_python(durations):
+    """durations: list of (dur, event_bool). Returns rows keyed by dur."""
+    from collections import defaultdict
+
+    d = defaultdict(int)
+    c = defaultdict(int)
+    for dur, ev in durations:
+        (d if ev else c)[dur] += 1
+    grid = sorted(set(d) | set(c))
+    total = len(durations)
+    seen = 0
+    surv = 1.0
+    rows = {}
+    for t in grid:
+        n_risk = total - seen
+        de, ce = d.get(t, 0), c.get(t, 0)
+        if de > 0:
+            surv *= (n_risk - de) / n_risk
+        rows[t] = (n_risk, de, ce, (de / n_risk) if de else None, surv)
+        seen += de + ce
+    return rows
+
+
+def test_km_survival_matches_pure_python(spark):
+    """Three customers with known order dates; the censored tail from
+    each last order to the global max date must enter the risk set."""
+    d0 = datetime.datetime(2024, 1, 1)
+
+    def day(i):
+        return d0 + datetime.timedelta(days=i)
+
+    # cust 1 orders at days 0,10,30 -> gaps 10,20; censored 70 (to day 100)
+    # cust 2 orders at days 0,20    -> gap 20; censored 80
+    # cust 3 orders at day 100 only -> censored 0
+    orders = [(1, 1, day(0)), (2, 1, day(10)), (3, 1, day(30)),
+              (4, 2, day(0)), (5, 2, day(20)), (6, 3, day(100))]
+    rows = [(ok, ck, "O", 100.0, ts, "1-URGENT") for ok, ck, ts in orders]
+    out = {r.dur_days: r for r in km_survival(_orders_df(spark, rows)).collect()}
+
+    py = _km_python([(10, True), (20, True), (20, True),
+                     (70, False), (80, False), (0, False)])
+    assert set(out) == set(py)
+    for t, (n_risk, de, ce, hz, surv) in py.items():
+        r = out[t]
+        assert (r.n_risk, r.d_event, r.c_censored) == (n_risk, de, ce)
+        if hz is None:
+            assert r.hazard is None
+        else:
+            assert r.hazard == pytest.approx(round(hz, 6), abs=1e-9)
+        assert r.survival == pytest.approx(round(surv, 6), abs=1e-6)
+    # spot-check the known curve: the day-0 censoring leaves the risk
+    # set before t=10, so S(10) = 4/5 and S(20) = 4/5 * 2/4 = 0.4
+    assert out[10].survival == pytest.approx(0.8, abs=1e-6)
+    assert out[20].survival == pytest.approx(0.4, abs=1e-6)
+
+
+def test_km_survival_curve_hits_zero(spark):
+    """If the largest duration is an event (no censored tail beyond
+    it), survival must be exactly 0 there, not exp(-inf) noise."""
+    d0 = datetime.datetime(2024, 1, 1)
+    # one customer, two orders: gap 5 is an event; censored tail is 0
+    # days (last order = max date), so at t=5 the risk set is exhausted
+    # by the event... build 2 customers to get d=n at the last time.
+    rows = [(1, 1, "O", 1.0, d0, "x"),
+            (2, 1, "O", 1.0, d0 + datetime.timedelta(days=5), "x"),
+            (3, 2, "O", 1.0, d0, "x"),
+            (4, 2, "O", 1.0, d0 + datetime.timedelta(days=5), "x")]
+    out = {r.dur_days: r for r in km_survival(_orders_df(spark, rows)).collect()}
+    # durations: events {5:2}, censored {0:2}; at t=5 n_risk=2=d -> S=0
+    assert out[5].survival == 0.0
+    assert out[0].survival == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Hill tail index
+
+
+def test_hill_tail_matches_pure_python_pareto(spark):
+    """On exact Pareto(alpha) samples (inverse-CDF on a deterministic
+    grid) the Hill estimate recovers alpha closely, and it matches the
+    pure-python formula exactly."""
+    rows = []
+    okey = 0
+    for pname, alpha in (("A", 1.5), ("B", 3.0)):
+        for i in range(1, 402):  # 401 values, need >= 101
+            u = i / 402.0
+            x = (1.0 - u) ** (-1.0 / alpha)  # Pareto(1, alpha)
+            rows.append((okey, okey % 7, "O", x * 100.0,
+                         datetime.datetime(2024, 1, 1), pname))
+            okey += 1
+    out = {r.o_orderpriority: r for r in hill_tail(_orders_df(spark, rows)).collect()}
+
+    by_p: dict = {}
+    for r in rows:
+        by_p.setdefault(r[5], []).append((r[3], r[0]))
+    for pname, alpha in (("A", 1.5), ("B", 3.0)):
+        xs = sorted(by_p[pname], key=lambda t: (-t[0], -t[1]))
+        thr = xs[100][0]
+        slog = sum(math.log(x / thr) for x, _ in xs[:100])
+        est = 100.0 / slog
+        r = out[pname]
+        assert r.k_top == 100
+        assert r.threshold == pytest.approx(thr, abs=1e-9)
+        assert r.alpha == pytest.approx(round(est, 6), abs=1e-5)
+        assert r.alpha == pytest.approx(alpha, rel=0.25)  # estimator sanity
+    # heavier tail -> smaller alpha
+    assert out["A"].alpha < out["B"].alpha
+
+
+def test_hill_tail_salt_invariance(spark):
+    """The salted two-stage top-k must give identical output for any
+    salt width (correctness never depends on the hash)."""
+    rng = random.Random(9)
+    rows = [(i, i % 11, "O", rng.uniform(1, 1e6),
+             datetime.datetime(2024, 1, 1), "P") for i in range(300)]
+    df = _orders_df(spark, rows)
+    a = hill_tail(df, k_top=50, salt=1).collect()
+    b = hill_tail(df, k_top=50, salt=64).collect()
+    c = hill_tail(df, k_top=50, salt=7).collect()
+    assert a == b == c
+    # groups smaller than k+1 drop out entirely
+    assert hill_tail(df, k_top=400).collect() == []

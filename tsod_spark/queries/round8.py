@@ -1,0 +1,465 @@
+"""Round-8 additions: multiresolution signal energy (Haar), arrival
+process diagnostics (overdispersion), information-theoretic profiling
+(entropy), survival analysis (Kaplan-Meier), and extreme-value tail
+estimation (Hill) — the same exact-int64 + one-division discipline as
+the r4-r7 families wherever the math allows, transcendentals only where
+they are the operator (ln/exp for entropy, KM, Hill — the tfidf/idf
+precedent: both engines' libm agree to ~1 ulp, 1e-12-scale error into
+round(.,6)).
+
+Part of the driver-facing query registry (see ``tsod_spark.registry``);
+registration side-effects populate ``_base.QUERIES`` / ``ORACLE``.
+Reference scope note: the reference library (reference tsod/) has no
+wavelet/survival/tail-index surface; these extend the engine's
+beyond-reference analytics corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ._base import register, table
+
+# (level, half-width, block-width) for the depth-4 Haar bank
+_HAAR_LEVELS = ((1, 1, 2), (2, 2, 4), (3, 4, 8), (4, 8, 16))
+_HAAR_ARR = "array(" + ",".join(
+    f"named_struct('l',CAST({l} AS BIGINT),'half',CAST({h} AS BIGINT),"
+    f"'width',CAST({wd} AS BIGINT))"
+    for l, h, wd in _HAAR_LEVELS
+) + ")"
+
+
+@register(
+    "ts_haar_energy",
+    """WITH c AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc FROM events),
+    b AS (SELECT user_id, hb, CAST(sum(vc) AS BIGINT) AS y
+          FROM c WHERE vc IS NOT NULL GROUP BY 1, 2),
+    rb AS (SELECT user_id,
+             CAST(hb - min(hb) OVER (PARTITION BY user_id) AS BIGINT) AS r,
+             y FROM b),
+    x AS (SELECT rb.user_id, lv.l, rb.r // lv.width AS blk,
+            CASE WHEN (rb.r // lv.half) % 2 = 0 THEN rb.y ELSE -rb.y END AS sy
+          FROM rb CROSS JOIN (VALUES
+            (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+            (2, 2, 4), (3, 4, 8), (4, 8, 16)) AS lv(l, half, width)),
+    d AS (SELECT user_id, l, blk, CAST(sum(sy) AS BIGINT) AS detail
+          FROM x GROUP BY 1, 2, 3),
+    en AS (SELECT user_id, l, CAST(count(*) AS BIGINT) AS n_blocks,
+                  CAST(sum(detail * detail) AS BIGINT) AS energy
+           FROM d GROUP BY 1, 2),
+    t AS (SELECT *, CAST(sum(energy) OVER (PARTITION BY user_id) AS BIGINT)
+                    AS tot FROM en)
+    SELECT user_id, l AS level, n_blocks, energy,
+           CASE WHEN tot > 0
+                THEN round(CAST(energy AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+           END AS energy_share
+    FROM t ORDER BY user_id, level""",
+)
+def ts_haar_energy(spark, sf_dir):
+    """Per-series Haar wavelet energy decomposition over hourly cent
+    totals, levels 1-4 (2h / 4h / 8h / 16h detail scales): for each
+    level the number of occupied blocks, the EXACT int64 detail energy
+    (sum over blocks of the squared signed-sum Haar coefficient), and
+    its share of the series' total detail energy — which timescale
+    carries the variance, the screen behind resample-width and
+    season-length choices.  Empty hours contribute 0 (absent, not
+    imputed); bucket index is rebased to the series' first hour so
+    phase is series-relative.  Everything up to the single share
+    division is integer arithmetic: detail = sum(+-y) over <=8 buckets
+    (|detail| < 2^40 at sf1 densities), energy int64.  Plan: one fact
+    scan -> (series, hour) aggregate, a 4x generator explode (no join)
+    on the bucket table, (series, level, block) then (series, level)
+    aggregates, and a series-window for the total — every frame after
+    the first aggregate is bounded by series x buckets x 4.
+    """
+    return haar_energy(table(spark, sf_dir, "events"))
+
+
+def haar_energy(e):
+    from ..expressions import nan_to_null
+
+    cents = F.round(nan_to_null(F.col("value")) * 100).cast("long")
+    b = (
+        e.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("__hb"),
+            cents.alias("__vc"),
+        )
+        .where(F.col("__vc").isNotNull())
+        .groupBy("user_id", "__hb")
+        .agg(F.sum("__vc").cast("long").alias("__y"))
+    )
+    w = Window.partitionBy("user_id")
+    rb = b.select(
+        "user_id",
+        (F.col("__hb") - F.min("__hb").over(w)).cast("long").alias("__r"),
+        "__y",
+    )
+    x = rb.select(
+        "user_id", "__r", "__y", F.explode(F.expr(_HAAR_ARR)).alias("__lv")
+    ).select(
+        "user_id",
+        F.col("__lv.l").alias("__l"),
+        F.expr("__r div __lv.width").alias("__blk"),
+        F.when(
+            F.expr("(__r div __lv.half) % 2") == 0, F.col("__y")
+        ).otherwise(-F.col("__y")).alias("__sy"),
+    )
+    d = x.groupBy("user_id", "__l", "__blk").agg(
+        F.sum("__sy").cast("long").alias("__detail")
+    )
+    en = d.groupBy("user_id", "__l").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.col("__detail") * F.col("__detail")).cast("long").alias("energy"),
+    )
+    tot = F.sum("energy").over(Window.partitionBy("user_id")).cast("long")
+    return (
+        en.withColumn("__tot", tot)
+        .select(
+            "user_id",
+            F.col("__l").alias("level"),
+            "n_blocks",
+            "energy",
+            F.when(
+                F.col("__tot") > 0,
+                F.round(
+                    F.col("energy").cast("double") / F.col("__tot").cast("double"), 6
+                ),
+            ).alias("energy_share"),
+        )
+        .orderBy("user_id", "level")
+    )
+
+
+@register(
+    "events_dispersion",
+    """WITH c AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb
+                  FROM events),
+    b AS (SELECT user_id, hb, CAST(count(*) AS BIGINT) AS c
+          FROM c GROUP BY 1, 2),
+    a AS (SELECT user_id,
+            CAST(max(hb) - min(hb) + 1 AS BIGINT) AS span,
+            CAST(sum(c) AS BIGINT) AS t,
+            CAST(sum(c * c) AS BIGINT) AS q FROM b GROUP BY 1)
+    SELECT user_id, span AS n_buckets, t AS n_events,
+       round(CAST(t AS DOUBLE) / CAST(span AS DOUBLE), 6) AS mean_per_hour,
+       round(CAST(span * q - t * t AS DOUBLE)
+             / CAST(span * t AS DOUBLE), 6) AS dispersion,
+       CASE WHEN span > 1 THEN
+         CAST(span * q - t * t AS DOUBLE) / CAST(span * t AS DOUBLE)
+           > 1.0 + 2.0 * sqrt(2.0 / CAST(span - 1 AS DOUBLE))
+       ELSE FALSE END AS overdispersed
+    FROM a ORDER BY user_id""",
+)
+def events_dispersion(spark, sf_dir):
+    """Poisson overdispersion screen per series: the index of
+    dispersion D = var/mean of hourly event counts over the series'
+    full hour span (empty hours count as zeros — max-min+1, not the
+    occupied-bucket count), with a two-sigma normal-approximation flag
+    (D ~ 1 + 2*sqrt(2/(n-1)) under H0: Poisson).  D > 1 means
+    clustered/bursty arrivals, D < 1 regular — the count-domain twin of
+    events_interarrival's gap-domain burstiness.  Exact int64 moments;
+    D reduces to (span*q - t^2)/(span*t), ONE division (population
+    variance over the span; zero buckets add nothing to t or q).  One
+    fact scan -> (series, hour) count -> series aggregate; both
+    aggregates map-side combine and no row ever leaves its series
+    partition after the first shuffle."""
+    return dispersion_profile(table(spark, sf_dir, "events"))
+
+
+def dispersion_profile(e):
+    b = (
+        e.select(
+            "user_id", F.expr("unix_micros(ts) div 3600000000").alias("__hb")
+        )
+        .groupBy("user_id", "__hb")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    a = b.groupBy("user_id").agg(
+        (F.max("__hb") - F.min("__hb") + 1).cast("long").alias("__span"),
+        F.sum("__c").cast("long").alias("__t"),
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__q"),
+    )
+    span, t, q = F.col("__span"), F.col("__t"), F.col("__q")
+    disp = (span * q - t * t).cast("double") / (span * t).cast("double")
+    return a.select(
+        "user_id",
+        span.alias("n_buckets"),
+        t.alias("n_events"),
+        F.round(t.cast("double") / span.cast("double"), 6).alias("mean_per_hour"),
+        F.round(disp, 6).alias("dispersion"),
+        F.when(
+            span > 1,
+            disp
+            > F.lit(1.0)
+            + F.lit(2.0) * F.sqrt(F.lit(2.0) / (span - 1).cast("double")),
+        )
+        .otherwise(F.lit(False))
+        .alias("overdispersed"),
+    ).orderBy("user_id")
+
+
+@register(
+    "events_type_entropy",
+    """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+                  FROM events GROUP BY 1, 2),
+    a AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS k,
+                 sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc
+          FROM c GROUP BY 1)
+    SELECT user_id, n AS n_events, k AS k_types,
+       round(ln(CAST(n AS DOUBLE)) - slc / CAST(n AS DOUBLE), 6)
+         AS entropy_nats,
+       CASE WHEN k > 1
+            THEN round((ln(CAST(n AS DOUBLE)) - slc / CAST(n AS DOUBLE))
+                       / ln(CAST(k AS DOUBLE)), 6) END AS entropy_norm,
+       round(exp(ln(CAST(n AS DOUBLE)) - slc / CAST(n AS DOUBLE)), 6)
+         AS perplexity
+    FROM a ORDER BY user_id""",
+)
+def events_type_entropy(spark, sf_dir):
+    """Shannon entropy of each series' event-type mix: H in nats via
+    the count-moment identity H = ln N - (sum c*ln c)/N (ONE pass over
+    exact int64 type counts — no per-type probability division), the
+    ln-k-normalized evenness in [0,1], and the perplexity exp(H)
+    ("effective number of event types") — the behavioral-diversity
+    profile used for user segmentation and bot screening (entropy ~ 0:
+    single-type automation; ~ ln k: uniform mixing).  Counts stay exact
+    through both aggregates; ln/exp are the operator here and both
+    engines agree to ~1 ulp on identical double inputs (the idf
+    precedent), 1e-12-scale error into round(.,6).  One fact scan ->
+    (series, type) count (map-side combinable) -> series aggregate."""
+    return type_entropy(table(spark, sf_dir, "events"))
+
+
+def type_entropy(e):
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    a = c.groupBy("user_id").agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("__k"),
+        F.sum(
+            F.col("__c").cast("double") * F.log(F.col("__c").cast("double"))
+        ).alias("__slc"),
+    )
+    n, k = F.col("__n"), F.col("__k")
+    h = F.log(n.cast("double")) - F.col("__slc") / n.cast("double")
+    return a.select(
+        "user_id",
+        n.alias("n_events"),
+        k.alias("k_types"),
+        F.round(h, 6).alias("entropy_nats"),
+        F.when(k > 1, F.round(h / F.log(k.cast("double")), 6)).alias(
+            "entropy_norm"
+        ),
+        F.round(F.exp(h), 6).alias("perplexity"),
+    ).orderBy("user_id")
+
+
+@register(
+    "orders_km_survival",
+    """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+                  FROM orders),
+    mx AS (SELECT max(d) AS mxd FROM o),
+    s AS (SELECT o_custkey, d,
+            lead(d) OVER (PARTITION BY o_custkey
+                          ORDER BY d, o_orderkey) AS nxt
+          FROM o),
+    dur AS (
+      SELECT CAST(date_diff('day', d, nxt) AS BIGINT) AS dur,
+             CAST(1 AS BIGINT) AS ev
+      FROM s WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT CAST(date_diff('day', d, mxd) AS BIGINT) AS dur,
+             CAST(0 AS BIGINT) AS ev
+      FROM s CROSS JOIN mx WHERE nxt IS NULL),
+    g AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS d_event,
+                 CAST(sum(1 - ev) AS BIGINT) AS c_censored
+          FROM dur GROUP BY 1),
+    k AS (SELECT *,
+            CAST(sum(d_event + c_censored) OVER () AS BIGINT)
+              - coalesce(CAST(sum(d_event + c_censored) OVER
+                  (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) AS BIGINT), CAST(0 AS BIGINT)) AS n_risk
+          FROM g),
+    l AS (SELECT *,
+            CASE WHEN d_event = 0 THEN CAST(0 AS DOUBLE)
+                 WHEN d_event < n_risk
+                 THEN ln(CAST(n_risk - d_event AS DOUBLE)
+                         / CAST(n_risk AS DOUBLE)) END AS lt,
+            CASE WHEN d_event >= n_risk THEN 1 ELSE 0 END AS dead
+          FROM k)
+    SELECT dur AS dur_days, n_risk, d_event, c_censored,
+       CASE WHEN d_event > 0
+            THEN round(CAST(d_event AS DOUBLE) / CAST(n_risk AS DOUBLE), 6)
+       END AS hazard,
+       CASE WHEN CAST(sum(dead) OVER (ORDER BY dur) AS BIGINT) > 0
+            THEN CAST(0 AS DOUBLE)
+            ELSE round(exp(sum(lt) OVER (ORDER BY dur)), 6)
+       END AS survival
+    FROM l ORDER BY dur_days""",
+)
+def orders_km_survival(spark, sf_dir):
+    """Kaplan-Meier survival curve of customer inter-order waiting
+    times with right censoring: every consecutive-order gap (days) is
+    an observed event; each customer's open gap from their last order
+    to the dataset's final date enters as censored (leaves the risk set
+    without an event — dropping it would bias survival down, the
+    classic churn-analysis mistake).  Per distinct duration: risk-set
+    size, events, censorings, the discrete hazard d/n (exact int64
+    division), and the product-limit survival estimate computed as
+    exp(cumulative sum of ln((n-d)/n)) — the log-domain form turns the
+    running product into a window sum accumulated in the SAME
+    dur-ascending order by both engines; if the curve ever hits zero
+    (d = n at the last event time) a cumulative flag pins survival to
+    exactly 0 rather than exp(-inf).  Plan: orders scan -> lead window
+    per customer (customer-partitioned), union with the censored
+    tails, aggregate to the duration grain (<= max-gap-days rows,
+    ~2.4k for the 7-year TPC-H span), then ordered windows over that
+    single bounded frame — the one single-partition sort in the plan
+    is over the duration GRID, never the fact table."""
+    return km_survival(table(spark, sf_dir, "orders"))
+
+
+def km_survival(orders):
+    o = orders.select(
+        "o_custkey", F.to_date("o_orderdate").alias("__d"), "o_orderkey"
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("__d", "o_orderkey")
+    s = o.select(
+        "o_custkey", "__d", F.lead("__d").over(wc).alias("__nxt")
+    )
+    mx = o.agg(F.max("__d").alias("__mxd"))
+    events = s.where(F.col("__nxt").isNotNull()).select(
+        F.datediff("__nxt", "__d").cast("long").alias("dur"),
+        F.lit(1).cast("long").alias("__ev"),
+    )
+    censored = (
+        s.where(F.col("__nxt").isNull())
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff("__mxd", "__d").cast("long").alias("dur"),
+            F.lit(0).cast("long").alias("__ev"),
+        )
+    )
+    g = (
+        events.unionByName(censored)
+        .groupBy("dur")
+        .agg(
+            F.sum("__ev").cast("long").alias("d_event"),
+            F.sum(F.lit(1) - F.col("__ev")).cast("long").alias("c_censored"),
+        )
+    )
+    w_all = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("dur")
+    at = F.col("d_event") + F.col("c_censored")
+    k = g.withColumn(
+        "n_risk",
+        (
+            F.sum(at).over(w_all).cast("long")
+            - F.coalesce(F.sum(at).over(w_prev).cast("long"), F.lit(0).cast("long"))
+        ),
+    )
+    nr, de = F.col("n_risk"), F.col("d_event")
+    lt = (
+        F.when(de == 0, F.lit(0.0))
+        .when(de < nr, F.log((nr - de).cast("double") / nr.cast("double")))
+    )
+    lrow = k.withColumn("__lt", lt).withColumn(
+        "__dead", F.when(de >= nr, F.lit(1)).otherwise(F.lit(0))
+    )
+    return lrow.select(
+        F.col("dur").alias("dur_days"),
+        "n_risk",
+        "d_event",
+        "c_censored",
+        F.when(de > 0, F.round(de.cast("double") / nr.cast("double"), 6)).alias(
+            "hazard"
+        ),
+        F.when(
+            F.sum("__dead").over(w_cum).cast("long") > 0, F.lit(0.0)
+        )
+        .otherwise(F.round(F.exp(F.sum("__lt").over(w_cum)), 6))
+        .alias("survival"),
+    ).orderBy("dur_days")
+
+
+@register(
+    "orders_hill_tail",
+    """WITH r AS (SELECT o_orderpriority AS p, o_totalprice AS x,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC,
+                                       o_orderkey DESC) AS rn
+         FROM orders),
+    th AS (SELECT p, x AS thr FROM r WHERE rn = 101),
+    s AS (SELECT r.p, sum(ln(r.x / th.thr)) AS slog
+          FROM r JOIN th ON th.p = r.p WHERE r.rn <= 100 GROUP BY r.p)
+    SELECT s.p AS o_orderpriority, CAST(100 AS BIGINT) AS k_top,
+           th.thr AS threshold,
+           round(CAST(100 AS DOUBLE) / s.slog, 6) AS alpha
+    FROM s JOIN th ON th.p = s.p ORDER BY o_orderpriority""",
+)
+def orders_hill_tail(spark, sf_dir):
+    """Hill tail-index estimator per order priority: alpha = k / sum
+    of ln(x_i / x_(k+1)) over the k=100 largest order values (heavier
+    tail -> smaller alpha; alpha < 2 means infinite variance — the
+    screen behind "can I trust a mean/stddev of this column at all").
+    The top-(k+1) per group is EXACT but never sorts the fact table:
+    rows are salted into 64 sub-groups (pmod(hash(orderkey), 64) —
+    correctness is independent of the salt: the global top-101 is
+    always contained in the union of per-salt top-101s), each sub-group
+    keeps a sorted 101-struct array via map-side collect_list +
+    sort_array + slice, and the merge re-sorts 64 x 101 bounded arrays
+    per group — two aggregates with O(salt x k) state instead of a
+    5-partition window sort that serializes the whole table through 5
+    tasks at scale.  Ties at the boundary break by (price, orderkey)
+    descending in both engines, so the selected SET is identical; the
+    ln-ratio sum is the operator's one transcendental (~1e-13
+    association error into round(.,6))."""
+    return hill_tail(table(spark, sf_dir, "orders"))
+
+
+def hill_tail(orders, k_top: int = 100, salt: int = 64):
+    o = orders.select(
+        F.col("o_orderpriority"),
+        F.col("o_totalprice").alias("x"),
+        F.col("o_orderkey").alias("k"),
+    )
+    k1 = k_top + 1
+    s1 = o.groupBy(
+        "o_orderpriority", F.pmod(F.hash("k"), F.lit(salt)).alias("__salt")
+    ).agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("x", "k")), asc=False), 1, k1
+        ).alias("__part")
+    )
+    s2 = s1.groupBy("o_orderpriority").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("__part")), asc=False), 1, k1
+        ).alias("__top")
+    )
+    return (
+        s2.where(F.size("__top") >= k1)
+        .withColumn("__thr", F.element_at("__top", k1).getField("x"))
+        .withColumn(
+            "__slog",
+            F.expr(
+                f"aggregate(slice(__top, 1, {k_top}), CAST(0.0 AS DOUBLE),"
+                " (acc, e) -> acc + ln(e.x / __thr))"
+            ),
+        )
+        .select(
+            "o_orderpriority",
+            F.lit(k_top).cast("long").alias("k_top"),
+            F.col("__thr").alias("threshold"),
+            F.round(F.lit(float(k_top)) / F.col("__slog"), 6).alias("alpha"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -217,6 +217,11 @@ _CURRENT_ROUND_PRIORITY = (
     "events_markov",
     "ts_ols_fit",
     "events_interarrival",
+    "ts_haar_energy",
+    "events_dispersion",
+    "events_type_entropy",
+    "orders_km_survival",
+    "orders_hill_tail",
 )
 
 
