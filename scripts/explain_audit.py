@@ -76,6 +76,8 @@ ALLOW_NLJ = {
     "orders_km_survival",  # broadcast 1-row max-date scalar crossJoin
                          # onto the per-customer censored tails
                          # (customer-dim sized; linear)
+    "doc_zipf_fit",      # broadcast 1-row corpus-totals crossJoin onto
+                         # the 1-row regression-moment table (1x1)
 }
 # mapInPandas is the designed path here, not an accident; ts_ewma is a
 # sequential recurrence (no Spark scan/fold builtin) running pandas'

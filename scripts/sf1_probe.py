@@ -119,6 +119,20 @@ HEADLINE = [
     "parts_abc",
     "customer_gini_by_nation",
     "events_benford",
+    # round-7 closers, second wave: backtest/LTV + the per-series
+    # moment screens (2-shuffle series-bounded frames — ratios should
+    # track the scan) + the duration-grid KM and salted top-k Hill
+    "ts_backtest_snaive",
+    "orders_cohort_ltv",
+    "ts_hour_anova",
+    "events_markov",
+    "ts_ols_fit",
+    "events_interarrival",
+    "ts_haar_energy",
+    "events_dispersion",
+    "events_type_entropy",
+    "orders_km_survival",
+    "orders_hill_tail",
 ]
 
 

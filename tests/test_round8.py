@@ -278,3 +278,140 @@ def test_hill_tail_salt_invariance(spark):
     assert a == b == c
     # groups smaller than k+1 drop out entirely
     assert hill_tail(df, k_top=400).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# AR(1) fit
+
+
+def test_ar1_recovers_known_process(spark):
+    """A synthetic AR(1) series (phi=0.6) on a dense hourly grid: the
+    fitted phi matches numpy's lstsq on the same (lagged, current)
+    cent pairs, and half-life follows -ln2/ln(phi)."""
+    import numpy as np
+
+    rng = random.Random(21)
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    vals = {}
+    y = 0.0
+    for h in range(400):
+        y = 0.6 * y + rng.gauss(0, 5)
+        v = 100.0 + y
+        rows.append((eid, 1, base + datetime.timedelta(hours=h), "a", v)); eid += 1
+        vals[h] = int(round(v * 100))
+    # user 2: a 3-hour gap breaks pairs (only consecutive hours pair)
+    for h in (0, 1, 2, 6, 7):
+        rows.append((eid, 2, base + datetime.timedelta(hours=h), "a", float(h))); eid += 1
+    from tsod_spark.queries.round8 import ar1_fit
+
+    out = {r.user_id: r for r in ar1_fit(_events_df(spark, rows)).collect()}
+
+    xs = np.array([vals[h - 1] for h in range(1, 400)], dtype=float)
+    ys = np.array([vals[h] for h in range(1, 400)], dtype=float)
+    phi, c = np.polyfit(xs, ys, 1)
+    r1 = out[1]
+    assert r1.n_pairs == 399
+    assert r1.phi == pytest.approx(phi, abs=1e-4)
+    assert r1.half_life_hours == pytest.approx(-math.log(2) / math.log(r1.phi), abs=1e-4)
+    assert r1.longrun_mean_cents == pytest.approx(c / (1 - phi), abs=1.0)
+    assert 0.4 < r1.phi < 0.8  # recovers the generating coefficient
+
+    # user 2: pairs are (0,1),(1,2),(6,7) -> 3 pairs, gap rows excluded
+    assert out[2].n_pairs == 3
+
+
+def test_ar1_degenerate_constant_series(spark):
+    """Constant values give dx=0 -> phi and friends all null (and the
+    plan must not raise ANSI divide-by-zero evaluating the guards)."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, 1, base + datetime.timedelta(hours=i), "a", 5.0) for i in range(4)]
+    from tsod_spark.queries.round8 import ar1_fit
+
+    r = ar1_fit(_events_df(spark, rows)).collect()[0]
+    assert r.n_pairs == 3
+    assert r.phi is None and r.half_life_hours is None
+    assert r.longrun_mean_cents is None
+
+
+# ---------------------------------------------------------------------------
+# skyline
+
+
+def test_skyline_matches_brute_force(spark):
+    """Random (price, size) clouds vs the O(n^2) dominance definition,
+    including exact ties on both objectives."""
+    from tsod_spark.queries.round8 import skyline_2d
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(200):
+        price = round(rng.uniform(1, 50), 2)
+        size = rng.randint(1, 30)
+        rows.append((i, f"B{i % 5}", f"t", size, price))
+    # exact tie pair: identical (price, size) -> both survive or both die
+    rows.append((900, "B1", "t", 25, 2.5))
+    rows.append((901, "B2", "t", 25, 2.5))
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_brand string, p_type string, "
+              "p_size int, p_retailprice double"
+    )
+    got = {r.p_partkey for r in skyline_2d(df).collect()}
+
+    pts = {k: (int(round(p * 100)), s) for k, _, _, s, p in rows}
+    expect = set()
+    for k, (pc, sz) in pts.items():
+        dominated = any(
+            (pc2 < pc and sz2 >= sz) or (pc2 <= pc and sz2 > sz)
+            for k2, (pc2, sz2) in pts.items() if k2 != k
+        )
+        if not dominated:
+            expect.add(k)
+    assert got == expect
+    # ties: 900/901 share fate
+    assert (900 in got) == (901 in got)
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit
+
+
+def test_zipf_fit_exact_power_law(spark):
+    """A corpus built so token t_r appears exactly round(C / r^s) times
+    recovers s with tight R^2; moments match a numpy lstsq on the same
+    (ln rank, ln count) points."""
+    import numpy as np
+
+    from tsod_spark.queries.round8 import zipf_fit
+
+    s_true, C, V = 1.0, 2000, 60
+    words = []
+    counts = {}
+    for r in range(1, V + 1):
+        c = max(1, int(round(C / r ** s_true)))
+        counts[f"w{r:04d}"] = c
+        words.extend([f"w{r:04d}"] * c)
+    rng = random.Random(3)
+    rng.shuffle(words)
+    # split into 20 documents
+    docs = []
+    step = len(words) // 20 + 1
+    for i in range(20):
+        chunk = words[i * step:(i + 1) * step]
+        if chunk:
+            docs.append((i, " ".join(chunk), "src"))
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    row = zipf_fit(df, k_fit=50).collect()[0]
+
+    assert row.total_tokens == sum(counts.values())
+    assert row.vocab_size == V
+    assert row.k_fit == 50
+    # top-50 by (count desc, token desc) — the engines' tie order
+    ranked = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]), reverse=True)
+    top = ranked[:50]
+    x = np.log(np.arange(1, 51, dtype=float))
+    y = np.log(np.array([c for _, c in top], dtype=float))
+    slope, _ = np.polyfit(x, y, 1)
+    assert row.zipf_s == pytest.approx(-slope, abs=1e-4)
+    assert row.zipf_s == pytest.approx(s_true, abs=0.15)
+    assert row.r2 > 0.97

@@ -463,3 +463,312 @@ def hill_tail(orders, k_top: int = 100, salt: int = 64):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "ts_ar1",
+    """WITH c AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc FROM events),
+    p AS (SELECT user_id, hb, CAST(sum(vc) AS BIGINT) AS y
+          FROM c WHERE vc IS NOT NULL GROUP BY 1, 2),
+    lg AS (SELECT user_id, hb, y,
+             lag(hb) OVER (PARTITION BY user_id ORDER BY hb) AS phb,
+             lag(y) OVER (PARTITION BY user_id ORDER BY hb) AS py
+           FROM p),
+    pr AS (SELECT user_id, CAST(py AS BIGINT) AS x, y
+           FROM lg WHERE phb = hb - 1),
+    ctr AS (SELECT user_id, x, y,
+              CAST(floor(CAST(sum(x) OVER (PARTITION BY user_id) AS DOUBLE)
+                / CAST(count(*) OVER (PARTITION BY user_id) AS DOUBLE))
+                AS BIGINT) AS mu
+            FROM pr),
+    agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x - mu) AS BIGINT) AS sx,
+              CAST(sum(y - mu) AS BIGINT) AS sy,
+              CAST(sum((x - mu) * (x - mu)) AS BIGINT) AS sxx,
+              CAST(sum((x - mu) * (y - mu)) AS BIGINT) AS sxy,
+              CAST(min(mu) AS BIGINT) AS mu
+            FROM ctr GROUP BY 1),
+    d AS (SELECT *, CAST(n * sxy - sx * sy AS BIGINT) AS num,
+                 CAST(n * sxx - sx * sx AS BIGINT) AS dx
+          FROM agg)
+    SELECT user_id, n AS n_pairs,
+       CASE WHEN dx > 0
+            THEN round(CAST(num AS DOUBLE) / CAST(dx AS DOUBLE), 6)
+       END AS phi,
+       CASE WHEN dx > 0 AND CAST(num AS DOUBLE) / CAST(dx AS DOUBLE) > 0
+                 AND CAST(num AS DOUBLE) / CAST(dx AS DOUBLE) < 1
+            THEN round(-ln(2.0) / ln(CAST(num AS DOUBLE)
+                                     / CAST(dx AS DOUBLE)), 6)
+       END AS half_life_hours,
+       CASE WHEN dx > 0 AND abs(CAST(num AS DOUBLE) / CAST(dx AS DOUBLE)) < 1
+            THEN round(CAST(mu AS DOUBLE)
+              + ((CAST(sy AS DOUBLE)
+                  - (CAST(num AS DOUBLE) / CAST(dx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+                / (1.0 - CAST(num AS DOUBLE) / CAST(dx AS DOUBLE)), 6)
+       END AS longrun_mean_cents
+    FROM d ORDER BY user_id""",
+)
+def ts_ar1(spark, sf_dir):
+    """AR(1) mean-reversion fit per series on hourly cent totals over
+    CONSECUTIVE-hour pairs only (a gap breaks the lag-1 relation —
+    pairing across gaps would bias phi toward the unconditional
+    correlation): the autoregressive coefficient phi, the mean-reversion
+    half-life -ln2/ln(phi) in hours (defined for 0 < phi < 1), and the
+    implied long-run level c-hat/(1-phi) — the "how fast does this
+    series forget a shock" screen that complements ts_ols_fit's trend
+    and ts_autocorr's raw lag correlation.  Both regression variables
+    are centered on the SAME integer floor-mean of the lagged value
+    (window sum/count, IEEE-exact), keeping every product-sum
+    variance-scale int64; phi is ONE division and every derived output
+    reuses that division in a fixed textual order.  Plan: fact scan ->
+    (series, hour) aggregate, then lag window, centering window, and
+    final aggregate ALL partitioned by the series key — one data
+    shuffle, three co-partitioned stages."""
+    return ar1_fit(table(spark, sf_dir, "events"))
+
+
+def ar1_fit(e):
+    from ..expressions import nan_to_null
+
+    cents = F.round(nan_to_null(F.col("value")) * 100).cast("long")
+    p = (
+        e.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("__hb"),
+            cents.alias("__vc"),
+        )
+        .where(F.col("__vc").isNotNull())
+        .groupBy("user_id", "__hb")
+        .agg(F.sum("__vc").cast("long").alias("__y"))
+    )
+    wo = Window.partitionBy("user_id").orderBy("__hb")
+    lg = p.select(
+        "user_id", "__hb", "__y",
+        F.lag("__hb").over(wo).alias("__phb"),
+        F.lag("__y").over(wo).alias("__py"),
+    )
+    pr = lg.where(F.col("__phb") == F.col("__hb") - 1).select(
+        "user_id", F.col("__py").cast("long").alias("__x"), F.col("__y")
+    )
+    w = Window.partitionBy("user_id")
+    mu = F.floor(
+        F.sum("__x").over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+    ).cast("long")
+    ctr = pr.select(
+        "user_id",
+        (F.col("__x") - mu).alias("__cx"),
+        (F.col("__y") - mu).alias("__cy"),
+        mu.alias("__mu"),
+    )
+    agg = ctr.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__cx").cast("long").alias("__sx"),
+        F.sum("__cy").cast("long").alias("__sy"),
+        F.sum(F.col("__cx") * F.col("__cx")).cast("long").alias("__sxx"),
+        F.sum(F.col("__cx") * F.col("__cy")).cast("long").alias("__sxy"),
+        F.min("__mu").cast("long").alias("__mu"),
+    )
+    n, sx, sy = F.col("__n"), F.col("__sx"), F.col("__sy")
+    num = (n * F.col("__sxy") - sx * sy).cast("long")
+    dx = (n * F.col("__sxx") - sx * sx).cast("long")
+    d = agg.select(
+        "user_id", "__n", "__sx", "__sy", "__mu",
+        num.alias("__num"), dx.alias("__dx"),
+    )
+    phi = F.col("__num").cast("double") / F.col("__dx").cast("double")
+    ok = F.col("__dx") > 0
+    chat = (
+        F.col("__sy").cast("double") - phi * F.col("__sx").cast("double")
+    ) / F.col("__n").cast("double")
+    # nest the guards: under ANSI mode a compound WHEN condition like
+    # ok & (phi > 0) still evaluates phi's division on dx = 0 rows —
+    # only the OUTER when(ok, ...) short-circuits it away
+    return d.select(
+        "user_id",
+        F.col("__n").alias("n_pairs"),
+        F.when(ok, F.round(phi, 6)).alias("phi"),
+        F.when(
+            ok,
+            F.when(
+                (phi > 0) & (phi < 1),
+                F.round(-F.log(F.lit(2.0)) / F.log(phi), 6),
+            ),
+        ).alias("half_life_hours"),
+        F.when(
+            ok,
+            F.when(
+                F.abs(phi) < 1,
+                F.round(
+                    F.col("__mu").cast("double") + chat / (F.lit(1.0) - phi),
+                    6,
+                ),
+            ),
+        ).alias("longrun_mean_cents"),
+    ).orderBy("user_id")
+
+
+@register(
+    "parts_skyline",
+    """WITH pr AS (SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size,
+           CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+         FROM part),
+    dp AS (SELECT price_cents, CAST(max(p_size) AS BIGINT) AS pmax
+           FROM pr GROUP BY 1),
+    dp2 AS (SELECT price_cents, pmax,
+              max(pmax) OVER (ORDER BY price_cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS smax
+            FROM dp)
+    SELECT pr.p_partkey, pr.p_brand, pr.p_size, pr.price_cents
+    FROM pr JOIN dp2 ON dp2.price_cents = pr.price_cents
+    WHERE NOT ((dp2.smax IS NOT NULL AND dp2.smax >= pr.p_size)
+               OR dp2.pmax > pr.p_size)
+    ORDER BY pr.price_cents, pr.p_partkey""",
+)
+def parts_skyline(spark, sf_dir):
+    """2-D skyline (Pareto-front) operator: the parts not dominated in
+    (minimize retail price, maximize size) — part A dominates B when A
+    is no worse on both objectives and strictly better on one.  Ties on
+    both objectives survive together (neither strictly dominates).  The
+    classic sort-scan algorithm made declarative: collapse to the
+    DISTINCT-PRICE grid (max size per price — domain-bounded, TPC-H
+    prices land on ~a hundred thousand distinct cents values
+    independent of row count), one prefix-max window over that grid for
+    the best size among STRICTLY cheaper prices, then a broadcast join
+    back to the full part table; dominated iff a strictly-cheaper price
+    reaches the part's size, or its own price point holds a strictly
+    larger one.  All integer comparisons — no floats anywhere.  The
+    only ordered pass is over the price grid, never the fact table."""
+    return skyline_2d(table(spark, sf_dir, "part"))
+
+
+def skyline_2d(part):
+    pr = part.select(
+        "p_partkey",
+        "p_brand",
+        F.col("p_size").cast("long").alias("p_size"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+    dp = pr.groupBy("price_cents").agg(
+        F.max("p_size").cast("long").alias("__pmax")
+    )
+    wp = Window.orderBy("price_cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    dp2 = dp.withColumn("__smax", F.max("__pmax").over(wp))
+    dominated = (
+        F.col("__smax").isNotNull() & (F.col("__smax") >= F.col("p_size"))
+    ) | (F.col("__pmax") > F.col("p_size"))
+    return (
+        pr.join(F.broadcast(dp2), "price_cents")
+        .where(~dominated)
+        .select("p_partkey", "p_brand", "p_size", "price_cents")
+        .orderBy("price_cents", "p_partkey")
+    )
+
+
+_ZIPF_K = 1000
+
+
+@register(
+    "doc_zipf_fit",
+    f"""WITH tk AS (SELECT unnest(
+            list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                        x -> x <> '')) AS tok FROM documents),
+    c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab_size FROM c),
+    r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok DESC) AS rk
+          FROM c),
+    f AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+          FROM r WHERE rk <= {_ZIPF_K}),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+          FROM f)
+    SELECT tot.total_tokens, tot.vocab_size, m.n AS k_fit,
+       round(-(CAST(m.n AS DOUBLE) * m.sxy - m.sx * m.sy)
+             / (CAST(m.n AS DOUBLE) * m.sxx - m.sx * m.sx), 6) AS zipf_s,
+       round(((CAST(m.n AS DOUBLE) * m.sxy - m.sx * m.sy)
+              * (CAST(m.n AS DOUBLE) * m.sxy - m.sx * m.sy))
+             / ((CAST(m.n AS DOUBLE) * m.sxx - m.sx * m.sx)
+                * (CAST(m.n AS DOUBLE) * m.syy - m.sy * m.sy)), 6) AS r2
+    FROM m CROSS JOIN tot""",
+)
+def doc_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit for the corpus token distribution: OLS of
+    ln(frequency) on ln(rank) over the top-1000 tokens gives the Zipf
+    exponent s (natural text: s ~ 0.9-1.2; templated/synthetic corpora
+    drift off) plus the fit R^2 — a one-row corpus fingerprint used to
+    screen scraped text for boilerplate collapse before training.  The
+    rank table is an EXACT top-k that never globally sorts the
+    vocabulary: per-salt sorted-array top-k then a 64-way bounded
+    merge (the orders_hill_tail machinery), with (count desc, token
+    desc) tiebreaks making the rank order identical in both engines;
+    corpus totals ride a broadcast 1-row crossJoin.  The regression
+    runs over 1000 rank rows — ln is the operator's transcendental,
+    double moment sums carry ~1e-11 association error into
+    round(.,6)."""
+    return zipf_fit(table(spark, sf_dir, "documents"))
+
+
+def zipf_fit(docs, k_fit: int = _ZIPF_K, salt: int = 64):
+    from ..pipeline import text as ptext
+    from ..util import default_parallelism
+
+    spark = docs.sparkSession
+    spread = docs.repartition(default_parallelism(spark), "doc_id")
+    c = (
+        spread.select(F.explode(ptext.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = c.agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    s1 = c.groupBy(F.pmod(F.hash("tok"), F.lit(salt)).alias("__s")).agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("cnt", "tok")), asc=False),
+            1,
+            k_fit,
+        ).alias("__part")
+    )
+    top = s1.agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("__part")), asc=False),
+            1,
+            k_fit,
+        ).alias("__top")
+    )
+    pts = top.select(
+        F.posexplode("__top").alias("__pos", "__e")
+    ).select(
+        F.log((F.col("__pos") + 1).cast("double")).alias("__x"),
+        F.log(F.col("__e.cnt").cast("double")).alias("__y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    nd = F.col("__n").cast("double")
+    num = nd * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    dx = nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dy = nd * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "total_tokens",
+            "vocab_size",
+            F.col("__n").alias("k_fit"),
+            F.round(-num / dx, 6).alias("zipf_s"),
+            F.round((num * num) / (dx * dy), 6).alias("r2"),
+        )
+    )

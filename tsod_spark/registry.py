@@ -222,6 +222,9 @@ _CURRENT_ROUND_PRIORITY = (
     "events_type_entropy",
     "orders_km_survival",
     "orders_hill_tail",
+    "ts_ar1",
+    "parts_skyline",
+    "doc_zipf_fit",
 )
 
 
