@@ -1156,3 +1156,45 @@ def test_stream_heavy_hitters_bounded_state_summary(spark, tmp_path):
             assert exact[it] - c <= rows_b / (k + 1)
     for it in ("aaa", "bbb"):
         assert it in all_items, f"heavy item {it} evicted — MG bound violated"
+
+
+def test_stream_type_entropy_matches_batch(spark, events_batches):
+    """The LAST emission per user from the streaming entropy monitor
+    equals the batch events_type_entropy result over the same rows
+    (counts are exact int64 in both; floats derive from counts)."""
+    from tsod_spark.queries.round8 import type_entropy
+    from tsod_spark.streaming import stream_type_entropy
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_type_entropy(src, series=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_entropy")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # memory sink in update mode APPENDS each emission; the final
+    # snapshot per key is the one with the largest running count
+    got: dict = {}
+    for r in spark.sql("SELECT * FROM t_entropy").collect():
+        if r.user_id not in got or r.n_events > got[r.user_id].n_events:
+            got[r.user_id] = r
+
+    batch = {r.user_id: r for r in type_entropy(registry.table(spark, SF, "events")).collect()}
+    assert set(got) == set(batch)
+    for u, b in batch.items():
+        s = got[u]
+        assert (s.n_events, s.k_types) == (b.n_events, b.k_types)
+        assert s.entropy_nats == pytest.approx(b.entropy_nats, abs=2e-6)
+        assert s.perplexity == pytest.approx(b.perplexity, abs=2e-6)
+        if b.entropy_norm is None:
+            assert s.entropy_norm is None
+        else:
+            assert s.entropy_norm == pytest.approx(b.entropy_norm, abs=2e-6)

@@ -17,4 +17,5 @@ from .temporal import (  # noqa: F401
     stream_latest_by_key,
     stream_rollup_hierarchy,
     stream_time_weighted_avg,
+    stream_type_entropy,
 )

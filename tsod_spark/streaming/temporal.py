@@ -50,9 +50,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -790,6 +792,97 @@ def stream_cusum(
                 "ts": new[ts_col].to_numpy(),
                 "is_anomaly": flags,
             }
+        )
+
+    return stream_df.groupBy(*series).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def stream_type_entropy(
+    stream_df: DataFrame,
+    series: Sequence[str] = ("user_id",),
+    type_col: str = "event_type",
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming behavioral-diversity monitor — the continuous twin of
+    the batch ``events_type_entropy`` query: per series key, a running
+    Shannon entropy / evenness / perplexity of the event-type mix,
+    re-emitted as a snapshot row every micro-batch in which the key
+    received rows (update mode: the LAST emission per key over the
+    same rows equals the batch result).
+
+    State per key is the exact int64 type-count vector stored as two
+    parallel arrays (types, counts) — bounded by the type vocabulary,
+    never by row count, and mergeable across micro-batches by plain
+    addition (the same count-moment identity H = ln N - sum(c ln c)/N
+    the batch operator uses, so no per-batch probability renormalizing
+    and no float accumulation drift: floats are derived fresh from the
+    exact counts at every emission).  Order-insensitive by
+    construction, so no (ts, tiebreak) cursor is needed; upstream
+    exactly-once delivery is assumed (duplicates inflate counts, as
+    they would the batch GROUP BY).
+    """
+    import math
+
+    series = list(series)
+    key_fields = [stream_df.schema[c] for c in series]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("n_events", LongType()),
+            StructField("k_types", LongType()),
+            StructField("entropy_nats", DoubleType()),
+            StructField("entropy_norm", DoubleType()),
+            StructField("perplexity", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("types", ArrayType(StringType())),
+            StructField("counts", ArrayType(LongType())),
+        ]
+    )
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        if state.exists:
+            types, counts = state.get
+            cnt = dict(zip(list(types), [int(c) for c in counts]))
+        else:
+            cnt = {}
+        for t, c in new[type_col].value_counts().items():
+            cnt[t] = cnt.get(t, 0) + int(c)
+        state.update((list(cnt.keys()), list(cnt.values())))
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        n = sum(cnt.values())
+        k = len(cnt)
+        h = math.log(n) - sum(c * math.log(c) for c in cnt.values()) / n
+        yield pd.DataFrame(
+            [
+                {
+                    **{c: key[i] for i, c in enumerate(series)},
+                    "n_events": n,
+                    "k_types": k,
+                    "entropy_nats": round(h, 6),
+                    "entropy_norm": round(h / math.log(k), 6) if k > 1 else None,
+                    "perplexity": round(math.exp(h), 6),
+                }
+            ]
         )
 
     return stream_df.groupBy(*series).applyInPandasWithState(
