@@ -415,3 +415,143 @@ def test_zipf_fit_exact_power_law(spark):
     assert row.zipf_s == pytest.approx(-slope, abs=1e-4)
     assert row.zipf_s == pytest.approx(s_true, abs=0.15)
     assert row.r2 > 0.97
+
+
+# ---------------------------------------------------------------------------
+# Welch t-test
+
+
+def test_welch_ttest_matches_scipy_formula(spark):
+    """Each type-vs-rest t and Welch df matches a pure-python Welch
+    computation on the cents values; a shifted group flags."""
+    rng = random.Random(17)
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    vals: dict = {"a": [], "b": [], "c": []}
+    for t, mu in (("a", 100.0), ("b", 100.0), ("c", 130.0)):  # c shifted
+        for _ in range(80):
+            v = mu + rng.gauss(0, 10)
+            rows.append((eid, eid % 7, base + datetime.timedelta(minutes=eid), t, v))
+            vals[t].append(int(round(v * 100)))
+            eid += 1
+    from tsod_spark.queries.round8 import welch_ttest
+
+    out = {r.event_type: r for r in welch_ttest(_events_df(spark, rows)).collect()}
+
+    def welch(g, rest):
+        n1, n2 = len(g), len(rest)
+        m1, m2 = sum(g) / n1, sum(rest) / n2
+        v1 = sum((x - m1) ** 2 for x in g) / (n1 - 1)
+        v2 = sum((x - m2) ** 2 for x in rest) / (n2 - 1)
+        se2 = v1 / n1 + v2 / n2
+        t = (m1 - m2) / math.sqrt(se2)
+        df = se2 ** 2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+        return t, df
+
+    for t in ("a", "b", "c"):
+        rest = [x for k, xs in vals.items() if k != t for x in xs]
+        tt, df = welch(vals[t], rest)
+        r = out[t]
+        assert r.n_group == len(vals[t])
+        assert r.t_stat == pytest.approx(tt, abs=1e-4)
+        assert r.welch_df == pytest.approx(df, rel=1e-4)
+        assert r.mean_shift_flag == (abs(tt) > 1.96)
+    # the deliberately shifted group flags (note: vs-REST testing also
+    # flags the unshifted groups here, since their rest pool CONTAINS
+    # the shifted group — that asymmetry is inherent to one-vs-rest)
+    assert out["c"].mean_shift_flag
+
+
+# ---------------------------------------------------------------------------
+# cross-type correlation
+
+
+def test_type_corr_matches_numpy(spark):
+    """Pairwise Pearson on hourly totals vs numpy.corrcoef, including a
+    constructed anti-correlated pair."""
+    import numpy as np
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    rng = random.Random(23)
+    xs = [rng.uniform(10, 50) for _ in range(60)]
+    series = {"a": xs, "b": [60 - x + rng.uniform(-1, 1) for x in xs],
+              "c": [rng.uniform(10, 50) for _ in range(60)]}
+    for h in range(60):
+        for t, v in series.items():
+            rows.append((eid, 1, base + datetime.timedelta(hours=h), t, v[h])); eid += 1
+    from tsod_spark.queries.round8 import type_corr
+
+    out = {(r.type_a, r.type_b): r for r in type_corr(_events_df(spark, rows)).collect()}
+    cents = {t: np.array([int(round(v * 100)) for v in vs], dtype=float)
+             for t, vs in series.items()}
+    for (ta, tb), r in out.items():
+        expect = float(np.corrcoef(cents[ta], cents[tb])[0, 1])
+        assert r.n_hours == 60
+        assert r.pearson_r == pytest.approx(expect, abs=1e-6)
+    assert out[("a", "b")].pearson_r < -0.9
+    assert abs(out[("a", "c")].pearson_r) < 0.5
+
+
+# ---------------------------------------------------------------------------
+# record statistics
+
+
+def test_record_stats_known_sequences(spark):
+    """Hand-counted records: a strictly increasing series has n high
+    records and 1 low record; ties are not records; the expected-count
+    formula matches the harmonic approximation."""
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    inc = [1.0, 2.0, 3.0, 4.0, 5.0]           # user 1: all highs
+    tie = [5.0, 5.0, 5.0]                     # user 2: ties never count
+    mix = [3.0, 1.0, 4.0, 1.0, 5.0, 2.0]      # user 3: hand-counted
+    for u, seq in ((1, inc), (2, tie), (3, mix)):
+        for i, v in enumerate(seq):
+            rows.append((eid, u, base + datetime.timedelta(minutes=i), "a", v)); eid += 1
+    from tsod_spark.queries.round8 import record_stats
+
+    out = {r.user_id: r for r in record_stats(_events_df(spark, rows)).collect()}
+    assert (out[1].hi_records, out[1].lo_records) == (5, 1)
+    assert (out[2].hi_records, out[2].lo_records) == (1, 1)
+    # mix: highs at 3,4,5 -> 3; lows at 3,1 -> 2
+    assert (out[3].hi_records, out[3].lo_records) == (3, 2)
+    gamma = 0.5772156649015329
+    for u, seq in ((1, inc), (2, tie), (3, mix)):
+        n = len(seq)
+        exp = math.log(n) + gamma + 1 / (2 * n)
+        assert out[u].expected_records == pytest.approx(round(exp, 6), abs=1e-9)
+        assert out[u].hi_ratio == pytest.approx(out[u].hi_records / exp, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# lexical diversity
+
+
+def test_lexical_diversity_matches_pure_python(spark):
+    from tsod_spark.queries.round8 import lexical_diversity
+
+    docs = [
+        (1, "the cat sat on the mat", "natural"),
+        (2, "a dog ran past the cat quickly", "natural"),
+        (3, "buy now buy now buy now buy now", "spam"),
+        (4, "buy now buy now limited offer", "spam"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = {r.source: r for r in lexical_diversity(df).collect()}
+
+    from collections import Counter
+
+    for src in ("natural", "spam"):
+        toks = [w for d, t, s in docs if s == src for w in t.lower().split()]
+        cnt = Counter(toks)
+        n, v = len(toks), len(cnt)
+        hapax = sum(1 for c in cnt.values() if c == 1)
+        r = out[src]
+        assert (r.n_tokens, r.vocab, r.hapax) == (n, v, hapax)
+        assert r.ttr == pytest.approx(round(v / n, 6), abs=1e-9)
+        assert r.hapax_share == pytest.approx(round(hapax / v, 6), abs=1e-9)
+        assert r.herdan_c == pytest.approx(round(math.log(v) / math.log(n), 6), abs=1e-9)
+    # natural text is more diverse than template spam on every metric
+    assert out["natural"].ttr > out["spam"].ttr
+    assert out["natural"].hapax_share > out["spam"].hapax_share

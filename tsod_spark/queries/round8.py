@@ -772,3 +772,418 @@ def zipf_fit(docs, k_fit: int = _ZIPF_K, salt: int = 64):
             F.round((num * num) / (dx * dy), 6).alias("r2"),
         )
     )
+
+
+@register(
+    "events_welch_ttest",
+    """WITH c AS (SELECT event_type,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc FROM events),
+    g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(vc) AS BIGINT) AS s,
+                 CAST(sum(vc * vc) AS BIGINT) AS q
+          FROM c WHERE vc IS NOT NULL GROUP BY 1),
+    t AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS nn,
+                 CAST(sum(s) OVER () AS BIGINT) AS ss,
+                 CAST(sum(q) OVER () AS BIGINT) AS qq FROM g),
+    m AS (SELECT *, CAST(floor(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+                         AS BIGINT) AS mu FROM t),
+    z AS (SELECT event_type, n, s, mu,
+            CAST(s - n * mu AS BIGINT) AS s1,
+            CAST(q - 2 * mu * s + n * mu * mu AS BIGINT) AS q1,
+            CAST(nn - n AS BIGINT) AS n2,
+            CAST((ss - nn * mu) - (s - n * mu) AS BIGINT) AS s2,
+            CAST((qq - 2 * mu * ss + nn * mu * mu)
+                 - (q - 2 * mu * s + n * mu * mu) AS BIGINT) AS q2
+          FROM m),
+    v AS (SELECT event_type, n, s, n2,
+            CAST(s1 * n2 - s2 * n AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n2 AS DOUBLE)) AS md,
+            CAST(n * q1 - s1 * s1 AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS v1,
+            CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+              / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)) AS v2
+          FROM z WHERE n > 1 AND n2 > 1),
+    f AS (SELECT event_type, n, s, n2, md,
+            v1 / CAST(n AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS se2,
+            v1, v2 FROM v)
+    SELECT event_type, n AS n_group,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_cents,
+       CASE WHEN se2 > 0 THEN round(md / sqrt(se2), 6) END AS t_stat,
+       CASE WHEN se2 > 0 AND v1 > 0 AND v2 > 0
+            THEN round((se2 * se2)
+              / ((v1 / CAST(n AS DOUBLE)) * (v1 / CAST(n AS DOUBLE))
+                   / CAST(n - 1 AS DOUBLE)
+                 + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
+                   / CAST(n2 - 1 AS DOUBLE)), 6) END AS welch_df,
+       coalesce(abs(CASE WHEN se2 > 0 THEN md / sqrt(se2) END) > 1.96,
+                FALSE) AS mean_shift_flag
+    FROM f ORDER BY event_type""",
+)
+def events_welch_ttest(spark, sf_dir):
+    """Welch two-sample t-test of each event type's value mean against
+    the REST of the population (the parametric twin of
+    events_mannwhitney's rank test): t statistic, Welch-Satterthwaite
+    degrees of freedom, and an alpha=.05 two-sided flag.  The rest-side
+    moments are derived by subtraction from windowed grand totals over
+    the |types|-row aggregate — one fact scan total.  All moments are
+    exact int64 centered algebraically on the GLOBAL integer floor-mean
+    (shared by both sides, so the mean difference is the exact rational
+    (s1*n2 - s2*n1)/(n1*n2) and every n*q - s^2 stays variance-scale);
+    sample variances, t, and df divide in a fixed textual order."""
+    return welch_ttest(table(spark, sf_dir, "events"))
+
+
+def welch_ttest(e):
+    from ..expressions import nan_to_null
+
+    cents = F.round(nan_to_null(F.col("value")) * 100).cast("long")
+    g = (
+        e.select("event_type", cents.alias("__vc"))
+        .where(F.col("__vc").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__vc").cast("long").alias("__s"),
+            F.sum(F.col("__vc") * F.col("__vc")).cast("long").alias("__q"),
+        )
+    )
+    w = Window.partitionBy()
+    t = g.select(
+        "*",
+        F.sum("__n").over(w).cast("long").alias("__nn"),
+        F.sum("__s").over(w).cast("long").alias("__ss"),
+        F.sum("__q").over(w).cast("long").alias("__qq"),
+    )
+    mu = F.floor(
+        F.col("__ss").cast("double") / F.col("__nn").cast("double")
+    ).cast("long")
+    n, s, q = F.col("__n"), F.col("__s"), F.col("__q")
+    nn, ss, qq = F.col("__nn"), F.col("__ss"), F.col("__qq")
+    z = t.select(
+        "event_type", "__n", "__s",
+        (s - n * mu).cast("long").alias("__s1"),
+        (q - F.lit(2) * mu * s + n * mu * mu).cast("long").alias("__q1"),
+        (nn - n).cast("long").alias("__n2"),
+        ((ss - nn * mu) - (s - n * mu)).cast("long").alias("__s2"),
+        (
+            (qq - F.lit(2) * mu * ss + nn * mu * mu)
+            - (q - F.lit(2) * mu * s + n * mu * mu)
+        ).cast("long").alias("__q2"),
+    ).where((F.col("__n") > 1) & (F.col("__n2") > 1))
+    n1d = F.col("__n").cast("double")
+    n2d = F.col("__n2").cast("double")
+    md = (F.col("__s1") * F.col("__n2") - F.col("__s2") * F.col("__n")).cast(
+        "double"
+    ) / (n1d * n2d)
+    v1 = (F.col("__n") * F.col("__q1") - F.col("__s1") * F.col("__s1")).cast(
+        "double"
+    ) / (n1d * (n1d - 1))
+    v2 = (F.col("__n2") * F.col("__q2") - F.col("__s2") * F.col("__s2")).cast(
+        "double"
+    ) / (n2d * (n2d - 1))
+    f = z.select(
+        "event_type", "__n", "__s", "__n2",
+        md.alias("__md"), v1.alias("__v1"), v2.alias("__v2"),
+        (v1 / n1d + v2 / n2d).alias("__se2"),
+    )
+    se2 = F.col("__se2")
+    tstat = F.col("__md") / F.sqrt(se2)
+    a = F.col("__v1") / F.col("__n").cast("double")
+    b = F.col("__v2") / F.col("__n2").cast("double")
+    return f.select(
+        "event_type",
+        F.col("__n").alias("n_group"),
+        F.round(F.col("__s").cast("double") / F.col("__n").cast("double"), 6).alias(
+            "mean_cents"
+        ),
+        F.when(se2 > 0, F.round(tstat, 6)).alias("t_stat"),
+        F.when(
+            (se2 > 0) & (F.col("__v1") > 0) & (F.col("__v2") > 0),
+            F.round(
+                (se2 * se2)
+                / (
+                    a * a / (F.col("__n").cast("double") - 1)
+                    + b * b / (F.col("__n2").cast("double") - 1)
+                ),
+                6,
+            ),
+        ).alias("welch_df"),
+        F.coalesce(
+            F.abs(F.when(se2 > 0, tstat)) > 1.96, F.lit(False)
+        ).alias("mean_shift_flag"),
+    ).orderBy("event_type")
+
+
+@register(
+    "events_type_corr",
+    """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc FROM events),
+    h AS (SELECT event_type, hb, CAST(sum(vc) AS BIGINT) AS y
+          FROM c WHERE vc IS NOT NULL GROUP BY 1, 2),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 a.y AS xa, b.y AS xb
+          FROM h a JOIN h b ON a.hb = b.hb AND a.event_type < b.event_type),
+    m AS (SELECT type_a, type_b, xa, xb,
+            CAST(floor(CAST(sum(xa) OVER (PARTITION BY type_a, type_b)
+                            AS DOUBLE)
+              / CAST(count(*) OVER (PARTITION BY type_a, type_b) AS DOUBLE))
+              AS BIGINT) AS mua,
+            CAST(floor(CAST(sum(xb) OVER (PARTITION BY type_a, type_b)
+                            AS DOUBLE)
+              / CAST(count(*) OVER (PARTITION BY type_a, type_b) AS DOUBLE))
+              AS BIGINT) AS mub
+          FROM p),
+    agg AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xa - mua) AS BIGINT) AS sa,
+             CAST(sum(xb - mub) AS BIGINT) AS sb,
+             CAST(sum((xa - mua) * (xa - mua)) AS BIGINT) AS qa,
+             CAST(sum((xb - mub) * (xb - mub)) AS BIGINT) AS qb,
+             CAST(sum((xa - mua) * (xb - mub)) AS BIGINT) AS sab
+            FROM m GROUP BY 1, 2)
+    SELECT type_a, type_b, n AS n_hours,
+       CASE WHEN n * qa - sa * sa > 0 AND n * qb - sb * sb > 0
+            THEN round(CAST(n * sab - sa * sb AS DOUBLE)
+                       / sqrt(CAST(n * qa - sa * sa AS DOUBLE)
+                              * CAST(n * qb - sb * sb AS DOUBLE)), 6)
+       END AS pearson_r
+    FROM agg ORDER BY type_a, type_b""",
+)
+def events_type_corr(spark, sf_dir):
+    """Pairwise Pearson correlation between event TYPES' hourly value
+    totals over co-occurring hours — do purchases and clicks move
+    together hour to hour?  The cross-series complement of
+    ts_rolling_corr's per-series benchmark correlation.  The fact
+    collapses to the (type, hour) grain first, so the self-join is
+    |types| x hours rows on the hour key (never event x event); each
+    pair's variables are centered on their own integer floor-means
+    (pair-partitioned windows) keeping all product-sums variance-scale
+    int64, then r is one division by one sqrt.  Type pairs are ordered
+    a < b in both engines."""
+    return type_corr(table(spark, sf_dir, "events"))
+
+
+def type_corr(e):
+    from ..expressions import nan_to_null
+
+    cents = F.round(nan_to_null(F.col("value")) * 100).cast("long")
+    h = (
+        e.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("__hb"),
+            cents.alias("__vc"),
+        )
+        .where(F.col("__vc").isNotNull())
+        .groupBy("event_type", "__hb")
+        .agg(F.sum("__vc").cast("long").alias("__y"))
+    )
+    a = h.select(
+        F.col("event_type").alias("type_a"),
+        F.col("__hb"),
+        F.col("__y").alias("__xa"),
+    )
+    b = h.select(
+        F.col("event_type").alias("type_b"),
+        F.col("__hb"),
+        F.col("__y").alias("__xb"),
+    )
+    p = a.join(b, "__hb").where(F.col("type_a") < F.col("type_b"))
+    w = Window.partitionBy("type_a", "type_b")
+    mua = F.floor(
+        F.sum("__xa").over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+    ).cast("long")
+    mub = F.floor(
+        F.sum("__xb").over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+    ).cast("long")
+    m = p.select(
+        "type_a", "type_b",
+        (F.col("__xa") - mua).alias("__ca"),
+        (F.col("__xb") - mub).alias("__cb"),
+    )
+    agg = m.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__ca").cast("long").alias("__sa"),
+        F.sum("__cb").cast("long").alias("__sb"),
+        F.sum(F.col("__ca") * F.col("__ca")).cast("long").alias("__qa"),
+        F.sum(F.col("__cb") * F.col("__cb")).cast("long").alias("__qb"),
+        F.sum(F.col("__ca") * F.col("__cb")).cast("long").alias("__sab"),
+    )
+    n = F.col("__n")
+    da = (n * F.col("__qa") - F.col("__sa") * F.col("__sa")).cast("long")
+    db = (n * F.col("__qb") - F.col("__sb") * F.col("__sb")).cast("long")
+    num = (n * F.col("__sab") - F.col("__sa") * F.col("__sb")).cast("double")
+    return agg.select(
+        "type_a",
+        "type_b",
+        n.alias("n_hours"),
+        F.when(
+            (da > 0) & (db > 0),
+            F.round(num / F.sqrt(da.cast("double") * db.cast("double")), 6),
+        ).alias("pearson_r"),
+    ).orderBy("type_a", "type_b")
+
+
+_EULER_GAMMA = "0.5772156649015329"
+
+
+@register(
+    "ts_record_stats",
+    f"""WITH c AS (SELECT user_id, ts, event_id,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc FROM events),
+    o AS (SELECT * FROM c WHERE vc IS NOT NULL),
+    r AS (SELECT user_id, vc,
+            max(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax,
+            min(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmin
+          FROM o),
+    a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN pmax IS NULL OR vc > pmax
+                          THEN 1 ELSE 0 END) AS BIGINT) AS hi,
+            CAST(sum(CASE WHEN pmin IS NULL OR vc < pmin
+                          THEN 1 ELSE 0 END) AS BIGINT) AS lo
+          FROM r GROUP BY 1)
+    SELECT user_id, n AS n_obs, hi AS hi_records, lo AS lo_records,
+       round(ln(CAST(n AS DOUBLE)) + {_EULER_GAMMA}
+             + 1.0 / (2.0 * CAST(n AS DOUBLE)), 6) AS expected_records,
+       round(CAST(hi AS DOUBLE)
+             / (ln(CAST(n AS DOUBLE)) + {_EULER_GAMMA}
+                + 1.0 / (2.0 * CAST(n AS DOUBLE))), 6) AS hi_ratio,
+       round(CAST(lo AS DOUBLE)
+             / (ln(CAST(n AS DOUBLE)) + {_EULER_GAMMA}
+                + 1.0 / (2.0 * CAST(n AS DOUBLE))), 6) AS lo_ratio
+    FROM a ORDER BY user_id""",
+)
+def ts_record_stats(spark, sf_dir):
+    """Record statistics per series: the count of running record highs
+    and record lows (strict new extrema in (ts, event_id) order, exact
+    int64 cents comparisons — ties are NOT records) against the
+    iid-expected record count H_n ~ ln n + gamma + 1/(2n).  Under
+    exchangeability both ratios sit near 1; an upward-trending or
+    scale-drifting series inflates hi_ratio far beyond it — a
+    distribution-free trend screen that needs no residual model,
+    complementing ts_theil_sen (magnitude) and ts_runs_test
+    (randomness).  One ordered window pass per series (prefix max and
+    min share the same frame) then a series aggregate; both engines
+    count the identical record set because the comparisons are
+    integer."""
+    return record_stats(table(spark, sf_dir, "events"))
+
+
+def record_stats(e):
+    from ..expressions import nan_to_null
+
+    cents = F.round(nan_to_null(F.col("value")) * 100).cast("long")
+    o = e.select(
+        "user_id", "ts", "event_id", cents.alias("__vc")
+    ).where(F.col("__vc").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = o.select(
+        "user_id",
+        "__vc",
+        F.max("__vc").over(w).alias("__pmax"),
+        F.min("__vc").over(w).alias("__pmin"),
+    )
+    a = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(
+            F.when(
+                F.col("__pmax").isNull() | (F.col("__vc") > F.col("__pmax")), 1
+            ).otherwise(0)
+        ).cast("long").alias("hi_records"),
+        F.sum(
+            F.when(
+                F.col("__pmin").isNull() | (F.col("__vc") < F.col("__pmin")), 1
+            ).otherwise(0)
+        ).cast("long").alias("lo_records"),
+    )
+    nd = F.col("n_obs").cast("double")
+    exp_rec = F.log(nd) + F.lit(float(_EULER_GAMMA)) + 1.0 / (2.0 * nd)
+    return a.select(
+        "user_id",
+        "n_obs",
+        "hi_records",
+        "lo_records",
+        F.round(exp_rec, 6).alias("expected_records"),
+        F.round(F.col("hi_records").cast("double") / exp_rec, 6).alias("hi_ratio"),
+        F.round(F.col("lo_records").cast("double") / exp_rec, 6).alias("lo_ratio"),
+    ).orderBy("user_id")
+
+
+@register(
+    "doc_lexical_diversity",
+    """WITH tk AS (SELECT source, unnest(
+            list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                        x -> x <> '')) AS tok FROM documents),
+    c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+          FROM tk GROUP BY 1, 2),
+    a AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+            CAST(count(*) AS BIGINT) AS vocab,
+            CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+          FROM c GROUP BY 1)
+    SELECT source, n_tokens, vocab, hapax,
+       round(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+       round(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 6) AS hapax_share,
+       CASE WHEN n_tokens > 1 AND vocab > 1
+            THEN round(ln(CAST(vocab AS DOUBLE))
+                       / ln(CAST(n_tokens AS DOUBLE)), 6)
+       END AS herdan_c
+    FROM a ORDER BY source""",
+)
+def doc_lexical_diversity(spark, sf_dir):
+    """Lexical diversity profile per corpus source: type-token ratio,
+    hapax-legomena share (tokens seen exactly once — high in natural
+    text, collapsing under template spam or aggressive dedup), and
+    Herdan's C = ln V / ln N (the size-robust TTR variant) — together
+    with doc_zipf_fit these are the corpus-health fingerprints checked
+    before a source is admitted to a training mix.  One tokenize
+    explode (corpus spread by doc_id first) -> (source, token) count
+    (map-side combinable) -> source aggregate; all counts exact int64,
+    ln the only transcendental."""
+    return lexical_diversity(table(spark, sf_dir, "documents"))
+
+
+def lexical_diversity(docs):
+    from ..pipeline import text as ptext
+    from ..util import default_parallelism
+
+    spark = docs.sparkSession
+    spread = docs.repartition(default_parallelism(spark), "doc_id")
+    c = (
+        spread.select(
+            "source", F.explode(ptext.tokens(F.col("text"))).alias("__tok")
+        )
+        .groupBy("source", "__tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    )
+    a = c.groupBy("source").agg(
+        F.sum("__cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("__cnt") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    vd = F.col("vocab").cast("double")
+    return a.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "hapax",
+        F.round(vd / nd, 6).alias("ttr"),
+        F.round(F.col("hapax").cast("double") / vd, 6).alias("hapax_share"),
+        F.when(
+            (F.col("n_tokens") > 1) & (F.col("vocab") > 1),
+            F.round(F.log(vd) / F.log(nd), 6),
+        ).alias("herdan_c"),
+    ).orderBy("source")

@@ -225,6 +225,10 @@ _CURRENT_ROUND_PRIORITY = (
     "ts_ar1",
     "parts_skyline",
     "doc_zipf_fit",
+    "events_welch_ttest",
+    "events_type_corr",
+    "ts_record_stats",
+    "doc_lexical_diversity",
 )
 
 
