@@ -133,6 +133,13 @@ HEADLINE = [
     "events_type_entropy",
     "orders_km_survival",
     "orders_hill_tail",
+    "ts_ar1",
+    "parts_skyline",
+    "doc_zipf_fit",
+    "events_welch_ttest",
+    "events_type_corr",
+    "ts_record_stats",
+    "doc_lexical_diversity",
 ]
 
 

@@ -799,10 +799,13 @@ def zipf_fit(docs, k_fit: int = _ZIPF_K, salt: int = 64):
     v AS (SELECT event_type, n, s, n2,
             CAST(s1 * n2 - s2 * n AS DOUBLE)
               / (CAST(n AS DOUBLE) * CAST(n2 AS DOUBLE)) AS md,
-            CAST(n * q1 - s1 * s1 AS DOUBLE)
-              / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS v1,
-            CAST(n2 * q2 - s2 * s2 AS DOUBLE)
-              / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)) AS v2
+            (CAST(q1 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n - 1 AS DOUBLE) AS v1,
+            (CAST(q2 AS DOUBLE)
+               - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 / CAST(n2 AS DOUBLE))
+              / CAST(n2 - 1 AS DOUBLE) AS v2
           FROM z WHERE n > 1 AND n2 > 1),
     f AS (SELECT event_type, n, s, n2, md,
             v1 / CAST(n AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS se2,
@@ -876,12 +879,13 @@ def welch_ttest(e):
     md = (F.col("__s1") * F.col("__n2") - F.col("__s2") * F.col("__n")).cast(
         "double"
     ) / (n1d * n2d)
-    v1 = (F.col("__n") * F.col("__q1") - F.col("__s1") * F.col("__s1")).cast(
-        "double"
-    ) / (n1d * (n1d - 1))
-    v2 = (F.col("__n2") * F.col("__q2") - F.col("__s2") * F.col("__s2")).cast(
-        "double"
-    ) / (n2d * (n2d - 1))
+    # double-form sample variance (q - s^2/n)/(n-1): the int64 n*q
+    # product overflows at sf1 group sizes; after global-mean centering
+    # s^2/n << q so the double subtraction is cancellation-free
+    s1d = F.col("__s1").cast("double")
+    s2d = F.col("__s2").cast("double")
+    v1 = (F.col("__q1").cast("double") - s1d * s1d / n1d) / (n1d - 1)
+    v2 = (F.col("__q2").cast("double") - s2d * s2d / n2d) / (n2d - 1)
     f = z.select(
         "event_type", "__n", "__s", "__n2",
         md.alias("__md"), v1.alias("__v1"), v2.alias("__v2"),
@@ -943,10 +947,21 @@ def welch_ttest(e):
              CAST(sum((xa - mua) * (xb - mub)) AS BIGINT) AS sab
             FROM m GROUP BY 1, 2)
     SELECT type_a, type_b, n AS n_hours,
-       CASE WHEN n * qa - sa * sa > 0 AND n * qb - sb * sb > 0
-            THEN round(CAST(n * sab - sa * sb AS DOUBLE)
-                       / sqrt(CAST(n * qa - sa * sa AS DOUBLE)
-                              * CAST(n * qb - sb * sb AS DOUBLE)), 6)
+       CASE WHEN CAST(qa AS DOUBLE)
+                   - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                     / CAST(n AS DOUBLE) > 0
+             AND CAST(qb AS DOUBLE)
+                   - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                     / CAST(n AS DOUBLE) > 0
+            THEN round((CAST(sab AS DOUBLE)
+                        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       / sqrt((CAST(qa AS DOUBLE)
+                               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                              * (CAST(qb AS DOUBLE)
+                                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                                   / CAST(n AS DOUBLE))), 6)
        END AS pearson_r
     FROM agg ORDER BY type_a, type_b""",
 )
@@ -1011,17 +1026,23 @@ def type_corr(e):
         F.sum(F.col("__cb") * F.col("__cb")).cast("long").alias("__qb"),
         F.sum(F.col("__ca") * F.col("__cb")).cast("long").alias("__sab"),
     )
+    # double-form central moments (q - s^2/n): int64 n*q products would
+    # overflow once hourly sums grow past ~sf1 densities; after
+    # pair-mean centering s^2/n << q so no cancellation
     n = F.col("__n")
-    da = (n * F.col("__qa") - F.col("__sa") * F.col("__sa")).cast("long")
-    db = (n * F.col("__qb") - F.col("__sb") * F.col("__sb")).cast("long")
-    num = (n * F.col("__sab") - F.col("__sa") * F.col("__sb")).cast("double")
+    nd = n.cast("double")
+    sad = F.col("__sa").cast("double")
+    sbd = F.col("__sb").cast("double")
+    da = F.col("__qa").cast("double") - sad * sad / nd
+    db = F.col("__qb").cast("double") - sbd * sbd / nd
+    num = F.col("__sab").cast("double") - sad * sbd / nd
     return agg.select(
         "type_a",
         "type_b",
         n.alias("n_hours"),
         F.when(
             (da > 0) & (db > 0),
-            F.round(num / F.sqrt(da.cast("double") * db.cast("double")), 6),
+            F.round(num / F.sqrt(da * db), 6),
         ).alias("pearson_r"),
     ).orderBy("type_a", "type_b")
 
