@@ -817,7 +817,7 @@ def jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
     block_col: str = "source",
-    top_n: int = 20,
+    top_n: int | None = 20,
     shingle_n: int = 2,
     n_buckets: int = 8,
 ) -> DataFrame:
@@ -872,21 +872,19 @@ def jaccard_pairs(
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
     jac = F.round(inter.cast("double") / union, 6)
-    return (
-        left.join(
-            right,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.tgt") == F.col("b.bkt"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
-        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
-        .limit(top_n)
+    out = left.join(
+        right,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.tgt") == F.col("b.bkt"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        jac.alias("jaccard"),
     )
+    if top_n is None:  # full pair table (threshold sweeps, group input)
+        return out
+    return out.orderBy(F.desc("jaccard"), "doc_a", "doc_b").limit(top_n)
 
 
 def chunk_dedup(

@@ -542,3 +542,83 @@ def doc_winnow_screen(spark, sf_dir):
     batch = docs.where(F.col("doc_id") % 20 == 0)
     corpus = docs.where(F.col("doc_id") % 20 != 0)
     return dedup.winnow_screen_new_docs(corpus, batch).select("doc_id", "source")
+
+
+@register(
+    "dedup_threshold_curve",
+    f"""WITH t AS (SELECT doc_id, source AS blk, {TOKS} AS toks0 FROM documents),
+    d AS (SELECT doc_id, blk, {_shingle_sql('toks0', 2)} AS toks FROM t),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS inter,
+             len(a.toks) + len(b.toks) AS tot
+          FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+    j AS (SELECT doc_b,
+             round(CAST(inter AS DOUBLE) / (tot - inter), 6) AS jac FROM p),
+    grid AS (SELECT unnest([30, 40, 50, 60, 70, 80, 90]) AS thr_pct),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    hits AS (SELECT g.thr_pct, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+               CAST(count(DISTINCT j.doc_b) AS BIGINT) AS n_docs_dropped
+             FROM j JOIN grid g
+               ON j.jac >= CAST(g.thr_pct AS DOUBLE) / 100.0 GROUP BY 1)
+    SELECT CAST(g.thr_pct AS BIGINT) AS thr_pct,
+       CAST(coalesce(h.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(coalesce(h.n_docs_dropped, 0) AS BIGINT) AS n_docs_dropped,
+       round(CAST(coalesce(h.n_docs_dropped, 0) AS DOUBLE)
+             / CAST(tot.n_docs AS DOUBLE), 6) AS drop_share
+    FROM grid g CROSS JOIN tot LEFT JOIN hits h ON h.thr_pct = g.thr_pct
+    ORDER BY thr_pct""",
+)
+def dedup_threshold_curve(spark, sf_dir):
+    """Dedup threshold tuning curve: for each Jaccard cut in
+    {0.30..0.90 step 0.10}, how many near-dup pairs exceed it and how
+    many documents the keep-lowest-id rule would drop (a doc is dropped
+    at threshold t iff SOME lower-id doc in its block matches it at
+    >= t), as a share of the corpus — the "what does moving the knob
+    cost" table an operator reads before picking a production
+    threshold, instead of re-running the dedup pipeline per candidate
+    value.  One blocked exact-Jaccard pair pass (the
+    pair-bucket-decomposed jaccard_pairs engine, no top-k cut), a 7x
+    generator explode of the threshold grid over the PAIR table (never
+    the corpus), and a left join back onto the grid so zero-hit
+    thresholds still report 0.  Thresholds are integer percent keys;
+    the only floats are the rounded pair Jaccards compared against
+    shared literals."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, top_n=None)
+    grid_vals = list(range(30, 100, 10))
+    grid_arr = F.array(*[F.lit(v).cast("long") for v in grid_vals])
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("__n_docs"))
+    grid = tot.select(
+        F.explode(grid_arr).alias("thr_pct"), F.col("__n_docs")
+    )
+    hits = (
+        pairs.select("doc_b", "jaccard", F.explode(grid_arr).alias("thr_pct"))
+        .where(
+            F.col("jaccard") >= F.col("thr_pct").cast("double") / F.lit(100.0)
+        )
+        .groupBy("thr_pct")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__pairs"),
+            F.countDistinct("doc_b").cast("long").alias("__dropped"),
+        )
+    )
+    return (
+        grid.join(hits, "thr_pct", "left")
+        .select(
+            "thr_pct",
+            F.coalesce(F.col("__pairs"), F.lit(0).cast("long")).alias(
+                "n_dup_pairs"
+            ),
+            F.coalesce(F.col("__dropped"), F.lit(0).cast("long")).alias(
+                "n_docs_dropped"
+            ),
+            F.round(
+                F.coalesce(F.col("__dropped"), F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                / F.col("__n_docs").cast("double"),
+                6,
+            ).alias("drop_share"),
+        )
+        .orderBy("thr_pct")
+    )

@@ -229,6 +229,7 @@ _CURRENT_ROUND_PRIORITY = (
     "events_type_corr",
     "ts_record_stats",
     "doc_lexical_diversity",
+    "dedup_threshold_curve",
 )
 
 
