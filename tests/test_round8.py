@@ -555,3 +555,60 @@ def test_lexical_diversity_matches_pure_python(spark):
     # natural text is more diverse than template spam on every metric
     assert out["natural"].ttr > out["spam"].ttr
     assert out["natural"].hapax_share > out["spam"].hapax_share
+
+
+# ---------------------------------------------------------------------------
+# in-flight backlog (sweep line)
+
+
+def test_orders_in_flight_known_intervals(spark):
+    """Hand-built intervals: the running open count must equal the
+    number of (orderdate <= day < shipdate]-style coverage implied by
+    the +1/-1 sweep at every grid day."""
+    d0 = datetime.datetime(2024, 1, 1)
+
+    def day(i):
+        return d0 + datetime.timedelta(days=i)
+
+    # (orderkey, orderdate_day, [shipdate_days...]) — one lineitem per ship
+    spec = [(1, 0, [2, 5]), (2, 1, [2]), (3, 4, [9]), (4, 4, [4])]
+    orders, lineitems, lk = [], [], 0
+    for ok, od, ships in spec:
+        orders.append((ok, 1, "O", 10.0, day(od), "x"))
+        for sd in ships:
+            lineitems.append((ok, 1, 1, lk, 1.0, 1.0, 0.0, 0.0, "N", "O", day(sd)))
+            lk += 1
+    odf = spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    ldf = spark.createDataFrame(
+        lineitems,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    from tsod_spark.queries.round8 import in_flight
+
+    out = {r.day.isoformat(): (r.starts, r.ends, r.open_items)
+           for r in in_flight(ldf, odf).collect()}
+
+    # pure-python sweep over the same deltas
+    from collections import defaultdict
+
+    deltas: dict = defaultdict(lambda: [0, 0])
+    for ok, od, ships in spec:
+        for sd in ships:
+            deltas[od][0] += 1
+            deltas[sd][1] += 1
+    run = 0
+    for dd in sorted(deltas):
+        s, e = deltas[dd]
+        run += s - e
+        key = day(dd).date().isoformat()
+        assert out[key] == (s, e, run), (spec, dd)
+    assert set(out) == {day(dd).date().isoformat() for dd in deltas}
+    # the +1/-1 sweep conserves: final open count is zero
+    assert run == 0

@@ -1208,3 +1208,72 @@ def lexical_diversity(docs):
             F.round(F.log(vd) / F.log(nd), 6),
         ).alias("herdan_c"),
     ).orderBy("source")
+
+
+@register(
+    "orders_in_flight",
+    """WITH st AS (SELECT CAST(o.o_orderdate AS DATE) AS d,
+                CAST(count(*) AS BIGINT) AS starts,
+                CAST(0 AS BIGINT) AS ends
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+          GROUP BY 1),
+    en AS (SELECT CAST(l_shipdate AS DATE) AS d,
+                CAST(0 AS BIGINT) AS starts,
+                CAST(count(*) AS BIGINT) AS ends
+          FROM lineitem GROUP BY 1),
+    u AS (SELECT d, CAST(sum(starts) AS BIGINT) AS starts,
+                 CAST(sum(ends) AS BIGINT) AS ends
+          FROM (SELECT * FROM st UNION ALL SELECT * FROM en) GROUP BY 1)
+    SELECT d AS day, starts, ends,
+       CAST(sum(starts - ends) OVER (ORDER BY d) AS BIGINT) AS open_items
+    FROM u ORDER BY day""",
+)
+def orders_in_flight(spark, sf_dir):
+    """Work-in-progress backlog over time by sweep line: per calendar
+    day, how many line items entered flight (their order was placed),
+    how many left (shipped), and the running count still unshipped —
+    the interval-stabbing "how many intervals cover each day" operator
+    (capacity planning / backlog monitoring) done WITHOUT expanding
+    intervals into their covered days: each lineitem contributes
+    exactly one +1 and one -1 delta, the deltas aggregate map-side to
+    the date grain, and the only ordered pass is a running sum over
+    the ~2.4k-day date GRID.  An interval-expansion formulation would
+    emit O(total interval length) rows — this one is O(distinct days)
+    after two linear scans.  Counting is exact int64 end-to-end; the
+    orders join is a key join on o_orderkey (shipdate comes from
+    lineitem, orderdate from its order)."""
+    return in_flight(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "orders")
+    )
+
+
+def in_flight(li, o):
+    st = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("starts"))
+        .withColumn("ends", F.lit(0).cast("long"))
+    )
+    en = (
+        li.groupBy(F.to_date("l_shipdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ends"))
+        .withColumn("starts", F.lit(0).cast("long"))
+    )
+    u = (
+        st.select("d", "starts", "ends")
+        .unionByName(en.select("d", "starts", "ends"))
+        .groupBy("d")
+        .agg(
+            F.sum("starts").cast("long").alias("starts"),
+            F.sum("ends").cast("long").alias("ends"),
+        )
+    )
+    w = Window.orderBy("d")
+    return u.select(
+        F.col("d").alias("day"),
+        "starts",
+        "ends",
+        F.sum(F.col("starts") - F.col("ends")).over(w).cast("long").alias(
+            "open_items"
+        ),
+    ).orderBy("day")

@@ -230,6 +230,7 @@ _CURRENT_ROUND_PRIORITY = (
     "ts_record_stats",
     "doc_lexical_diversity",
     "dedup_threshold_curve",
+    "orders_in_flight",
 )
 
 
