@@ -1198,3 +1198,42 @@ def test_stream_type_entropy_matches_batch(spark, events_batches):
             assert s.entropy_norm is None
         else:
             assert s.entropy_norm == pytest.approx(b.entropy_norm, abs=2e-6)
+
+
+def test_stream_dispersion_matches_batch(spark, events_batches):
+    """The LAST emission per user from the streaming dispersion
+    monitor equals the batch events_dispersion result over the same
+    rows — including micro-batch boundaries that split hours (the
+    per-hour count-vector state merges exactly)."""
+    from tsod_spark.queries.round8 import dispersion_profile
+    from tsod_spark.streaming import stream_dispersion
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_dispersion(src, series=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_disp")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got: dict = {}
+    for r in spark.sql("SELECT * FROM t_disp").collect():
+        if r.user_id not in got or r.n_events > got[r.user_id].n_events:
+            got[r.user_id] = r
+
+    batch = {r.user_id: r for r in dispersion_profile(
+        registry.table(spark, SF, "events")).collect()}
+    assert set(got) == set(batch)
+    for u, b in batch.items():
+        s = got[u]
+        assert (s.n_buckets, s.n_events) == (b.n_buckets, b.n_events), u
+        assert s.mean_per_hour == pytest.approx(b.mean_per_hour, abs=2e-6)
+        assert s.dispersion == pytest.approx(b.dispersion, abs=2e-6)
+        assert s.overdispersed == b.overdispersed

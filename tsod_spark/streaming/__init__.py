@@ -11,6 +11,7 @@ from .detect import (  # noqa: F401
 from .temporal import (  # noqa: F401
     stream_attribution_join,
     stream_cusum,
+    stream_dispersion,
     stream_ewma,
     stream_histogram_drift,
     stream_holt,

@@ -896,3 +896,100 @@ def stream_type_entropy(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stream_dispersion(
+    stream_df: DataFrame,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming arrival-process drift monitor — the continuous twin
+    of the batch ``events_dispersion`` query: per series key, the
+    running Poisson index of dispersion D = var/mean of hourly event
+    counts over the key's full observed hour span (empty hours count
+    as zeros), re-emitted as a snapshot every micro-batch the key
+    receives rows.
+
+    State per key is the exact int64 per-hour count vector (two
+    parallel arrays, bounded by the key's span in HOURS — the same
+    frame the batch operator aggregates, never the row count).  A
+    scalar-moment state (t, q, min/max) would NOT merge correctly:
+    micro-batch boundaries split hours, and folding a split hour into
+    q needs the hour's previous count — so the counts themselves are
+    the minimal mergeable state.  Counts merge by addition; all floats
+    derive fresh from the exact counts at emission (the
+    stream_type_entropy discipline), so the last emission per key over
+    the same rows equals the batch result.
+    """
+    import math  # noqa: F401  (kept for parity with sibling monitors)
+
+    series = list(series)
+    key_fields = [stream_df.schema[c] for c in series]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("n_buckets", LongType()),
+            StructField("n_events", LongType()),
+            StructField("mean_per_hour", DoubleType()),
+            StructField("dispersion", DoubleType()),
+            StructField("overdispersed", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("hbs", ArrayType(LongType())),
+            StructField("counts", ArrayType(LongType())),
+        ]
+    )
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        if state.exists:
+            hbs, counts = state.get
+            cnt = dict(zip([int(h) for h in hbs], [int(c) for c in counts]))
+        else:
+            cnt = {}
+        hb = pd.to_datetime(new[ts_col]).astype("int64") // 1000 // 3600000000
+        for h, c in hb.value_counts().items():
+            cnt[int(h)] = cnt.get(int(h), 0) + int(c)
+        state.update((list(cnt.keys()), list(cnt.values())))
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        span = max(cnt) - min(cnt) + 1
+        t = sum(cnt.values())
+        q = sum(c * c for c in cnt.values())
+        disp = (span * q - t * t) / (span * t)
+        over = (
+            span > 1
+            and disp > 1.0 + 2.0 * (2.0 / (span - 1)) ** 0.5
+        )
+        yield pd.DataFrame(
+            [
+                {
+                    **{c: key[i] for i, c in enumerate(series)},
+                    "n_buckets": span,
+                    "n_events": t,
+                    "mean_per_hour": round(t / span, 6),
+                    "dispersion": round(disp, 6),
+                    "overdispersed": bool(over),
+                }
+            ]
+        )
+
+    return stream_df.groupBy(*series).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
