@@ -612,3 +612,41 @@ def test_orders_in_flight_known_intervals(spark):
     assert set(out) == {day(dd).date().isoformat() for dd in deltas}
     # the +1/-1 sweep conserves: final open count is zero
     assert run == 0
+
+
+# ---------------------------------------------------------------------------
+# inverted-index jaccard engine
+
+
+def test_jaccard_index_matches_allpairs_engine(spark):
+    """jaccard_pairs_index must produce exactly the all-pairs engine's
+    Jaccard for every pair sharing >= 1 gram, and omit only
+    zero-overlap pairs."""
+    from tsod_spark.pipeline.dedup import jaccard_pairs, jaccard_pairs_index
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        n = rng.randint(2, 12)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n)),
+                     f"s{i % 3}"))
+    # plus an exact duplicate pair and a disjoint-vocabulary doc
+    docs.append((100, docs[0][1], "s0"))
+    docs.append((101, "zz yy xx ww vv", "s0"))
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+
+    full = {(r.doc_a, r.doc_b): r.jaccard
+            for r in jaccard_pairs(df, top_n=None).collect()}
+    idx = {(r.doc_a, r.doc_b): r.jaccard
+           for r in jaccard_pairs_index(df).collect()}
+
+    # every indexed pair matches the all-pairs value exactly
+    for k, v in idx.items():
+        assert full[k] == v, k
+    # pairs missing from the index are exactly the zero-overlap ones
+    for k, v in full.items():
+        if k not in idx:
+            assert v == 0.0, k
+    # the exact duplicate registers at 1.0
+    assert idx[(0, 100)] == 1.0

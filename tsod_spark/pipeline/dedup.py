@@ -1227,3 +1227,75 @@ def incremental_new_docs_indexed(
     return _screen_batch_against(
         cb, corpus_hashes, batch, text_col, k, bands, min_est_jaccard
     )
+
+
+def jaccard_pairs_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    block_col: str = "source",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Exact in-block Jaccard for every pair sharing AT LEAST ONE
+    n-gram — the inverted-index formulation of :func:`jaccard_pairs`.
+
+    Instead of materializing all C(block,2) pairs and intersecting two
+    full gram arrays per pair (O(pairs x doc_len) regardless of
+    similarity), explode each doc's DISTINCT hashed grams and
+    self-join on (block, gram): every join hit is one element of some
+    pair's intersection, so a (doc_a, doc_b) count IS |A n B|, and
+    union sizes ride along as per-doc gram counts.  Work is
+    output-sensitive — sum over grams of (docs sharing it choose 2) —
+    near-linear on natural corpora where most grams are unique, vs
+    the all-pairs quadratic.  Zero-overlap pairs never appear, which
+    is exactly right for threshold screens (their Jaccard is 0).  At
+    boilerplate-heavy scale a shared gram with B in-block owners emits
+    B^2 hits: cap degenerate grams with :func:`cap_hot_buckets` on
+    (blk, gh) before the join, same as the banded-LSH guard.
+    """
+    n_part = default_parallelism(docs.sparkSession)
+    tok = docs.repartition(n_part, F.col("doc_id")).select(
+        "doc_id", F.col(block_col).alias("blk"), tokens(F.col(text_col)).alias("__t")
+    )
+    grams = (
+        shingles(F.col("__t"), shingle_n)
+        if shingle_n > 1
+        else F.array_distinct(F.col("__t"))
+    )
+    g = tok.select(
+        "doc_id",
+        "blk",
+        F.transform(grams, lambda x: F.xxhash64(x)).alias("__gh"),
+    ).select(
+        "doc_id",
+        "blk",
+        F.size("__gh").cast("long").alias("__ng"),
+        F.explode("__gh").alias("gh"),
+    )
+    a = g.select(
+        F.col("blk"),
+        F.col("gh"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("__ng").alias("__na"),
+    )
+    b = g.select(
+        F.col("blk"),
+        F.col("gh"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("__ng").alias("__nb"),
+    )
+    p = (
+        a.join(b, ["blk", "gh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__inter"),
+            F.first("__na").alias("__na"),
+            F.first("__nb").alias("__nb"),
+        )
+    )
+    jac = F.round(
+        F.col("__inter").cast("double")
+        / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double"),
+        6,
+    )
+    return p.select("doc_a", "doc_b", jac.alias("jaccard"))

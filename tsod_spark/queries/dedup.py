@@ -584,7 +584,7 @@ def dedup_threshold_curve(spark, sf_dir):
     the only floats are the rounded pair Jaccards compared against
     shared literals."""
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, top_n=None)
+    pairs = dedup.jaccard_pairs_index(docs)
     grid_vals = list(range(30, 100, 10))
     grid_arr = F.array(*[F.lit(v).cast("long") for v in grid_vals])
     tot = docs.agg(F.count(F.lit(1)).cast("long").alias("__n_docs"))
