@@ -140,6 +140,8 @@ HEADLINE = [
     "events_type_corr",
     "ts_record_stats",
     "doc_lexical_diversity",
+    "dedup_threshold_curve",
+    "orders_in_flight",
 ]
 
 
