@@ -650,3 +650,82 @@ def test_jaccard_index_matches_allpairs_engine(spark):
             assert v == 0.0, k
     # the exact duplicate registers at 1.0
     assert idx[(0, 100)] == 1.0
+
+
+def test_jaccard_index_hot_gram_cap(spark):
+    """With max_gram_docs, grams owned by more docs than the cap are
+    dropped whole: intersection counts shrink only by those grams, and
+    below-cap behavior is bit-identical to the uncapped engine."""
+    from tsod_spark.pipeline.dedup import jaccard_pairs_index
+
+    # 5 docs all share the word pair "aa bb"; docs 1 and 2 also share
+    # a rare pair "cc dd"
+    docs = [
+        (1, "aa bb cc dd", "s"),
+        (2, "aa bb cc dd", "s"),
+        (3, "aa bb xx yy", "s"),
+        (4, "aa bb zz qq", "s"),
+        (5, "aa bb pp rr", "s"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    uncapped = {(r.doc_a, r.doc_b): r.jaccard
+                for r in jaccard_pairs_index(df).collect()}
+    capped = {(r.doc_a, r.doc_b): r.jaccard
+              for r in jaccard_pairs_index(df, max_gram_docs=3).collect()}
+    # uncapped: every pair shares "aa bb"; (1,2) shares all 3 bigrams
+    assert uncapped[(1, 2)] == 1.0
+    assert len(uncapped) == 10
+    # capped at 3: the "aa bb" bigram (5 owners) is dropped whole;
+    # only (1,2) still intersects (via "bb cc", "cc dd")
+    assert set(capped) == {(1, 2)}
+    # the surviving pair's intersection shrank by exactly the capped
+    # gram: 2 shared of (3 + 3 - 2) = 0.5
+    assert capped[(1, 2)] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# contingency residuals
+
+
+def test_contingency_residuals_match_pure_python(spark):
+    """Standardized Pearson residuals vs a hand-computed contingency
+    table, including a month with a deliberately skewed mix."""
+    rng = random.Random(41)
+    rows, ok = [], 0
+    prios = ["1-URGENT", "2-HIGH", "3-LOW"]
+    for m in range(1, 4):  # three months, balanced
+        for p in prios:
+            for _ in range(30):
+                rows.append((ok, ok % 9, "O", 10.0,
+                             datetime.datetime(2024, m, 1 + rng.randint(0, 27)), p))
+                ok += 1
+    for _ in range(60):  # month 4: all urgent
+        rows.append((ok, ok % 9, "O", 10.0,
+                     datetime.datetime(2024, 4, 1 + rng.randint(0, 27)), "1-URGENT"))
+        ok += 1
+    from tsod_spark.queries.round8 import contingency_residuals
+
+    df = _orders_df(spark, rows)
+    out = {(r.ym, r.prio): r for r in contingency_residuals(df).collect()}
+
+    from collections import Counter
+
+    cells = Counter()
+    for _, _, _, _, ts, p in rows:
+        cells[(f"2024-{ts.month:02d}", p)] += 1
+    row_t = Counter()
+    col_t = Counter()
+    for (ym, p), n in cells.items():
+        row_t[ym] += n
+        col_t[p] += n
+    grand = sum(cells.values())
+    for (ym, p), n in cells.items():
+        e = row_t[ym] * col_t[p] / grand
+        resid = (n - e) / math.sqrt(e)
+        r = out[(ym, p)]
+        assert r.n_orders == n
+        assert r.expected == pytest.approx(round(e, 6), abs=1e-9)
+        assert r.std_residual == pytest.approx(resid, abs=1e-5)
+        assert r.cell_flag == (abs(resid) > 3.0)
+    # the skewed month flags its urgent cell upward
+    assert out[("2024-04", "1-URGENT")].std_residual > 3.0

@@ -1234,6 +1234,7 @@ def jaccard_pairs_index(
     text_col: str = "text",
     block_col: str = "source",
     shingle_n: int = 2,
+    max_gram_docs: int | None = None,
 ) -> DataFrame:
     """Exact in-block Jaccard for every pair sharing AT LEAST ONE
     n-gram — the inverted-index formulation of :func:`jaccard_pairs`.
@@ -1271,6 +1272,12 @@ def jaccard_pairs_index(
         F.size("__gh").cast("long").alias("__ng"),
         F.explode("__gh").alias("gh"),
     )
+    # optional hot-gram guard: a gram owned by B in-block docs emits
+    # B^2 join hits; capped grams are dropped WHOLE (cap_hot_buckets
+    # semantics) so intersection counts UNDERCOUNT for pairs relying
+    # on them — the deterministic truncation trade the banded-LSH
+    # path already documents. None disables (exact).
+    g = cap_hot_buckets(g, ["blk", "gh"], max_gram_docs)
     a = g.select(
         F.col("blk"),
         F.col("gh"),

@@ -622,3 +622,75 @@ def dedup_threshold_curve(spark, sf_dir):
         )
         .orderBy("thr_pct")
     )
+
+
+_XSRC_CTES, _XSRC_SELECT = _mh_pairs_parts()
+
+
+@register(
+    "dedup_cross_source_matrix",
+    f"""WITH {_XSRC_CTES},
+    pairs AS ({_XSRC_SELECT}),
+    lab AS (SELECT
+              CASE WHEN da.source <= db.source THEN da.source
+                   ELSE db.source END AS source_a,
+              CASE WHEN da.source <= db.source THEN db.source
+                   ELSE da.source END AS source_b,
+              p.est_jaccard
+            FROM pairs p
+            JOIN documents da ON da.doc_id = p.doc_a
+            JOIN documents db ON db.doc_id = p.doc_b)
+    SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(est_jaccard), 6) AS avg_est_jaccard,
+       source_a <> source_b AS is_cross_source
+    FROM lab GROUP BY 1, 2 ORDER BY source_a, source_b""",
+)
+def dedup_cross_source_matrix(spark, sf_dir):
+    """Near-duplicate flow BETWEEN corpus sources: the banded-MinHash
+    candidate pairs (the only dedup family whose blocking is global,
+    so cross-source duplicates are visible — the Jaccard engines block
+    BY source and structurally cannot see them) labeled with both
+    docs' sources, normalized to an unordered (source_a <= source_b)
+    matrix of pair counts and mean estimated Jaccard.  This is the
+    governance question behind licensing and leakage review — "which
+    source is copying from which" — answered from the pair table
+    alone.  The source labels arrive by two key joins of the slim
+    (doc_id, source) projection against the candidate pairs (pairs are
+    LSH-bounded, far smaller than the corpus); the matrix is at most
+    |sources|^2 rows."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_band_pairs(docs)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("__sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("__sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.when(F.col("__sa") <= F.col("__sb"), F.col("__sa"))
+            .otherwise(F.col("__sb"))
+            .alias("source_a"),
+            F.when(F.col("__sa") <= F.col("__sb"), F.col("__sb"))
+            .otherwise(F.col("__sa"))
+            .alias("source_b"),
+            "est_jaccard",
+        )
+    )
+    return (
+        lab.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("est_jaccard"), 6).alias("avg_est_jaccard"),
+        )
+        .withColumn("is_cross_source", F.col("source_a") != F.col("source_b"))
+        .orderBy("source_a", "source_b")
+    )

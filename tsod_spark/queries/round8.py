@@ -1277,3 +1277,65 @@ def in_flight(li, o):
             "open_items"
         ),
     ).orderBy("day")
+
+
+@register(
+    "orders_contingency",
+    """WITH c AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+            o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n
+          FROM orders GROUP BY 1, 2),
+    t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY ym) AS BIGINT) AS row_t,
+            CAST(sum(n) OVER (PARTITION BY prio) AS BIGINT) AS col_t,
+            CAST(sum(n) OVER () AS BIGINT) AS grand FROM c)
+    SELECT ym, prio, n AS n_orders,
+       round(CAST(row_t * col_t AS DOUBLE) / CAST(grand AS DOUBLE), 6)
+         AS expected,
+       round((CAST(n AS DOUBLE)
+              - CAST(row_t * col_t AS DOUBLE) / CAST(grand AS DOUBLE))
+             / sqrt(CAST(row_t * col_t AS DOUBLE) / CAST(grand AS DOUBLE)),
+             6) AS std_residual,
+       abs((CAST(n AS DOUBLE)
+            - CAST(row_t * col_t AS DOUBLE) / CAST(grand AS DOUBLE))
+           / sqrt(CAST(row_t * col_t AS DOUBLE) / CAST(grand AS DOUBLE)))
+         > 3.0 AS cell_flag
+    FROM t ORDER BY ym, prio""",
+)
+def orders_contingency(spark, sf_dir):
+    """Chi-square independence residuals for the month x priority
+    contingency table: per cell the observed count, the
+    independence-expected count e = row_total * col_total / grand (one
+    int64 cross-product, ONE division), the standardized Pearson
+    residual (n - e)/sqrt(e), and a |resid| > 3 drift flag — "did the
+    order-priority mix shift in some month", the composition-drift
+    screen behind mix monitoring (the cells whose residuals spike ARE
+    the answer, unlike a single global chi2 that only says
+    'something').  The fact collapses to at most months x priorities
+    cells in one map-side-combinable aggregate; marginals come from
+    three windows over that bounded cell table — no second fact
+    scan."""
+    return contingency_residuals(table(spark, sf_dir, "orders"))
+
+
+def contingency_residuals(o):
+    c = o.groupBy(
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("ym"),
+        F.col("o_orderpriority").alias("prio"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    t = c.select(
+        "*",
+        F.sum("n_orders").over(Window.partitionBy("ym")).cast("long").alias("__rt"),
+        F.sum("n_orders").over(Window.partitionBy("prio")).cast("long").alias("__ct"),
+        F.sum("n_orders").over(Window.partitionBy()).cast("long").alias("__g"),
+    )
+    e = (F.col("__rt") * F.col("__ct")).cast("double") / F.col("__g").cast(
+        "double"
+    )
+    resid = (F.col("n_orders").cast("double") - e) / F.sqrt(e)
+    return t.select(
+        "ym",
+        "prio",
+        "n_orders",
+        F.round(e, 6).alias("expected"),
+        F.round(resid, 6).alias("std_residual"),
+        (F.abs(resid) > 3.0).alias("cell_flag"),
+    ).orderBy("ym", "prio")

@@ -231,6 +231,8 @@ _CURRENT_ROUND_PRIORITY = (
     "doc_lexical_diversity",
     "dedup_threshold_curve",
     "orders_in_flight",
+    "dedup_cross_source_matrix",
+    "orders_contingency",
 )
 
 
