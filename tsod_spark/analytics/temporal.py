@@ -1504,3 +1504,112 @@ def changepoint_binseg(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def holt_winters(
+    df: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    period: int = 24,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Additive Holt-Winters triple exponential smoothing per series
+    over HOURLY cent totals, seasonals anchored to the CALENDAR hour
+    of day (``hour_bucket % period``), not the observation index:
+
+    ``level_t = α·(y_t − s_h) + (1−α)·(level + trend)``;
+    ``trend_t = β·(level_t − level) + (1−β)·trend``;
+    ``s_h     = γ·(y_t − level_t) + (1−γ)·s_h``.
+
+    Calendar anchoring makes gaps well-defined — a missing hour simply
+    doesn't advance the recurrence, and the next observation still
+    lands on its true hour-of-day slot (index-anchored HW silently
+    shifts the season across every gap).  Initialization: at a
+    series' first bucket ``level = y, trend = 0`` and all ``period``
+    seasonals start at 0 (the first visit to each slot therefore
+    learns ``γ·(y − level)``); ``season`` in the output is the slot's
+    value AFTER the row's update.
+
+    State is level + trend + a ``period``-slot seasonal vector — a
+    genuinely sequential recurrence (the seasonal cross-coupling kills
+    any window decomposition), so it runs in the holt/ewma bucketed
+    ``applyInPandas`` shape after a first (series, hour) aggregate:
+    the irreducible sequential unit is buckets-per-series, and many
+    small series share one Arrow batch via ``hash(series) % B``.
+
+    Cross-engine exactness: with dyadic α/β/γ (0.5, 0.25, 0.25) every
+    multiply is IEEE-exact and the kernel's operation order matches
+    the recursive-CTE oracle term-for-term — bit-identical before
+    round(6).
+    """
+    import math  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..expressions import nan_to_null
+
+    keys = list(series)
+    a, b, g = float(alpha), float(beta), float(gamma)
+    ca, cb, cg = 1.0 - a, 1.0 - b, 1.0 - g
+    m = int(period)
+
+    cents = F.round(nan_to_null(F.col(value_col)) * 100).cast("long")
+    buckets = (
+        df.select(
+            *keys,
+            F.expr(f"unix_micros({ts_col}) div 3600000000").alias("hour_bucket"),
+            cents.alias("__vc"),
+        )
+        .where(F.col("__vc").isNotNull())
+        .groupBy(*keys, "hour_bucket")
+        .agg(F.sum("__vc").cast("double").alias("__y"))
+    )
+
+    out_fields = keys + ["hour_bucket", "level", "trend", "season"]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(keys + ["hour_bucket"])
+        parts = []
+        for _, grp in pdf.groupby(keys, sort=False):
+            y = grp["__y"].to_numpy(dtype="float64")
+            hb = grp["hour_bucket"].to_numpy(dtype="int64")
+            n = len(y)
+            lv = np.empty(n)
+            tr = np.empty(n)
+            se = np.empty(n)
+            s = [0.0] * m
+            l, t = float(y[0]), 0.0
+            h0 = int(hb[0] % m)
+            s[h0] = g * (float(y[0]) - l) + cg * s[h0]  # = 0.0 exactly
+            lv[0], tr[0], se[0] = l, t, s[h0]
+            for i in range(1, n):
+                h = int(hb[i] % m)
+                yi = float(y[i])
+                nl = a * (yi - s[h]) + ca * (l + t)
+                t = b * (nl - l) + cb * t
+                s[h] = g * (yi - nl) + cg * s[h]
+                l = nl
+                lv[i], tr[i], se[i] = l, t, s[h]
+            parts.append(
+                grp.assign(level=lv, trend=tr, season=se)
+            )
+        return pd.concat(parts)[out_fields]
+
+    schema_parts = []
+    dt = dict(buckets.dtypes)
+    for c in out_fields:
+        if c in ("level", "trend", "season"):
+            schema_parts.append(f"{c} double")
+        else:
+            schema_parts.append(f"{c} {dt[c]}")
+    n_buckets = default_parallelism(df.sparkSession) * 2
+    bucket = F.pmod(F.xxhash64(*keys), F.lit(n_buckets))
+    return (
+        buckets.withColumn("__bk", bucket)
+        .groupBy("__bk")
+        .applyInPandas(kernel, ", ".join(schema_parts))
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..analytics import temporal
 from ._base import register, table
 
 # (level, half-width, block-width) for the depth-4 Haar bank
@@ -1339,3 +1340,62 @@ def contingency_residuals(o):
         F.round(resid, 6).alias("std_residual"),
         (F.abs(resid) > 3.0).alias("cell_flag"),
     ).orderBy("ym", "prio")
+
+
+_HW_ZEROS = "[" + ", ".join(["CAST(0 AS DOUBLE)"] * 24) + "]"
+
+
+@register(
+    "ts_holt_winters",
+    f"""WITH RECURSIVE c0 AS (SELECT user_id,
+           epoch_us(ts) // 3600000000 AS hb,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc FROM events),
+    b AS (SELECT user_id, hb, CAST(sum(vc) AS DOUBLE) AS y
+          FROM c0 WHERE vc IS NOT NULL GROUP BY 1, 2),
+    o AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY hb)
+                    AS rn FROM b),
+    r AS (
+      SELECT user_id, rn, hb, y AS l, CAST(0 AS DOUBLE) AS t,
+             {_HW_ZEROS} AS s
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT user_id, rn, hb, nl,
+         0.25 * (nl - pl) + 0.75 * pt,
+         list_slice(ps, 1, h)
+           || [0.25 * (y - nl) + 0.75 * ps[h + 1]]
+           || list_slice(ps, h + 2, 24)
+      FROM (SELECT o.user_id, o.rn, o.hb, o.y, r.l AS pl, r.t AS pt,
+               r.s AS ps, CAST(o.hb % 24 AS INT) AS h,
+               0.5 * (o.y - r.s[CAST(o.hb % 24 AS INT) + 1])
+                 + 0.5 * (r.l + r.t) AS nl
+            FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1))
+    SELECT user_id, hb AS hour_bucket, round(l, 6) AS level,
+       round(t, 6) AS trend,
+       round(s[CAST(hb % 24 AS INT) + 1], 6) AS season
+    FROM r ORDER BY user_id, hour_bucket""",
+)
+def ts_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters triple exponential smoothing (α=0.5,
+    β=0.25, γ=0.25, period 24) per series over hourly cent totals,
+    seasonals anchored to the calendar hour of day so gaps don't shift
+    the season — level/trend/season per bucket, the seasonal
+    forecaster that complements ts_holt (trend only) and
+    ts_seasonal_decompose (retrospective averages).  The three-state
+    recurrence with its 24-slot seasonal vector runs as an
+    Arrow-batched sequential kernel (temporal.holt_winters, the
+    ewma/holt bucketed shape); the oracle threads the seasonal vector
+    through a recursive CTE as a LIST, updating one slot per step by
+    slice concatenation.  Dyadic smoothing constants keep every
+    multiply IEEE-exact, so the engines are bit-identical before
+    round(6)."""
+    out = temporal.holt_winters(table(spark, sf_dir, "events"))
+    from ..queries._base import duck_round6
+
+    return out.select(
+        "user_id",
+        "hour_bucket",
+        duck_round6(F.col("level")).alias("level"),
+        duck_round6(F.col("trend")).alias("trend"),
+        duck_round6(F.col("season")).alias("season"),
+    ).orderBy("user_id", "hour_bucket")

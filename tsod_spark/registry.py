@@ -233,6 +233,7 @@ _CURRENT_ROUND_PRIORITY = (
     "orders_in_flight",
     "dedup_cross_source_matrix",
     "orders_contingency",
+    "ts_holt_winters",
 )
 
 
