@@ -142,6 +142,9 @@ HEADLINE = [
     "doc_lexical_diversity",
     "dedup_threshold_curve",
     "orders_in_flight",
+    "dedup_cross_source_matrix",
+    "orders_contingency",
+    "ts_holt_winters",
 ]
 
 
