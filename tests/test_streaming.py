@@ -1237,3 +1237,42 @@ def test_stream_dispersion_matches_batch(spark, events_batches):
         assert s.mean_per_hour == pytest.approx(b.mean_per_hour, abs=2e-6)
         assert s.dispersion == pytest.approx(b.dispersion, abs=2e-6)
         assert s.overdispersed == b.overdispersed
+
+
+def test_stream_holt_winters_matches_batch(spark, events_batches):
+    """Closed-bucket emissions from the streaming Holt-Winters equal
+    the batch result row-for-row; each user's final bucket stays
+    pending (its sum is not final until the bucket is over)."""
+    from tsod_spark.analytics.temporal import holt_winters
+    from tsod_spark.streaming import stream_holt_winters
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_holt_winters(src, series=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_hw")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.user_id, r.hour_bucket): (r.level, r.trend, r.season)
+           for r in spark.sql("SELECT * FROM t_hw").collect()}
+
+    batch_rows = holt_winters(registry.table(spark, SF, "events")).collect()
+    last_hb: dict = {}
+    for r in batch_rows:
+        last_hb[r.user_id] = max(last_hb.get(r.user_id, -1), r.hour_bucket)
+    expected = {(r.user_id, r.hour_bucket): (r.level, r.trend, r.season)
+                for r in batch_rows if r.hour_bucket < last_hb[r.user_id]}
+
+    assert set(got) == set(expected)
+    assert len(got) > 0
+    for k, (el, et, es) in expected.items():
+        gl, gt, gs = got[k]
+        assert gl == el and gt == et and gs == es, k  # bit-identical

@@ -15,6 +15,7 @@ from .temporal import (  # noqa: F401
     stream_ewma,
     stream_histogram_drift,
     stream_holt,
+    stream_holt_winters,
     stream_latest_by_key,
     stream_rollup_hierarchy,
     stream_time_weighted_avg,

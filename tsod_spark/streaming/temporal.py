@@ -993,3 +993,158 @@ def stream_dispersion(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stream_holt_winters(
+    stream_df: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    period: int = 24,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming additive Holt-Winters — the continuous twin of
+    ``temporal.holt_winters``, same calendar-hour-anchored seasonals.
+
+    The batch operator smooths HOURLY cent totals, so the streaming
+    version folds whole buckets: rows accumulate into the key's
+    PENDING hour as an exact int64 cent sum, and the first row of a
+    LATER hour closes it — one (hour_bucket, level, trend, season)
+    emission per closed bucket, append-once (the time_weighted_avg
+    bucket-close contract).  Each key's final bucket stays pending
+    until later data closes it, which is the honest streaming
+    semantics for an aggregate-then-smooth operator: the bucket sum
+    isn't final until the bucket is over.
+
+    State per key: (level, trend, the ``period``-slot seasonal
+    vector, the pending bucket id + exact int64 pending sum, and the
+    (ts, tiebreak) disorder cursor).  Closed-bucket emissions are
+    bit-identical to the batch kernel on the same rows because the
+    fold order and the dyadic recurrence match term-for-term and the
+    bucket sums are integers in both.
+    """
+    import math  # noqa: PLC0415
+
+    series = list(series)
+    a, b, g = float(alpha), float(beta), float(gamma)
+    ca, cb, cg = 1.0 - a, 1.0 - b, 1.0 - g
+    m = int(period)
+    key_fields = [stream_df.schema[c] for c in series]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("hour_bucket", LongType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("season", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("l", DoubleType()),
+            StructField("t", DoubleType()),
+            StructField("s", ArrayType(DoubleType())),
+            StructField("has", BooleanType()),
+            StructField("pend_hb", LongType()),
+            StructField("pend_sum", LongType()),
+            StructField("cur_ts", LongType()),
+            StructField("cur_tb", LongType()),
+        ]
+    )
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        new = new.sort_values([ts_col, tiebreak], kind="mergesort")
+        if state.exists:
+            l, t, s, has, pend_hb, pend_sum, cur_ts, cur_tb = state.get
+            s = [float(x) for x in s]
+        else:
+            l, t, s, has = 0.0, 0.0, [0.0] * m, False
+            pend_hb, pend_sum, cur_ts, cur_tb = None, 0, None, None
+
+        new_ts = pd.to_datetime(new[ts_col]).astype("int64") // 1000
+        new_tb = new[tiebreak].astype("int64")
+        if cur_ts is not None:
+            ok = (new_ts > cur_ts) | ((new_ts == cur_ts) & (new_tb > cur_tb))
+            if not ok.all():
+                new = new[ok.to_numpy()]
+                new_ts, new_tb = new_ts[ok], new_tb[ok]
+            if len(new) == 0:
+                if idle_timeout is not None:
+                    state.setTimeoutDuration(idle_timeout)
+                return
+
+        emitted = []
+
+        def fold(hb: int, total: int):
+            nonlocal l, t, has
+            y = float(total)
+            h = int(hb % m)
+            if not has:
+                l, t = y, 0.0
+                s[h] = g * (y - l) + cg * s[h]  # exactly 0.0
+                has = True
+            else:
+                nl = a * (y - s[h]) + ca * (l + t)
+                t = b * (nl - l) + cb * t
+                s[h] = g * (y - nl) + cg * s[h]
+                l = nl
+            emitted.append((hb, l, t, s[h]))
+
+        vals = new[value_col].astype(float).to_numpy()
+        hbs = (new_ts // 3_600_000_000).to_numpy()
+        for y, hb in zip(vals, hbs):
+            if math.isnan(y):
+                continue
+            c = int(round(y * 100))
+            if pend_hb is None:
+                pend_hb, pend_sum = int(hb), c
+            elif int(hb) == pend_hb:
+                pend_sum += c
+            else:
+                fold(pend_hb, pend_sum)
+                pend_hb, pend_sum = int(hb), c
+
+        state.update(
+            (
+                l, t, s, has,
+                pend_hb, pend_sum,
+                int(new_ts.iloc[-1]), int(new_tb.iloc[-1]),
+            )
+        )
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        if emitted:
+            yield pd.DataFrame(
+                [
+                    {
+                        **{c2: key[i] for i, c2 in enumerate(series)},
+                        "hour_bucket": hb,
+                        "level": lv,
+                        "trend": tr,
+                        "season": se,
+                    }
+                    for hb, lv, tr, se in emitted
+                ]
+            )
+
+    return stream_df.groupBy(*series).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
