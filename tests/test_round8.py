@@ -782,3 +782,46 @@ def test_holt_winters_matches_pure_python_and_learns_season(spark):
     # the high hours must be the most positive slots)
     assert min(last_s[i] for i in hi) > 100
     assert min(last_s[i] for i in hi) > max(others)
+
+
+def test_hw_anomaly_flags_off_cycle_burst(spark):
+    """A value that is NORMAL for hour 9 but appears at hour 3 breaks
+    the seasonal forecast and flags, even though a raw range/zscore
+    screen would pass it; the same value at hour 9 does not flag."""
+    from tsod_spark.queries._base import table as _t  # noqa: F401
+    from tsod_spark.analytics.temporal import holt_winters
+    from pyspark.sql import functions as F, Window
+
+    rng = random.Random(8)
+    rows, eid = [], 0
+    base = datetime.datetime(2024, 1, 1)
+    burst_h = None
+    # small noise keeps the MAD realistic; 16 days let the gamma=0.25
+    # seasonal converge before the burst
+    for h in range(24 * 16):
+        v = 100.0 + (50.0 if (h % 24) == 9 else 0.0) + rng.uniform(-2, 2)
+        if h == 24 * 14 + 3:  # day 15, 03:00 — inject the 9am-sized value
+            v = 150.0
+            burst_h = h
+        rows.append((eid, 1, base + datetime.timedelta(hours=h), "a", v)); eid += 1
+
+    hw = holt_winters(_events_df(spark, rows))
+    rr = hw.where(F.col("forecast").isNotNull()).select(
+        "user_id", "hour_bucket", "bucket_cents", "forecast",
+        (F.col("bucket_cents") - F.col("forecast")).alias("resid"))
+    w = Window.partitionBy("user_id")
+    r2 = rr.withColumn("mad", F.expr("percentile(abs(resid), 0.5)").over(w))
+    out = {r.hour_bucket: r for r in r2.collect()}
+    base_hb = int(base.timestamp() // 3600)
+
+    def flagged(h):
+        r = out[base_hb + h]
+        return abs(r.resid) > 5 * r.mad if r.mad > 0 else abs(r.resid) > 0
+
+    assert flagged(burst_h)                       # off-cycle burst
+    # BEFORE the burst, the same 150 value at its proper 9am slot does
+    # not flag, and the steady-state day flags nothing (post-burst
+    # hours legitimately flag during the level/trend recovery
+    # transient — a real property of forecast-residual detection)
+    assert not flagged(24 * 13 + 9)
+    assert not any(flagged(h) for h in range(24 * 13, 24 * 14))

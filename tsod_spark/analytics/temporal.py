@@ -1569,7 +1569,7 @@ def holt_winters(
         .agg(F.sum("__vc").cast("double").alias("__y"))
     )
 
-    out_fields = keys + ["hour_bucket", "level", "trend", "season"]
+    out_fields = keys + ["hour_bucket", "bucket_cents", "level", "trend", "season", "forecast"]
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(keys + ["hour_bucket"])
@@ -1581,6 +1581,7 @@ def holt_winters(
             lv = np.empty(n)
             tr = np.empty(n)
             se = np.empty(n)
+            fc = np.full(n, math.nan)  # one-step-ahead forecast (pre-update)
             s = [0.0] * m
             l, t = float(y[0]), 0.0
             h0 = int(hb[0] % m)
@@ -1589,20 +1590,23 @@ def holt_winters(
             for i in range(1, n):
                 h = int(hb[i] % m)
                 yi = float(y[i])
+                fc[i] = (l + t) + s[h]
                 nl = a * (yi - s[h]) + ca * (l + t)
                 t = b * (nl - l) + cb * t
                 s[h] = g * (yi - nl) + cg * s[h]
                 l = nl
                 lv[i], tr[i], se[i] = l, t, s[h]
             parts.append(
-                grp.assign(level=lv, trend=tr, season=se)
+                grp.assign(
+                    bucket_cents=y, level=lv, trend=tr, season=se, forecast=fc
+                )
             )
         return pd.concat(parts)[out_fields]
 
     schema_parts = []
     dt = dict(buckets.dtypes)
     for c in out_fields:
-        if c in ("level", "trend", "season"):
+        if c in ("bucket_cents", "level", "trend", "season", "forecast"):
             schema_parts.append(f"{c} double")
         else:
             schema_parts.append(f"{c} {dt[c]}")

@@ -20,7 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..analytics import temporal
-from ._base import register, table
+from ._base import register, spark_quantile_sql, table
 
 # (level, half-width, block-width) for the depth-4 Haar bank
 _HAAR_LEVELS = ((1, 1, 2), (2, 2, 4), (3, 4, 8), (4, 8, 16))
@@ -1398,4 +1398,89 @@ def ts_holt_winters(spark, sf_dir):
         duck_round6(F.col("level")).alias("level"),
         duck_round6(F.col("trend")).alias("trend"),
         duck_round6(F.col("season")).alias("season"),
+    ).orderBy("user_id", "hour_bucket")
+
+
+_HW_REC = f"""c0 AS (SELECT user_id,
+           epoch_us(ts) // 3600000000 AS hb,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc FROM events),
+    b AS (SELECT user_id, hb, CAST(sum(vc) AS DOUBLE) AS y
+          FROM c0 WHERE vc IS NOT NULL GROUP BY 1, 2),
+    o AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY hb)
+                    AS rn FROM b),
+    r AS (
+      SELECT user_id, rn, hb, y, y AS l, CAST(0 AS DOUBLE) AS t,
+             {_HW_ZEROS} AS s, CAST(NULL AS DOUBLE) AS f
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT user_id, rn, hb, y, nl,
+         0.25 * (nl - pl) + 0.75 * pt,
+         list_slice(ps, 1, h)
+           || [0.25 * (y - nl) + 0.75 * ps[h + 1]]
+           || list_slice(ps, h + 2, 24),
+         (pl + pt) + ps[h + 1]
+      FROM (SELECT o.user_id, o.rn, o.hb, o.y, r.l AS pl, r.t AS pt,
+               r.s AS ps, CAST(o.hb % 24 AS INT) AS h,
+               0.5 * (o.y - r.s[CAST(o.hb % 24 AS INT) + 1])
+                 + 0.5 * (r.l + r.t) AS nl
+            FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1))"""
+
+
+@register(
+    "ts_hw_anomaly",
+    f"""WITH RECURSIVE {_HW_REC},
+    rr AS (SELECT user_id, hb, y, f, y - f AS resid
+           FROM r WHERE f IS NOT NULL),
+    md AS (SELECT user_id,
+             list_sort(list(abs(resid))) AS arr FROM rr GROUP BY 1),
+    md2 AS (SELECT user_id,
+             {{Q}} AS mad FROM md)
+    SELECT rr.user_id, rr.hb AS hour_bucket,
+       CAST(rr.y AS BIGINT) AS y_cents,
+       round(rr.f, 6) AS forecast_cents,
+       round(rr.resid, 6) AS residual_cents,
+       CASE WHEN md2.mad > 0 THEN abs(rr.resid) > 5.0 * md2.mad
+            ELSE abs(rr.resid) > 0.0 END AS is_anomaly
+    FROM rr JOIN md2 ON md2.user_id = rr.user_id
+    ORDER BY rr.user_id, hour_bucket""".replace(
+        "{Q}", spark_quantile_sql("arr", 0.5)
+    ),
+)
+def ts_hw_anomaly(spark, sf_dir):
+    """Seasonal forecast-residual anomaly detection: each hourly
+    bucket is compared against the additive Holt-Winters ONE-step-ahead
+    forecast (level + trend + the hour's seasonal, all from state
+    BEFORE the bucket's own update — no lookahead leak), and flagged
+    when |residual| exceeds 5x the series' exact median absolute
+    residual.  This is the anomaly-detection payoff of ts_holt_winters:
+    a level shift, a missing daily peak, or an off-cycle burst all
+    break the forecast even when raw-value detectors (range/zscore)
+    stay quiet because the value is "normal for some other hour".
+    Residuals are bit-identical across engines (dyadic HW recurrence on
+    exact cent sums), so the MAD comparison — Spark exact percentile vs
+    the oracle's interpolation-matched list quantile — flags the
+    identical set.  The MAD attaches via a series-partitioned window
+    over the bucket-grain frame, never a second fact scan."""
+    hw = temporal.holt_winters(table(spark, sf_dir, "events"))
+    rr = hw.where(F.col("forecast").isNotNull()).select(
+        "user_id",
+        "hour_bucket",
+        "bucket_cents",
+        "forecast",
+        (F.col("bucket_cents") - F.col("forecast")).alias("__resid"),
+    )
+    w = Window.partitionBy("user_id")
+    mad = F.expr("percentile(abs(__resid), 0.5)").over(w)
+    r2 = rr.withColumn("__mad", mad)
+    flag = F.when(
+        F.col("__mad") > 0, F.abs(F.col("__resid")) > 5.0 * F.col("__mad")
+    ).otherwise(F.abs(F.col("__resid")) > 0.0)
+    return r2.select(
+        "user_id",
+        "hour_bucket",
+        F.col("bucket_cents").cast("long").alias("y_cents"),
+        F.round("forecast", 6).alias("forecast_cents"),
+        F.round("__resid", 6).alias("residual_cents"),
+        flag.alias("is_anomaly"),
     ).orderBy("user_id", "hour_bucket")

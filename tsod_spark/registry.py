@@ -234,6 +234,7 @@ _CURRENT_ROUND_PRIORITY = (
     "dedup_cross_source_matrix",
     "orders_contingency",
     "ts_holt_winters",
+    "ts_hw_anomaly",
 )
 
 
