@@ -825,3 +825,42 @@ def test_hw_anomaly_flags_off_cycle_burst(spark):
     # transient — a real property of forecast-residual detection)
     assert not flagged(24 * 13 + 9)
     assert not any(flagged(h) for h in range(24 * 13, 24 * 14))
+
+
+def test_peaks_known_shapes(spark):
+    """Hand-built series: an isolated spike is a peak, a dip is a
+    valley, a two-bucket tie kills both candidates, and a spike too
+    close to a larger one is suppressed."""
+    from tsod_spark.queries.round8 import peaks
+
+    rows, eid = [], 0
+    base = datetime.datetime(2024, 1, 1)
+
+    def put(u, h, v):
+        nonlocal eid
+        rows.append((eid, u, base + datetime.timedelta(hours=h), "a", v))
+        eid += 1
+
+    # user 1: flat 10, spike 40 at h=10, dip -20 at h=20
+    for h in range(30):
+        put(1, h, {10: 40.0, 20: -20.0}.get(h, 10.0))
+    # user 2: equal twin spikes 2h apart (tie within the +-3 frame)
+    for h in range(30):
+        put(2, h, 40.0 if h in (10, 12) else 10.0)
+    # user 3: spike 30 at h=10 right next to larger spike 50 at h=12
+    for h in range(30):
+        put(3, h, {10: 30.0, 12: 50.0}.get(h, 10.0))
+
+    out = {(r.user_id, r.hour_bucket % 1000000): r
+           for r in peaks(_events_df(spark, rows)).collect()}
+    bb = int(base.timestamp() // 3600) % 1000000
+    kinds = {(u, h - bb): r.kind for (u, h), r in out.items()}
+
+    assert kinds.get((1, 10)) == "peak"
+    assert kinds.get((1, 20)) == "valley"
+    # tie: neither twin is a unique max
+    assert not any(u == 2 for (u, _h) in kinds)
+    # user 3: only the larger spike survives; the smaller is in its
+    # +-3 shadow (not its window's max)
+    assert kinds.get((3, 12)) == "peak"
+    assert (3, 10) not in kinds

@@ -1484,3 +1484,116 @@ def ts_hw_anomaly(spark, sf_dir):
         F.round("__resid", 6).alias("residual_cents"),
         flag.alias("is_anomaly"),
     ).orderBy("user_id", "hour_bucket")
+
+
+@register(
+    "ts_peaks",
+    """WITH c AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc FROM events),
+    b AS (SELECT user_id, hb, CAST(sum(vc) AS BIGINT) AS y
+          FROM c WHERE vc IS NOT NULL GROUP BY 1, 2),
+    w AS (SELECT user_id, hb, y,
+            list(y) OVER (PARTITION BY user_id ORDER BY hb
+                          RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS arr,
+            CAST(sum(y) OVER (PARTITION BY user_id ORDER BY hb
+                  RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT)
+              AS s12,
+            CAST(count(*) OVER (PARTITION BY user_id ORDER BY hb
+                  RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT)
+              AS n12
+          FROM b),
+    f AS (SELECT user_id, hb, y, s12, n12,
+            y = list_max(arr)
+              AND len(list_filter(arr, v -> v = list_max(arr))) = 1
+              AS cand_peak,
+            y = list_min(arr)
+              AND len(list_filter(arr, v -> v = list_min(arr))) = 1
+              AS cand_valley,
+            CAST(n12 * y - s12 AS DOUBLE) / CAST(n12 AS DOUBLE) AS height
+          FROM w)
+    SELECT user_id, hb AS hour_bucket, y AS y_cents,
+       CASE WHEN cand_peak THEN 'peak' ELSE 'valley' END AS kind,
+       round(height, 6) AS height_cents
+    FROM f
+    WHERE (cand_peak AND height >= 500.0)
+       OR (cand_valley AND height <= -500.0)
+    ORDER BY user_id, hour_bucket""",
+)
+def ts_peaks(spark, sf_dir):
+    """Windowed peak / valley detection on hourly cent totals: a
+    bucket is a PEAK when it is the UNIQUE maximum among every bucket
+    within +-3 hours of it (RANGE frame on the hour index, so gaps
+    neither create nor hide extrema; a tie anywhere in the frame
+    disqualifies both rivals) AND sits at least $5 above the +-12h
+    local mean (the prominence proxy that rejects flat-plateau
+    "maxima" of noise); valleys mirror with the unique minimum and
+    -$5.  Uniqueness is decided on the frame's collected value list
+    (<= 7 elements), so the test really is against THIS bucket's
+    neighborhood max; all comparisons are exact int64 and the height
+    is the single division (n*y - sum)/n over the +-12h frame.  One
+    fact scan -> (series, hour) aggregate, then RANGE windows all
+    sharing the series partitioning — no joins, nothing larger than
+    the bucket grid is ever re-scanned."""
+    return peaks(table(spark, sf_dir, "events"))
+
+
+def peaks(e, span: int = 3, base_span: int = 12, min_height_cents: int = 500):
+    from ..expressions import nan_to_null
+
+    cents = F.round(nan_to_null(F.col("value")) * 100).cast("long")
+    b = (
+        e.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("__hb"),
+            cents.alias("__vc"),
+        )
+        .where(F.col("__vc").isNotNull())
+        .groupBy("user_id", "__hb")
+        .agg(F.sum("__vc").cast("long").alias("__y"))
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("__hb")
+        .rangeBetween(-span, span)
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("__hb")
+        .rangeBetween(-base_span, base_span)
+    )
+    w1 = b.select(
+        "user_id",
+        "__hb",
+        "__y",
+        F.collect_list("__y").over(wn).alias("__arr"),
+        F.sum("__y").over(wb).cast("long").alias("__s12"),
+        F.count(F.lit(1)).over(wb).cast("long").alias("__n12"),
+    )
+    mx = F.array_max("__arr")
+    mn = F.array_min("__arr")
+    n_at_max = F.size(F.filter("__arr", lambda v: v == mx))
+    n_at_min = F.size(F.filter("__arr", lambda v: v == mn))
+    cand_peak = (F.col("__y") == mx) & (n_at_max == 1)
+    cand_valley = (F.col("__y") == mn) & (n_at_min == 1)
+    height = (F.col("__n12") * F.col("__y") - F.col("__s12")).cast(
+        "double"
+    ) / F.col("__n12").cast("double")
+    thr = float(min_height_cents)
+    return (
+        w1.withColumn("__height", height)
+        .where(
+            (cand_peak & (F.col("__height") >= thr))
+            | (cand_valley & (F.col("__height") <= -thr))
+        )
+        .select(
+            "user_id",
+            F.col("__hb").alias("hour_bucket"),
+            F.col("__y").alias("y_cents"),
+            F.when(cand_peak, F.lit("peak")).otherwise(F.lit("valley")).alias(
+                "kind"
+            ),
+            F.round("__height", 6).alias("height_cents"),
+        )
+        .orderBy("user_id", "hour_bucket")
+    )

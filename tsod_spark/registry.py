@@ -235,6 +235,7 @@ _CURRENT_ROUND_PRIORITY = (
     "orders_contingency",
     "ts_holt_winters",
     "ts_hw_anomaly",
+    "ts_peaks",
 )
 
 
