@@ -145,6 +145,8 @@ HEADLINE = [
     "dedup_cross_source_matrix",
     "orders_contingency",
     "ts_holt_winters",
+    "ts_hw_anomaly",
+    "ts_peaks",
 ]
 
 
