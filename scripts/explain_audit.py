@@ -78,6 +78,9 @@ ALLOW_NLJ = {
                          # (customer-dim sized; linear)
     "doc_zipf_fit",      # broadcast 1-row corpus-totals crossJoin onto
                          # the 1-row regression-moment table (1x1)
+    "emb_label_silhouette",  # broadcast |labels|-row centroid-array
+                         # crossJoin onto the vectors (quadratic in
+                         # labels only, ~8 rows/side)
 }
 # mapInPandas is the designed path here, not an accident; ts_ewma is a
 # sequential recurrence (no Spark scan/fold builtin) running pandas'

@@ -864,3 +864,62 @@ def test_peaks_known_shapes(spark):
     # +-3 shadow (not its window's max)
     assert kinds.get((3, 12)) == "peak"
     assert (3, 10) not in kinds
+
+
+# ---------------------------------------------------------------------------
+# centroid silhouette
+
+
+def test_label_silhouette_separated_vs_overlapping(spark):
+    """Well-separated clusters score near 1, overlapping clusters near
+    0; values match a pure-python centroid-silhouette on the same
+    quantized centroids."""
+    from tsod_spark.queries.similarity import emb_label_silhouette
+    import tsod_spark.queries._base as _b
+
+    rng = random.Random(51)
+    rows = []
+    vid = 0
+    # labels 0/1: far apart; labels 2/3: same region (overlap)
+    centers = {0: [0.0, 0.0, 0.0, 0.0], 1: [1.0, 1.0, 1.0, 1.0],
+               2: [0.5, 0.5, 0.5, 0.5], 3: [0.52, 0.48, 0.5, 0.5]}
+    spread = {0: 0.02, 1: 0.02, 2: 0.3, 3: 0.3}
+    for lab, c in centers.items():
+        for _ in range(40):
+            v = [x + rng.uniform(-spread[lab], spread[lab]) for x in c]
+            rows.append((vid, [float(x) for x in v], lab)); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    import tsod_spark.queries.similarity as simq
+    orig = _b.table
+    try:
+        _b.table = lambda *_a, **_k: df
+        simq.table = _b.table
+        out = {r.label: r for r in emb_label_silhouette(spark, "x").collect()}
+    finally:
+        _b.table = orig
+        simq.table = orig
+
+    # pure python on float32-cast vectors with 1e-6-quantized centroids
+    import numpy as np
+
+    vecs = {lab: [] for lab in centers}
+    for _vid, v, lab in rows:
+        vecs[lab].append(np.array(v, dtype="float32").astype("float64"))
+    cents = {}
+    for lab, vs in vecs.items():
+        xm = np.round(np.array(vs) * 1e6)
+        cents[lab] = np.round(xm.sum(0) / (1e6 * len(vs)), 6)
+    sils = {lab: [] for lab in centers}
+    for lab, vs in vecs.items():
+        for v in vs:
+            dists = {l2: math.sqrt(((v - c) ** 2).sum()) for l2, c in cents.items()}
+            a = dists[lab]
+            b = min(d for l2, d in dists.items() if l2 != lab)
+            sils[lab].append((b - a) / max(a, b) if max(a, b) > 0 else 0.0)
+    for lab in centers:
+        assert out[lab].n_vecs == 40
+        assert out[lab].silhouette == pytest.approx(
+            round(sum(sils[lab]) / 40, 6), abs=1e-5), lab
+    assert out[0].silhouette > 0.9 and out[1].silhouette > 0.9
+    assert out[2].silhouette < 0.3 and out[3].silhouette < 0.3

@@ -581,3 +581,94 @@ def emb_diverse_sample(spark, sf_dir):
     deterministic md5-of-id priority. One window per bucket + a
     broadcast 1-row total — no global window."""
     return similarity.diverse_sample(table(spark, sf_dir, "embeddings"), n=200)
+
+
+@register(
+    "emb_label_silhouette",
+    f"""WITH u AS (
+      SELECT label, CAST(round(unnest({EMB_D}) * 1000000) AS BIGINT) AS xm,
+             generate_subscripts({EMB_D}, 1) AS pos
+      FROM embeddings),
+    cg AS (SELECT label, pos,
+             round(sum(xm) / (1000000.0 * count(*)), 6) AS c
+           FROM u GROUP BY 1, 2),
+    ca AS (SELECT label AS clab, list(c ORDER BY pos) AS carr
+           FROM cg GROUP BY 1),
+    v AS (SELECT vec_id, label AS own, {EMB_D} AS ve FROM embeddings),
+    d AS (SELECT v.vec_id, v.own, ca.clab,
+            sqrt(list_sum(list_transform(v.ve,
+              (x, i) -> (x - ca.carr[i]) * (x - ca.carr[i])))) AS dist
+          FROM v CROSS JOIN ca),
+    g AS (SELECT vec_id, own,
+            min(CASE WHEN clab = own THEN dist END) AS a,
+            min(CASE WHEN clab <> own THEN dist END) AS b
+          FROM d GROUP BY 1, 2),
+    s AS (SELECT own AS label,
+            CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+                 ELSE 0.0 END AS sil
+          FROM g)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(sil), 6) AS silhouette
+    FROM s GROUP BY 1 ORDER BY label""",
+)
+def emb_label_silhouette(spark, sf_dir):
+    """Clustering-quality score for the labeled embedding space: the
+    simplified (centroid) silhouette per label — for each vector,
+    a = distance to its OWN label centroid, b = distance to the
+    nearest OTHER centroid, s = (b - a)/max(a, b) in [-1, 1]; the
+    label's score is the mean over its vectors.  Values near 1 mean
+    tight, well-separated labels (ANN label-routing will work); near 0
+    means overlapping centroids (IVF cell counts will lie).  Centroids
+    are the exact micro-unit means of emb_label_centroids rounded to
+    6 — both engines therefore feed IDENTICAL centroid arrays into the
+    distance fold, and the per-vector distances agree to ~1e-13 before
+    round(6).  Plan: one posexplode aggregate for the centroids
+    (map-side combinable), a broadcast of the |labels| centroid arrays
+    cross-joined onto the vectors (quadratic in LABELS only, ~8 rows),
+    one vector-grain aggregate, one label-grain aggregate."""
+    e = table(spark, sf_dir, "embeddings")
+    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    u = e.select(
+        "label", F.posexplode(ve).alias("pos0", "x")
+    ).select(
+        "label", "pos0", F.round(F.col("x") * 1000000).cast("long").alias("xm")
+    )
+    cg = u.groupBy("label", "pos0").agg(
+        F.round(F.sum("xm") / (1000000.0 * F.count(F.lit(1))), 6).alias("__c")
+    )
+    ca = cg.groupBy(F.col("label").alias("__clab")).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos0", "__c"))),
+            lambda s: s.getField("__c"),
+        ).alias("__carr")
+    )
+    v = e.select("vec_id", F.col("label").alias("__own"), ve.alias("__ve"))
+    d2 = F.aggregate(
+        F.zip_with("__ve", "__carr", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = v.crossJoin(F.broadcast(ca)).select(
+        "vec_id", "__own", "__clab", F.sqrt(d2).alias("__dist")
+    )
+    g = d.groupBy("vec_id", "__own").agg(
+        F.min(F.when(F.col("__clab") == F.col("__own"), F.col("__dist"))).alias(
+            "__a"
+        ),
+        F.min(F.when(F.col("__clab") != F.col("__own"), F.col("__dist"))).alias(
+            "__b"
+        ),
+    )
+    sil = F.when(
+        F.greatest("__a", "__b") > 0,
+        (F.col("__b") - F.col("__a")) / F.greatest("__a", "__b"),
+    ).otherwise(F.lit(0.0))
+    return (
+        g.select(F.col("__own").alias("label"), sil.alias("__sil"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("__sil"), 6).alias("silhouette"),
+        )
+        .orderBy("label")
+    )

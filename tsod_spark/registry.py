@@ -236,6 +236,7 @@ _CURRENT_ROUND_PRIORITY = (
     "ts_holt_winters",
     "ts_hw_anomaly",
     "ts_peaks",
+    "emb_label_silhouette",
 )
 
 
