@@ -147,6 +147,7 @@ HEADLINE = [
     "ts_holt_winters",
     "ts_hw_anomaly",
     "ts_peaks",
+    "emb_label_silhouette",
 ]
 
 
