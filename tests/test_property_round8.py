@@ -8,6 +8,8 @@ from __future__ import annotations
 import datetime
 import math
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -259,3 +261,93 @@ def test_km_survival_table_property(spark, durs):
         assert abs((r.survival or 0.0) - round(surv, 6)) < 2e-6, (durs, t)
         seen += de + ce
     assert set(out) == set(grid)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pts=series_strategy)
+def test_holt_winters_property(spark, pts):
+    """The HW triple recurrence (level/trend/season/forecast) matches
+    a pure-python implementation BIT-FOR-BIT on arbitrary sparse
+    hourly grids — multiple events per hour sum into one bucket,
+    gaps skip slots without shifting the calendar anchor."""
+    from tsod_spark.analytics.temporal import holt_winters
+
+    rows = [
+        (i, 1, _BASE + datetime.timedelta(hours=h, minutes=i % 60), "a", v)
+        for i, (h, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+    out = {r.hour_bucket: r for r in holt_winters(df).collect()}
+
+    buckets: dict = {}
+    for h, v in pts:
+        buckets[h] = buckets.get(h, 0) + int(round(v * 100))
+    base_hb = int(_BASE.timestamp() // 3600)
+    hbs = sorted(buckets)
+    s = [0.0] * 24
+    l, t = float(buckets[hbs[0]]), 0.0
+    h0 = (base_hb + hbs[0]) % 24
+    s[h0] = 0.25 * (float(buckets[hbs[0]]) - l) + 0.75 * s[h0]
+    expect = {hbs[0]: (l, t, s[h0], None)}
+    for h in hbs[1:]:
+        hh = (base_hb + h) % 24
+        y = float(buckets[h])
+        f = (l + t) + s[hh]
+        nl = 0.5 * (y - s[hh]) + 0.5 * (l + t)
+        t = 0.25 * (nl - l) + 0.75 * t
+        s[hh] = 0.25 * (y - nl) + 0.75 * s[hh]
+        l = nl
+        expect[h] = (l, t, s[hh], f)
+    assert len(out) == len(expect)
+    for h, (el, et, es, ef) in expect.items():
+        r = out[base_hb + h]
+        assert (r.level, r.trend, r.season) == (el, et, es), (pts, h)
+        if ef is None:
+            assert r.forecast is None or math.isnan(r.forecast)
+        else:
+            assert r.forecast == ef, (pts, h)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    prices=st.lists(
+        st.integers(min_value=1, max_value=500), min_size=12, max_size=60
+    ),
+    k=st.integers(min_value=2, max_value=8),
+    salt=st.sampled_from([1, 3, 16, 64]),
+)
+def test_hill_topk_salt_invariance_property(spark, prices, k, salt):
+    """The salted two-stage exact top-k threshold equals the true
+    (k+1)-th order statistic for ANY salt width, including heavy
+    duplicate-price collisions."""
+    from tsod_spark.queries.round8 import hill_tail
+
+    rows = [
+        (i, i % 5, "O", float(p), _BASE, "P") for i, p in enumerate(prices)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = hill_tail(df, k_top=k, salt=salt).collect()
+    if len(prices) < k + 1:
+        assert got == []
+        return
+    ranked = sorted(
+        ((float(p), i) for i, p in enumerate(prices)),
+        key=lambda t: (-t[0], -t[1]),
+    )
+    thr = ranked[k][0]
+    assert len(got) == 1
+    r = got[0]
+    assert r.threshold == thr, (prices, k, salt)
+    slog = sum(math.log(x / thr) for x, _ in ranked[:k])
+    if slog > 0:
+        assert r.alpha == pytest.approx(round(k / slog, 6), abs=1e-5)
+    else:
+        assert r.alpha is None  # degenerate constant tail

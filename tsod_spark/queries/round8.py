@@ -404,7 +404,9 @@ def km_survival(orders):
           FROM r JOIN th ON th.p = r.p WHERE r.rn <= 100 GROUP BY r.p)
     SELECT s.p AS o_orderpriority, CAST(100 AS BIGINT) AS k_top,
            th.thr AS threshold,
-           round(CAST(100 AS DOUBLE) / s.slog, 6) AS alpha
+           CASE WHEN s.slog > 0
+                THEN round(CAST(100 AS DOUBLE) / s.slog, 6)
+           END AS alpha
     FROM s JOIN th ON th.p = s.p ORDER BY o_orderpriority""",
 )
 def orders_hill_tail(spark, sf_dir):
@@ -460,7 +462,13 @@ def hill_tail(orders, k_top: int = 100, salt: int = 64):
             "o_orderpriority",
             F.lit(k_top).cast("long").alias("k_top"),
             F.col("__thr").alias("threshold"),
-            F.round(F.lit(float(k_top)) / F.col("__slog"), 6).alias("alpha"),
+            # slog = 0 when every top-k value ties the threshold (a
+            # degenerate constant tail) — alpha is undefined there,
+            # and ANSI mode errors on the bare division
+            F.when(
+                F.col("__slog") > 0,
+                F.round(F.lit(float(k_top)) / F.col("__slog"), 6),
+            ).alias("alpha"),
         )
         .orderBy("o_orderpriority")
     )
