@@ -81,6 +81,9 @@ ALLOW_NLJ = {
     "emb_label_silhouette",  # broadcast |labels|-row centroid-array
                          # crossJoin onto the vectors (quadratic in
                          # labels only, ~8 rows/side)
+    "orders_km_segment_summary",  # broadcast 1-row max-date scalar
+                         # crossJoin onto the censored tails (the
+                         # orders_km_survival shape, segment-labeled)
 }
 # mapInPandas is the designed path here, not an accident; ts_ewma is a
 # sequential recurrence (no Spark scan/fold builtin) running pandas'

@@ -148,6 +148,7 @@ HEADLINE = [
     "ts_hw_anomaly",
     "ts_peaks",
     "emb_label_silhouette",
+    "orders_km_segment_summary",
 ]
 
 

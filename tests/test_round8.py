@@ -923,3 +923,55 @@ def test_label_silhouette_separated_vs_overlapping(spark):
             round(sum(sils[lab]) / 40, 6), abs=1e-5), lab
     assert out[0].silhouette > 0.9 and out[1].silhouette > 0.9
     assert out[2].silhouette < 0.3 and out[3].silhouette < 0.3
+
+
+def test_km_segment_summary_matches_pure_python(spark):
+    """Median and RMST per segment vs a pure-python KM summary on
+    hand-built order histories with censoring."""
+    from tsod_spark.queries.round8 import km_segment_summary
+
+    d0 = datetime.datetime(2024, 1, 1)
+
+    def day(i):
+        return d0 + datetime.timedelta(days=i)
+
+    # segment A: fast re-orderers; segment B: one slow + one censored
+    orders = [
+        (1, 1, day(0)), (2, 1, day(5)), (3, 1, day(10)),      # A: gaps 5,5
+        (4, 2, day(0)), (5, 2, day(7)),                        # A: gap 7
+        (6, 3, day(0)), (7, 3, day(60)),                       # B: gap 60
+        (8, 4, day(20)),                                       # B: censored 80
+        (9, 5, day(100)),                                      # A: pins horizon
+    ]
+    seg = {1: "A", 2: "A", 3: "B", 4: "B", 5: "A"}
+    odf = _orders_df(spark, [(ok, ck, "O", 1.0, ts, "x") for ok, ck, ts in orders])
+    cdf = spark.createDataFrame(
+        [(ck, f"c{ck}", 0, 0.0, s) for ck, s in seg.items()],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    out = {r.c_mktsegment: r for r in km_segment_summary(odf, cdf).collect()}
+
+    def km_summary(durs):
+        rows = _km_python(durs)
+        med = min((t for t, (_n, de, _c, _h, sv) in rows.items() if sv <= 0.5),
+                  default=None)
+        rmst, pd_, ps = 0.0, 0, 1.0
+        for t in sorted(rows):
+            rmst += ps * (t - pd_)
+            pd_, ps = t, rows[t][4]
+        return (sum(1 for _d, e in durs if e),
+                sum(1 for _d, e in durs if not e), med, rmst)
+
+    # A durations: events 5,5,7 + censored tails 90 (cust1), 93
+    # (cust2), 0 (cust5)
+    a = [(5, True), (5, True), (7, True),
+         (90, False), (93, False), (0, False)]
+    # B: event 60 + censored 40 (cust3 tail), 80 (cust4)
+    b = [(60, True), (40, False), (80, False)]
+    for segname, durs in (("A", a), ("B", b)):
+        ne, nc, med, rmst = km_summary(durs)
+        r = out[segname]
+        assert (r.n_events, r.n_censored) == (ne, nc), segname
+        assert r.median_gap_days == med, segname
+        assert r.rmst_days == pytest.approx(round(rmst, 6), abs=1e-5), segname

@@ -237,6 +237,7 @@ _CURRENT_ROUND_PRIORITY = (
     "ts_hw_anomaly",
     "ts_peaks",
     "emb_label_silhouette",
+    "orders_km_segment_summary",
 )
 
 
