@@ -1276,3 +1276,51 @@ def test_stream_holt_winters_matches_batch(spark, events_batches):
     for k, (el, et, es) in expected.items():
         gl, gt, gs = got[k]
         assert gl == el and gt == et and gs == es, k  # bit-identical
+
+
+def test_stream_peaks_matches_batch(spark, events_batches):
+    """Decided emissions from the streaming peak detector equal the
+    batch ts_peaks result restricted to buckets whose +12h horizon a
+    later bucket has passed (the explicit lookahead cost)."""
+    from tsod_spark.queries.round8 import peaks
+    from tsod_spark.streaming import stream_peaks
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_peaks(src, series=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_peaks")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.user_id, r.hour_bucket): (r.y_cents, r.kind, r.height_cents)
+           for r in spark.sql("SELECT * FROM t_peaks").collect()}
+
+    events = registry.table(spark, SF, "events")
+    batch_rows = peaks(events).collect()
+    # decidability horizon: the max hour bucket each user OPENED
+    from pyspark.sql import functions as F
+
+    maxhb = {
+        r.user_id: r.mx
+        for r in events.where(~F.isnan("value") & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(F.expr("max(unix_micros(ts) div 3600000000)").alias("mx"))
+        .collect()
+    }
+    expected = {
+        (r.user_id, r.hour_bucket): (r.y_cents, r.kind, r.height_cents)
+        for r in batch_rows
+        if r.hour_bucket + 12 < maxhb[r.user_id]
+    }
+    assert set(got) == set(expected)
+    assert len(got) > 0
+    for k, v in expected.items():
+        assert got[k] == v, k

@@ -1521,7 +1521,8 @@ def ts_hw_anomaly(spark, sf_dir):
             CAST(n12 * y - s12 AS DOUBLE) / CAST(n12 AS DOUBLE) AS height
           FROM w)
     SELECT user_id, hb AS hour_bucket, y AS y_cents,
-       CASE WHEN cand_peak THEN 'peak' ELSE 'valley' END AS kind,
+       CASE WHEN cand_peak AND height >= 500.0 THEN 'peak'
+            ELSE 'valley' END AS kind,
        round(height, 6) AS height_cents
     FROM f
     WHERE (cand_peak AND height >= 500.0)
@@ -1598,9 +1599,12 @@ def peaks(e, span: int = 3, base_span: int = 12, min_height_cents: int = 500):
             "user_id",
             F.col("__hb").alias("hour_bucket"),
             F.col("__y").alias("y_cents"),
-            F.when(cand_peak, F.lit("peak")).otherwise(F.lit("valley")).alias(
-                "kind"
-            ),
+            # a gap-isolated bucket is BOTH the unique max and min of
+            # its singleton frame — the label must follow the branch
+            # that actually passed the height floor
+            F.when(
+                cand_peak & (F.col("__height") >= thr), F.lit("peak")
+            ).otherwise(F.lit("valley")).alias("kind"),
             F.round("__height", 6).alias("height_cents"),
         )
         .orderBy("user_id", "hour_bucket")

@@ -17,6 +17,7 @@ from .temporal import (  # noqa: F401
     stream_holt,
     stream_holt_winters,
     stream_latest_by_key,
+    stream_peaks,
     stream_rollup_hierarchy,
     stream_time_weighted_avg,
     stream_type_entropy,

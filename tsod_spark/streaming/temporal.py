@@ -1148,3 +1148,168 @@ def stream_holt_winters(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stream_peaks(
+    stream_df: DataFrame,
+    span: int = 3,
+    base_span: int = 12,
+    min_height_cents: int = 500,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming peak/valley detection — the continuous twin of the
+    batch ``ts_peaks`` query, with the non-causal lookahead made
+    explicit: a bucket's verdict needs every bucket within
+    ``+base_span`` hours, so a bucket is DECIDED (and emitted, append-
+    once) as soon as a LATER bucket opens beyond that horizon — in-
+    order bucket arrival guarantees nothing can still land inside the
+    frame.  Gaps are handled exactly like the batch RANGE frames:
+    a missing hour simply isn't in the buffer, it neither creates nor
+    hides extrema.
+
+    State per key: the pending hour's exact int64 cent sum plus the
+    buffer of closed (hour, sum) buckets still inside some undecided
+    bucket's ±base_span window — O(2·base_span + undecided span), not
+    O(stream length).  Decisions replay the batch rule verbatim on
+    the buffer (unique extremum of ±span, |mean offset| over
+    ±base_span ≥ the floor), so the emitted set equals the batch
+    result restricted to decidable buckets (each key's trailing
+    ``base_span`` hours stay pending — the honest cost of a
+    non-causal operator on a stream).
+    """
+    import math  # noqa: PLC0415
+
+    series = list(series)
+    key_fields = [stream_df.schema[c] for c in series]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("hour_bucket", LongType()),
+            StructField("y_cents", LongType()),
+            StructField("kind", StringType()),
+            StructField("height_cents", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("hbs", ArrayType(LongType())),
+            StructField("ys", ArrayType(LongType())),
+            StructField("decided_to", LongType()),
+            StructField("pend_hb", LongType()),
+            StructField("pend_sum", LongType()),
+            StructField("cur_ts", LongType()),
+            StructField("cur_tb", LongType()),
+        ]
+    )
+    thr = float(min_height_cents)
+
+    def decide(buf: dict, b: int):
+        """Batch ts_peaks rule on the buffer for bucket b."""
+        y = buf[b]
+        frame = [buf[h] for h in range(b - span, b + span + 1) if h in buf]
+        mx, mn = max(frame), min(frame)
+        base = [buf[h] for h in range(b - base_span, b + base_span + 1) if h in buf]
+        height = (len(base) * y - sum(base)) / float(len(base))
+        if y == mx and frame.count(mx) == 1 and height >= thr:
+            return ("peak", height)
+        if y == mn and frame.count(mn) == 1 and height <= -thr:
+            return ("valley", height)
+        return None
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        new = new.sort_values([ts_col, tiebreak], kind="mergesort")
+        if state.exists:
+            hbs, ys, decided_to, pend_hb, pend_sum, cur_ts, cur_tb = state.get
+            buf = dict(zip([int(h) for h in hbs], [int(v) for v in ys]))
+        else:
+            buf, decided_to = {}, None
+            pend_hb, pend_sum, cur_ts, cur_tb = None, 0, None, None
+
+        new_ts = pd.to_datetime(new[ts_col]).astype("int64") // 1000
+        new_tb = new[tiebreak].astype("int64")
+        if cur_ts is not None:
+            ok = (new_ts > cur_ts) | ((new_ts == cur_ts) & (new_tb > cur_tb))
+            if not ok.all():
+                new = new[ok.to_numpy()]
+                new_ts, new_tb = new_ts[ok], new_tb[ok]
+            if len(new) == 0:
+                if idle_timeout is not None:
+                    state.setTimeoutDuration(idle_timeout)
+                return
+
+        emitted = []
+
+        def advance(new_hb: int):
+            nonlocal pend_hb, pend_sum, decided_to
+            # close the pending bucket into the buffer, then decide
+            # everything whose +base_span horizon the NEW bucket passes
+            buf[pend_hb] = pend_sum
+            for b in sorted(h for h in buf if h + base_span < new_hb
+                            and (decided_to is None or h > decided_to)):
+                v = decide(buf, b)
+                if v is not None:
+                    emitted.append((b, buf[b], v[0], v[1]))
+                decided_to = b
+            # prune: keep only buckets still inside some undecided
+            # bucket's base window
+            lo = (decided_to + 1 if decided_to is not None else min(buf)) - base_span
+            for h in [h for h in buf if h < lo]:
+                del buf[h]
+            pend_hb, pend_sum = new_hb, 0
+
+        vals = new[value_col].astype(float).to_numpy()
+        hbs_arr = (new_ts // 3_600_000_000).to_numpy()
+        for y, hb in zip(vals, hbs_arr):
+            if math.isnan(y):
+                continue
+            c = int(round(y * 100))
+            if pend_hb is None:
+                pend_hb, pend_sum = int(hb), 0
+            elif int(hb) != pend_hb:
+                advance(int(hb))
+            pend_sum += c
+
+        state.update(
+            (
+                list(buf.keys()), list(buf.values()),
+                decided_to, pend_hb, pend_sum,
+                int(new_ts.iloc[-1]), int(new_tb.iloc[-1]),
+            )
+        )
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        if emitted:
+            yield pd.DataFrame(
+                [
+                    {
+                        **{c2: key[i] for i, c2 in enumerate(series)},
+                        "hour_bucket": b,
+                        "y_cents": yc,
+                        "kind": kind,
+                        "height_cents": round(h, 6),
+                    }
+                    for b, yc, kind, h in emitted
+                ]
+            )
+
+    return stream_df.groupBy(*series).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
