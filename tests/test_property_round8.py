@@ -351,3 +351,53 @@ def test_hill_topk_salt_invariance_property(spark, prices, k, salt):
         assert r.alpha == pytest.approx(round(k / slog, 6), abs=1e-5)
     else:
         assert r.alpha is None  # degenerate constant tail
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seqs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_markov_matrix_property(spark, seqs):
+    """Transition counts / conditional probabilities / lift match a
+    pure-python count over arbitrary per-user sequences, including
+    users with zero or one event (no transitions)."""
+    from tsod_spark.queries.round7 import markov_matrix
+
+    rows, eid = [], 0
+    for u, seq in enumerate(seqs, start=1):
+        for i, et in enumerate(seq):
+            rows.append(
+                (eid, u, _BASE + datetime.timedelta(minutes=i), et, 1.0)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+    got = {(r.from_type, r.to_type): r for r in markov_matrix(df).collect()}
+
+    from collections import Counter
+
+    trans = Counter()
+    for seq in seqs:
+        for x, y in zip(seq, seq[1:]):
+            trans[(x, y)] += 1
+    assert set(got) == set(trans), seqs
+    if not trans:
+        return
+    row_t = Counter()
+    col_t = Counter()
+    for (x, y), c in trans.items():
+        row_t[x] += c
+        col_t[y] += c
+    grand = sum(trans.values())
+    for (x, y), c in trans.items():
+        r = got[(x, y)]
+        assert r.transitions == c
+        assert abs(r.prob - round(c / row_t[x], 6)) < 1e-9
+        assert abs(r.lift - round(c * grand / (row_t[x] * col_t[y]), 6)) < 1e-9
