@@ -1,0 +1,244 @@
+"""Round-8 ADVICE regressions: degenerate-input ANSI divide guards
+(Theil-Sen tied totals, runs test with one non-median observation,
+Mann-Whitney with all pooled values tied) and the streaming cent
+quantizer's half-even-vs-half-up divergence on exact .5 doubles.
+
+Each test is the concrete crash/divergence input from the r7 advice;
+all must yield the oracle's NULL/FALSE (or the batch twin's bits), not
+DIVIDE_BY_ZERO or a one-cent drift.
+"""
+
+import datetime
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsod_spark.analytics import stattests, temporal
+
+
+def _mk_events(spark, triples):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (int(i), int(u), t0 + datetime.timedelta(hours=int(h)), float(v))
+        for i, (u, h, v) in enumerate(triples)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+
+def test_theil_sen_tied_daily_totals_null_z(spark):
+    # two days with EQUAL daily sums -> mk_s = 0 and the tie-corrected
+    # variance is exactly 0 -> z must be NULL and trend_flag False
+    # (previously: unguarded num/sqrt(var) crashed the whole query).
+    triples = [(1, 0, 3.0), (1, 24, 3.0)]
+    r = temporal.robust_trend(_mk_events(spark, triples)).collect()[0]
+    assert r.n_days == 2
+    assert r.mk_s == 0
+    assert r.mk_z is None
+    assert r.trend_flag is False
+    assert r.sen_slope == pytest.approx(0.0)
+
+
+def test_theil_sen_mixed_degenerate_and_real_series(spark):
+    # the guarded branch must not disturb a genuinely trending series
+    # computed in the same plan
+    triples = [(1, 0, 3.0), (1, 24, 3.0)]  # degenerate
+    triples += [(2, 24 * d, float(d)) for d in range(6)]  # clean trend
+    out = {r.user_id: r for r in temporal.robust_trend(_mk_events(spark, triples)).collect()}
+    assert out[1].mk_z is None and out[1].trend_flag is False
+    assert out[2].mk_z is not None and out[2].trend_flag is True
+    assert out[2].sen_slope == pytest.approx(100.0, abs=1e-6)  # cents/day
+
+
+def test_runs_test_single_nonmedian_observation(spark):
+    # [5, 5, 9]: median 5 -> exactly ONE signed observation -> n = 1,
+    # the variance's n^2(n-1) denominator is 0; runs_z must be NULL
+    # (previously the compound (n>1)&(v>0) condition still evaluated v).
+    triples = [(1, 0, 5.0), (1, 1, 5.0), (1, 2, 9.0)]
+    r = temporal.runs_test(_mk_events(spark, triples)).collect()[0]
+    assert (r.n_pos, r.n_neg, r.runs) == (1, 0, 1)
+    assert r.runs_z is None
+
+
+def test_runs_test_degenerate_beside_real_series(spark):
+    triples = [(1, 0, 5.0), (1, 1, 5.0), (1, 2, 9.0)]
+    triples += [(2, h, v) for h, v in enumerate([10.0, -10.0] * 4)]
+    out = {r.user_id: r for r in temporal.runs_test(_mk_events(spark, triples)).collect()}
+    assert out[1].runs_z is None
+    assert out[2].runs_z is not None
+
+
+def test_mann_whitney_all_ties_false_flag(spark):
+    # every pooled value identical -> rank variance den = 0 -> mw_z
+    # NULL and shift_flag FALSE (previously abs(num/den) was unguarded).
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, 1, t0, "a" if i < 4 else "b", 2.5) for i in range(8)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    for r in stattests.mann_whitney(df).collect():
+        assert r.mw_z is None
+        assert r.shift_flag is False
+
+
+def test_mann_whitney_one_group_spans_population(spark):
+    # a group key whose rows ARE the whole population in the other
+    # direction: one group empty of contrast -> n1*n2 term drives den=0
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, 1, t0, "a", float(i)) for i in range(6)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    for r in stattests.mann_whitney(df).collect():
+        assert r.mw_z is None
+        assert r.shift_flag is False
+
+
+# ---------------------------------------------------------------------------
+# streaming cent quantizer: exact .5 doubles must round half-away like
+# the batch twins' F.round, not Python banker's rounding
+
+
+def _crafted_batches(spark, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_q_")
+    ordered = df.orderBy("ts").collect()
+    half = (len(ordered) + 1) // 2
+    for i, part in enumerate((ordered[:half], ordered[half:])):
+        if part:
+            spark.createDataFrame(part, df.schema).coalesce(1).write.parquet(
+                f"{tmp}/batch_{i}", mode="overwrite"
+            )
+    return tmp, df
+
+
+def _run_update_stream(spark, tmp, schema, build, qname):
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    q = (
+        build(src)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {qname}").collect()
+
+
+def test_stream_holt_winters_half_cent_quantizer(spark):
+    """Values whose v*100 is an exact .5 double (multiples of 1/8 such
+    as 0.125 -> 12.5) must quantize half-away-from-zero in the stream
+    kernel exactly like F.round in the batch twin — the one-cent skew
+    otherwise propagates through level/trend/season state forever."""
+    from tsod_spark.analytics.temporal import holt_winters
+    from tsod_spark.streaming import stream_holt_winters
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [0.125, -0.125, 0.375, 1.625, 0.125, 2.0, -0.375, 0.875, 3.125, 0.625]
+    rows = []
+    for u in (1, 2):
+        for h, v in enumerate(vals):
+            rows.append((u * 100 + h, u, t0 + datetime.timedelta(hours=h), float(v) * u))
+    tmp, df = _crafted_batches(spark, rows)
+    try:
+        got = {
+            (r.user_id, r.hour_bucket): (r.level, r.trend, r.season)
+            for r in _run_update_stream(
+                spark, tmp, df.schema,
+                lambda src: stream_holt_winters(src, series=["user_id"]),
+                "t_hw_q",
+            )
+        }
+        batch_rows = holt_winters(df).collect()
+        last = {}
+        for r in batch_rows:
+            last[r.user_id] = max(last.get(r.user_id, -1), r.hour_bucket)
+        expected = {
+            (r.user_id, r.hour_bucket): (r.level, r.trend, r.season)
+            for r in batch_rows
+            if r.hour_bucket < last[r.user_id]
+        }
+        assert set(got) == set(expected)
+        assert len(got) >= 18  # 9 closed buckets x 2 users
+        for k, v in expected.items():
+            assert got[k] == v, k  # bit-identical
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_peaks_half_cent_quantizer(spark):
+    """Same exact-.5 regression for the streaming peak detector: the
+    spike heights are built from x.125-style values, so a half-even
+    quantizer shifts y_cents/height_cents by one."""
+    from tsod_spark.queries.round8 import peaks
+    from tsod_spark.streaming import stream_peaks
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for h in range(30):
+        v = 50.125 if h == 6 else (-40.375 if h == 20 else 0.125)
+        rows.append((h, 1, t0 + datetime.timedelta(hours=h), v))
+    tmp, df = _crafted_batches(spark, rows)
+    try:
+        got = {
+            (r.user_id, r.hour_bucket): (r.y_cents, r.kind, r.height_cents)
+            for r in _run_update_stream(
+                spark, tmp, df.schema,
+                lambda src: stream_peaks(src, series=["user_id"]),
+                "t_peaks_q",
+            )
+        }
+        # decidability horizon in ABSOLUTE epoch-hour buckets
+        maxhb = df.select(
+            F.expr("max(unix_micros(ts) div 3600000000)").alias("mx")
+        ).collect()[0].mx
+        expected = {
+            (r.user_id, r.hour_bucket): (r.y_cents, r.kind, r.height_cents)
+            for r in peaks(df).collect()
+            if r.hour_bucket + 12 < maxhb
+        }
+        assert set(got) == set(expected)
+        assert len(got) >= 1  # the hour-6 spike is decided
+        for k, v in expected.items():
+            assert got[k] == v, k
+        # the spike row itself quantizes 50.125 -> 5013 (half-away)
+        assert any(v[0] == 5013 for v in got.values())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_kmeans_fit_sample_deterministic(spark):
+    """KMeansDistanceDetector.fit's bounded training sample is ordered
+    by (series, ts) before limit(), so two fits over differently-
+    partitioned copies of the same data learn identical centroids."""
+    from tsod_spark.detectors.mllib import KMeansDistanceDetector
+
+    t0 = datetime.datetime(2024, 1, 1)
+    import random
+
+    rng = random.Random(17)
+    rows = [
+        (i, 1, t0 + datetime.timedelta(hours=i), rng.gauss(0, 1))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    d1 = KMeansDistanceDetector(time_steps=4, k=4).fit(df.repartition(7))
+    d2 = KMeansDistanceDetector(time_steps=4, k=4).fit(
+        df.orderBy(F.desc("ts")).repartition(3)
+    )
+    assert d1._centers == d2._centers
+    assert d1._threshold == d2._threshold

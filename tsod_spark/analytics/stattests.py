@@ -281,12 +281,16 @@ def mann_whitney(
         )
         / F.lit(3.0)
     )
+    # Nested guards: den's tie-correction term divides by nn(nn−1), so
+    # nn > 1 must gate den's own evaluation; den > 0 then gates the
+    # z division.  shift_flag reuses the SAME guarded z (all pooled
+    # values tying, or one group spanning the population, gives den = 0
+    # → FALSE like the oracle, never DIVIDE_BY_ZERO).
+    z = F.when(nn > 1, F.when(den > 0, num / den))
     return out.select(
         group_col,
         n1.alias("n_group"),
         "u2",
-        F.when(den > 0, F.round(num / den, 6)).alias("mw_z"),
-        F.coalesce(F.abs(num / den) > F.lit(z_crit), F.lit(False)).alias(
-            "shift_flag"
-        ),
+        F.round(z, 6).alias("mw_z"),
+        F.coalesce(F.abs(z) > F.lit(z_crit), F.lit(False)).alias("shift_flag"),
     ).orderBy(group_col)

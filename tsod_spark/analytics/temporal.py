@@ -555,8 +555,12 @@ def runs_test(
         "n_pos",
         "n_neg",
         "runs",
+        # Nested guards: `(n > 1) & (v > 0)` still evaluates v's
+        # n²(n−1) denominator when n == 1 (one non-median observation),
+        # so n > 1 must gate v's computation, not just the result.
         F.when(
-            (n > 1) & (v > 0), F.round((F.col("runs").cast("double") - e) / F.sqrt(v), 6)
+            n > 1,
+            F.when(v > 0, F.round((F.col("runs").cast("double") - e) / F.sqrt(v), 6)),
         ).alias("runs_z"),
     ).orderBy(*keys)
 
@@ -636,13 +640,17 @@ def robust_trend(
         .when(F.col("mk_s") < 0, (F.col("mk_s") + 1).cast("double"))
         .otherwise(F.lit(0.0))
     )
-    z = num / F.sqrt(var)
+    # z only ever materializes under var > 0 (nested-when ANSI guard:
+    # the division itself is the guarded condition's payload — a series
+    # whose daily totals all tie has var = 0 and must yield NULL z /
+    # FALSE flag, matching the oracle, not DIVIDE_BY_ZERO).
+    z = F.when(var > 0, num / F.sqrt(var))
     return j.select(
         *keys,
         "n_days",
         F.round(F.col("__sen"), 6).alias("sen_slope"),
         "mk_s",
-        F.when(var > 0, F.round(z, 6)).alias("mk_z"),
+        F.round(z, 6).alias("mk_z"),
         F.coalesce(F.abs(z) > F.lit(z_crit), F.lit(False)).alias("trend_flag"),
     ).orderBy(*keys)
 

@@ -208,7 +208,19 @@ class KMeansDistanceDetector(SparkDetector):
 
         tsf = as_tsf(data)
         train = create_dataset(tsf, time_steps=self._time_steps)
-        rows = train.select("features").limit(4096).collect()
+        # Deterministic bounded sample: an unordered limit(4096) depends
+        # on partition/scan order, so centroids — and hence which rows
+        # land past the quantile threshold — would differ run to run.
+        # orderBy a stable key first (TakeOrderedAndProject: one pass,
+        # 4096 rows on the driver, same PQ-codebook pattern as
+        # similarity.py).
+        rows = (
+            train.select(*tsf.series, tsf.ts_col, *tsf.tiebreak, "features")
+            .orderBy(*tsf.series, tsf.ts_col, *tsf.tiebreak)
+            .limit(4096)
+            .select("features")
+            .collect()
+        )
         X = np.asarray([[float(v) for v in r[0]] for r in rows])
         rng = np.random.default_rng(42)
         k = min(self._k, len(X))

@@ -172,7 +172,31 @@ R6_VERIFIED = frozenset({
     "users_error_or_signup", "users_purchase_and_error",
 })
 
+# Fully-green rows from CORRECTNESS_r07.json (driver sf0.01 oracle, 50/50).
+R7_VERIFIED = frozenset({
+    "customer_gini_by_nation", "dedup_cap_drop_stats",
+    "dedup_cross_source_matrix", "dedup_threshold_curve",
+    "dedup_winnow_overlap", "dedup_winnow_overlap_capped",
+    "doc_bigram_heavy_hitters", "doc_lexical_diversity",
+    "doc_winnow_screen", "doc_zipf_fit", "emb_label_silhouette",
+    "events_assoc_rules", "events_benford", "events_dispersion",
+    "events_hll_overlap", "events_interarrival",
+    "events_interval_overlap", "events_kll_quantiles",
+    "events_ks_drift", "events_mannwhitney", "events_markov",
+    "events_rollup_hierarchy", "events_theta_sets",
+    "events_type_corr", "events_type_entropy", "events_welch_ttest",
+    "orders_cohort_ltv", "orders_contingency", "orders_hill_tail",
+    "orders_in_flight", "orders_km_segment_summary",
+    "orders_km_survival", "orders_rfm", "parts_abc",
+    "parts_skyline", "ts_ar1", "ts_backtest_snaive",
+    "ts_changepoint", "ts_changepoint_binseg", "ts_haar_energy",
+    "ts_holt_winters", "ts_hour_anova", "ts_hw_anomaly",
+    "ts_mllib_kmeans", "ts_ols_fit", "ts_peaks", "ts_record_stats",
+    "ts_runs_test", "ts_spearman", "ts_theil_sen",
+})
+
 _ROUND_SETS = (
+    (7, R7_VERIFIED),
     (6, R6_VERIFIED),
     (5, R5_VERIFIED),
     (4, R4_VERIFIED),
@@ -188,56 +212,14 @@ _ROUND_SETS = (
 # Empty is fine — tier 0 then just falls through to staleness.
 # Refresh this tuple each round alongside the R{N}_VERIFIED set.
 _CURRENT_ROUND_PRIORITY = (
-    "dedup_cap_drop_stats",
-    "dedup_winnow_overlap",
-    "dedup_winnow_overlap_capped",
-    "doc_winnow_screen",
-    "events_kll_quantiles",
-    "events_hll_overlap",
-    "ts_changepoint",
-    "ts_changepoint_binseg",
-    "ts_mllib_kmeans",
-    # late-r7 registrations (never-verified -> tier 0 regardless;
-    # listed for documentation)
-    "doc_bigram_heavy_hitters",
-    "events_theta_sets",
-    "events_assoc_rules",
-    "ts_spearman",
-    "ts_runs_test",
-    "events_ks_drift",
-    "events_mannwhitney",
+    # r8 ANSI-guard fixes (outputs unchanged on clean data, semantics
+    # changed on degenerate series -> verdict re-earned)
     "ts_theil_sen",
-    "orders_rfm",
-    "parts_abc",
-    "customer_gini_by_nation",
-    "events_benford",
-    "ts_backtest_snaive",
-    "orders_cohort_ltv",
-    "ts_hour_anova",
-    "events_markov",
-    "ts_ols_fit",
-    "events_interarrival",
-    "ts_haar_energy",
-    "events_dispersion",
-    "events_type_entropy",
-    "orders_km_survival",
-    "orders_hill_tail",
-    "ts_ar1",
-    "parts_skyline",
-    "doc_zipf_fit",
-    "events_welch_ttest",
-    "events_type_corr",
-    "ts_record_stats",
-    "doc_lexical_diversity",
-    "dedup_threshold_curve",
-    "orders_in_flight",
-    "dedup_cross_source_matrix",
-    "orders_contingency",
-    "ts_holt_winters",
-    "ts_hw_anomaly",
-    "ts_peaks",
-    "emb_label_silhouette",
-    "orders_km_segment_summary",
+    "ts_runs_test",
+    "events_mannwhitney",
+    # r8: fit sample is now deterministic (ordered before limit) ->
+    # centroids/threshold can legitimately differ from the r7 verdict
+    "ts_mllib_kmeans",
 )
 
 

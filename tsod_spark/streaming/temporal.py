@@ -1105,7 +1105,11 @@ def stream_holt_winters(
         for y, hb in zip(vals, hbs):
             if math.isnan(y):
                 continue
-            c = int(round(y * 100))
+            # half-away-from-zero, matching F.round in the batch twin
+            # (Python round() is banker's half-even: 0.125*100 = 12.5
+            # would quantize 12 vs the batch's 13 and the one-cent skew
+            # compounds through level/trend/season state)
+            c = (-1 if y < 0 else 1) * int(math.floor(abs(y) * 100 + 0.5))
             if pend_hb is None:
                 pend_hb, pend_sum = int(hb), c
             elif int(hb) == pend_hb:
@@ -1272,7 +1276,8 @@ def stream_peaks(
         for y, hb in zip(vals, hbs_arr):
             if math.isnan(y):
                 continue
-            c = int(round(y * 100))
+            # half-away-from-zero, matching F.round in the batch twin
+            c = (-1 if y < 0 else 1) * int(math.floor(abs(y) * 100 + 0.5))
             if pend_hb is None:
                 pend_hb, pend_sum = int(hb), 0
             elif int(hb) != pend_hb:
