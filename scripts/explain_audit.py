@@ -84,6 +84,13 @@ ALLOW_NLJ = {
     "orders_km_segment_summary",  # broadcast 1-row max-date scalar
                          # crossJoin onto the censored tails (the
                          # orders_km_survival shape, segment-labeled)
+    "orders_km_quartiles",  # inherits orders_km_survival's 1-row
+                         # max-date scalar crossJoin; everything after
+                         # the curve is grid-bounded (3 levels)
+    "emb_label_davies_bouldin",  # |labels|-row centroid-array
+                         # self-crossJoin (|labels|^2 = ~64 rows) +
+                         # broadcast scatter joins — quadratic in
+                         # CLUSTERS only (emb_label_silhouette shape)
 }
 # mapInPandas is the designed path here, not an accident; ts_ewma is a
 # sequential recurrence (no Spark scan/fold builtin) running pandas'

@@ -242,3 +242,208 @@ def test_kmeans_fit_sample_deterministic(spark):
     )
     assert d1._centers == d2._centers
     assert d1._threshold == d2._threshold
+
+
+# ---------------------------------------------------------------------------
+# PPJoin prefix-filtered threshold Jaccard: result-invariance
+
+
+def _pure_jaccard_pairs(docs, pct):
+    """Exact in-block threshold Jaccard in pure python."""
+    import itertools
+
+    by_blk = {}
+    for doc_id, blk, text in docs:
+        toks = frozenset(t for t in text.lower().split() if t)
+        if toks:
+            by_blk.setdefault(blk, []).append((doc_id, toks))
+    out = {}
+    for blk, members in by_blk.items():
+        for (ida, ta), (idb, tb) in itertools.combinations(sorted(members), 2):
+            inter = len(ta & tb)
+            union = len(ta) + len(tb) - inter
+            if 100 * inter >= pct * union:
+                out[(ida, idb)] = round(inter / union, 6)
+    return out
+
+
+def test_ppjoin_matches_pure_python_random(spark):
+    """Random small-vocab corpus (forces shared grams, df ties, and
+    integer ceil boundaries): the prefix-filtered join must return
+    EXACTLY the pure-python threshold pairs — prefix filtering is a
+    candidate optimization, never a semantics change."""
+    import random
+
+    from tsod_spark.pipeline import dedup
+
+    rng = random.Random(83)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(120):
+        n = rng.randint(1, 12)
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        docs.append((i, f"s{rng.randint(0, 2)}", text))
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    for pct in (40, 60, 75, 100):
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.ppjoin_pairs(df, thr_pct=pct, shingle_n=1).collect()
+        }
+        expected = _pure_jaccard_pairs(docs, pct)
+        assert got == expected, f"pct={pct}"
+
+
+def test_ppjoin_matches_index_engine(spark):
+    """Equality against the full inverted-index engine at the same cut
+    (int64 threshold test applied to the index's unrounded ratio)."""
+    import random
+
+    from tsod_spark.pipeline import dedup
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(15)]
+    docs = [
+        (i, "one", " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 9))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    pp = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ppjoin_pairs(df, thr_pct=50, shingle_n=1).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs_index(df, shingle_n=1).collect()
+        if r.jaccard >= 0.5  # 0.5 dyadic: round6 cannot cross the cut
+    }
+    assert pp == full
+
+
+# ---------------------------------------------------------------------------
+# KM survival quartiles and Davies-Bouldin
+
+
+def test_km_quartiles_null_when_curve_never_drops(spark):
+    """Single-order customers only -> every duration censored -> the
+    curve stays at 1.0 and all three levels emit NULL durations (the
+    left-join-back-onto-the-grid path)."""
+    from tsod_spark.queries.round8 import km_quartiles
+
+    rows = [(i, i, f"2024-01-{(i % 28) + 1:02d}") for i in range(10)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate string"
+    )
+    out = km_quartiles(orders).collect()
+    assert [r.level_pct for r in out] == [25, 50, 75]
+    assert all(r.dur_days is None and r.survival_at is None for r in out)
+
+
+def test_km_quartiles_known_curve(spark):
+    """5 customers with uncensored-dominated gaps of 10/20/30/40/50
+    days: with one censored tail per customer the KM survival after
+    the k-th event is prod((n-d)/n) over a known risk set — check the
+    median lands where the hand-computed curve first hits 0.5."""
+    from tsod_spark.queries.round8 import km_quartiles, km_survival
+
+    rows = []
+    k = 0
+    for c, gap in enumerate([10, 20, 30, 40, 50]):
+        rows.append((k, c, "2024-01-01")); k += 1
+        import datetime as dt
+
+        d2 = dt.date(2024, 1, 1) + dt.timedelta(days=gap)
+        rows.append((k, c, d2.isoformat())); k += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate string"
+    )
+    curve = {r.dur_days: r.survival for r in km_survival(orders).collect()}
+    out = {r.level_pct: r for r in km_quartiles(orders).collect()}
+    # verify against the curve itself: quartile = min dur with S <= 1-q
+    for lvl in (25, 50, 75):
+        thr = 1.0 - lvl / 100.0
+        cands = [d for d, s in curve.items() if s <= thr]
+        if cands:
+            assert out[lvl].dur_days == min(cands)
+            assert out[lvl].survival_at == curve[min(cands)]
+        else:
+            assert out[lvl].dur_days is None
+
+
+def test_davies_bouldin_separated_vs_overlapping(spark):
+    """Two tight, far-apart label clusters must score a (much) lower
+    DB index than two interleaved ones, and the per-label terms must
+    match a pure-python evaluation of the same rounded pipeline."""
+    import math
+
+    from tsod_spark.pipeline.similarity import label_davies_bouldin
+
+    def mk(vectors_by_label):
+        rows = []
+        i = 0
+        for lab, vecs in vectors_by_label.items():
+            for v in vecs:
+                rows.append((i, [float(x) for x in v], lab))
+                i += 1
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label string"
+        )
+
+    far = mk({
+        "a": [[0.0, 0.1], [0.1, 0.0], [0.05, 0.05], [0.1, 0.1]],
+        "b": [[10.0, 10.1], [10.1, 10.0], [10.05, 10.05], [10.1, 10.1]],
+    })
+    near = mk({
+        "a": [[0.0, 0.0], [1.0, 1.0], [0.0, 1.0], [1.0, 0.0]],
+        "b": [[0.5, 0.5], [1.0, 0.0], [0.0, 1.0], [0.6, 0.4]],
+    })
+    db_far = label_davies_bouldin(far).collect()[0].db_index
+    db_near = label_davies_bouldin(near).collect()[0].db_index
+
+    def pure_db(vectors_by_label):
+        # mirror the rounded pipeline: micro-unit centroid means,
+        # round-6 scatters and centroid distances
+        cents, scat = {}, {}
+        for lab, vecs in vectors_by_label.items():
+            dims = len(vecs[0])
+            cents[lab] = [
+                round(sum(round(v[p] * 1e6) for v in vecs) / (1e6 * len(vecs)), 6)
+                for p in range(dims)
+            ]
+            scat[lab] = round(
+                sum(
+                    math.sqrt(sum((x - c) ** 2 for x, c in zip(v, cents[lab])))
+                    for v in vecs
+                )
+                / len(vecs),
+                6,
+            )
+        labs = sorted(cents)
+        terms = {}
+        for i in labs:
+            best = None
+            for j in labs:
+                if i == j:
+                    continue
+                m = round(
+                    math.sqrt(
+                        sum((a - b) ** 2 for a, b in zip(cents[i], cents[j]))
+                    ),
+                    6,
+                )
+                if m > 0:
+                    t = (scat[i] + scat[j]) / m
+                    best = t if best is None else max(best, t)
+            terms[i] = best
+        return round(sum(terms.values()) / len(labs), 6), {
+            i: round(terms[i], 6) for i in labs
+        }
+
+    exp_far, terms_far = pure_db({
+        "a": [[0.0, 0.1], [0.1, 0.0], [0.05, 0.05], [0.1, 0.1]],
+        "b": [[10.0, 10.1], [10.1, 10.0], [10.05, 10.05], [10.1, 10.1]],
+    })
+    assert db_far == pytest.approx(exp_far, abs=1e-6)
+    got_terms = {r.label: r.db_term for r in label_davies_bouldin(far).collect()}
+    for lab, t in terms_far.items():
+        assert got_terms[lab] == pytest.approx(t, abs=1e-6)
+    assert db_far < db_near / 10  # separation dominates

@@ -1306,3 +1306,120 @@ def jaccard_pairs_index(
         6,
     )
     return p.select("doc_a", "doc_b", jac.alias("jaccard"))
+
+
+def ppjoin_pairs(
+    docs: DataFrame,
+    thr_pct: int = 40,
+    text_col: str = "text",
+    block_col: str = "source",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Prefix-filtered exact threshold-Jaccard join (the AllPairs /
+    PPJoin candidate strategy, VLDB'06 / WWW'08) — returns exactly the
+    in-block pairs with Jaccard >= thr_pct/100, but generates
+    candidates from each document's PREFIX only.
+
+    Why this exists next to :func:`jaccard_pairs_index`: the inverted
+    index explodes EVERY distinct gram, so a gram shared by B docs
+    emits B^2 join hits whether or not those docs could possibly clear
+    the threshold.  Prefix filtering sorts each doc's grams by a
+    global (document-frequency asc, gram) order and keeps only the
+    first ``p = |x| - ceil(t*|x|) + 1`` — any pair with J >= t MUST
+    share a gram inside both prefixes (if all shared grams sat in x's
+    suffix of length ceil(t|x|)-1 the overlap couldn't reach the
+    ceil(t|x|) that J >= t forces), and because the order puts RARE
+    grams first, the hottest grams land in suffixes and never join.
+    At 100 TB this is the difference between the index blowing up on
+    boilerplate n-grams and the join volume tracking the actual
+    near-dup mass; candidates are further cut by the length filter
+    ``100*min(|x|,|y|) >= pct*max(|x|,|y|)`` before verification.
+
+    Every bound is integer arithmetic (``ceil(t*n)`` as
+    ``(pct*n + 99) div 100``; the final test as
+    ``100*inter >= pct*union``) so threshold boundaries are
+    engine-exact — 0.4*5 in doubles is 2.0000000000000004 and a float
+    ceil would silently shorten the prefix and MISS pairs.
+
+    Verification joins candidates back to the full (cached) gram
+    arrays and intersects once per candidate — output-sensitive, never
+    quadratic.  Result-invariance vs the plain engine is
+    property-tested (tests/test_round8b.py).
+    """
+    pct = int(thr_pct)
+    if not 0 < pct <= 100:
+        raise ValueError("thr_pct must be in (0, 100]")
+    n_part = default_parallelism(docs.sparkSession)
+    grams_of = (
+        (lambda t: shingles(t, shingle_n)) if shingle_n > 1 else F.array_distinct
+    )
+    tok = (
+        docs.repartition(n_part, F.col("doc_id"))
+        .select(
+            "doc_id",
+            F.col(block_col).alias("blk"),
+            F.transform(
+                grams_of(tokens(F.col(text_col))), lambda x: F.xxhash64(x)
+            ).alias("__gh"),
+        )
+        .withColumn("__ng", F.size("__gh").cast("long"))
+        .where(F.col("__ng") > 0)
+        .cache()
+    )
+    g = tok.select("doc_id", "blk", "__ng", F.explode("__gh").alias("gh"))
+    # global gram order: document frequency ascending (per block — joins
+    # are in-block), ties by gram hash; consistent across all docs
+    dfreq = g.groupBy("blk", "gh").agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    pos = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("__df", "gh")
+    )
+    # prefix length p = ng - ceil(pct*ng/100) + 1, all int64
+    plen = F.col("__ng") - F.expr(f"({pct} * __ng + 99) div 100") + 1
+    pre = (
+        g.join(dfreq, ["blk", "gh"])
+        .withColumn("__pos", pos)
+        .where(F.col("__pos") <= plen)
+        .select("blk", "gh", "doc_id", "__ng")
+    )
+    a = pre.select(
+        "blk", "gh", F.col("doc_id").alias("doc_a"), F.col("__ng").alias("__na")
+    )
+    b = pre.select(
+        "blk", "gh", F.col("doc_id").alias("doc_b"), F.col("__ng").alias("__nb")
+    )
+    cand = (
+        a.join(b, ["blk", "gh"])
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: J >= t forces t*max <= min (int64-exact)
+            & (
+                F.lit(100) * F.least("__na", "__nb")
+                >= F.lit(pct) * F.greatest("__na", "__nb")
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = tok.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("__gh").alias("__ga"),
+        F.col("__ng").alias("__na"),
+    )
+    fb = tok.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("__gh").alias("__gb"),
+        F.col("__ng").alias("__nb"),
+    )
+    v = (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn(
+            "__inter", F.size(F.array_intersect("__ga", "__gb")).cast("long")
+        )
+        .withColumn("__union", F.col("__na") + F.col("__nb") - F.col("__inter"))
+        .where(F.lit(100) * F.col("__inter") >= F.lit(pct) * F.col("__union"))
+    )
+    jac = F.round(F.col("__inter").cast("double") / F.col("__union").cast("double"), 6)
+    return v.select("doc_a", "doc_b", jac.alias("jaccard")).orderBy(
+        "doc_a", "doc_b"
+    )

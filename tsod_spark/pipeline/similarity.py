@@ -173,6 +173,107 @@ def diverse_sample(
     )
 
 
+def label_davies_bouldin(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Davies-Bouldin cluster-validity index over the label partition —
+    the separation metric complementing the centroid silhouette
+    (silhouette scores each VECTOR's placement; DB scores each
+    CLUSTER's worst neighbor): per label i, scatter
+    ``S_i = mean ||x - c_i||`` and
+    ``DB_i = max_{j != i} (S_i + S_j) / ||c_i - c_j||``; the index is
+    the mean of the per-cluster terms (lower = tighter/better, the
+    standard k-picker for IVF cell counts).
+
+    Cross-engine exactness: centroids are the exact micro-unit integer
+    means rounded to 6 (identical arrays in both engines), scatters and
+    centroid distances are rounded to 6 BEFORE the ratio — so the
+    max/ratio stage operates on identical doubles and only the final
+    |labels|-term mean carries ~1e-16 association noise into round(6).
+
+    Scale shape: one posexplode aggregate for centroids (map-side
+    combinable), one broadcast join of |labels| centroid arrays onto
+    the vectors for the scatter aggregate, then every pairwise stage
+    runs on the |labels|-row frame (|labels|^2 pairs — 64 rows at 8
+    labels; quadratic in CLUSTERS only, never the corpus).
+    """
+    ve = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    u = embeddings.select(
+        label_col, F.posexplode(ve).alias("pos0", "x")
+    ).select(
+        label_col, "pos0", F.round(F.col("x") * 1000000).cast("long").alias("xm")
+    )
+    cg = u.groupBy(label_col, "pos0").agg(
+        F.round(F.sum("xm") / (1000000.0 * F.count(F.lit(1))), 6).alias("__c")
+    )
+    ca = cg.groupBy(F.col(label_col).alias("__clab")).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos0", "__c"))),
+            lambda s: s.getField("__c"),
+        ).alias("__carr")
+    )
+
+    def _dist2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    v = embeddings.select(F.col(label_col).alias("__own"), ve.alias("__ve"))
+    s = (
+        v.join(
+            F.broadcast(ca), F.col("__own") == F.col("__clab")
+        )
+        .select("__own", F.sqrt(_dist2("__ve", "__carr")).alias("__d"))
+        .groupBy("__own")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("__d"), 6).alias("__s"),
+        )
+    )
+    ci = ca.select(F.col("__clab").alias("__li"), F.col("__carr").alias("__ci"))
+    cj = ca.select(F.col("__clab").alias("__lj"), F.col("__carr").alias("__cj"))
+    m = (
+        ci.crossJoin(F.broadcast(cj))
+        .where(F.col("__li") != F.col("__lj"))
+        .select(
+            "__li",
+            "__lj",
+            F.round(F.sqrt(_dist2("__ci", "__cj")), 6).alias("__m"),
+        )
+    )
+    si = s.select(F.col("__own").alias("__li"), "n_vecs", F.col("__s").alias("__si"))
+    sj = s.select(F.col("__own").alias("__lj"), F.col("__s").alias("__sj"))
+    terms = (
+        m.join(F.broadcast(si), "__li")
+        .join(F.broadcast(sj), "__lj")
+        .select(
+            "__li",
+            "n_vecs",
+            "__si",
+            F.when(
+                F.col("__m") > 0, (F.col("__si") + F.col("__sj")) / F.col("__m")
+            ).alias("__t"),
+        )
+    )
+    per = terms.groupBy(F.col("__li").alias("label")).agg(
+        F.first("n_vecs").alias("n_vecs"),
+        F.first("__si").alias("__si"),
+        F.max("__t").alias("__db"),
+    )
+    w_all = Window.partitionBy()  # |labels| rows — bounded by design
+    return per.select(
+        "label",
+        "n_vecs",
+        F.col("__si").alias("scatter"),
+        F.round(F.col("__db"), 6).alias("db_term"),
+        F.round(F.avg("__db").over(w_all), 6).alias("db_index"),
+    ).orderBy("label")
+
+
 def ivf_index(
     embeddings: DataFrame,
     n_cells: int = 16,

@@ -694,3 +694,34 @@ def dedup_cross_source_matrix(spark, sf_dir):
         .withColumn("is_cross_source", F.col("source_a") != F.col("source_b"))
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "dedup_ppjoin_pairs",
+    f"""WITH d AS (SELECT doc_id, source AS blk, {DTOKS} AS toks
+                   FROM documents WHERE len({DTOKS}) > 0),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t)))
+                  AS BIGINT) AS inter,
+             CAST(len(a.toks) + len(b.toks) AS BIGINT) AS tot
+          FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / CAST(tot - inter AS DOUBLE), 6) AS jaccard
+    FROM p WHERE 100 * inter >= 60 * (tot - inter)
+    ORDER BY doc_a, doc_b""",
+)
+def dedup_ppjoin_pairs(spark, sf_dir):
+    """Exact threshold-Jaccard pairs (J >= 0.60, in-block distinct
+    unigrams) via PPJoin-style prefix filtering: each doc joins on only
+    its ``|x| - ceil(0.6|x|) + 1`` globally-rarest grams — any
+    qualifying pair provably shares a prefix gram, and boilerplate
+    grams (the B^2-hit hazard of the full inverted index) sit in
+    suffixes and never generate candidates.  All threshold bounds in
+    int64 (``100*inter >= pct*union``), so the result is bit-identical
+    to a plain exact-Jaccard filter — which is exactly what the oracle
+    computes: the optimization must be result-invariant.  The property
+    test (tests/test_round8b.py) additionally pins equality against
+    jaccard_pairs_index output at the same cut."""
+    return dedup.ppjoin_pairs(
+        table(spark, sf_dir, "documents"), thr_pct=60, shingle_n=1
+    )

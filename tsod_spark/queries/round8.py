@@ -261,9 +261,10 @@ def type_entropy(e):
     ).orderBy("user_id")
 
 
-@register(
-    "orders_km_survival",
-    """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+# KM estimator CTE chain, shared by orders_km_survival and the
+# median/quartile summary (the curve SELECT wraps it; the summary reads
+# the same curve through one more CTE).
+_KM_CTES = """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
                   FROM orders),
     mx AS (SELECT max(d) AS mxd FROM o),
     s AS (SELECT o_custkey, d,
@@ -293,8 +294,9 @@ def type_entropy(e):
                  THEN ln(CAST(n_risk - d_event AS DOUBLE)
                          / CAST(n_risk AS DOUBLE)) END AS lt,
             CASE WHEN d_event >= n_risk THEN 1 ELSE 0 END AS dead
-          FROM k)
-    SELECT dur AS dur_days, n_risk, d_event, c_censored,
+          FROM k)"""
+
+_KM_CURVE_SELECT = """SELECT dur AS dur_days, n_risk, d_event, c_censored,
        CASE WHEN d_event > 0
             THEN round(CAST(d_event AS DOUBLE) / CAST(n_risk AS DOUBLE), 6)
        END AS hazard,
@@ -302,7 +304,12 @@ def type_entropy(e):
             THEN CAST(0 AS DOUBLE)
             ELSE round(exp(sum(lt) OVER (ORDER BY dur)), 6)
        END AS survival
-    FROM l ORDER BY dur_days""",
+    FROM l"""
+
+
+@register(
+    "orders_km_survival",
+    f"{_KM_CTES}\n    {_KM_CURVE_SELECT} ORDER BY dur_days",
 )
 def orders_km_survival(spark, sf_dir):
     """Kaplan-Meier survival curve of customer inter-order waiting
@@ -1778,4 +1785,66 @@ def km_segment_summary(orders, customer):
             ).alias("rmst_days"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "orders_km_quartiles",
+    f"""{_KM_CTES},
+    curve AS ({_KM_CURVE_SELECT}),
+    grid AS (SELECT unnest([25, 50, 75]) AS level_pct),
+    hit AS (SELECT g.level_pct, min(c.dur_days) AS dur_days
+            FROM curve c JOIN grid g
+              ON c.survival <= 1.0 - CAST(g.level_pct AS DOUBLE) / 100.0
+            GROUP BY 1)
+    SELECT CAST(g.level_pct AS BIGINT) AS level_pct,
+       CAST(h.dur_days AS BIGINT) AS dur_days,
+       c.survival AS survival_at
+    FROM grid g
+    LEFT JOIN hit h ON h.level_pct = g.level_pct
+    LEFT JOIN curve c ON c.dur_days = h.dur_days
+    ORDER BY level_pct""",
+)
+def orders_km_quartiles(spark, sf_dir):
+    """Survival-time quartiles off the Kaplan-Meier curve: the smallest
+    duration where S(t) has dropped to <= 0.75 / 0.50 / 0.25 — the
+    "median time between orders, censoring-corrected" headline numbers
+    a churn analysis actually reports (the naive median of observed
+    gaps is biased LOW because open gaps are exactly the long ones).
+    Levels that the curve never reaches emit NULL rather than
+    disappearing.  Plan: the km_survival curve (duration-grid frame,
+    <= max-gap-days rows) exploded 3x against the integer level grid,
+    one min(struct) per level, broadcast-joined back onto the grid —
+    every stage after the curve is bounded by the GRID, not the fact
+    table.  Thresholds 0.75/0.5/0.25 are exact doubles and the curve's
+    survival is round(6)-pinned in both engines, so boundary compares
+    are engine-exact."""
+    return km_quartiles(table(spark, sf_dir, "orders"))
+
+
+def km_quartiles(orders):
+    curve = km_survival(orders).select("dur_days", "survival")
+    grid_arr = F.array(*[F.lit(v).cast("long") for v in (25, 50, 75)])
+    grid = orders.sparkSession.range(1).select(
+        F.explode(grid_arr).alias("level_pct")
+    )
+    hits = (
+        curve.select(
+            F.explode(grid_arr).alias("level_pct"), "dur_days", "survival"
+        )
+        .where(
+            F.col("survival")
+            <= F.lit(1.0) - F.col("level_pct").cast("double") / F.lit(100.0)
+        )
+        .groupBy("level_pct")
+        .agg(F.min(F.struct("dur_days", "survival")).alias("__m"))
+    )
+    return (
+        grid.join(hits, "level_pct", "left")
+        .select(
+            "level_pct",
+            F.col("__m.dur_days").alias("dur_days"),
+            F.col("__m.survival").alias("survival_at"),
+        )
+        .orderBy("level_pct")
     )

@@ -672,3 +672,48 @@ def emb_label_silhouette(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@register(
+    "emb_label_davies_bouldin",
+    f"""WITH u AS (
+      SELECT label, CAST(round(unnest({EMB_D}) * 1000000) AS BIGINT) AS xm,
+             generate_subscripts({EMB_D}, 1) AS pos
+      FROM embeddings),
+    cg AS (SELECT label, pos,
+             round(sum(xm) / (1000000.0 * count(*)), 6) AS c
+           FROM u GROUP BY 1, 2),
+    ca AS (SELECT label AS clab, list(c ORDER BY pos) AS carr
+           FROM cg GROUP BY 1),
+    v AS (SELECT label AS own, {EMB_D} AS ve FROM embeddings),
+    s AS (SELECT own,
+            CAST(count(*) AS BIGINT) AS n_vecs,
+            round(avg(sqrt(list_sum(list_transform(v.ve,
+              (x, i) -> (x - ca.carr[i]) * (x - ca.carr[i]))))), 6) AS sc
+          FROM v JOIN ca ON ca.clab = v.own GROUP BY 1),
+    m AS (SELECT a.clab AS li, b.clab AS lj,
+            round(sqrt(list_sum(list_transform(a.carr,
+              (x, i) -> (x - b.carr[i]) * (x - b.carr[i])))), 6) AS md
+          FROM ca a JOIN ca b ON a.clab <> b.clab),
+    t AS (SELECT m.li, si.n_vecs, si.sc,
+            CASE WHEN m.md > 0 THEN (si.sc + sj.sc) / m.md END AS term
+          FROM m JOIN s si ON si.own = m.li JOIN s sj ON sj.own = m.lj),
+    p AS (SELECT li AS label, any_value(n_vecs) AS n_vecs,
+            any_value(sc) AS scatter, max(term) AS db
+          FROM t GROUP BY 1)
+    SELECT label, n_vecs, scatter,
+       round(db, 6) AS db_term,
+       round(avg(db) OVER (), 6) AS db_index
+    FROM p ORDER BY label""",
+)
+def emb_label_davies_bouldin(spark, sf_dir):
+    """Davies-Bouldin validity index over the labeled embedding space —
+    per label: scatter (mean distance to own centroid), the worst-
+    neighbor term max_j (S_i+S_j)/||c_i-c_j||, and the global DB index
+    (mean of the terms; LOWER = tighter, the standard k-picker read
+    alongside emb_label_silhouette and emb_ivf_cells).  Micro-unit-
+    exact centroids and round(6)-pinned scatters/centroid-distances
+    make the ratio stage bit-identical across engines; every pairwise
+    computation runs on the |labels|-row frame, quadratic in CLUSTERS
+    only."""
+    return similarity.label_davies_bouldin(table(spark, sf_dir, "embeddings"))

@@ -220,6 +220,11 @@ _CURRENT_ROUND_PRIORITY = (
     # r8: fit sample is now deterministic (ordered before limit) ->
     # centroids/threshold can legitimately differ from the r7 verdict
     "ts_mllib_kmeans",
+    # r8 registrations (never-verified -> tier 0 regardless; listed
+    # for documentation)
+    "dedup_ppjoin_pairs",
+    "emb_label_davies_bouldin",
+    "orders_km_quartiles",
 )
 
 
