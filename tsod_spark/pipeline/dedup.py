@@ -1377,28 +1377,53 @@ def ppjoin_pairs(
     plen = F.col("__ng") - F.expr(f"({pct} * __ng + 99) div 100") + 1
     pre = (
         g.join(dfreq, ["blk", "gh"])
-        .withColumn("__pos", pos)
+        .withColumn("__pos", pos.cast("long"))
         .where(F.col("__pos") <= plen)
-        .select("blk", "gh", "doc_id", "__ng")
+        .select("blk", "gh", "doc_id", "__ng", "__pos")
     )
     a = pre.select(
-        "blk", "gh", F.col("doc_id").alias("doc_a"), F.col("__ng").alias("__na")
+        "blk",
+        "gh",
+        F.col("doc_id").alias("doc_a"),
+        F.col("__ng").alias("__na"),
+        F.col("__pos").alias("__pa"),
     )
     b = pre.select(
-        "blk", "gh", F.col("doc_id").alias("doc_b"), F.col("__ng").alias("__nb")
+        "blk",
+        "gh",
+        F.col("doc_id").alias("doc_b"),
+        F.col("__ng").alias("__nb"),
+        F.col("__pos").alias("__pb"),
     )
+    hits = a.join(b, ["blk", "gh"]).where(
+        (F.col("doc_a") < F.col("doc_b"))
+        # length filter: J >= t forces t*max <= min (int64-exact)
+        & (
+            F.lit(100) * F.least("__na", "__nb")
+            >= F.lit(pct) * F.greatest("__na", "__nb")
+        )
+    )
+    # positional filter (PPJoin proper): with i = the pair's FIRST
+    # common-prefix position in a (no common gram sits before it) and
+    # j = likewise in b, overlap <= 1 + min(na - i, nb - j); J >= t
+    # needs overlap >= ceil(pct*(na+nb)/(100+pct)) (int64-exact).
+    # i and j may come from different grams — each still bounds
+    # overlap on its own side, so the combined bound stays sound.
+    alpha = F.expr(f"({pct} * (__na + __nb) + {100 + pct} - 1) div {100 + pct}")
     cand = (
-        a.join(b, ["blk", "gh"])
+        hits.groupBy("doc_a", "doc_b")
+        .agg(
+            F.first("__na").alias("__na"),
+            F.first("__nb").alias("__nb"),
+            F.min("__pa").alias("__i"),
+            F.min("__pb").alias("__j"),
+        )
         .where(
-            (F.col("doc_a") < F.col("doc_b"))
-            # length filter: J >= t forces t*max <= min (int64-exact)
-            & (
-                F.lit(100) * F.least("__na", "__nb")
-                >= F.lit(pct) * F.greatest("__na", "__nb")
-            )
+            F.lit(1)
+            + F.least(F.col("__na") - F.col("__i"), F.col("__nb") - F.col("__j"))
+            >= alpha
         )
         .select("doc_a", "doc_b")
-        .distinct()
     )
     fa = tok.select(
         F.col("doc_id").alias("doc_a"),

@@ -707,13 +707,13 @@ def dedup_cross_source_matrix(spark, sf_dir):
           FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b,
        round(CAST(inter AS DOUBLE) / CAST(tot - inter AS DOUBLE), 6) AS jaccard
-    FROM p WHERE 100 * inter >= 60 * (tot - inter)
+    FROM p WHERE 100 * inter >= 90 * (tot - inter)
     ORDER BY doc_a, doc_b""",
 )
 def dedup_ppjoin_pairs(spark, sf_dir):
-    """Exact threshold-Jaccard pairs (J >= 0.60, in-block distinct
+    """Exact threshold-Jaccard pairs (J >= 0.90, in-block distinct
     unigrams) via PPJoin-style prefix filtering: each doc joins on only
-    its ``|x| - ceil(0.6|x|) + 1`` globally-rarest grams — any
+    its ``|x| - ceil(0.9|x|) + 1`` globally-rarest grams — any
     qualifying pair provably shares a prefix gram, and boilerplate
     grams (the B^2-hit hazard of the full inverted index) sit in
     suffixes and never generate candidates.  All threshold bounds in
@@ -723,5 +723,5 @@ def dedup_ppjoin_pairs(spark, sf_dir):
     test (tests/test_round8b.py) additionally pins equality against
     jaccard_pairs_index output at the same cut."""
     return dedup.ppjoin_pairs(
-        table(spark, sf_dir, "documents"), thr_pct=60, shingle_n=1
+        table(spark, sf_dir, "documents"), thr_pct=90, shingle_n=1
     )
