@@ -159,7 +159,8 @@ def main():
             "dedup_simhash_groups dedup_minhash_groups doc_repetition "
             "dedup_minhash_pairs emb_ivfpq_topk emb_pq_topk doc_vocab_overlap "
             "dedup_minhash_pairs_capped dedup_simhash_pairs_capped "
-            "dedup_winnow_overlap",
+            "dedup_winnow_overlap dedup_ppjoin_pairs dedup_ppjoin_groups "
+            "dedup_containment_pairs",
         ).split()
     )
 

@@ -149,6 +149,15 @@ HEADLINE = [
     "ts_peaks",
     "emb_label_silhouette",
     "orders_km_segment_summary",
+    # round-8: prefix-filtered exact Jaccard (the decade ratio shows
+    # whether the prefix join volume tracks near-dup mass, not corpus
+    # size), its CC completion, the DB validity index, KM quartiles
+    "dedup_ppjoin_pairs",
+    "dedup_ppjoin_groups",
+    "emb_label_davies_bouldin",
+    "orders_km_quartiles",
+    "dedup_containment_pairs",
+    "ts_permutation_entropy",
 ]
 
 

@@ -396,8 +396,19 @@ def test_markov_matrix_property(spark, seqs):
         row_t[x] += c
         col_t[y] += c
     grand = sum(trans.values())
+    def round6_half_up(v: float) -> float:
+        # Spark F.round = Java BigDecimal HALF_UP on the double's
+        # shortest decimal repr; Python round() is banker's half-even
+        # and disagrees on exact halves (hypothesis found the dyadic
+        # lift 81/128 = 0.6328125 -> .632813 vs .632812)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
     for (x, y), c in trans.items():
         r = got[(x, y)]
         assert r.transitions == c
-        assert abs(r.prob - round(c / row_t[x], 6)) < 1e-9
-        assert abs(r.lift - round(c * grand / (row_t[x] * col_t[y]), 6)) < 1e-9
+        assert abs(r.prob - round6_half_up(c / row_t[x])) < 1e-9
+        assert abs(r.lift - round6_half_up(c * grand / (row_t[x] * col_t[y]))) < 1e-9

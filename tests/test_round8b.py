@@ -447,3 +447,93 @@ def test_davies_bouldin_separated_vs_overlapping(spark):
     for lab, t in terms_far.items():
         assert got_terms[lab] == pytest.approx(t, abs=1e-6)
     assert db_far < db_near / 10  # separation dominates
+
+
+def test_containment_matches_pure_python(spark):
+    """Random small-vocab corpus: containment pairs (at several
+    thresholds) must match a pure-python evaluation — including the
+    asymmetric ratios and the int64 threshold boundary."""
+    import itertools
+    import random
+
+    from tsod_spark.pipeline import dedup
+
+    rng = random.Random(19)
+    vocab = [f"w{i}" for i in range(20)]
+    docs = []
+    for i in range(100):
+        n = rng.randint(1, 10)
+        docs.append((i, f"s{rng.randint(0, 1)}", " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+
+    def pure(pct):
+        by_blk = {}
+        for doc_id, blk, text in docs:
+            toks = frozenset(t for t in text.lower().split() if t)
+            by_blk.setdefault(blk, []).append((doc_id, toks))
+        out = {}
+        for blk, members in by_blk.items():
+            for (ida, ta), (idb, tb) in itertools.combinations(sorted(members), 2):
+                inter = len(ta & tb)
+                if inter > 0 and 100 * inter >= pct * min(len(ta), len(tb)):
+                    out[(ida, idb)] = (
+                        inter,
+                        round(inter / len(ta), 6),
+                        round(inter / len(tb), 6),
+                    )
+        return out
+
+    for pct in (60, 80, 100):
+        got = {
+            (r.doc_a, r.doc_b): (r.shared_grams, r.containment_a, r.containment_b)
+            for r in dedup.containment_pairs(df, thr_pct=pct, shingle_n=1).collect()
+        }
+        assert got == pure(pct), f"pct={pct}"
+
+
+def test_permutation_entropy_matches_pure_python(spark):
+    """Known + random hourly series, including gaps (triples must not
+    span them), ties (position-ranked), and a monotone ramp (exactly
+    one pattern, H = 0)."""
+    import math
+    import random
+
+    from tsod_spark.queries.round8 import permutation_entropy
+
+    rng = random.Random(31)
+    series = {
+        1: [(h, float(h)) for h in range(20)],  # ramp: one pattern
+        2: [(h, 5.0) for h in range(10)],  # constant: all ties
+        3: [(h, rng.uniform(-50, 50)) for h in range(40) if h % 7 != 3],  # gaps
+        4: [(h, rng.choice([1.0, 2.0])) for h in range(30)],  # heavy ties
+    }
+    triples = [
+        (u, h, v) for u, pts in series.items() for h, v in pts
+    ]
+    df = _mk_events(spark, [(u, h, v) for u, h, v in triples])
+    got = {r.user_id: r for r in permutation_entropy(df).collect()}
+
+    for u, pts in series.items():
+        ys = {h: int(round(v * 100)) for h, v in pts}  # one event per hour
+        pats = {}
+        for h in sorted(ys):
+            if h + 1 in ys and h + 2 in ys:
+                x = [ys[h], ys[h + 1], ys[h + 2]]
+                r1 = (x[1] < x[0]) + (x[2] < x[0])
+                r2 = (x[0] <= x[1]) + (x[2] < x[1])
+                r3 = (x[0] <= x[2]) + (x[1] <= x[2])
+                p = 9 * r1 + 3 * r2 + r3
+                pats[p] = pats.get(p, 0) + 1
+        n = sum(pats.values())
+        if n == 0:
+            assert u not in got
+            continue
+        h_exp = math.log(n) - sum(c * math.log(c) for c in pats.values()) / n
+        r = got[u]
+        assert r.n_triples == n
+        assert r.k_patterns == len(pats)
+        assert r.pe_nats == pytest.approx(round(h_exp, 6), abs=1e-9)
+        assert r.pe_norm == pytest.approx(round(h_exp / math.log(6.0), 6), abs=1e-9)
+    # the ramp and the constant collapse to a single pattern
+    assert got[1].k_patterns == 1 and got[1].pe_nats == 0.0
+    assert got[2].k_patterns == 1 and got[2].pe_nats == 0.0

@@ -1324,3 +1324,84 @@ def test_stream_peaks_matches_batch(spark, events_batches):
     assert len(got) > 0
     for k, v in expected.items():
         assert got[k] == v, k
+
+
+def test_stream_benford_matches_batch(spark, events_batches):
+    """The LAST emission per event_type from the streaming Benford
+    screen equals the batch events_benford row over the same rows
+    (digit counts exact int64; chi2 derives from counts with the
+    identical term order and literals)."""
+    from tsod_spark.queries.round7 import benford_screen
+    from tsod_spark.streaming import stream_benford
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_benford(src, series=["event_type"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_benford")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got: dict = {}
+    for r in spark.sql("SELECT * FROM t_benford").collect():
+        if r.event_type not in got or r.n > got[r.event_type].n:
+            got[r.event_type] = r
+
+    batch = {
+        r.event_type: r
+        for r in benford_screen(registry.table(spark, SF, "events")).collect()
+    }
+    assert set(got) == set(batch)
+    for t, b in batch.items():
+        s = got[t]
+        assert s.n == b.n
+        assert s.chi2 == b.chi2  # bit-identical: same counts, same fold
+        assert s.benford_flag == b.benford_flag
+
+
+def test_stream_interarrival_matches_batch(spark, events_batches):
+    """The LAST emission per user from the streaming arrival profiler
+    equals the batch events_interarrival row — the cross-micro-batch
+    boundary gap must be accounted exactly once."""
+    from tsod_spark.queries.round7 import interarrival_profile
+    from tsod_spark.streaming import stream_interarrival
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_interarrival(src, series=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_interarrival")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got: dict = {}
+    for r in spark.sql("SELECT * FROM t_interarrival").collect():
+        if r.user_id not in got or r.n_gaps > got[r.user_id].n_gaps:
+            got[r.user_id] = r
+
+    batch = {
+        r.user_id: r
+        for r in interarrival_profile(registry.table(spark, SF, "events")).collect()
+    }
+    assert set(got) == set(batch)
+    for u, b in batch.items():
+        s = got[u]
+        assert s.n_gaps == b.n_gaps
+        assert s.mean_gap_s == b.mean_gap_s  # exact int64 moments
+        assert s.std_gap_s == b.std_gap_s
+        assert s.cv == b.cv
+        assert s.burstiness == b.burstiness

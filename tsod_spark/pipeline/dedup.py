@@ -1448,3 +1448,91 @@ def ppjoin_pairs(
     return v.select("doc_a", "doc_b", jac.alias("jaccard")).orderBy(
         "doc_a", "doc_b"
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    thr_pct: int = 80,
+    text_col: str = "text",
+    block_col: str = "source",
+    shingle_n: int = 2,
+    max_gram_docs: int | None = None,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT screen — in-block pairs where one doc's
+    gram set is mostly inside the other's: ``C(A->B) = |A n B| / |A|``,
+    kept when ``max(C(A->B), C(B->A)) >= thr_pct/100``.
+
+    Jaccard misses exactly these: a 50-gram quote fully embedded in a
+    5000-gram article has J ~ 0.01 but containment 1.0 — the
+    subset-duplicate / quote-expansion case (a training corpus keeps
+    both and the small doc is pure repetition).  Winnowing catches
+    shared SPANS; containment catches shared VOCABULARY mass when the
+    span structure is shuffled (translations of boilerplate, templated
+    rewrites).
+
+    Same inverted-index shape as :func:`jaccard_pairs_index` (explode
+    distinct hashed grams, in-block self-join — every hit is one
+    intersection element), same optional hot-gram cap, and the
+    threshold test is int64-exact: ``100*inter >= pct*least(na, nb)``
+    (the max-containment side is always the smaller set).
+    """
+    pct = int(thr_pct)
+    if not 0 < pct <= 100:
+        raise ValueError("thr_pct must be in (0, 100]")
+    n_part = default_parallelism(docs.sparkSession)
+    tok = docs.repartition(n_part, F.col("doc_id")).select(
+        "doc_id", F.col(block_col).alias("blk"), tokens(F.col(text_col)).alias("__t")
+    )
+    grams = (
+        shingles(F.col("__t"), shingle_n)
+        if shingle_n > 1
+        else F.array_distinct(F.col("__t"))
+    )
+    g = tok.select(
+        "doc_id",
+        "blk",
+        F.transform(grams, lambda x: F.xxhash64(x)).alias("__gh"),
+    ).select(
+        "doc_id",
+        "blk",
+        F.size("__gh").cast("long").alias("__ng"),
+        F.explode("__gh").alias("gh"),
+    )
+    g = cap_hot_buckets(g, ["blk", "gh"], max_gram_docs)
+    a = g.select(
+        F.col("blk"),
+        F.col("gh"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("__ng").alias("__na"),
+    )
+    b = g.select(
+        F.col("blk"),
+        F.col("gh"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("__ng").alias("__nb"),
+    )
+    p = (
+        a.join(b, ["blk", "gh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__inter"),
+            F.first("__na").alias("__na"),
+            F.first("__nb").alias("__nb"),
+        )
+        .where(
+            F.lit(100) * F.col("__inter")
+            >= F.lit(pct) * F.least("__na", "__nb")
+        )
+    )
+    return p.select(
+        "doc_a",
+        "doc_b",
+        F.col("__inter").alias("shared_grams"),
+        F.round(F.col("__inter").cast("double") / F.col("__na").cast("double"), 6).alias(
+            "containment_a"
+        ),
+        F.round(F.col("__inter").cast("double") / F.col("__nb").cast("double"), 6).alias(
+            "containment_b"
+        ),
+    ).orderBy("doc_a", "doc_b")

@@ -725,3 +725,71 @@ def dedup_ppjoin_pairs(spark, sf_dir):
     return dedup.ppjoin_pairs(
         table(spark, sf_dir, "documents"), thr_pct=90, shingle_n=1
     )
+
+
+@register(
+    "dedup_ppjoin_groups",
+    f"""WITH RECURSIVE d AS (SELECT doc_id, source AS blk, {DTOKS} AS toks
+                   FROM documents WHERE len({DTOKS}) > 0),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+          WHERE 100 * len(list_filter(a.toks, t -> list_contains(b.toks, t)))
+             >= 90 * (len(a.toks) + len(b.toks)
+                 - len(list_filter(a.toks, t -> list_contains(b.toks, t))))),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+    reach(doc, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc),
+    comp AS (SELECT doc, min(root) AS group_id FROM reach GROUP BY doc)
+    SELECT doc AS doc_id, group_id,
+           CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+    FROM comp""",
+)
+def dedup_ppjoin_groups(spark, sf_dir):
+    """Connected components over the EXACT threshold-Jaccard pair graph
+    (J >= 0.90 unigrams via the prefix-filtered ppjoin engine) — the
+    guarantee-grade near-dup clustering: unlike the MinHash/SimHash
+    group families these edges have no estimation error, so group
+    membership is exactly 'transitively connected at >= 0.90'.  Same
+    shared min-label-propagation CC engine (driver short-circuit below
+    the edge bound, iterative at scale), min-id labels hash-matching
+    the recursive-CTE oracle."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.ppjoin_pairs(docs, thr_pct=90, shingle_n=1).select(
+        "doc_a", "doc_b"
+    )
+    return dedup.pair_graph_groups(pairs, "doc_a", "doc_b", docs, "doc_id")
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""WITH d AS (SELECT doc_id, source AS blk, {DTOKS} AS toks FROM documents),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t)))
+                  AS BIGINT) AS inter,
+             CAST(len(a.toks) AS BIGINT) AS na,
+             CAST(len(b.toks) AS BIGINT) AS nb
+          FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, inter AS shared_grams,
+       round(CAST(inter AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment_a,
+       round(CAST(inter AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS containment_b
+    FROM p WHERE inter > 0 AND 100 * inter >= 100 * least(na, nb)
+    ORDER BY doc_a, doc_b""",
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric vocabulary-containment screen at the strict setting:
+    in-block pairs where the smaller doc's ENTIRE distinct-token set
+    appears in the larger (max containment = 1.0) — subset duplicates
+    and quote-expansions that Jaccard structurally misses (a 50-gram
+    quote inside a 5000-gram article has J ~ 0.01, containment 1.0).
+    Complements winnowing (shared SPANS) with shared VOCABULARY mass
+    when span structure is shuffled.  Same inverted-index engine as
+    jaccard_pairs_index (a join hit IS one intersection element), same
+    optional hot-gram cap; the screen `100*inter >= pct*least(na,nb)`
+    is int64-exact, and both directional ratios are emitted so the
+    caller sees which side is the subset."""
+    return dedup.containment_pairs(
+        table(spark, sf_dir, "documents"), thr_pct=100, shingle_n=1
+    )

@@ -1848,3 +1848,109 @@ def km_quartiles(orders):
         )
         .orderBy("level_pct")
     )
+
+
+@register(
+    "ts_permutation_entropy",
+    """WITH c AS (SELECT user_id,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hb,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc
+       FROM events),
+    g AS (SELECT user_id, hb, CAST(sum(vc) AS BIGINT) AS y
+          FROM c WHERE vc IS NOT NULL GROUP BY 1, 2),
+    l AS (SELECT user_id, hb, y,
+            lead(hb, 1) OVER w AS hb2, lead(y, 1) OVER w AS y2,
+            lead(hb, 2) OVER w AS hb3, lead(y, 2) OVER w AS y3
+          FROM g WINDOW w AS (PARTITION BY user_id ORDER BY hb)),
+    t AS (SELECT user_id,
+            (CAST(y2 < y  AS BIGINT) + CAST(y3 < y  AS BIGINT)) AS r1,
+            (CAST(y  <= y2 AS BIGINT) + CAST(y3 < y2 AS BIGINT)) AS r2,
+            (CAST(y  <= y3 AS BIGINT) + CAST(y2 <= y3 AS BIGINT)) AS r3
+          FROM l WHERE hb2 = hb + 1 AND hb3 = hb + 2),
+    pc AS (SELECT user_id, 9 * r1 + 3 * r2 + r3 AS pat,
+             CAST(count(*) AS BIGINT) AS c
+           FROM t GROUP BY 1, 2),
+    a AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+            CAST(count(*) AS BIGINT) AS k,
+            sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc
+          FROM pc GROUP BY 1)
+    SELECT user_id, n AS n_triples, k AS k_patterns,
+       round(ln(CAST(n AS DOUBLE)) - slc / CAST(n AS DOUBLE), 6) AS pe_nats,
+       round((ln(CAST(n AS DOUBLE)) - slc / CAST(n AS DOUBLE))
+             / ln(6.0), 6) AS pe_norm
+    FROM a ORDER BY user_id""",
+)
+def ts_permutation_entropy(spark, sf_dir):
+    """Permutation entropy per series (Bandt-Pompe, order m=3): the
+    Shannon entropy of the ordinal-pattern distribution of
+    consecutive-hour triples of hourly cent totals — the standard
+    model-free complexity screen (low = predictable/monotone dynamics,
+    ~ln 6 = fully irregular; a constant-ish sensor, a stuck value, or
+    a pure ramp all collapse to one dominant pattern long before a
+    distributional test notices).  Ties rank by position (the original
+    Bandt-Pompe convention), so each triple maps to exactly one of 6
+    permutations via int64 comparisons only; the entropy is the
+    count-moment identity H = ln N - sum(c ln c)/N over exact counts
+    (the events_type_entropy discipline — no per-pattern probability
+    division, one float fold at the end, libm-stable into round(6)).
+    Triples must be hour-CONSECUTIVE (the ts_ar1 gap rule: patterns
+    across gaps are not dynamics).  Plan: fact scan -> (series, hour)
+    aggregate, lead window and the pattern/count/entropy stages all
+    partitioned by the series key — one data shuffle."""
+    return permutation_entropy(table(spark, sf_dir, "events"))
+
+
+def permutation_entropy(e):
+    from ..expressions import nan_to_null
+
+    cents = F.round(nan_to_null(F.col("value")) * 100).cast("long")
+    g = (
+        e.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("__hb"),
+            cents.alias("__vc"),
+        )
+        .where(F.col("__vc").isNotNull())
+        .groupBy("user_id", "__hb")
+        .agg(F.sum("__vc").cast("long").alias("__y"))
+    )
+    wo = Window.partitionBy("user_id").orderBy("__hb")
+    l = g.select(
+        "user_id", "__hb", "__y",
+        F.lead("__hb", 1).over(wo).alias("__hb2"),
+        F.lead("__y", 1).over(wo).alias("__y2"),
+        F.lead("__hb", 2).over(wo).alias("__hb3"),
+        F.lead("__y", 2).over(wo).alias("__y3"),
+    )
+    y, y2, y3 = F.col("__y"), F.col("__y2"), F.col("__y3")
+    # Bandt-Pompe ranks, ties by position: r_i = #{j: x_j < x_i, or
+    # x_j == x_i with j < i} — always a permutation of {0,1,2}
+    r1 = (y2 < y).cast("long") + (y3 < y).cast("long")
+    r2 = (y <= y2).cast("long") + (y3 < y2).cast("long")
+    r3 = (y <= y3).cast("long") + (y2 <= y3).cast("long")
+    t = l.where(
+        (F.col("__hb2") == F.col("__hb") + 1)
+        & (F.col("__hb3") == F.col("__hb") + 2)
+    ).select("user_id", (F.lit(9) * r1 + F.lit(3) * r2 + r3).alias("__pat"))
+    pc = t.groupBy("user_id", "__pat").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    a = pc.groupBy("user_id").agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("__k"),
+        F.sum(
+            F.col("__c").cast("double") * F.log(F.col("__c").cast("double"))
+        ).alias("__slc"),
+    )
+    n = F.col("__n")
+    h = F.log(n.cast("double")) - F.col("__slc") / n.cast("double")
+    import math
+
+    return a.select(
+        "user_id",
+        n.alias("n_triples"),
+        F.col("__k").alias("k_patterns"),
+        F.round(h, 6).alias("pe_nats"),
+        F.round(h / F.lit(math.log(6.0)), 6).alias("pe_norm"),
+    ).orderBy("user_id")

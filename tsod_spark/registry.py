@@ -223,8 +223,11 @@ _CURRENT_ROUND_PRIORITY = (
     # r8 registrations (never-verified -> tier 0 regardless; listed
     # for documentation)
     "dedup_ppjoin_pairs",
+    "dedup_ppjoin_groups",
+    "dedup_containment_pairs",
     "emb_label_davies_bouldin",
     "orders_km_quartiles",
+    "ts_permutation_entropy",
 )
 
 

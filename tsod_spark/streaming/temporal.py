@@ -1318,3 +1318,208 @@ def stream_peaks(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stream_benford(
+    stream_df: DataFrame,
+    series: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming Benford conformance screen — the continuous twin of
+    the batch ``events_benford`` query: per key, a running leading-
+    digit histogram of the non-zero integer-cent magnitudes, re-scored
+    every micro-batch (update mode: the LAST emission per key over the
+    same rows equals the batch row).
+
+    State per key is the exact int64 9-slot digit-count vector —
+    mergeable across micro-batches by plain addition and
+    order-insensitive by construction (no cursor needed).  The
+    chi-square statistic is derived fresh from the exact counts at
+    every emission with the SAME fixed term order and literal Benford
+    probabilities as the batch plan, so closed snapshots are
+    bit-identical.  Fraud/sensor-fault monitors run exactly this as a
+    continuous control chart: the flag flips the moment the digit mix
+    drifts off the log-law, without rescanning history.
+    """
+    import numpy as np
+
+    from ..queries.round7 import _BENFORD_P
+
+    series = list(series)
+    key_fields = [stream_df.schema[c] for c in series]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("n", LongType()),
+            StructField("chi2", DoubleType()),
+            StructField("benford_flag", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("counts", ArrayType(LongType()))])
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        counts = [int(c) for c in state.get[0]] if state.exists else [0] * 9
+        v = new[value_col].astype(float).to_numpy()
+        obs = ~np.isnan(v)
+        av = np.abs(v[obs]) * 100
+        # half-away-from-zero cents, the shared stream-kernel quantizer
+        cents = (np.sign(v[obs]) * np.floor(av + 0.5)).astype("int64")
+        cents = cents[cents != 0]
+        for c in cents:
+            counts[int(str(abs(int(c)))[0]) - 1] += 1
+        n = sum(counts)
+        if n == 0:
+            if idle_timeout is not None:
+                state.setTimeoutDuration(idle_timeout)
+            return
+        state.update((counts,))
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        # identical term order + literals as the batch chi2 fold
+        chi2 = None
+        nd = float(n)
+        for o, p in zip(counts, _BENFORD_P):
+            term = (float(o) - nd * p) * (float(o) - nd * p) / (nd * p)
+            chi2 = term if chi2 is None else chi2 + term
+        yield pd.DataFrame(
+            [
+                {
+                    **{c: key[i] for i, c in enumerate(series)},
+                    "n": n,
+                    "chi2": round(chi2, 6),
+                    "benford_flag": bool(chi2 > 15.507),
+                }
+            ]
+        )
+
+    return stream_df.groupBy(*series).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def stream_interarrival(
+    stream_df: DataFrame,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming arrival-process profiler — the continuous twin of the
+    batch ``events_interarrival`` query: per series, running mean/std
+    inter-arrival gap (whole seconds), coefficient of variation, and
+    Goh-Barabasi burstiness, re-emitted every micro-batch that adds at
+    least one gap (update mode: last emission equals the batch row).
+
+    State per key is three exact int64 moments (gap count, sum,
+    sum-of-squares) plus the last-arrival cursor — the gap between the
+    previous micro-batch's final event and the next batch's first event
+    is accounted exactly, and all floats are derived fresh from the
+    integer moments at emission (the batch operator's ``n·q − t²``
+    identity), so snapshots are bit-identical to batch over the same
+    rows.  Rows at or behind the cursor are dropped (the stream_detect
+    disorder contract).
+    """
+    series = list(series)
+    key_fields = [stream_df.schema[c] for c in series]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("n_gaps", LongType()),
+            StructField("mean_gap_s", DoubleType()),
+            StructField("std_gap_s", DoubleType()),
+            StructField("cv", DoubleType()),
+            StructField("burstiness", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("t", LongType()),
+            StructField("q", LongType()),
+            StructField("cur_ts", LongType()),
+            StructField("cur_tb", LongType()),
+        ]
+    )
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import math
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        new = new.sort_values([ts_col, tiebreak], kind="mergesort")
+        if state.exists:
+            n, t, q, cur_ts, cur_tb = state.get
+            n, t, q = int(n), int(t), int(q)
+        else:
+            n, t, q, cur_ts, cur_tb = 0, 0, 0, None, None
+        new_ts = pd.to_datetime(new[ts_col]).astype("int64") // 1000
+        new_tb = new[tiebreak].astype("int64")
+        if cur_ts is not None:
+            ok = (new_ts > cur_ts) | ((new_ts == cur_ts) & (new_tb > cur_tb))
+            new_ts, new_tb = new_ts[ok], new_tb[ok]
+        if len(new_ts) == 0:
+            if idle_timeout is not None:
+                state.setTimeoutDuration(idle_timeout)
+            return
+        ts_list = [int(x) for x in new_ts.to_numpy()]
+        prev = int(cur_ts) if cur_ts is not None else None
+        for micros in ts_list:
+            if prev is not None:
+                gap = (micros - prev) // 1_000_000
+                n += 1
+                t += gap
+                q += gap * gap
+            prev = micros
+        state.update((n, t, q, ts_list[-1], int(new_tb.iloc[-1])))
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        if n == 0:
+            return
+        root = math.sqrt(float(n * q - t * t))
+        yield pd.DataFrame(
+            [
+                {
+                    **{c: key[i] for i, c in enumerate(series)},
+                    "n_gaps": n,
+                    "mean_gap_s": round(t / n, 6),
+                    "std_gap_s": round(root / n, 6),
+                    "cv": round(root / t, 6) if t > 0 else None,
+                    "burstiness": (
+                        round((root - float(t)) / (root + float(t)), 6)
+                        if root + float(t) > 0
+                        else None
+                    ),
+                }
+            ]
+        )
+
+    return stream_df.groupBy(*series).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
