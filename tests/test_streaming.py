@@ -1405,3 +1405,93 @@ def test_stream_interarrival_matches_batch(spark, events_batches):
         assert s.std_gap_s == b.std_gap_s
         assert s.cv == b.cv
         assert s.burstiness == b.burstiness
+
+
+def test_stream_record_stats_matches_batch(spark, events_batches):
+    """The LAST emission per user from the streaming record counter
+    equals the batch ts_record_stats row — records are fully online, so
+    the twin carries no approximation at the micro-batch boundary."""
+    from tsod_spark.queries.round8 import record_stats
+    from tsod_spark.streaming import stream_record_stats
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_record_stats(src, series=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_records")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got: dict = {}
+    for r in spark.sql("SELECT * FROM t_records").collect():
+        if r.user_id not in got or r.n_obs > got[r.user_id].n_obs:
+            got[r.user_id] = r
+
+    batch = {
+        r.user_id: r
+        for r in record_stats(registry.table(spark, SF, "events")).collect()
+    }
+    assert set(got) == set(batch)
+    for u, b in batch.items():
+        s = got[u]
+        assert (s.n_obs, s.hi_records, s.lo_records) == (
+            b.n_obs,
+            b.hi_records,
+            b.lo_records,
+        )
+        assert s.expected_records == pytest.approx(b.expected_records, abs=2e-6)
+        assert s.hi_ratio == pytest.approx(b.hi_ratio, abs=2e-6)
+        assert s.lo_ratio == pytest.approx(b.lo_ratio, abs=2e-6)
+
+
+def test_stream_markov_counts_matches_batch(spark, events_batches):
+    """The final (max-count) emission per (user, from, to) equals a
+    per-user lag-pair count over the same rows — the cross-batch
+    boundary transition is counted exactly once."""
+    from tsod_spark.streaming import stream_markov_counts
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_markov_counts(src, series=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_markov")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got: dict = {}
+    for r in spark.sql("SELECT * FROM t_markov").collect():
+        k = (r.user_id, r.from_type, r.to_type)
+        if k not in got or r.transitions > got[k]:
+            got[k] = r.transitions
+
+    from pyspark.sql import Window as W2
+
+    e = registry.table(spark, SF, "events")
+    w = W2.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = {
+        (r.user_id, r.f, r.t): r.c
+        for r in e.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("f"),
+            F.col("event_type").alias("t"),
+        )
+        .where(F.col("f").isNotNull())
+        .groupBy("user_id", "f", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    }
+    assert got == batch

@@ -1523,3 +1523,251 @@ def stream_interarrival(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stream_record_stats(
+    stream_df: DataFrame,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming record-counting trend screen — the continuous twin of
+    the batch ``ts_record_stats`` query: per series, running counts of
+    strict record highs/lows vs the iid-expected ``ln n + gamma +
+    1/(2n)``, re-emitted every micro-batch with observations (update
+    mode: last emission equals the batch row).
+
+    Records are inherently ONLINE — the detector is just (current max,
+    current min, two counters, n), all exact int64, so the stream twin
+    carries no approximation at all; the cross-batch boundary is the
+    same comparison as any other step.  Rows at or behind the
+    (ts, tiebreak) cursor are dropped (stream_detect contract); NaN
+    rows are skipped exactly like the batch NULL filter.
+    """
+    import math
+
+    import numpy as np
+
+    from ..queries.round8 import _EULER_GAMMA
+
+    series = list(series)
+    key_fields = [stream_df.schema[c] for c in series]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("n_obs", LongType()),
+            StructField("hi_records", LongType()),
+            StructField("lo_records", LongType()),
+            StructField("expected_records", DoubleType()),
+            StructField("hi_ratio", DoubleType()),
+            StructField("lo_ratio", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("hi", LongType()),
+            StructField("lo", LongType()),
+            StructField("mx", LongType()),
+            StructField("mn", LongType()),
+            StructField("seen", BooleanType()),
+            StructField("cur_ts", LongType()),
+            StructField("cur_tb", LongType()),
+        ]
+    )
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        new = new.sort_values([ts_col, tiebreak], kind="mergesort")
+        if state.exists:
+            n, hi, lo, mx, mn, seen, cur_ts, cur_tb = state.get
+            n, hi, lo = int(n), int(hi), int(lo)
+        else:
+            n, hi, lo, mx, mn, seen, cur_ts, cur_tb = 0, 0, 0, 0, 0, False, None, None
+        new_ts = pd.to_datetime(new[ts_col]).astype("int64") // 1000
+        new_tb = new[tiebreak].astype("int64")
+        if cur_ts is not None:
+            ok = (new_ts > cur_ts) | ((new_ts == cur_ts) & (new_tb > cur_tb))
+            new = new[ok.to_numpy()]
+            new_ts, new_tb = new_ts[ok], new_tb[ok]
+        if len(new) == 0:
+            if idle_timeout is not None:
+                state.setTimeoutDuration(idle_timeout)
+            return
+        v = new[value_col].astype(float).to_numpy()
+        obs = ~np.isnan(v)
+        av = np.abs(v[obs]) * 100
+        cents = (np.sign(v[obs]) * np.floor(av + 0.5)).astype("int64")
+        for c in cents:
+            c = int(c)
+            if not seen:
+                # the first observation is both a record high and low
+                # (NULL prefix in the batch window formulation)
+                hi += 1
+                lo += 1
+                mx = mn = c
+                seen = True
+            else:
+                if c > mx:
+                    hi += 1
+                    mx = c
+                if c < mn:
+                    lo += 1
+                    mn = c
+            n += 1
+        state.update(
+            (n, hi, lo, int(mx), int(mn), bool(seen), int(new_ts.iloc[-1]), int(new_tb.iloc[-1]))
+        )
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        if n == 0:
+            return
+        nd = float(n)
+        exp_rec = math.log(nd) + float(_EULER_GAMMA) + 1.0 / (2.0 * nd)
+        yield pd.DataFrame(
+            [
+                {
+                    **{c: key[i] for i, c in enumerate(series)},
+                    "n_obs": n,
+                    "hi_records": hi,
+                    "lo_records": lo,
+                    "expected_records": round(exp_rec, 6),
+                    "hi_ratio": round(hi / exp_rec, 6),
+                    "lo_ratio": round(lo / exp_rec, 6),
+                }
+            ]
+        )
+
+    return stream_df.groupBy(*series).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def stream_markov_counts(
+    stream_df: DataFrame,
+    series: Sequence[str] = ("user_id",),
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming first-order transition-count changelog — the online
+    feeder of the batch ``events_markov`` matrix: per series, exact
+    int64 counts of (from_type -> to_type) steps in (ts, tiebreak)
+    order, the full per-key snapshot re-emitted every micro-batch that
+    adds at least one transition (update mode; counts are monotone, so
+    the max-count row per (key, from, to) is the final state).
+
+    State per key is the last event type plus the (from, to, count)
+    triple list — bounded by the type vocabulary squared, never by row
+    count; the cross-micro-batch boundary transition (last event of
+    batch k -> first event of batch k+1) is counted exactly once via
+    the carried last type.  Downstream, conditional probabilities and
+    lifts are pure derivations of these counts (the batch plan's own
+    structure), so a periodic batch read of the changelog reproduces
+    events_markov bit-for-bit.
+    """
+    series = list(series)
+    key_fields = [stream_df.schema[c] for c in series]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("from_type", StringType()),
+            StructField("to_type", StringType()),
+            StructField("transitions", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last", StringType()),
+            StructField("froms", ArrayType(StringType())),
+            StructField("tos", ArrayType(StringType())),
+            StructField("cnts", ArrayType(LongType())),
+            StructField("cur_ts", LongType()),
+            StructField("cur_tb", LongType()),
+        ]
+    )
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        new = new.sort_values([ts_col, tiebreak], kind="mergesort")
+        if state.exists:
+            last, froms, tos, cnts, cur_ts, cur_tb = state.get
+            counts = {
+                (f, t): int(c) for f, t, c in zip(list(froms), list(tos), list(cnts))
+            }
+        else:
+            last, counts, cur_ts, cur_tb = None, {}, None, None
+        new_ts = pd.to_datetime(new[ts_col]).astype("int64") // 1000
+        new_tb = new[tiebreak].astype("int64")
+        if cur_ts is not None:
+            ok = (new_ts > cur_ts) | ((new_ts == cur_ts) & (new_tb > cur_tb))
+            new = new[ok.to_numpy()]
+            new_ts, new_tb = new_ts[ok], new_tb[ok]
+        if len(new) == 0:
+            if idle_timeout is not None:
+                state.setTimeoutDuration(idle_timeout)
+            return
+        added = False
+        for t in new[type_col].astype(str):
+            if last is not None:
+                counts[(last, t)] = counts.get((last, t), 0) + 1
+                added = True
+            last = t
+        state.update(
+            (
+                last,
+                [f for f, _ in counts],
+                [t for _, t in counts],
+                [counts[k] for k in counts],
+                int(new_ts.iloc[-1]),
+                int(new_tb.iloc[-1]),
+            )
+        )
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        if not added:
+            return
+        yield pd.DataFrame(
+            [
+                {
+                    **{c: key[i] for i, c in enumerate(series)},
+                    "from_type": f,
+                    "to_type": t,
+                    "transitions": c,
+                }
+                for (f, t), c in counts.items()
+            ]
+        )
+
+    return stream_df.groupBy(*series).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
