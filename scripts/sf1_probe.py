@@ -158,6 +158,7 @@ HEADLINE = [
     "orders_km_quartiles",
     "dedup_containment_pairs",
     "ts_permutation_entropy",
+    "ts_sax_motifs",
 ]
 
 

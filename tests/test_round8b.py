@@ -537,3 +537,58 @@ def test_permutation_entropy_matches_pure_python(spark):
     # the ramp and the constant collapse to a single pattern
     assert got[1].k_patterns == 1 and got[1].pe_nats == 0.0
     assert got[2].k_patterns == 1 and got[2].pe_nats == 0.0
+
+
+def test_sax_motifs_matches_pure_python(spark):
+    """Crafted series: a clean daily ramp must be dominated by
+    ascending words; pure-python mirror of the z/breakpoint/word/rank
+    pipeline must agree exactly (counts and ranks)."""
+    import math
+    import random
+
+    from tsod_spark.queries.round8 import sax_motifs
+
+    rng = random.Random(41)
+    series = {
+        1: [(h, float(h % 8)) for h in range(48)],  # sawtooth ramp
+        2: [(h, rng.uniform(-10, 10)) for h in range(60) if h % 9 != 4],
+        3: [(h, 7.0) for h in range(20)],  # constant: excluded
+    }
+    df = _mk_events(
+        spark, [(u, h, v) for u, pts in series.items() for h, v in pts]
+    )
+    got = {}
+    for r in sax_motifs(df).collect():
+        got.setdefault(r.user_id, []).append((r.rank, r.word, r.n_word, r.share))
+
+    brk = 0.6744897501960817
+    for u, pts in series.items():
+        ys = {h: int(round(v * 100)) for h, v in pts}
+        n = len(ys)
+        t = sum(ys.values())
+        q = sum(y * y for y in ys.values())
+        var = (q - t * t / n) / n
+        if var <= 0:
+            assert u not in got
+            continue
+        mu, sd = t / n, math.sqrt(var)
+        sym = {}
+        for h, y in ys.items():
+            z = (y - mu) / sd
+            sym[h] = "a" if z < -brk else ("b" if z < 0 else ("c" if z < brk else "d"))
+        words = {}
+        for h in sorted(sym):
+            if h + 1 in sym and h + 2 in sym:
+                w = sym[h] + sym[h + 1] + sym[h + 2]
+                words[w] = words.get(w, 0) + 1
+        tot = sum(words.values())
+        top = sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        exp = [
+            (i + 1, w, c, round(c / tot, 6)) for i, (w, c) in enumerate(top)
+        ]
+        assert got[u] == exp, u
+    # the sawtooth's dominant motif is a nondecreasing (ascending-
+    # staircase) word — an 8-step ramp quantizes to aabbccdd, so the
+    # top words are 'aab'/'abb'/... style
+    w0 = got[1][0][1]
+    assert all(w0[i] <= w0[i + 1] for i in range(2)), w0

@@ -1954,3 +1954,158 @@ def permutation_entropy(e):
         F.round(h, 6).alias("pe_nats"),
         F.round(h / F.lit(math.log(6.0)), 6).alias("pe_norm"),
     ).orderBy("user_id")
+
+
+_SAX_BRK = "0.6744897501960817"  # exact N(0,1) quartile, shared literal
+
+
+@register(
+    "ts_sax_motifs",
+    f"""WITH c AS (SELECT user_id,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hb,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc
+       FROM events),
+    g AS (SELECT user_id, hb, CAST(sum(vc) AS BIGINT) AS y
+          FROM c WHERE vc IS NOT NULL GROUP BY 1, 2),
+    st AS (SELECT user_id, hb, y,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(y) OVER w AS BIGINT) AS t,
+             CAST(sum(y * y) OVER w AS BIGINT) AS q
+           FROM g WINDOW w AS (PARTITION BY user_id)),
+    z AS (SELECT user_id, hb,
+            (CAST(y AS DOUBLE) - CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+              / sqrt((CAST(q AS DOUBLE)
+                      - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                        / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS zv
+          FROM st
+          WHERE (CAST(q AS DOUBLE)
+                 - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(n AS DOUBLE) > 0),
+    s AS (SELECT user_id, hb,
+            CASE WHEN zv < -{_SAX_BRK} THEN 'a'
+                 WHEN zv < 0 THEN 'b'
+                 WHEN zv < {_SAX_BRK} THEN 'c'
+                 ELSE 'd' END AS sym
+          FROM z),
+    l AS (SELECT user_id, hb, sym,
+            lead(hb, 1) OVER w AS hb2, lead(sym, 1) OVER w AS s2,
+            lead(hb, 2) OVER w AS hb3, lead(sym, 2) OVER w AS s3
+          FROM s WINDOW w AS (PARTITION BY user_id ORDER BY hb)),
+    wd AS (SELECT user_id, sym || s2 || s3 AS word
+           FROM l WHERE hb2 = hb + 1 AND hb3 = hb + 2),
+    wc AS (SELECT user_id, word, CAST(count(*) AS BIGINT) AS n_word
+           FROM wd GROUP BY 1, 2),
+    rk AS (SELECT user_id, word, n_word,
+             CAST(sum(n_word) OVER (PARTITION BY user_id) AS BIGINT) AS tot,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n_word DESC, word) AS rnk
+           FROM wc)
+    SELECT user_id, CAST(rnk AS BIGINT) AS rank, word, n_word,
+       round(CAST(n_word AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+    FROM rk WHERE rnk <= 3 ORDER BY user_id, rank""",
+)
+def ts_sax_motifs(spark, sf_dir):
+    """Top-3 SAX motifs per series: hourly cent totals z-normalized
+    per series (double-form central moments (q - t^2/n)/n after
+    integer sums — the events_type_corr overflow lesson), quantized to
+    a 4-letter alphabet at the exact N(0,1) quartile breakpoints
+    (shared literal), and folded into 3-hour words over
+    consecutive-hour triples (the ts_ar1 gap rule).  The dominant
+    words ARE the series' recurring local shapes — 'abc'/'bcd'
+    staircases for ramps, 'ada' spikes, a single dominant word for
+    near-periodic load — the standard symbolic pre-filter before any
+    expensive motif/discord mining, and the discrete complement of
+    ts_permutation_entropy (which scores HOW concentrated the pattern
+    distribution is; this names the patterns).  Constant series
+    (variance 0) have no shape information and are excluded by the
+    variance guard.  Exactness: z-scores divide identical doubles in
+    both engines, breakpoint compares are literal-exact, words are
+    strings, counts int64; the only rounding is the final share.
+    Plan: fact scan -> (series, hour) aggregate; the stats window, the
+    lead window, and the count/rank stages are ALL partitioned by the
+    series key — one data shuffle end to end."""
+    return sax_motifs(table(spark, sf_dir, "events"))
+
+
+def sax_motifs(e, top_k: int = 3):
+    from ..expressions import nan_to_null
+
+    brk = float(_SAX_BRK)
+    cents = F.round(nan_to_null(F.col("value")) * 100).cast("long")
+    g = (
+        e.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("__hb"),
+            cents.alias("__vc"),
+        )
+        .where(F.col("__vc").isNotNull())
+        .groupBy("user_id", "__hb")
+        .agg(F.sum("__vc").cast("long").alias("__y"))
+    )
+    w = Window.partitionBy("user_id")
+    st = g.select(
+        "user_id",
+        "__hb",
+        "__y",
+        F.count(F.lit(1)).over(w).cast("long").alias("__n"),
+        F.sum("__y").over(w).cast("long").alias("__t"),
+        F.sum(F.col("__y") * F.col("__y")).over(w).cast("long").alias("__q"),
+    )
+    n_d = F.col("__n").cast("double")
+    t_d = F.col("__t").cast("double")
+    q_d = F.col("__q").cast("double")
+    var = (q_d - t_d * t_d / n_d) / n_d
+    z = (F.col("__y").cast("double") - t_d / n_d) / F.sqrt(var)
+    s = st.where(var > 0).select(
+        "user_id",
+        "__hb",
+        F.when(z < -brk, F.lit("a"))
+        .when(z < 0, F.lit("b"))
+        .when(z < brk, F.lit("c"))
+        .otherwise(F.lit("d"))
+        .alias("__sym"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("__hb")
+    l = s.select(
+        "user_id",
+        "__hb",
+        "__sym",
+        F.lead("__hb", 1).over(wo).alias("__hb2"),
+        F.lead("__sym", 1).over(wo).alias("__s2"),
+        F.lead("__hb", 2).over(wo).alias("__hb3"),
+        F.lead("__sym", 2).over(wo).alias("__s3"),
+    )
+    wd = l.where(
+        (F.col("__hb2") == F.col("__hb") + 1)
+        & (F.col("__hb3") == F.col("__hb") + 2)
+    ).select(
+        "user_id", F.concat("__sym", "__s2", "__s3").alias("word")
+    )
+    wc = wd.groupBy("user_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_word")
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("n_word"), "word")
+    )
+    tot = F.sum("n_word").over(Window.partitionBy("user_id")).cast("long")
+    return (
+        wc.select(
+            "user_id",
+            "word",
+            "n_word",
+            tot.alias("__tot"),
+            rnk.cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= top_k)
+        .select(
+            "user_id",
+            "rank",
+            "word",
+            "n_word",
+            F.round(
+                F.col("n_word").cast("double") / F.col("__tot").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("user_id", "rank")
+    )

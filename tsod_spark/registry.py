@@ -228,6 +228,7 @@ _CURRENT_ROUND_PRIORITY = (
     "emb_label_davies_bouldin",
     "orders_km_quartiles",
     "ts_permutation_entropy",
+    "ts_sax_motifs",
 )
 
 
