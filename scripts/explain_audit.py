@@ -84,6 +84,8 @@ ALLOW_NLJ = {
     "orders_km_segment_summary",  # broadcast 1-row max-date scalar
                          # crossJoin onto the censored tails (the
                          # orders_km_survival shape, segment-labeled)
+    "orders_nelson_aalen",  # inherits orders_km_survival's 1-row
+                         # max-date scalar crossJoin (shared risk table)
     "orders_km_quartiles",  # inherits orders_km_survival's 1-row
                          # max-date scalar crossJoin; everything after
                          # the curve is grid-bounded (3 levels)

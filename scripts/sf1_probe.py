@@ -159,6 +159,7 @@ HEADLINE = [
     "dedup_containment_pairs",
     "ts_permutation_entropy",
     "ts_sax_motifs",
+    "orders_nelson_aalen",
 ]
 
 

@@ -333,7 +333,10 @@ def orders_km_survival(spark, sf_dir):
     return km_survival(table(spark, sf_dir, "orders"))
 
 
-def km_survival(orders):
+def km_risk_table(orders):
+    """(dur, d_event, c_censored, n_risk) — the duration-grid risk
+    table both survival estimators (KM product-limit, Nelson-Aalen)
+    read; factored so the estimators share one candidate plan."""
     o = orders.select(
         "o_custkey", F.to_date("o_orderdate").alias("__d"), "o_orderkey"
     )
@@ -366,15 +369,19 @@ def km_survival(orders):
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
-    w_cum = Window.orderBy("dur")
     at = F.col("d_event") + F.col("c_censored")
-    k = g.withColumn(
+    return g.withColumn(
         "n_risk",
         (
             F.sum(at).over(w_all).cast("long")
             - F.coalesce(F.sum(at).over(w_prev).cast("long"), F.lit(0).cast("long"))
         ),
     )
+
+
+def km_survival(orders):
+    k = km_risk_table(orders)
+    w_cum = Window.orderBy("dur")
     nr, de = F.col("n_risk"), F.col("d_event")
     lt = (
         F.when(de == 0, F.lit(0.0))
@@ -2109,3 +2116,57 @@ def sax_motifs(e, top_k: int = 3):
         )
         .orderBy("user_id", "rank")
     )
+
+
+@register(
+    "orders_nelson_aalen",
+    f"""{_KM_CTES},
+    h AS (SELECT dur, n_risk, d_event, c_censored,
+            CASE WHEN d_event > 0
+                 THEN CAST(d_event AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                 ELSE CAST(0 AS DOUBLE) END AS hz,
+            CASE WHEN d_event > 0
+                 THEN CAST(d_event AS DOUBLE)
+                      / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))
+                 ELSE CAST(0 AS DOUBLE) END AS hv
+          FROM l)
+    SELECT dur AS dur_days, n_risk, d_event,
+       round(sum(hz) OVER (ORDER BY dur), 6) AS na_cumhaz,
+       round(sqrt(sum(hv) OVER (ORDER BY dur)), 6) AS na_se,
+       round(exp(-sum(hz) OVER (ORDER BY dur)), 6) AS survival_fh
+    FROM h ORDER BY dur_days""",
+)
+def orders_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard over the same censored
+    inter-order durations as orders_km_survival, with its Poisson
+    standard error and the Fleming-Harrington survival exp(-H) — the
+    estimator pair every survival analysis reports next to
+    Kaplan-Meier (N-A is the stabler of the two in small risk sets,
+    and H(t)'s slope IS the hazard intensity an operations reader
+    wants).  Same shared duration-grid CTEs; the cumulative sums run
+    in ascending-duration order in both engines (the ordered-window
+    association the KM log-sum already relies on), hazard increments
+    are single exact divisions d/n and d/n^2, and the only
+    transcendentals are the final sqrt/exp into round(6).  Plan: the
+    km_survival shape — everything after the per-customer lead window
+    is bounded by the duration GRID."""
+    return nelson_aalen(table(spark, sf_dir, "orders"))
+
+
+def nelson_aalen(orders):
+    k = km_risk_table(orders)
+    nr, de = F.col("n_risk"), F.col("d_event")
+    hz = F.when(de > 0, de.cast("double") / nr.cast("double")).otherwise(F.lit(0.0))
+    hv = F.when(
+        de > 0, de.cast("double") / (nr.cast("double") * nr.cast("double"))
+    ).otherwise(F.lit(0.0))
+    w_cum = Window.orderBy("dur")
+    h = k.withColumn("__hz", hz).withColumn("__hv", hv)
+    return h.select(
+        F.col("dur").alias("dur_days"),
+        "n_risk",
+        "d_event",
+        F.round(F.sum("__hz").over(w_cum), 6).alias("na_cumhaz"),
+        F.round(F.sqrt(F.sum("__hv").over(w_cum)), 6).alias("na_se"),
+        F.round(F.exp(-F.sum("__hz").over(w_cum)), 6).alias("survival_fh"),
+    ).orderBy("dur_days")

@@ -229,6 +229,7 @@ _CURRENT_ROUND_PRIORITY = (
     "orders_km_quartiles",
     "ts_permutation_entropy",
     "ts_sax_motifs",
+    "orders_nelson_aalen",
 )
 
 
