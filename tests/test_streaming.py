@@ -1495,3 +1495,53 @@ def test_stream_markov_counts_matches_batch(spark, events_batches):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_permutation_entropy_matches_batch(spark, events_batches):
+    """The LAST emission per user equals the batch ts_permutation_
+    entropy over CLOSED buckets (every hour before the user's latest
+    open one) — pattern counts exact, entropy from counts."""
+    from tsod_spark.queries.round8 import permutation_entropy
+    from tsod_spark.streaming import stream_permutation_entropy
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_permutation_entropy(src, series=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_pe")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got: dict = {}
+    for r in spark.sql("SELECT * FROM t_pe").collect():
+        if r.user_id not in got or r.n_triples > got[r.user_id].n_triples:
+            got[r.user_id] = r
+
+    from pyspark.sql import Window as W3
+
+    e = registry.table(spark, SF, "events")
+    closed = e.withColumn(
+        "__hb", F.expr("unix_micros(ts) div 3600000000")
+    ).withColumn(
+        "__mx",
+        F.max(
+            F.when(
+                ~F.isnan("value") & F.col("value").isNotNull(), F.col("__hb")
+            )
+        ).over(W3.partitionBy("user_id")),
+    ).where(F.col("__hb") < F.col("__mx")).drop("__hb", "__mx")
+    batch = {r.user_id: r for r in permutation_entropy(closed).collect()}
+    assert set(got) == set(batch)
+    assert len(got) > 0
+    for u, b in batch.items():
+        s = got[u]
+        assert (s.n_triples, s.k_patterns) == (b.n_triples, b.k_patterns)
+        assert s.pe_nats == pytest.approx(b.pe_nats, abs=2e-6)
+        assert s.pe_norm == pytest.approx(b.pe_norm, abs=2e-6)

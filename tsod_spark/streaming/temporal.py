@@ -1771,3 +1771,137 @@ def stream_markov_counts(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stream_permutation_entropy(
+    stream_df: DataFrame,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming ordinal-pattern complexity — the continuous twin of
+    the batch ``ts_permutation_entropy`` query: per series, the
+    Bandt-Pompe m=3 pattern distribution over consecutive CLOSED
+    hourly-cent buckets, re-scored each micro-batch (update mode; the
+    last emission equals the batch query restricted to closed buckets,
+    i.e. every hour before the series' latest open one).
+
+    State per key: the pending (hour, exact cent sum) bucket, the last
+    two closed buckets, and the exact int64 pattern-count vector
+    (bounded at 6 entries).  A bucket closes when a later-hour row
+    arrives (the stream_holt_winters fold); a closed bucket extends a
+    triple only when the three hours are consecutive (the batch gap
+    rule).  Entropy derives fresh from the exact counts per emission —
+    the count-moment identity, no float state.
+    """
+    import math
+
+    import numpy as np
+
+    series = list(series)
+    key_fields = [stream_df.schema[c] for c in series]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("n_triples", LongType()),
+            StructField("k_patterns", LongType()),
+            StructField("pe_nats", DoubleType()),
+            StructField("pe_norm", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("pend_hb", LongType()),
+            StructField("pend_sum", LongType()),
+            StructField("hbs", ArrayType(LongType())),   # last 2 closed hours
+            StructField("ys", ArrayType(LongType())),    # their cent sums
+            StructField("pats", ArrayType(LongType())),
+            StructField("cnts", ArrayType(LongType())),
+        ]
+    )
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        new = new.sort_values([ts_col], kind="mergesort")
+        if state.exists:
+            pend_hb, pend_sum, hbs, ys, pats, cnts = state.get
+            hist = list(zip([int(h) for h in hbs], [int(y) for y in ys]))
+            counts = {int(p): int(c) for p, c in zip(list(pats), list(cnts))}
+        else:
+            pend_hb, pend_sum, hist, counts = None, 0, [], {}
+
+        def close(hb0: int, y0: int) -> None:
+            nonlocal hist
+            if len(hist) == 2 and hist[0][0] == hb0 - 2 and hist[1][0] == hb0 - 1:
+                x = [hist[0][1], hist[1][1], y0]
+                r1 = (x[1] < x[0]) + (x[2] < x[0])
+                r2 = (x[0] <= x[1]) + (x[2] < x[1])
+                r3 = (x[0] <= x[2]) + (x[1] <= x[2])
+                p = 9 * r1 + 3 * r2 + r3
+                counts[p] = counts.get(p, 0) + 1
+            hist = (hist + [(hb0, y0)])[-2:]
+
+        new_ts = pd.to_datetime(new[ts_col]).astype("int64") // 1000
+        vals = new[value_col].astype(float).to_numpy()
+        hbs_arr = (new_ts // 3_600_000_000).to_numpy()
+        for y, hb in zip(vals, hbs_arr):
+            if math.isnan(y):
+                continue
+            hb = int(hb)
+            # half-away-from-zero, matching F.round in the batch twin
+            c = (-1 if y < 0 else 1) * int(np.floor(abs(y) * 100 + 0.5))
+            if pend_hb is None:
+                pend_hb, pend_sum = hb, c
+            elif hb == pend_hb:
+                pend_sum += c
+            elif hb > pend_hb:
+                close(int(pend_hb), int(pend_sum))
+                pend_hb, pend_sum = hb, c
+            # hb < pend_hb: late row behind the open bucket — dropped
+            # (bound disorder upstream with withWatermark)
+        state.update(
+            (
+                int(pend_hb) if pend_hb is not None else None,
+                int(pend_sum),
+                [h for h, _ in hist],
+                [y for _, y in hist],
+                list(counts.keys()),
+                list(counts.values()),
+            )
+        )
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        n = sum(counts.values())
+        if n == 0:
+            return
+        k = len(counts)
+        h = math.log(n) - sum(c * math.log(c) for c in counts.values()) / n
+        yield pd.DataFrame(
+            [
+                {
+                    **{c: key[i] for i, c in enumerate(series)},
+                    "n_triples": n,
+                    "k_patterns": k,
+                    "pe_nats": round(h, 6),
+                    "pe_norm": round(h / math.log(6.0), 6),
+                }
+            ]
+        )
+
+    return stream_df.groupBy(*series).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
