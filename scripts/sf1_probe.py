@@ -160,6 +160,7 @@ HEADLINE = [
     "ts_permutation_entropy",
     "ts_sax_motifs",
     "orders_nelson_aalen",
+    "ts_conformal_snaive",
 ]
 
 

@@ -592,3 +592,53 @@ def test_sax_motifs_matches_pure_python(spark):
     # top words are 'aab'/'abb'/... style
     w0 = got[1][0][1]
     assert all(w0[i] <= w0[i + 1] for i in range(2)), w0
+
+
+def test_conformal_snaive_matches_pure_python(spark):
+    """Dense crafted series: the conformal quantile must be the exact
+    ceil((n+1)*0.8)-th smallest calibration residual, coverage the
+    exact test-side share, and a too-short series must emit NO row
+    (refusing to certify is the conformal contract)."""
+    import math
+    import random
+
+    from tsod_spark.queries.round8 import conformal_snaive
+
+    rng = random.Random(53)
+    rows = []
+    # user 1: 300 consecutive hours -> plenty of 24h pairs
+    for h in range(300):
+        rows.append((1, h, 10.0 + rng.uniform(-5, 5)))
+    # user 2: 20 hours only -> some pairs but n_cal < 9 -> no row
+    for h in range(20):
+        rows.append((2, h, 3.0))
+    df = _mk_events(spark, rows)
+    got = {r.user_id: r for r in conformal_snaive(df).collect()}
+    assert 2 not in got
+
+    # pure-python mirror for user 1
+    ys = {}
+    for u, h, v in rows:
+        if u == 1:
+            ys[h] = ys.get(h, 0) + int(round(v * 100))
+    base_hb = 473352  # 2024-01-01T00 in epoch hours (ts fixture origin)
+    resid = {}
+    for h, y in ys.items():
+        if h - 24 in ys:
+            resid[h] = abs(y - ys[h - 24])
+    cal = sorted(
+        (resid[h], base_hb + h) for h in resid if (base_hb + h) % 5 != 0
+    )
+    test = [resid[h] for h in resid if (base_hb + h) % 5 == 0]
+    n_cal = len(cal)
+    k = ((n_cal + 1) * 8 + 9) // 10
+    qhat = cal[k - 1][0]
+    r = got[1]
+    assert r.n_cal == n_cal
+    assert r.qhat_cents == qhat
+    assert r.n_test == len(test)
+    covered = sum(1 for x in test if x <= qhat)
+    assert r.n_flagged == len(test) - covered
+    assert r.coverage == pytest.approx(round(covered / len(test), 6), abs=1e-9)
+    # the finite-sample guarantee: coverage near or above 0.8
+    assert r.coverage >= 0.75

@@ -2170,3 +2170,129 @@ def nelson_aalen(orders):
         F.round(F.sqrt(F.sum("__hv").over(w_cum)), 6).alias("na_se"),
         F.round(F.exp(-F.sum("__hz").over(w_cum)), 6).alias("survival_fh"),
     ).orderBy("dur_days")
+
+
+@register(
+    "ts_conformal_snaive",
+    """WITH c AS (SELECT user_id, date_trunc('hour', ts) AS b,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc FROM events),
+    p AS (SELECT user_id, b, CAST(sum(vc) AS BIGINT) AS x
+          FROM c WHERE vc IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT a.user_id,
+            CAST(epoch_us(a.b) // 3600000000 AS BIGINT) AS hb,
+            abs(a.x - f.x) AS resid
+          FROM p a JOIN p f
+            ON f.user_id = a.user_id AND f.b = a.b - INTERVAL 24 HOUR),
+    cal AS (SELECT user_id, resid,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY resid, hb) AS rk,
+              CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_cal
+            FROM r WHERE hb % 5 <> 0),
+    q AS (SELECT user_id, n_cal, resid AS qhat_cents
+          FROM cal WHERE rk = ((n_cal + 1) * 8 + 9) // 10),
+    t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_test,
+            CAST(sum(CASE WHEN resid <= q.qhat_cents THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_covered
+          FROM r JOIN q USING (user_id) WHERE hb % 5 = 0
+          GROUP BY user_id, q.qhat_cents)
+    SELECT q.user_id, q.n_cal, q.qhat_cents,
+       coalesce(t.n_test, CAST(0 AS BIGINT)) AS n_test,
+       coalesce(t.n_test, CAST(0 AS BIGINT))
+         - coalesce(t.n_covered, CAST(0 AS BIGINT)) AS n_flagged,
+       CASE WHEN t.n_test > 0
+            THEN round(CAST(t.n_covered AS DOUBLE)
+                       / CAST(t.n_test AS DOUBLE), 6) END AS coverage
+    FROM q LEFT JOIN t ON t.user_id = q.user_id
+    ORDER BY q.user_id""",
+)
+def ts_conformal_snaive(spark, sf_dir):
+    """Split-conformal anomaly interval on the seasonal-naive
+    forecaster, per series: calibration residuals |y_t - y_{t-24h}|
+    (hours with hb % 5 <> 0) yield the finite-sample conformal
+    quantile — the ceil((n+1)(1-alpha))-th SMALLEST calibration
+    residual at alpha = 0.2, an exact integer order statistic
+    (rank ((n+1)*8+9) div 10, int64 residual cents, ties broken by
+    hour so the picked row is unique) — and held-out hours (hb % 5 =
+    0) score against it: residuals above q-hat are flagged, and the
+    reported coverage should concentrate near 0.8 WITHOUT any
+    distributional assumption; that guarantee is the whole point of
+    conformal calibration vs the 5x-MAD rule of ts_hw_anomaly.  A
+    series whose conformal rank exceeds n_cal (too few calibration
+    points to certify 80%) emits no row — refusing to certify is the
+    correct conformal behavior.  Everything except the one coverage
+    division is integer arithmetic; the forecast lookup is the
+    gap-safe 24h self-join of ts_backtest_snaive.  Plan: fact scan ->
+    (series, hour) aggregate (cached, scanned by both split sides),
+    self-join keyed by series, one rank window over the per-series
+    calibration frame."""
+    return conformal_snaive(table(spark, sf_dir, "events"))
+
+
+def conformal_snaive(e):
+    from ..expressions import nan_to_null
+
+    cents = F.round(nan_to_null(F.col("value")) * 100).cast("long")
+    p = (
+        e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("__b"))
+        .agg(F.sum(cents).alias("__x"))
+        .where(F.col("__x").isNotNull())
+        .cache()
+    )
+    a, f = p.alias("a"), p.alias("f")
+    r = a.join(
+        f,
+        (F.col("f.user_id") == F.col("a.user_id"))
+        & (F.col("f.__b") == F.col("a.__b") - F.expr("INTERVAL 24 HOUR")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.expr("unix_micros(a.__b) div 3600000000").alias("__hb"),
+        F.abs(F.col("a.__x") - F.col("f.__x")).cast("long").alias("__resid"),
+    )
+    cal = r.where(F.col("__hb") % 5 != 0)
+    wn = Window.partitionBy("user_id")
+    wr = Window.partitionBy("user_id").orderBy("__resid", "__hb")
+    ranked = cal.select(
+        "user_id",
+        "__resid",
+        F.row_number().over(wr).cast("long").alias("__rk"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n_cal"),
+    )
+    q = ranked.where(
+        F.col("__rk") == F.expr("((n_cal + 1) * 8 + 9) div 10")
+    ).select("user_id", "n_cal", F.col("__resid").alias("qhat_cents"))
+    t = (
+        r.where(F.col("__hb") % 5 == 0)
+        .join(q.select("user_id", "qhat_cents"), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("__resid") <= F.col("qhat_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("__cov"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        q.join(t, "user_id", "left")
+        .select(
+            "user_id",
+            "n_cal",
+            "qhat_cents",
+            F.coalesce(F.col("n_test"), zero).alias("n_test"),
+            (
+                F.coalesce(F.col("n_test"), zero)
+                - F.coalesce(F.col("__cov"), zero)
+            ).alias("n_flagged"),
+            F.when(
+                F.col("n_test") > 0,
+                F.round(
+                    F.col("__cov").cast("double") / F.col("n_test").cast("double"),
+                    6,
+                ),
+            ).alias("coverage"),
+        )
+        .orderBy("user_id")
+    )

@@ -230,6 +230,7 @@ _CURRENT_ROUND_PRIORITY = (
     "ts_permutation_entropy",
     "ts_sax_motifs",
     "orders_nelson_aalen",
+    "ts_conformal_snaive",
 )
 
 
