@@ -2248,7 +2248,7 @@ def conformal_snaive(e):
         F.col("a.user_id").alias("user_id"),
         F.expr("unix_micros(a.__b) div 3600000000").alias("__hb"),
         F.abs(F.col("a.__x") - F.col("f.__x")).cast("long").alias("__resid"),
-    )
+    ).cache()  # scanned by BOTH split sides; bounded by the bucket count
     cal = r.where(F.col("__hb") % 5 != 0)
     wn = Window.partitionBy("user_id")
     wr = Window.partitionBy("user_id").orderBy("__resid", "__hb")
