@@ -161,6 +161,7 @@ HEADLINE = [
     "ts_sax_motifs",
     "orders_nelson_aalen",
     "ts_conformal_snaive",
+    "events_attribution_credit",
 ]
 
 

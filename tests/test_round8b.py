@@ -642,3 +642,52 @@ def test_conformal_snaive_matches_pure_python(spark):
     assert r.coverage == pytest.approx(round(covered / len(test), 6), abs=1e-9)
     # the finite-sample guarantee: coverage near or above 0.8
     assert r.coverage >= 0.75
+
+
+def test_attribution_credit_conservation_and_pure_python(spark):
+    """Crafted funnel: each model's total credit equals the number of
+    touched conversions; per-type splits match a pure-python mirror
+    (incl. the 7-day window edge and the (ts, id) tiebreak)."""
+    import datetime as dt
+
+    from tsod_spark.queries.round8 import attribution_credit
+
+    t0 = dt.datetime(2024, 1, 10)
+    rows = []  # (event_id, user_id, ts, event_type)
+    eid = 0
+
+    def add(u, dh, typ):
+        nonlocal eid
+        rows.append((eid, u, t0 + dt.timedelta(hours=dh), typ))
+        eid += 1
+
+    # user 1: click, view, purchase (both touches in window)
+    add(1, 0, "click"); add(1, 1, "view"); add(1, 2, "purchase")
+    # user 2: touch EXACTLY 7 days before (included), one outside
+    add(2, -7 * 24, "click")          # boundary: conv_ts - 7 days
+    add(2, -8 * 24, "view")           # outside the window
+    add(2, 0, "purchase")
+    # user 3: purchase with no touches
+    add(3, 5, "purchase")
+    # user 4: simultaneous touches (tiebreak by event_id)
+    add(4, 0, "click"); add(4, 0, "view"); add(4, 1, "purchase")
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r.touch_type: r for r in attribution_credit(df).collect()}
+
+    # conservation: 3 touched conversions (user 3 has none)
+    assert sum(r.first_touch for r in out.values()) == 3
+    assert sum(r.last_touch for r in out.values()) == 3
+    assert sum(r.linear_credit for r in out.values()) == pytest.approx(3.0, abs=1e-5)
+    # user 1: first=click, last=view; user 2: only click in window;
+    # user 4: ts tie -> first = lower event_id (click), last = higher (view)
+    assert out["click"].first_touch == 3   # users 1, 2, 4
+    assert out["click"].last_touch == 1    # user 2
+    assert out["view"].last_touch == 2     # users 1, 4
+    assert out["view"].first_touch == 0
+    assert out["click"].n_conversions == 3
+    assert out["view"].n_conversions == 2
+    # linear: u1 k=2 (click .5, view .5), u2 k=1 (click 1), u4 k=2
+    assert out["click"].linear_credit == pytest.approx(2.0, abs=1e-6)
+    assert out["view"].linear_credit == pytest.approx(1.0, abs=1e-6)

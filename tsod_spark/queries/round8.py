@@ -2296,3 +2296,102 @@ def conformal_snaive(e):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_attribution_credit",
+    """WITH conv AS (SELECT user_id, event_id AS conv_id, ts AS conv_ts
+                     FROM events WHERE event_type = 'purchase'),
+    touch AS (SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+                     ts AS touch_ts
+              FROM events WHERE event_type <> 'purchase'),
+    j AS (SELECT c.conv_id, t.touch_type, t.touch_ts, t.touch_id
+          FROM conv c JOIN touch t
+            ON t.user_id = c.user_id
+           AND t.touch_ts < c.conv_ts
+           AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY),
+    r AS (SELECT conv_id, touch_type,
+            CAST(count(*) OVER wc AS BIGINT) AS k,
+            row_number() OVER (PARTITION BY conv_id
+                               ORDER BY touch_ts DESC, touch_id DESC) AS rl,
+            row_number() OVER (PARTITION BY conv_id
+                               ORDER BY touch_ts ASC, touch_id ASC) AS rf
+          FROM j WINDOW wc AS (PARTITION BY conv_id))
+    SELECT touch_type,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+       CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS first_touch,
+       CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS last_touch,
+       round(sum(1.0 / CAST(k AS DOUBLE)), 6) AS linear_credit
+    FROM r GROUP BY touch_type ORDER BY touch_type""",
+)
+def events_attribution_credit(spark, sf_dir):
+    """Multi-touch conversion attribution over the event stream: every
+    purchase distributes credit across the SAME user's touch events in
+    the trailing 7 days under the three standard models — first-touch,
+    last-touch (integer counts of being the window's first/latest
+    touch, (ts, event_id)-tiebroken so both engines pick the identical
+    row), and linear (1/k per touch, k = the conversion's touch count)
+    — the marketing-science table every funnel/retention readout feeds
+    into.  Totals per model are conserved across types (each equals
+    the number of touched conversions), which the test asserts.  Plan:
+    the conversion-touch pairing is an equi-join on the series key
+    with a time-range residual (co-partitioned by user, never
+    cartesian); both rank windows and the credit aggregate are
+    bounded by touches-per-conversion, capped by the 7-day window at
+    any scale.  Only float: the 1/k division, summed per type into
+    round(6)."""
+    return attribution_credit(table(spark, sf_dir, "events"))
+
+
+def attribution_credit(e, conversion_type: str = "purchase", window_days: int = 7):
+    base = e.select("user_id", "event_id", "event_type", "ts")
+    conv = base.where(F.col("event_type") == conversion_type).select(
+        "user_id",
+        F.col("event_id").alias("__conv_id"),
+        F.col("ts").alias("__conv_ts"),
+    )
+    touch = base.where(F.col("event_type") != conversion_type).select(
+        "user_id",
+        F.col("event_id").alias("__touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("__touch_ts"),
+    )
+    j = conv.join(
+        touch,
+        (conv["user_id"] == touch["user_id"])
+        & (F.col("__touch_ts") < F.col("__conv_ts"))
+        & (
+            F.col("__touch_ts")
+            >= F.col("__conv_ts") - F.expr(f"INTERVAL {window_days} DAYS")
+        ),
+    ).select("__conv_id", "touch_type", "__touch_ts", "__touch_id")
+    wc = Window.partitionBy("__conv_id")
+    wl = Window.partitionBy("__conv_id").orderBy(
+        F.desc("__touch_ts"), F.desc("__touch_id")
+    )
+    wf = Window.partitionBy("__conv_id").orderBy("__touch_ts", "__touch_id")
+    r = j.select(
+        "__conv_id",
+        "touch_type",
+        F.count(F.lit(1)).over(wc).cast("long").alias("__k"),
+        F.row_number().over(wl).alias("__rl"),
+        F.row_number().over(wf).alias("__rf"),
+    )
+    return (
+        r.groupBy("touch_type")
+        .agg(
+            F.countDistinct("__conv_id").cast("long").alias("n_conversions"),
+            F.sum(F.when(F.col("__rf") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("first_touch"),
+            F.sum(F.when(F.col("__rl") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("last_touch"),
+            F.round(F.sum(F.lit(1.0) / F.col("__k").cast("double")), 6).alias(
+                "linear_credit"
+            ),
+        )
+        .orderBy("touch_type")
+    )

@@ -231,6 +231,7 @@ _CURRENT_ROUND_PRIORITY = (
     "ts_sax_motifs",
     "orders_nelson_aalen",
     "ts_conformal_snaive",
+    "events_attribution_credit",
 )
 
 
