@@ -162,6 +162,7 @@ HEADLINE = [
     "orders_nelson_aalen",
     "ts_conformal_snaive",
     "events_attribution_credit",
+    "ts_periodogram",
 ]
 
 

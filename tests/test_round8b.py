@@ -691,3 +691,44 @@ def test_attribution_credit_conservation_and_pure_python(spark):
     # linear: u1 k=2 (click .5, view .5), u2 k=1 (click 1), u4 k=2
     assert out["click"].linear_credit == pytest.approx(2.0, abs=1e-6)
     assert out["view"].linear_credit == pytest.approx(1.0, abs=1e-6)
+
+
+def test_periodogram_finds_planted_period(spark):
+    """A planted 12h sinusoid must dominate at period 12; a planted
+    weekly square wave at 168; per-row values match a pure-python
+    single-bin DFT to round-6."""
+    import math
+
+    from tsod_spark.queries.round8 import periodogram
+
+    rows = []
+    for h in range(336):  # two weeks
+        rows.append((1, h, 10.0 + 5.0 * math.sin(2 * math.pi * h / 12)))
+        rows.append((2, h, 3.0 if (h % 168) < 84 else 9.0))
+    df = _mk_events(spark, rows)
+    out = {}
+    for r in periodogram(df).collect():
+        out.setdefault(r.user_id, {})[r.period] = r
+    dom1 = [p for p, r in out[1].items() if r.is_dominant]
+    dom2 = [p for p, r in out[2].items() if r.is_dominant]
+    assert dom1 == [12]
+    assert dom2 == [168]
+
+    # pure-python mirror for user 1
+    base_hb = 473352
+    ys = {base_hb + h: int(round((10.0 + 5.0 * math.sin(2 * math.pi * h / 12)) * 100))
+          for h in range(336)}
+    n = len(ys)
+    t = sum(ys.values())
+    q = sum(y * y for y in ys.values())
+    var = (q - t * t / n) / n
+    mu, sd = t / n, math.sqrt(var)
+    for p in (6, 8, 12, 24, 48, 168):
+        ca = sum(((y - mu) / sd) * math.cos(2 * math.pi * (hb % p) / p)
+                 for hb, y in ys.items())
+        sb = sum(((y - mu) / sd) * math.sin(2 * math.pi * (hb % p) / p)
+                 for hb, y in ys.items())
+        exp_power = round((ca * ca + sb * sb) / n, 6)
+        assert out[1][p].power == pytest.approx(exp_power, abs=1e-4), p
+    # the planted bin carries essentially all spectral mass
+    assert out[1][12].power_share > 0.95

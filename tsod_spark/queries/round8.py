@@ -2395,3 +2395,143 @@ def attribution_credit(e, conversion_type: str = "purchase", window_days: int = 
         )
         .orderBy("touch_type")
     )
+
+
+_PERIODS = (6, 8, 12, 24, 48, 168)
+_TWO_PI = "6.283185307179586"
+
+
+@register(
+    "ts_periodogram",
+    f"""WITH c AS (SELECT user_id,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hb,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc
+       FROM events),
+    g AS (SELECT user_id, hb, CAST(sum(vc) AS BIGINT) AS y
+          FROM c WHERE vc IS NOT NULL GROUP BY 1, 2),
+    st AS (SELECT user_id, hb, y,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(y) OVER w AS BIGINT) AS t,
+             CAST(sum(y * y) OVER w AS BIGINT) AS q
+           FROM g WINDOW w AS (PARTITION BY user_id)),
+    z AS (SELECT user_id, hb, n,
+            (CAST(y AS DOUBLE) - CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+              / sqrt((CAST(q AS DOUBLE)
+                      - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                        / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS zv
+          FROM st
+          WHERE (CAST(q AS DOUBLE)
+                 - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(n AS DOUBLE) > 0),
+    e AS (SELECT user_id, n, zv, hb, u.p
+          FROM z, unnest([{", ".join(str(p) for p in _PERIODS)}]) AS u(p)),
+    a AS (SELECT user_id, p AS period,
+            CAST(any_value(n) AS BIGINT) AS n_hours,
+            sum(zv * cos({_TWO_PI} * CAST(hb % p AS DOUBLE)
+                         / CAST(p AS DOUBLE))) AS ca,
+            sum(zv * sin({_TWO_PI} * CAST(hb % p AS DOUBLE)
+                         / CAST(p AS DOUBLE))) AS sb
+          FROM e GROUP BY 1, 2),
+    pw AS (SELECT user_id, CAST(period AS BIGINT) AS period, n_hours,
+             round((ca * ca + sb * sb) / CAST(n_hours AS DOUBLE), 6) AS power
+           FROM a),
+    rk AS (SELECT *,
+             round(power / sum(power) OVER (PARTITION BY user_id), 6)
+               AS power_share,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY power DESC, period) AS rnk
+           FROM pw)
+    SELECT user_id, period, n_hours, power, power_share,
+       rnk = 1 AS is_dominant
+    FROM rk ORDER BY user_id, period""",
+)
+def ts_periodogram(spark, sf_dir):
+    """Candidate-period periodogram per series: spectral power of the
+    z-normalized hourly cent totals at the calendar-meaningful periods
+    {{6, 8, 12, 24, 48, 168}}h — WHICH cycle dominates, where
+    ts_hour_anova only asks whether the fixed 24h one exists (a
+    12h-shift sensor or a weekly-batch pipeline lights up 12/168, not
+    24).  Power_p = (A^2 + B^2)/n with A = sum z*cos(2*pi*(hb mod p)/p),
+    B likewise — the single-frequency Goertzel/DFT bin.  Exactness
+    discipline: z-scores divide identical doubles (the sax central-
+    moment form), the angle argument uses hb MOD p so both engines
+    feed libm small identical doubles (~1 ulp agreement), and the sum's
+    association noise (~1e-13 on n~1e3 unit-scale terms) vanishes in
+    round(6); dominance ranks by the ROUNDED power (ties to the
+    shorter period) so the flag is engine-exact.  Plan: fact scan ->
+    (series, hour) aggregate, stats window, a 6x grid explode of the
+    bucket frame (never the fact table), one (series, period)
+    aggregate, one final window over the 6-row-per-series frame."""
+    return periodogram(table(spark, sf_dir, "events"))
+
+
+def periodogram(e):
+    import math
+
+    from ..expressions import nan_to_null
+
+    two_pi = float(_TWO_PI)
+    assert two_pi == 2 * math.pi
+    cents = F.round(nan_to_null(F.col("value")) * 100).cast("long")
+    g = (
+        e.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("__hb"),
+            cents.alias("__vc"),
+        )
+        .where(F.col("__vc").isNotNull())
+        .groupBy("user_id", "__hb")
+        .agg(F.sum("__vc").cast("long").alias("__y"))
+    )
+    w = Window.partitionBy("user_id")
+    st = g.select(
+        "user_id",
+        "__hb",
+        "__y",
+        F.count(F.lit(1)).over(w).cast("long").alias("__n"),
+        F.sum("__y").over(w).cast("long").alias("__t"),
+        F.sum(F.col("__y") * F.col("__y")).over(w).cast("long").alias("__q"),
+    )
+    n_d = F.col("__n").cast("double")
+    t_d = F.col("__t").cast("double")
+    q_d = F.col("__q").cast("double")
+    var = (q_d - t_d * t_d / n_d) / n_d
+    zv = (F.col("__y").cast("double") - t_d / n_d) / F.sqrt(var)
+    z = st.where(var > 0).select(
+        "user_id", "__hb", F.col("__n"), zv.alias("__zv")
+    )
+    grid = F.array(*[F.lit(p).cast("long") for p in _PERIODS])
+    ex = z.select(
+        "user_id", "__hb", "__n", "__zv", F.explode(grid).alias("period")
+    )
+    ang = (
+        F.lit(two_pi)
+        * (F.col("__hb") % F.col("period")).cast("double")
+        / F.col("period").cast("double")
+    )
+    a = ex.groupBy("user_id", "period").agg(
+        F.first("__n").alias("n_hours"),
+        F.sum(F.col("__zv") * F.cos(ang)).alias("__ca"),
+        F.sum(F.col("__zv") * F.sin(ang)).alias("__sb"),
+    )
+    power = F.round(
+        (F.col("__ca") * F.col("__ca") + F.col("__sb") * F.col("__sb"))
+        / F.col("n_hours").cast("double"),
+        6,
+    )
+    pw = a.select("user_id", "period", "n_hours", power.alias("power"))
+    share = F.round(
+        F.col("power") / F.sum("power").over(Window.partitionBy("user_id")), 6
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("power"), "period")
+    )
+    return pw.select(
+        "user_id",
+        "period",
+        "n_hours",
+        "power",
+        share.alias("power_share"),
+        (rnk == 1).alias("is_dominant"),
+    ).orderBy("user_id", "period")

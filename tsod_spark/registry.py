@@ -232,6 +232,7 @@ _CURRENT_ROUND_PRIORITY = (
     "orders_nelson_aalen",
     "ts_conformal_snaive",
     "events_attribution_credit",
+    "ts_periodogram",
 )
 
 
