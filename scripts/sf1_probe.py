@@ -163,6 +163,7 @@ HEADLINE = [
     "ts_conformal_snaive",
     "events_attribution_credit",
     "ts_periodogram",
+    "supplier_ship_latency",
 ]
 
 

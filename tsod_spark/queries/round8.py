@@ -2535,3 +2535,77 @@ def periodogram(e):
         share.alias("power_share"),
         (rnk == 1).alias("is_dominant"),
     ).orderBy("user_id", "period")
+
+
+@register(
+    "supplier_ship_latency",
+    f"""WITH j AS (SELECT l.l_suppkey AS s_suppkey,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lat
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    arr AS (SELECT s_suppkey,
+              CAST(count(*) AS BIGINT) AS n_items,
+              CAST(sum(lat) AS BIGINT) AS t,
+              CAST(sum(CASE WHEN lat > 90 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_late,
+              list_sort(list(lat)) AS a
+            FROM j GROUP BY 1)
+    SELECT s_suppkey, n_items,
+       round(CAST(t AS DOUBLE) / CAST(n_items AS DOUBLE), 6)
+         AS mean_latency_days,
+       round({spark_quantile_sql('a', 0.5)}, 6) AS p50_latency,
+       round({spark_quantile_sql('a', 0.9)}, 6) AS p90_latency,
+       round(CAST(n_late AS DOUBLE) / CAST(n_items AS DOUBLE), 6)
+         AS late90_share
+    FROM arr ORDER BY s_suppkey""",
+)
+def supplier_ship_latency(spark, sf_dir):
+    """Supplier fulfillment-latency profile: per supplier, the
+    order-to-ship latency distribution — exact mean (int64 day sum,
+    one division), engine-exact p50/p90 (Spark ``percentile``
+    interpolation reproduced bit-for-bit by the shared
+    spark_quantile_sql oracle helper), and the share of line items
+    shipping more than 90 days after the order — the operations
+    scorecard a procurement team reads next to parts_abc and
+    orders_in_flight.  Plan: the one fact-fact equi-join
+    (lineitem x orders on orderkey, co-partitioned shuffle, AQE-sized),
+    then a single supplier-grain aggregate; latencies are small ints,
+    so the per-group sorted list the exact percentile needs is bounded
+    by items-per-supplier."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.select("l_suppkey", "l_orderkey", "l_shipdate").join(
+        o, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    lat = F.datediff(
+        F.to_date("l_shipdate"), F.to_date("o_orderdate")
+    ).cast("long")
+    # single supplier-grain aggregate (measured: the two-level
+    # (supplier, day)-histogram form adds a shuffle that costs MORE
+    # than it saves — 4.2s vs 2.2s warm at sf1 — because per-group
+    # exact percentiles on ~6k-element groups are cheap in memory)
+    a = (
+        j.select(F.col("l_suppkey").alias("s_suppkey"), lat.alias("__lat"))
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("__lat").cast("long").alias("__t"),
+            F.sum(F.when(F.col("__lat") > 90, 1).otherwise(0))
+            .cast("long")
+            .alias("__late"),
+            F.round(F.percentile("__lat", F.lit(0.5)), 6).alias("p50_latency"),
+            F.round(F.percentile("__lat", F.lit(0.9)), 6).alias("p90_latency"),
+        )
+    )
+    return a.select(
+        "s_suppkey",
+        "n_items",
+        F.round(
+            F.col("__t").cast("double") / F.col("n_items").cast("double"), 6
+        ).alias("mean_latency_days"),
+        "p50_latency",
+        "p90_latency",
+        F.round(
+            F.col("__late").cast("double") / F.col("n_items").cast("double"), 6
+        ).alias("late90_share"),
+    ).orderBy("s_suppkey")

@@ -233,6 +233,7 @@ _CURRENT_ROUND_PRIORITY = (
     "ts_conformal_snaive",
     "events_attribution_credit",
     "ts_periodogram",
+    "supplier_ship_latency",
 )
 
 
