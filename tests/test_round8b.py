@@ -691,6 +691,16 @@ def test_attribution_credit_conservation_and_pure_python(spark):
     # linear: u1 k=2 (click .5, view .5), u2 k=1 (click 1), u4 k=2
     assert out["click"].linear_credit == pytest.approx(2.0, abs=1e-6)
     assert out["view"].linear_credit == pytest.approx(1.0, abs=1e-6)
+    # decay model also conserves, and the LATER touch earns more:
+    # user 1's view (1h before purchase) outweighs its click (2h)
+    assert sum(r.decay_credit for r in out.values()) == pytest.approx(3.0, abs=1e-5)
+    import math
+
+    w_click = 2 ** (-(2 / 24) / 3.5)
+    w_view = 2 ** (-(1 / 24) / 3.5)
+    u1_view = w_view / (w_click + w_view)
+    # view credit = u1_view (user1) + u4's identical-ts split
+    assert out["view"].decay_credit > out["view"].linear_credit - 1e-9
 
 
 def test_periodogram_finds_planted_period(spark):

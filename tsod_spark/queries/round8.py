@@ -2315,24 +2315,34 @@ def conformal_snaive(e):
             row_number() OVER (PARTITION BY conv_id
                                ORDER BY touch_ts DESC, touch_id DESC) AS rl,
             row_number() OVER (PARTITION BY conv_id
-                               ORDER BY touch_ts ASC, touch_id ASC) AS rf
-          FROM j WINDOW wc AS (PARTITION BY conv_id))
+                               ORDER BY touch_ts ASC, touch_id ASC) AS rf,
+            pow(2.0, -(CAST(epoch_us(conv_ts) - epoch_us(touch_ts) AS DOUBLE)
+                       / 86400000000.0) / 3.5) AS w,
+            sum(pow(2.0, -(CAST(epoch_us(conv_ts) - epoch_us(touch_ts)
+                                AS DOUBLE) / 86400000000.0) / 3.5))
+              OVER wc AS wsum
+          FROM (SELECT j.*, c2.conv_ts
+                FROM j JOIN conv c2 ON c2.conv_id = j.conv_id)
+          WINDOW wc AS (PARTITION BY conv_id))
     SELECT touch_type,
        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
        CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS first_touch,
        CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS last_touch,
-       round(sum(1.0 / CAST(k AS DOUBLE)), 6) AS linear_credit
+       round(sum(1.0 / CAST(k AS DOUBLE)), 6) AS linear_credit,
+       round(sum(w / wsum), 6) AS decay_credit
     FROM r GROUP BY touch_type ORDER BY touch_type""",
 )
 def events_attribution_credit(spark, sf_dir):
     """Multi-touch conversion attribution over the event stream: every
     purchase distributes credit across the SAME user's touch events in
-    the trailing 7 days under the three standard models — first-touch,
+    the trailing 7 days under the four standard models — first-touch,
     last-touch (integer counts of being the window's first/latest
     touch, (ts, event_id)-tiebroken so both engines pick the identical
-    row), and linear (1/k per touch, k = the conversion's touch count)
+    row), linear (1/k per touch, k = the conversion's touch count),
+    and time-decay (half-life 3.5 days over the exact micros age,
+    normalized per conversion so each model conserves total credit)
     — the marketing-science table every funnel/retention readout feeds
     into.  Totals per model are conserved across types (each equals
     the number of touched conversions), which the test asserts.  Plan:
@@ -2340,8 +2350,10 @@ def events_attribution_credit(spark, sf_dir):
     with a time-range residual (co-partitioned by user, never
     cartesian); both rank windows and the credit aggregate are
     bounded by touches-per-conversion, capped by the 7-day window at
-    any scale.  Only float: the 1/k division, summed per type into
-    round(6)."""
+    any scale.  Floats: the 1/k division and the
+    2^(-age/half-life) decay weights (identical libm doubles both
+    engines, per-conversion normalization divides near-identical
+    sums), each summed per type into round(6)."""
     return attribution_credit(table(spark, sf_dir, "events"))
 
 
@@ -2366,18 +2378,25 @@ def attribution_credit(e, conversion_type: str = "purchase", window_days: int = 
             F.col("__touch_ts")
             >= F.col("__conv_ts") - F.expr(f"INTERVAL {window_days} DAYS")
         ),
-    ).select("__conv_id", "touch_type", "__touch_ts", "__touch_id")
+    ).select("__conv_id", "touch_type", "__touch_ts", "__touch_id", "__conv_ts")
     wc = Window.partitionBy("__conv_id")
     wl = Window.partitionBy("__conv_id").orderBy(
         F.desc("__touch_ts"), F.desc("__touch_id")
     )
     wf = Window.partitionBy("__conv_id").orderBy("__touch_ts", "__touch_id")
+    # time-decay weight: half-life 3.5 days over the exact micros age
+    age_days = (
+        F.unix_micros("__conv_ts") - F.unix_micros("__touch_ts")
+    ).cast("double") / F.lit(86400000000.0)
+    wgt = F.pow(F.lit(2.0), -age_days / F.lit(3.5))
     r = j.select(
         "__conv_id",
         "touch_type",
         F.count(F.lit(1)).over(wc).cast("long").alias("__k"),
         F.row_number().over(wl).alias("__rl"),
         F.row_number().over(wf).alias("__rf"),
+        wgt.alias("__w"),
+        F.sum(wgt).over(wc).alias("__wsum"),
     )
     return (
         r.groupBy("touch_type")
@@ -2391,6 +2410,9 @@ def attribution_credit(e, conversion_type: str = "purchase", window_days: int = 
             .alias("last_touch"),
             F.round(F.sum(F.lit(1.0) / F.col("__k").cast("double")), 6).alias(
                 "linear_credit"
+            ),
+            F.round(F.sum(F.col("__w") / F.col("__wsum")), 6).alias(
+                "decay_credit"
             ),
         )
         .orderBy("touch_type")
