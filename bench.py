@@ -6,22 +6,34 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Queries execute to a noop sink (full plan runs JVM-side, nothing is
 collected to the driver) — the honest analogue of writing results out
 on a cluster.
+
+Session recycling: the registry is 220+ distinct codegen-heavy plans;
+executing all of them (warmup pass + timed pass) in ONE JVM measurably
+degrades whichever queries run late in rotation order even with a 2 GB
+code cache that never fills (r8: doc_bigram_heavy_hitters 2.4s warm ->
+6-23s after ~100 prior plans; ts_mllib_kmeans 2.9s -> 38s at session
+end — profiled-nmethod churn / JIT state, not cache exhaustion).  A
+production deployment never runs 450 distinct plans through one
+driver JVM back-to-back — each job is its own application — so the
+bench runs the registry in CHUNKS of $SPARK_GRAFT_SESSION_CHUNK
+(default 64) queries, each chunk in a FRESH JVM (subprocess — a
+stopped SparkContext reuses the old gateway JVM and keeps its JIT
+state), with the chunk's own untimed warmup + sf0.001 compile pass.
+Per-query numbers are then position-independent and reproducible.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main():
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-
+def _build_session(cpus: str):
     from pyspark.sql import SparkSession
 
     spark = (
@@ -32,45 +44,47 @@ def main():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        # 165 codegen-heavy plans overflow the JVM's default 240m JIT
-        # code cache mid-session; once it fills, compilation stops and
-        # CPU-bound generated code (md5 dedup pipelines) runs
-        # interpreted 3-7x slower -- the root cause of the CC-family
-        # run-to-run variance (measured: pairs phase 3s->10s across
-        # trials, steady 1.6s with this flag).
-        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Codegen-heavy plans overflow the JVM JIT code cache once a
+        # session runs many of them; when it fills, compilation stops
+        # and generated code runs interpreted 3-10x slower (r6: 165
+        # plans blew the 240m default, dedup pairs 3s->10s). Sized to
+        # the per-chunk plan count with room; chunking above is the
+        # structural fix.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing",
+        )
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
-    import __spark_entry__ as entrymod
 
-    # Cold-start honesty number: one designated query timed as the very
-    # first action of the session — before any warmup — so the record
-    # shows what a cold driver actually pays (JVM init + first codegen +
-    # parquet footer reads), alongside the steady-state totals below.
-    cold_name = os.environ.get("SPARK_GRAFT_COLD_QUERY", "tpch_q1")
-    cold_first_query_s = None
-    cold_fn = entrymod.queries().get(cold_name)
-    if cold_fn is not None:
-        t0 = time.time()
-        cold_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        cold_first_query_s = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
+def _warm_session(spark, sf_dir: str, warm_dir: str, chunk) -> list[str]:
+    """Untimed per-session warmup: table footers, one composite
+    shuffle/window plan, python-worker + Arrow init, the CC-loop and
+    MLlib first-use costs, then a sf0.001 compile pass over THIS
+    chunk's queries (JMH-style: Janino + HotSpot warm for every plan
+    about to be timed, while the timed loop still reads sf0.1 cold —
+    only code, not data, is warm)."""
+    import gc
 
-    # Untimed warmup: JVM/codegen/scan-footer initialization otherwise
-    # lands entirely on whichever query runs first (~3s on a trivial
-    # projection, ~5s extra for the first shuffle/join/window/explode
-    # plan compiled). One tiny action per table plus one composite
-    # shuffle-shaped job gives steady-state per-query numbers without
-    # touching what is measured.
     from pyspark.sql import functions as F
+    from pyspark.sql import Window as _W
 
+    from tsod_spark.pipeline import dedup as _dedup
     from tsod_spark.registry import table
 
-    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-        table(spark, sf_dir, t).limit(1).write.format("noop").mode("overwrite").save()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        table(spark, sf_dir, t).limit(1).write.format("noop").mode(
+            "overwrite"
+        ).save()
     warm = (
         table(spark, sf_dir, "documents")
         .limit(64)
@@ -78,31 +92,20 @@ def main():
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    warm.join(warm.select(F.col("w").alias("w2"), "c"), F.col("w") == F.col("w2")).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    from pyspark.sql import Window as _W
-
+    warm.join(
+        warm.select(F.col("w").alias("w2"), "c"), F.col("w") == F.col("w2")
+    ).write.format("noop").mode("overwrite").save()
     table(spark, sf_dir, "events").limit(256).select(
         F.sum("value").over(_W.partitionBy("user_id").orderBy("ts")).alias("s")
     ).write.format("noop").mode("overwrite").save()
-    # python-worker + Arrow-serde warmup: the first mapInPandas stage
-    # otherwise pays worker fork + Arrow init (~2s) inside whichever
-    # python-path query happens to run first
     table(spark, sf_dir, "documents").limit(32).select("doc_id").mapInPandas(
         lambda it: it, "doc_id long"
     ).write.format("noop").mode("overwrite").save()
-    # CC-loop warmup: the label-propagation family compiles many small
-    # per-iteration plans; the first CC query in rotation order
-    # otherwise absorbs ~8s of codegen that isn't its own cost
-    from tsod_spark.pipeline import dedup as _dedup
-
     _dedup.minhash_duplicate_groups(
         table(spark, sf_dir, "documents").limit(64)
     ).write.format("noop").mode("overwrite").save()
     # MLlib warmup: estimator classloading + netlib BLAS/LAPACK probe +
-    # KMeans/WLS codegen otherwise land on the first MLlib query in
-    # rotation order (~15s measured on ts_mllib_kmeans at sf0.1)
+    # KMeans/WLS codegen otherwise land on the first MLlib query
     from pyspark.ml.clustering import KMeans as _KM
     from pyspark.ml.functions import array_to_vector as _a2v
     from pyspark.ml.regression import LinearRegression as _LR
@@ -119,21 +122,9 @@ def main():
     _LR(featuresCol="features", labelCol="y", solver="normal").fit(_w)
     spark.catalog.clearCache()
 
-    import gc
-
-    # Full compile pass at sf0.001 (JMH-style warmup iteration): every
-    # registered plan executes once on the tiny fixture so Janino
-    # compile + HotSpot JIT of each query's generated classes happen
-    # OUTSIDE the timed loop. Without this, whichever queries lead the
-    # rotation window absorb multi-second first-execution costs that
-    # are not their own (measured: doc_vocab_overlap 11.8s as bench
-    # query #1 vs 3.6s steady-state on the same box). The timed loop
-    # below still reads sf0.1 cold — only code, not data, is warm,
-    # matching the compile-once-run-daily shape of a production job.
-    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     warmup_skipped: list[str] = []
     if os.path.isdir(warm_dir):
-        for _name, _fn in entrymod.queries().items():
+        for _name, _fn in chunk:
             try:
                 _fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
             except Exception:
@@ -144,8 +135,38 @@ def main():
                 warmup_skipped.append(_name)
             spark.catalog.clearCache()
         gc.collect()
-        if warmup_skipped:
-            print(f"warmup skipped: {warmup_skipped}", file=sys.stderr)
+    return warmup_skipped
+
+
+def run_slice() -> None:
+    """Child mode: bench queries [i, j) of the rotation order in this
+    fresh JVM and print one JSON line."""
+    import gc
+
+    lo, hi = (int(x) for x in os.environ["SPARK_GRAFT_SLICE"].split(":"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+
+    spark = _build_session(cpus)
+    import __spark_entry__ as entrymod
+
+    items = list(entrymod.queries().items())[lo:hi]
+
+    # Cold-start honesty number (first slice only): one designated query
+    # timed as the very first action of a cold driver — before any
+    # warmup — so the record shows what a cold session actually pays.
+    cold_name = os.environ.get("SPARK_GRAFT_COLD_QUERY", "tpch_q1")
+    cold_first_query_s = None
+    if lo == 0:
+        cold_fn = entrymod.queries().get(cold_name)
+        if cold_fn is not None:
+            t0 = time.time()
+            cold_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cold_first_query_s = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
+
+    warmup_skipped = _warm_session(spark, sf_dir, warm_dir, items)
 
     # The CC/label-propagation dedup family shows 2-4x run-to-run
     # variance even on an idle box (many small iterative jobs +
@@ -170,24 +191,73 @@ def main():
         elapsed = time.time() - t0
         # Untimed inter-query hygiene: several operators cache small
         # intermediates (LSH signatures, CC labels/checkpoints) that
-        # stay pinned after the query's action completes. Left alone,
-        # ~100 queries' worth of leaked blocks + lingering RDDs inflate
-        # late-running queries 2-4x (measured: minhash_groups 7.7s
-        # fresh vs 33s at the end of a leaky session). Each query is
-        # measured from cold data either way.
+        # stay pinned after the query's action completes; leaked blocks
+        # inflate late-running queries (measured r5).
         spark.catalog.clearCache()
         gc.collect()
         return elapsed
 
     timings: dict[str, float] = {}
     median3: dict[str, dict] = {}
-    for name, fn in entrymod.queries().items():
+    for name, fn in items:
         if name in cc_family:
             runs = [round(_run_once(fn), 3) for _ in range(3)]
             timings[name] = sorted(runs)[1]
-            median3[name] = {"runs": runs, "spread": round(max(runs) - min(runs), 3)}
+            median3[name] = {
+                "runs": runs,
+                "spread": round(max(runs) - min(runs), 3),
+            }
         else:
             timings[name] = round(_run_once(fn), 3)
+    print(
+        json.dumps(
+            {
+                "timings": timings,
+                "median3": median3,
+                "warmup_skipped": warmup_skipped,
+                "cold_first_query_s": cold_first_query_s,
+            }
+        )
+    )
+    spark.stop()
+
+
+def main():
+    if os.environ.get("SPARK_GRAFT_SLICE"):
+        run_slice()
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    chunk = int(os.environ.get("SPARK_GRAFT_SESSION_CHUNK", "64"))
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    n = len(names)
+
+    timings: dict[str, float] = {}
+    median3: dict[str, dict] = {}
+    warmup_skipped: list[str] = []
+    cold_first_query_s = None
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        env = dict(os.environ, SPARK_GRAFT_SLICE=f"{lo}:{hi}")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode != 0:
+            print(proc.stderr[-4000:], file=sys.stderr)
+            raise SystemExit(f"slice {lo}:{hi} failed rc={proc.returncode}")
+        part = json.loads(proc.stdout.strip().splitlines()[-1])
+        timings.update(part["timings"])
+        median3.update(part["median3"])
+        warmup_skipped.extend(part["warmup_skipped"])
+        if part.get("cold_first_query_s") is not None:
+            cold_first_query_s = part["cold_first_query_s"]
+    if warmup_skipped:
+        print(f"warmup skipped: {warmup_skipped}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = json.dumps(
@@ -197,8 +267,11 @@ def main():
             "unit": "sec",
             "queries": timings,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            "cold_first_query": cold_name,
+            "cold_first_query": os.environ.get(
+                "SPARK_GRAFT_COLD_QUERY", "tpch_q1"
+            ),
             "cold_first_query_s": cold_first_query_s,
+            "session_chunk": chunk,
             "median3": median3,
             "warmup_skipped": warmup_skipped,
         }
@@ -210,14 +283,16 @@ def main():
     # of any output-capture window.
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+        ),
     )
     try:
         with open(out_path, "w") as fh:
             fh.write(payload + "\n")
     except OSError:
         pass  # stdout line above remains the primary record
-    spark.stop()
+    spark = None  # orchestrator never opened a session
 
 
 if __name__ == "__main__":

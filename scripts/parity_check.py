@@ -88,9 +88,9 @@ def main():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        # 1g JIT code cache: 165 codegen-heavy plans overflow the 240m
+        # 2g JIT code cache: 227 codegen-heavy plans overflow even 1g
         # default and fall to interpreted execution (see bench.py note)
-        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing")
         .getOrCreate()
     )
     con = duckdb.connect()

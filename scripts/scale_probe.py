@@ -63,7 +63,7 @@ def main():
         # interpreted 3-7x slower -- the root cause of the CC-family
         # run-to-run variance (measured: pairs phase 3s->10s across
         # trials, steady 1.6s with this flag).
-        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing")
         .config("spark.driver.memory", "24g")
         .getOrCreate()
     )

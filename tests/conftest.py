@@ -20,7 +20,7 @@ def spark():
         # interpreted 3-7x slower -- the root cause of the CC-family
         # run-to-run variance (measured: pairs phase 3s->10s across
         # trials, steady 1.6s with this flag).
-        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing")
         .getOrCreate()
     )
     yield s
