@@ -1545,3 +1545,60 @@ def test_stream_permutation_entropy_matches_batch(spark, events_batches):
         assert (s.n_triples, s.k_patterns) == (b.n_triples, b.k_patterns)
         assert s.pe_nats == pytest.approx(b.pe_nats, abs=2e-6)
         assert s.pe_norm == pytest.approx(b.pe_norm, abs=2e-6)
+
+
+def test_stream_periodogram_matches_batch(spark, events_batches):
+    """The LAST emission per user equals the batch ts_periodogram over
+    CLOSED buckets: the decomposition sum z*cos = (sum y*cos - mu*sum
+    cos)/sigma makes the whole-series normalization streamable; float
+    sums carry association noise only (counts exact)."""
+    from tsod_spark.queries.round8 import periodogram
+    from tsod_spark.streaming import stream_periodogram
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_periodogram(src, series=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_pgram")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got: dict = {}
+    for r in spark.sql("SELECT * FROM t_pgram").collect():
+        k = (r.user_id, r.period)
+        if k not in got or r.n_hours > got[k].n_hours:
+            got[k] = r
+
+    from pyspark.sql import Window as W4
+
+    e = registry.table(spark, SF, "events")
+    closed = (
+        e.withColumn("__hb", F.expr("unix_micros(ts) div 3600000000"))
+        .withColumn(
+            "__mx",
+            F.max(
+                F.when(
+                    ~F.isnan("value") & F.col("value").isNotNull(),
+                    F.col("__hb"),
+                )
+            ).over(W4.partitionBy("user_id")),
+        )
+        .where(F.col("__hb") < F.col("__mx"))
+        .drop("__hb", "__mx")
+    )
+    batch = {(r.user_id, r.period): r for r in periodogram(closed).collect()}
+    assert set(got) == set(batch)
+    assert len(got) > 0
+    for k, b in batch.items():
+        s = got[k]
+        assert s.n_hours == b.n_hours
+        assert s.power == pytest.approx(b.power, abs=5e-5)
+        assert s.power_share == pytest.approx(b.power_share, abs=5e-5)
+        assert s.is_dominant == b.is_dominant, k

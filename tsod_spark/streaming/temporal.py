@@ -1905,3 +1905,162 @@ def stream_permutation_entropy(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stream_periodogram(
+    stream_df: DataFrame,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    periods: Sequence[int] = (6, 8, 12, 24, 48, 168),
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming candidate-period spectral monitor — the continuous
+    twin of the batch ``ts_periodogram`` query over CLOSED hourly
+    buckets (the stream_holt_winters fold).
+
+    The batch statistic z-normalizes with WHOLE-series moments, which
+    looks unstreamable — but the trig sums decompose:
+    ``sum z*cos = (sum y*cos - mu*sum cos) / sigma``, so per-key state
+    is just the exact int64 moment triple (n, t, q) plus, per
+    candidate period, the four raw running sums ``(y*cos, cos, y*sin,
+    sin)`` over closed buckets — ALL mergeable by plain addition, and
+    mu/sigma/power are re-derived fresh at every emission.  Each
+    micro-batch that closes at least one bucket re-emits the full
+    period table with the recomputed powers and the dominant flag
+    (update mode; ranked by ROUNDED power like the batch plan).
+    Angles use ``hb mod p`` — the same small libm arguments as batch.
+    """
+    import math
+
+    series = list(series)
+    plist = [int(p) for p in periods]
+    key_fields = [stream_df.schema[c] for c in series]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("period", LongType()),
+            StructField("n_hours", LongType()),
+            StructField("power", DoubleType()),
+            StructField("power_share", DoubleType()),
+            StructField("is_dominant", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("pend_hb", LongType()),
+            StructField("pend_sum", LongType()),
+            StructField("n", LongType()),
+            StructField("t", LongType()),
+            StructField("q", LongType()),
+            StructField("yc", ArrayType(DoubleType())),
+            StructField("cs", ArrayType(DoubleType())),
+            StructField("ys", ArrayType(DoubleType())),
+            StructField("sn", ArrayType(DoubleType())),
+        ]
+    )
+    two_pi = 2 * math.pi
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        new = new.sort_values([ts_col], kind="mergesort")
+        k = len(plist)
+        if state.exists:
+            pend_hb, pend_sum, n, t, q, yc, cs, ys, sn = state.get
+            n, t, q = int(n), int(t), int(q)
+            yc, cs, ys, sn = (list(map(float, a)) for a in (yc, cs, ys, sn))
+        else:
+            pend_hb, pend_sum = None, 0
+            n = t = q = 0
+            yc, cs, ys, sn = [0.0] * k, [0.0] * k, [0.0] * k, [0.0] * k
+
+        def close(hb0: int, y0: int) -> None:
+            nonlocal n, t, q
+            n += 1
+            t += y0
+            q += y0 * y0
+            for i, p in enumerate(plist):
+                ang = two_pi * float(hb0 % p) / float(p)
+                c, s2 = math.cos(ang), math.sin(ang)
+                yc[i] += y0 * c
+                cs[i] += c
+                ys[i] += y0 * s2
+                sn[i] += s2
+
+        new_ts = pd.to_datetime(new[ts_col]).astype("int64") // 1000
+        vals = new[value_col].astype(float).to_numpy()
+        hbs_arr = (new_ts // 3_600_000_000).to_numpy()
+        closed_any = False
+        for y, hb in zip(vals, hbs_arr):
+            if math.isnan(y):
+                continue
+            hb = int(hb)
+            c = (-1 if y < 0 else 1) * int(math.floor(abs(y) * 100 + 0.5))
+            if pend_hb is None:
+                pend_hb, pend_sum = hb, c
+            elif hb == pend_hb:
+                pend_sum += c
+            elif hb > pend_hb:
+                close(int(pend_hb), int(pend_sum))
+                closed_any = True
+                pend_hb, pend_sum = hb, c
+        state.update(
+            (
+                int(pend_hb) if pend_hb is not None else None,
+                int(pend_sum),
+                n,
+                t,
+                q,
+                yc,
+                cs,
+                ys,
+                sn,
+            )
+        )
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        if not closed_any or n == 0:
+            return
+        var = (q - (t * t) / n) / n
+        if var <= 0:
+            return
+        mu, sd = t / n, math.sqrt(var)
+        powers = []
+        for i, p in enumerate(plist):
+            a = (yc[i] - mu * cs[i]) / sd
+            b = (ys[i] - mu * sn[i]) / sd
+            powers.append(round((a * a + b * b) / n, 6))
+        tot = sum(powers)
+        dom = min(
+            range(k), key=lambda i: (-powers[i], plist[i])
+        )  # rounded powers, ties to shorter period — the batch rule
+        yield pd.DataFrame(
+            [
+                {
+                    **{c: key[j] for j, c in enumerate(series)},
+                    "period": plist[i],
+                    "n_hours": n,
+                    "power": powers[i],
+                    "power_share": round(powers[i] / tot, 6) if tot > 0 else None,
+                    "is_dominant": i == dom,
+                }
+                for i in range(k)
+            ]
+        )
+
+    return stream_df.groupBy(*series).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
