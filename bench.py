@@ -168,11 +168,27 @@ def run_slice() -> None:
 
     warmup_skipped = _warm_session(spark, sf_dir, warm_dir, items)
 
-    # The CC/label-propagation dedup family shows 2-4x run-to-run
-    # variance even on an idle box (many small iterative jobs +
-    # localCheckpoint I/O make them scheduler/GC sensitive), so a
-    # single sample is not a comparable record. These run median-of-3
-    # with the spread reported; everything else runs once.
+    # The CC/pair-heavy dedup family shows rare 2-6x single-run
+    # excursions even on an idle box, so a single sample is not a
+    # comparable record. Root-caused r9 with per-run jstat/jcmd/PSI
+    # instrumentation across ~70 isolated runs:
+    #  (a) a STOCHASTIC JIT compile race — the sf0.001 warmup pass
+    #      profiles the generated join/agg loops on tiny data; the
+    #      first sf0.1 runs deopt and re-profile, and if the C2
+    #      recompile (observed: ~3k late compiles, ~10s compile CPU)
+    #      lands after run 0, runs 1-3 execute tier-3 code at 2-4x
+    #      before converging (dedup_threshold_curve: one session
+    #      8.9/19.7/15.5/8.2/4.8/4.4/4.1/4.1s, three flat sessions
+    #      steady at 4.1-4.8s — NOT monotonic, NOT a leak: class
+    #      histogram clean, 0 full GCs, and jaccard_pairs_index holds
+    #      no internal cache);
+    #  (b) rare non-JIT scheduler/GC jitter in the many-small-jobs CC
+    #      queries (dedup_simhash_groups: one 12.8s excursion in 34
+    #      isolated runs, compile-quiet, no PSI io/cpu stall).
+    # Mitigation: one UNTIMED sf0.1 absorber run (soaks the deopt/
+    # recompile cycle at the measured scale) + median-of-3 with the
+    # spread reported (soaks the residual jitter); everything else
+    # runs once.
     cc_family = frozenset(
         os.environ.get(
             "SPARK_GRAFT_MEDIAN3",
@@ -181,7 +197,7 @@ def run_slice() -> None:
             "dedup_minhash_pairs emb_ivfpq_topk emb_pq_topk doc_vocab_overlap "
             "dedup_minhash_pairs_capped dedup_simhash_pairs_capped "
             "dedup_winnow_overlap dedup_ppjoin_pairs dedup_ppjoin_groups "
-            "dedup_containment_pairs",
+            "dedup_containment_pairs dedup_threshold_curve dedup_jaccard_topk",
         ).split()
     )
 
@@ -201,6 +217,7 @@ def run_slice() -> None:
     median3: dict[str, dict] = {}
     for name, fn in items:
         if name in cc_family:
+            _run_once(fn)  # untimed absorber: JIT scale-shift churn
             runs = [round(_run_once(fn), 3) for _ in range(3)]
             timings[name] = sorted(runs)[1]
             median3[name] = {

@@ -1596,9 +1596,24 @@ def test_stream_periodogram_matches_batch(spark, events_batches):
     batch = {(r.user_id, r.period): r for r in periodogram(closed).collect()}
     assert set(got) == set(batch)
     assert len(got) > 0
+    # dominance is ranked on ROUNDED powers; when a user's top-2 batch
+    # powers sit within the float-association tolerance of each other a
+    # 1-ulp difference in the stream's recombined trig sums can
+    # legitimately flip the argmax, so the is_dominant assert only
+    # applies where the batch top-2 gap clears the tolerance (ADVICE
+    # r8; the stream's own flag stays internally consistent with its
+    # own rounded powers by construction).
+    top2gap: dict = {}
+    by_user: dict = {}
+    for (u, _p), b in batch.items():
+        by_user.setdefault(u, []).append(b.power)
+    for u, ps in by_user.items():
+        ps = sorted(ps, reverse=True)
+        top2gap[u] = ps[0] - ps[1] if len(ps) > 1 else 1.0
     for k, b in batch.items():
         s = got[k]
         assert s.n_hours == b.n_hours
         assert s.power == pytest.approx(b.power, abs=5e-5)
         assert s.power_share == pytest.approx(b.power_share, abs=5e-5)
-        assert s.is_dominant == b.is_dominant, k
+        if top2gap[k[0]] > 1e-4:
+            assert s.is_dominant == b.is_dominant, k

@@ -764,6 +764,47 @@ def dedup_ppjoin_groups(spark, sf_dir):
 
 
 @register(
+    "dedup_ppjoin_prefix_stats",
+    f"""WITH d AS (SELECT doc_id, source AS blk, {DTOKS} AS toks FROM documents
+                   WHERE len({DTOKS}) > 0),
+    g AS (SELECT doc_id, blk, CAST(len(toks) AS BIGINT) AS ng,
+                 unnest(toks) AS gram FROM d),
+    df AS (SELECT blk, gram, CAST(count(*) AS BIGINT) AS dfc
+           FROM g GROUP BY 1, 2),
+    pos AS (SELECT g.doc_id, g.blk, g.gram, g.ng,
+              CAST(row_number() OVER (PARTITION BY g.doc_id
+                   ORDER BY df.dfc, g.gram) AS BIGINT) AS pos
+            FROM g JOIN df ON g.blk = df.blk AND g.gram = df.gram),
+    pre AS (SELECT * FROM pos WHERE pos <= ng - ((90 * ng + 99) // 100) + 1),
+    pb AS (SELECT blk, gram, CAST(count(*) AS BIGINT) AS bsz
+           FROM pre GROUP BY 1, 2)
+    SELECT CAST(count(*) AS BIGINT) AS total_buckets,
+       CAST(sum(bsz) AS BIGINT) AS total_rows,
+       CAST(max(bsz) AS BIGINT) AS max_bucket_rows,
+       round(quantile_cont(bsz, 0.99), 6) AS p99_bucket_rows,
+       round(CAST(max(bsz) AS DOUBLE) / CAST(sum(bsz) AS DOUBLE), 6)
+           AS max_bucket_frac
+    FROM pb""",
+)
+def dedup_ppjoin_prefix_stats(spark, sf_dir):
+    """Fan-out observability for the uncapped PPJoin prefix table
+    (VERDICT r8 #6): per-(block, gram) prefix-bucket size distribution
+    BEFORE the candidate join — a bucket of size B contributes B²
+    candidate hits, so ``max_bucket_rows``/``max_bucket_frac`` is the
+    early-warning metric for a corpus whose rare-gram distribution
+    degenerates (e.g. a block of near-identical short docs where every
+    gram is frequent).  The prefix construction itself (df-asc order,
+    gram-string tie-break, int64-exact ceil bounds) is replicated by
+    the oracle verbatim, so this check pins the PREFIX TABLE, not just
+    the result-invariant pair output that dedup_ppjoin_pairs pins.
+    One groupBy + a 1-row aggregate over prefix rows — O(corpus grams),
+    map-side combinable, scale-safe."""
+    return dedup.ppjoin_prefix_stats(
+        table(spark, sf_dir, "documents"), thr_pct=90, shingle_n=1
+    )
+
+
+@register(
     "dedup_containment_pairs",
     f"""WITH d AS (SELECT doc_id, source AS blk, {DTOKS} AS toks FROM documents),
     p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -195,7 +195,28 @@ R7_VERIFIED = frozenset({
     "ts_runs_test", "ts_spearman", "ts_theil_sen",
 })
 
+# Fully-green rows from CORRECTNESS_r08.json (driver sf0.01 oracle, 50/50,
+# all hash-checked).
+R8_VERIFIED = frozenset({
+    "dedup_canonical", "dedup_containment_pairs", "dedup_embedding_groups",
+    "dedup_incremental", "dedup_ppjoin_groups", "dedup_ppjoin_pairs",
+    "doc_chunk_dedup", "doc_contamination_stats", "doc_decontaminate",
+    "doc_mixture_sample", "doc_redact", "doc_repetition", "doc_split_assign",
+    "doc_stratified_sample", "doc_tfidf_topk", "emb_label_davies_bouldin",
+    "emb_lsh_near_pairs", "emb_quantize", "events_attribution_credit",
+    "events_funnel", "events_mannwhitney", "events_retention",
+    "events_sliding_1h", "mm_audio_energy", "mm_resize_pixels",
+    "orders_km_quartiles", "orders_nelson_aalen", "supplier_ship_latency",
+    "tpch_q1", "tpch_q11", "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19",
+    "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "ts_asof_tolerance", "ts_conformal_snaive", "ts_mllib_kmeans",
+    "ts_periodogram", "ts_permutation_entropy", "ts_range_sqlapi",
+    "ts_resample_15m", "ts_runs_test", "ts_sax_motifs", "ts_theil_sen",
+    "ts_window_dataset",
+})
+
 _ROUND_SETS = (
+    (8, R8_VERIFIED),
     (7, R7_VERIFIED),
     (6, R6_VERIFIED),
     (5, R5_VERIFIED),
@@ -211,29 +232,11 @@ _ROUND_SETS = (
 # registrations (tier 0 anyway — listing them is documentation).
 # Empty is fine — tier 0 then just falls through to staleness.
 # Refresh this tuple each round alongside the R{N}_VERIFIED set.
-_CURRENT_ROUND_PRIORITY = (
-    # r8 ANSI-guard fixes (outputs unchanged on clean data, semantics
-    # changed on degenerate series -> verdict re-earned)
-    "ts_theil_sen",
-    "ts_runs_test",
-    "events_mannwhitney",
-    # r8: fit sample is now deterministic (ordered before limit) ->
-    # centroids/threshold can legitimately differ from the r7 verdict
-    "ts_mllib_kmeans",
-    # r8 registrations (never-verified -> tier 0 regardless; listed
-    # for documentation)
-    "dedup_ppjoin_pairs",
-    "dedup_ppjoin_groups",
-    "dedup_containment_pairs",
-    "emb_label_davies_bouldin",
-    "orders_km_quartiles",
-    "ts_permutation_entropy",
-    "ts_sax_motifs",
-    "orders_nelson_aalen",
-    "ts_conformal_snaive",
-    "events_attribution_credit",
-    "ts_periodogram",
-    "supplier_ship_latency",
+_CURRENT_ROUND_PRIORITY: tuple = (
+    # (r9 registrations land here as they are added; brand-new names are
+    # tier 0 anyway — listing is documentation. The 33 r4-era verdicts
+    # VERDICT_r8 flagged as stale fill the window right after tier 0.)
+    "dedup_ppjoin_prefix_stats",
 )
 
 

@@ -49,6 +49,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..util import py_round6
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -878,9 +880,9 @@ def stream_type_entropy(
                     **{c: key[i] for i, c in enumerate(series)},
                     "n_events": n,
                     "k_types": k,
-                    "entropy_nats": round(h, 6),
-                    "entropy_norm": round(h / math.log(k), 6) if k > 1 else None,
-                    "perplexity": round(math.exp(h), 6),
+                    "entropy_nats": py_round6(h),
+                    "entropy_norm": py_round6(h / math.log(k)) if k > 1 else None,
+                    "perplexity": py_round6(math.exp(h)),
                 }
             ]
         )
@@ -975,8 +977,8 @@ def stream_dispersion(
                     **{c: key[i] for i, c in enumerate(series)},
                     "n_buckets": span,
                     "n_events": t,
-                    "mean_per_hour": round(t / span, 6),
-                    "dispersion": round(disp, 6),
+                    "mean_per_hour": py_round6(t / span),
+                    "dispersion": py_round6(disp),
                     "overdispersed": bool(over),
                 }
             ]
@@ -1301,7 +1303,7 @@ def stream_peaks(
                         "hour_bucket": b,
                         "y_cents": yc,
                         "kind": kind,
-                        "height_cents": round(h, 6),
+                        "height_cents": py_round6(h),
                     }
                     for b, yc, kind, h in emitted
                 ]
@@ -1393,7 +1395,7 @@ def stream_benford(
                 {
                     **{c: key[i] for i, c in enumerate(series)},
                     "n": n,
-                    "chi2": round(chi2, 6),
+                    "chi2": py_round6(chi2),
                     "benford_flag": bool(chi2 > 15.507),
                 }
             ]
@@ -1500,11 +1502,11 @@ def stream_interarrival(
                 {
                     **{c: key[i] for i, c in enumerate(series)},
                     "n_gaps": n,
-                    "mean_gap_s": round(t / n, 6),
-                    "std_gap_s": round(root / n, 6),
-                    "cv": round(root / t, 6) if t > 0 else None,
+                    "mean_gap_s": py_round6(t / n),
+                    "std_gap_s": py_round6(root / n),
+                    "cv": py_round6(root / t) if t > 0 else None,
                     "burstiness": (
-                        round((root - float(t)) / (root + float(t)), 6)
+                        py_round6((root - float(t)) / (root + float(t)))
                         if root + float(t) > 0
                         else None
                     ),
@@ -1638,9 +1640,9 @@ def stream_record_stats(
                     "n_obs": n,
                     "hi_records": hi,
                     "lo_records": lo,
-                    "expected_records": round(exp_rec, 6),
-                    "hi_ratio": round(hi / exp_rec, 6),
-                    "lo_ratio": round(lo / exp_rec, 6),
+                    "expected_records": py_round6(exp_rec),
+                    "hi_ratio": py_round6(hi / exp_rec),
+                    "lo_ratio": py_round6(lo / exp_rec),
                 }
             ]
         )
@@ -1888,8 +1890,8 @@ def stream_permutation_entropy(
                     **{c: key[i] for i, c in enumerate(series)},
                     "n_triples": n,
                     "k_patterns": k,
-                    "pe_nats": round(h, 6),
-                    "pe_norm": round(h / math.log(6.0), 6),
+                    "pe_nats": py_round6(h),
+                    "pe_norm": py_round6(h / math.log(6.0)),
                 }
             ]
         )
@@ -1930,6 +1932,18 @@ def stream_periodogram(
     period table with the recomputed powers and the dominant flag
     (update mode; ranked by ROUNDED power like the batch plan).
     Angles use ``hb mod p`` — the same small libm arguments as batch.
+
+    Parity contract: counts and state sums are exact, but the power
+    recombination ``(sum y*cos - mu*sum cos)/sigma`` associates float
+    additions differently than the batch ``sum z*cos``, so stream vs
+    batch powers agree only to ~1e-13 relative — a value sitting on a
+    6th-decimal rounding boundary can round one ulp apart, and since
+    ``is_dominant`` ranks rounded powers, dominance can flip when the
+    top-2 powers are within that tolerance.  Compare powers with a
+    small absolute tolerance and only expect dominance equality when
+    the top-2 gap clears it (tests/test_streaming.py does exactly
+    this); the emitted flag is always internally consistent with the
+    emitted rounded powers.
     """
     import math
 
@@ -2034,7 +2048,7 @@ def stream_periodogram(
         for i, p in enumerate(plist):
             a = (yc[i] - mu * cs[i]) / sd
             b = (ys[i] - mu * sn[i]) / sd
-            powers.append(round((a * a + b * b) / n, 6))
+            powers.append(py_round6((a * a + b * b) / n))
         tot = sum(powers)
         dom = min(
             range(k), key=lambda i: (-powers[i], plist[i])
@@ -2046,7 +2060,7 @@ def stream_periodogram(
                     "period": plist[i],
                     "n_hours": n,
                     "power": powers[i],
-                    "power_share": round(powers[i] / tot, 6) if tot > 0 else None,
+                    "power_share": py_round6(powers[i] / tot) if tot > 0 else None,
                     "is_dominant": i == dom,
                 }
                 for i in range(k)

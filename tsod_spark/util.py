@@ -23,6 +23,30 @@ def round_half_away6(col: Column) -> Column:
     )
 
 
+def py_round6(v):
+    """Python-side scalar twin of Spark ``F.round(col, 6)``: Java
+    BigDecimal HALF_UP on the shortest decimal repr of the double.
+
+    Builtin ``round()`` is banker's half-even and disagrees with
+    ``F.round`` on exact decimal halves (81/128 = 0.6328125 rounds to
+    .632812 vs F.round's .632813), so streaming twins that emit floats
+    with ``round()`` while their batch twins round with ``F.round``
+    break the documented bit-identical stream/batch parity (ADVICE
+    r8). Every streaming emission site routes through this instead.
+    None/NaN/±inf pass through unchanged, like ``F.round``.
+    """
+    if v is None:
+        return None
+    v = float(v)
+    if v != v or v == float("inf") or v == float("-inf"):
+        return v
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
 def default_parallelism(spark: SparkSession) -> int:
     """Cluster default parallelism, with a Connect-safe fallback.
 
