@@ -1617,3 +1617,66 @@ def test_stream_periodogram_matches_batch(spark, events_batches):
         assert s.power_share == pytest.approx(b.power_share, abs=5e-5)
         if top2gap[k[0]] > 1e-4:
             assert s.is_dominant == b.is_dominant, k
+
+
+def test_stream_conformal_snaive_matches_batch(spark, events_batches):
+    """The LAST emission per user equals the batch ts_conformal_snaive
+    over CLOSED hourly buckets: residual multisets are exact int64
+    cents, the conformal quantile is an exact order statistic (value is
+    tie-order independent), and coverage rounds through py_round6 (the
+    F.round twin) — so every field compares EXACTLY, across micro-batch
+    boundaries. Users below the n_cal >= 9 certification bound must be
+    absent on BOTH sides."""
+    from tsod_spark.queries.round8 import conformal_snaive
+    from tsod_spark.streaming import stream_conformal_snaive
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_conformal_snaive(src, series=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_conf")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got: dict = {}
+    for r in spark.sql("SELECT * FROM t_conf").collect():
+        k = r.user_id
+        if k not in got or (r.n_cal + r.n_test) > (
+            got[k].n_cal + got[k].n_test
+        ):
+            got[k] = r
+
+    from pyspark.sql import Window as W5
+
+    e = registry.table(spark, SF, "events")
+    closed = (
+        e.withColumn("__hb", F.expr("unix_micros(ts) div 3600000000"))
+        .withColumn(
+            "__mx",
+            F.max(
+                F.when(
+                    ~F.isnan("value") & F.col("value").isNotNull(),
+                    F.col("__hb"),
+                )
+            ).over(W5.partitionBy("user_id")),
+        )
+        .where(F.col("__hb") < F.col("__mx"))
+        .drop("__hb", "__mx")
+    )
+    batch = {r.user_id: r for r in conformal_snaive(closed).collect()}
+    assert set(got) == set(batch)
+    assert len(got) > 0
+    for k, b in batch.items():
+        s = got[k]
+        assert s.n_cal == b.n_cal, k
+        assert s.qhat_cents == b.qhat_cents, k
+        assert s.n_test == b.n_test, k
+        assert s.n_flagged == b.n_flagged, k
+        assert s.coverage == b.coverage, k
