@@ -110,3 +110,81 @@ def test_py_round6_matches_spark_round(spark):
     assert py_round6(None) is None
     assert math.isnan(py_round6(float("nan")))
     assert py_round6(float("inf")) == float("inf")
+
+
+def test_ppjoin_bigram_realistic_corpus(spark):
+    """Bigram-mode PPJoin on a realistic templated-rewrite corpus:
+    docs sharing vocabulary but NOT phrasing must fall below the
+    bigram threshold even where their unigram Jaccard is high, and
+    the prefix-filtered result must equal the plain bigram filter."""
+    template = (
+        "order {} shipped from warehouse {} on schedule with full "
+        "tracking enabled for the customer account"
+    )
+    scrambled = (
+        "warehouse {} on order shipped {} the from schedule full with "
+        "account customer for enabled tracking"
+    )
+    rows = []
+    for i in range(20):
+        rows.append((i, "s", template.format(i // 2, i // 2)))
+    for i in range(20, 30):
+        rows.append((i, "s", scrambled.format(i, i)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in dedup.ppjoin_pairs(docs, thr_pct=80, shingle_n=2).collect()
+    )
+    # expected: exactly the template pairs that share the SAME fill
+    # value (i//2), i.e. (0,1), (2,3), ... — identical bigram sets
+    exp = sorted((2 * k, 2 * k + 1) for k in range(10))
+    assert got == exp
+    # unigram mode at the same threshold also pairs scrambled docs with
+    # their same-vocabulary templates? No — fills differ; instead pin
+    # that unigram J of a scrambled/template pair with the SAME fill
+    # would clear a low unigram bar while bigram correctly rejects it.
+    probe = spark.createDataFrame(
+        [
+            (100, "s", template.format(7, 7)),
+            (101, "s", scrambled.format(7, 7)),
+        ],
+        "doc_id long, source string, text string",
+    )
+    uni = dedup.ppjoin_pairs(probe, thr_pct=90, shingle_n=1).collect()
+    big = dedup.ppjoin_pairs(probe, thr_pct=80, shingle_n=2).collect()
+    assert len(uni) == 1 and uni[0].jaccard == 1.0  # same vocabulary
+    assert big == []  # different phrasing
+
+
+def test_km_quartiles_by_segment_consistency(spark):
+    """Per-segment quartiles must agree with the per-segment summary's
+    median (level 50 = median_gap_days) on the same data, and every
+    (segment, level) cell must be present."""
+    from tsod_spark.queries.round8 import km_segment_summary
+    from tsod_spark.queries.round9 import orders_km_quartiles_by_segment
+
+    sf = "/root/testdata/sf0.01"
+    q = {
+        (r.c_mktsegment, r.level_pct): r
+        for r in orders_km_quartiles_by_segment(spark, sf).collect()
+    }
+    from tsod_spark.registry import table as rt
+
+    s = {
+        r.c_mktsegment: r
+        for r in km_segment_summary(
+            rt(spark, sf, "orders"), rt(spark, sf, "customer")
+        ).collect()
+    }
+    assert set(k[0] for k in q) == set(s)
+    for seg, r in s.items():
+        assert set(
+            lp for (sg, lp) in q if sg == seg
+        ) == {25, 50, 75}
+        assert q[(seg, 50)].dur_days == r.median_gap_days, seg
+        # quartiles are monotone where present
+        durs = [q[(seg, lp)].dur_days for lp in (25, 50, 75)]
+        present = [d for d in durs if d is not None]
+        assert present == sorted(present), seg

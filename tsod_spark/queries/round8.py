@@ -1699,7 +1699,12 @@ def orders_km_segment_summary(spark, sf_dir):
     )
 
 
-def km_segment_summary(orders, customer):
+def km_segment_curve(orders, customer):
+    """Per-market-segment KM curve frame ``(__seg, dur, __de, __ce,
+    __surv)`` with UNROUNDED survival — the shared stage
+    km_segment_summary (rounds at the summary) and the r9 per-segment
+    quartiles (rounds the curve first, the km_survival discipline)
+    both read. Every window partitions by segment."""
     o = (
         orders
         .join(
@@ -1763,7 +1768,14 @@ def km_segment_summary(orders, customer):
     surv = F.when(
         F.sum("__dead").over(w_cum).cast("long") > 0, F.lit(0.0)
     ).otherwise(F.exp(F.sum("__lt").over(w_cum)))
-    sv = l.withColumn("__surv", surv)
+    return l.withColumn("__surv", surv).select(
+        "__seg", "dur", "__de", "__ce", "__surv"
+    )
+
+
+def km_segment_summary(orders, customer):
+    sv = km_segment_curve(orders, customer)
+    w_cum = Window.partitionBy("__seg").orderBy("dur")
     st = sv.select(
         "__seg",
         "dur",

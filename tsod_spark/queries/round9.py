@@ -1,0 +1,252 @@
+"""Round-9 query registrations: per-segment survival quartiles,
+PPJoin bigram mode, pack mixture observability.
+
+Reference basis: the reference is a univariate anomaly-detection
+library (/root/reference/tsod/detectors.py); these extend the repo's
+survival/dedup/curation families along the axes VERDICT_r8 queued.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..pipeline import curate, dedup
+from ..util import round_half_away6
+from ._base import TOKS, _shingle_sql, register, table
+from .round8 import km_segment_curve
+
+
+@register(
+    "orders_km_quartiles_by_segment",
+    """WITH o AS (SELECT o.o_custkey, CAST(o.o_orderdate AS DATE) AS d,
+                o.o_orderkey, c.c_mktsegment AS seg
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    mx AS (SELECT max(d) AS mxd FROM o),
+    s AS (SELECT seg, o_custkey, d,
+            lead(d) OVER (PARTITION BY o_custkey
+                          ORDER BY d, o_orderkey) AS nxt
+          FROM o),
+    dur AS (
+      SELECT seg, CAST(date_diff('day', d, nxt) AS BIGINT) AS dur,
+             CAST(1 AS BIGINT) AS ev
+      FROM s WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT seg, CAST(date_diff('day', d, mxd) AS BIGINT) AS dur,
+             CAST(0 AS BIGINT) AS ev
+      FROM s CROSS JOIN mx WHERE nxt IS NULL),
+    g AS (SELECT seg, dur, CAST(sum(ev) AS BIGINT) AS de,
+                 CAST(sum(1 - ev) AS BIGINT) AS ce
+          FROM dur GROUP BY 1, 2),
+    k AS (SELECT *,
+            CAST(sum(de + ce) OVER (PARTITION BY seg) AS BIGINT)
+              - coalesce(CAST(sum(de + ce) OVER
+                  (PARTITION BY seg ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) AS BIGINT), CAST(0 AS BIGINT)) AS nr
+          FROM g),
+    l AS (SELECT *,
+            CASE WHEN de = 0 THEN CAST(0 AS DOUBLE)
+                 WHEN de < nr THEN ln(CAST(nr - de AS DOUBLE)
+                                      / CAST(nr AS DOUBLE)) END AS lt,
+            CASE WHEN de >= nr THEN 1 ELSE 0 END AS dead
+          FROM k),
+    curve AS (SELECT seg, dur,
+            CASE WHEN CAST(sum(dead) OVER (PARTITION BY seg ORDER BY dur)
+                      AS BIGINT) > 0
+                 THEN CAST(0 AS DOUBLE)
+                 ELSE round(exp(sum(lt) OVER (PARTITION BY seg
+                                              ORDER BY dur)), 6)
+            END AS survival
+          FROM l),
+    segs AS (SELECT DISTINCT seg FROM o),
+    grid AS (SELECT s2.seg, g2.level_pct
+             FROM segs s2 CROSS JOIN
+                  (SELECT unnest([25, 50, 75]) AS level_pct) g2),
+    hit AS (SELECT g2.seg, g2.level_pct, min(c.dur) AS dur_days
+            FROM curve c JOIN grid g2
+              ON c.seg = g2.seg
+             AND c.survival <= 1.0 - CAST(g2.level_pct AS DOUBLE) / 100.0
+            GROUP BY 1, 2)
+    SELECT g2.seg AS c_mktsegment,
+       CAST(g2.level_pct AS BIGINT) AS level_pct,
+       CAST(h.dur_days AS BIGINT) AS dur_days,
+       c.survival AS survival_at
+    FROM grid g2
+    LEFT JOIN hit h ON h.seg = g2.seg AND h.level_pct = g2.level_pct
+    LEFT JOIN curve c ON c.seg = g2.seg AND c.dur = h.dur_days
+    ORDER BY c_mktsegment, level_pct""",
+)
+def orders_km_quartiles_by_segment(spark, sf_dir):
+    """Censoring-corrected reorder-time quartiles PER market segment —
+    the table a churn review actually reads: "BUILDING's median
+    reorder gap vs MACHINERY's, 25th/75th alongside", each the
+    smallest duration where that segment's Kaplan-Meier curve drops to
+    <= 0.75 / 0.50 / 0.25, with NULLs (not missing rows) where a
+    segment's curve never reaches a level — every (segment, level)
+    cell is present, so a dashboard diff never mistakes "not reached"
+    for "not computed".  Shares the per-segment KM curve stage with
+    orders_km_segment_summary (``km_segment_curve`` — one candidate
+    plan, windows all partitioned by segment); the curve's survival is
+    round(6)-pinned BEFORE the threshold compare (the km_survival
+    discipline) so boundary hits are engine-exact.  After the curve,
+    every stage is bounded by |segments| x 3 grid rows and the
+    duration grid — never the orders fact table."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    curve = km_segment_curve(orders, customer).select(
+        "__seg",
+        F.col("dur").alias("dur_days"),
+        F.round("__surv", 6).alias("survival"),
+    )
+    grid_arr = F.array(*[F.lit(v).cast("long") for v in (25, 50, 75)])
+    segs = curve.select("__seg").distinct()
+    grid = segs.select("__seg", F.explode(grid_arr).alias("level_pct"))
+    hits = (
+        curve.select(
+            "__seg",
+            F.explode(grid_arr).alias("level_pct"),
+            "dur_days",
+            "survival",
+        )
+        .where(
+            F.col("survival")
+            <= F.lit(1.0) - F.col("level_pct").cast("double") / F.lit(100.0)
+        )
+        .groupBy("__seg", "level_pct")
+        .agg(F.min(F.struct("dur_days", "survival")).alias("__m"))
+    )
+    return (
+        grid.join(hits, ["__seg", "level_pct"], "left")
+        .select(
+            F.col("__seg").alias("c_mktsegment"),
+            "level_pct",
+            F.col("__m.dur_days").alias("dur_days"),
+            F.col("__m.survival").alias("survival_at"),
+        )
+        .orderBy("c_mktsegment", "level_pct")
+    )
+
+
+_BG = _shingle_sql("toks0", 2)
+
+
+@register(
+    "dedup_ppjoin_bigram_pairs",
+    f"""WITH t AS (SELECT doc_id, source AS blk, {TOKS} AS toks0
+                   FROM documents),
+    d AS (SELECT doc_id, blk, {_BG} AS toks FROM t WHERE len({_BG}) > 0),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+                  AS BIGINT) AS inter,
+             CAST(len(a.toks) + len(b.toks) AS BIGINT) AS tot
+          FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / CAST(tot - inter AS DOUBLE), 6) AS jaccard
+    FROM p WHERE 100 * inter >= 80 * (tot - inter)
+    ORDER BY doc_a, doc_b""",
+)
+def dedup_ppjoin_bigram_pairs(spark, sf_dir):
+    """PPJoin in BIGRAM mode (J >= 0.80 over distinct word 2-shingles,
+    in-block): the order-sensitive tier of the exact-threshold family —
+    unigram Jaccard cannot tell "the dog bit the man" from "the man
+    bit the dog", bigrams can, so this is the screen for templated
+    rewrites where vocabulary survives but phrasing changed. The
+    shingle space is |vocab|^2, so document frequencies are far more
+    skewed than unigrams' — exactly the regime prefix filtering is
+    for: the df-asc order packs each doc's prefix with its RAREST
+    bigrams and the boilerplate bigrams ("of the", "in a") that would
+    fan out the plain inverted index never generate candidates. Same
+    int64-exact bounds and output-sensitive verification as
+    dedup_ppjoin_pairs; oracle = the plain exact-Jaccard filter (the
+    prefix strategy must be result-invariant in this mode too)."""
+    return dedup.ppjoin_pairs(
+        table(spark, sf_dir, "documents"), thr_pct=80, shingle_n=2
+    )
+
+
+@register(
+    "doc_pack_mixture_stats",
+    f"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+                   FROM documents GROUP BY source),
+    t0 AS (SELECT sum(ns) AS n,
+                  sum(CAST(round(sqrt(ns) * 1000000) AS BIGINT)) AS ssq_u
+           FROM c),
+    r AS (SELECT source,
+                 CAST(floor(least(1.0, (0.5 * n)
+                      / ((ssq_u / 1000000.0) * sqrt(ns)))
+                      * 4294967296.0) AS BIGINT) AS thr
+          FROM c, t0),
+    kept AS (SELECT d.doc_id, d.source, d.text
+             FROM documents d JOIN r ON d.source = r.source
+             WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   < r.thr),
+    tk AS (SELECT doc_id, source AS part,
+                  CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM kept),
+    cc AS (SELECT *, coalesce(sum(n_tokens) OVER (
+             PARTITION BY part ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM tk),
+    p AS (SELECT part, n_tokens,
+            CASE WHEN n_tokens > 0
+                 THEN floor((cb + n_tokens - 1) / 256) > floor(cb / 256)
+                 ELSE FALSE END AS st
+          FROM cc),
+    g AS (SELECT part AS source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            CAST(sum(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_straddlers
+          FROM p GROUP BY 1),
+    tt AS (SELECT sum(n_tokens) AS tot FROM g)
+    SELECT g.source, g.n_docs, g.n_tokens,
+       CAST((g.n_tokens + 255) // 256 AS BIGINT) AS n_sequences,
+       g.n_straddlers,
+       round(CAST(g.n_straddlers AS DOUBLE) / CAST(g.n_docs AS DOUBLE), 6)
+         AS straddle_frac,
+       round(CAST(g.n_tokens AS DOUBLE) / CAST(tt.tot AS DOUBLE), 6)
+         AS token_share
+    FROM g CROSS JOIN tt ORDER BY source""",
+)
+def doc_pack_mixture_stats(spark, sf_dir):
+    """Mixture-then-pack observability: apply the temperature-α=0.5
+    source mixture (deterministic content-hash Bernoulli, exact int64
+    thresholds — the doc_mixture_sample engine), pack the SURVIVORS
+    per source (the doc_pack_sequences engine), and report the table a
+    batch-prep review reads before training: per source, kept docs,
+    kept tokens, how many 256-token sequences that packs into, how
+    many documents straddle a sequence boundary (get split across
+    training examples — the loss-masking hazard), and each source's
+    share of the post-mixture token budget.  This is the check that
+    the mixture's sqrt-temperature actually rebalanced the token
+    budget and didn't silently hand one source all the split docs.
+    Composition stays one lazy plan: mixture thresholds broadcast onto
+    the corpus, packing windows partition per source, and every stage
+    after the per-source aggregate is bounded by |sources| rows.  The
+    two ratios round half-away (the DuckDB double algorithm); all else
+    is exact int64."""
+    docs = table(spark, sf_dir, "documents")
+    kept_ids = curate.mixture_sample(docs).select("doc_id")
+    kept = docs.join(kept_ids, "doc_id")
+    packed = curate.pack_sequences(kept)
+    g = packed.groupBy(F.col("part").alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.col("straddles_boundary").cast("long"))
+        .cast("long")
+        .alias("n_straddlers"),
+    )
+    wa = Window.partitionBy()
+    tot = F.sum("n_tokens").over(wa)
+    return g.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("(n_tokens + 255) div 256").cast("long").alias("n_sequences"),
+        "n_straddlers",
+        round_half_away6(
+            F.col("n_straddlers").cast("double") / F.col("n_docs").cast("double")
+        ).alias("straddle_frac"),
+        round_half_away6(F.col("n_tokens").cast("double") / tot.cast("double")).alias(
+            "token_share"
+        ),
+    ).orderBy("source")

@@ -237,6 +237,9 @@ _CURRENT_ROUND_PRIORITY: tuple = (
     # tier 0 anyway — listing is documentation. The 33 r4-era verdicts
     # VERDICT_r8 flagged as stale fill the window right after tier 0.)
     "dedup_ppjoin_prefix_stats",
+    "orders_km_quartiles_by_segment",
+    "dedup_ppjoin_bigram_pairs",
+    "doc_pack_mixture_stats",
 )
 
 
