@@ -1680,3 +1680,67 @@ def test_stream_conformal_snaive_matches_batch(spark, events_batches):
         assert s.n_test == b.n_test, k
         assert s.n_flagged == b.n_flagged, k
         assert s.coverage == b.coverage, k
+
+
+def test_stream_sax_matches_batch(spark, events_batches):
+    """The LAST emission per user equals the batch ts_sax_motifs over
+    CLOSED hourly buckets: identical double expressions for mu/sigma/z,
+    the shared N(0,1) quartile literal, (count desc, word) tie order,
+    py_round6 shares — every field compares exactly."""
+    from tsod_spark.queries.round8 import sax_motifs
+    from tsod_spark.streaming import stream_sax
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_sax(src, series=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_sax")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # the emitted n_hours (closed-bucket count) grows monotonically, so
+    # each user's LAST emission is the one with max n_hours
+    per_user: dict = {}
+    for r in spark.sql("SELECT * FROM t_sax").collect():
+        per_user.setdefault(r.user_id, []).append(r)
+    got: dict = {}
+    for u, rows in per_user.items():
+        mx = max(r.n_hours for r in rows)
+        got[u] = {r.rank: r for r in rows if r.n_hours == mx}
+
+    from pyspark.sql import Window as W6
+
+    e = registry.table(spark, SF, "events")
+    closed = (
+        e.withColumn("__hb", F.expr("unix_micros(ts) div 3600000000"))
+        .withColumn(
+            "__mx",
+            F.max(
+                F.when(
+                    ~F.isnan("value") & F.col("value").isNotNull(),
+                    F.col("__hb"),
+                )
+            ).over(W6.partitionBy("user_id")),
+        )
+        .where(F.col("__hb") < F.col("__mx"))
+        .drop("__hb", "__mx")
+    )
+    batch = {}
+    for r in sax_motifs(closed).collect():
+        batch.setdefault(r.user_id, {})[r.rank] = r
+    assert set(got) == set(batch)
+    assert len(got) > 0
+    for u, b in batch.items():
+        s = got[u]
+        assert set(s) == set(b), u
+        for rk, br in b.items():
+            assert s[rk].word == br.word, (u, rk)
+            assert s[rk].n_word == br.n_word, (u, rk)
+            assert s[rk].share == br.share, (u, rk)

@@ -2243,3 +2243,154 @@ def stream_conformal_snaive(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stream_sax(
+    stream_df: DataFrame,
+    series: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    top_k: int = 3,
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming top-k SAX motifs — the continuous twin of the batch
+    ``ts_sax_motifs`` query: after every micro-batch that closes at
+    least one hourly bucket, re-emit the series' dominant 3-hour
+    symbolic words (the recurring local shapes a symbolic pre-filter
+    hands to motif/discord mining).
+
+    Unlike the periodogram (whose z-normalized trig sums decompose
+    into mergeable raw sums), SAX symbols CANNOT be folded
+    incrementally: each symbol compares ``(y - mu)/sigma`` against the
+    N(0,1) quartiles with the WHOLE-series mu/sigma, so every closed
+    bucket's letter can flip as the moments evolve. The honest exact
+    state is therefore the closed-bucket series itself — (hb, y) int64
+    pairs — which the fold bounds by CALENDAR HOURS (8,760/year per
+    series), not event volume; symbols, gap-guarded triples, and word
+    counts are recomputed at emission from <= that many rows. A
+    sliding/decayed variant could bound state further but would no
+    longer equal the batch query, whose contract is whole-series
+    normalization.
+
+    Emission matches batch bit-for-bit on closed buckets: identical
+    double expressions for mu/sigma/z (the type_corr overflow-safe
+    central-moment form), the exact N(0,1) quartile literal, the
+    (count desc, word) tie order, and py_round6 shares. Variance-0
+    series emit nothing (no shape information).
+    """
+    import math  # noqa: PLC0415
+
+    brk = 0.6744897501960817  # exact N(0,1) quartile — _SAX_BRK literal
+    series = list(series)
+    key_fields = [stream_df.schema[c] for c in series]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("n_hours", LongType()),
+            StructField("rank", LongType()),
+            StructField("word", StringType()),
+            StructField("n_word", LongType()),
+            StructField("share", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("pend_hb", LongType()),
+            StructField("pend_sum", LongType()),
+            StructField("hbs", ArrayType(LongType())),
+            StructField("ys", ArrayType(LongType())),
+        ]
+    )
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        new = new.sort_values([ts_col], kind="mergesort")
+        if state.exists:
+            pend_hb, pend_sum, hbs, ys = state.get
+            hbs = [int(h) for h in hbs]
+            ys = [int(v) for v in ys]
+        else:
+            pend_hb, pend_sum = None, 0
+            hbs, ys = [], []
+
+        closed_any = False
+        new_ts = pd.to_datetime(new[ts_col]).astype("int64") // 1000
+        vals = new[value_col].astype(float).to_numpy()
+        hbs_arr = (new_ts // 3_600_000_000).to_numpy()
+        for y, hb in zip(vals, hbs_arr):
+            if math.isnan(y):
+                continue
+            hb = int(hb)
+            c = (-1 if y < 0 else 1) * int(math.floor(abs(y) * 100 + 0.5))
+            if pend_hb is None:
+                pend_hb, pend_sum = hb, c
+            elif hb == pend_hb:
+                pend_sum += c
+            elif hb > pend_hb:
+                hbs.append(int(pend_hb))
+                ys.append(int(pend_sum))
+                closed_any = True
+                pend_hb, pend_sum = hb, c
+        state.update(
+            (
+                int(pend_hb) if pend_hb is not None else None,
+                int(pend_sum),
+                hbs,
+                ys,
+            )
+        )
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        n = len(ys)
+        if not closed_any or n == 0:
+            return
+        nd = float(n)
+        td = float(sum(ys))
+        qd = float(sum(v * v for v in ys))
+        var = (qd - td * td / nd) / nd
+        if var <= 0:
+            return
+        mu, sd = td / nd, math.sqrt(var)
+        syms = []
+        for v in ys:
+            z = (float(v) - mu) / sd
+            syms.append("a" if z < -brk else "b" if z < 0 else "c" if z < brk else "d")
+        counts: dict = {}
+        for i in range(n - 2):
+            if hbs[i + 1] == hbs[i] + 1 and hbs[i + 2] == hbs[i] + 2:
+                w = syms[i] + syms[i + 1] + syms[i + 2]
+                counts[w] = counts.get(w, 0) + 1
+        if not counts:
+            return
+        tot = sum(counts.values())
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        yield pd.DataFrame(
+            [
+                {
+                    **{c2: key[j] for j, c2 in enumerate(series)},
+                    "n_hours": n,
+                    "rank": r + 1,
+                    "word": w,
+                    "n_word": cnt,
+                    "share": py_round6(cnt / tot),
+                }
+                for r, (w, cnt) in enumerate(ranked)
+            ]
+        )
+
+    return stream_df.groupBy(*series).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
