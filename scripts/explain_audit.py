@@ -89,6 +89,9 @@ ALLOW_NLJ = {
     "orders_km_quartiles",  # inherits orders_km_survival's 1-row
                          # max-date scalar crossJoin; everything after
                          # the curve is grid-bounded (3 levels)
+    "orders_km_quartiles_by_segment",  # inherits km_segment_curve's
+                         # 1-row max-date scalar crossJoin; post-curve
+                         # stages bounded by |segments| x 3 grid
     "emb_label_davies_bouldin",  # |labels|-row centroid-array
                          # self-crossJoin (|labels|^2 = ~64 rows) +
                          # broadcast scatter joins — quadratic in

@@ -188,3 +188,39 @@ def test_km_quartiles_by_segment_consistency(spark):
         durs = [q[(seg, lp)].dur_days for lp in (25, 50, 75)]
         present = [d for d in durs if d is not None]
         assert present == sorted(present), seg
+
+
+def test_ppjoin_screen_new_docs_matches_bruteforce(spark):
+    """The one-sided prefix probe must return exactly the brute-force
+    batch x corpus pairs at the threshold — including matches through
+    grams the corpus has never seen (df 0) and across blocks never."""
+    rows = []
+    for i in range(60):
+        base = [f"w{j}" for j in range(10)]
+        if i % 5 == 0:
+            base[3] = f"u{i}"
+        rows.append((i, "s" if i % 2 else "t", " ".join(base)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    batch = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    got = sorted(
+        (r.doc_id, r.match_id, r.jaccard)
+        for r in dedup.ppjoin_screen_new_docs(
+            corpus, batch, thr_pct=80, shingle_n=1
+        ).collect()
+    )
+    bl = {r.doc_id: (r.source, set(r.text.split())) for r in batch.collect()}
+    cl = {r.doc_id: (r.source, set(r.text.split())) for r in corpus.collect()}
+    exp = []
+    for bid, (bs, bt) in bl.items():
+        for cid, (cs, ct) in cl.items():
+            if bs != cs:
+                continue
+            inter = len(bt & ct)
+            union = len(bt | ct)
+            if 100 * inter >= 80 * union:
+                exp.append((bid, cid, round(inter / union, 6)))
+    assert got == sorted(exp)
+    assert len(got) > 0

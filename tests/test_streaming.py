@@ -1744,3 +1744,60 @@ def test_stream_sax_matches_batch(spark, events_batches):
             assert s[rk].word == br.word, (u, rk)
             assert s[rk].n_word == br.n_word, (u, rk)
             assert s[rk].share == br.share, (u, rk)
+
+
+def test_stream_quality_budget_matches_batch(spark, tmp_path):
+    """The LAST emission per source equals the batch
+    quality_budget_curve(by=('source',)) over the same documents —
+    every field exactly (the int64 threshold compare has no float
+    boundary, and shares round through py_round6 = F.round)."""
+    from tsod_spark.pipeline.curate import quality_budget_curve
+    from tsod_spark.streaming import stream_quality_budget
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    rows = docs.collect()
+    schema = "doc_id long, source string, text string"
+    src_dir = str(tmp_path / "qb_src")
+    n = len(rows)
+    chunk = (n + 2) // 3
+    for i in range(3):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+                f"{src_dir}/b{i}"
+            )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/b*")
+    )
+    out = stream_quality_budget(src, series=["source"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_qb")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got: dict = {}
+    for r in spark.sql("SELECT * FROM t_qb").collect():
+        k = (r.source, r.thr_milli)
+        # n_docs_kept at thr=0 counts every doc -> monotone; use the
+        # thr_milli=0 row's count per emission as the emission clock
+        if k not in got or r.n_docs_kept >= got[k].n_docs_kept:
+            got[k] = r
+    batch = {
+        (r.source, r.thr_milli): r
+        for r in quality_budget_curve(docs, by=("source",)).collect()
+    }
+    assert set(got) == set(batch)
+    assert len(got) > 0
+    for k, b in batch.items():
+        s = got[k]
+        assert s.n_docs_kept == b.n_docs_kept, k
+        assert s.n_tokens_kept == b.n_tokens_kept, k
+        assert s.doc_share == b.doc_share, k
+        assert s.token_share == b.token_share, k

@@ -506,3 +506,78 @@ def contamination_stats(
             F.round(n_bad / n_docs, 6).alias("contamination_rate"),
         )
     )
+
+
+def quality_budget_curve(
+    docs: DataFrame,
+    by: "tuple[str, ...]" = (),
+    text_col: str = "text",
+    grid: "tuple[int, ...]" = tuple(range(0, 101, 10)),
+) -> DataFrame:
+    """Quality-knob budget curve (optionally per group): for each
+    minimum-stopword-ratio cut ``thr_milli`` (per-mille), surviving
+    doc/token counts and shares — the "what does tightening the
+    filter cost in training tokens" table, computed without ever
+    materializing a float ratio: the compare is
+    ``1000 * n_stop >= thr_milli * n_words`` in int64, engine-exact on
+    boundary docs. Empty-token docs are excluded from both sides (they
+    are dropped at any setting). Shares are per group when ``by`` is
+    given.
+
+    Plan: one corpus scan computes (n_words, n_stop) map-side, a
+    |grid|x explode over the slim per-doc stat frame (never the
+    text), one groupBy, and a left join back onto the (group x grid)
+    frame so zero-survivor thresholds still report 0.
+    """
+    from .text import STOPWORDS_EN, tokens
+
+    keys = list(by)
+    t = tokens(F.col(text_col))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    s = docs.select(
+        *keys,
+        F.size(t).cast("long").alias("n_words"),
+        F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+        .cast("long")
+        .alias("n_stop"),
+    ).where(F.col("n_words") > 0)
+    grid_arr = F.array(*[F.lit(int(v)).cast("long") for v in grid])
+    tot = s.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("__nd"),
+        F.sum("n_words").cast("long").alias("__nt"),
+    )
+    gridf = tot.select(
+        *keys, F.explode(grid_arr).alias("thr_milli"), "__nd", "__nt"
+    )
+    hits = (
+        s.select(*keys, "n_words", "n_stop", F.explode(grid_arr).alias("thr_milli"))
+        .where(
+            F.lit(1000) * F.col("n_stop") >= F.col("thr_milli") * F.col("n_words")
+        )
+        .groupBy(*keys, "thr_milli")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__docs"),
+            F.sum("n_words").cast("long").alias("__toks"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        gridf.join(hits, keys + ["thr_milli"], "left")
+        .select(
+            *keys,
+            "thr_milli",
+            F.coalesce(F.col("__docs"), zero).alias("n_docs_kept"),
+            F.coalesce(F.col("__toks"), zero).alias("n_tokens_kept"),
+            F.round(
+                F.coalesce(F.col("__docs"), zero).cast("double")
+                / F.col("__nd").cast("double"),
+                6,
+            ).alias("doc_share"),
+            F.round(
+                F.coalesce(F.col("__toks"), zero).cast("double")
+                / F.col("__nt").cast("double"),
+                6,
+            ).alias("token_share"),
+        )
+        .orderBy(*keys, "thr_milli")
+    )

@@ -1632,3 +1632,120 @@ def containment_pairs(
             "containment_b"
         ),
     ).orderBy("doc_a", "doc_b")
+
+
+def ppjoin_screen_new_docs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    thr_pct: int = 90,
+    text_col: str = "text",
+    block_col: str = "source",
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Continuous-ingest EXACT-threshold screen: for each new-batch
+    doc, every corpus doc in its block with Jaccard >= ``thr_pct/100``
+    (distinct grams), found via a ONE-SIDED prefix filter — the
+    guarantee-grade companion to :func:`incremental_new_docs`
+    (MinHash, estimation error) and :func:`winnow_screen_new_docs`
+    (span collisions): an ingest gate that must PROVE "this doc is not
+    a >= 0.9 near-dup of anything we already hold" needs the exact
+    tier.
+
+    One-sided prefix soundness: J(x,y) >= t forces overlap >=
+    ceil(t*|x|); if y shared nothing in x's prefix (the
+    ``|x| - ceil(t*|x|) + 1`` globally-rarest grams of x), all shared
+    grams would sit in x's suffix of size ceil(t*|x|) - 1 —
+    contradiction. So probing the corpus with ONLY the batch docs'
+    prefix grams is exact, and no corpus-side prefix table is needed.
+    The gram order is (corpus document frequency asc, gram asc);
+    corpus-unseen grams get df 0 — rarest, which is correct: a gram
+    the corpus has never seen cannot generate any join hit.
+
+    Scale shape: the corpus leg is (a) one slim (blk, gram) explode ->
+    groupBy for the df index — in production this index is maintained
+    incrementally, the one-time build amortizes — and (b) one probe
+    scan joined against the BROADCAST batch prefix table, whose hits
+    are bounded by the corpus frequency of the batch's RAREST grams
+    (that is the point of prefix probing: boilerplate grams never
+    probe). Verification joins the bounded candidate set back to
+    corpus gram arrays with the batch arrays broadcast — output-
+    sensitive. The corpus never shuffles a gram array; batch-internal
+    duplicates are out of scope (run :func:`ppjoin_pairs` on the batch
+    for those).
+
+    Int64-exact threshold bounds throughout (the ppjoin_pairs ceil
+    discipline).
+    """
+    pct = int(thr_pct)
+    if not 0 < pct <= 100:
+        raise ValueError("thr_pct must be in (0, 100]")
+    grams_of = (
+        (lambda t: shingles(t, shingle_n)) if shingle_n > 1 else F.array_distinct
+    )
+
+    def tok_of(df):
+        return (
+            df.select(
+                "doc_id",
+                F.col(block_col).alias("blk"),
+                grams_of(tokens(F.col(text_col))).alias("__g"),
+            )
+            .withColumn("__ng", F.size("__g").cast("long"))
+            .where(F.col("__ng") > 0)
+        )
+
+    ctok = tok_of(corpus).cache()
+    btok = tok_of(batch).cache()
+    # corpus df index: slim (blk, gram) pairs only
+    cg = ctok.select("doc_id", "blk", "__ng", F.explode("__g").alias("gram"))
+    dfreq = cg.groupBy("blk", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    # batch prefix under (corpus df asc, gram asc); unseen grams df 0
+    bg = btok.select("doc_id", "blk", "__ng", F.explode("__g").alias("gram"))
+    bj = bg.join(dfreq, ["blk", "gram"], "left").withColumn(
+        "__df", F.coalesce(F.col("__df"), F.lit(0).cast("long"))
+    )
+    pos = F.row_number().over(Window.partitionBy("doc_id").orderBy("__df", "gram"))
+    plen = F.col("__ng") - F.expr(f"({pct} * __ng + 99) div 100") + 1
+    bpre = (
+        bj.withColumn("__pos", pos.cast("long"))
+        .where(F.col("__pos") <= plen)
+        .select(
+            "blk", "gram", F.col("doc_id").alias("doc_id"), F.col("__ng").alias("__nb")
+        )
+    )
+    # probe: corpus gram explode joins the broadcast batch prefix;
+    # length filter int64-exact (t*max <= min)
+    cand = (
+        cg.join(F.broadcast(bpre.withColumnRenamed("doc_id", "__bid")), ["blk", "gram"])
+        .where(
+            F.lit(100) * F.least(F.col("__ng"), F.col("__nb"))
+            >= F.lit(pct) * F.greatest(F.col("__ng"), F.col("__nb"))
+        )
+        .select(F.col("doc_id").alias("match_id"), F.col("__bid").alias("doc_id"))
+        .distinct()
+    )
+    fb = btok.select(
+        F.col("doc_id"),
+        F.col("__g").alias("__gb"),
+        F.col("__ng").alias("__nb"),
+    )
+    fc = ctok.select(
+        F.col("doc_id").alias("match_id"),
+        F.col("__g").alias("__gc"),
+        F.col("__ng").alias("__nc"),
+    )
+    v = (
+        cand.join(fc, "match_id")
+        .join(F.broadcast(fb), "doc_id")
+        .withColumn(
+            "__inter", F.size(F.array_intersect("__gb", "__gc")).cast("long")
+        )
+        .withColumn("__union", F.col("__nb") + F.col("__nc") - F.col("__inter"))
+        .where(F.lit(100) * F.col("__inter") >= F.lit(pct) * F.col("__union"))
+    )
+    jac = F.round(F.col("__inter").cast("double") / F.col("__union").cast("double"), 6)
+    return v.select("doc_id", "match_id", jac.alias("jaccard")).orderBy(
+        "doc_id", "match_id"
+    )

@@ -250,3 +250,94 @@ def doc_pack_mixture_stats(spark, sf_dir):
             "token_share"
         ),
     ).orderBy("source")
+
+
+@register(
+    "dedup_ppjoin_incremental",
+    f"""WITH d AS (SELECT doc_id, source AS blk, {TOKS} AS toks0
+                   FROM documents),
+    dd AS (SELECT doc_id, blk, list_distinct(toks0) AS toks FROM d
+           WHERE len(toks0) > 0),
+    b AS (SELECT * FROM dd WHERE doc_id % 7 = 0),
+    c AS (SELECT * FROM dd WHERE doc_id % 7 <> 0),
+    p AS (SELECT b.doc_id AS doc_id, c.doc_id AS match_id,
+             CAST(len(list_filter(b.toks, x -> list_contains(c.toks, x)))
+                  AS BIGINT) AS inter,
+             CAST(len(b.toks) + len(c.toks) AS BIGINT) AS tot
+          FROM b JOIN c ON b.blk = c.blk)
+    SELECT doc_id, match_id,
+       round(CAST(inter AS DOUBLE) / CAST(tot - inter AS DOUBLE), 6) AS jaccard
+    FROM p WHERE 100 * inter >= 90 * (tot - inter)
+    ORDER BY doc_id, match_id""",
+)
+def dedup_ppjoin_incremental(spark, sf_dir):
+    """Continuous-ingest EXACT near-dup screen: each doc of the
+    arriving ~14% batch (doc_id % 7 = 0; the fixture generator places
+    near-dups at doc_id offsets that are multiples of 20, so the usual
+    % 20 split never crosses batch/corpus — 7 is coprime and yields a
+    non-vacuous check)
+    against the standing 95% corpus, returning every in-block corpus
+    match at Jaccard >= 0.90 with its exact score — the
+    guarantee-grade ingest gate next to dedup_incremental (MinHash,
+    has false negatives by construction) and doc_winnow_screen (span
+    collisions). One-SIDED prefix filter: only the batch docs' rarest
+    grams (by CORPUS document frequency, unseen grams rarest) probe
+    the corpus — sound because J >= t already forces an overlap
+    >= ceil(t*|batch doc|), which cannot hide entirely in the doc's
+    suffix. The corpus leg is one slim df-index groupBy (amortized in
+    production: the index is maintained incrementally) plus one probe
+    scan against the BROADCAST batch prefix; nothing corpus-sized ever
+    shuffles a gram array. Oracle = brute-force batch x corpus exact
+    Jaccard: the prefix probe must be result-invariant."""
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    return dedup.ppjoin_screen_new_docs(corpus, batch, thr_pct=90, shingle_n=1)
+
+
+@register(
+    "doc_quality_budget_curve",
+    f"""WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(len(list_filter(toks, x -> x IN
+                 ('the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'it',
+                  'that'))) AS BIGINT) AS n_stop
+          FROM t WHERE len(toks) > 0),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                   CAST(sum(n_words) AS BIGINT) AS nt FROM s),
+    grid AS (SELECT unnest([0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100])
+                    AS thr_milli),
+    hits AS (SELECT g.thr_milli,
+               CAST(count(*) AS BIGINT) AS n_docs_kept,
+               CAST(sum(s.n_words) AS BIGINT) AS n_tokens_kept
+             FROM s JOIN grid g ON 1000 * s.n_stop >= g.thr_milli * s.n_words
+             GROUP BY 1)
+    SELECT CAST(g.thr_milli AS BIGINT) AS thr_milli,
+       CAST(coalesce(h.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+       CAST(coalesce(h.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       round(CAST(coalesce(h.n_docs_kept, 0) AS DOUBLE)
+             / CAST(tot.nd AS DOUBLE), 6) AS doc_share,
+       round(CAST(coalesce(h.n_tokens_kept, 0) AS DOUBLE)
+             / CAST(tot.nt AS DOUBLE), 6) AS token_share
+    FROM grid g CROSS JOIN tot
+    LEFT JOIN hits h ON h.thr_milli = g.thr_milli
+    ORDER BY thr_milli""",
+)
+def doc_quality_budget_curve(spark, sf_dir):
+    """Quality-knob budget curve — the dedup_threshold_curve of the
+    QUALITY axis: for each minimum-stopword-ratio cut (0‰..100‰ in
+    10‰ steps; low stopword density is the classic non-prose signal a
+    Gopher-style filter drops on), how many documents and how many
+    tokens survive, as counts and corpus shares — the "what does
+    tightening the quality filter cost in training tokens" table an
+    operator reads BEFORE re-running the curation pipeline per
+    candidate setting.  The threshold compare is pure int64
+    (``1000 * n_stop >= thr_milli * n_words``) — no float ratio is
+    ever materialized, so the curve is engine-exact everywhere
+    including boundary docs; empty-token docs are excluded from both
+    numerator and denominator (they are dropped at any setting).
+    Plan: one corpus scan computes (n_words, n_stop) map-side, an 11x
+    grid explode over the TINY per-doc stat frame (never the text),
+    one groupBy, and a left join back onto the grid so zero-survivor
+    thresholds still report 0."""
+    return curate.quality_budget_curve(table(spark, sf_dir, "documents"))

@@ -240,6 +240,8 @@ _CURRENT_ROUND_PRIORITY: tuple = (
     "orders_km_quartiles_by_segment",
     "dedup_ppjoin_bigram_pairs",
     "doc_pack_mixture_stats",
+    "dedup_ppjoin_incremental",
+    "doc_quality_budget_curve",
 )
 
 

@@ -2394,3 +2394,119 @@ def stream_sax(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stream_quality_budget(
+    stream_df: DataFrame,
+    series: Sequence[str] = ("source",),
+    text_col: str = "text",
+    grid: Sequence[int] = tuple(range(0, 101, 10)),
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming quality-knob budget curve per source — the continuous
+    twin of the batch ``doc_quality_budget_curve`` engine
+    (``pipeline.curate.quality_budget_curve`` with ``by=(source,)``):
+    as documents arrive, maintain for every stopword-ratio cut the
+    surviving doc/token counts and re-emit the full curve.
+
+    The curve is exactly mergeable with O(1) state: the threshold
+    compare ``1000*n_stop >= thr*n_words`` is per-document, so per
+    (source, threshold) the survivors are plain counters — state is
+    ``2*(|grid|+1)`` int64s per source, independent of corpus size
+    (the cheapest state profile of any twin in this module). Shares
+    derive fresh at emission via py_round6 (the F.round twin), so
+    stream emissions equal the batch curve over the same prefix of
+    documents bit-for-bit. Empty-token docs contribute nothing, like
+    the batch ``n_words > 0`` gate.
+
+    Tokenization happens JVM-side before the stateful operator (the
+    same ``tokens()`` Column expression as batch) — the Python state
+    kernel only ever sees two small integers per document.
+    """
+    from ..pipeline.text import STOPWORDS_EN, tokens
+
+    glist = [int(v) for v in grid]
+    k = len(glist)
+    series = list(series)
+    t = tokens(F.col(text_col))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    slim = stream_df.select(
+        *series,
+        F.size(t).cast("long").alias("__nw"),
+        F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+        .cast("long")
+        .alias("__ns"),
+    ).where(F.col("__nw") > 0)
+    key_fields = [slim.schema[c] for c in series]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("thr_milli", LongType()),
+            StructField("n_docs_kept", LongType()),
+            StructField("n_tokens_kept", LongType()),
+            StructField("doc_share", DoubleType()),
+            StructField("token_share", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("nd", LongType()),
+            StructField("nt", LongType()),
+            StructField("docs", ArrayType(LongType())),
+            StructField("toks", ArrayType(LongType())),
+        ]
+    )
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        if state.exists:
+            nd, nt, docs, toks = state.get
+            nd, nt = int(nd), int(nt)
+            docs = [int(v) for v in docs]
+            toks = [int(v) for v in toks]
+        else:
+            nd = nt = 0
+            docs, toks = [0] * k, [0] * k
+        for nw, ns in zip(
+            new["__nw"].astype("int64"), new["__ns"].astype("int64")
+        ):
+            nw, ns = int(nw), int(ns)
+            nd += 1
+            nt += nw
+            for i, thr in enumerate(glist):
+                if 1000 * ns >= thr * nw:
+                    docs[i] += 1
+                    toks[i] += nw
+        state.update((nd, nt, docs, toks))
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        yield pd.DataFrame(
+            [
+                {
+                    **{c: key[j] for j, c in enumerate(series)},
+                    "thr_milli": thr,
+                    "n_docs_kept": docs[i],
+                    "n_tokens_kept": toks[i],
+                    "doc_share": py_round6(docs[i] / nd),
+                    "token_share": py_round6(toks[i] / nt),
+                }
+                for i, thr in enumerate(glist)
+            ]
+        )
+
+    return slim.groupBy(*series).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
