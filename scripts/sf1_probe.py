@@ -164,6 +164,14 @@ HEADLINE = [
     "events_attribution_credit",
     "ts_periodogram",
     "supplier_ship_latency",
+    # round-9: PPJoin observability/bigram/incremental tiers, the
+    # per-segment KM quartiles, and the two curation curves
+    "dedup_ppjoin_prefix_stats",
+    "dedup_ppjoin_bigram_pairs",
+    "dedup_ppjoin_incremental",
+    "orders_km_quartiles_by_segment",
+    "doc_pack_mixture_stats",
+    "doc_quality_budget_curve",
 ]
 
 
