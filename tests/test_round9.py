@@ -224,3 +224,66 @@ def test_ppjoin_screen_new_docs_matches_bruteforce(spark):
                 exp.append((bid, cid, round(inter / union, 6)))
     assert got == sorted(exp)
     assert len(got) > 0
+
+
+def test_conformal_curve_alpha20_equals_snaive(spark):
+    """At alpha_pct=20 the calibration curve must reproduce
+    ts_conformal_snaive exactly (the generalized rank
+    ((n+1)(100-a)+99) div 100 reduces to ((n+1)*8+9) div 10)."""
+    from tsod_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    curve = {
+        r.user_id: r
+        for r in QUERIES["ts_conformal_curve"](spark, sf).collect()
+        if r.alpha_pct == 20
+    }
+    base = {r.user_id: r for r in QUERIES["ts_conformal_snaive"](spark, sf).collect()}
+    assert set(curve) == set(base)
+    assert len(curve) > 0
+    for u, b in base.items():
+        c = curve[u]
+        assert (c.n_cal, c.qhat_cents, c.n_test, c.n_flagged, c.coverage) == (
+            b.n_cal,
+            b.qhat_cents,
+            b.n_test,
+            b.n_flagged,
+            b.coverage,
+        ), u
+    spark.catalog.clearCache()
+
+
+def test_nelson_aalen_by_segment_consistency(spark):
+    """Per-segment N-A must be internally consistent: cumhaz
+    nondecreasing within a segment, survival_fh = exp(-cumhaz)
+    (both rounded), and per-segment event totals must match the KM
+    segment summary's."""
+    import math
+
+    from tsod_spark.queries.round8 import km_segment_summary
+    from tsod_spark.registry import QUERIES
+    from tsod_spark.registry import table as rt
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["orders_nelson_aalen_by_segment"](spark, sf).collect()
+    by_seg: dict = {}
+    for r in rows:
+        by_seg.setdefault(r.c_mktsegment, []).append(r)
+    s = {
+        r.c_mktsegment: r
+        for r in km_segment_summary(
+            rt(spark, sf, "orders"), rt(spark, sf, "customer")
+        ).collect()
+    }
+    assert set(by_seg) == set(s)
+    for seg, rs in by_seg.items():
+        rs = sorted(rs, key=lambda r: r.dur_days)
+        ch = [r.na_cumhaz for r in rs]
+        assert ch == sorted(ch), seg
+        assert sum(r.d_event for r in rs) == s[seg].n_events, seg
+        for r in rs:
+            assert abs(r.survival_fh - round(math.exp(-r.na_cumhaz), 6)) < 2e-6, (
+                seg,
+                r.dur_days,
+            )
+    spark.catalog.clearCache()

@@ -1709,12 +1709,11 @@ def orders_km_segment_summary(spark, sf_dir):
     )
 
 
-def km_segment_curve(orders, customer):
-    """Per-market-segment KM curve frame ``(__seg, dur, __de, __ce,
-    __surv)`` with UNROUNDED survival — the shared stage
-    km_segment_summary (rounds at the summary) and the r9 per-segment
-    quartiles (rounds the curve first, the km_survival discipline)
-    both read. Every window partitions by segment."""
+def km_segment_risk(orders, customer):
+    """Per-market-segment duration-grid risk table ``(__seg, dur,
+    __de, __ce, __nr)`` — the shared stage all three per-segment
+    survival estimators (KM summary, KM quartiles, Nelson-Aalen)
+    read. Every window partitions by segment."""
     o = (
         orders
         .join(
@@ -1768,6 +1767,14 @@ def km_segment_curve(orders, customer):
         F.sum(at).over(ws).cast("long")
         - F.coalesce(F.sum(at).over(w_prev).cast("long"), F.lit(0).cast("long")),
     )
+    return k
+
+
+def km_segment_curve(orders, customer):
+    """Per-segment KM curve ``(__seg, dur, __de, __ce, __surv)`` with
+    UNROUNDED survival, built on :func:`km_segment_risk`."""
+    k = km_segment_risk(orders, customer)
+    w_cum = Window.partitionBy("__seg").orderBy("dur")
     de, nr = F.col("__de"), F.col("__nr")
     lt = F.when(de == 0, F.lit(0.0)).when(
         de < nr, F.log((nr - de).cast("double") / nr.cast("double"))
@@ -2251,7 +2258,11 @@ def ts_conformal_snaive(spark, sf_dir):
     return conformal_snaive(table(spark, sf_dir, "events"))
 
 
-def conformal_snaive(e):
+def snaive_residuals(e):
+    """Cached per-(series, hour) seasonal-naive residual frame
+    ``(user_id, __hb, __resid)`` — the shared stage conformal_snaive
+    and the r9 calibration curve both split; scanned by both split
+    sides, bounded by the bucket count."""
     from ..expressions import nan_to_null
 
     cents = F.round(nan_to_null(F.col("value")) * 100).cast("long")
@@ -2262,7 +2273,7 @@ def conformal_snaive(e):
         .cache()
     )
     a, f = p.alias("a"), p.alias("f")
-    r = a.join(
+    return a.join(
         f,
         (F.col("f.user_id") == F.col("a.user_id"))
         & (F.col("f.__b") == F.col("a.__b") - F.expr("INTERVAL 24 HOUR")),
@@ -2270,7 +2281,11 @@ def conformal_snaive(e):
         F.col("a.user_id").alias("user_id"),
         F.expr("unix_micros(a.__b) div 3600000000").alias("__hb"),
         F.abs(F.col("a.__x") - F.col("f.__x")).cast("long").alias("__resid"),
-    ).cache()  # scanned by BOTH split sides; bounded by the bucket count
+    ).cache()
+
+
+def conformal_snaive(e):
+    r = snaive_residuals(e)
     cal = r.where(F.col("__hb") % 5 != 0)
     wn = Window.partitionBy("user_id")
     wr = Window.partitionBy("user_id").orderBy("__resid", "__hb")

@@ -341,3 +341,209 @@ def doc_quality_budget_curve(spark, sf_dir):
     one groupBy, and a left join back onto the grid so zero-survivor
     thresholds still report 0."""
     return curate.quality_budget_curve(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ts_conformal_curve",
+    """WITH c AS (SELECT user_id, date_trunc('hour', ts) AS b,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc FROM events),
+    p AS (SELECT user_id, b, CAST(sum(vc) AS BIGINT) AS x
+          FROM c WHERE vc IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT a.user_id,
+            CAST(epoch_us(a.b) // 3600000000 AS BIGINT) AS hb,
+            abs(a.x - f.x) AS resid
+          FROM p a JOIN p f
+            ON f.user_id = a.user_id AND f.b = a.b - INTERVAL 24 HOUR),
+    cal AS (SELECT user_id, resid,
+              CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY resid, hb) AS BIGINT) AS rk,
+              CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_cal
+            FROM r WHERE hb % 5 <> 0),
+    grid AS (SELECT unnest([10, 20, 30, 40, 50]) AS alpha_pct),
+    q AS (SELECT c2.user_id, CAST(g.alpha_pct AS BIGINT) AS alpha_pct,
+                 c2.n_cal, c2.resid AS qhat_cents
+          FROM cal c2 JOIN grid g
+            ON c2.rk = ((c2.n_cal + 1) * (100 - g.alpha_pct) + 99) // 100
+           AND ((c2.n_cal + 1) * (100 - g.alpha_pct) + 99) // 100 <= c2.n_cal),
+    t AS (SELECT q.user_id, q.alpha_pct,
+            CAST(count(*) AS BIGINT) AS n_test,
+            CAST(sum(CASE WHEN r.resid <= q.qhat_cents THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_covered
+          FROM r JOIN q USING (user_id) WHERE r.hb % 5 = 0
+          GROUP BY q.user_id, q.alpha_pct, q.qhat_cents),
+    o AS (SELECT q.user_id, q.alpha_pct, q.n_cal, q.qhat_cents,
+       coalesce(t.n_test, CAST(0 AS BIGINT)) AS n_test,
+       coalesce(t.n_test, CAST(0 AS BIGINT))
+         - coalesce(t.n_covered, CAST(0 AS BIGINT)) AS n_flagged,
+       CASE WHEN t.n_test > 0
+            THEN round(CAST(t.n_covered AS DOUBLE)
+                       / CAST(t.n_test AS DOUBLE), 6) END AS coverage
+    FROM q LEFT JOIN t ON t.user_id = q.user_id
+                      AND t.alpha_pct = q.alpha_pct)
+    SELECT * FROM o ORDER BY user_id, alpha_pct""",
+)
+def ts_conformal_curve(spark, sf_dir):
+    """Conformal CALIBRATION curve — the dedup_threshold_curve of the
+    miscoverage knob: for each alpha in {0.10..0.50}, the per-series
+    exact conformal quantile (rank ``ceil((n_cal+1)(1-alpha))`` as the
+    int64 order statistic ``((n_cal+1)(100-a)+99) div 100``), the
+    held-out flag count, and the empirical coverage — the table that
+    shows WHERE the finite-sample guarantee starts paying for data: a
+    series certifies a given alpha only when the rank fits inside its
+    calibration set (alpha=0.1 needs n_cal >= 9; tighter alphas
+    certify earlier), and refused (series, alpha) cells emit NO row on
+    either engine.  At alpha=0.2 this reproduces ts_conformal_snaive
+    exactly (the generalized rank reduces to ((n+1)*8+9) div 10,
+    pinned by test).  One shared cached residual frame
+    (round8.snaive_residuals — same stage conformal_snaive splits), a
+    5x grid join against the ranked calibration frame (bounded by
+    residual rows), one test-side aggregate per (series, alpha)."""
+    from .round8 import snaive_residuals
+
+    r = snaive_residuals(table(spark, sf_dir, "events"))
+    cal = r.where(F.col("__hb") % 5 != 0)
+    wn = Window.partitionBy("user_id")
+    wr = Window.partitionBy("user_id").orderBy("__resid", "__hb")
+    ranked = cal.select(
+        "user_id",
+        "__resid",
+        F.row_number().over(wr).cast("long").alias("__rk"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n_cal"),
+    )
+    grid_arr = F.array(*[F.lit(v).cast("long") for v in (10, 20, 30, 40, 50)])
+    k = F.expr("((n_cal + 1) * (100 - alpha_pct) + 99) div 100")
+    q = (
+        ranked.select(
+            "user_id",
+            "__resid",
+            "__rk",
+            "n_cal",
+            F.explode(grid_arr).alias("alpha_pct"),
+        )
+        .where((F.col("__rk") == k) & (k <= F.col("n_cal")))
+        .select(
+            "user_id", "alpha_pct", "n_cal", F.col("__resid").alias("qhat_cents")
+        )
+    )
+    t = (
+        r.where(F.col("__hb") % 5 == 0)
+        .join(q.select("user_id", "alpha_pct", "qhat_cents"), "user_id")
+        .groupBy("user_id", "alpha_pct")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("__resid") <= F.col("qhat_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("__cov"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        q.join(t, ["user_id", "alpha_pct"], "left")
+        .select(
+            "user_id",
+            "alpha_pct",
+            "n_cal",
+            "qhat_cents",
+            F.coalesce(F.col("n_test"), zero).alias("n_test"),
+            (
+                F.coalesce(F.col("n_test"), zero)
+                - F.coalesce(F.col("__cov"), zero)
+            ).alias("n_flagged"),
+            F.when(
+                F.col("n_test") > 0,
+                F.round(
+                    F.col("__cov").cast("double") / F.col("n_test").cast("double"),
+                    6,
+                ),
+            ).alias("coverage"),
+        )
+        .orderBy("user_id", "alpha_pct")
+    )
+
+
+@register(
+    "orders_nelson_aalen_by_segment",
+    """WITH o AS (SELECT o.o_custkey, CAST(o.o_orderdate AS DATE) AS d,
+                o.o_orderkey, c.c_mktsegment AS seg
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    mx AS (SELECT max(d) AS mxd FROM o),
+    s AS (SELECT seg, o_custkey, d,
+            lead(d) OVER (PARTITION BY o_custkey
+                          ORDER BY d, o_orderkey) AS nxt
+          FROM o),
+    dur AS (
+      SELECT seg, CAST(date_diff('day', d, nxt) AS BIGINT) AS dur,
+             CAST(1 AS BIGINT) AS ev
+      FROM s WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT seg, CAST(date_diff('day', d, mxd) AS BIGINT) AS dur,
+             CAST(0 AS BIGINT) AS ev
+      FROM s CROSS JOIN mx WHERE nxt IS NULL),
+    g AS (SELECT seg, dur, CAST(sum(ev) AS BIGINT) AS de,
+                 CAST(sum(1 - ev) AS BIGINT) AS ce
+          FROM dur GROUP BY 1, 2),
+    k AS (SELECT *,
+            CAST(sum(de + ce) OVER (PARTITION BY seg) AS BIGINT)
+              - coalesce(CAST(sum(de + ce) OVER
+                  (PARTITION BY seg ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) AS BIGINT), CAST(0 AS BIGINT)) AS nr
+          FROM g),
+    na AS (SELECT seg, dur, nr, de,
+            sum(CASE WHEN de > 0
+                     THEN CAST(de AS DOUBLE) / CAST(nr AS DOUBLE)
+                     ELSE CAST(0 AS DOUBLE) END)
+              OVER (PARTITION BY seg ORDER BY dur) AS ch,
+            sum(CASE WHEN de > 0
+                     THEN CAST(de AS DOUBLE)
+                          / (CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE))
+                     ELSE CAST(0 AS DOUBLE) END)
+              OVER (PARTITION BY seg ORDER BY dur) AS cv
+          FROM k)
+    SELECT seg AS c_mktsegment, dur AS dur_days, nr AS n_risk,
+       de AS d_event,
+       round(ch, 6) AS na_cumhaz,
+       round(sqrt(cv), 6) AS na_se,
+       round(exp(-ch), 6) AS survival_fh
+    FROM na ORDER BY c_mktsegment, dur_days""",
+)
+def orders_nelson_aalen_by_segment(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard PER market segment — the
+    segment-resolved twin of orders_nelson_aalen, completing the
+    per-segment survival triple (KM summary, KM quartiles, N-A): the
+    curve whose SLOPE differences between segments are the "BUILDING
+    reorders are accelerating, MACHINERY's flat" read, with the
+    Poisson standard error and the Fleming-Harrington survival
+    exp(-H).  Shares the per-segment duration-grid risk table
+    (``km_segment_risk``) with the other two — one candidate plan
+    family, all windows partitioned by segment, everything after the
+    per-customer lead window bounded by |segments| x duration grid.
+    Hazard increments are single exact divisions d/n and d/n^2 with
+    identical association in both engines; only the final
+    sqrt/exp/round are transcendental."""
+    from .round8 import km_segment_risk
+
+    k = km_segment_risk(
+        table(spark, sf_dir, "orders"), table(spark, sf_dir, "customer")
+    )
+    de, nr = F.col("__de"), F.col("__nr")
+    hz = F.when(de > 0, de.cast("double") / nr.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    hv = F.when(
+        de > 0, de.cast("double") / (nr.cast("double") * nr.cast("double"))
+    ).otherwise(F.lit(0.0))
+    w_cum = Window.partitionBy("__seg").orderBy("dur")
+    h = k.withColumn("__hz", hz).withColumn("__hv", hv)
+    return h.select(
+        F.col("__seg").alias("c_mktsegment"),
+        F.col("dur").alias("dur_days"),
+        F.col("__nr").alias("n_risk"),
+        F.col("__de").alias("d_event"),
+        F.round(F.sum("__hz").over(w_cum), 6).alias("na_cumhaz"),
+        F.round(F.sqrt(F.sum("__hv").over(w_cum)), 6).alias("na_se"),
+        F.round(F.exp(-F.sum("__hz").over(w_cum)), 6).alias("survival_fh"),
+    ).orderBy("c_mktsegment", "dur_days")

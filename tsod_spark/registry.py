@@ -242,6 +242,8 @@ _CURRENT_ROUND_PRIORITY: tuple = (
     "doc_pack_mixture_stats",
     "dedup_ppjoin_incremental",
     "doc_quality_budget_curve",
+    "ts_conformal_curve",
+    "orders_nelson_aalen_by_segment",
 )
 
 
