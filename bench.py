@@ -197,7 +197,8 @@ def run_slice() -> None:
             "dedup_minhash_pairs emb_ivfpq_topk emb_pq_topk doc_vocab_overlap "
             "dedup_minhash_pairs_capped dedup_simhash_pairs_capped "
             "dedup_winnow_overlap dedup_ppjoin_pairs dedup_ppjoin_groups "
-            "dedup_containment_pairs dedup_threshold_curve dedup_jaccard_topk",
+            "dedup_containment_pairs dedup_threshold_curve dedup_jaccard_topk "
+            "doc_bigram_heavy_hitters events_theta_sets",
         ).split()
     )
 
@@ -217,7 +218,21 @@ def run_slice() -> None:
     median3: dict[str, dict] = {}
     for name, fn in items:
         if name in cc_family:
-            _run_once(fn)  # untimed absorber: JIT scale-shift churn
+            # converged-warm absorber (JMH-style): up to 3 untimed
+            # runs, stopping once the sequence is non-increasing AND
+            # within 1.3x of the fastest seen — one absorber was
+            # measured insufficient for the deepest hump
+            # (dedup_threshold_curve timed [31.0, 13.8, 5.1] AFTER a
+            # single absorber; the C2 recompile race can span runs).
+            # Flat queries exit after 2 absorbers; humped ones use 3.
+            prev = _run_once(fn)
+            best = prev
+            for _ in range(2):
+                nxt = _run_once(fn)
+                best = min(best, nxt)
+                if nxt <= prev and nxt <= 1.3 * best:
+                    break
+                prev = nxt
             runs = [round(_run_once(fn), 3) for _ in range(3)]
             timings[name] = sorted(runs)[1]
             median3[name] = {
