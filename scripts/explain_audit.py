@@ -92,6 +92,15 @@ ALLOW_NLJ = {
     "orders_km_quartiles_by_segment",  # inherits km_segment_curve's
                          # 1-row max-date scalar crossJoin; post-curve
                          # stages bounded by |segments| x 3 grid
+    "orders_nelson_aalen_by_segment",  # inherits km_segment_risk's
+                         # 1-row max-date scalar crossJoin
+    "orders_km_logrank",  # 1-row max-date scalar crossJoin (censored
+                         # tails) + |segments| x |duration grid| cross
+                         # for the at-risk reverse cumsum — both
+                         # bounded by the duration GRID, never orders
+    "events_psi_drift",  # broadcast 1-row midpoint-scalar crossJoin;
+                         # everything past the counts agg is
+                         # |types| x 10 buckets
     "emb_label_davies_bouldin",  # |labels|-row centroid-array
                          # self-crossJoin (|labels|^2 = ~64 rows) +
                          # broadcast scatter joins — quadratic in

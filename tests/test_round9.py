@@ -287,3 +287,71 @@ def test_nelson_aalen_by_segment_consistency(spark):
                 r.dur_days,
             )
     spark.catalog.clearCache()
+
+
+def test_km_logrank_identities(spark):
+    """Log-rank invariants: per-segment observed events equal the KM
+    summary's; sum(observed) == sum(expected) up to the term
+    quantization (expected sums to total events by construction:
+    sum_g n_g(t) = n(t) at every pooled time)."""
+    from tsod_spark.queries.round8 import km_segment_summary
+    from tsod_spark.registry import QUERIES
+    from tsod_spark.registry import table as rt
+
+    sf = "/root/testdata/sf0.01"
+    lr = {
+        r.c_mktsegment: r for r in QUERIES["orders_km_logrank"](spark, sf).collect()
+    }
+    s = {
+        r.c_mktsegment: r
+        for r in km_segment_summary(
+            rt(spark, sf, "orders"), rt(spark, sf, "customer")
+        ).collect()
+    }
+    assert set(lr) == set(s)
+    for seg, r in s.items():
+        assert lr[seg].observed == r.n_events, seg
+        assert lr[seg].n_subj == r.n_events + r.n_censored, seg
+        assert lr[seg].chi_contrib >= 0, seg
+    tot_obs = sum(r.observed for r in lr.values())
+    tot_exp = sum(r.expected for r in lr.values())
+    # each of the |segments| x |event durations| terms is quantized to
+    # 1e-6, so the identity holds to that granularity
+    assert abs(tot_obs - tot_exp) < 1e-6 * 5 * 4000
+    spark.catalog.clearCache()
+
+
+def test_psi_drift_planted_shift(spark):
+    """PSI flags a planted distribution shift and stays quiet on a
+    stable one: type 'shift' doubles its values in the second half,
+    type 'stable' keeps one distribution throughout."""
+    import datetime
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    eid = 0
+    for h in range(200):
+        ts = t0 + datetime.timedelta(hours=h)
+        for j in range(5):
+            base = float((h * 7 + j * 13) % 50)
+            rows.append((eid, 1, "stable", ts, base)); eid += 1
+            v = base if h < 100 else base * 2.0 + 100.0
+            rows.append((eid, 1, "shift", ts, v)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="psi_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    from tsod_spark.registry import QUERIES
+
+    out = {r.event_type: r for r in QUERIES["events_psi_drift"](spark, d).collect()}
+    assert out["shift"].drift_flag is True
+    assert out["shift"].psi > 1.0
+    assert out["stable"].drift_flag is False
+    assert out["stable"].psi < 0.05
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    spark.catalog.clearCache()

@@ -547,3 +547,364 @@ def orders_nelson_aalen_by_segment(spark, sf_dir):
         F.round(F.sqrt(F.sum("__hv").over(w_cum)), 6).alias("na_se"),
         F.round(F.exp(-F.sum("__hz").over(w_cum)), 6).alias("survival_fh"),
     ).orderBy("c_mktsegment", "dur_days")
+
+
+@register(
+    "orders_km_logrank",
+    """WITH o AS (SELECT o.o_custkey, CAST(o.o_orderdate AS DATE) AS d,
+                o.o_orderkey, c.c_mktsegment AS seg
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    mx AS (SELECT max(d) AS mxd FROM o),
+    s AS (SELECT seg, o_custkey, d,
+            lead(d) OVER (PARTITION BY o_custkey
+                          ORDER BY d, o_orderkey) AS nxt
+          FROM o),
+    subj AS (
+      SELECT seg, CAST(date_diff('day', d, nxt) AS BIGINT) AS dur,
+             CAST(1 AS BIGINT) AS ev
+      FROM s WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT seg, CAST(date_diff('day', d, mxd) AS BIGINT) AS dur,
+             CAST(0 AS BIGINT) AS ev
+      FROM s CROSS JOIN mx WHERE nxt IS NULL),
+    pool AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS dt,
+                    CAST(count(*) AS BIGINT) AS cnt
+             FROM subj GROUP BY dur),
+    pool2 AS (SELECT dur, dt,
+                CAST(sum(cnt) OVER (ORDER BY dur DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS nt
+              FROM pool),
+    evdur AS (SELECT dur, dt, nt FROM pool2 WHERE dt > 0),
+    g AS (SELECT seg, dur, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(ev) AS BIGINT) AS dg
+          FROM subj GROUP BY 1, 2),
+    segs AS (SELECT DISTINCT seg FROM subj),
+    grid AS (SELECT s2.seg, p.dur FROM segs s2
+             CROSS JOIN (SELECT dur FROM pool) p),
+    atrisk AS (SELECT grid.seg, grid.dur,
+                 coalesce(g.dg, CAST(0 AS BIGINT)) AS dg,
+                 CAST(sum(coalesce(g.cnt, 0)) OVER (
+                      PARTITION BY grid.seg ORDER BY grid.dur DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS ng
+               FROM grid LEFT JOIN g
+                 ON g.seg = grid.seg AND g.dur = grid.dur),
+    cell AS (SELECT a.seg, a.dg, e.dt, e.nt, a.ng
+             FROM atrisk a JOIN evdur e ON e.dur = a.dur),
+    contrib AS (SELECT seg, CAST(sum(dg) AS BIGINT) AS observed,
+                  CAST(sum(CAST(floor(CAST(dt AS DOUBLE)
+                       * CAST(ng AS DOUBLE) / CAST(nt AS DOUBLE)
+                       * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS exp_u
+                FROM cell GROUP BY seg),
+    tot AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_subj
+            FROM subj GROUP BY seg)
+    SELECT t.seg AS c_mktsegment, t.n_subj, c.observed,
+       round(c.exp_u / 1000000.0, 6) AS expected,
+       round((CAST(c.observed AS DOUBLE) - c.exp_u / 1000000.0)
+             * (CAST(c.observed AS DOUBLE) - c.exp_u / 1000000.0)
+             / (c.exp_u / 1000000.0), 6) AS chi_contrib
+    FROM contrib c JOIN tot t ON t.seg = c.seg
+    ORDER BY c_mktsegment""",
+)
+def orders_km_logrank(spark, sf_dir):
+    """K-sample log-rank comparison across customer market segments —
+    the hypothesis-test companion to the per-segment KM/Nelson-Aalen
+    curves: per segment, observed reorder events O_g vs the expected
+    count E_g = sum over pooled event times of d_t * n_g(t) / n(t)
+    under the null that all segments share one hazard, plus the
+    Peto-approximation chi-square contribution (O-E)^2/E (the full
+    covariance-matrix form is deliberately not computed — the
+    per-segment O/E table is the production read, and the
+    approximation's sum is the standard screening statistic; a
+    contribution > ~3.8 flags the segment driving the difference).
+
+    All counts are int64; n_g(t) (at-risk in segment g at pooled
+    event time t) comes from a per-segment REVERSE cumulative count
+    over the (segments x pooled event durations) grid — bounded by
+    |segments| x |duration grid|, never the orders table; expected
+    sums divide identical doubles in identical order in both engines.
+    Shares the subject frame construction with the km_segment family
+    (same lead-window gap derivation and censoring-at-max-date
+    contract)."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    o = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("__seg"),
+            "o_custkey",
+            F.to_date("o_orderdate").alias("__d"),
+            "o_orderkey",
+        )
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("__d", "o_orderkey")
+    s = o.select(
+        "__seg", "o_custkey", "__d", F.lead("__d").over(wc).alias("__nxt")
+    )
+    mx = o.agg(F.max("__d").alias("__mxd"))
+    subj = (
+        s.where(F.col("__nxt").isNotNull())
+        .select(
+            "__seg",
+            F.datediff("__nxt", "__d").cast("long").alias("dur"),
+            F.lit(1).cast("long").alias("__ev"),
+        )
+        .unionByName(
+            s.where(F.col("__nxt").isNull())
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "__seg",
+                F.datediff("__mxd", "__d").cast("long").alias("dur"),
+                F.lit(0).cast("long").alias("__ev"),
+            )
+        )
+    )
+    # pooled risk table over distinct durations
+    w_desc = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pool = (
+        subj.groupBy("dur")
+        .agg(
+            F.sum("__ev").cast("long").alias("__dt"),
+            F.count(F.lit(1)).cast("long").alias("__cnt"),
+        )
+        .withColumn("__nt", F.sum("__cnt").over(w_desc).cast("long"))
+    )
+    evdur = pool.where(F.col("__dt") > 0).select("dur", "__dt", "__nt")
+    # per-(segment, duration) subject counts and events
+    g = subj.groupBy("__seg", "dur").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt"),
+        F.sum("__ev").cast("long").alias("__dg"),
+    )
+    segs = subj.select("__seg").distinct()
+    # (segments x ALL durations) grid so the reverse cumsum sees every
+    # duration; then restrict to pooled EVENT durations for E
+    alldur = pool.select("dur")
+    grid = segs.crossJoin(alldur)
+    w_seg_desc = (
+        Window.partitionBy("__seg")
+        .orderBy(F.desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    atrisk = (
+        grid.join(g, ["__seg", "dur"], "left")
+        .select(
+            "__seg",
+            "dur",
+            F.coalesce(F.col("__cnt"), F.lit(0).cast("long")).alias("__cnt"),
+            F.coalesce(F.col("__dg"), F.lit(0).cast("long")).alias("__dg"),
+        )
+        .withColumn("__ng", F.sum("__cnt").over(w_seg_desc).cast("long"))
+    )
+    cell = atrisk.join(evdur, "dur")
+    # per-cell expected term quantized to int64 micro-units BEFORE the
+    # sum (the mixture ssq_u discipline): float sums are association-
+    # order sensitive and partial-aggregation order differs across
+    # engines; an integer sum of identically-rounded terms is exact
+    term_u = F.floor(
+        F.col("__dt").cast("double")
+        * F.col("__ng").cast("double")
+        / F.col("__nt").cast("double")
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    contrib = cell.groupBy("__seg").agg(
+        F.sum("__dg").cast("long").alias("observed"),
+        F.sum(term_u).cast("long").alias("__exp_u"),
+    )
+    tot = subj.groupBy("__seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_subj")
+    )
+    expected = F.col("__exp_u") / F.lit(1000000.0)
+    diff = F.col("observed").cast("double") - expected
+    return (
+        contrib.join(tot, "__seg")
+        .select(
+            F.col("__seg").alias("c_mktsegment"),
+            "n_subj",
+            "observed",
+            F.round(expected, 6).alias("expected"),
+            F.round(diff * diff / expected, 6).alias("chi_contrib"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _psi_bounds_sql() -> str:
+    from ._base import spark_quantile_sql
+
+    parts = []
+    for k in range(1, 10):
+        expr = spark_quantile_sql("arr", k / 10.0)
+        # rounded half-away to 6 decimals — the shared boundary both
+        # engines compare against (bounds are nonnegative magnitudes
+        # either sign; use the sign-safe form)
+        parts.append(
+            f"CASE WHEN {expr} >= 0 THEN floor({expr} * 1000000.0 + 0.5) / 1000000.0"
+            f" ELSE -floor(-({expr}) * 1000000.0 + 0.5) / 1000000.0 END"
+        )
+    return "[" + ", ".join(parts) + "]"
+
+
+@register(
+    "events_psi_drift",
+    f"""WITH c AS (SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hb,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc
+        FROM events),
+    d AS (SELECT * FROM c WHERE vc IS NOT NULL),
+    span AS (SELECT (min(hb) + max(hb) + 1) // 2 AS mid FROM d),
+    lab AS (SELECT event_type, vc, hb < span.mid AS is_ref
+            FROM d CROSS JOIN span),
+    refq AS (SELECT event_type,
+               list_sort(list(CAST(vc AS DOUBLE))) AS arr
+             FROM lab WHERE is_ref GROUP BY event_type),
+    bounds AS (SELECT event_type, {_psi_bounds_sql()} AS bs FROM refq),
+    assigned AS (SELECT l.event_type, l.is_ref,
+                   1 + len(list_filter(b.bs, x -> CAST(l.vc AS DOUBLE) > x))
+                     AS bkt
+                 FROM lab l JOIN bounds b ON b.event_type = l.event_type),
+    counts AS (SELECT event_type, bkt,
+                 CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_ref,
+                 CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+                   AS c_cur
+               FROM assigned GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+                   CAST(sum(c_cur) AS BIGINT) AS n_cur
+            FROM counts GROUP BY 1),
+    terms AS (SELECT c2.event_type, t.n_ref, t.n_cur,
+                CAST(floor(
+                  (CAST(c2.c_cur + 1 AS DOUBLE) / CAST(t.n_cur + 10 AS DOUBLE)
+                   - CAST(c2.c_ref + 1 AS DOUBLE) / CAST(t.n_ref + 10 AS DOUBLE))
+                  * ln((CAST(c2.c_cur + 1 AS DOUBLE) / CAST(t.n_cur + 10 AS DOUBLE))
+                       / (CAST(c2.c_ref + 1 AS DOUBLE) / CAST(t.n_ref + 10 AS DOUBLE)))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS term_u
+              FROM counts c2 JOIN tot t ON t.event_type = c2.event_type)
+    SELECT event_type, any_value(n_ref) AS n_ref, any_value(n_cur) AS n_cur,
+       round(CAST(sum(term_u) AS BIGINT) / 1000000000.0, 6) AS psi,
+       round(CAST(sum(term_u) AS BIGINT) / 1000000000.0, 6) > 0.2
+         AS drift_flag
+    FROM terms GROUP BY event_type
+    ORDER BY event_type""",
+)
+def events_psi_drift(spark, sf_dir):
+    """Population Stability Index per event type between the first and
+    second halves of the time range — THE standard production drift
+    monitor next to the KS test (events_ks_drift): bucket the metric
+    by the REFERENCE period's deciles, then
+    ``PSI = sum (q_i - p_i) * ln(q_i / p_i)`` with add-one (Laplace)
+    smoothing so empty buckets stay defined (smoothing is part of the
+    contract, documented — an unsmoothed PSI is infinite the moment a
+    bucket empties, which is exactly when a monitor must not crash);
+    > 0.2 is the conventional "investigate" flag.
+
+    Cross-engine exactness, three layers: decile boundaries reproduce
+    Spark's ``percentile`` interpolation bit-exactly on the oracle
+    side (spark_quantile_sql) and are rounded half-away to 6 decimals
+    on BOTH sides before any comparison; bucket assignment is a pure
+    ``value > boundary`` count against those shared boundaries; and
+    each PSI term is quantized to int64 nano-units BEFORE summing
+    ((q-p) and ln(q/p) always share a sign, so terms are nonnegative
+    and the floor(x*1e9+0.5) quantizer is safe) — the sum is an exact
+    integer in any aggregation order.  Plan: one fact scan -> per-type
+    hour-bucket split at the midpoint, one sorted-list percentile per
+    type (bounded by |types|), broadcast bounds back, one counts
+    aggregate — nothing beyond the counts frame is bigger than
+    |types| x 10."""
+    e = table(spark, sf_dir, "events")
+    from ..expressions import nan_to_null
+
+    cents = F.round(nan_to_null(F.col("value")) * 100).cast("long")
+    d = e.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("__hb"),
+        cents.alias("__vc"),
+    ).where(F.col("__vc").isNotNull())
+    span = d.agg(
+        ((F.min("__hb") + F.max("__hb") + 1) / 2).cast("long").alias("__mid")
+    )
+    lab = d.crossJoin(F.broadcast(span)).select(
+        "event_type", "__vc", (F.col("__hb") < F.col("__mid")).alias("__is_ref")
+    )
+    qs = [k / 10.0 for k in range(1, 10)]
+    bounds = (
+        lab.where("__is_ref")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(CAST(__vc AS DOUBLE), array("
+                + ", ".join(f"CAST({q} AS DOUBLE)" for q in qs)
+                + "))"
+            ).alias("__bs_raw")
+        )
+        .select(
+            "event_type",
+            F.transform(
+                F.col("__bs_raw"),
+                lambda x: F.when(
+                    x >= 0, F.floor(x * 1e6 + 0.5) / 1e6
+                ).otherwise(-F.floor(-x * 1e6 + 0.5) / 1e6),
+            ).alias("__bs"),
+        )
+    )
+    assigned = lab.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "__is_ref",
+        (
+            F.lit(1)
+            + F.size(
+                F.filter(
+                    F.col("__bs"), lambda x: F.col("__vc").cast("double") > x
+                )
+            )
+        ).cast("long").alias("__bkt"),
+    )
+    counts = assigned.groupBy("event_type", "__bkt").agg(
+        F.sum(F.when(F.col("__is_ref"), 1).otherwise(0))
+        .cast("long")
+        .alias("__c_ref"),
+        F.sum(F.when(F.col("__is_ref"), 0).otherwise(1))
+        .cast("long")
+        .alias("__c_cur"),
+    )
+    wt = Window.partitionBy("event_type")
+    tot = counts.select(
+        "event_type",
+        "__bkt",
+        "__c_ref",
+        "__c_cur",
+        F.sum("__c_ref").over(wt).cast("long").alias("__n_ref"),
+        F.sum("__c_cur").over(wt).cast("long").alias("__n_cur"),
+    )
+    p = (F.col("__c_ref") + 1).cast("double") / (F.col("__n_ref") + 10).cast(
+        "double"
+    )
+    q = (F.col("__c_cur") + 1).cast("double") / (F.col("__n_cur") + 10).cast(
+        "double"
+    )
+    term_u = F.floor((q - p) * F.log(q / p) * F.lit(1000000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        tot.withColumn("__tu", term_u)
+        .groupBy("event_type")
+        .agg(
+            F.first("__n_ref").alias("n_ref"),
+            F.first("__n_cur").alias("n_cur"),
+            F.round(F.sum("__tu").cast("long") / F.lit(1000000000.0), 6).alias(
+                "psi"
+            ),
+            (
+                F.round(F.sum("__tu").cast("long") / F.lit(1000000000.0), 6)
+                > F.lit(0.2)
+            ).alias("drift_flag"),
+        )
+        .orderBy("event_type")
+    )

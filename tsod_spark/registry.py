@@ -244,6 +244,8 @@ _CURRENT_ROUND_PRIORITY: tuple = (
     "doc_quality_budget_curve",
     "ts_conformal_curve",
     "orders_nelson_aalen_by_segment",
+    "orders_km_logrank",
+    "events_psi_drift",
 )
 
 
