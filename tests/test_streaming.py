@@ -1801,3 +1801,66 @@ def test_stream_quality_budget_matches_batch(spark, tmp_path):
         assert s.n_tokens_kept == b.n_tokens_kept, k
         assert s.doc_share == b.doc_share, k
         assert s.token_share == b.token_share, k
+
+
+def test_stream_psi_drift_matches_batch(spark, tmp_path):
+    """A stream that has consumed exactly the batch query's
+    current-half rows, scored against the frozen reference stats the
+    batch derives, must emit the batch PSI per type exactly."""
+    from tsod_spark.queries.round9 import psi_ref_stats
+    from tsod_spark.registry import QUERIES
+    from tsod_spark.registry import table as rt
+    from tsod_spark.streaming import stream_psi_drift
+
+    e = rt(spark, SF, "events")
+    ref = {
+        r.event_type: (list(r.bounds), list(r.ref_counts), r.n_ref)
+        for r in psi_ref_stats(e).collect()
+    }
+    # current half = hb >= mid, the batch split
+    from pyspark.sql import functions as F2
+
+    d = e.withColumn("__hb", F2.expr("unix_micros(ts) div 3600000000"))
+    lo, hi = d.agg(F2.min("__hb"), F2.max("__hb")).first()
+    mid = (lo + hi + 1) // 2
+    cur = d.where(F2.col("__hb") >= mid).drop("__hb").orderBy("ts", "event_id")
+    rows = cur.collect()
+    src_dir = str(tmp_path / "psi_src")
+    n = len(rows)
+    chunk = (n + 2) // 3
+    for i in range(3):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, cur.schema).coalesce(1).write.parquet(
+                f"{src_dir}/b{i}"
+            )
+    src = (
+        spark.readStream.schema(cur.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/b*")
+    )
+    out = stream_psi_drift(src, ref)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_psi")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got: dict = {}
+    for r in spark.sql("SELECT * FROM t_psi").collect():
+        if r.event_type not in got or r.n_cur > got[r.event_type].n_cur:
+            got[r.event_type] = r
+    batch = {
+        r.event_type: r for r in QUERIES["events_psi_drift"](spark, SF).collect()
+    }
+    assert set(got) == set(batch)
+    assert len(got) > 0
+    for et, b in batch.items():
+        s = got[et]
+        assert s.n_ref == b.n_ref, et
+        assert s.n_cur == b.n_cur, et
+        assert s.psi == b.psi, et
+        assert bool(s.drift_flag) == bool(b.drift_flag), et
+    spark.catalog.clearCache()

@@ -908,3 +908,84 @@ def events_psi_drift(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+def psi_ref_stats(e):
+    """Reference-side PSI statistics per event type, exactly as the
+    registered events_psi_drift query derives them (first-half split,
+    Spark percentile deciles rounded half-away, bucket counts by
+    ``value > bound``): ``(event_type, bounds: array<double>[9],
+    ref_counts: array<long>[10], n_ref)``. This is the frame a batch
+    job freezes and hands to :func:`tsod_spark.streaming
+    .stream_psi_drift` as the monitoring reference."""
+    from ..expressions import nan_to_null
+
+    cents = F.round(nan_to_null(F.col("value")) * 100).cast("long")
+    d = e.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("__hb"),
+        cents.alias("__vc"),
+    ).where(F.col("__vc").isNotNull())
+    span = d.agg(
+        ((F.min("__hb") + F.max("__hb") + 1) / 2).cast("long").alias("__mid")
+    )
+    refrows = (
+        d.crossJoin(F.broadcast(span))
+        .where(F.col("__hb") < F.col("__mid"))
+        .select("event_type", "__vc")
+    )
+    qs = [k / 10.0 for k in range(1, 10)]
+    bounds = (
+        refrows.groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(CAST(__vc AS DOUBLE), array("
+                + ", ".join(f"CAST({q} AS DOUBLE)" for q in qs)
+                + "))"
+            ).alias("__bs_raw")
+        )
+        .select(
+            "event_type",
+            F.transform(
+                F.col("__bs_raw"),
+                lambda x: F.when(
+                    x >= 0, F.floor(x * 1e6 + 0.5) / 1e6
+                ).otherwise(-F.floor(-x * 1e6 + 0.5) / 1e6),
+            ).alias("bounds"),
+        )
+    )
+    assigned = refrows.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        (
+            F.lit(1)
+            + F.size(
+                F.filter(
+                    F.col("bounds"), lambda x: F.col("__vc").cast("double") > x
+                )
+            )
+        ).cast("long").alias("__bkt"),
+    )
+    counts = (
+        assigned.groupBy("event_type", "__bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .groupBy("event_type")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("__bkt"), F.collect_list("__c")
+            ).alias("__m"),
+            F.sum("__c").cast("long").alias("n_ref"),
+        )
+        .select(
+            "event_type",
+            F.array(
+                *[
+                    F.coalesce(
+                        F.col("__m").getItem(F.lit(i + 1)), F.lit(0).cast("long")
+                    )
+                    for i in range(10)
+                ]
+            ).alias("ref_counts"),
+            "n_ref",
+        )
+    )
+    return bounds.join(counts, "event_type")

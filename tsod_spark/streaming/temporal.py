@@ -2510,3 +2510,108 @@ def stream_quality_budget(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stream_psi_drift(
+    stream_df: DataFrame,
+    ref_stats: "dict[str, tuple[list[float], list[int], int]]",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming Population Stability Index against a FROZEN reference
+    — the production deployment shape of the batch ``events_psi_drift``
+    query: the reference decile boundaries and bucket counts come from
+    a batch job over the training/reference window (``ref_stats``:
+    ``{type: (bounds9, ref_counts10, n_ref)}``, bounds already rounded
+    half-away to 6 decimals — the batch query's own convention), and
+    the stream maintains ONLY the current-window bucket counters,
+    re-emitting PSI per micro-batch.
+
+    This is deliberately parameterized rather than self-calibrating: a
+    monitor that re-derives its reference from the stream it monitors
+    drifts WITH the data and never alarms. State per type is 10 int64
+    counters — O(1), the stream_quality_budget profile. Bucket
+    assignment, Laplace smoothing, and the int64 nano-unit term
+    quantization are byte-for-byte the batch formulas, so an emission
+    after the stream has consumed exactly the batch query's
+    current-half rows equals the batch PSI exactly (the
+    batch-equivalence test does precisely that).
+
+    NaN/null values contribute nothing (the batch ``vc IS NOT NULL``
+    gate).
+    """
+    import math  # noqa: PLC0415
+
+    out_schema = StructType(
+        [
+            StructField(type_col, StringType()),
+            StructField("n_ref", LongType()),
+            StructField("n_cur", LongType()),
+            StructField("psi", DoubleType()),
+            StructField("drift_flag", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("counts", ArrayType(LongType()))])
+    ref = {
+        str(k): (
+            [float(b) for b in v[0]],
+            [int(c) for c in v[1]],
+            int(v[2]),
+        )
+        for k, v in ref_stats.items()
+    }
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        et = key[0]
+        if et not in ref:
+            return  # no reference: cannot score drift for this type
+        bounds, ref_counts, n_ref = ref[et]
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        counts = (
+            [int(c) for c in state.get[0]] if state.exists else [0] * 10
+        )
+        for y in new[value_col].astype(float):
+            if math.isnan(y):
+                continue
+            vc = (-1 if y < 0 else 1) * int(math.floor(abs(y) * 100 + 0.5))
+            b = 1 + sum(1 for x in bounds if float(vc) > x)
+            counts[min(b, 10) - 1] += 1
+        state.update((counts,))
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        n_cur = sum(counts)
+        acc_u = 0
+        for i in range(10):
+            p = (ref_counts[i] + 1) / (n_ref + 10)
+            q = (counts[i] + 1) / (n_cur + 10)
+            acc_u += int(math.floor((q - p) * math.log(q / p) * 1e9 + 0.5))
+        psi = py_round6(acc_u / 1e9)
+        yield pd.DataFrame(
+            [
+                {
+                    type_col: et,
+                    "n_ref": n_ref,
+                    "n_cur": n_cur,
+                    "psi": psi,
+                    "drift_flag": bool(psi > 0.2),
+                }
+            ]
+        )
+
+    return stream_df.groupBy(type_col).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
