@@ -172,6 +172,10 @@ HEADLINE = [
     "orders_km_quartiles_by_segment",
     "doc_pack_mixture_stats",
     "doc_quality_budget_curve",
+    "ts_conformal_curve",
+    "orders_nelson_aalen_by_segment",
+    "orders_km_logrank",
+    "events_psi_drift",
 ]
 
 
