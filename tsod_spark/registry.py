@@ -215,7 +215,31 @@ R8_VERIFIED = frozenset({
     "ts_window_dataset",
 })
 
+# Fully-green rows from CORRECTNESS_r09.json (driver sf0.01 oracle, 50/50,
+# all hash-checked).
+R9_VERIFIED = frozenset({
+    "dedup_exact", "dedup_minhash_sig", "dedup_ppjoin_bigram_pairs",
+    "dedup_ppjoin_incremental", "dedup_ppjoin_prefix_stats",
+    "dedup_rate_by_source", "dedup_simhash_groups", "doc_bm25_search",
+    "doc_budget_select", "doc_curation_pipeline", "doc_fingerprints",
+    "doc_lang_id", "doc_lm_rarity", "doc_pack_mixture_stats",
+    "doc_pack_sequences", "doc_quality", "doc_quality_budget_curve",
+    "doc_stats", "doc_token_counts", "doc_vocab_overlap",
+    "events_asof_snapshot", "events_daily", "events_distinct_users",
+    "events_distinct_users_approx", "events_profile", "events_props_json",
+    "events_psi_drift", "events_rollup", "events_scd2", "events_sessions",
+    "events_table_diff", "events_type_pivot", "events_value_drift",
+    "events_value_percentiles", "orders_km_logrank",
+    "orders_km_quartiles_by_segment", "orders_nelson_aalen_by_segment",
+    "top_customers", "tpch_q22", "ts_asof_forward", "ts_asof_join",
+    "ts_benchmark_corr", "ts_conformal_curve", "ts_holt",
+    "ts_range_quantile_approx", "ts_resample_1h", "ts_rolling_corr",
+    "ts_seasonal_anomaly", "ts_seasonal_decompose",
+    "users_purchase_no_error",
+})
+
 _ROUND_SETS = (
+    (9, R9_VERIFIED),
     (8, R8_VERIFIED),
     (7, R7_VERIFIED),
     (6, R6_VERIFIED),
@@ -233,19 +257,11 @@ _ROUND_SETS = (
 # Empty is fine — tier 0 then just falls through to staleness.
 # Refresh this tuple each round alongside the R{N}_VERIFIED set.
 _CURRENT_ROUND_PRIORITY: tuple = (
-    # (r9 registrations land here as they are added; brand-new names are
-    # tier 0 anyway — listing is documentation. The 33 r4-era verdicts
-    # VERDICT_r8 flagged as stale fill the window right after tier 0.)
-    "dedup_ppjoin_prefix_stats",
-    "orders_km_quartiles_by_segment",
-    "dedup_ppjoin_bigram_pairs",
-    "doc_pack_mixture_stats",
-    "dedup_ppjoin_incremental",
-    "doc_quality_budget_curve",
-    "ts_conformal_curve",
-    "orders_nelson_aalen_by_segment",
-    "orders_km_logrank",
-    "events_psi_drift",
+    # (r10 registrations are tier 0 automatically — never verified.
+    # VERDICT_r9 asks the 42-query r5-stale tier to dominate the r10
+    # window; with R9_VERIFIED folded in above, the r5 tier is now the
+    # stalest and fills the window right after the new registrations —
+    # no explicit listing needed.)
 )
 
 
