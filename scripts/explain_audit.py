@@ -8,7 +8,16 @@ Checks (heuristics over `.explain("formatted")` text):
 - BatchEvalPython — row-at-a-time Python UDF in the plan (Arrow
   paths show ArrowEvalPython / MapInPandas instead);
 - a parquet scan whose sibling Filter references a scannable column
-  but shows no PushedFilters entry.
+  but shows no PushedFilters entry;
+- double-kernel range sort (VERDICT r9 #6, the r9 Holt-Winters 2x):
+  an ``Exchange rangepartitioning`` whose subtree reaches a Python
+  stage (FlatMapGroupsInPandas / MapInPandas / ArrowEvalPython /
+  BatchEvalPython) with no intervening shuffle Exchange or
+  InMemoryTableScan — range partitioning runs a SAMPLING pass over
+  its child first, so the Python kernel executes TWICE. A shuffle or
+  cache between the sort and the kernel is a barrier (the sample
+  reuses shuffle files / cached blocks); otherwise cache() the kernel
+  output below the global orderBy.
 
 (Codegen spans are not visible in formatted explain under AQE —
 checking them needs an executed plan, which bench covers.)
@@ -121,6 +130,83 @@ ALLOW_PY = {
 }
 
 
+_PY_NODES = (
+    "FlatMapGroupsInPandas",
+    "FlatMapGroupsInArrow",
+    "MapInPandas",
+    "MapInArrow",
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "FlatMapGroupsInPandasWithState",
+)
+
+
+def _tree_nodes(plan: str) -> list[tuple[int, str, str]]:
+    """Parse the formatted-explain TREE section into
+    ``(depth, node_name, node_id)`` rows in preorder. Depth comes from
+    the drawing-prefix width; the tree ends at the first blank line."""
+    rows = []
+    for line in plan.splitlines():
+        if not line.strip():
+            break
+        # strip the tree-drawing prefix (spaces, '+- ', ':- ', ': ', '* ')
+        i = 0
+        while i < len(line) and line[i] in " +-:*":
+            i += 1
+        label = line[i:].strip()
+        if not label:
+            continue
+        depth = i
+        node_id = ""
+        name = label
+        if label.endswith(")") and "(" in label:
+            name, _, tail = label.rpartition("(")
+            name = name.strip()
+            node_id = tail.rstrip(")")
+        rows.append((depth, name, node_id))
+    return rows
+
+
+def find_double_kernel_sorts(plan: str) -> list[str]:
+    """Node ids of ``Exchange rangepartitioning`` stages whose subtree
+    reaches a Python stage with no shuffle/cache barrier in between —
+    each one pays the Python kernel twice via the range-sample pass."""
+    nodes = _tree_nodes(plan)
+    # node-id -> detail blob (to read Exchange Arguments)
+    details: dict[str, str] = {}
+    cur = None
+    for line in plan.splitlines():
+        s = line.strip()
+        if s.startswith("(") and ")" in s[:8]:
+            cur = s[1 : s.index(")")]
+            details[cur] = s
+        elif cur is not None:
+            details[cur] = details.get(cur, "") + "\n" + line
+    flagged = []
+    for idx, (depth, name, nid) in enumerate(nodes):
+        if name != "Exchange":
+            continue
+        if "rangepartitioning" not in details.get(nid, ""):
+            continue
+        # walk the subtree (following rows strictly deeper than `depth`)
+        j = idx + 1
+        barrier_depths: list[int] = []
+        hit = False
+        while j < len(nodes) and nodes[j][0] > depth:
+            d, n, _ = nodes[j]
+            barrier_depths = [b for b in barrier_depths if b < d]
+            if not barrier_depths:
+                if any(p in n for p in _PY_NODES):
+                    hit = True
+                    break
+                if n == "Exchange" or n.startswith("InMemory"):
+                    barrier_depths.append(d)
+            j += 1
+        if hit:
+            flagged.append(nid)
+    return flagged
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -160,6 +246,13 @@ def main() -> int:
             problems.append("nested-loop/cartesian join")
         if "BatchEvalPython" in plan:
             problems.append("row-at-a-time Python UDF")
+        dbl = find_double_kernel_sorts(plan)
+        if dbl:
+            problems.append(
+                "double-kernel range sort above Python stage "
+                f"(exchange node {','.join(dbl)}) — cache() the kernel "
+                "output below the global orderBy"
+            )
         if problems:
             failures.append((name, problems))
             print(f"FLAG {name}: {', '.join(problems)}")

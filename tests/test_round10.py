@@ -1,0 +1,212 @@
+"""Round-10 regression tests: tied-decile PSI stream/batch agreement
+(ADVICE r9 medium), structural cache hygiene (VERDICT r9 #7), the
+km_logrank zero-expected guard (ADVICE r9 low), and the
+filter-above-cache pushdown contract for the ppjoin tokenizer
+(VERDICT r9 #1 root cause)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tied_events(spark):
+    """Events whose reference-half deciles COLLAPSE: ~95% of values are
+    the identical 1.00, so all nine decile bounds equal 100 cents and
+    buckets 2..9 are structurally unreachable — empty in BOTH halves.
+    The batch counts frame omits those buckets; a stream that sums
+    smoothed terms over all 10 would add eight spurious nonzero terms
+    (n_ref != n_cur here on purpose, so 1/(n_cur+10) != 1/(n_ref+10)).
+    """
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # ref half: hours 0..9, 60 rows, all value 1.0
+    for i in range(60):
+        rows.append(("a", base + datetime.timedelta(hours=i % 10, minutes=i), 1.0))
+    # cur half: hours 10..19, 40 rows: 30x 1.0 + 10x 5.0 (drift mass)
+    for i in range(40):
+        v = 5.0 if i % 4 == 0 else 1.0
+        rows.append(("a", base + datetime.timedelta(hours=10 + i % 10, minutes=i), v))
+    return spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+
+
+def test_psi_tied_deciles_stream_equals_batch(spark, tmp_path):
+    """ADVICE r9 (medium): when tied decile boundaries leave buckets
+    empty in both halves, the stream must omit their smoothed terms
+    exactly as the batch does."""
+    from tsod_spark.queries.round9 import psi_drift, psi_ref_stats
+    from tsod_spark.streaming import stream_psi_drift
+
+    e = _tied_events(spark)
+    batch = {r.event_type: r for r in psi_drift(e).collect()}
+    ref = {
+        r.event_type: (list(r.bounds), list(r.ref_counts), r.n_ref)
+        for r in psi_ref_stats(e).collect()
+    }
+    # sanity: the fixture really collapses the deciles
+    assert ref["a"][0] == [100.0] * 9
+    assert sum(1 for c in ref["a"][1] if c == 0) >= 8
+
+    d = e.withColumn("__hb", F.expr("unix_micros(ts) div 3600000000"))
+    lo, hi = d.agg(F.min("__hb"), F.max("__hb")).first()
+    mid = (lo + hi + 1) // 2
+    cur = d.where(F.col("__hb") >= mid).drop("__hb").orderBy("ts")
+    rows = cur.collect()
+    src_dir = str(tmp_path / "psi_tied_src")
+    chunk = (len(rows) + 1) // 2
+    for i in range(2):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, cur.schema).coalesce(1).write.parquet(
+                f"{src_dir}/b{i}"
+            )
+    src = (
+        spark.readStream.schema(cur.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/b*")
+    )
+    q = (
+        stream_psi_drift(src, ref)
+        .writeStream.format("memory")
+        .queryName("t_psi_tied")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {}
+    for r in spark.sql("SELECT * FROM t_psi_tied").collect():
+        if r.event_type not in got or r.n_cur > got[r.event_type].n_cur:
+            got[r.event_type] = r
+    assert set(got) == set(batch) == {"a"}
+    b, s = batch["a"], got["a"]
+    assert s.n_ref == b.n_ref and s.n_cur == b.n_cur
+    assert s.n_ref != s.n_cur  # the spurious terms would differ
+    assert s.psi == b.psi
+    assert bool(s.drift_flag) == bool(b.drift_flag)
+
+
+def test_cache_scope_leaves_no_pinned_blocks(spark):
+    """VERDICT r9 #7: the structural replacement for the clearCache
+    docstring contract — after a cache_scope exits, every frame a dedup
+    operator cached inside it is unpersisted."""
+    from tsod_spark.pipeline import dedup
+    from tsod_spark.registry import table
+    from tsod_spark.util import cache_scope
+
+    docs = table(spark, SF, "documents")
+    spark.catalog.clearCache()
+    with cache_scope():
+        pairs = dedup.ppjoin_pairs(docs, thr_pct=90, shingle_n=1).collect()
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    # nested scopes unpersist only their own frames
+    with cache_scope():
+        dedup.ppjoin_pairs(docs, thr_pct=90, shingle_n=1).collect()
+        outer = len(spark.sparkContext._jsc.getPersistentRDDs())
+        with cache_scope():
+            dedup.ppjoin_pairs(docs, thr_pct=80, shingle_n=2).collect()
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == outer
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert isinstance(pairs, list)
+
+
+def _formatted_plan(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_explain_audit_flags_double_kernel_sort(spark):
+    """VERDICT r9 #6: the audit must flag a global orderBy directly
+    above an applyInPandas kernel (range-partition sampling runs the
+    kernel twice) and pass the cache()-fixed variant and the
+    shuffle-barrier variant."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from explain_audit import find_double_kernel_sorts
+
+    import pandas as pd
+
+    df = spark.range(200).withColumn("k", F.col("id") % 4)
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.assign(v=pdf["id"] * 2.0)
+
+    out = df.groupBy("k").applyInPandas(kern, "id long, k long, v double")
+    broken = out.orderBy("v")
+    assert find_double_kernel_sorts(_formatted_plan(broken)), (
+        "audit missed the deliberately-broken double-kernel plan"
+    )
+    cached = out.cache()
+    try:
+        fixed = cached.orderBy("v")
+        assert not find_double_kernel_sorts(_formatted_plan(fixed))
+    finally:
+        cached.unpersist()
+    # an aggregation shuffle between kernel and sort is a barrier: the
+    # sample pass reuses the shuffle files, the kernel runs once
+    barrier = out.groupBy("k").agg(F.sum("v").alias("s")).orderBy("s")
+    assert not find_double_kernel_sorts(_formatted_plan(barrier))
+
+
+def test_explain_audit_all_registered_plans_clean_rule6(spark):
+    """The new double-kernel rule passes every registered plan (the r9
+    audit found only the fixed HW pair; this pins it)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from explain_audit import find_double_kernel_sorts
+
+    from tsod_spark.registry import QUERIES
+
+    bad = []
+    for name, fn in QUERIES.items():
+        try:
+            plan = _formatted_plan(fn(spark, SF))
+        except Exception:
+            continue  # plan-build failures are other tests' business
+        if find_double_kernel_sorts(plan):
+            bad.append(name)
+    spark.catalog.clearCache()
+    assert bad == [], f"double-kernel range sorts in: {bad}"
+
+
+def test_km_logrank_no_nan_chi(spark):
+    """ADVICE r9: chi_contrib is NULL (not NaN/Inf) when a segment's
+    expected count is zero; on real data it is finite and
+    nonnegative."""
+    from tsod_spark.registry import QUERIES
+
+    rows = QUERIES["orders_km_logrank"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r.chi_contrib is not None:
+            assert r.chi_contrib == r.chi_contrib  # not NaN
+            assert r.chi_contrib >= 0
+            assert r.chi_contrib != float("inf")
+
+
+def test_ppjoin_prefix_stats_uncached(spark):
+    """ADVICE r9: the read-only stats screen must not pin the tokenized
+    corpus (cache=False path), and its numbers must agree with the
+    cached pairs path's prefix construction."""
+    from tsod_spark.pipeline import dedup
+    from tsod_spark.registry import table
+    from tsod_spark.util import cache_scope
+
+    docs = table(spark, SF, "documents")
+    spark.catalog.clearCache()
+    st = dedup.ppjoin_prefix_stats(docs, thr_pct=90, shingle_n=1).collect()[0]
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert st.total_buckets > 0 and st.total_rows >= st.total_buckets
+    # cross-check against the cached pairs-path prefix table
+    with cache_scope():
+        _tok, pre = dedup._ppjoin_prefix(docs, 90, "text", "source", 1)
+        n_pre = pre.count()
+    assert st.total_rows == n_pre

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..util import default_parallelism, round_half_away6
+from ..util import default_parallelism, round_half_away6, tracked_cache
 from .text import distinct_tokens, shingles, tokens
 
 MERSENNE31 = 2147483647
@@ -269,7 +269,7 @@ def _minhash_candidate_pairs(
     # cap BEFORE the cache: the materialization then already holds only
     # surviving buckets, so the window count + its exchange run once,
     # not once per join side
-    exploded = cap_hot_buckets(exploded, ["band", "key"], max_bucket).cache()
+    exploded = tracked_cache(cap_hot_buckets(exploded, ["band", "key"], max_bucket))
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -328,7 +328,7 @@ def minhash_band_pairs(
         packed.alias("sig"),
         F.explode(F.array(*band_cols)).alias("bk"),
     ).select("doc_id", "sig", "bk.band", "bk.key")
-    exploded = cap_hot_buckets(exploded, ["band", "key"], max_bucket).cache()
+    exploded = tracked_cache(cap_hot_buckets(exploded, ["band", "key"], max_bucket))
     a, b = exploded.alias("a"), exploded.alias("b")
     est = sum(
         (
@@ -473,10 +473,10 @@ def pair_graph_groups(
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .cache()
     )
+    edges = tracked_cache(edges)
     # symmetric edges contain every paired id as src
-    members = edges.select(F.col("src").alias(id_col)).distinct().cache()
+    members = tracked_cache(edges.select(F.col("src").alias(id_col)).distinct())
 
     # Small-graph short-circuit: near-dup edge lists are tiny relative
     # to the corpus (635 edges per 5k docs on the fixture; even a 50%
@@ -567,7 +567,7 @@ def pair_graph_groups(
         new_labels = step(step(labels).drop("__changed"))
         if it % 2 == 1:
             new_labels = new_labels.localCheckpoint(eager=False)
-        new_labels = new_labels.cache()
+        new_labels = tracked_cache(new_labels)
         # one scan of the just-materialized cache; coalesce covers the
         # all-NULL case (no id has any neighbor)
         changed = new_labels.agg(
@@ -724,7 +724,7 @@ def simhash_near_pairs(
         )
         .select("doc_id", "simhash", "ck.c", "ck.v")
     )
-    chunked = cap_hot_buckets(chunked, ["c", "v"], max_bucket).cache()
+    chunked = tracked_cache(cap_hot_buckets(chunked, ["c", "v"], max_bucket))
     a, b = chunked.alias("a"), chunked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
     return (
@@ -783,7 +783,7 @@ def winnow_overlap_pairs(
     sized = fps.select(
         "doc_id", "fp", F.count(F.lit(1)).over(w).alias("n_fp")
     )
-    sized = cap_hot_buckets(sized, ["fp"], max_bucket).cache()
+    sized = tracked_cache(cap_hot_buckets(sized, ["fp"], max_bucket))
     a, b = sized.alias("a"), sized.alias("b")
     return (
         a.join(
@@ -858,7 +858,8 @@ def jaccard_pairs(
         "blk",
         bkt.alias("bkt"),
         F.transform(grams, lambda g: F.xxhash64(g)).alias("toks"),
-    ).cache()
+    )
+    base = tracked_cache(base)
     left = base.select(
         "doc_id",
         "blk",
@@ -1074,7 +1075,7 @@ def _screen_batch_against(
     """Shared ingest-screen core: drop batch docs that are exact or
     LSH near-dups of the corpus side (given as its slim band frame +
     content-hash frame — never its text) or of an earlier batch doc."""
-    bb = _band_frame(minhash_signatures(batch, text_col, k), k, bands).cache()
+    bb = tracked_cache(_band_frame(minhash_signatures(batch, text_col, k), k, bands))
 
     near_corpus = (
         cb.alias("c")
@@ -1085,7 +1086,7 @@ def _screen_batch_against(
         .where(_est_jaccard("c", "b", k) >= min_est_jaccard)
         .select(F.col("b.doc_id").alias("doc_id"))
     )
-    bhash = batch.select("doc_id", F.md5(F.col(text_col)).alias("__h")).cache()
+    bhash = tracked_cache(batch.select("doc_id", F.md5(F.col(text_col)).alias("__h")))
     exact_corpus = (
         corpus_hashes.join(F.broadcast(bhash), "__h").select("doc_id")
     )
@@ -1147,7 +1148,7 @@ def winnow_screen_new_docs(
     """
     from .text import winnow_fingerprints
 
-    bfp = winnow_fingerprints(batch, text_col, k, window).cache()
+    bfp = tracked_cache(winnow_fingerprints(batch, text_col, k, window))
     cfp = winnow_fingerprints(corpus, text_col, k, window)
 
     hits_corpus = (
@@ -1314,10 +1315,11 @@ def _ppjoin_prefix(
     text_col: str,
     block_col: str,
     shingle_n: int,
+    cache: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared prefix construction for :func:`ppjoin_pairs` and
     :func:`ppjoin_prefix_stats`: returns ``(tok, pre)`` where ``tok``
-    is the cached per-doc frame (gram strings + xxhash64 array) and
+    is the per-doc frame (gram strings + xxhash64 array) and
     ``pre`` the exploded prefix table
     ``(blk, gram, gh, doc_id, __ng, __pos)`` under the global
     (document-frequency asc, gram string asc) order with int64-exact
@@ -1329,14 +1331,30 @@ def _ppjoin_prefix(
     pair join (property-tested), and the string order makes the
     prefix table itself reproducible by the DuckDB oracle so
     :func:`ppjoin_prefix_stats` can be hash-checked, not just the
-    final pairs. Candidate joins still key on the int64 ``gh``."""
+    final pairs. Candidate joins still key on the int64 ``gh``.
+
+    ``cache=True`` (the pairs path — ``tok`` feeds both the prefix
+    build and the verification join) caches the tokenized frame and
+    applies the nonempty filter ABOVE the InMemoryRelation. The order
+    matters for a subtle reason (VERDICT r9 #1 root cause): with
+    ``.where(__ng > 0)`` inside the cached plan, predicate pushdown
+    drags the whole interpreted shingle+hash expression below the
+    repartition exchange into the parquet scan — a small corpus reads
+    as ONE partition, so tokenization ran single-threaded for the
+    entire corpus and then AGAIN post-shuffle for the project
+    (measured 3.8s vs 0.6s at sf0.1 in bigram mode). The cache is a
+    pushdown barrier; the filter above it scans cached bytes.
+    ``cache=False`` (the stats path, ADVICE r9 — single consumer,
+    ``tok`` discarded) skips the cache AND the filter: the prefix path
+    only ever sees exploded gram rows, and an empty gram array
+    explodes to zero rows, so the filter is vacuous there."""
     if not 0 < pct <= 100:
         raise ValueError("thr_pct must be in (0, 100]")
     n_part = default_parallelism(docs.sparkSession)
     grams_of = (
         (lambda t: shingles(t, shingle_n)) if shingle_n > 1 else F.array_distinct
     )
-    tok = (
+    base = (
         docs.repartition(n_part, F.col("doc_id"))
         .select(
             "doc_id",
@@ -1347,10 +1365,13 @@ def _ppjoin_prefix(
             "__gh", F.transform(F.col("__g"), lambda x: F.xxhash64(x))
         )
         .withColumn("__ng", F.size("__gh").cast("long"))
-        .where(F.col("__ng") > 0)
-        .cache()
     )
-    g = tok.select("doc_id", "blk", "__ng", F.explode("__g").alias("gram"))
+    if cache:
+        tok = tracked_cache(base).where(F.col("__ng") > 0)
+    else:
+        tok = base.where(F.col("__ng") > 0)
+    src = tok if cache else base
+    g = src.select("doc_id", "blk", "__ng", F.explode("__g").alias("gram"))
     # global gram order: document frequency ascending (per block — joins
     # are in-block), ties by gram string; consistent across all docs
     dfreq = g.groupBy("blk", "gram").agg(
@@ -1407,7 +1428,12 @@ def ppjoin_prefix_stats(
     Results of :func:`ppjoin_pairs` are unaffected — this is a
     read-only screen over the same ``pre`` frame.
     """
-    _tok, pre = _ppjoin_prefix(docs, int(thr_pct), text_col, block_col, shingle_n)
+    # cache=False (ADVICE r9): this path discards the tokenized frame
+    # and has one downstream consumer — caching the corpus gram arrays
+    # here would be pure memory/IO overhead for a read-only screen.
+    _tok, pre = _ppjoin_prefix(
+        docs, int(thr_pct), text_col, block_col, shingle_n, cache=False
+    )
     per_bucket = pre.groupBy("blk", "gram").agg(
         F.count(F.lit(1)).cast("long").alias("__bsz")
     )
@@ -1462,12 +1488,13 @@ def ppjoin_pairs(
     quadratic.  Result-invariance vs the plain engine is
     property-tested (tests/test_round8b.py).
 
-    The tokenized frame is ``cache()``d (it feeds both the prefix
-    build and the verification join); like the other dedup operators
-    the blocks stay pinned until the caller's session hygiene drops
-    them — bench.py and the registry harness call
-    ``spark.catalog.clearCache()`` between queries, and a long-lived
-    session embedding this operator should do the same (ADVICE r8).
+    The tokenized frame is cached (it feeds both the prefix build and
+    the verification join) via :func:`tsod_spark.util.tracked_cache`;
+    a long-lived session embedding this operator wraps the call in
+    ``with tsod_spark.util.cache_scope():`` and exits with zero pinned
+    blocks (the structural form of the old clearCache docstring
+    contract — ADVICE r8 #3 / VERDICT r9 #7). bench.py and the
+    registry harness keep their ``clearCache()`` hygiene.
 
     Prefix-bucket fan-out is observable via
     :func:`ppjoin_prefix_stats` — the prefix table is deliberately
@@ -1684,18 +1711,26 @@ def ppjoin_screen_new_docs(
     )
 
     def tok_of(df):
-        return (
-            df.select(
+        # repartition BEFORE the interpreted shingle lambdas (a small
+        # corpus reads as one task and tokenization is CPU-bound), and
+        # filter ABOVE the cache: a filter inside the cached plan gets
+        # pushed below the exchange into the scan, running the whole
+        # tokenize+shingle expression single-threaded (see
+        # _ppjoin_prefix — measured 6x at sf0.1).
+        n_part = default_parallelism(df.sparkSession)
+        base = (
+            df.repartition(n_part, F.col("doc_id"))
+            .select(
                 "doc_id",
                 F.col(block_col).alias("blk"),
                 grams_of(tokens(F.col(text_col))).alias("__g"),
             )
             .withColumn("__ng", F.size("__g").cast("long"))
-            .where(F.col("__ng") > 0)
         )
+        return tracked_cache(base).where(F.col("__ng") > 0)
 
-    ctok = tok_of(corpus).cache()
-    btok = tok_of(batch).cache()
+    ctok = tok_of(corpus)
+    btok = tok_of(batch)
     # corpus df index: slim (blk, gram) pairs only
     cg = ctok.select("doc_id", "blk", "__ng", F.explode("__g").alias("gram"))
     dfreq = cg.groupBy("blk", "gram").agg(

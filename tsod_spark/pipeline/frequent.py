@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..util import round_half_away6
+from ..util import round_half_away6, tracked_cache
 
 
 def mg_fold(cnt: dict, batch_counts: dict, k: int) -> dict:
@@ -126,7 +126,7 @@ def heavy_hitters(
             f"phi={phi} must exceed 1/(k+1)={1.0 / (k + 1):.6g} for the "
             "Misra-Gries no-false-negative guarantee; raise k or phi"
         )
-    partials = misra_gries_partials(items, item_col, k).cache()
+    partials = tracked_cache(misra_gries_partials(items, item_col, k))
     cands = partials.where(F.col(item_col).isNotNull()).select(item_col).distinct()
     total = partials.where(F.col(item_col).isNull()).agg(
         F.sum("mg_count").alias("__n")
@@ -173,7 +173,7 @@ def cooccurrence_rules(
     (numerator products stay in int64), so values are
     engine-deterministic.
     """
-    d = events.select(id_col, item_col).distinct().cache()
+    d = tracked_cache(events.select(id_col, item_col).distinct())
     n = d.groupBy(item_col).agg(F.count(F.lit(1)).cast("long").alias("__c"))
     u = d.agg(F.count_distinct(id_col).cast("long").alias("__u"))
     da, db = d.alias("da"), d.alias("db")

@@ -38,6 +38,7 @@ from ._base import (  # noqa: F401
     duck_round6,
     events_tsf,
     register,
+    spark_quantile_sql,
     table,
 )
 
@@ -777,14 +778,17 @@ def dedup_ppjoin_groups(spark, sf_dir):
             FROM g JOIN df ON g.blk = df.blk AND g.gram = df.gram),
     pre AS (SELECT * FROM pos WHERE pos <= ng - ((90 * ng + 99) // 100) + 1),
     pb AS (SELECT blk, gram, CAST(count(*) AS BIGINT) AS bsz
-           FROM pre GROUP BY 1, 2)
-    SELECT CAST(count(*) AS BIGINT) AS total_buckets,
-       CAST(sum(bsz) AS BIGINT) AS total_rows,
-       CAST(max(bsz) AS BIGINT) AS max_bucket_rows,
-       round(quantile_cont(bsz, 0.99), 6) AS p99_bucket_rows,
-       round(CAST(max(bsz) AS DOUBLE) / CAST(sum(bsz) AS DOUBLE), 6)
+           FROM pre GROUP BY 1, 2),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS total_buckets,
+              CAST(sum(bsz) AS BIGINT) AS total_rows,
+              CAST(max(bsz) AS BIGINT) AS max_bucket_rows,
+              list_sort(list(CAST(bsz AS DOUBLE))) AS arr
+            FROM pb)
+    SELECT total_buckets, total_rows, max_bucket_rows,
+       round({spark_quantile_sql('arr', 0.99)}, 6) AS p99_bucket_rows,
+       round(CAST(max_bucket_rows AS DOUBLE) / CAST(total_rows AS DOUBLE), 6)
            AS max_bucket_frac
-    FROM pb""",
+    FROM agg""",
 )
 def dedup_ppjoin_prefix_stats(spark, sf_dir):
     """Fan-out observability for the uncapped PPJoin prefix table

@@ -601,9 +601,11 @@ def orders_nelson_aalen_by_segment(spark, sf_dir):
             FROM subj GROUP BY seg)
     SELECT t.seg AS c_mktsegment, t.n_subj, c.observed,
        round(c.exp_u / 1000000.0, 6) AS expected,
-       round((CAST(c.observed AS DOUBLE) - c.exp_u / 1000000.0)
-             * (CAST(c.observed AS DOUBLE) - c.exp_u / 1000000.0)
-             / (c.exp_u / 1000000.0), 6) AS chi_contrib
+       CASE WHEN c.exp_u > 0 THEN
+         round((CAST(c.observed AS DOUBLE) - c.exp_u / 1000000.0)
+               * (CAST(c.observed AS DOUBLE) - c.exp_u / 1000000.0)
+               / (c.exp_u / 1000000.0), 6)
+       ELSE NULL END AS chi_contrib
     FROM contrib c JOIN tot t ON t.seg = c.seg
     ORDER BY c_mktsegment""",
 )
@@ -729,7 +731,13 @@ def orders_km_logrank(spark, sf_dir):
             "n_subj",
             "observed",
             F.round(expected, 6).alias("expected"),
-            F.round(diff * diff / expected, 6).alias("chi_contrib"),
+            # E == 0 guard (ADVICE r9): a segment whose members are at
+            # risk only outside the pooled event times has exp_u = 0;
+            # (O-E)^2/E is undefined there and NaN/Inf render
+            # differently across engines — emit NULL on both sides.
+            F.when(
+                F.col("__exp_u") > 0, F.round(diff * diff / expected, 6)
+            ).alias("chi_contrib"),
         )
         .orderBy("c_mktsegment")
     )
@@ -818,7 +826,14 @@ def events_psi_drift(spark, sf_dir):
     type (bounded by |types|), broadcast bounds back, one counts
     aggregate — nothing beyond the counts frame is bigger than
     |types| x 10."""
-    e = table(spark, sf_dir, "events")
+    return psi_drift(table(spark, sf_dir, "events"))
+
+
+def psi_drift(e):
+    """Batch PSI body over an arbitrary events frame (factored so the
+    tied-decile stream-equivalence test can drive it on a synthetic
+    corpus whose decile boundaries collapse — see
+    tests/test_streaming.py)."""
     from ..expressions import nan_to_null
 
     cents = F.round(nan_to_null(F.col("value")) * 100).cast("long")

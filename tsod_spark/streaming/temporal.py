@@ -2588,6 +2588,14 @@ def stream_psi_drift(
         n_cur = sum(counts)
         acc_u = 0
         for i in range(10):
+            # skip buckets empty in BOTH halves (ADVICE r9): the batch
+            # counts frame only has rows for (type, bucket) observed in
+            # at least one half, so when tied decile boundaries make a
+            # bucket structurally unreachable the batch omits its
+            # (nonzero) smoothed term — match that exactly or the
+            # documented stream == batch contract breaks.
+            if ref_counts[i] == 0 and counts[i] == 0:
+                continue
             p = (ref_counts[i] + 1) / (n_ref + 10)
             q = (counts[i] + 1) / (n_cur + 10)
             acc_u += int(math.floor((q - p) * math.log(q / p) * 1e9 + 0.5))

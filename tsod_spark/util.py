@@ -2,8 +2,66 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, SparkSession
+from contextlib import contextmanager
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tracked caching (ADVICE r8 #3 / VERDICT r9 #7, structural form)
+#
+# Dedup/similarity operators cache() frames that feed two consumers (a
+# prefix build and a verification join); the returned DataFrame is lazy,
+# so the operator itself cannot unpersist. The old contract was a
+# docstring ("callers should clearCache()"); this replaces it with code:
+# every pipeline cache routes through tracked_cache(), and callers
+# embedding operators in a long-lived session wrap calls in
+# cache_scope() — on exit, every frame cached INSIDE the scope is
+# unpersisted, nothing else (unlike spark.catalog.clearCache(), user
+# caches outside the scope survive). The registry harness and bench.py
+# keep their clearCache() hygiene; the scope is for everyone else.
+
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def tracked_cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` + registration for scope-exit unpersist."""
+    df = df.cache()
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def unpersist_tracked(blocking: bool = False) -> int:
+    """Unpersist every tracked cache; returns how many were dropped."""
+    n = 0
+    while _TRACKED_CACHES:
+        df = _TRACKED_CACHES.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:  # session already stopped — nothing pinned
+            pass
+    return n
+
+
+@contextmanager
+def cache_scope():
+    """Scope whose exit unpersists every pipeline cache created inside.
+
+    ``with cache_scope(): pairs = ppjoin_pairs(docs).collect()`` leaves
+    zero pinned blocks behind regardless of how many internal frames
+    the operator cached. Nested scopes unpersist only their own frames.
+    """
+    mark = len(_TRACKED_CACHES)
+    try:
+        yield
+    finally:
+        while len(_TRACKED_CACHES) > mark:
+            df = _TRACKED_CACHES.pop()
+            try:
+                df.unpersist(False)
+            except Exception:
+                pass
 
 
 def round_half_away6(col: Column) -> Column:
