@@ -110,6 +110,9 @@ ALLOW_NLJ = {
     "events_psi_drift",  # broadcast 1-row midpoint-scalar crossJoin;
                          # everything past the counts agg is
                          # |types| x 10 buckets
+    "events_wasserstein_drift",  # same 1-row midpoint-scalar crossJoin
+                         # (the half-split convention); everything past
+                         # the counts agg is domain-bounded ECDF rows
     "emb_label_davies_bouldin",  # |labels|-row centroid-array
                          # self-crossJoin (|labels|^2 = ~64 rows) +
                          # broadcast scatter joins — quadratic in

@@ -373,3 +373,49 @@ def test_pack_loss_mask_conservation(spark):
     }
     for part, (_, _, crossings) in by_part.items():
         assert crossings >= straddle.get(part, 0), part
+
+
+def test_stream_pack_sequences_matches_batch(spark, tmp_path):
+    """The streaming packer's emissions across 3 micro-batches equal
+    the batch pack_sequences rows byte-for-byte (docs delivered in the
+    batch operator's own doc_id-per-source order)."""
+    from tsod_spark.pipeline import curate
+    from tsod_spark.registry import table
+    from tsod_spark.streaming import stream_pack_sequences
+
+    docs = table(spark, SF, "documents")
+    expected = {r.doc_id: r for r in curate.pack_sequences(docs).collect()}
+    rows = docs.select("doc_id", "text", "source").orderBy("doc_id").collect()
+    src_dir = str(tmp_path / "pack_src")
+    chunk = (len(rows) + 2) // 3
+    for i in range(3):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(
+                part, "doc_id long, text string, source string"
+            ).coalesce(1).write.parquet(f"{src_dir}/b{i}")
+    src = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/b*")
+    )
+    q = (
+        stream_pack_sequences(src)
+        .writeStream.format("memory")
+        .queryName("t_pack")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id: r for r in spark.sql("SELECT * FROM t_pack").collect()}
+    assert set(got) == set(expected)
+    for did, b in expected.items():
+        s = got[did]
+        assert (s.part, s.n_tokens, s.seq_id, s.seq_offset) == (
+            b.part,
+            b.n_tokens,
+            b.seq_id,
+            b.seq_offset,
+        ), did
+        assert bool(s.straddles_boundary) == bool(b.straddles_boundary), did

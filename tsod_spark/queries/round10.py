@@ -332,3 +332,183 @@ def doc_pack_loss_mask(spark, sf_dir):
     from ..pipeline import curate
 
     return curate.pack_loss_mask(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "events_wasserstein_drift",
+    """WITH c AS (SELECT event_type AS t,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hb,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc
+        FROM events),
+    d AS (SELECT * FROM c WHERE vc IS NOT NULL),
+    span AS (SELECT (min(hb) + max(hb) + 1) // 2 AS mid FROM d),
+    lab AS (SELECT t, vc, hb < span.mid AS is_ref FROM d CROSS JOIN span),
+    counts AS (SELECT t, vc,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cc
+       FROM lab GROUP BY 1, 2),
+    cum AS (SELECT t, vc,
+         CAST(sum(cr) OVER (PARTITION BY t ORDER BY vc) AS BIGINT) AS fr,
+         CAST(sum(cc) OVER (PARTITION BY t ORDER BY vc) AS BIGINT) AS fc,
+         CAST(sum(cr) OVER (PARTITION BY t) AS BIGINT) AS n_ref,
+         CAST(sum(cc) OVER (PARTITION BY t) AS BIGINT) AS n_cur,
+         CAST(lead(vc) OVER (PARTITION BY t ORDER BY vc) - vc AS BIGINT)
+           AS gap,
+         CAST(max(vc) OVER (PARTITION BY t)
+              - min(vc) OVER (PARTITION BY t) AS BIGINT) AS spn
+       FROM counts),
+    agg AS (SELECT t, any_value(n_ref) AS n_ref, any_value(n_cur) AS n_cur,
+         any_value(spn) AS spn,
+         CAST(sum(abs(fr * n_cur - fc * n_ref) * gap) AS BIGINT) AS s
+       FROM cum WHERE gap IS NOT NULL GROUP BY t)
+    SELECT t AS event_type, n_ref, n_cur,
+       round(CAST(s AS DOUBLE)
+             / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) * 100.0), 6)
+         AS w1_value,
+       round(CAST(s AS DOUBLE)
+             / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)
+                * CAST(spn AS DOUBLE)), 6) AS w1_norm,
+       round(CAST(s AS DOUBLE)
+             / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)
+                * CAST(spn AS DOUBLE)), 6) > 0.1 AS drift_flag
+    FROM agg WHERE n_ref > 0 AND n_cur > 0 AND spn > 0
+    ORDER BY event_type""",
+)
+def events_wasserstein_drift(spark, sf_dir):
+    """Exact 1-Wasserstein drift per event type between time halves —
+    completes the drift triple next to events_psi_drift (binned mass
+    movement) and events_ks_drift (worst ECDF gap) with the
+    magnitude-aware number: how far, in VALUE units, the distribution
+    actually moved (a 1-cent everywhere-shift and a 10-dollar
+    everywhere-shift have the same KS; their W1 differs 1000x, and W1
+    is what a cost model can act on). The ECDF-integral sum is exact:
+    integer numerators |cum_ref*n_cur - cum_cur*n_ref| * gap summed
+    in int64 (aggregation-order-proof), one division at the end.
+    w1_norm rescales by the pooled cent-domain span for a [0,1]
+    threshold. Plan: one fact scan -> domain-bounded (type, cent)
+    counts -> two windows over that compact frame (the
+    events_ks_drift shape); at population scales past int64 headroom
+    (~3e9 rows/type) the term switches to the PSI nano-quantization
+    discipline — see analytics.stattests.wasserstein_drift."""
+    from ..analytics import stattests
+
+    return stattests.wasserstein_drift(table(spark, sf_dir, "events"))
+
+
+_PACK_SHEET_SQL = """SELECT part,
+       CAST(count(DISTINCT grp || '|' || CAST(seq_id AS VARCHAR)) AS BIGINT)
+         AS n_seqs,
+       CAST(sum(least((seq_id + 1) * 256, cb + n_tokens)
+                - greatest(seq_id * 256, cb)) AS BIGINT) AS present,
+       CAST(sum(CASE WHEN seq_id > s0 THEN
+                  least((seq_id + 1) * 256, cb + n_tokens)
+                  - greatest(seq_id * 256, cb) ELSE 0 END) AS BIGINT)
+         AS masked
+    FROM ex{N} GROUP BY part"""
+
+
+@register(
+    "doc_pack_bucketed_stats",
+    f"""WITH t AS (SELECT doc_id, source,
+                  CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM documents),
+    t2 AS (SELECT *, source || '#'
+                     || CAST(least(3, n_tokens // 32) AS VARCHAR) AS source2
+           FROM t),
+    c1 AS (SELECT doc_id, source AS part, source AS grp, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb
+           FROM t2),
+    c2 AS (SELECT doc_id, source AS part, source2 AS grp, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY source2 ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb
+           FROM t2),
+    d1 AS (SELECT part, grp, n_tokens, cb, cb // 256 AS s0,
+                  (cb + n_tokens - 1) // 256 AS s1
+           FROM c1 WHERE n_tokens > 0),
+    d2 AS (SELECT part, grp, n_tokens, cb, cb // 256 AS s0,
+                  (cb + n_tokens - 1) // 256 AS s1
+           FROM c2 WHERE n_tokens > 0),
+    ex1 AS (SELECT part, grp, n_tokens, cb, s0,
+                   unnest(generate_series(s0, s1)) AS seq_id FROM d1),
+    ex2 AS (SELECT part, grp, n_tokens, cb, s0,
+                   unnest(generate_series(s0, s1)) AS seq_id FROM d2),
+    a1 AS ({_PACK_SHEET_SQL.replace("{N}", "1")}),
+    a2 AS ({_PACK_SHEET_SQL.replace("{N}", "2")})
+    SELECT a1.part AS source,
+       a1.n_seqs AS n_seqs_inorder, a1.masked AS n_masked_inorder,
+       a2.n_seqs AS n_seqs_bucketed, a2.masked AS n_masked_bucketed,
+       CAST(a1.masked - a2.masked AS BIGINT) AS masked_saved,
+       round(CAST(a1.masked - a2.masked AS DOUBLE)
+             / CAST(a1.present AS DOUBLE), 6) AS masked_saved_frac
+    FROM a1 JOIN a2 ON a2.part = a1.part
+    ORDER BY source""",
+)
+def doc_pack_bucketed_stats(spark, sf_dir):
+    """The length-bucketed-packing DECISION table (per source): pack
+    in arrival order vs pack within (source, doc-length bucket) and
+    compare the loss-masked continuation-token mass. Bucketing
+    same-length docs together is the classic trick for cutting
+    boundary straddles (a 30-token doc rarely crosses a 256 boundary
+    if its whole sequence is 30-token docs); the price is more partial
+    sequences (one tail per bucket instead of one per source). This
+    emits exactly that trade per source — masked tokens under each
+    policy, sequence counts, and the saved-mask fraction — the
+    numbers that decide whether bucketed packing pays at the corpus's
+    actual length distribution. Buckets are deterministic int64
+    (least(3, n_tokens div 32)); both packings are the pack_loss_mask
+    interval algebra under different partition keys, so everything is
+    exact and ORDER-free. Per-doc assignments for the winning policy
+    come from doc_pack_sequences / pack_loss_mask with the same key."""
+    from ..pipeline import curate
+    from ..pipeline.text import tokens as _tokens
+
+    docs = table(spark, sf_dir, "documents")
+    nt = F.size(_tokens(F.col("text"))).cast("long")
+    docs2 = docs.withColumn("__nt", nt).withColumn(
+        "source2",
+        F.concat(
+            F.col("source"),
+            F.lit("#"),
+            F.least(F.lit(3).cast("long"), F.expr("__nt div 32")).cast(
+                "string"
+            ),
+        ),
+    )
+    m1 = curate.pack_loss_mask(docs)
+    m2 = curate.pack_loss_mask(docs2, part_col="source2")
+    a1 = m1.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs_inorder"),
+        F.sum("n_masked").cast("long").alias("n_masked_inorder"),
+        F.sum(F.col("n_kept") + F.col("n_masked"))
+        .cast("long")
+        .alias("__present"),
+    )
+    a2 = (
+        m2.withColumn("part", F.split(F.col("part"), "#").getItem(0))
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seqs_bucketed"),
+            F.sum("n_masked").cast("long").alias("n_masked_bucketed"),
+        )
+    )
+    saved = F.col("n_masked_inorder") - F.col("n_masked_bucketed")
+    return (
+        a1.join(a2, "part")
+        .select(
+            F.col("part").alias("source"),
+            "n_seqs_inorder",
+            "n_masked_inorder",
+            "n_seqs_bucketed",
+            "n_masked_bucketed",
+            saved.cast("long").alias("masked_saved"),
+            F.round(
+                saved.cast("double") / F.col("__present").cast("double"), 6
+            ).alias("masked_saved_frac"),
+        )
+        .orderBy("source")
+    )

@@ -873,3 +873,100 @@ def stream_containment_screen(
     return out.select(
         "doc_id", "match_id", "shared_grams", cont.alias("containment")
     )
+
+
+def stream_pack_sequences(
+    stream_docs: DataFrame,
+    budget: int = 256,
+    text_col: str = "text",
+    part_col: str = "source",
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming greedy sequence packing — the twin of
+    :func:`tsod_spark.pipeline.curate.pack_sequences` for a continuous
+    ingest pipeline that assigns every arriving document its training
+    sequence id/offset at ingest time instead of re-packing the corpus
+    per snapshot.
+
+    State per partition key is ONE int64 (the cumulative token count)
+    — the smallest state of any twin in the repo — because greedy
+    in-order packing is a running sum: a doc's placement depends only
+    on the tokens before it. Rows within a micro-batch are processed
+    in ``doc_id`` order per partition; the batch-equivalence contract
+    is the batch operator's own ordering contract (docs packed in
+    doc_id order per ``part_col``), so a stream delivering docs in
+    that order emits byte-identical rows across any micro-batch
+    split (tested). Out-of-order arrivals get the NEXT offsets — in a
+    real ingest that IS the pack order (arrival order), and doc_id
+    order is just the replayable convention the fixtures use.
+
+    Tokenization is the stateless Column expression of the batch twin,
+    computed BEFORE the stateful operator so the state kernel only
+    sees (doc_id, n_tokens).
+    """
+    from pyspark.sql import functions as F
+
+    from ..pipeline.text import tokens
+
+    slim = stream_docs.select(
+        F.col(part_col).alias("part"),
+        "doc_id",
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("part", StringType()),
+            StructField("n_tokens", LongType()),
+            StructField("seq_id", LongType()),
+            StructField("seq_offset", LongType()),
+            StructField("straddles_boundary", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("cum", LongType())])
+
+    def process(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        cum = int(state.get[0]) if state.exists else 0
+        new = new.sort_values("doc_id", kind="mergesort")
+        rows = []
+        for doc_id, nt in zip(
+            new["doc_id"].astype("int64"), new["n_tokens"].astype("int64")
+        ):
+            nt = int(nt)
+            seq_id, offset = cum // budget, cum % budget
+            end_seq = (cum + nt - 1) // budget if nt > 0 else seq_id
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "part": key[0],
+                    "n_tokens": nt,
+                    "seq_id": seq_id,
+                    "seq_offset": offset,
+                    "straddles_boundary": bool(nt > 0 and end_seq > seq_id),
+                }
+            )
+            cum += nt
+        state.update((cum,))
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        yield pd.DataFrame(rows)
+
+    return slim.groupBy("part").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
