@@ -198,7 +198,13 @@ def run_slice() -> None:
             "dedup_minhash_pairs_capped dedup_simhash_pairs_capped "
             "dedup_winnow_overlap dedup_ppjoin_pairs dedup_ppjoin_groups "
             "dedup_containment_pairs dedup_threshold_curve dedup_jaccard_topk "
-            "doc_bigram_heavy_hitters events_theta_sets",
+            "doc_bigram_heavy_hitters events_theta_sets "
+            # r10 (VERDICT r9 #1): bigram ppjoin joined the family — a
+            # single sample of the registry's former most-expensive
+            # query is not a stable record; the containment screen
+            # shares the gram-join shape
+            "dedup_ppjoin_bigram_pairs dedup_ppjoin_incremental "
+            "dedup_containment_incremental",
         ).split()
     )
 

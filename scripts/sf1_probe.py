@@ -176,6 +176,17 @@ HEADLINE = [
     "orders_nelson_aalen_by_segment",
     "orders_km_logrank",
     "events_psi_drift",
+    # round-10: the incremental containment screen (corpus-index join
+    # volume must track batch-gram corpus frequency, not corpus size),
+    # the IVF tuning curve (5 probes over one cached cell-tagged
+    # frame), per-segment conformal, the packing accountants, and the
+    # exact W1 drift (domain-bounded ECDF frame)
+    "dedup_containment_incremental",
+    "emb_ivf_recall_curve",
+    "ts_conformal_by_segment",
+    "doc_pack_loss_mask",
+    "doc_pack_bucketed_stats",
+    "events_wasserstein_drift",
 ]
 
 

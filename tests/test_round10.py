@@ -98,10 +98,13 @@ def test_cache_scope_leaves_no_pinned_blocks(spark):
 
     docs = table(spark, SF, "documents")
     spark.catalog.clearCache()
+    # baseline-relative: earlier suite tests may hold localCheckpoint
+    # RDD blocks that catalog.clearCache() does not drop
+    base = len(spark.sparkContext._jsc.getPersistentRDDs())
     with cache_scope():
         pairs = dedup.ppjoin_pairs(docs, thr_pct=90, shingle_n=1).collect()
-        assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) > base
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == base
     # nested scopes unpersist only their own frames
     with cache_scope():
         dedup.ppjoin_pairs(docs, thr_pct=90, shingle_n=1).collect()
@@ -109,7 +112,7 @@ def test_cache_scope_leaves_no_pinned_blocks(spark):
         with cache_scope():
             dedup.ppjoin_pairs(docs, thr_pct=80, shingle_n=2).collect()
         assert len(spark.sparkContext._jsc.getPersistentRDDs()) == outer
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == base
     assert isinstance(pairs, list)
 
 
@@ -202,8 +205,9 @@ def test_ppjoin_prefix_stats_uncached(spark):
 
     docs = table(spark, SF, "documents")
     spark.catalog.clearCache()
+    base = len(spark.sparkContext._jsc.getPersistentRDDs())
     st = dedup.ppjoin_prefix_stats(docs, thr_pct=90, shingle_n=1).collect()[0]
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == base
     assert st.total_buckets > 0 and st.total_rows >= st.total_buckets
     # cross-check against the cached pairs-path prefix table
     with cache_scope():
@@ -279,6 +283,7 @@ def test_ivf_recall_curve_raw_values(spark):
 
     emb = table(spark, SF, "embeddings")
     n_total = emb.count()
+    base = len(spark.sparkContext._jsc.getPersistentRDDs())
     with cache_scope():
         rows = similarity.ivf_recall_curve(emb).collect()
     assert [r.n_probe for r in rows] == [1, 2, 4, 8, 16]
@@ -291,7 +296,7 @@ def test_ivf_recall_curve_raw_values(spark):
     last = rows[-1]
     assert last.rows_scanned == n_total - 1
     assert last.recall_k == 1.0 and last.n_hits == 10
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == base
 
 
 def test_conformal_by_segment_single_segment_reduces_to_global(spark):
