@@ -113,6 +113,9 @@ ALLOW_NLJ = {
     "events_wasserstein_drift",  # same 1-row midpoint-scalar crossJoin
                          # (the half-split convention); everything past
                          # the counts agg is domain-bounded ECDF rows
+    "dedup_lsh_tuning_curve",  # broadcast 1-row truth-count crossJoin
+                         # onto the 4-row per-config aggregate (the
+                         # recall denominator scalar; linear)
     "emb_label_davies_bouldin",  # |labels|-row centroid-array
                          # self-crossJoin (|labels|^2 = ~64 rows) +
                          # broadcast scatter joins — quadratic in

@@ -187,6 +187,7 @@ HEADLINE = [
     "doc_pack_loss_mask",
     "doc_pack_bucketed_stats",
     "events_wasserstein_drift",
+    "dedup_lsh_tuning_curve",
 ]
 
 

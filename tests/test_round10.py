@@ -424,3 +424,83 @@ def test_stream_pack_sequences_matches_batch(spark, tmp_path):
             b.seq_offset,
         ), did
         assert bool(s.straddles_boundary) == bool(b.straddles_boundary), did
+
+
+def test_stream_wasserstein_matches_batch(spark, tmp_path):
+    """A stream that has consumed exactly the batch query's
+    current-half rows, scored against the frozen reference ECDF, must
+    emit the batch W1 row per type exactly."""
+    from tsod_spark.queries.round10 import w1_ref_stats
+    from tsod_spark.registry import QUERIES
+    from tsod_spark.registry import table as rt
+    from tsod_spark.streaming import stream_wasserstein_drift
+
+    e = rt(spark, SF, "events")
+    ref = {
+        r.event_type: (list(r.cents), list(r.counts), r.n_ref)
+        for r in w1_ref_stats(e).collect()
+    }
+    d = e.withColumn("__hb", F.expr("unix_micros(ts) div 3600000000"))
+    lo, hi = d.agg(F.min("__hb"), F.max("__hb")).first()
+    mid = (lo + hi + 1) // 2
+    cur = d.where(F.col("__hb") >= mid).drop("__hb").orderBy("ts", "event_id")
+    rows = cur.collect()
+    src_dir = str(tmp_path / "w1_src")
+    chunk = (len(rows) + 2) // 3
+    for i in range(3):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, cur.schema).coalesce(1).write.parquet(
+                f"{src_dir}/b{i}"
+            )
+    src = (
+        spark.readStream.schema(cur.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/b*")
+    )
+    q = (
+        stream_wasserstein_drift(src, ref)
+        .writeStream.format("memory")
+        .queryName("t_w1")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.sql("SELECT * FROM t_w1").collect():
+        if r.event_type not in got or r.n_cur > got[r.event_type].n_cur:
+            got[r.event_type] = r
+    batch = {
+        r.event_type: r
+        for r in QUERIES["events_wasserstein_drift"](spark, SF).collect()
+    }
+    assert set(got) == set(batch)
+    assert len(got) > 0
+    for et, b in batch.items():
+        s = got[et]
+        assert s.n_ref == b.n_ref and s.n_cur == b.n_cur, et
+        assert s.w1_value == b.w1_value, et
+        assert s.w1_norm == b.w1_norm, et
+        assert bool(s.drift_flag) == bool(b.drift_flag), et
+    spark.catalog.clearCache()
+
+
+def test_lsh_tuning_curve_invariants(spark):
+    """Band nesting: candidates/found nondecreasing in b; recall at
+    b=k exactly 1.0; truth constant across rows."""
+    from tsod_spark.pipeline import dedup
+    from tsod_spark.registry import table
+    from tsod_spark.util import cache_scope
+
+    with cache_scope():
+        rows = dedup.lsh_tuning_curve(table(spark, SF, "documents")).collect()
+    assert [r.bands for r in rows] == [1, 2, 4, 8]
+    prev_c = prev_f = -1
+    for r in rows:
+        assert r.n_candidates >= prev_c and r.n_found >= prev_f, r
+        assert r.n_true_pairs == rows[0].n_true_pairs
+        assert r.n_found <= r.n_true_pairs
+        prev_c, prev_f = r.n_candidates, r.n_found
+    assert rows[-1].recall == 1.0
+    assert rows[-1].n_found == rows[-1].n_true_pairs

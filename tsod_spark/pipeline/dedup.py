@@ -1904,3 +1904,108 @@ def containment_screen_new_docs(
     return out.select(
         "doc_id", "match_id", "shared_grams", cont.alias("containment")
     ).orderBy("doc_id", "match_id")
+
+
+def lsh_tuning_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    band_configs: tuple[int, ...] = (1, 2, 4, 8),
+    thr_pct: int = 50,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Band-count TUNING CURVE for the MinHash LSH tier — the
+    companion to :func:`tsod_spark.pipeline.similarity
+    .ivf_recall_curve` for the other approximate index in the repo:
+    per banding b in ``band_configs`` (r = k/b rows per band), the
+    candidate-pair volume and the recall of signature-similar pairs
+    (estimated Jaccard >= thr_pct/100), so an operator reads the
+    volume/recall knee and fixes (b, r) before a 100 TB run.
+
+    Unlike the IVF curve this one needs NO certificate: MinHash here
+    is seeded md5 (engine-exact by design), so every number —
+    candidates, truth size, found, recall — is deterministic and
+    SQL-reproducible.
+
+    The ground-truth set costs no all-pairs scan: a pair with
+    est >= thr > 0 shares at least one signature component, and at
+    b = k (one row per band) sharing any component IS candidacy — so
+    the truth is exactly the b=k candidate set filtered to est >= thr.
+    Three invariants are provable from band nesting (each coarser
+    band is a concatenation of finer ones, so a coarse-band match
+    implies finer-band matches): candidate volume and found count are
+    NONDECREASING in b, and recall at b = k is exactly 1.0.
+
+    All thresholds int64 (``100*matches >= thr_pct*k``); per-config
+    work is one band self-join over the shared cached signature frame
+    (the minhash_band_pairs packed-signature shape), aggregated to
+    one row — the curve costs ~|configs| band joins, not |configs|
+    corpus scans.
+    """
+    if k % max(band_configs) != 0 or any(k % b for b in band_configs):
+        raise ValueError("every band config must divide k")
+    if max(band_configs) != k:
+        raise ValueError("band_configs must include k (the truth blocking)")
+    pct = int(thr_pct)
+    sigs = tracked_cache(minhash_signatures(docs, text_col, k, shingle_n))
+
+    def config_agg(b: int) -> DataFrame:
+        bf = _band_frame(sigs, k, b)
+        a, c = bf.alias("a"), bf.alias("b")
+        matches = sum(
+            F.when(
+                F.substring(F.col("a.sig"), i * 8 + 1, 8)
+                == F.substring(F.col("b.sig"), i * 8 + 1, 8),
+                1,
+            ).otherwise(0)
+            for i in range(k)
+        )
+        cand = (
+            a.join(
+                c,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                matches.alias("__m"),
+            )
+            .distinct()
+        )
+        hit = F.when(F.lit(100) * F.col("__m") >= F.lit(pct * k), 1).otherwise(0)
+        return cand.agg(
+            F.lit(b).cast("long").alias("bands"),
+            F.lit(k // b).cast("long").alias("rows_per_band"),
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(hit).cast("long").alias("n_found"),
+        )
+    per = [config_agg(b) for b in band_configs]
+    curve = per[0]
+    for p in per[1:]:
+        curve = curve.unionByName(p)
+    truth = (
+        config_agg(k)
+        .select(F.col("n_found").alias("n_true_pairs"))
+    )
+    recall = F.when(
+        F.col("n_true_pairs") > 0,
+        F.round(
+            F.col("n_found").cast("double")
+            / F.col("n_true_pairs").cast("double"),
+            6,
+        ),
+    )
+    return (
+        curve.crossJoin(F.broadcast(truth))
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_true_pairs",
+            "n_found",
+            recall.alias("recall"),
+        )
+        .orderBy("bands")
+    )

