@@ -13,7 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..pipeline import dedup
-from ._base import DTOKS, TOKS, register, table
+from ._base import DTOKS, TOKS, _shingle_sql, register, table
 
 
 @register(
@@ -615,4 +615,81 @@ def w1_ref_stats(e):
         F.col("__pairs.__vc").alias("cents"),
         F.col("__pairs.__c").alias("counts"),
         "n_ref",
+    )
+
+
+_SPLIT_SQL = "('0x' || substr(md5(text), 1, 4))::BIGINT % 10"
+
+
+@register(
+    "doc_contamination_by_split",
+    f"""WITH bt AS (SELECT {TOKS} AS t FROM documents WHERE source = 'src0'),
+    bg AS (SELECT DISTINCT unnest({_shingle_sql('t', 5)}) AS g FROM bt),
+    dt AS (SELECT doc_id, {TOKS} AS t,
+             CASE WHEN {_SPLIT_SQL} < 8 THEN 'train'
+                  WHEN {_SPLIT_SQL} < 9 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents WHERE source <> 'src0'),
+    dg AS (SELECT doc_id, unnest({_shingle_sql('dt.t', 5)}) AS g FROM dt),
+    hit AS (SELECT dg.doc_id,
+              max(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS h
+            FROM dg LEFT JOIN bg ON dg.g = bg.g GROUP BY dg.doc_id),
+    f AS (SELECT dt.doc_id, dt.split,
+            CAST(len(dt.t) AS BIGINT) AS nt, coalesce(h.h, 0) AS h
+          FROM dt LEFT JOIN hit h ON h.doc_id = dt.doc_id)
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(h) AS BIGINT) AS n_contaminated,
+       round(sum(h) / CAST(count(*) AS DOUBLE), 6) AS contamination_rate,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(h * nt) AS BIGINT) AS n_tokens_contaminated,
+       round(sum(h * nt) / CAST(sum(nt) AS DOUBLE), 6) AS token_rate
+    FROM f GROUP BY split
+    ORDER BY split""",
+)
+def doc_contamination_by_split(spark, sf_dir):
+    """Benchmark leakage PER TRAIN/VAL/TEST SPLIT — the pre-training
+    integrity check that the per-source view (doc_contamination_stats)
+    cannot answer: a benchmark 5-gram colliding with a TRAIN doc
+    inflates eval scores; the same collision in the TEST split
+    invalidates the eval itself, so the two need different responses
+    (filter vs re-split) and this table separates them. Doc AND
+    token-weighted rates per split (a few huge contaminated docs can
+    make a harmless doc-rate a material token-rate). Composition of
+    the deterministic content-hash split (doc_split_assign — stable
+    under re-sharding, so this table is reproducible across corpus
+    versions) and the broadcast-benchmark 5-gram collision mark
+    (doc_decontaminate); the corpus never shuffles for the marking,
+    and the final aggregate is 3 rows."""
+    from ..pipeline import curate
+    from ..pipeline.text import tokens as _tokens
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("source") != "src0")
+    bench = docs.where(F.col("source") == "src0")
+    flags = curate.decontaminate(corpus, bench, n=5).select(
+        "doc_id", "is_contaminated"
+    )
+    splits = curate.split_assign(corpus).select("doc_id", "split")
+    nt = F.size(_tokens(F.col("text"))).cast("long")
+    base = (
+        corpus.select("doc_id", nt.alias("__nt"))
+        .join(splits, "doc_id")
+        .join(flags, "doc_id")
+    )
+    h = F.col("is_contaminated").cast("int")
+    n_docs = F.count(F.lit(1)).cast("long")
+    n_bad = F.sum(h).cast("long")
+    n_tok = F.sum("__nt").cast("long")
+    n_tok_bad = F.sum(h * F.col("__nt")).cast("long")
+    return (
+        base.groupBy("split")
+        .agg(
+            n_docs.alias("n_docs"),
+            n_bad.alias("n_contaminated"),
+            F.round(n_bad / n_docs, 6).alias("contamination_rate"),
+            n_tok.alias("n_tokens"),
+            n_tok_bad.alias("n_tokens_contaminated"),
+            F.round(n_tok_bad / n_tok, 6).alias("token_rate"),
+        )
+        .orderBy("split")
     )
