@@ -1975,11 +1975,13 @@ def lsh_tuning_curve(
             .distinct()
         )
         hit = F.when(F.lit(100) * F.col("__m") >= F.lit(pct * k), 1).otherwise(0)
+        # coalesce: an empty candidate set (e.g. all-empty docs -> NULL
+        # signatures that never join) must report 0 found, not NULL
         return cand.agg(
             F.lit(b).cast("long").alias("bands"),
             F.lit(k // b).cast("long").alias("rows_per_band"),
             F.count(F.lit(1)).cast("long").alias("n_candidates"),
-            F.sum(hit).cast("long").alias("n_found"),
+            F.coalesce(F.sum(hit), F.lit(0)).cast("long").alias("n_found"),
         )
     per = [config_agg(b) for b in band_configs]
     curve = per[0]

@@ -543,7 +543,8 @@ def _lsh_curve_sql(k: int = 8, configs=(1, 2, 4, 8), thr_pct: int = 50) -> str:
             f"""SELECT CAST({b} AS BIGINT) AS bands,
                CAST({k // b} AS BIGINT) AS rows_per_band,
                CAST(count(*) AS BIGINT) AS n_candidates,
-               CAST(sum(CASE WHEN 100 * m >= {thr_pct * k} THEN 1 ELSE 0 END)
+               CAST(coalesce(sum(CASE WHEN 100 * m >= {thr_pct * k}
+                                      THEN 1 ELSE 0 END), 0)
                     AS BIGINT) AS n_found
              FROM cand{b}"""
         )
