@@ -188,6 +188,7 @@ HEADLINE = [
     "doc_pack_bucketed_stats",
     "events_wasserstein_drift",
     "dedup_lsh_tuning_curve",
+    "doc_contamination_by_split",
 ]
 
 
