@@ -504,3 +504,128 @@ def test_lsh_tuning_curve_invariants(spark):
         prev_c, prev_f = r.n_candidates, r.n_found
     assert rows[-1].recall == 1.0
     assert rows[-1].n_found == rows[-1].n_true_pairs
+
+
+def test_stream_ks_drift_matches_python_reference(spark, tmp_path):
+    """The streaming KS monitor's final emission equals a pure-python
+    two-sample KS (exact ECDFs over cents) between the frozen reference
+    half and the streamed current half."""
+    import math
+
+    from tsod_spark.queries.round10 import w1_ref_stats
+    from tsod_spark.registry import table as rt
+    from tsod_spark.streaming import stream_ks_drift
+    from tsod_spark.util import py_round6
+
+    e = rt(spark, SF, "events")
+    ref = {
+        r.event_type: (list(r.cents), list(r.counts), r.n_ref)
+        for r in w1_ref_stats(e).collect()
+    }
+    d = e.withColumn("__hb", F.expr("unix_micros(ts) div 3600000000"))
+    lo, hi = d.agg(F.min("__hb"), F.max("__hb")).first()
+    mid = (lo + hi + 1) // 2
+    cur = d.where(F.col("__hb") >= mid).drop("__hb").orderBy("ts", "event_id")
+    rows = cur.collect()
+    src_dir = str(tmp_path / "ks_src")
+    chunk = (len(rows) + 2) // 3
+    for i in range(3):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, cur.schema).coalesce(1).write.parquet(
+                f"{src_dir}/b{i}"
+            )
+    src = (
+        spark.readStream.schema(cur.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/b*")
+    )
+    q = (
+        stream_ks_drift(src, ref)
+        .writeStream.format("memory")
+        .queryName("t_ks")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.sql("SELECT * FROM t_ks").collect():
+        if r.event_type not in got or r.n_cur > got[r.event_type].n_cur:
+            got[r.event_type] = r
+
+    # python reference: exact two-sample KS over cent values
+    cur_vals: dict = {}
+    for r in rows:
+        v = r.value
+        if v is None or v != v:
+            continue
+        vc = (-1 if v < 0 else 1) * int(math.floor(abs(v) * 100 + 0.5))
+        cur_vals.setdefault(r.event_type, {}).setdefault(vc, 0)
+        cur_vals[r.event_type][vc] += 1
+    assert len(got) > 0
+    for et, s in got.items():
+        rcents, rcounts, n_ref = ref[et]
+        cm = cur_vals[et]
+        n_cur = sum(cm.values())
+        rmap = dict(zip(rcents, rcounts))
+        merged = sorted(set(rcents) | set(cm))
+        best, best_v = -1, merged[0]
+        cr = cc = 0
+        for v in merged:
+            cr += rmap.get(v, 0)
+            cc += cm.get(v, 0)
+            num = abs(cr * n_cur - cc * n_ref)
+            if num > best:
+                best, best_v = num, v
+        assert s.n_ref == n_ref and s.n_cur == n_cur, et
+        assert s.ks == py_round6(best / (n_ref * n_cur)), et
+        assert s.ks_at_cent == best_v, et
+        crit = 1.358 * math.sqrt((n_ref + n_cur) / (n_ref * n_cur))
+        assert bool(s.drift_flag) == (best / (n_ref * n_cur) > crit), et
+
+
+def test_ppjoin_tok_plan_no_compute_below_exchange(spark):
+    """Plan-shape pin for the r10 pushdown fix (VERDICT r9 #1 root
+    cause): in the ppjoin tokenizer's cached plan, the repartition
+    Exchange must sit DIRECTLY on the bare parquet scan — no Filter or
+    Project carrying the shingle/hash expressions below it (pushdown
+    used to drag the nonempty filter, and with it the whole
+    interpreted tokenize pipeline, into the single-partition scan:
+    3.8s single-threaded + a post-shuffle recompute vs 0.6s fixed).
+    The nonempty filter must sit above the InMemoryRelation."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from explain_audit import _tree_nodes
+
+    from tsod_spark.pipeline.dedup import _ppjoin_prefix
+    from tsod_spark.registry import table
+    from tsod_spark.util import cache_scope
+
+    with cache_scope():
+        tok, _pre = _ppjoin_prefix(
+            table(spark, SF, "documents"), 80, "text", "source", 2
+        )
+        plan = tok._sc._jvm.PythonSQLUtils.explainString(
+            tok._jdf.queryExecution(), "formatted"
+        )
+    nodes = _tree_nodes(plan)
+    names = [n for _, n, _ in nodes]
+    assert "InMemoryRelation" in names and "Exchange" in names
+    # the Exchange's subtree must be exactly the bare scan
+    for idx, (depth, name, _) in enumerate(nodes):
+        if name != "Exchange":
+            continue
+        below = []
+        j = idx + 1
+        while j < len(nodes) and nodes[j][0] > depth:
+            below.append(nodes[j][1])
+            j += 1
+        assert all(b.startswith("Scan") for b in below), (
+            f"compute below the repartition exchange: {below}"
+        )
+    # the nonempty filter sits above the cache, not inside it
+    fi = names.index("Filter")
+    assert "InMemoryTableScan" in names[fi + 1 :], names

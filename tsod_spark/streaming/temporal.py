@@ -2746,3 +2746,131 @@ def stream_wasserstein_drift(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stream_ks_drift(
+    stream_df: DataFrame,
+    ref_stats: "dict[str, tuple[list[int], list[int], int]]",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    alpha_coeff: float = 1.358,
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming two-sample Kolmogorov-Smirnov drift against a FROZEN
+    reference — completes the streaming drift triple next to
+    :func:`stream_psi_drift` (binned mass movement) and
+    :func:`stream_wasserstein_drift` (distance moved): per micro-batch,
+    the exact KS distance between the reference ECDF (``ref_stats`` =
+    ``{type: (cents, counts, n_ref)}`` from ``w1_ref_stats`` — the
+    same frozen frame the W1 twin uses) and the current window, the
+    cent value where the gap peaks, and the alpha = 0.05 rejection
+    flag with the standard ``c(alpha) * sqrt((n1+n2)/(n1*n2))``
+    critical value.
+
+    Note the deployment-shape difference vs the batch
+    ``events_ks_drift`` (each type vs the REST of the population,
+    within one snapshot): this is the MONITOR form — current window
+    vs a frozen training/reference window per type — so its
+    correctness gate is the pure-python two-sample KS reference in
+    tests, not the batch query (they answer different questions; the
+    PSI/W1 twins' batch queries already pin the half-split frame this
+    one shares).
+
+    State per type is one int64 counter per distinct cent seen — the
+    :func:`stream_wasserstein_drift` contract, bounded by the value
+    DOMAIN; exact ECDFs need it (KS over sketches would silently
+    change the statistic). The KS distance itself is computed with
+    int64 numerators (``|cum_ref * n_cur - cum_cur * n_ref|`` over the
+    merged domain, max then ONE division), so the reported value is
+    aggregation-order-exact like the batch drift family.
+    """
+    import math  # noqa: PLC0415
+
+    out_schema = StructType(
+        [
+            StructField(type_col, StringType()),
+            StructField("n_ref", LongType()),
+            StructField("n_cur", LongType()),
+            StructField("ks", DoubleType()),
+            StructField("ks_at_cent", LongType()),
+            StructField("drift_flag", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("cents", ArrayType(LongType())),
+            StructField("counts", ArrayType(LongType())),
+        ]
+    )
+    ref = {
+        str(t): ([int(c) for c in v[0]], [int(c) for c in v[1]], int(v[2]))
+        for t, v in ref_stats.items()
+    }
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        et = key[0]
+        if et not in ref:
+            return
+        rcents, rcounts, n_ref = ref[et]
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        if state.exists:
+            sc, sn = state.get
+            cur = dict(zip([int(x) for x in sc], [int(x) for x in sn]))
+        else:
+            cur = {}
+        for y in new[value_col].astype(float):
+            if math.isnan(y):
+                continue
+            vc = (-1 if y < 0 else 1) * int(math.floor(abs(y) * 100 + 0.5))
+            cur[vc] = cur.get(vc, 0) + 1
+        ks_keys = sorted(cur)
+        state.update(([int(x) for x in ks_keys], [int(cur[x]) for x in ks_keys]))
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        n_cur = sum(cur.values())
+        if n_cur == 0 or n_ref == 0:
+            return
+        rmap = dict(zip(rcents, rcounts))
+        merged = sorted(set(rcents) | set(cur))
+        best_num = -1
+        best_v = merged[0]
+        cumr = cumc = 0
+        for v in merged:
+            cumr += rmap.get(v, 0)
+            cumc += cur.get(v, 0)
+            num = abs(cumr * n_cur - cumc * n_ref)
+            if num > best_num:
+                best_num, best_v = num, v
+        ks = py_round6(best_num / (n_ref * n_cur))
+        crit = alpha_coeff * math.sqrt(
+            (n_ref + n_cur) / (n_ref * n_cur)
+        )
+        yield pd.DataFrame(
+            [
+                {
+                    type_col: et,
+                    "n_ref": n_ref,
+                    "n_cur": n_cur,
+                    "ks": ks,
+                    "ks_at_cent": int(best_v),
+                    "drift_flag": bool(best_num / (n_ref * n_cur) > crit),
+                }
+            ]
+        )
+
+    return stream_df.groupBy(type_col).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
