@@ -629,3 +629,27 @@ def test_ppjoin_tok_plan_no_compute_below_exchange(spark):
     # the nonempty filter sits above the cache, not inside it
     fi = names.index("Filter")
     assert "InMemoryTableScan" in names[fi + 1 :], names
+
+
+def test_ppjoin_prebuilt_index_result_invariant(spark):
+    """ppjoin_pairs with a persisted df index (ppjoin_index) returns
+    bit-identical pairs to the self-contained recompute — the index is
+    an optimization hint, not a correctness input."""
+    from tsod_spark.pipeline import dedup
+    from tsod_spark.registry import table
+    from tsod_spark.util import cache_scope
+
+    docs = table(spark, SF, "documents")
+    with cache_scope():
+        base = dedup.ppjoin_pairs(docs, thr_pct=90, shingle_n=1).collect()
+        idx = dedup.ppjoin_index(docs, shingle_n=1).cache()
+        idx.count()
+        with_idx = dedup.ppjoin_pairs(
+            docs, thr_pct=90, shingle_n=1, index=idx
+        ).collect()
+        idx.unpersist()
+    key = lambda r: (r.doc_a, r.doc_b)  # noqa: E731
+    assert sorted(map(key, base)) == sorted(map(key, with_idx))
+    bj = {key(r): r.jaccard for r in base}
+    for r in with_idx:
+        assert bj[key(r)] == r.jaccard
