@@ -61,6 +61,15 @@ HEADLINE10 = [
     "dedup_lsh_tuning_curve",
     "emb_cosine_topk",
     "doc_pack_loss_mask",
+    # top-up: survival (duration-grid bounded), conformal
+    # (bucket-bounded), the IVF curve (KMeans fit at 200k vectors),
+    # packing comparison, simhash CC, winnow spans
+    "orders_km_logrank",
+    "ts_conformal_snaive",
+    "emb_ivf_recall_curve",
+    "doc_pack_bucketed_stats",
+    "dedup_simhash_groups",
+    "doc_winnow_screen",
 ]
 
 
