@@ -284,7 +284,8 @@ def test_interval_overlap_join_matches_naive(spark):
         and ra.start_ts <= rb.end_ts
         and rb.start_ts <= ra.end_ts
     }
-    assert (2, 13) not in naive and (1, 10) in naive and (2, 3) is not None
+    # (2, 12): same user, disjoint in time — must NOT pair
+    assert (2, 13) not in naive and (1, 10) in naive and (2, 12) not in naive
     assert (3, 13) in naive  # boundary touch counts (inclusive)
     for bsec in (600, 3600, 86400):
         rows = interval_overlap_join(a, b, ["user_id"], bucket_seconds=bsec).collect()
