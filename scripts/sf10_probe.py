@@ -70,6 +70,9 @@ HEADLINE10 = [
     "doc_pack_bucketed_stats",
     "dedup_simhash_groups",
     "doc_winnow_screen",
+    "dedup_ppjoin_incremental",
+    "dedup_threshold_curve",
+    "events_ks_drift",
 ]
 
 

