@@ -116,6 +116,11 @@ ALLOW_NLJ = {
     "dedup_lsh_tuning_curve",  # broadcast 1-row truth-count crossJoin
                          # onto the 4-row per-config aggregate (the
                          # recall denominator scalar; linear)
+    "dedup_threshold_curve",  # suffix-sum range joins of the 7-row
+                         # threshold grid against <= 8-row bucket
+                         # histograms (r10 one-pass rewrite) — nested
+                         # loop over tiny frames only; the pair pass
+                         # itself is the one equi-join scan
     "emb_label_davies_bouldin",  # |labels|-row centroid-array
                          # self-crossJoin (|labels|^2 = ~64 rows) +
                          # broadcast scatter joins — quadratic in
