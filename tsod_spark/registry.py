@@ -238,7 +238,27 @@ R9_VERIFIED = frozenset({
     "users_purchase_no_error",
 })
 
+# Fully-green rows from CORRECTNESS_r10.json (driver sf0.01 oracle, 50/50,
+# all hash-checked).
+R10_VERIFIED = frozenset({
+    "anomaly_daily_summary", "dedup_containment_incremental",
+    "dedup_jaccard_topk", "dedup_lsh_tuning_curve", "dedup_minhash_groups",
+    "dedup_minhash_pairs", "dedup_simhash", "dedup_simhash_pairs",
+    "doc_chunk_split", "doc_contamination_by_split", "doc_gopher_filter",
+    "doc_pack_bucketed_stats", "doc_pack_loss_mask", "doc_rag_search",
+    "doc_weighted_sample", "dq_suite", "emb_cosine_topk", "emb_ivf_cells",
+    "emb_ivf_recall_curve", "emb_ivf_topk", "emb_ivfpq_topk", "emb_knn_join",
+    "emb_knn_label_accuracy", "emb_lsh_buckets", "emb_pq_topk",
+    "events_merge_upsert", "events_wasserstein_drift", "mm_decode",
+    "mm_frames", "mm_real_decode", "mm_resize", "tpch_q10", "tpch_q12",
+    "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q20", "tpch_q7", "tpch_q8",
+    "tpch_q9", "ts_ccf", "ts_conformal_by_segment", "ts_esd", "ts_lttb",
+    "ts_mllib_residual", "ts_mllib_residual_per_series", "ts_shesd",
+    "ts_time_weighted_avg", "ts_winsorize", "ts_zscore",
+})
+
 _ROUND_SETS = (
+    (10, R10_VERIFIED),
     (9, R9_VERIFIED),
     (8, R8_VERIFIED),
     (7, R7_VERIFIED),
@@ -257,12 +277,21 @@ _ROUND_SETS = (
 # Empty is fine — tier 0 then just falls through to staleness.
 # Refresh this tuple each round alongside the R{N}_VERIFIED set.
 _CURRENT_ROUND_PRIORITY: tuple = (
-    # (r10 registrations are tier 0 automatically — never verified.
-    # VERDICT_r9 asks the 42-query r5-stale tier to dominate the r10
-    # window; with R9_VERIFIED folded in above, the r5 tier is now the
-    # stalest and fills the window right after the new registrations —
-    # no explicit listing needed.)
+    # r11: the window math is tight — the r6-stale tier is 49 queries and
+    # VERDICT_r10 #1's done-criterion ("afterward no query's latest
+    # verdict older than r7") needs ALL of them inside the 50-slot
+    # window, so exactly ONE new registration can join it. That slot
+    # goes to the PQ distortion-vs-m curve (VERDICT #2, the judge's
+    # named second priority). Other r11 registrations are parked at age
+    # 6.5 — after the r6 tier, before the r7 tier — and become tier 0
+    # in the r12 rotation (they are locally oracle-verified at sf0.01
+    # via scripts/parity_check.py in the meantime).
+    "emb_pq_distortion_curve",
 )
+
+# r11 registrations other than the priority one: parked between the r6
+# and r7 tiers (see _CURRENT_ROUND_PRIORITY note).
+_PARKED_AGE = 6.5
 
 
 def _latest_verified_round(n: str) -> int:
@@ -279,13 +308,17 @@ def _rotated(d: dict) -> dict:
     # verification schedule: (1) new/changed queries needing a fresh
     # verdict (the priority tuple + never-verified names), then
     # (2) stalest latest-verdicts first, registration order within each
-    # tier. r7 window: 7 new + 2 changed + the 24 r3-era names + the
-    # oldest r4 names.
+    # tier. r11 window: emb_pq_distortion_curve + the 49-query r6 tier.
 
-    def age(n: str) -> int:
+    def age(n: str) -> float:
         if n in _CURRENT_ROUND_PRIORITY:
-            return 0
-        return _latest_verified_round(n)  # 0 = never verified, first
+            return 0.0
+        r = _latest_verified_round(n)
+        if r == 0:
+            # Never-verified non-priority names wait behind the r6-stale
+            # tier this round (window math — see _CURRENT_ROUND_PRIORITY).
+            return _PARKED_AGE
+        return float(r)
 
     names = sorted(d, key=lambda n: age(n))  # stable: registration order within tier
     return {n: d[n] for n in names}
