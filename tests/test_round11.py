@@ -1,0 +1,170 @@
+"""Round-11 regression tests for the ADVICE r10 items: stale-ppjoin-index
+exactness with novel grams (high), tracked-cache registry bounds +
+thread-local scopes (medium), LSH band-config nesting validation and
+truth-reuse (low), and the ivf_recall_curve missing-vec_id guard (low)."""
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 #1 (high): ppjoin_pairs with a STALE index must still be exact
+# ---------------------------------------------------------------------------
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_ppjoin_stale_index_novel_grams_exact(spark):
+    """An index snapshot built BEFORE two new docs arrive knows none of
+    their grams. The old inner join dropped those grams before
+    row_number, so the all-novel duplicate pair produced zero candidates
+    despite Jaccard 1.0. With the left-join/df-0 fix the stale-index run
+    must equal the fresh recompute bit-for-bit."""
+    from tsod_spark.pipeline import dedup
+    from tsod_spark.util import cache_scope
+
+    old = _corpus(
+        spark,
+        [
+            (1, "s", "alpha beta gamma delta"),
+            (2, "s", "alpha beta gamma epsilon"),
+            (3, "s", "zeta eta theta iota"),
+        ],
+    )
+    new_docs = [
+        # entirely novel vocabulary — no gram appears in the snapshot
+        (10, "s", "quux corge grault garply"),
+        (11, "s", "quux corge grault garply"),
+        # mixed: one known gram, three novel
+        (12, "s", "alpha waldo fred plugh"),
+        (13, "s", "alpha waldo fred plugh"),
+    ]
+    full = _corpus(spark, [tuple(r) for r in old.collect()] + new_docs)
+    with cache_scope():
+        stale_idx = dedup.ppjoin_index(old, shingle_n=1).cache()
+        stale_idx.count()
+        fresh = dedup.ppjoin_pairs(full, thr_pct=90, shingle_n=1).collect()
+        with_stale = dedup.ppjoin_pairs(
+            full, thr_pct=90, shingle_n=1, index=stale_idx
+        ).collect()
+        stale_idx.unpersist()
+    key = lambda r: (r.doc_a, r.doc_b)  # noqa: E731
+    assert sorted(map(key, fresh)) == sorted(map(key, with_stale))
+    got = {key(r): r.jaccard for r in with_stale}
+    # the all-novel duplicate pair MUST be found (the old bug's miss)
+    assert got[(10, 11)] == 1.0
+    assert got[(12, 13)] == 1.0
+    fj = {key(r): r.jaccard for r in fresh}
+    for kk, v in got.items():
+        assert fj[kk] == v
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 #2 (medium): tracked-cache registry bounds + thread-local scopes
+# ---------------------------------------------------------------------------
+
+
+def test_tracked_cache_registry_self_prunes(spark):
+    """Outside any scope, dead DataFrame objects must not accumulate in
+    the module registry: after GC, the registry holds only live refs."""
+    import gc
+
+    from tsod_spark import util
+
+    util.unpersist_tracked()
+    for i in range(25):
+        df = util.tracked_cache(spark.range(10 + i))
+        df.count()
+        df.unpersist()
+        del df
+    gc.collect()
+    # one more append triggers the prune of the 25 dead refs
+    keep = util.tracked_cache(spark.range(999))
+    with util._TRACKED_LOCK:
+        live = [r for r in util._TRACKED_CACHES if r() is not None]
+        total = len(util._TRACKED_CACHES)
+    assert total <= 2, f"registry kept {total} entries for dead frames"
+    assert any(r() is keep for r in live)
+    keep.unpersist()
+
+
+def test_cache_scope_is_thread_local(spark):
+    """A scope exiting on one thread must not unpersist frames another
+    thread cached inside ITS own still-open scope (the old shared
+    len()-mark did)."""
+    from tsod_spark import util
+
+    util.unpersist_tracked()
+    results = {}
+    barrier = threading.Barrier(2, timeout=30)
+    release = threading.Event()
+
+    def worker(name, n):
+        with util.cache_scope():
+            df = util.tracked_cache(spark.range(n))
+            df.count()
+            barrier.wait()  # both threads have cached inside their scope
+            if name == "a":
+                pass  # thread a exits its scope first
+            else:
+                release.wait(timeout=30)  # thread b outlives a's exit
+                results["b_cached_after_a_exit"] = df.storageLevel.useMemory
+        results[name] = True
+
+    ta = threading.Thread(target=worker, args=("a", 50))
+    tb = threading.Thread(target=worker, args=("b", 60))
+    ta.start(), tb.start()
+    ta.join(timeout=60)
+    release.set()
+    tb.join(timeout=60)
+    assert results.get("a") and results.get("b")
+    # b's frame was still cached when a's scope had already exited
+    assert results["b_cached_after_a_exit"] is True
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 #4 (low): band-config nesting validation
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_tuning_curve_rejects_non_nested_configs(spark):
+    from tsod_spark.pipeline import dedup
+    from tsod_spark.registry import table
+
+    docs = table(spark, SF, "documents")
+    with pytest.raises(ValueError, match="pairwise nested"):
+        dedup.lsh_tuning_curve(docs, k=12, band_configs=(2, 3, 12))
+    # nested configs with k=12 pass validation (smoke: plan builds)
+    df = dedup.lsh_tuning_curve(docs, k=12, band_configs=(1, 2, 6, 12))
+    assert "recall" in df.columns
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 #5 (low): missing query vec_id raises a named error
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_recall_curve_missing_vec_id_raises(spark):
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+
+    emb = table(spark, SF, "embeddings")
+    with pytest.raises(ValueError, match="vec_id -17 not found"):
+        similarity.ivf_recall_curve(emb, query_vec_id=-17)
+
+
+def test_cosine_topk_missing_vec_id_raises(spark):
+    """The shared _query_vector guard covers the PQ/IVFPQ entry points
+    too; pq_topk is the cheapest to exercise."""
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+
+    emb = table(spark, SF, "embeddings").limit(64)
+    with pytest.raises(ValueError, match="not found"):
+        similarity.pq_topk(emb, query_vec_id=10**9, m=4, n_centroids=4)

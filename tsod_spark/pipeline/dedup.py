@@ -1382,13 +1382,28 @@ def _ppjoin_prefix(
         dfreq = g.groupBy("blk", "gram").agg(
             F.count(F.lit(1)).cast("long").alias("__df")
         )
+        gj = g.join(dfreq, ["blk", "gram"])
+    else:
+        # Externally-supplied (possibly stale) index: an INNER join here
+        # would DROP grams the index has not seen yet — they'd never
+        # enter any prefix and row_number would renumber over the
+        # survivors, silently breaking the prefix-filter guarantee (two
+        # new docs made entirely of new grams would produce zero
+        # candidates despite Jaccard 1.0).  LEFT join with df 0 instead:
+        # unseen grams sort FIRST (rarest => they land in prefixes =>
+        # strictly MORE candidates, never fewer), matching
+        # :func:`ppjoin_screen_new_docs`'s corpus-unseen-gram handling
+        # (ADVICE r10 #1).
+        gj = g.join(dfreq, ["blk", "gram"], "left").withColumn(
+            "__df", F.coalesce(F.col("__df"), F.lit(0).cast("long"))
+        )
     pos = F.row_number().over(
         Window.partitionBy("doc_id").orderBy("__df", "gram")
     )
     # prefix length p = ng - ceil(pct*ng/100) + 1, all int64
     plen = F.col("__ng") - F.expr(f"({pct} * __ng + 99) div 100") + 1
     pre = (
-        g.join(dfreq, ["blk", "gram"])
+        gj
         .withColumn("__pos", pos.cast("long"))
         .where(F.col("__pos") <= plen)
         .select(
@@ -1423,7 +1438,11 @@ def ppjoin_index(
     hint, not a correctness input (result-invariance under order
     changes is property-tested), so a slightly-stale index still
     returns exact results, just with marginally longer prefixes for
-    grams whose frequency grew.
+    grams whose frequency grew.  Grams ABSENT from the index entirely
+    (docs newer than the snapshot) get df 0 inside
+    :func:`_ppjoin_prefix` — rarest, so they enter prefixes and only
+    ever ADD candidates (stale-index exactness is tested with
+    novel-gram docs in tests/test_round11.py).
     """
     grams_of = (
         (lambda t: shingles(t, shingle_n)) if shingle_n > 1 else F.array_distinct
@@ -1992,6 +2011,17 @@ def lsh_tuning_curve(
         raise ValueError("every band config must divide k")
     if max(band_configs) != k:
         raise ValueError("band_configs must include k (the truth blocking)")
+    cfgs = sorted(int(b) for b in band_configs)
+    if any(n % p for p, n in zip(cfgs, cfgs[1:])):
+        # The docstring's monotonicity invariants are proved FROM BAND
+        # NESTING (each coarser band is a concatenation of finer ones),
+        # which needs pairwise divisibility — k=12 with (2, 3, 12) would
+        # pass the divide-k check but 2∤3 breaks nesting and the
+        # registered certificate's nondecreasing pins (ADVICE r10 #4).
+        raise ValueError(
+            "band_configs must be pairwise nested: each config must "
+            f"divide the next (got {cfgs})"
+        )
     pct = int(thr_pct)
     sigs = tracked_cache(minhash_signatures(docs, text_col, k, shingle_n))
 
@@ -2029,14 +2059,19 @@ def lsh_tuning_curve(
             F.count(F.lit(1)).cast("long").alias("n_candidates"),
             F.coalesce(F.sum(hit), F.lit(0)).cast("long").alias("n_found"),
         )
-    per = [config_agg(b) for b in band_configs]
-    curve = per[0]
-    for p in per[1:]:
+    # The b == k aggregate is BOTH a curve row and the truth scalar —
+    # cache its 1-row result so the most expensive band self-join
+    # (b = k generates the largest candidate set) executes once, not
+    # twice (ADVICE r10 #3).
+    per = {
+        b: (tracked_cache(config_agg(b)) if b == k else config_agg(b))
+        for b in band_configs
+    }
+    vals = list(per.values())
+    curve = vals[0]
+    for p in vals[1:]:
         curve = curve.unionByName(p)
-    truth = (
-        config_agg(k)
-        .select(F.col("n_found").alias("n_true_pairs"))
-    )
+    truth = per[k].select(F.col("n_found").alias("n_true_pairs"))
     recall = F.when(
         F.col("n_true_pairs") > 0,
         F.round(

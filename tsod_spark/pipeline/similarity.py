@@ -35,6 +35,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _query_vector(
+    embeddings: DataFrame, query_vec_id: int, vec_col: str
+) -> list[float]:
+    """Fetch one query vector by id; a missing id raises a named
+    ValueError instead of an opaque NoneType TypeError (ADVICE r10 #5).
+    Shared by every single-query top-k entry point."""
+    qrow = (
+        embeddings.where(F.col("vec_id") == query_vec_id).select(vec_col).first()
+    )
+    if qrow is None:
+        raise ValueError(f"vec_id {query_vec_id} not found in embeddings")
+    return [float(x) for x in qrow[0]]
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,
@@ -342,8 +356,7 @@ def ivf_topk(
     assigned, centroids = (
         index if index is not None else ivf_index(embeddings, n_cells, seed, vec_col)
     )
-    qrow = embeddings.where(F.col("vec_id") == query_vec_id).select(vec_col).first()
-    query = [float(x) for x in qrow[0]]
+    query = _query_vector(embeddings, query_vec_id, vec_col)
     probe = _nearest_cells(query, centroids, n_probe)
     qlit = F.array(*[F.lit(x) for x in query])
     return (
@@ -598,8 +611,7 @@ def pq_topk(
     else:
         books = pq_train(embeddings, m, n_centroids, seed, vec_col)
         codes = pq_encode(embeddings, books, vec_col)
-    qrow = embeddings.where(F.col("vec_id") == query_vec_id).select(vec_col).first()
-    q = [float(x) for x in qrow[0]]
+    q = _query_vector(embeddings, query_vec_id, vec_col)
     return _adc_topk(codes, books, q, k, refine, embeddings, vec_col, query_vec_id)
 
 
@@ -692,8 +704,7 @@ def ivfpq_topk(
         assigned_codes = assigned.select("vec_id", "cell").join(
             pq_encode(embeddings, books, vec_col), "vec_id"
         )
-    qrow = embeddings.where(F.col("vec_id") == query_vec_id).select(vec_col).first()
-    q = [float(x) for x in qrow[0]]
+    q = _query_vector(embeddings, query_vec_id, vec_col)
     probe = _nearest_cells(q, centroids, n_probe)
     cand = assigned_codes.where(F.col("cell").isin(probe)).select("vec_id", "codes")
     return _adc_topk(cand, books, q, k, refine, embeddings, vec_col, query_vec_id)
@@ -814,8 +825,7 @@ def ivf_recall_curve(
     assigned = tracked_cache(
         assigned.select("vec_id", "cell", F.col(vec_col).alias("__v"))
     )
-    qrow = embeddings.where(F.col("vec_id") == query_vec_id).select(vec_col).first()
-    query = [float(x) for x in qrow[0]]
+    query = _query_vector(embeddings, query_vec_id, vec_col)
     qlit = F.array(*[F.lit(x) for x in query])
     ranked = _nearest_cells(query, centroids, n_cells)
     exact_ids = tracked_cache(
