@@ -168,3 +168,58 @@ def test_cosine_topk_missing_vec_id_raises(spark):
     emb = table(spark, SF, "embeddings").limit(64)
     with pytest.raises(ValueError, match="not found"):
         similarity.pq_topk(emb, query_vec_id=10**9, m=4, n_centroids=4)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 #2: PQ distortion-vs-m tuning curve (raw curve range pins)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_distortion_curve_raw_ranges(spark):
+    """The registered certificate pins booleans; this pins the raw
+    curve: provable monotone distortion (nested codebooks), sane value
+    ranges, exact bytes accounting, and the full-refine anchor."""
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+    from tsod_spark.util import cache_scope
+
+    with cache_scope():
+        rows = similarity.pq_distortion_curve(
+            table(spark, SF, "embeddings")
+        ).collect()
+    assert [r.m for r in rows] == [4, 8, 16, 32]
+    assert [r.bytes_per_code for r in rows] == [4, 8, 16, 32]
+    assert [r.codebook_k for r in rows] == [16, 32, 48, 64]
+    assert [r.compression_x for r in rows] == [64.0, 32.0, 16.0, 8.0]
+    dist = [r.mean_distortion for r in rows]
+    # provably nonincreasing (nested codebooks); strictly so in practice
+    assert all(a >= b for a, b in zip(dist, dist[1:])), dist
+    assert 0.4 < dist[0] < 1.2 and 0.02 < dist[-1] < 0.2, dist
+    rec = [r.recall_k for r in rows]
+    assert all(0.0 <= r <= 1.0 for r in rec)
+    assert rec[-1] >= 0.5  # finest m floor (measured-stable)
+    # the provable anchor: full-corpus refine IS the exact scan
+    assert rows[-1].full_refine_recall == 1.0
+    assert all(r.full_refine_recall is None for r in rows[:-1])
+
+
+def test_pq_nested_codebooks_validation_and_nesting(spark):
+    """Nesting construction: every finer codebook contains the split
+    halves of each coarser augmented centroid (the monotonicity proof's
+    premise), and non-nested m grids are rejected."""
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+
+    emb = table(spark, SF, "embeddings")
+    with pytest.raises(ValueError, match="pairwise nested"):
+        similarity.pq_nested_codebooks(emb, m_configs=(4, 6, 12))
+    with pytest.raises(ValueError, match="strictly increasing"):
+        similarity.pq_nested_codebooks(emb, m_configs=(8, 4))
+    books = similarity.pq_nested_codebooks(emb, m_configs=(4, 8))
+    # each m=8 subspace j holds the (j%2)-th halves of m=4 book j//2
+    for j in range(8):
+        fine = books[8][j]
+        parent = books[4][j // 2]
+        off = (j % 2) * 8
+        for cent in parent:
+            assert cent[off : off + 8] in fine
