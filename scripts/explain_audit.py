@@ -121,6 +121,11 @@ ALLOW_NLJ = {
                          # histograms (r10 one-pass rewrite) — nested
                          # loop over tiny frames only; the pair pass
                          # itself is the one equi-join scan
+    "dedup_threshold_curve_sampled",  # same suffix-sum shape per
+                         # block ((7 x |blocks|)-row grid vs
+                         # block-bucket histograms) + 1-row totals
+                         # crossJoin; the sampled pair pass is the one
+                         # equi-join scan
     "emb_label_davies_bouldin",  # |labels|-row centroid-array
                          # self-crossJoin (|labels|^2 = ~64 rows) +
                          # broadcast scatter joins — quadratic in

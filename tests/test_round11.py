@@ -223,3 +223,139 @@ def test_pq_nested_codebooks_validation_and_nesting(spark):
         off = (j % 2) * 8
         for cent in parent:
             assert cent[off : off + 8] in fine
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 #3: sampled threshold-curve twin (CI agreement at sf0.1)
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_curve_sampled_vs_exact_within_ci_sf01(spark):
+    """The sampled twin's Wilson interval must cover the exact curve's
+    drop share at every threshold at sf0.1 (the scale VERDICT r10 #3
+    names). Also pins the estimator plumbing: raw sampled counts never
+    exceed their expansions, and the interval is ordered."""
+    from tsod_spark.registry import QUERIES
+    from tsod_spark.util import cache_scope
+
+    sf = "/root/testdata/sf0.1"
+    with cache_scope():
+        exact = {
+            r.thr_pct: r.drop_share
+            for r in QUERIES["dedup_threshold_curve"](spark, sf).collect()
+        }
+        sampled = QUERIES["dedup_threshold_curve_sampled"](spark, sf).collect()
+    assert len(sampled) == 7 and set(exact) == {r.thr_pct for r in sampled}
+    for r in sampled:
+        assert 0.0 <= r.ci95_lo <= r.ci95_hi <= 1.0
+        # Wilson must not collapse: the upper bound stays positive even
+        # when the sample catches zero dropped docs (the sf0.1 case)
+        assert r.ci95_hi > 0.0
+        assert r.ci95_lo <= exact[r.thr_pct] <= r.ci95_hi, (
+            r.thr_pct,
+            exact[r.thr_pct],
+            r.ci95_lo,
+            r.ci95_hi,
+        )
+        assert r.n_dup_pairs_sampled <= r.n_dup_pairs_est
+        assert r.n_docs_dropped_sampled <= r.n_docs_dropped_est
+        assert r.n_sampled_docs == sampled[0].n_sampled_docs
+
+
+def test_threshold_curve_sampled_deterministic(spark):
+    """Same corpus, same sample, bit-identical output across calls (the
+    re-shard-stable hash discipline)."""
+    from tsod_spark.registry import QUERIES
+    from tsod_spark.util import cache_scope
+
+    with cache_scope():
+        a = QUERIES["dedup_threshold_curve_sampled"](spark, SF).collect()
+    with cache_scope():
+        b = QUERIES["dedup_threshold_curve_sampled"](
+            spark, SF
+        ).repartition(7).orderBy("thr_pct").collect()
+    assert a == sorted(b, key=lambda r: r.thr_pct)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 #7: by-segment drift reduces to global on one segment
+# ---------------------------------------------------------------------------
+
+
+def test_ks_drift_single_segment_reduces_to_global(spark):
+    from tsod_spark.analytics import stattests
+    from tsod_spark.registry import table
+
+    e = table(spark, SF, "events")
+    glob = stattests.ks_drift(e).collect()
+    seg = stattests.ks_drift(
+        e.withColumn("cohort", F.lit(0)), seg_col="cohort"
+    ).collect()
+    assert len(glob) == len(seg) > 0
+    for g, s in zip(glob, seg):
+        assert s.cohort == 0
+        assert (s.event_type, s.n_group, s.ks, s.ks_at_cent, s.drift_flag) == (
+            g.event_type,
+            g.n_group,
+            g.ks,
+            g.ks_at_cent,
+            g.drift_flag,
+        )
+
+
+def test_wasserstein_drift_single_segment_reduces_to_global(spark):
+    from tsod_spark.analytics import stattests
+    from tsod_spark.registry import table
+
+    e = table(spark, SF, "events")
+    glob = stattests.wasserstein_drift(e).collect()
+    seg = stattests.wasserstein_drift(
+        e.withColumn("cohort", F.lit(0)), seg_col="cohort"
+    ).collect()
+    assert len(glob) == len(seg) > 0
+    for g, s in zip(glob, seg):
+        assert s.cohort == 0
+        assert (
+            s.event_type,
+            s.n_ref,
+            s.n_cur,
+            s.w1_value,
+            s.w1_norm,
+            s.drift_flag,
+        ) == (g.event_type, g.n_ref, g.n_cur, g.w1_value, g.w1_norm, g.drift_flag)
+
+
+def test_segmented_drift_is_segment_local(spark):
+    """A drift injected into ONE cohort must move that cohort's W1 and
+    not the others' (the reason the by-segment factoring exists)."""
+    import datetime
+
+    from tsod_spark.analytics import stattests
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        hour = i % 20
+        cohort = i % 2
+        # cohort 1 drifts hard in the second half; cohort 0 is stable
+        if hour >= 10 and cohort == 1:
+            v = 50.0 + (i % 5)
+        else:
+            v = 1.0 + (i % 5) * 0.01
+        rows.append(
+            (
+                "a",
+                cohort,
+                base + datetime.timedelta(hours=hour, seconds=i % 3600),
+                v,
+            )
+        )
+    e = spark.createDataFrame(
+        rows, "event_type string, cohort int, ts timestamp, value double"
+    )
+    out = {
+        r.cohort: r
+        for r in stattests.wasserstein_drift(e, seg_col="cohort").collect()
+    }
+    assert out[1].drift_flag and out[1].w1_value > 10.0
+    assert not out[0].drift_flag and out[0].w1_value < 1.0

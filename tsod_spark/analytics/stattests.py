@@ -26,15 +26,19 @@ from pyspark.sql import functions as F
 
 
 def _type_cent_counts(
-    events: DataFrame, group_col: str, value_col: str
+    events: DataFrame,
+    group_col: str,
+    value_col: str,
+    seg_col: str | None = None,
 ) -> DataFrame:
     from ..expressions import nan_to_null
 
+    keys = [seg_col] if seg_col else []
     cents = F.round(nan_to_null(F.col(value_col)) * 100).cast("long")
     return (
-        events.select(F.col(group_col), cents.alias("__c"))
+        events.select(*keys, F.col(group_col), cents.alias("__c"))
         .where(F.col("__c").isNotNull())
-        .groupBy(group_col, "__c")
+        .groupBy(*keys, group_col, "__c")
         .agg(F.count(F.lit(1)).cast("long").alias("__ct"))
     )
 
@@ -44,6 +48,7 @@ def ks_drift(
     group_col: str = "event_type",
     value_col: str = "value",
     alpha_coeff: float = 1.358,
+    seg_col: str | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov drift screen: for every group,
     the KS distance between the group's value distribution and the
@@ -60,24 +65,43 @@ def ks_drift(
     second read of the grid; the oracle's two-step max + equality
     join selects the same row because both engines compute the same
     doubles from the same expressions.
+
+    ``seg_col`` scopes the POPULATION (VERDICT r10 #7): with a segment
+    key, each (segment, group) is tested against the rest of ITS OWN
+    segment — the production shape, since drift rarely hits all
+    cohorts uniformly. A single-segment corpus reduces EXACTLY to the
+    global test (differential-tested): every per-segment frame equals
+    its global twin when the segment is constant.
     """
-    tc = _type_cent_counts(events, group_col, value_col).cache()
-    g = tc.groupBy("__c").agg(F.sum("__ct").cast("long").alias("__cg"))
-    nt = tc.groupBy(group_col).agg(F.sum("__ct").cast("long").alias("__n1"))
-    tot = g.agg(F.sum("__cg").cast("long").alias("__nn"))
-    grid = g.crossJoin(F.broadcast(nt))
-    j = grid.join(F.broadcast(tc), [group_col, "__c"], "left").withColumn(
-        "__ct", F.coalesce(F.col("__ct"), F.lit(0).cast("long"))
+    keys = [seg_col] if seg_col else []
+    tc = _type_cent_counts(events, group_col, value_col, seg_col).cache()
+    g = tc.groupBy(*keys, "__c").agg(F.sum("__ct").cast("long").alias("__cg"))
+    nt = tc.groupBy(*keys, group_col).agg(
+        F.sum("__ct").cast("long").alias("__n1")
     )
-    w = Window.partitionBy(group_col).orderBy("__c")
+    tot = g.groupBy(*keys).agg(F.sum("__cg").cast("long").alias("__nn"))
+    if keys:
+        grid = g.join(nt, keys)
+    else:
+        grid = g.crossJoin(F.broadcast(nt))
+    j = grid.join(
+        F.broadcast(tc), [*keys, group_col, "__c"], "left"
+    ).withColumn("__ct", F.coalesce(F.col("__ct"), F.lit(0).cast("long")))
+    w = Window.partitionBy(*keys, group_col).orderBy("__c")
     cum = j.select(
+        *keys,
         group_col,
         "__c",
         "__n1",
         F.sum("__ct").over(w).alias("__c1"),
         F.sum("__cg").over(w).alias("__cgc"),
     )
-    dd = cum.crossJoin(F.broadcast(tot)).select(
+    if keys:
+        cum = cum.join(F.broadcast(tot), keys)
+    else:
+        cum = cum.crossJoin(F.broadcast(tot))
+    dd = cum.select(
+        *keys,
         group_col,
         "__c",
         "__n1",
@@ -91,7 +115,7 @@ def ks_drift(
     # argmax in ONE aggregate: structs compare lexicographically, so
     # max(struct(d, -cent)) is (max gap, min cent on ties) — no
     # equality join, no second read of the grid
-    mx = dd.groupBy(group_col, "__n1", "__nn").agg(
+    mx = dd.groupBy(*keys, group_col, "__n1", "__nn").agg(
         F.max(
             F.struct(F.col("__d").alias("d"), (-F.col("__c")).alias("negc"))
         ).alias("__mx")
@@ -101,12 +125,13 @@ def ks_drift(
         (F.col("__n1") + n2).cast("double") / (F.col("__n1") * n2).cast("double")
     )
     return mx.select(
+        *keys,
         group_col,
         F.col("__n1").alias("n_group"),
         F.round(F.col("__mx.d"), 6).alias("ks"),
         (-F.col("__mx.negc")).alias("ks_at_cent"),
         (F.col("__mx.d") > crit).alias("drift_flag"),
-    ).orderBy(group_col)
+    ).orderBy(*keys, group_col)
 
 
 def hour_anova(
@@ -302,6 +327,7 @@ def wasserstein_drift(
     value_col: str = "value",
     ts_col: str = "ts",
     flag_norm: float = 0.1,
+    seg_col: str | None = None,
 ) -> DataFrame:
     """Exact 1-Wasserstein (earth-mover) drift per type between the
     first and second halves of the time range — the magnitude-aware
@@ -328,11 +354,20 @@ def wasserstein_drift(
     ``flag_norm``. Plan: one fact scan -> domain-bounded (type, cent,
     half) counts -> two windows over that compact frame, the
     events_ks_drift shape.
+
+    ``seg_col`` adds a segment to the grain (VERDICT r10 #7): W1 runs
+    independently per (type, segment) — its ECDFs, totals, and domain
+    span are segment-local — while the ref/cur time midpoint stays
+    GLOBAL (one calendar split for the whole corpus, so segments are
+    compared over the same two windows). A single-segment corpus
+    reduces EXACTLY to the global query (differential-tested).
     """
     from ..expressions import nan_to_null
 
+    keys = [seg_col] if seg_col else []
     cents = F.round(nan_to_null(F.col(value_col)) * 100).cast("long")
     d = events.select(
+        *keys,
         F.col(type_col).alias("__t"),
         F.expr(f"unix_micros({ts_col}) div 3600000000").alias("__hb"),
         cents.alias("__vc"),
@@ -341,9 +376,9 @@ def wasserstein_drift(
         ((F.min("__hb") + F.max("__hb") + 1) / 2).cast("long").alias("__mid")
     )
     lab = d.crossJoin(F.broadcast(span)).select(
-        "__t", "__vc", (F.col("__hb") < F.col("__mid")).alias("__is_ref")
+        *keys, "__t", "__vc", (F.col("__hb") < F.col("__mid")).alias("__is_ref")
     )
-    counts = lab.groupBy("__t", "__vc").agg(
+    counts = lab.groupBy(*keys, "__t", "__vc").agg(
         F.sum(F.when(F.col("__is_ref"), 1).otherwise(0))
         .cast("long")
         .alias("__cr"),
@@ -351,9 +386,10 @@ def wasserstein_drift(
         .cast("long")
         .alias("__cc"),
     )
-    wt = Window.partitionBy("__t")
-    wc = Window.partitionBy("__t").orderBy("__vc")
+    wt = Window.partitionBy(*keys, "__t")
+    wc = Window.partitionBy(*keys, "__t").orderBy("__vc")
     cum = counts.select(
+        *keys,
         "__t",
         "__vc",
         F.sum("__cr").over(wc).cast("long").alias("__fr"),
@@ -371,7 +407,7 @@ def wasserstein_drift(
         )
         * F.col("__gap")
     ).cast("long")
-    agg = cum.where(F.col("__gap").isNotNull()).groupBy("__t").agg(
+    agg = cum.where(F.col("__gap").isNotNull()).groupBy(*keys, "__t").agg(
         F.first("n_ref").alias("n_ref"),
         F.first("n_cur").alias("n_cur"),
         F.first("__span").alias("__span"),
@@ -391,6 +427,7 @@ def wasserstein_drift(
     return (
         agg.where((F.col("n_ref") > 0) & (F.col("n_cur") > 0) & (F.col("__span") > 0))
         .select(
+            *keys,
             F.col("__t").alias(type_col),
             "n_ref",
             "n_cur",
@@ -398,5 +435,5 @@ def wasserstein_drift(
             F.round(w1n, 6).alias("w1_norm"),
             (F.round(w1n, 6) > F.lit(flag_norm)).alias("drift_flag"),
         )
-        .orderBy(type_col)
+        .orderBy(*keys, type_col)
     )

@@ -1236,6 +1236,7 @@ def jaccard_pairs_index(
     block_col: str = "source",
     shingle_n: int = 2,
     max_gram_docs: int | None = None,
+    b_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact in-block Jaccard for every pair sharing AT LEAST ONE
     n-gram — the inverted-index formulation of :func:`jaccard_pairs`.
@@ -1253,6 +1254,12 @@ def jaccard_pairs_index(
     boilerplate-heavy scale a shared gram with B in-block owners emits
     B^2 hits: cap degenerate grams with :func:`cap_hot_buckets` on
     (blk, gh) before the join, same as the banded-LSH guard.
+
+    ``b_docs`` (a ``doc_id`` frame) restricts the RIGHT leg of the
+    self-join: only pairs whose doc_b is in it are emitted, each with
+    its EXACT Jaccard against all lower-id in-block docs — the hook
+    :func:`threshold_curve_sampled` uses to pay only a sampled share
+    of the join volume while keeping per-sampled-doc results exact.
     """
     n_part = default_parallelism(docs.sparkSession)
     tok = docs.repartition(n_part, F.col("doc_id")).select(
@@ -1291,6 +1298,10 @@ def jaccard_pairs_index(
         F.col("doc_id").alias("doc_b"),
         F.col("__ng").alias("__nb"),
     )
+    if b_docs is not None:
+        b = b.join(
+            b_docs.select(F.col("doc_id").alias("doc_b")), "doc_b", "leftsemi"
+        )
     p = (
         a.join(b, ["blk", "gh"])
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -2091,4 +2102,166 @@ def lsh_tuning_curve(
             recall.alias("recall"),
         )
         .orderBy("bands")
+    )
+
+
+def threshold_curve_sampled(
+    docs: DataFrame,
+    grid: tuple[int, ...] = (30, 40, 50, 60, 70, 80, 90),
+    rate_denom: int = 4,
+    text_col: str = "text",
+    block_col: str = "source",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """SAMPLED threshold tuning curve (VERDICT r10 #3) — the 100 TB
+    variant of the exact ``dedup_threshold_curve``: a knob-read should
+    not cost a material fraction of the dedup run it precedes (the
+    exact pair pass is linear but large — 51.2M pairs / 127s at the
+    sf10 probe), so this estimates the same table from a DETERMINISTIC
+    stratified document sample at ~1/``rate_denom`` of the pair-join
+    volume, with a binomial CI certificate column.
+
+    Sampling (the doc_stratified_sample / doc_mixture_sample hash
+    discipline): within each block, docs rank by
+    ``(md5(doc_id), doc_id)`` — a content-deterministic uniform
+    priority, stable under re-sharding — and the first
+    ``s_blk = ceil(n_blk / rate_denom)`` enter the sample. The pair
+    engine then runs with its RIGHT leg restricted to sampled docs
+    (``jaccard_pairs_index(b_docs=...)``): each sampled doc's
+    pair-Jaccards against ALL lower-id in-block docs are exact, so its
+    drop status at every threshold is exact — only the EXPANSION to
+    the full corpus is estimated. Join volume scales with the sampled
+    share; nothing else about the engine changes.
+
+    Estimators (all deterministic, engine-exact by construction):
+    per-block Horvitz-Thompson expansion with int64 floor division —
+    ``est = sum_blk (cnt_blk * n_blk) div s_blk`` — summed in int64
+    (no cross-block float accumulation, the repo's exact-int64
+    discipline); ``drop_share_est`` is ONE final division;
+    ``ci95_lo``/``ci95_hi`` bound the corpus drop share with the
+    pooled WILSON score interval at z = 1.96. Wilson rather than the
+    textbook normal half-width because the latter COLLAPSES to +-0 at
+    p-hat = 0 — measured at sf0.1: the exact curve has 7 dropped docs
+    in 5000 (share 0.0014), the 25% sample catches none of them, and
+    a +-0 interval would falsely exclude the truth, while Wilson's
+    upper bound stays z^2/(s + z^2) ~= 0.003. Sampled-vs-exact
+    agreement within the interval is pinned at sf0.1 in
+    tests/test_round11.py.
+    """
+    if rate_denom < 1:
+        raise ValueError("rate_denom must be >= 1")
+    grid_vals = [int(v) for v in grid]
+    blk = F.col(block_col).alias("blk")
+    bstats = tracked_cache(
+        docs.select(blk)
+        .groupBy("blk")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n_blk"))
+        .withColumn(
+            "__s_blk", F.expr(f"(__n_blk + {rate_denom} - 1) div {rate_denom}")
+        )
+    )
+    w = Window.partitionBy("blk").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    sample = tracked_cache(
+        docs.select("doc_id", blk)
+        .withColumn("__rk", F.row_number().over(w).cast("long"))
+        .join(bstats, "blk")
+        .where(F.col("__rk") <= F.col("__s_blk"))
+        .select("doc_id", "blk")
+    )
+    pairs = jaccard_pairs_index(
+        docs, text_col, block_col, shingle_n, b_docs=sample
+    )
+    # one-pass highest-bucket classification (the exact curve's shape)
+    bucket = F.lit(0).cast("long")
+    for v in grid_vals:
+        bucket = F.when(
+            F.col("jaccard") >= F.lit(float(v)) / F.lit(100.0),
+            F.lit(v).cast("long"),
+        ).otherwise(bucket)
+    db = tracked_cache(
+        pairs.select("doc_b", bucket.alias("__b"))
+        .where(F.col("__b") > 0)
+        .groupBy("doc_b", "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .join(
+            sample.select(F.col("doc_id").alias("doc_b"), "blk"), "doc_b"
+        )
+    )
+    pair_hist = db.groupBy("blk", "__b").agg(
+        F.sum("__c").cast("long").alias("__v")
+    )
+    doc_hist = (
+        db.groupBy("doc_b", "blk")
+        .agg(F.max("__b").alias("__mb"))
+        .select("blk", F.col("__mb").alias("__b"))
+        .groupBy("blk", "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__v"))
+    )
+    grid_arr = F.array(*[F.lit(v).cast("long") for v in grid_vals])
+    gb = bstats.select(
+        F.explode(grid_arr).alias("thr_pct"), "blk", "__n_blk", "__s_blk"
+    )
+
+    def suffix_est(hist, raw_name, est_name):
+        # per-(thr, blk) suffix sum over the <= |grid|-row per-block
+        # histogram (tiny NLJ range join, the allowlisted exact-curve
+        # shape), then int64 HT expansion and an int64 cross-block sum
+        per_blk = (
+            gb.join(
+                hist,
+                (hist["blk"] == gb["blk"]) & (hist["__b"] >= gb["thr_pct"]),
+                "left",
+            )
+            .groupBy("thr_pct", gb["blk"], "__n_blk", "__s_blk")
+            .agg(F.coalesce(F.sum("__v"), F.lit(0)).cast("long").alias("__cnt"))
+        )
+        return per_blk.groupBy("thr_pct").agg(
+            F.sum("__cnt").cast("long").alias(raw_name),
+            F.sum(F.expr("(__cnt * __n_blk) div __s_blk"))
+            .cast("long")
+            .alias(est_name),
+        )
+    pair_cum = suffix_est(pair_hist, "n_dup_pairs_sampled", "n_dup_pairs_est")
+    doc_cum = suffix_est(doc_hist, "n_docs_dropped_sampled", "n_docs_dropped_est")
+    totals = bstats.agg(
+        F.sum("__n_blk").cast("long").alias("__n_docs"),
+        F.sum("__s_blk").cast("long").alias("__s_tot"),
+    )
+    # Wilson score interval at z = 1.96, written with one fixed
+    # operation order so the DuckDB oracle reproduces it bit-for-bit
+    s = F.col("__s_tot").cast("double")
+    p_hat = F.col("n_docs_dropped_sampled").cast("double") / s
+    z = F.lit(1.96)
+    z2 = z * z
+    denom = F.lit(1.0) + z2 / s
+    center = (p_hat + z2 / (F.lit(2.0) * s)) / denom
+    half = (
+        z
+        * F.sqrt(
+            p_hat * (F.lit(1.0) - p_hat) / s
+            + z2 / (F.lit(4.0) * s * s)
+        )
+        / denom
+    )
+    return (
+        pair_cum.join(doc_cum, "thr_pct")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "thr_pct",
+            F.col("__s_tot").alias("n_sampled_docs"),
+            "n_dup_pairs_sampled",
+            "n_dup_pairs_est",
+            "n_docs_dropped_sampled",
+            "n_docs_dropped_est",
+            F.round(
+                F.col("n_docs_dropped_est").cast("double")
+                / F.col("__n_docs").cast("double"),
+                6,
+            ).alias("drop_share_est"),
+            F.round(F.greatest(F.lit(0.0), center - half), 6).alias("ci95_lo"),
+            F.round(F.least(F.lit(1.0), center + half), 6).alias("ci95_hi"),
+        )
+        .orderBy("thr_pct")
     )
