@@ -260,9 +260,85 @@ def run_slice() -> None:
     spark.stop()
 
 
+def run_retime() -> None:
+    """Child mode: isolated adjudication re-time of named queries in a
+    fresh JVM (VERDICT r10 #4). Discipline = the adjudication protocol
+    VERDICT r9/r10 ran by hand: sf0.001 compile pass, converged-warm
+    absorbers at the target sf, then median-of-3; prints one JSON line
+    {name: {"runs": [...], "median": s}}."""
+    import gc
+
+    names = os.environ["SPARK_GRAFT_RETIME"].split(",")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+
+    spark = _build_session(cpus)
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    def _once(fn) -> float:
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        elapsed = time.time() - t0
+        spark.catalog.clearCache()
+        gc.collect()
+        return elapsed
+
+    out: dict[str, dict] = {}
+    for name in names:
+        fn = qs[name]
+        if os.path.isdir(warm_dir):
+            try:
+                fn(spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
+            spark.catalog.clearCache()
+        prev = _once(fn)
+        best = prev
+        for _ in range(2):
+            nxt = _once(fn)
+            best = min(best, nxt)
+            if nxt <= prev and nxt <= 1.3 * best:
+                break
+            prev = nxt
+        runs = [round(_once(fn), 3) for _ in range(3)]
+        out[name] = {"runs": runs, "median": sorted(runs)[1]}
+    print(json.dumps(out))
+    spark.stop()
+
+
+def _prior_snapshot() -> dict[str, float]:
+    """Prior-round committed per-query seconds for excursion detection:
+    $SPARK_GRAFT_PRIOR_BENCH if set, else the highest-numbered
+    BENCH_local_r*.json beside this file. Empty dict if none."""
+    import glob
+    import re
+
+    path = os.environ.get("SPARK_GRAFT_PRIOR_BENCH")
+    if not path:
+        here = os.path.dirname(os.path.abspath(__file__))
+        cands = glob.glob(os.path.join(here, "BENCH_local_r*.json"))
+        num = lambda p: int(re.search(r"_r(\d+)", p).group(1))  # noqa: E731
+        path = max(cands, key=num) if cands else None
+    if not path or not os.path.isfile(path):
+        return {}
+    try:
+        with open(path) as fh:
+            return dict(json.load(fh).get("queries", {}))
+    except (OSError, ValueError):
+        return {}
+
+
 def main():
     if os.environ.get("SPARK_GRAFT_SLICE"):
         run_slice()
+        return
+    if os.environ.get("SPARK_GRAFT_RETIME"):
+        run_retime()
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -297,6 +373,48 @@ def main():
     if warmup_skipped:
         print(f"warmup skipped: {warmup_skipped}", file=sys.stderr)
 
+    # Self-adjudication (VERDICT r10 #4): any query timed >2.5x its
+    # prior-round committed value is re-timed isolated (fresh JVM,
+    # absorber-first, median-of-3) before the snapshot is written, so
+    # the committed number a future reader greps is the converged one.
+    # Both the excursion and the re-time live in "adjudications"; the
+    # headline timing becomes the re-timed median. Floor 1.0s: the
+    # sub-second tier's 2.5x swings are scheduler noise, not plan
+    # regressions, and re-timing ~100 of them would take longer than
+    # the bench itself.
+    adjudications: dict[str, dict] = {}
+    prior = _prior_snapshot()
+    flagged = [
+        name
+        for name, t in timings.items()
+        if name in prior and t > 1.0 and t > 2.5 * prior[name]
+    ]
+    if flagged:
+        env = dict(os.environ, SPARK_GRAFT_RETIME=",".join(flagged))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode == 0:
+            retimed = json.loads(proc.stdout.strip().splitlines()[-1])
+            for name, r in retimed.items():
+                adjudications[name] = {
+                    "excursion": timings[name],
+                    "prior": prior[name],
+                    "retimed_runs": r["runs"],
+                    "retimed_median": r["median"],
+                }
+                timings[name] = r["median"]
+        else:
+            print(proc.stderr[-2000:], file=sys.stderr)
+            print(
+                f"adjudication retime failed rc={proc.returncode}; "
+                f"excursions kept as-is: {flagged}",
+                file=sys.stderr,
+            )
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = json.dumps(
         {
@@ -311,6 +429,7 @@ def main():
             "cold_first_query_s": cold_first_query_s,
             "session_chunk": chunk,
             "median3": median3,
+            "adjudications": adjudications,
             "warmup_skipped": warmup_skipped,
         }
     )

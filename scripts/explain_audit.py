@@ -113,6 +113,11 @@ ALLOW_NLJ = {
     "events_wasserstein_drift",  # same 1-row midpoint-scalar crossJoin
                          # (the half-split convention); everything past
                          # the counts agg is domain-bounded ECDF rows
+    "events_wasserstein_drift_by_segment",  # inherits the global W1
+                         # query's 1-row midpoint-scalar crossJoin (the
+                         # midpoint is deliberately GLOBAL so segments
+                         # share one calendar split); post-counts
+                         # frames are |segments| x domain-bounded
     "dedup_lsh_tuning_curve",  # broadcast 1-row truth-count crossJoin
                          # onto the 4-row per-config aggregate (the
                          # recall denominator scalar; linear)

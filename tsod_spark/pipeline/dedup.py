@@ -1328,22 +1328,41 @@ def _ppjoin_prefix(
     shingle_n: int,
     cache: bool = True,
     dfreq: DataFrame | None = None,
+    order_by_hash: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared prefix construction for :func:`ppjoin_pairs` and
     :func:`ppjoin_prefix_stats`: returns ``(tok, pre)`` where ``tok``
     is the per-doc frame (gram strings + xxhash64 array) and
     ``pre`` the exploded prefix table
-    ``(blk, gram, gh, doc_id, __ng, __pos)`` under the global
-    (document-frequency asc, gram string asc) order with int64-exact
+    ``(blk, [gram,] gh, doc_id, __ng, __pos)`` under a global
+    (document-frequency asc, tie-break asc) order with int64-exact
     prefix bounds.
 
-    The tie-break within equal document frequency is the gram STRING
-    (binary UTF-8 order — identical in Spark and ANSI engines), not
-    its hash: any consistent global order is result-invariant for the
-    pair join (property-tested), and the string order makes the
+    Two order variants (VERDICT r10 #6):
+
+    ``order_by_hash=False`` (the stats path): tie-break within equal
+    document frequency is the gram STRING (binary UTF-8 order —
+    identical in Spark and ANSI engines). The string order makes the
     prefix table itself reproducible by the DuckDB oracle so
     :func:`ppjoin_prefix_stats` can be hash-checked, not just the
-    final pairs. Candidate joins still key on the int64 ``gh``.
+    final pairs.
+
+    ``order_by_hash=True`` (the pairs path): the prefix never touches
+    gram strings at all — df counts key on the int64 ``gh``, the
+    global order is (df asc, gh asc), and the per-doc top-p selection
+    is ``array_sort`` of 16-byte (df, gh) structs + ``slice`` instead
+    of a window ``row_number`` over string rows: only the first
+    ``p = n − ceil(t·n/100) + 1`` grams are ever used, so sorting the
+    full |vocab|²-sized bigram rows through an exchange-wide window
+    was pure waste. The pair output is bit-identical — any consistent
+    global order satisfies the prefix lemma (property-tested), and
+    verification is order-independent. A 64-bit hash collision between
+    distinct grams merges their df counts and ties their sort key;
+    both only perturb the ORDER (still globally consistent — equal
+    (df, gh) structs are interchangeable), never the verified pairs,
+    the same collision posture the verification ``array_intersect``
+    on hashes already takes. Candidate joins key on ``gh`` in both
+    variants.
 
     ``cache=True`` (the pairs path — ``tok`` feeds both the prefix
     build and the verification join) caches the tokenized frame and
@@ -1383,6 +1402,53 @@ def _ppjoin_prefix(
     else:
         tok = base.where(F.col("__ng") > 0)
     src = tok if cache else base
+    if order_by_hash:
+        g = src.select("doc_id", "blk", "__ng", F.explode("__gh").alias("gh"))
+        if dfreq is None:
+            dfh = g.groupBy("blk", "gh").agg(
+                F.count(F.lit(1)).cast("long").alias("__df")
+            )
+            gj = g.join(dfh, ["blk", "gh"])
+        else:
+            # External index is keyed on gram strings; hash it once.
+            # groupBy-sum folds the (astronomically unlikely) distinct
+            # grams colliding on gh — same merged-count semantics as
+            # the dfreq-is-None branch above.
+            dfh = (
+                dfreq.select("blk", F.xxhash64("gram").alias("gh"), "__df")
+                .groupBy("blk", "gh")
+                .agg(F.sum("__df").cast("long").alias("__df"))
+            )
+            # LEFT join, unseen grams df 0 — same stale-index posture
+            # as the string path below (ADVICE r10 #1).
+            gj = g.join(dfh, ["blk", "gh"], "left").withColumn(
+                "__df", F.coalesce(F.col("__df"), F.lit(0).cast("long"))
+            )
+        plen_i = (
+            F.col("__ng") - F.expr(f"({pct} * __ng + 99) div 100") + 1
+        ).cast("int")
+        agged = gj.groupBy("doc_id").agg(
+            F.first("blk").alias("blk"),
+            F.first("__ng").alias("__ng"),
+            F.array_sort(F.collect_list(F.struct("__df", "gh"))).alias(
+                "__sorted"
+            ),
+        )
+        pre = agged.select(
+            "blk",
+            "doc_id",
+            "__ng",
+            F.posexplode(F.slice("__sorted", F.lit(1), plen_i)).alias(
+                "__p0", "__s"
+            ),
+        ).select(
+            "blk",
+            F.col("__s.gh").alias("gh"),
+            "doc_id",
+            "__ng",
+            (F.col("__p0") + 1).cast("long").alias("__pos"),
+        )
+        return tok, pre
     g = src.select("doc_id", "blk", "__ng", F.explode("__g").alias("gram"))
     # global gram order: document frequency ascending (per block — joins
     # are in-block), ties by gram string; consistent across all docs.
@@ -1576,8 +1642,19 @@ def ppjoin_pairs(
     silent caps" here means "no unmonitored fan-out": surface the
     stats as a job metric next to the join.
     """
+    # order_by_hash (VERDICT r10 #6): the pairs path needs no gram
+    # strings and no string-reproducible order — top-p selection over
+    # int64 (df, gh) structs replaces the window row_number over the
+    # |vocab|²-sized bigram string rows. Output bit-identical
+    # (result-invariance property test, tests/test_round8b.py).
     tok, pre = _ppjoin_prefix(
-        docs, int(thr_pct), text_col, block_col, shingle_n, dfreq=index
+        docs,
+        int(thr_pct),
+        text_col,
+        block_col,
+        shingle_n,
+        dfreq=index,
+        order_by_hash=True,
     )
     pct = int(thr_pct)
     a = pre.select(
