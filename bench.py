@@ -311,6 +311,22 @@ def run_retime() -> None:
     spark.stop()
 
 
+def _flag_excursions(
+    timings: dict[str, float],
+    prior: dict[str, float],
+    factor: float = 2.5,
+    floor: float = 1.0,
+) -> list[str]:
+    """Names timed > ``factor`` x their prior committed value (and
+    above ``floor`` seconds — sub-second 2.5x swings are scheduler
+    noise, and re-timing ~100 of them would outlast the bench)."""
+    return [
+        name
+        for name, t in timings.items()
+        if name in prior and t > floor and t > factor * prior[name]
+    ]
+
+
 def _prior_snapshot() -> dict[str, float]:
     """Prior-round committed per-query seconds for excursion detection:
     $SPARK_GRAFT_PRIOR_BENCH if set, else the highest-numbered
@@ -384,11 +400,7 @@ def main():
     # the bench itself.
     adjudications: dict[str, dict] = {}
     prior = _prior_snapshot()
-    flagged = [
-        name
-        for name, t in timings.items()
-        if name in prior and t > 1.0 and t > 2.5 * prior[name]
-    ]
+    flagged = _flag_excursions(timings, prior)
     if flagged:
         env = dict(os.environ, SPARK_GRAFT_RETIME=",".join(flagged))
         proc = subprocess.run(

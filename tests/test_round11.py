@@ -460,3 +460,302 @@ def test_ppjoin_hash_order_prefix_same_lengths_as_string_order(spark):
         .collect()
     }
     assert by_hash == by_str and by_hash
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrices (exact + MinHash tiers)
+
+
+def test_cross_source_matrix_matches_brute_force(spark):
+    import itertools
+
+    from tsod_spark.pipeline import dedup
+
+    rows = [
+        (0, "s0", "alpha beta"),
+        (1, "s0", "alpha beta"),   # within-s0 dup
+        (2, "s1", "beta  ALPHA"),  # canonical dup of s0's content
+        (3, "s1", "gamma"),
+        (4, "s2", "gamma gamma"),  # canonical dup (repetition collapses)
+        (5, "s2", "delta"),        # unique
+        (6, "s0", "gamma"),        # s0 joins the gamma content too
+    ]
+
+    def canon(t):
+        return " ".join(sorted(set(t.lower().split())))
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r.source_a, r.source_b): (r.dup_pairs, r.shared_contents)
+        for r in dedup.exact_cross_source_matrix(df).collect()
+    }
+    # brute force over doc pairs, canonical equality
+    exp_pairs: dict = {}
+    exp_contents: dict = {}
+    for (i, si, ti), (j, sj, tj) in itertools.combinations(rows, 2):
+        ti, tj = canon(ti), canon(tj)
+        if ti != tj:
+            continue
+        key = tuple(sorted((si, sj)))
+        exp_pairs[key] = exp_pairs.get(key, 0) + 1
+    for key in exp_pairs:
+        a, b = key
+        contents = set()
+        for (i, si, ti), (j, sj, tj) in itertools.combinations(rows, 2):
+            if canon(ti) == canon(tj) and tuple(sorted((si, sj))) == key:
+                contents.add(canon(ti))
+        exp_contents[key] = len(contents)
+    assert got == {
+        k: (exp_pairs[k], exp_contents[k]) for k in exp_pairs
+    }
+
+
+# ---------------------------------------------------------------------------
+# Keyed (by-segment) streaming drift twins
+
+
+def _halves_with_cohort(spark, sf_dir):
+    from tsod_spark.registry import table as rt
+
+    e = rt(spark, sf_dir, "events").withColumn("cohort", F.col("user_id") % 4)
+    d = e.withColumn("__hb", F.expr("unix_micros(ts) div 3600000000"))
+    lo, hi = d.agg(F.min("__hb"), F.max("__hb")).first()
+    mid = (lo + hi + 1) // 2
+    cur = d.where(F.col("__hb") >= mid).drop("__hb").orderBy("ts", "event_id")
+    return e, cur
+
+
+def _stream_rows(spark, tmp_path, cur, sub):
+    rows = cur.collect()
+    src_dir = str(tmp_path / sub)
+    chunk = (len(rows) + 2) // 3
+    for i in range(3):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, cur.schema).coalesce(1).write.parquet(
+                f"{src_dir}/b{i}"
+            )
+    return (
+        spark.readStream.schema(cur.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/b*")
+    )
+
+
+def test_stream_w1_by_segment_matches_batch(spark, tmp_path):
+    """Keyed instantiation: a stream that consumed exactly the batch
+    by-segment query's current-half rows must reproduce every
+    (event_type, cohort) W1 row of events_wasserstein_drift_by_segment
+    field-exactly."""
+    from tsod_spark.queries.round10 import w1_ref_stats
+    from tsod_spark.registry import QUERIES
+    from tsod_spark.streaming import stream_wasserstein_drift
+
+    e, cur = _halves_with_cohort(spark, SF)
+    ref = {
+        (r.event_type, r.cohort): (list(r.cents), list(r.counts), r.n_ref)
+        for r in w1_ref_stats(e, seg_col="cohort").collect()
+    }
+    src = _stream_rows(spark, tmp_path, cur, "w1seg_src")
+    q = (
+        stream_wasserstein_drift(src, ref, seg_col="cohort")
+        .writeStream.format("memory")
+        .queryName("t_w1_seg")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.sql("SELECT * FROM t_w1_seg").collect():
+        k = (r.event_type, r.cohort)
+        if k not in got or r.n_cur > got[k].n_cur:
+            got[k] = r
+    batch = {
+        (r.event_type, r.cohort): r
+        for r in QUERIES["events_wasserstein_drift_by_segment"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(batch) and len(got) > 0
+    for k, b in batch.items():
+        s = got[k]
+        assert (s.n_ref, s.n_cur) == (b.n_ref, b.n_cur), k
+        assert s.w1_value == b.w1_value and s.w1_norm == b.w1_norm, k
+        assert bool(s.drift_flag) == bool(b.drift_flag), k
+    spark.catalog.clearCache()
+
+
+def test_stream_ks_by_segment_matches_python_reference(spark, tmp_path):
+    """Keyed KS monitor vs a pure-python two-sample KS per
+    (event_type, cohort) over exact cent ECDFs."""
+    import math
+
+    from tsod_spark.queries.round10 import w1_ref_stats
+    from tsod_spark.streaming import stream_ks_drift
+    from tsod_spark.util import py_round6
+
+    e, cur = _halves_with_cohort(spark, SF)
+    ref = {
+        (r.event_type, r.cohort): (list(r.cents), list(r.counts), r.n_ref)
+        for r in w1_ref_stats(e, seg_col="cohort").collect()
+    }
+    rows = cur.collect()
+    src = _stream_rows(spark, tmp_path, cur, "ksseg_src")
+    q = (
+        stream_ks_drift(src, ref, seg_col="cohort")
+        .writeStream.format("memory")
+        .queryName("t_ks_seg")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.sql("SELECT * FROM t_ks_seg").collect():
+        k = (r.event_type, r.cohort)
+        if k not in got or r.n_cur > got[k].n_cur:
+            got[k] = r
+
+    cur_vals: dict = {}
+    for r in rows:
+        v = r.value
+        if v is None or v != v:
+            continue
+        vc = (-1 if v < 0 else 1) * int(math.floor(abs(v) * 100 + 0.5))
+        k = (r.event_type, r.cohort)
+        cur_vals.setdefault(k, {}).setdefault(vc, 0)
+        cur_vals[k][vc] += 1
+    assert len(got) > 0
+    for k, s in got.items():
+        rcents, rcounts, n_ref = ref[k]
+        cm = cur_vals[k]
+        n_cur = sum(cm.values())
+        rmap = dict(zip(rcents, rcounts))
+        merged = sorted(set(rcents) | set(cm))
+        best, best_v = -1, merged[0]
+        cr = cc = 0
+        for v in merged:
+            cr += rmap.get(v, 0)
+            cc += cm.get(v, 0)
+            num = abs(cr * n_cur - cc * n_ref)
+            if num > best:
+                best, best_v = num, v
+        assert (s.n_ref, s.n_cur) == (n_ref, n_cur), k
+        assert s.ks == py_round6(best / (n_ref * n_cur)), k
+        assert s.ks_at_cent == best_v, k
+    spark.catalog.clearCache()
+
+
+def test_stream_w1_global_unchanged_by_seg_refactor(spark, tmp_path):
+    """The seg_col refactor must leave the GLOBAL twin bit-identical:
+    same assertion as test_round10's batch-equivalence, kept here as
+    the refactor's regression net."""
+    from tsod_spark.queries.round10 import w1_ref_stats
+    from tsod_spark.registry import QUERIES
+    from tsod_spark.registry import table as rt
+    from tsod_spark.streaming import stream_wasserstein_drift
+
+    e = rt(spark, SF, "events")
+    ref = {
+        r.event_type: (list(r.cents), list(r.counts), r.n_ref)
+        for r in w1_ref_stats(e).collect()
+    }
+    d = e.withColumn("__hb", F.expr("unix_micros(ts) div 3600000000"))
+    lo, hi = d.agg(F.min("__hb"), F.max("__hb")).first()
+    mid = (lo + hi + 1) // 2
+    cur = d.where(F.col("__hb") >= mid).drop("__hb").orderBy("ts", "event_id")
+    src = _stream_rows(spark, tmp_path, cur, "w1glob_src")
+    q = (
+        stream_wasserstein_drift(src, ref)
+        .writeStream.format("memory")
+        .queryName("t_w1_glob")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.sql("SELECT * FROM t_w1_glob").collect():
+        if r.event_type not in got or r.n_cur > got[r.event_type].n_cur:
+            got[r.event_type] = r
+    batch = {
+        r.event_type: r
+        for r in QUERIES["events_wasserstein_drift"](spark, SF).collect()
+    }
+    assert set(got) == set(batch) and len(got) > 0
+    for et, b in batch.items():
+        s = got[et]
+        assert (s.n_ref, s.n_cur, s.w1_value, s.w1_norm) == (
+            b.n_ref,
+            b.n_cur,
+            b.w1_value,
+            b.w1_norm,
+        ), et
+    spark.catalog.clearCache()
+
+
+def test_source_containment_directional(spark):
+    """Directionality: with a 2-doc mirror of a 10-doc origin,
+    containment(mirror -> origin) must be 1.0 while
+    containment(origin -> mirror) is 0.2; counts distinct per doc."""
+    from tsod_spark.pipeline import dedup
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "origin", f"unique doc {i} alpha beta gamma delta eps{i}"))
+    # mirror copies docs 0 and 1 byte-identically (same shingles -> same
+    # signature -> candidate pair at any banding)
+    rows.append((100, "mirror", rows[0][2]))
+    rows.append((101, "mirror", rows[1][2]))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r.source_a, r.source_b): r
+        for r in dedup.source_containment(df).collect()
+    }
+    m2o = got[("mirror", "origin")]
+    assert (m2o.docs_contained, m2o.docs_total) == (2, 2)
+    assert m2o.containment == 1.0
+    o2m = got[("origin", "mirror")]
+    assert (o2m.docs_contained, o2m.docs_total) == (2, 10)
+    assert o2m.containment == 0.2
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# bench.py self-adjudication (VERDICT r10 #4) — pure-python pieces
+
+
+def _bench_mod():
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py")
+    spec = importlib.util.spec_from_file_location("bench_for_test", path)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_bench_flag_excursions():
+    m = _bench_mod()
+    prior = {"a": 2.0, "b": 0.2, "c": 4.0, "new": None}
+    prior = {k: v for k, v in prior.items() if v is not None}
+    timings = {
+        "a": 5.1,    # 2.55x prior and >1s -> flagged
+        "b": 0.9,    # 4.5x prior but under the 1s floor -> not flagged
+        "c": 9.9,    # 2.475x prior -> under the factor -> not flagged
+        "new": 50.0, # no prior -> not flagged
+    }
+    assert m._flag_excursions(timings, prior) == ["a"]
+    # factor/floor are parameters
+    assert m._flag_excursions(timings, prior, factor=2.0) == ["a", "c"]
+    assert m._flag_excursions(timings, prior, floor=0.5) == ["a", "b"]
+
+
+def test_bench_prior_snapshot_reads_latest_round():
+    m = _bench_mod()
+    prior = m._prior_snapshot()
+    # BENCH_local_r10.json exists in-repo; the loader must find a
+    # non-empty per-query dict with float values
+    assert prior and all(isinstance(v, (int, float)) for v in prior.values())

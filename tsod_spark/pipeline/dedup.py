@@ -2342,3 +2342,147 @@ def threshold_curve_sampled(
         )
         .orderBy("thr_pct")
     )
+
+
+def exact_cross_source_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    canonical: bool = True,
+) -> DataFrame:
+    """Exact-duplicate contamination matrix ACROSS sources: for every
+    unordered source pair (a <= b), the number of duplicate doc pairs
+    with identical content and the number of distinct shared contents
+    — the curation question :func:`dedup_rate_by_source`'s
+    per-source view cannot answer: WHICH sources overlap (a crawl
+    ingested twice under two names shows up as one hot off-diagonal
+    cell; boilerplate shows up as a dense row).
+
+    ``canonical=True`` (default) hashes the sorted DISTINCT lowercase
+    token set — "same content modulo word order, repetition,
+    whitespace, and case", the canonicalization tier between byte
+    equality and MinHash (a crawl re-serialized with different
+    whitespace is still an exact dup to a curation pipeline).
+    ``canonical=False`` hashes raw bytes.
+
+    Scale shape: one shuffle on the content hash, then per-(hash,
+    source) counts — the per-hash frame is bounded by |sources|, so
+    the within-hash pair expansion is |sources|^2 at worst, never
+    doc-quadratic; the final matrix is |sources|^2 rows. Counts are
+    closed-form int64 (``n_a * n_b`` cross-source, ``C(n, 2)``
+    within-source), so no doc-level pair is ever materialized —
+    the same "count, don't enumerate" discipline as
+    :func:`hot_bucket_stats`.
+    """
+    if canonical:
+        h = F.md5(
+            F.array_join(F.array_sort(distinct_tokens(F.col(text_col))), " ")
+        )
+    else:
+        h = F.md5(F.col(text_col))
+    per = (
+        docs.select(
+            h.alias("__h"),
+            F.col(source_col).alias("__s"),
+        )
+        .groupBy("__h", "__s")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    a = per.select(
+        "__h", F.col("__s").alias("source_a"), F.col("__n").alias("__na")
+    )
+    b = per.select(
+        "__h", F.col("__s").alias("source_b"), F.col("__n").alias("__nb")
+    )
+    j = a.join(b, "__h").where(F.col("source_a") <= F.col("source_b"))
+    same = F.col("source_a") == F.col("source_b")
+    pair_cnt = F.when(
+        same, F.expr("(__na * (__na - 1)) div 2")
+    ).otherwise(F.col("__na") * F.col("__nb")).cast("long")
+    shared = F.when(same & (F.col("__na") < 2), 0).otherwise(1).cast("long")
+    out = (
+        j.groupBy("source_a", "source_b")
+        .agg(
+            F.sum(pair_cnt).cast("long").alias("dup_pairs"),
+            F.sum(shared).cast("long").alias("shared_contents"),
+        )
+        .where(F.col("dup_pairs") > 0)
+    )
+    return out.orderBy("source_a", "source_b")
+
+
+def source_containment(
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """DIRECTIONAL near-dup containment between sources: for each
+    ordered pair (source_a -> source_b), the number and fraction of
+    source_a's docs having >= 1 MinHash candidate near-dup in
+    source_b. The asymmetric read the symmetric matrices
+    (:func:`exact_cross_source_matrix`; the MinHash rollup in
+    queries/dedup.py's dedup_cross_source_matrix)
+    can't give — a mirror site is ~100% contained in its origin while
+    the origin is barely contained in the mirror, and the symmetric
+    pair count looks identical either way. The decision differs too:
+    high containment(a -> b) with small |a| means DROP source a;
+    symmetric overlap between two big crawls means dedup the union.
+
+    Plan: candidate pairs -> doc-source labels -> DISTINCT
+    (doc, other_source) so a doc with many partners in one source
+    counts once -> per ordered-pair count -> join per-source totals
+    (|sources|-row broadcast). Output bounded by |sources|^2.
+    """
+    pairs = minhash_band_pairs(docs, k=k, bands=bands, text_col=text_col)
+    src = docs.select("doc_id", F.col(source_col).alias("__src"))
+    lab = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("__src").alias("__sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("__src").alias("__sb")
+            ),
+            "doc_b",
+        )
+    )
+    # both directions of each unordered pair
+    directed = lab.select(
+        F.col("doc_a").alias("doc"),
+        F.col("__sa").alias("source_a"),
+        F.col("__sb").alias("source_b"),
+    ).unionByName(
+        lab.select(
+            F.col("doc_b").alias("doc"),
+            F.col("__sb").alias("source_a"),
+            F.col("__sa").alias("source_b"),
+        )
+    )
+    contained = (
+        directed.distinct()
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs_contained"))
+    )
+    totals = docs.groupBy(F.col(source_col).alias("source_a")).agg(
+        F.count(F.lit(1)).cast("long").alias("docs_total")
+    )
+    return (
+        contained.join(F.broadcast(totals), "source_a")
+        .select(
+            "source_a",
+            "source_b",
+            "docs_contained",
+            "docs_total",
+            F.round(
+                F.col("docs_contained").cast("double")
+                / F.col("docs_total").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )

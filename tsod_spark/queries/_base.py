@@ -132,6 +132,12 @@ ORACLE: dict[str, str] = {}
 
 def register(name: str, sql: str | None = None):
     def deco(fn):
+        # A silent overwrite would hand one name's oracle to another
+        # query's plan and drop a registered operator from the
+        # registry without any test noticing — fail loudly instead
+        # (nearly happened r11: a second "dedup_cross_source_matrix").
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql

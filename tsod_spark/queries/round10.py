@@ -581,19 +581,26 @@ def dedup_lsh_tuning_curve(spark, sf_dir):
     return dedup.lsh_tuning_curve(table(spark, sf_dir, "documents"))
 
 
-def w1_ref_stats(e):
-    """Frozen-reference statistics for the streaming W1 monitor, per
-    event type from the batch reference window (the first-half split
-    of events_wasserstein_drift): sorted distinct cent values with
-    their counts, plus n_ref — the full reference ECDF, which exact W1
-    needs (unlike PSI's 10 bucket counts, W1's integral runs over the
-    merged value domain). Bounded by the distinct-cent domain per
-    type, not the row count."""
+def w1_ref_stats(e, seg_col=None):
+    """Frozen-reference statistics for the streaming W1/KS monitors,
+    per event type from the batch reference window (the first-half
+    split of events_wasserstein_drift): sorted distinct cent values
+    with their counts, plus n_ref — the full reference ECDF, which
+    exact W1 needs (unlike PSI's 10 bucket counts, W1's integral runs
+    over the merged value domain). Bounded by the distinct-cent domain
+    per type, not the row count.
+
+    ``seg_col`` adds the segment to every key — the ref-stats shape
+    for the keyed ``stream_wasserstein_drift(..., seg_col=...)`` /
+    ``stream_ks_drift(..., seg_col=...)`` twins; the calendar midpoint
+    stays GLOBAL (one split for the corpus), mirroring the batch
+    by-segment queries."""
     from ..expressions import nan_to_null
 
+    keys = ["event_type"] + ([seg_col] if seg_col else [])
     cents = F.round(nan_to_null(F.col("value")) * 100).cast("long")
     d = e.select(
-        "event_type",
+        *keys,
         F.expr("unix_micros(ts) div 3600000000").alias("__hb"),
         cents.alias("__vc"),
     ).where(F.col("__vc").isNotNull())
@@ -603,16 +610,16 @@ def w1_ref_stats(e):
     ref = (
         d.crossJoin(F.broadcast(span))
         .where(F.col("__hb") < F.col("__mid"))
-        .groupBy("event_type", "__vc")
+        .groupBy(*keys, "__vc")
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
-    return ref.groupBy("event_type").agg(
+    return ref.groupBy(*keys).agg(
         F.sort_array(
             F.collect_list(F.struct("__vc", "__c"))
         ).alias("__pairs"),
         F.sum("__c").cast("long").alias("n_ref"),
     ).select(
-        "event_type",
+        *keys,
         F.col("__pairs.__vc").alias("cents"),
         F.col("__pairs.__c").alias("counts"),
         "n_ref",

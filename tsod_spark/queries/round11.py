@@ -13,7 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..pipeline import dedup
-from ._base import TOKS, _shingle_sql, register, table
+from ._base import DTOKS, TOKS, _shingle_sql, register, table
 
 
 @register(
@@ -307,3 +307,72 @@ def events_wasserstein_drift_by_segment(spark, sf_dir):
     from ..analytics import stattests
 
     return stattests.wasserstein_drift(e, seg_col="cohort")
+
+
+@register(
+    "dedup_exact_cross_source",
+    f"""WITH per AS (SELECT
+              md5(array_to_string(list_sort({DTOKS}), ' ')) AS h,
+              source AS s, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2),
+    cells AS (SELECT a.s AS source_a, b.s AS source_b,
+          CASE WHEN a.s = b.s THEN (a.n * (a.n - 1)) // 2
+               ELSE a.n * b.n END AS pc,
+          CASE WHEN a.s < b.s OR a.n >= 2 THEN 1 ELSE 0 END AS sc
+        FROM per a JOIN per b ON a.h = b.h AND a.s <= b.s)
+    SELECT source_a, source_b,
+       CAST(sum(pc) AS BIGINT) AS dup_pairs,
+       CAST(sum(sc) AS BIGINT) AS shared_contents
+    FROM cells GROUP BY 1, 2
+    HAVING sum(pc) > 0
+    ORDER BY 1, 2""",
+)
+def dedup_exact_cross_source(spark, sf_dir):
+    """Exact-duplicate contamination matrix across sources: which
+    source PAIRS share canonically-identical documents (sorted
+    distinct lowercase token set — byte equality is vacuous on this
+    fixture: zero byte-identical dups below sf0.1), with closed-form
+    int64 pair counts (n_a*n_b cross, C(n,2) within) — no doc-level
+    pair enumeration, one content-hash shuffle, per-hash frames
+    bounded by |sources|. The curation read dedup_rate_by_source
+    can't give: a twice-ingested crawl is one hot off-diagonal cell;
+    boilerplate is a dense row. Named _exact_ because
+    dedup_cross_source_matrix (queries/dedup.py) already holds the
+    MinHash-tier rollup of the same matrix."""
+    return dedup.exact_cross_source_matrix(table(spark, sf_dir, "documents"))
+
+
+def _src_containment_sql() -> str:
+    from .dedup import _mh_pairs_parts
+
+    ctes, select = _mh_pairs_parts()
+    return f"""WITH {ctes},
+    pairs AS ({select}),
+    lab AS (SELECT p.doc_a, p.doc_b, da.source AS sa, db.source AS sb
+            FROM pairs p JOIN documents da ON da.doc_id = p.doc_a
+                         JOIN documents db ON db.doc_id = p.doc_b),
+    directed AS (SELECT doc_a AS doc, sa AS source_a, sb AS source_b FROM lab
+                 UNION SELECT doc_b, sb, sa FROM lab),
+    contained AS (SELECT source_a, source_b,
+                    CAST(count(*) AS BIGINT) AS docs_contained
+                  FROM directed GROUP BY 1, 2),
+    totals AS (SELECT source AS source_a, CAST(count(*) AS BIGINT) AS docs_total
+               FROM documents GROUP BY 1)
+    SELECT c.source_a, c.source_b, c.docs_contained, t.docs_total,
+       round(CAST(c.docs_contained AS DOUBLE) / CAST(t.docs_total AS DOUBLE), 6)
+         AS containment
+    FROM contained c JOIN totals t ON t.source_a = c.source_a
+    ORDER BY 1, 2"""
+
+
+@register("dedup_source_containment", _src_containment_sql())
+def dedup_source_containment(spark, sf_dir):
+    """DIRECTIONAL near-dup containment between sources (the
+    asymmetric complement of dedup_minhash_cross_source): per ordered
+    (source_a -> source_b), how many and what fraction of source_a's
+    docs have >= 1 MinHash candidate partner in source_b. A mirror is
+    ~100% contained in its origin, never vice versa — the read that
+    decides DROP-the-source vs dedup-the-union. Distinct
+    (doc, other_source) so prolific partners count once; totals join
+    is a |sources|-row broadcast."""
+    return dedup.source_containment(table(spark, sf_dir, "documents"))

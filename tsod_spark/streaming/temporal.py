@@ -2664,6 +2664,7 @@ def stream_wasserstein_drift(
     value_col: str = "value",
     flag_norm: float = 0.1,
     idle_timeout: str | None = None,
+    seg_col: str | None = None,
 ) -> DataFrame:
     """Streaming exact 1-Wasserstein drift against a FROZEN reference
     — the deployment twin of the batch ``events_wasserstein_drift``
@@ -2687,12 +2688,28 @@ def stream_wasserstein_drift(
     single trailing division, floats through ``py_round6`` (the
     F.round twin). NaN/null values contribute nothing (the batch
     ``vc IS NOT NULL`` gate).
+
+    ``seg_col`` (the keyed instantiation, VERDICT r10 #7/#8 pattern):
+    state and scoring key on (type, segment) instead of type —
+    ``ref_stats`` keys become ``(type, seg)`` tuples (the
+    ``w1_ref_stats(e, seg_col=...)`` shape) and the emission carries
+    the segment column. Per-key state stays one int64 per distinct
+    cent; the key space multiplies by |segments|, the per-key domain
+    usually SHRINKS (a segment sees a subset of the value domain).
+    Batch-equivalence vs events_wasserstein_drift_by_segment is
+    tested the same way as the global twin.
     """
     import math  # noqa: PLC0415
 
+    seg_fields = (
+        [StructField(seg_col, stream_df.schema[seg_col].dataType)]
+        if seg_col
+        else []
+    )
     out_schema = StructType(
         [
             StructField(type_col, StringType()),
+            *seg_fields,
             StructField("n_ref", LongType()),
             StructField("n_cur", LongType()),
             StructField("w1_value", DoubleType()),
@@ -2706,23 +2723,27 @@ def stream_wasserstein_drift(
             StructField("counts", ArrayType(LongType())),
         ]
     )
-    ref = {
-        str(t): (
+    def _norm(v):
+        return (
             [int(c) for c in v[0]],
             [int(c) for c in v[1]],
             int(v[2]),
         )
-        for t, v in ref_stats.items()
-    }
+
+    if seg_col:
+        ref = {(str(t[0]), t[1]): _norm(v) for t, v in ref_stats.items()}
+    else:
+        ref = {str(t): _norm(v) for t, v in ref_stats.items()}
 
     def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
             return
         et = key[0]
-        if et not in ref:
+        lk = (key[0], key[1]) if seg_col else key[0]
+        if lk not in ref:
             return
-        rcents, rcounts, n_ref = ref[et]
+        rcents, rcounts, n_ref = ref[lk]
         new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
         if len(new) == 0:
             return
@@ -2754,20 +2775,22 @@ def stream_wasserstein_drift(
         span = merged[-1] - merged[0]
         w1 = py_round6(s / (n_ref * n_cur * 100.0))
         w1n = py_round6(s / (n_ref * n_cur * float(span)))
-        yield pd.DataFrame(
-            [
-                {
-                    type_col: et,
-                    "n_ref": n_ref,
-                    "n_cur": n_cur,
-                    "w1_value": w1,
-                    "w1_norm": w1n,
-                    "drift_flag": bool(w1n > flag_norm),
-                }
-            ]
+        row = {type_col: et}
+        if seg_col:
+            row[seg_col] = key[1]
+        row.update(
+            {
+                "n_ref": n_ref,
+                "n_cur": n_cur,
+                "w1_value": w1,
+                "w1_norm": w1n,
+                "drift_flag": bool(w1n > flag_norm),
+            }
         )
+        yield pd.DataFrame([row])
 
-    return stream_df.groupBy(type_col).applyInPandasWithState(
+    group_cols = [type_col] + ([seg_col] if seg_col else [])
+    return stream_df.groupBy(*group_cols).applyInPandasWithState(
         process,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -2787,6 +2810,7 @@ def stream_ks_drift(
     value_col: str = "value",
     alpha_coeff: float = 1.358,
     idle_timeout: str | None = None,
+    seg_col: str | None = None,
 ) -> DataFrame:
     """Streaming two-sample Kolmogorov-Smirnov drift against a FROZEN
     reference — completes the streaming drift triple next to
@@ -2815,12 +2839,23 @@ def stream_ks_drift(
     int64 numerators (``|cum_ref * n_cur - cum_cur * n_ref|`` over the
     merged domain, max then ONE division), so the reported value is
     aggregation-order-exact like the batch drift family.
+
+    ``seg_col``: the keyed (type, segment) instantiation — same
+    contract as :func:`stream_wasserstein_drift`'s ``seg_col``
+    (tuple-keyed ``ref_stats``, segment column in the emission,
+    per-key state unchanged).
     """
     import math  # noqa: PLC0415
 
+    seg_fields = (
+        [StructField(seg_col, stream_df.schema[seg_col].dataType)]
+        if seg_col
+        else []
+    )
     out_schema = StructType(
         [
             StructField(type_col, StringType()),
+            *seg_fields,
             StructField("n_ref", LongType()),
             StructField("n_cur", LongType()),
             StructField("ks", DoubleType()),
@@ -2834,19 +2869,24 @@ def stream_ks_drift(
             StructField("counts", ArrayType(LongType())),
         ]
     )
-    ref = {
-        str(t): ([int(c) for c in v[0]], [int(c) for c in v[1]], int(v[2]))
-        for t, v in ref_stats.items()
-    }
+
+    def _norm(v):
+        return ([int(c) for c in v[0]], [int(c) for c in v[1]], int(v[2]))
+
+    if seg_col:
+        ref = {(str(t[0]), t[1]): _norm(v) for t, v in ref_stats.items()}
+    else:
+        ref = {str(t): _norm(v) for t, v in ref_stats.items()}
 
     def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
             return
         et = key[0]
-        if et not in ref:
+        lk = (key[0], key[1]) if seg_col else key[0]
+        if lk not in ref:
             return
-        rcents, rcounts, n_ref = ref[et]
+        rcents, rcounts, n_ref = ref[lk]
         new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
         if len(new) == 0:
             return
@@ -2882,20 +2922,22 @@ def stream_ks_drift(
         crit = alpha_coeff * math.sqrt(
             (n_ref + n_cur) / (n_ref * n_cur)
         )
-        yield pd.DataFrame(
-            [
-                {
-                    type_col: et,
-                    "n_ref": n_ref,
-                    "n_cur": n_cur,
-                    "ks": ks,
-                    "ks_at_cent": int(best_v),
-                    "drift_flag": bool(best_num / (n_ref * n_cur) > crit),
-                }
-            ]
+        row = {type_col: et}
+        if seg_col:
+            row[seg_col] = key[1]
+        row.update(
+            {
+                "n_ref": n_ref,
+                "n_cur": n_cur,
+                "ks": ks,
+                "ks_at_cent": int(best_v),
+                "drift_flag": bool(best_num / (n_ref * n_cur) > crit),
+            }
         )
+        yield pd.DataFrame([row])
 
-    return stream_df.groupBy(type_col).applyInPandasWithState(
+    group_cols = [type_col] + ([seg_col] if seg_col else [])
+    return stream_df.groupBy(*group_cols).applyInPandasWithState(
         process,
         outputStructType=out_schema,
         stateStructType=state_schema,
