@@ -110,6 +110,10 @@ ALLOW_NLJ = {
     "events_psi_drift",  # broadcast 1-row midpoint-scalar crossJoin;
                          # everything past the counts agg is
                          # |types| x 10 buckets
+    "events_psi_drift_by_segment",  # inherits the global PSI query's
+                         # 1-row midpoint-scalar crossJoin (GLOBAL
+                         # calendar split by design); post-counts
+                         # frames are |segments| x |types| x 10
     "events_wasserstein_drift",  # same 1-row midpoint-scalar crossJoin
                          # (the half-split convention); everything past
                          # the counts agg is domain-bounded ECDF rows

@@ -73,6 +73,11 @@ HEADLINE10 = [
     "dedup_ppjoin_incremental",
     "dedup_threshold_curve",
     "events_ks_drift",
+    # r11: the sampled twin's value claim lives at THIS decade — at
+    # sf1 the full-corpus gram shuffle dominates and sampled == exact
+    # (14.6 vs 14.5s); at sf10 the exact curve is pair-hit-dominated
+    # (51.2M pairs), which is what the 1/4 sample actually cuts
+    "dedup_threshold_curve_sampled",
 ]
 
 

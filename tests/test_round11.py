@@ -759,3 +759,95 @@ def test_bench_prior_snapshot_reads_latest_round():
     # BENCH_local_r10.json exists in-repo; the loader must find a
     # non-empty per-query dict with float values
     assert prior and all(isinstance(v, (int, float)) for v in prior.values())
+
+
+def test_psi_drift_single_segment_reduces_to_global(spark):
+    from tsod_spark.queries.round9 import psi_drift
+    from tsod_spark.registry import table
+
+    e = table(spark, SF, "events")
+    glob = psi_drift(e).collect()
+    seg = psi_drift(
+        e.withColumn("cohort", F.lit(0)), seg_col="cohort"
+    ).collect()
+    assert len(glob) == len(seg) > 0
+    for g, s in zip(glob, seg):
+        assert s.cohort == 0
+        assert (s.event_type, s.n_ref, s.n_cur, s.psi, s.drift_flag) == (
+            g.event_type,
+            g.n_ref,
+            g.n_cur,
+            g.psi,
+            g.drift_flag,
+        )
+
+
+def test_psi_by_segment_is_segment_local(spark):
+    """A hard value shift injected into cohort 1's second half must
+    flag cohort 1 and leave cohort 0 quiet (segment-local deciles)."""
+    import datetime
+
+    from tsod_spark.queries.round9 import psi_drift
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(800):
+        hour = i % 20
+        cohort = i % 2
+        if hour >= 10 and cohort == 1:
+            v = 500.0 + (i % 7)
+        else:
+            v = 1.0 + (i % 10) * 0.5
+        rows.append(
+            ("a", cohort, base + datetime.timedelta(hours=hour, seconds=i % 60), v)
+        )
+    e = spark.createDataFrame(
+        rows, "event_type string, cohort int, ts timestamp, value double"
+    )
+    out = {r.cohort: r for r in psi_drift(e, seg_col="cohort").collect()}
+    assert out[1].drift_flag and out[1].psi > 0.5
+    assert not out[0].drift_flag and out[0].psi < 0.05
+
+
+def test_stream_psi_by_segment_matches_batch(spark, tmp_path):
+    """Keyed PSI monitor: a stream that consumed exactly the batch
+    by-segment query's current-half rows reproduces every
+    (event_type, cohort) row of events_psi_drift_by_segment exactly."""
+    from tsod_spark.queries.round9 import psi_ref_stats
+    from tsod_spark.registry import QUERIES
+    from tsod_spark.streaming import stream_psi_drift
+
+    e, cur = _halves_with_cohort(spark, SF)
+    ref = {
+        (r.event_type, r.cohort): (
+            list(r.bounds),
+            list(r.ref_counts),
+            r.n_ref,
+        )
+        for r in psi_ref_stats(e, seg_col="cohort").collect()
+    }
+    src = _stream_rows(spark, tmp_path, cur, "psiseg_src")
+    q = (
+        stream_psi_drift(src, ref, seg_col="cohort")
+        .writeStream.format("memory")
+        .queryName("t_psi_seg")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.sql("SELECT * FROM t_psi_seg").collect():
+        k = (r.event_type, r.cohort)
+        if k not in got or r.n_cur > got[k].n_cur:
+            got[k] = r
+    batch = {
+        (r.event_type, r.cohort): r
+        for r in QUERIES["events_psi_drift_by_segment"](spark, SF).collect()
+    }
+    assert set(got) == set(batch) and len(got) > 0
+    for k, b in batch.items():
+        s = got[k]
+        assert (s.n_ref, s.n_cur, s.psi) == (b.n_ref, b.n_cur, b.psi), k
+        assert bool(s.drift_flag) == bool(b.drift_flag), k
+    spark.catalog.clearCache()

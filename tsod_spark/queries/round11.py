@@ -376,3 +376,71 @@ def dedup_source_containment(spark, sf_dir):
     (doc, other_source) so prolific partners count once; totals join
     is a |sources|-row broadcast."""
     return dedup.source_containment(table(spark, sf_dir, "documents"))
+
+
+def _psi_by_segment_sql() -> str:
+    from .round9 import _psi_bounds_sql
+
+    return f"""WITH c AS (SELECT user_id % 4 AS cohort, event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hb,
+           CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100)
+                AS BIGINT) AS vc
+        FROM events),
+    d AS (SELECT * FROM c WHERE vc IS NOT NULL),
+    span AS (SELECT (min(hb) + max(hb) + 1) // 2 AS mid FROM d),
+    lab AS (SELECT cohort, event_type, vc, hb < span.mid AS is_ref
+            FROM d CROSS JOIN span),
+    refq AS (SELECT cohort, event_type,
+               list_sort(list(CAST(vc AS DOUBLE))) AS arr
+             FROM lab WHERE is_ref GROUP BY 1, 2),
+    bounds AS (SELECT cohort, event_type, {_psi_bounds_sql()} AS bs FROM refq),
+    assigned AS (SELECT l.cohort, l.event_type, l.is_ref,
+                   1 + len(list_filter(b.bs, x -> CAST(l.vc AS DOUBLE) > x))
+                     AS bkt
+                 FROM lab l JOIN bounds b ON b.event_type = l.event_type
+                  AND b.cohort = l.cohort),
+    counts AS (SELECT cohort, event_type, bkt,
+                 CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_ref,
+                 CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+                   AS c_cur
+               FROM assigned GROUP BY 1, 2, 3),
+    tot AS (SELECT cohort, event_type, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+                   CAST(sum(c_cur) AS BIGINT) AS n_cur
+            FROM counts GROUP BY 1, 2),
+    terms AS (SELECT c2.cohort, c2.event_type, t.n_ref, t.n_cur,
+                CAST(floor(
+                  (CAST(c2.c_cur + 1 AS DOUBLE) / CAST(t.n_cur + 10 AS DOUBLE)
+                   - CAST(c2.c_ref + 1 AS DOUBLE) / CAST(t.n_ref + 10 AS DOUBLE))
+                  * ln((CAST(c2.c_cur + 1 AS DOUBLE) / CAST(t.n_cur + 10 AS DOUBLE))
+                       / (CAST(c2.c_ref + 1 AS DOUBLE) / CAST(t.n_ref + 10 AS DOUBLE)))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS term_u
+              FROM counts c2 JOIN tot t ON t.event_type = c2.event_type
+               AND t.cohort = c2.cohort)
+    SELECT cohort, event_type, any_value(n_ref) AS n_ref,
+       any_value(n_cur) AS n_cur,
+       round(CAST(sum(term_u) AS BIGINT) / 1000000000.0, 6) AS psi,
+       round(CAST(sum(term_u) AS BIGINT) / 1000000000.0, 6) > 0.2
+         AS drift_flag
+    FROM terms GROUP BY 1, 2
+    ORDER BY cohort, event_type"""
+
+
+@register("events_psi_drift_by_segment", _psi_by_segment_sql())
+def events_psi_drift_by_segment(spark, sf_dir):
+    """Per-SEGMENT PSI — completes the by-segment drift TRIPLE (PSI =
+    binned mass moved, KS = worst ECDF gap, W1 = distance moved in
+    value units; all three now exist at both grains). Reference
+    deciles, counts, and Laplace-smoothed terms are per-(cohort =
+    user_id %% 4, event_type) — a segment's own reference distribution
+    is the right yardstick — while the calendar midpoint stays GLOBAL.
+    Same three-layer cross-engine exactness as events_psi_drift
+    (Spark-interpolation decile bounds rounded half-away-6 on both
+    sides, pure value>bound bucket assignment, int64 nano-unit term
+    quantization). Single-segment reduction differential-tested."""
+    from .round9 import psi_drift
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "cohort", F.col("user_id") % 4
+    )
+    return psi_drift(e, seg_col="cohort")

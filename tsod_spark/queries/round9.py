@@ -829,16 +829,26 @@ def events_psi_drift(spark, sf_dir):
     return psi_drift(table(spark, sf_dir, "events"))
 
 
-def psi_drift(e):
+def psi_drift(e, seg_col=None):
     """Batch PSI body over an arbitrary events frame (factored so the
     tied-decile stream-equivalence test can drive it on a synthetic
     corpus whose decile boundaries collapse — see
-    tests/test_streaming.py)."""
+    tests/test_streaming.py).
+
+    ``seg_col`` adds a segment to every key (VERDICT r10 #7 factoring,
+    completing the by-segment drift TRIPLE next to the KS and W1
+    twins): reference deciles, counts, and totals are all
+    per-(segment, type) — a segment's own reference distribution is
+    the right yardstick for its drift — while the ref/cur calendar
+    midpoint stays GLOBAL (one split for the whole corpus). A
+    single-segment corpus reduces EXACTLY to the global query
+    (differential-tested)."""
     from ..expressions import nan_to_null
 
+    keys = ([seg_col] if seg_col else []) + ["event_type"]
     cents = F.round(nan_to_null(F.col("value")) * 100).cast("long")
     d = e.select(
-        "event_type",
+        *keys,
         F.expr("unix_micros(ts) div 3600000000").alias("__hb"),
         cents.alias("__vc"),
     ).where(F.col("__vc").isNotNull())
@@ -846,12 +856,12 @@ def psi_drift(e):
         ((F.min("__hb") + F.max("__hb") + 1) / 2).cast("long").alias("__mid")
     )
     lab = d.crossJoin(F.broadcast(span)).select(
-        "event_type", "__vc", (F.col("__hb") < F.col("__mid")).alias("__is_ref")
+        *keys, "__vc", (F.col("__hb") < F.col("__mid")).alias("__is_ref")
     )
     qs = [k / 10.0 for k in range(1, 10)]
     bounds = (
         lab.where("__is_ref")
-        .groupBy("event_type")
+        .groupBy(*keys)
         .agg(
             F.expr(
                 "percentile(CAST(__vc AS DOUBLE), array("
@@ -860,7 +870,7 @@ def psi_drift(e):
             ).alias("__bs_raw")
         )
         .select(
-            "event_type",
+            *keys,
             F.transform(
                 F.col("__bs_raw"),
                 lambda x: F.when(
@@ -869,8 +879,8 @@ def psi_drift(e):
             ).alias("__bs"),
         )
     )
-    assigned = lab.join(F.broadcast(bounds), "event_type").select(
-        "event_type",
+    assigned = lab.join(F.broadcast(bounds), keys).select(
+        *keys,
         "__is_ref",
         (
             F.lit(1)
@@ -881,7 +891,7 @@ def psi_drift(e):
             )
         ).cast("long").alias("__bkt"),
     )
-    counts = assigned.groupBy("event_type", "__bkt").agg(
+    counts = assigned.groupBy(*keys, "__bkt").agg(
         F.sum(F.when(F.col("__is_ref"), 1).otherwise(0))
         .cast("long")
         .alias("__c_ref"),
@@ -889,9 +899,9 @@ def psi_drift(e):
         .cast("long")
         .alias("__c_cur"),
     )
-    wt = Window.partitionBy("event_type")
+    wt = Window.partitionBy(*keys)
     tot = counts.select(
-        "event_type",
+        *keys,
         "__bkt",
         "__c_ref",
         "__c_cur",
@@ -909,7 +919,7 @@ def psi_drift(e):
     )
     return (
         tot.withColumn("__tu", term_u)
-        .groupBy("event_type")
+        .groupBy(*keys)
         .agg(
             F.first("__n_ref").alias("n_ref"),
             F.first("__n_cur").alias("n_cur"),
@@ -921,23 +931,26 @@ def psi_drift(e):
                 > F.lit(0.2)
             ).alias("drift_flag"),
         )
-        .orderBy("event_type")
+        .orderBy(*keys)
     )
 
 
-def psi_ref_stats(e):
+def psi_ref_stats(e, seg_col=None):
     """Reference-side PSI statistics per event type, exactly as the
     registered events_psi_drift query derives them (first-half split,
     Spark percentile deciles rounded half-away, bucket counts by
     ``value > bound``): ``(event_type, bounds: array<double>[9],
     ref_counts: array<long>[10], n_ref)``. This is the frame a batch
     job freezes and hands to :func:`tsod_spark.streaming
-    .stream_psi_drift` as the monitoring reference."""
+    .stream_psi_drift` as the monitoring reference. ``seg_col`` keys
+    everything by (event_type, segment) — the keyed monitor's ref
+    shape (tuple-keyed dict)."""
     from ..expressions import nan_to_null
 
+    keys = ["event_type"] + ([seg_col] if seg_col else [])
     cents = F.round(nan_to_null(F.col("value")) * 100).cast("long")
     d = e.select(
-        "event_type",
+        *keys,
         F.expr("unix_micros(ts) div 3600000000").alias("__hb"),
         cents.alias("__vc"),
     ).where(F.col("__vc").isNotNull())
@@ -947,11 +960,11 @@ def psi_ref_stats(e):
     refrows = (
         d.crossJoin(F.broadcast(span))
         .where(F.col("__hb") < F.col("__mid"))
-        .select("event_type", "__vc")
+        .select(*keys, "__vc")
     )
     qs = [k / 10.0 for k in range(1, 10)]
     bounds = (
-        refrows.groupBy("event_type")
+        refrows.groupBy(*keys)
         .agg(
             F.expr(
                 "percentile(CAST(__vc AS DOUBLE), array("
@@ -960,7 +973,7 @@ def psi_ref_stats(e):
             ).alias("__bs_raw")
         )
         .select(
-            "event_type",
+            *keys,
             F.transform(
                 F.col("__bs_raw"),
                 lambda x: F.when(
@@ -969,8 +982,8 @@ def psi_ref_stats(e):
             ).alias("bounds"),
         )
     )
-    assigned = refrows.join(F.broadcast(bounds), "event_type").select(
-        "event_type",
+    assigned = refrows.join(F.broadcast(bounds), keys).select(
+        *keys,
         (
             F.lit(1)
             + F.size(
@@ -981,9 +994,9 @@ def psi_ref_stats(e):
         ).cast("long").alias("__bkt"),
     )
     counts = (
-        assigned.groupBy("event_type", "__bkt")
+        assigned.groupBy(*keys, "__bkt")
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-        .groupBy("event_type")
+        .groupBy(*keys)
         .agg(
             F.map_from_arrays(
                 F.collect_list("__bkt"), F.collect_list("__c")
@@ -991,7 +1004,7 @@ def psi_ref_stats(e):
             F.sum("__c").cast("long").alias("n_ref"),
         )
         .select(
-            "event_type",
+            *keys,
             F.array(
                 *[
                     F.coalesce(
@@ -1003,4 +1016,4 @@ def psi_ref_stats(e):
             "n_ref",
         )
     )
-    return bounds.join(counts, "event_type")
+    return bounds.join(counts, keys)

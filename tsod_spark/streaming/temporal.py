@@ -2550,6 +2550,7 @@ def stream_psi_drift(
     type_col: str = "event_type",
     value_col: str = "value",
     idle_timeout: str | None = None,
+    seg_col: str | None = None,
 ) -> DataFrame:
     """Streaming Population Stability Index against a FROZEN reference
     — the production deployment shape of the batch ``events_psi_drift``
@@ -2572,12 +2573,24 @@ def stream_psi_drift(
 
     NaN/null values contribute nothing (the batch ``vc IS NOT NULL``
     gate).
+
+    ``seg_col``: the keyed (type, segment) instantiation — same
+    contract as :func:`stream_wasserstein_drift`'s ``seg_col``
+    (tuple-keyed ``ref_stats`` from ``psi_ref_stats(e, seg_col=...)``,
+    segment column in the emission); per-key state stays 10 int64
+    counters, segment-local reference deciles.
     """
     import math  # noqa: PLC0415
 
+    seg_fields = (
+        [StructField(seg_col, stream_df.schema[seg_col].dataType)]
+        if seg_col
+        else []
+    )
     out_schema = StructType(
         [
             StructField(type_col, StringType()),
+            *seg_fields,
             StructField("n_ref", LongType()),
             StructField("n_cur", LongType()),
             StructField("psi", DoubleType()),
@@ -2585,23 +2598,28 @@ def stream_psi_drift(
         ]
     )
     state_schema = StructType([StructField("counts", ArrayType(LongType()))])
-    ref = {
-        str(k): (
+
+    def _norm(v):
+        return (
             [float(b) for b in v[0]],
             [int(c) for c in v[1]],
             int(v[2]),
         )
-        for k, v in ref_stats.items()
-    }
+
+    if seg_col:
+        ref = {(str(k[0]), k[1]): _norm(v) for k, v in ref_stats.items()}
+    else:
+        ref = {str(k): _norm(v) for k, v in ref_stats.items()}
 
     def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
             return
         et = key[0]
-        if et not in ref:
-            return  # no reference: cannot score drift for this type
-        bounds, ref_counts, n_ref = ref[et]
+        lk = (key[0], key[1]) if seg_col else key[0]
+        if lk not in ref:
+            return  # no reference: cannot score drift for this key
+        bounds, ref_counts, n_ref = ref[lk]
         new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
         if len(new) == 0:
             return
@@ -2632,19 +2650,21 @@ def stream_psi_drift(
             q = (counts[i] + 1) / (n_cur + 10)
             acc_u += int(math.floor((q - p) * math.log(q / p) * 1e9 + 0.5))
         psi = py_round6(acc_u / 1e9)
-        yield pd.DataFrame(
-            [
-                {
-                    type_col: et,
-                    "n_ref": n_ref,
-                    "n_cur": n_cur,
-                    "psi": psi,
-                    "drift_flag": bool(psi > 0.2),
-                }
-            ]
+        row = {type_col: et}
+        if seg_col:
+            row[seg_col] = key[1]
+        row.update(
+            {
+                "n_ref": n_ref,
+                "n_cur": n_cur,
+                "psi": psi,
+                "drift_flag": bool(psi > 0.2),
+            }
         )
+        yield pd.DataFrame([row])
 
-    return stream_df.groupBy(type_col).applyInPandasWithState(
+    group_cols = [type_col] + ([seg_col] if seg_col else [])
+    return stream_df.groupBy(*group_cols).applyInPandasWithState(
         process,
         outputStructType=out_schema,
         stateStructType=state_schema,
