@@ -78,6 +78,12 @@ HEADLINE10 = [
     # (14.6 vs 14.5s); at sf10 the exact curve is pair-hit-dominated
     # (51.2M pairs), which is what the 1/4 sample actually cuts
     "dedup_threshold_curve_sampled",
+    # r11 second wave: content-hash shuffle (scan-shaped), the
+    # minhash-pair-bound directional containment, and the segment-
+    # keyed PSI (|segments| x |types| x 10 bounded past the counts)
+    "dedup_exact_cross_source",
+    "dedup_source_containment",
+    "events_psi_drift_by_segment",
 ]
 
 
