@@ -851,3 +851,53 @@ def test_stream_psi_by_segment_matches_batch(spark, tmp_path):
         assert (s.n_ref, s.n_cur, s.psi) == (b.n_ref, b.n_cur, b.psi), k
         assert bool(s.drift_flag) == bool(b.drift_flag), k
     spark.catalog.clearCache()
+
+
+def test_canonicalization_curve_monotone_and_exact(spark):
+    """Tier coarsening: n_dup_docs/dup_pairs nondecreasing,
+    n_distinct_contents nonincreasing; counts match a pure-python
+    recount on a corpus exercising every tier boundary."""
+    from collections import Counter
+
+    from tsod_spark.pipeline import dedup
+
+    rows = [
+        (0, "s0", "Alpha beta"),
+        (1, "s0", "Alpha beta"),        # raw dup of 0
+        (2, "s0", "Alpha  beta"),       # whitespace dup of 0
+        (3, "s0", "alpha beta"),        # case dup of 0
+        (4, "s0", "beta alpha"),        # multiset dup of 0 (reorder)
+        (5, "s0", "beta alpha alpha"),  # set dup of 0 (repetition)
+        (6, "s0", "gamma"),             # unique at every tier
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = dedup.canonicalization_curve(df).collect()
+    assert [r.tier for r in out] == [
+        "raw", "whitespace", "lowercase", "token_multiset", "token_set",
+    ]
+
+    def canon(t, rank):
+        if rank == 1:
+            return t
+        ws = " ".join(x for x in t.split() if x)
+        if rank == 2:
+            return ws
+        lo = ws.lower()
+        if rank == 3:
+            return lo
+        if rank == 4:
+            return " ".join(sorted(lo.split(" ")))
+        return " ".join(sorted(set(lo.split(" "))))
+
+    prev_dup, prev_distinct = -1, 10**9
+    for r in out:
+        forms = Counter(canon(t, r.tier_rank) for _, _, t in rows)
+        assert r.n_docs == len(rows)
+        assert r.n_distinct_contents == len(forms)
+        assert r.n_dup_docs == len(rows) - len(forms)
+        assert r.n_dup_groups == sum(1 for n in forms.values() if n >= 2)
+        assert r.dup_pairs == sum(n * (n - 1) // 2 for n in forms.values())
+        assert r.n_dup_docs >= prev_dup and r.n_distinct_contents <= prev_distinct
+        prev_dup, prev_distinct = r.n_dup_docs, r.n_distinct_contents
+    # every tier boundary exercised: dup docs strictly increase 1,2,3,4,5
+    assert [r.n_dup_docs for r in out] == [1, 2, 3, 4, 5]

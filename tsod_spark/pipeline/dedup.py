@@ -2486,3 +2486,77 @@ def source_containment(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def canonicalization_curve(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Dedup NORMALIZATION tuning curve — the knob-curve discipline
+    (IVF nprobe, LSH bands, PQ m, threshold grid) applied to the
+    canonicalization knob every exact-dedup pipeline has to fix: per
+    cumulative tier (raw bytes -> whitespace-collapsed -> lowercased
+    -> sorted token multiset -> sorted distinct token set), how many
+    documents and duplicate groups that tier's equality surfaces.
+
+    Monotonicity is PROVABLE, not empirical: each tier's canonical
+    form is a FUNCTION of the previous tier's (collapse(text) fixes
+    tokens; lower() is applied to that string; the sorted multiset is
+    a function of the lowered token sequence; distinct of the sorted
+    multiset), so equal forms at tier k stay equal at k+1 —
+    equivalence classes only coarsen, and ``n_dup_docs`` /
+    ``dup_pairs`` are nondecreasing while ``n_distinct_contents`` is
+    nonincreasing (range-pinned in tests). The production read: the
+    tier where dup mass JUMPS tells you what kind of duplication the
+    corpus carries (byte mirrors vs re-serialized whitespace vs
+    case-folded vs reshuffled boilerplate).
+
+    Scale shape: ONE pass computes all five hashes per doc, one
+    explode to (tier, hash) rows (5x the doc count, no content
+    strings), one shuffle for the (tier, hash) counts, |tiers|-row
+    output. Counts are closed-form int64 (C(n,2) per content).
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+    )
+    t2s = F.array_join(toks, " ")
+    t3s = F.lower(t2s)
+    t4s = F.array_join(F.array_sort(F.split(t3s, " ")), " ")
+    t5s = F.array_join(
+        F.array_sort(F.array_distinct(F.split(t3s, " "))), " "
+    )
+    tier = lambda r, n, h: F.struct(  # noqa: E731
+        F.lit(r).cast("long").alias("tier_rank"),
+        F.lit(n).alias("tier"),
+        F.md5(h).alias("__h"),
+    )
+    exploded = docs.select(
+        F.explode(
+            F.array(
+                tier(1, "raw", F.col(text_col)),
+                tier(2, "whitespace", t2s),
+                tier(3, "lowercase", t3s),
+                tier(4, "token_multiset", t4s),
+                tier(5, "token_set", t5s),
+            )
+        ).alias("t")
+    ).select("t.tier_rank", "t.tier", "t.__h")
+    per_content = exploded.groupBy("tier_rank", "tier", "__h").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    return (
+        per_content.groupBy("tier_rank", "tier")
+        .agg(
+            F.sum("__n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_contents"),
+            (F.sum("__n") - F.count(F.lit(1)))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.sum(F.when(F.col("__n") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_groups"),
+            F.sum(F.expr("(__n * (__n - 1)) div 2"))
+            .cast("long")
+            .alias("dup_pairs"),
+        )
+        .orderBy("tier_rank")
+    )

@@ -444,3 +444,44 @@ def events_psi_drift_by_segment(spark, sf_dir):
         "cohort", F.col("user_id") % 4
     )
     return psi_drift(e, seg_col="cohort")
+
+
+_T2S = "array_to_string(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), ' ')"
+_T3S = f"lower({_T2S})"
+_T4S = f"array_to_string(list_sort(string_split({_T3S}, ' ')), ' ')"
+_T5S = f"array_to_string(list_sort(list_distinct(string_split({_T3S}, ' '))), ' ')"
+
+
+@register(
+    "dedup_canonicalization_curve",
+    f"""WITH e AS (
+      SELECT 1 AS tier_rank, 'raw' AS tier, md5(text) AS h FROM documents
+      UNION ALL
+      SELECT 2, 'whitespace', md5({_T2S}) FROM documents
+      UNION ALL
+      SELECT 3, 'lowercase', md5({_T3S}) FROM documents
+      UNION ALL
+      SELECT 4, 'token_multiset', md5({_T4S}) FROM documents
+      UNION ALL
+      SELECT 5, 'token_set', md5({_T5S}) FROM documents),
+    pc AS (SELECT tier_rank, tier, h, CAST(count(*) AS BIGINT) AS n
+           FROM e GROUP BY 1, 2, 3)
+    SELECT CAST(tier_rank AS BIGINT) AS tier_rank, tier,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_distinct_contents,
+       CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs,
+       CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+       CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS dup_pairs
+    FROM pc GROUP BY 1, 2
+    ORDER BY tier_rank""",
+)
+def dedup_canonicalization_curve(spark, sf_dir):
+    """Dedup normalization tuning curve: dup mass surfaced per
+    cumulative canonicalization tier (raw -> whitespace -> lowercase
+    -> token multiset -> token set). Monotone by construction (each
+    tier factors through the previous — equivalence classes only
+    coarsen); the tier where dup mass jumps identifies the corpus'
+    duplication mode (byte mirrors vs re-serialized whitespace vs
+    case-folds vs reshuffled boilerplate). One pass, one shuffle,
+    5-row output."""
+    return dedup.canonicalization_curve(table(spark, sf_dir, "documents"))
