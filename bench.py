@@ -204,7 +204,10 @@ def run_slice() -> None:
             # query is not a stable record; the containment screen
             # shares the gram-join shape
             "dedup_ppjoin_bigram_pairs dedup_ppjoin_incremental "
-            "dedup_containment_incremental",
+            "dedup_containment_incremental "
+            # r11: the sampled curve shares the pair-pass shape; the
+            # PQ curve is 4 MLlib KMeans fits (iterative, GC-prone)
+            "dedup_threshold_curve_sampled emb_pq_distortion_curve",
         ).split()
     )
 

@@ -84,6 +84,7 @@ HEADLINE10 = [
     "dedup_exact_cross_source",
     "dedup_source_containment",
     "events_psi_drift_by_segment",
+    "dedup_canonicalization_curve",
 ]
 
 

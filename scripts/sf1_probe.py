@@ -200,6 +200,7 @@ HEADLINE = [
     "events_wasserstein_drift_by_segment",
     "dedup_exact_cross_source",
     "dedup_source_containment",
+    "dedup_canonicalization_curve",
 ]
 
 
