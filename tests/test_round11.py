@@ -901,3 +901,53 @@ def test_canonicalization_curve_monotone_and_exact(spark):
         prev_dup, prev_distinct = r.n_dup_docs, r.n_distinct_contents
     # every tier boundary exercised: dup docs strictly increase 1,2,3,4,5
     assert [r.n_dup_docs for r in out] == [1, 2, 3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# Registry rotation invariants (the driver checks the FIRST 50 names of
+# ordered_queries per round — a silent ordering regression would burn a
+# whole driver round re-verifying the wrong tier)
+
+
+def test_rotation_window_invariants():
+    from tsod_spark import registry
+
+    names = list(registry.ordered_queries())
+    assert set(names) == set(registry.QUERIES)
+    prio = list(registry._CURRENT_ROUND_PRIORITY)
+    # 1. current-round priority names lead the window
+    assert names[: len(prio)] == [n for n in names if n in prio]
+    # 2. after the priority block, verified names appear in
+    #    nondecreasing latest-verdict order
+    verified_rounds = [
+        registry._latest_verified_round(n)
+        for n in names[len(prio) :]
+        if registry._latest_verified_round(n) > 0
+    ]
+    assert verified_rounds == sorted(verified_rounds)
+    # 3. never-verified non-priority names (this round's new
+    #    registrations) are PARKED at _PARKED_AGE: after every tier
+    #    with latest verdict <= floor(_PARKED_AGE) (so they cannot
+    #    displace the planned driver window), before every younger
+    #    tier (so the next rotation picks them up early)
+    parked_age = registry._PARKED_AGE
+    parked_idx = [
+        i
+        for i, n in enumerate(names)
+        if n not in prio and registry._latest_verified_round(n) == 0
+    ]
+    if parked_idx:
+        older = [
+            i
+            for i, n in enumerate(names[len(prio) :], start=len(prio))
+            if 0 < registry._latest_verified_round(n) < parked_age
+        ]
+        younger = [
+            i
+            for i, n in enumerate(names)
+            if registry._latest_verified_round(n) > parked_age
+        ]
+        if older:
+            assert min(parked_idx) > max(older)
+        if younger:
+            assert max(parked_idx) < min(younger)
