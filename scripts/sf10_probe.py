@@ -85,6 +85,8 @@ HEADLINE10 = [
     "dedup_source_containment",
     "events_psi_drift_by_segment",
     "dedup_canonicalization_curve",
+    "events_ks_drift_by_segment",
+    "events_wasserstein_drift_by_segment",
 ]
 
 
