@@ -263,6 +263,26 @@ def run_slice() -> None:
     spark.stop()
 
 
+
+def converged_warm(once) -> None:
+    """The converged-warm absorber protocol (shared by run_retime,
+    scripts/time_one.py, and both scale probes — ONE implementation so
+    the timing discipline the SCALE/BENCH records claim to share cannot
+    silently diverge): run ``once()`` untimed up to 3 times, stopping
+    as soon as the sequence is non-increasing AND within 1.3x of the
+    fastest seen. One absorber is measured insufficient for the deepest
+    C2-recompile humps (r9: threshold_curve timed [31.0, 13.8, 5.1]
+    AFTER a single absorber); flat queries exit after 2."""
+    prev = once()
+    best = prev
+    for _ in range(2):
+        nxt = once()
+        best = min(best, nxt)
+        if nxt <= prev and nxt <= 1.3 * best:
+            break
+        prev = nxt
+
+
 def run_retime() -> None:
     """Child mode: isolated adjudication re-time of named queries in a
     fresh JVM (VERDICT r10 #4). Discipline = the adjudication protocol
@@ -300,14 +320,7 @@ def run_retime() -> None:
             except Exception:
                 pass
             spark.catalog.clearCache()
-        prev = _once(fn)
-        best = prev
-        for _ in range(2):
-            nxt = _once(fn)
-            best = min(best, nxt)
-            if nxt <= prev and nxt <= 1.3 * best:
-                break
-            prev = nxt
+        converged_warm(lambda: _once(fn))
         runs = [round(_once(fn), 3) for _ in range(3)]
         out[name] = {"runs": runs, "median": sorted(runs)[1]}
     print(json.dumps(out))

@@ -206,14 +206,9 @@ def main() -> None:
             gc.collect()
             return el
 
-        prev = once()
-        best = prev
-        for _ in range(2):
-            nxt = once()
-            best = min(best, nxt)
-            if nxt <= prev and nxt <= 1.3 * best:
-                break
-            prev = nxt
+        from bench import converged_warm
+
+        converged_warm(once)
         runs = [round(once(), 2) for _ in range(3)]
         return sorted(runs)[1], round(max(runs) - min(runs), 2)
 

@@ -39,23 +39,17 @@ def main() -> None:
         spark.catalog.clearCache()
         return el
 
-    prev = _once()
-    best = prev
-    for _ in range(2):
-        nxt = _once()
-        best = min(best, nxt)
-        if nxt <= prev and nxt <= 1.3 * best:
-            break
-        prev = nxt
+    bench.converged_warm(_once)
     times = []
     for _ in range(n):
         t0 = time.monotonic()
         _noop(q(spark, sf_dir))
         times.append(round(time.monotonic() - t0, 3))
         spark.catalog.clearCache()
-    times_sorted = sorted(times)
+    import statistics
+
     print(json.dumps({"query": name, "sf_dir": sf_dir, "runs": times,
-                      "median": times_sorted[len(times) // 2]}))
+                      "median": round(statistics.median(times), 3)}))
 
 
 if __name__ == "__main__":

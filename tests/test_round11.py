@@ -951,3 +951,64 @@ def test_rotation_window_invariants():
             assert min(parked_idx) > max(older)
         if younger:
             assert max(parked_idx) < min(younger)
+
+
+def test_ks_by_segment_degenerate_population_refused(spark):
+    """A segment whose rows all share one event_type has an empty
+    'rest' population — the two-sample test is undefined there and the
+    row must be REFUSED (dropped), not emitted as ks=NaN with a
+    spurious drift flag (NaN sorts greatest in Spark)."""
+    import datetime
+
+    from tsod_spark.analytics import stattests
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        # cohort 0: two types (testable); cohort 1: ONLY type 'a'
+        cohort = i % 2
+        et = "a" if cohort == 1 else ("a" if i % 4 == 0 else "b")
+        rows.append((et, cohort, base + datetime.timedelta(minutes=i), float(i % 7)))
+    e = spark.createDataFrame(
+        rows, "event_type string, cohort int, ts timestamp, value double"
+    )
+    out = stattests.ks_drift(e, seg_col="cohort").collect()
+    assert all((r.cohort, r.event_type) != (1, "a") for r in out)
+    got0 = {r.event_type for r in out if r.cohort == 0}
+    assert got0 == {"a", "b"}
+    for r in out:
+        assert r.ks == r.ks  # no NaN escapes
+
+
+def test_keyed_monitor_rejects_mismatched_ref_shape(spark):
+    """A global string-keyed reference passed to a keyed monitor (or
+    vice versa) must raise at construction, not emit nothing forever."""
+    import pytest as _pytest
+
+    from tsod_spark.streaming import (
+        stream_ks_drift,
+        stream_psi_drift,
+        stream_wasserstein_drift,
+    )
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .selectExpr("'a' AS event_type", "CAST(0 AS INT) AS cohort",
+                    "CAST(value AS DOUBLE) AS value")
+    )
+    glob_w1 = {"a": ([100], [1], 1)}
+    seg_w1 = {("a", 0): ([100], [1], 1)}
+    glob_psi = {"a": ([0.5] * 9, [1] * 10, 10)}
+    seg_psi = {("a", 0): ([0.5] * 9, [1] * 10, 10)}
+    for fn, glob, seg in (
+        (stream_wasserstein_drift, glob_w1, seg_w1),
+        (stream_ks_drift, glob_w1, seg_w1),
+        (stream_psi_drift, glob_psi, seg_psi),
+    ):
+        with _pytest.raises(ValueError, match="tuple"):
+            fn(src, glob, seg_col="cohort")
+        with _pytest.raises(ValueError, match="seg_col"):
+            fn(src, seg)
+        # correct shapes construct fine
+        fn(src, seg, seg_col="cohort")
+        fn(src, glob)

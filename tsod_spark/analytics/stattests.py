@@ -124,6 +124,14 @@ def ks_drift(
     crit = F.lit(alpha_coeff) * F.sqrt(
         (F.col("__n1") + n2).cast("double") / (F.col("__n1") * n2).cast("double")
     )
+    # Degenerate population: a (segment,) group that IS its whole
+    # population has an empty "rest" — n2 = 0 makes the ECDF gap 0/0
+    # (NaN) and crit infinite, and Spark's NaN-sorts-greatest would
+    # emit ks = NaN with drift_flag = true (a false alarm). Unreachable
+    # in the global query on real corpora, but the keyed instantiation
+    # makes one-type segments easy — refuse to test, the W1 monitors'
+    # n_ref/n_cur > 0 posture. Both oracles mirror the filter.
+    mx = mx.where(F.col("__nn") > F.col("__n1"))
     return mx.select(
         *keys,
         group_col,

@@ -211,7 +211,7 @@ def dedup_threshold_curve_sampled(spark, sf_dir):
                 AS d
            FROM cum JOIN tot ON tot.cohort = cum.cohort),
     mx AS (SELECT cohort, event_type, n1, nn, max(d) AS ksd
-           FROM dd GROUP BY 1, 2, 3, 4),
+           FROM dd WHERE nn > n1 GROUP BY 1, 2, 3, 4),
     loc AS (SELECT dd.cohort, dd.event_type, min(dd.vc) AS ks_at_cent
             FROM dd JOIN mx ON dd.cohort = mx.cohort
              AND dd.event_type = mx.event_type AND dd.d = mx.ksd

@@ -290,7 +290,8 @@ _TC_CTE = """WITH c AS (SELECT event_type,
               abs(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
                   - CAST(cgc - c1 AS DOUBLE) / CAST(tot.nn - n1 AS DOUBLE)) AS d
            FROM cum CROSS JOIN tot),
-    mx AS (SELECT event_type, n1, nn, max(d) AS ksd FROM dd GROUP BY 1, 2, 3),
+    mx AS (SELECT event_type, n1, nn, max(d) AS ksd FROM dd
+           WHERE nn > n1 GROUP BY 1, 2, 3),
     loc AS (SELECT dd.event_type, min(dd.vc) AS ks_at_cent
             FROM dd JOIN mx ON dd.event_type = mx.event_type AND dd.d = mx.ksd
             GROUP BY 1)

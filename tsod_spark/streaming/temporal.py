@@ -2544,6 +2544,31 @@ def stream_quality_budget(
     )
 
 
+
+def _check_ref_keys(ref_stats, seg_col) -> None:
+    """Fail LOUDLY on a ref_stats/seg_col shape mismatch: with seg_col
+    the keys must be (type, segment) 2-tuples (the
+    ``*_ref_stats(e, seg_col=...)`` shape) — a global string-keyed dict
+    would be silently sliced into garbage keys ((k[0], k[1]) of a
+    STRING is two characters) and the monitor would emit nothing
+    forever while looking healthy. The named-error posture of ADVICE
+    r10 #5."""
+    if not ref_stats:
+        return
+    k0 = next(iter(ref_stats))
+    if seg_col is not None and not (isinstance(k0, tuple) and len(k0) == 2):
+        raise ValueError(
+            f"seg_col={seg_col!r} requires (type, segment)-tuple ref_stats "
+            f"keys (build with *_ref_stats(e, seg_col=...)); got {k0!r}"
+        )
+    if seg_col is None and isinstance(k0, tuple):
+        raise ValueError(
+            "ref_stats has tuple keys (a by-segment reference) but no "
+            "seg_col was given — pass seg_col or rebuild the reference "
+            "without one"
+        )
+
+
 def stream_psi_drift(
     stream_df: DataFrame,
     ref_stats: "dict[str, tuple[list[float], list[int], int]]",
@@ -2598,6 +2623,8 @@ def stream_psi_drift(
         ]
     )
     state_schema = StructType([StructField("counts", ArrayType(LongType()))])
+
+    _check_ref_keys(ref_stats, seg_col)
 
     def _norm(v):
         return (
@@ -2743,6 +2770,8 @@ def stream_wasserstein_drift(
             StructField("counts", ArrayType(LongType())),
         ]
     )
+    _check_ref_keys(ref_stats, seg_col)
+
     def _norm(v):
         return (
             [int(c) for c in v[0]],
@@ -2889,6 +2918,8 @@ def stream_ks_drift(
             StructField("counts", ArrayType(LongType())),
         ]
     )
+
+    _check_ref_keys(ref_stats, seg_col)
 
     def _norm(v):
         return ([int(c) for c in v[0]], [int(c) for c in v[1]], int(v[2]))

@@ -75,7 +75,20 @@ def unpersist_tracked(blocking: bool = False) -> int:
     """Unpersist every still-live tracked cache; returns how many were
     dropped. Harness-grade hygiene (bench.py / registry runner call this
     next to ``spark.catalog.clearCache()``, which drops blocks but
-    cannot drain Python-side registrations)."""
+    cannot drain Python-side registrations).
+
+    Honest limit of the weakref registry (ADVICE r10 #2 trade, noted
+    by the r11 self-review): a frame whose PYTHON wrapper has been
+    garbage-collected — e.g. an operator-internal ``tracked_cache``
+    created outside any scope, after the operator returned — cannot be
+    dropped here; its weakref is dead while the JVM-side blocks remain
+    until ``clearCache()``. This is deliberate: the blocks may still
+    back the operator's RETURNED lazy plan (the cached InMemoryRelation
+    is embedded in it), so an unpersist-on-GC finalizer would rip the
+    shared materialization out from under it. Callers who need exact
+    surgical cleanup use :func:`cache_scope` (STRONG refs — always
+    droppable); callers pairing this with ``clearCache()`` (the
+    harness) are covered either way."""
     with _TRACKED_LOCK:
         refs, _TRACKED_CACHES[:] = _TRACKED_CACHES[:], []
     n = 0
