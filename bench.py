@@ -353,8 +353,12 @@ def _prior_snapshot() -> dict[str, float]:
     path = os.environ.get("SPARK_GRAFT_PRIOR_BENCH")
     if not path:
         here = os.path.dirname(os.path.abspath(__file__))
-        cands = glob.glob(os.path.join(here, "BENCH_local_r*.json"))
-        num = lambda p: int(re.search(r"_r(\d+)", p).group(1))  # noqa: E731
+        cands = [
+            p
+            for p in glob.glob(os.path.join(here, "BENCH_local_r*.json"))
+            if re.search(r"_r(\d+)\.json$", p)
+        ]
+        num = lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1))  # noqa: E731
         path = max(cands, key=num) if cands else None
     if not path or not os.path.isfile(path):
         return {}
@@ -417,6 +421,21 @@ def main():
     adjudications: dict[str, dict] = {}
     prior = _prior_snapshot()
     flagged = _flag_excursions(timings, prior)
+    # VERDICT r11 #4: spread-triggered adjudication — a median3 family
+    # whose in-session spread exceeds 50% of its median (above the same
+    # 1s floor) hasn't converged; its median is not yet a comparable
+    # record, so re-time it isolated too. The trigger is recorded so a
+    # reader can tell the two adjudication causes apart.
+    spread_flagged = [
+        name
+        for name, m in median3.items()
+        if name not in flagged
+        and timings[name] > 1.0
+        and m["spread"] > 0.5 * timings[name]
+    ]
+    triggers = {name: "excursion_vs_prior" for name in flagged}
+    triggers.update({name: "median3_spread" for name in spread_flagged})
+    flagged = flagged + spread_flagged
     if flagged:
         env = dict(os.environ, SPARK_GRAFT_RETIME=",".join(flagged))
         proc = subprocess.run(
@@ -425,16 +444,32 @@ def main():
             capture_output=True,
             text=True,
         )
+        retimed = None
         if proc.returncode == 0:
-            retimed = json.loads(proc.stdout.strip().splitlines()[-1])
+            # The child can exit 0 yet print trailing non-JSON (fresh-JVM
+            # Ivy/log4j noise); a parse failure must not lose the whole
+            # snapshot — fall back to the excursions-kept-as-is path.
+            try:
+                retimed = json.loads(proc.stdout.strip().splitlines()[-1])
+            except (ValueError, IndexError):
+                retimed = None
+        if retimed is not None:
             for name, r in retimed.items():
                 adjudications[name] = {
+                    "trigger": triggers.get(name, "excursion_vs_prior"),
                     "excursion": timings[name],
-                    "prior": prior[name],
+                    "prior": prior.get(name),
+                    "in_session_median3": median3.get(name),
                     "retimed_runs": r["runs"],
                     "retimed_median": r["median"],
                 }
                 timings[name] = r["median"]
+                if name in median3:
+                    median3[name] = {
+                        "runs": r["runs"],
+                        "spread": round(max(r["runs"]) - min(r["runs"]), 3),
+                        "adjudicated": True,
+                    }
         else:
             print(proc.stderr[-2000:], file=sys.stderr)
             print(

@@ -257,7 +257,32 @@ R10_VERIFIED = frozenset({
     "ts_time_weighted_avg", "ts_winsorize", "ts_zscore",
 })
 
+# Fully-green rows from CORRECTNESS_r11.json (driver sf0.01 oracle, 50/50,
+# all hash-checked): the re-verified r6-stale detector tier plus
+# emb_pq_distortion_curve.
+R11_VERIFIED = frozenset({
+    "customer_spend_quartiles", "customers_above_nation_avg",
+    "daily_orders_vs_purchases", "dedup_minhash_pairs_capped",
+    "dedup_simhash_pairs_capped", "doc_string_funcs",
+    "doc_winnow_fingerprints", "emb_array_funcs", "emb_diverse_sample",
+    "emb_label_centroids", "emb_pq_distortion_curve",
+    "events_conditional_aggs", "events_cube", "events_daily_ohlc",
+    "events_date_parts", "events_grouping_sets", "events_latest_by_key",
+    "events_range_join", "events_running_total", "events_salted_join",
+    "events_session_window", "events_unpivot", "events_value_histogram",
+    "nation_revenue_share", "orders_monthly_momentum",
+    "supplier_balance_rank", "top_parts_per_brand", "tpch_q21",
+    "ts_autocorr", "ts_combined", "ts_constant_gradient",
+    "ts_constant_value", "ts_cusum", "ts_diff", "ts_diff_fit",
+    "ts_diff_negative", "ts_diff_positive", "ts_ewma", "ts_gradient",
+    "ts_gradient_fit", "ts_hampel", "ts_iqr", "ts_lag_features",
+    "ts_range", "ts_range_low_only", "ts_range_quantile",
+    "ts_rolling_std", "ts_rolling_std_fit", "users_error_or_signup",
+    "users_purchase_and_error",
+})
+
 _ROUND_SETS = (
+    (11, R11_VERIFIED),
     (10, R10_VERIFIED),
     (9, R9_VERIFIED),
     (8, R8_VERIFIED),
@@ -277,21 +302,29 @@ _ROUND_SETS = (
 # Empty is fine — tier 0 then just falls through to staleness.
 # Refresh this tuple each round alongside the R{N}_VERIFIED set.
 _CURRENT_ROUND_PRIORITY: tuple = (
-    # r11: the window math is tight — the r6-stale tier is 49 queries and
-    # VERDICT_r10 #1's done-criterion ("afterward no query's latest
-    # verdict older than r7") needs ALL of them inside the 50-slot
-    # window, so exactly ONE new registration can join it. That slot
-    # goes to the PQ distortion-vs-m curve (VERDICT #2, the judge's
-    # named second priority). Other r11 registrations are parked at age
-    # 6.5 — after the r6 tier, before the r7 tier — and become tier 0
-    # in the r12 rotation (they are locally oracle-verified at sf0.01
-    # via scripts/parity_check.py in the meantime).
-    "emb_pq_distortion_curve",
+    # r12 (VERDICT_r11 #1): the 7 r11 registrations that never received
+    # a driver verdict (the r11 window absorbed the 49-query r6-stale
+    # tier + emb_pq_distortion_curve, so these were parked; all 7 pass
+    # the local value-exact parity run). They take the window's first 7
+    # slots; the remaining 43 go to the 46-query r7-stale tier in
+    # registration order, spilling exactly 3 names to r13 — the tier's
+    # registration-order tail: ts_hw_anomaly, ts_peaks,
+    # orders_km_segment_summary. Those 3 must head the r13 priority
+    # tuple.
+    "dedup_threshold_curve_sampled",
+    "events_ks_drift_by_segment",
+    "events_wasserstein_drift_by_segment",
+    "dedup_exact_cross_source",
+    "dedup_source_containment",
+    "events_psi_drift_by_segment",
+    "dedup_canonicalization_curve",
 )
 
-# r11 registrations other than the priority one: parked between the r6
-# and r7 tiers (see _CURRENT_ROUND_PRIORITY note).
-_PARKED_AGE = 6.5
+# New r12 registrations: parked BEHIND the r7-stale tier (age 7.5) so
+# they cannot steal window slots from VERDICT_r11 #1's schedule; they
+# are verified locally via scripts/parity_check.py and become priority
+# names in r13 (after the 3 named spills).
+_PARKED_AGE = 7.5
 
 
 def _latest_verified_round(n: str) -> int:

@@ -2555,18 +2555,25 @@ def _check_ref_keys(ref_stats, seg_col) -> None:
     r10 #5."""
     if not ref_stats:
         return
-    k0 = next(iter(ref_stats))
-    if seg_col is not None and not (isinstance(k0, tuple) and len(k0) == 2):
-        raise ValueError(
-            f"seg_col={seg_col!r} requires (type, segment)-tuple ref_stats "
-            f"keys (build with *_ref_stats(e, seg_col=...)); got {k0!r}"
-        )
-    if seg_col is None and isinstance(k0, tuple):
-        raise ValueError(
-            "ref_stats has tuple keys (a by-segment reference) but no "
-            "seg_col was given — pass seg_col or rebuild the reference "
-            "without one"
-        )
+    # Validate EVERY key, not just the first (ADVICE r11 #3): a dict
+    # with mixed string/tuple keys would pass a first-key check and the
+    # mismatched entries would be silently normalized into
+    # never-matching lookup keys.
+    for k in ref_stats:
+        if seg_col is not None and not (
+            isinstance(k, tuple) and len(k) == 2
+        ):
+            raise ValueError(
+                f"seg_col={seg_col!r} requires (type, segment)-tuple "
+                f"ref_stats keys (build with *_ref_stats(e, "
+                f"seg_col=...)); got {k!r}"
+            )
+        if seg_col is None and isinstance(k, tuple):
+            raise ValueError(
+                f"ref_stats has tuple key {k!r} (a by-segment "
+                "reference) but no seg_col was given — pass seg_col or "
+                "rebuild the reference without one"
+            )
 
 
 def stream_psi_drift(
