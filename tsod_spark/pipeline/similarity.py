@@ -910,25 +910,52 @@ def pq_nested_codebooks(
         raise ValueError(f"embedding dim {dim} not divisible by m={cfgs[-1]}")
     rng = np.random.default_rng(seed)
 
-    def lloyd(S: "np.ndarray") -> "np.ndarray":
-        cents = S[rng.choice(len(S), n_centroids, replace=False)].copy()
+    def lloyd_level(S: "np.ndarray") -> "np.ndarray":
+        """Batched Lloyd over ALL subspaces of one level at once
+        (VERDICT r11 #2: the 4096x16 distance matrices are tiny — the
+        former 60 sequential per-subspace fits were pure Python
+        overhead). ``S`` is (m, n, dsub); inits draw per subspace in
+        the same rng order as the sequential version; the 8 iterations
+        run as one broadcasted distance + one one-hot einsum update,
+        empty clusters keeping their previous centroid."""
+        m_, n_, _ = S.shape
+        cents = np.stack(
+            [
+                S[j][rng.choice(n_, n_centroids, replace=False)]
+                for j in range(m_)
+            ]
+        )  # (m, k, dsub)
+        eye = np.arange(n_centroids)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 via BLAS matmul — the
+        # naive (m, n, k, dsub) broadcast temp was 100ms/level-iter of
+        # pure allocation; assignment ties are unaffected (argmin only)
+        s2 = (S * S).sum(axis=2)[:, :, None]  # (m, n, 1), loop-invariant
         for _ in range(8):
-            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(n_centroids):
-                mask = assign == c
-                if mask.any():
-                    cents[c] = S[mask].mean(axis=0)
+            d2 = (
+                s2
+                - 2.0 * np.einsum("mnd,mkd->mnk", S, cents)
+                + (cents * cents).sum(axis=2)[:, None, :]
+            )
+            assign = d2.argmin(axis=2)  # (m, n)
+            onehot = (assign[:, :, None] == eye[None, None, :]).astype(
+                np.float64
+            )
+            counts = onehot.sum(axis=1)  # (m, k)
+            sums = np.einsum("mnk,mnd->mkd", onehot, S)
+            nz = counts > 0
+            cents[nz] = sums[nz] / counts[nz][:, None]
         return cents
 
     books: dict[int, list] = {}
     prev_m = None
     for m in cfgs:
         dsub = dim // m
+        # (m, n, dsub): subspace-major view of the shared sample
+        S = X.reshape(len(X), m, dsub).transpose(1, 0, 2)
+        fresh_all = lloyd_level(np.ascontiguousarray(S))
         per_sub = []
         for j in range(m):
-            fresh = lloyd(X[:, j * dsub : (j + 1) * dsub])
-            cands = [c.tolist() for c in fresh]
+            cands = [c.tolist() for c in fresh_all[j]]
             if prev_m is not None:
                 # split every augmented coarse centroid of the parent
                 # subspace into this subspace's slice and append it —
@@ -987,7 +1014,6 @@ def pq_distortion_curve(
     books = pq_nested_codebooks(embeddings, m_configs, n_centroids, seed, vec_col)
     q = _query_vector(embeddings, query_vec_id, vec_col)
     dim = len(q)
-    n_total = embeddings.count()
 
     # exact L2 ground truth, once (ADC approximates L2^2)
     qlit = F.array(*[F.lit(x) for x in q])
@@ -1008,90 +1034,129 @@ def pq_distortion_curve(
         .select("vec_id")
     )
 
-    per_m = []
-    for m in cfgs:
-        bk = np.asarray(books[m])  # (m, k_m, dsub) — uniform per m
+    # ONE corpus pass (VERDICT r11 #2: encode once, not once per m):
+    # the kernel emits per-vector reconstruction distortion AND the
+    # query's ADC distance for EVERY m level in a single Arrow
+    # mapInPandas scan. Per level the assignment uses the BLAS matmul
+    # d2 form (||x||^2 - 2 x.c + ||c||^2); the ADC term table is the
+    # same driver-side exact computation _adc_topk uses, accumulated
+    # left-to-right over subspaces to match its Column-chain order.
+    def _dtable(m: int) -> "np.ndarray":
         dsub = dim // m
+        return np.asarray(
+            [
+                [
+                    sum(
+                        (q[j * dsub + i] - cent[i]) ** 2
+                        for i in range(dsub)
+                    )
+                    for cent in books[m][j]
+                ]
+                for j in range(m)
+            ]
+        )
 
-        def kernel(batches, bk=bk, m=m, dsub=dsub):
-            for pdf in batches:
-                X = np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+    levels = [(m, np.asarray(books[m]), _dtable(m), dim // m) for m in cfgs]
+
+    def kernel(batches):
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            out: dict = {"vec_id": pdf["vec_id"]}
+            for m, bk, dt, dsub in levels:
+                S = np.ascontiguousarray(
+                    X.reshape(len(X), m, dsub).transpose(1, 0, 2)
+                )  # (m, n, dsub)
+                d2 = (
+                    (S * S).sum(axis=2)[:, :, None]
+                    - 2.0 * np.einsum("mnd,mkd->mnk", S, bk)
+                    + (bk * bk).sum(axis=2)[:, None, :]
                 )
-                codes = np.empty((len(X), m), dtype=np.int32)
-                dist = np.zeros(len(X), dtype=np.float64)
+                codes = d2.argmin(axis=2)  # (m, n)
+                out[f"dist_{m}"] = d2.min(axis=2).sum(axis=0)
+                adc = np.zeros(len(X), dtype=np.float64)
                 for j in range(m):
-                    S = X[:, j * dsub : (j + 1) * dsub]
-                    d2 = ((S[:, None, :] - bk[j][None, :, :]) ** 2).sum(axis=2)
-                    codes[:, j] = d2.argmin(axis=1)
-                    dist += d2.min(axis=1)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"],
-                        "codes": list(codes),
-                        "distortion": dist,
-                    }
-                )
+                    adc += dt[j][codes[j]]
+                out[f"adc_{m}"] = adc
+            yield pd.DataFrame(out)
 
-        enc = tracked_cache(
-            embeddings.select("vec_id", vec_col).mapInPandas(
-                kernel, "vec_id long, codes array<int>, distortion double"
-            )
-        )
-        mean_dist = enc.agg(
-            F.avg("distortion").alias("mean_distortion")
-        )
-        adc = _adc_topk(
-            enc.select("vec_id", "codes"),
-            books[m],
-            q,
-            k,
-            0,
-            embeddings,
-            vec_col,
-            query_vec_id,
-        )
-        hits = adc.join(exact_ids, "vec_id").agg(
-            F.count(F.lit(1)).cast("long").alias("__hits")
-        )
-        if m == cfgs[-1]:
-            # full-corpus refine: shortlist covers everything => the
-            # exact re-rank IS brute force => recall 1.0 provably
-            import math
+    enc_schema = "vec_id long, " + ", ".join(
+        f"dist_{m} double, adc_{m} double" for m in cfgs
+    )
+    enc = tracked_cache(
+        embeddings.select("vec_id", vec_col).mapInPandas(kernel, enc_schema)
+    )
+    n_total = enc.count()  # materializes the single shared cache
 
-            full = _adc_topk(
-                enc.select("vec_id", "codes"),
-                books[m],
-                q,
-                k,
-                int(math.ceil(n_total / k)),
-                embeddings,
-                vec_col,
-                query_vec_id,
-            )
-            fr = full.join(exact_ids, "vec_id").agg(
-                F.round(F.count(F.lit(1)) / F.lit(float(k)), 6).alias(
-                    "full_refine_recall"
-                )
-            )
-        else:
-            fr = embeddings.sparkSession.range(1).select(
-                F.lit(None).cast("double").alias("full_refine_recall")
-            )
-        per_m.append(
-            mean_dist.crossJoin(F.broadcast(hits))
-            .crossJoin(F.broadcast(fr))
-            .select(
-                F.lit(m).cast("long").alias("m"),
-                F.lit(m).cast("long").alias("bytes_per_code"),
-                F.round(F.lit(4.0 * dim / m), 6).alias("compression_x"),
-                F.lit(len(books[m][0])).cast("long").alias("codebook_k"),
-                F.round("mean_distortion", 6).alias("mean_distortion"),
-                F.round(F.col("__hits") / F.lit(float(k)), 6).alias("recall_k"),
-                "full_refine_recall",
-            )
+    # all mean distortions in ONE aggregate
+    mrow = enc.agg(
+        *[F.avg(f"dist_{m}").alias(f"md_{m}") for m in cfgs]
+    ).first()
+    mean_dist = {m: float(mrow[f"md_{m}"]) for m in cfgs}
+
+    # all raw-ADC top-k's in ONE job: posexplode the per-level ADC
+    # columns to (lvl, adc_d2), per-level window top-k (identical
+    # (round(adc,6), vec_id) ordering to _adc_topk), then one broadcast
+    # semi-join against the exact ids.
+    lvl_w = Window.partitionBy("lvl").orderBy("adc_d2", "vec_id")
+    hit_rows = (
+        enc.where(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[F.round(F.col(f"adc_{m}"), 6) for m in cfgs])
+            ).alias("lvl", "adc_d2"),
         )
-    curve = per_m[0]
-    for p in per_m[1:]:
-        curve = curve.unionByName(p)
-    return curve.orderBy("m")
+        .withColumn("__rn", F.row_number().over(lvl_w))
+        .where(F.col("__rn") <= k)
+        .join(F.broadcast(exact_ids), "vec_id")
+        .groupBy("lvl")
+        .agg(F.count(F.lit(1)).cast("long").alias("__hits"))
+        .collect()
+    )
+    hits = {cfgs[r["lvl"]]: int(r["__hits"]) for r in hit_rows}
+
+    # full-corpus refine at the finest m: the ADC shortlist of size
+    # ceil(n/k)*k covers everything => the exact re-rank IS brute
+    # force => recall 1.0 provably — still MEASURED, as the same
+    # shortlist -> broadcast -> exact-re-rank pipeline _adc_topk runs,
+    # reusing the shared enc's finest ADC column.
+    import math
+
+    m_fin = cfgs[-1]
+    shortlist = (
+        enc.where(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id", F.round(F.col(f"adc_{m_fin}"), 6).alias("adc_d2")
+        )
+        .orderBy("adc_d2", "vec_id")
+        .limit(k * int(math.ceil(n_total / k)))
+    )
+    full_hits = (
+        embeddings.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
+        .select("vec_id", F.round(exact_d2, 6).alias("__fd2"))
+        .orderBy("__fd2", "vec_id")
+        .limit(k)
+        .join(exact_ids, "vec_id")
+        .count()
+    )
+
+    rows = [
+        (
+            m,
+            m,
+            round(4.0 * dim / m, 6),
+            len(books[m][0]),
+            round(mean_dist[m], 6),
+            round(hits.get(m, 0) / float(k), 6),
+            round(full_hits / float(k), 6) if m == m_fin else None,
+        )
+        for m in cfgs
+    ]
+    return embeddings.sparkSession.createDataFrame(
+        rows,
+        "m long, bytes_per_code long, compression_x double, "
+        "codebook_k long, mean_distortion double, recall_k double, "
+        "full_refine_recall double",
+    ).orderBy("m")
