@@ -207,7 +207,9 @@ def run_slice() -> None:
             "dedup_containment_incremental "
             # r11: the sampled curve shares the pair-pass shape; the
             # PQ curve is 4 MLlib KMeans fits (iterative, GC-prone)
-            "dedup_threshold_curve_sampled emb_pq_distortion_curve",
+            "dedup_threshold_curve_sampled emb_pq_distortion_curve "
+            # r12: the fused governance rollup subsumes the CC family
+            "dedup_governance_pipeline",
         ).split()
     )
 

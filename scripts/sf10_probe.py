@@ -87,6 +87,9 @@ HEADLINE10 = [
     "dedup_canonicalization_curve",
     "events_ks_drift_by_segment",
     "events_wasserstein_drift_by_segment",
+    # r12: the fused governance rollup (one text scan; pair join shared
+    # by the CC and containment branches)
+    "dedup_governance_pipeline",
 ]
 
 

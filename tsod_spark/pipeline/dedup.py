@@ -2560,3 +2560,242 @@ def canonicalization_curve(
         )
         .orderBy("tier_rank")
     )
+
+
+def governance_pipeline(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 8,
+    bands: int = 4,
+    max_iter: int = 20,
+) -> DataFrame:
+    """FUSED dedup-governance rollup (VERDICT r11 #6): the single
+    per-source artifact an operator reads before committing a 100 TB
+    dedup, today assembled from five separate queries
+    (canonicalization tiers, exact cross-source matrix, MinHash CC
+    groups, canonical selection, rates + directional containment).
+    One row per source:
+
+    - ``n_docs``;
+    - ``n_dup_docs_raw`` / ``n_dup_docs_canonical``: docs whose
+      content hash occurs >= 2 corpus-wide at the byte tier
+      (``md5(text)``) and the canonical tier (sorted distinct
+      lowercase token set). raw <= canonical is PROVABLE (byte-equal
+      texts have equal token sets) — the canonicalization-curve
+      monotonicity specialized to the two tiers a governance decision
+      actually reads;
+    - ``cross_dup_pairs``: closed-form int64 count of this source's
+      canonical-identical pairs with OTHER sources (n_a*n_b per
+      shared hash — count, don't enumerate);
+    - ``n_near_dup`` / ``near_dup_rate``: docs in a MinHash-LSH
+      connected component of size >= 2 (shared CC engine);
+    - ``n_canonical`` / ``n_dropped`` / ``drop_rate``: keep-best
+      selection (longest text, ties to lowest doc_id) within each
+      component — what a commit of this dedup would actually delete;
+    - ``max_containment`` / ``top_partner``: the strongest DIRECTED
+      near-dup containment of this source in any other (mirror
+      detection; ties to the lexicographically smallest partner).
+
+    Scale shape — the reason to fuse rather than join five queries:
+    the corpus TEXT is scanned ONCE. A single projection computes
+    both content hashes, the text length, and the token array;
+    the shingle explode feeds the signature aggregate whose groupBy
+    keys carry the four slim per-doc scalars through (map-side
+    combine collapses to one row per doc per task), and the cached
+    result — doc_id, source, 2 hashes, length, k sig components;
+    ~100 bytes/doc, the same budget the sig cache alone costs —
+    feeds every downstream stage: band pairs (cached once, used by
+    BOTH the CC grouping and the containment counts — the naive
+    assembly computes them twice), per-(tier, hash) counts, canonical
+    selection, and the per-source joins (all |sources|-bounded,
+    broadcast). Nothing downstream of the first aggregate ever
+    touches text or tokens again.
+    """
+    txt = F.col(text_col)
+    n_part = default_parallelism(docs.sparkSession)
+    spread = docs.repartition(n_part, F.col("doc_id"))
+    tok = spread.select(
+        "doc_id",
+        F.col(source_col).alias("source"),
+        F.md5(txt).alias("__rh"),
+        F.md5(F.array_join(F.array_sort(distinct_tokens(txt)), " ")).alias(
+            "__ch"
+        ),
+        F.length(txt).cast("long").alias("__len"),
+        tokens(txt).alias("__t"),
+    )
+    exploded = tok.select(
+        "doc_id",
+        "source",
+        "__rh",
+        "__ch",
+        "__len",
+        F.explode_outer(shingles(F.col("__t"), 3)).alias("sh"),
+    )
+    slim = tracked_cache(
+        exploded.groupBy("doc_id", "source", "__rh", "__ch", "__len").agg(
+            *[F.min(_component(i, F.col("sh"))).alias(f"mh{i}") for i in range(k)]
+        )
+    )
+
+    # candidate pairs ONCE (cached): CC grouping + containment share it
+    pairs = tracked_cache(_minhash_candidate_pairs(slim, k, bands))
+    groups = pair_graph_groups(
+        pairs, "doc_a", "doc_b", slim.select("doc_id"), "doc_id", max_iter
+    )
+
+    # CC + canonical-selection rollup: one window, one groupBy(source)
+    w = Window.partitionBy("group_id").orderBy(F.desc("__len"), "doc_id")
+    lab = (
+        groups.join(slim.select("doc_id", "source", "__len"), "doc_id")
+        .withColumn("__rk", F.row_number().over(w))
+    )
+    n = F.count(F.lit(1)).cast("long")
+    nd = F.sum((F.col("group_size") > 1).cast("int")).cast("long")
+    nc = F.sum((F.col("__rk") == 1).cast("int")).cast("long")
+    cc = lab.groupBy("source").agg(
+        n.alias("n_docs"),
+        nd.alias("n_near_dup"),
+        nc.alias("n_canonical"),
+    )
+
+    # both exact tiers in one (tier, hash, source) aggregate
+    tiers = slim.select(
+        "source",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("raw").alias("tier"), F.col("__rh").alias("h")
+                ),
+                F.struct(
+                    F.lit("canonical").alias("tier"), F.col("__ch").alias("h")
+                ),
+            )
+        ).alias("t"),
+    ).select("source", "t.tier", "t.h")
+    per = tiers.groupBy("tier", "h", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    per_n = per.withColumn(
+        "__nt", F.sum("__n").over(Window.partitionBy("tier", "h"))
+    )
+    tier_stats = per_n.groupBy("source").agg(
+        F.sum(
+            F.when((F.col("tier") == "raw") & (F.col("__nt") >= 2), F.col("__n"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_dup_docs_raw"),
+        F.sum(
+            F.when(
+                (F.col("tier") == "canonical") & (F.col("__nt") >= 2),
+                F.col("__n"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_dup_docs_canonical"),
+    )
+
+    # cross-source exact pairs (canonical tier), closed-form int64
+    per_c = per.where(F.col("tier") == "canonical")
+    cross = (
+        per_c.select("h", "source", F.col("__n").alias("__na"))
+        .join(
+            per_c.select(
+                "h", F.col("source").alias("__sb"), F.col("__n").alias("__nb")
+            ),
+            "h",
+        )
+        .where(F.col("source") != F.col("__sb"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("__na") * F.col("__nb"))
+            .cast("long")
+            .alias("cross_dup_pairs")
+        )
+    )
+
+    # directional containment from the SAME cached pairs
+    src = slim.select("doc_id", "source")
+    plab = pairs.join(
+        src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("__sa")),
+        "doc_a",
+    ).join(
+        src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("__sb")),
+        "doc_b",
+    )
+    directed = plab.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc"),
+                    F.col("__sa").alias("source_a"),
+                    F.col("__sb").alias("source_b"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc"),
+                    F.col("__sb").alias("source_a"),
+                    F.col("__sa").alias("source_b"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.doc", "e.source_a", "e.source_b")
+    contained = (
+        directed.where(F.col("source_a") != F.col("source_b"))
+        .distinct()
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__dc"))
+    )
+    totals = slim.groupBy(F.col("source").alias("source_a")).agg(
+        F.count(F.lit(1)).cast("long").alias("__dt")
+    )
+    bw = Window.partitionBy("source_a").orderBy(
+        F.desc("containment"), "source_b"
+    )
+    best = (
+        contained.join(F.broadcast(totals), "source_a")
+        .withColumn(
+            "containment",
+            F.round(F.col("__dc").cast("double") / F.col("__dt"), 6),
+        )
+        .withColumn("__bk", F.row_number().over(bw))
+        .where(F.col("__bk") == 1)
+        .select(
+            F.col("source_a").alias("source"),
+            F.col("containment").alias("max_containment"),
+            F.col("source_b").alias("top_partner"),
+        )
+    )
+
+    zero = F.lit(0).cast("long")
+    return (
+        cc.join(tier_stats, "source", "left")
+        .join(cross, "source", "left")
+        .join(best, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_dup_docs_raw", zero).alias("n_dup_docs_raw"),
+            F.coalesce("n_dup_docs_canonical", zero).alias(
+                "n_dup_docs_canonical"
+            ),
+            F.coalesce("cross_dup_pairs", zero).alias("cross_dup_pairs"),
+            "n_near_dup",
+            F.round(F.col("n_near_dup") / F.col("n_docs"), 6).alias(
+                "near_dup_rate"
+            ),
+            "n_canonical",
+            (F.col("n_docs") - F.col("n_canonical")).cast("long").alias(
+                "n_dropped"
+            ),
+            F.round(
+                (F.col("n_docs") - F.col("n_canonical")) / F.col("n_docs"), 6
+            ).alias("drop_rate"),
+            F.coalesce("max_containment", F.lit(0.0)).alias(
+                "max_containment"
+            ),
+            "top_partner",
+        )
+        .orderBy("source")
+    )
