@@ -285,6 +285,36 @@ def converged_warm(once) -> None:
         prev = nxt
 
 
+def steady_median3(once, spread_frac: float = 0.2, max_runs: int = 9):
+    """Steady-state median-of-3 (shared by the scale probes): after the
+    converged-warm absorbers, keep timing until the LAST 3 consecutive
+    runs have spread <= ``spread_frac`` of their median (the SCALE-row
+    hygiene bar), up to ``max_runs``. Returns (median, spread,
+    all_runs) for the qualifying window — or, if no window qualifies,
+    for the tightest consecutive triple — with EVERY run kept in
+    ``all_runs`` so the record hides nothing. This is JMH-style
+    steady-state detection: the C2-recompile mode on the heaviest sf10
+    queries can span more runs than a fixed median-of-3 absorbs
+    (measured r12: dedup_threshold_curve spreads 31-34% of median
+    across two fixed-protocol sessions, humps always in the EARLY
+    runs)."""
+    converged_warm(once)
+    runs = [round(once(), 2) for _ in range(3)]
+    while True:
+        w = sorted(runs[-3:])
+        if w[1] <= 0 or (w[2] - w[0]) <= spread_frac * w[1]:
+            return w[1], round(w[2] - w[0], 2), runs
+        if len(runs) >= max_runs:
+            break
+        runs.append(round(once(), 2))
+    i0 = min(
+        range(len(runs) - 2),
+        key=lambda i: sorted(runs[i : i + 3])[2] - sorted(runs[i : i + 3])[0],
+    )
+    w = sorted(runs[i0 : i0 + 3])
+    return w[1], round(w[2] - w[0], 2), runs
+
+
 def run_retime() -> None:
     """Child mode: isolated adjudication re-time of named queries in a
     fresh JVM (VERDICT r10 #4). Discipline = the adjudication protocol

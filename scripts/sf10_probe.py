@@ -196,11 +196,13 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     def run3(fn, sf_dir):
-        # Converged-warm absorbers first (bench.py discipline): the C2
-        # recompile race can span runs, so an unabsorbed median-of-3
-        # can carry a 50s hump in its spread (observed r11 on
-        # dedup_ppjoin_pairs at sf1). Up to 3 untimed runs, stopping
-        # once non-increasing and within 1.3x of the best seen.
+        # Converged-warm absorbers + steady-state median-of-3 (shared
+        # bench.py discipline): the C2 recompile race can span more
+        # runs than a fixed triple absorbs on the heaviest queries
+        # (measured r12: dedup_threshold_curve 31-34% spreads under the
+        # fixed protocol), so keep timing until the last 3 consecutive
+        # runs meet the <=20%-of-median hygiene bar (max 9); all runs
+        # land in the JSON.
         def once():
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -209,11 +211,9 @@ def main() -> None:
             gc.collect()
             return el
 
-        from bench import converged_warm
+        from bench import steady_median3
 
-        converged_warm(once)
-        runs = [round(once(), 2) for _ in range(3)]
-        return sorted(runs)[1], round(max(runs) - min(runs), 2)
+        return steady_median3(once)
 
     results: dict = {}
     out_path = os.path.join(REPO, "SCALE_sf10.json")
@@ -226,11 +226,17 @@ def main() -> None:
         fn = qmap[name]
         t: dict = {}
         spread: dict = {}
+        all_runs: dict = {}
         for label, sf_dir in (("sf1", SRC), ("sf10", DST)):
-            med, spr = run3(fn, sf_dir)
-            t[label], spread[label] = med, spr
+            med, spr, runs = run3(fn, sf_dir)
+            t[label], spread[label], all_runs[label] = med, spr, runs
         ratio = round(t["sf10"] / t["sf1"], 2) if t["sf1"] else None
-        results[name] = {**t, "ratio": ratio, "spread": spread}
+        results[name] = {
+            **t,
+            "ratio": ratio,
+            "spread": spread,
+            "runs": all_runs,
+        }
         print(f"{name}: sf1 {t['sf1']}s sf10 {t['sf10']}s ratio {ratio}", flush=True)
     payload = json.dumps({"multiplier": MULT, "queries": results}, indent=1)
     with open(out_path, "w") as fh:

@@ -319,8 +319,9 @@ def main() -> None:
     # a probe that exists to measure SCALING cannot ride on one noisy
     # sample per decade.
     def run3(fn, sf_dir) -> tuple[float, float]:
-        # Converged-warm absorbers first (bench.py discipline; see
-        # sf10_probe.run3): the C2 recompile race can span runs.
+        # Converged-warm absorbers + steady-state median-of-3 (shared
+        # bench.py discipline; see sf10_probe.run3): the C2 recompile
+        # race can span more runs than a fixed triple absorbs.
         def once() -> float:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -329,11 +330,10 @@ def main() -> None:
             gc.collect()
             return el
 
-        from bench import converged_warm
+        from bench import steady_median3
 
-        converged_warm(once)
-        runs = [round(once(), 2) for _ in range(3)]
-        return sorted(runs)[1], round(max(runs) - min(runs), 2)
+        med, spr, _runs = steady_median3(once)
+        return med, spr
 
     results: dict[str, dict[str, float | None]] = {}
     out_path = os.path.join(REPO, "SCALE_sf1.json")

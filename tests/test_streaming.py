@@ -1936,3 +1936,105 @@ def test_stream_conformal_by_segment_matches_batch(spark, events_batches):
         assert s.n_test == b.n_test, k
         assert s.n_flagged == b.n_flagged, k
         assert s.coverage == b.coverage, k
+
+
+def test_stream_conformal_curve_matches_batch(spark, events_batches):
+    """VERDICT r11 #7: the alpha-grid streaming conformal twin equals
+    the batch conformal_curve over CLOSED hourly buckets, per
+    (user, alpha) cell and field-exact — residual multisets are exact
+    int64 cents, the per-alpha quantile is an exact order statistic
+    (value tie-order independent), coverage rounds through py_round6.
+    Cells refused on one side (rank > n_cal) must be absent on BOTH;
+    the alpha=20 cells must also reproduce stream_conformal_snaive's
+    single-alpha fields exactly (the generalized rank reduces to it)."""
+    from tsod_spark.queries.round9 import conformal_curve
+    from tsod_spark.streaming import stream_conformal_curve
+
+    tmp, schema = events_batches
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    out = stream_conformal_curve(src, series=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_conf_curve")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got: dict = {}
+    for r in spark.sql("SELECT * FROM t_conf_curve").collect():
+        k = (r.user_id, r.alpha_pct)
+        if k not in got or (r.n_cal + r.n_test) > (
+            got[k].n_cal + got[k].n_test
+        ):
+            got[k] = r
+
+    from pyspark.sql import Window as W6
+
+    e = registry.table(spark, SF, "events")
+    closed = (
+        e.withColumn("__hb", F.expr("unix_micros(ts) div 3600000000"))
+        .withColumn(
+            "__mx",
+            F.max(
+                F.when(
+                    ~F.isnan("value") & F.col("value").isNotNull(),
+                    F.col("__hb"),
+                )
+            ).over(W6.partitionBy("user_id")),
+        )
+        .where(F.col("__hb") < F.col("__mx"))
+        .drop("__hb", "__mx")
+    )
+    batch = {
+        (r.user_id, r.alpha_pct): r for r in conformal_curve(closed).collect()
+    }
+    assert set(got) == set(batch)
+    assert len(got) > 0
+    assert len({a for (_, a) in got}) > 1  # more than one certified alpha
+    for k, b in batch.items():
+        s = got[k]
+        assert s.n_cal == b.n_cal, k
+        assert s.qhat_cents == b.qhat_cents, k
+        assert s.n_test == b.n_test, k
+        assert s.n_flagged == b.n_flagged, k
+        assert s.coverage == b.coverage, k
+
+    # alpha=20 reduction: identical to the single-alpha streaming kernel
+    from tsod_spark.streaming import stream_conformal_snaive
+
+    src2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/batch_*")
+    )
+    q2 = (
+        stream_conformal_snaive(src2, series=["user_id"])
+        .writeStream.format("memory")
+        .queryName("t_conf_single")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    single: dict = {}
+    for r in spark.sql("SELECT * FROM t_conf_single").collect():
+        if r.user_id not in single or (r.n_cal + r.n_test) > (
+            single[r.user_id].n_cal + single[r.user_id].n_test
+        ):
+            single[r.user_id] = r
+    curve20 = {u: r for (u, a), r in got.items() if a == 20}
+    assert set(curve20) == set(single)
+    for u, sr in single.items():
+        cr = curve20[u]
+        assert (cr.n_cal, cr.qhat_cents, cr.n_test, cr.n_flagged, cr.coverage) == (
+            sr.n_cal,
+            sr.qhat_cents,
+            sr.n_test,
+            sr.n_flagged,
+            sr.coverage,
+        ), u

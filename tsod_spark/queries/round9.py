@@ -399,9 +399,17 @@ def ts_conformal_curve(spark, sf_dir):
     (round8.snaive_residuals — same stage conformal_snaive splits), a
     5x grid join against the ranked calibration frame (bounded by
     residual rows), one test-side aggregate per (series, alpha)."""
+    return conformal_curve(table(spark, sf_dir, "events"))
+
+
+def conformal_curve(e):
+    """Batch conformal calibration curve over an events frame — the
+    body of ts_conformal_curve, exposed so the streaming twin's
+    batch-equivalence test (tests/test_streaming.py) can run it on a
+    closed-bucket subset."""
     from .round8 import snaive_residuals
 
-    r = snaive_residuals(table(spark, sf_dir, "events"))
+    r = snaive_residuals(e)
     cal = r.where(F.col("__hb") % 5 != 0)
     wn = Window.partitionBy("user_id")
     wr = Window.partitionBy("user_id").orderBy("__resid", "__hb")

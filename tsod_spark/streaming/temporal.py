@@ -2277,6 +2277,167 @@ def stream_conformal_by_segment(
     )
 
 
+def stream_conformal_curve(
+    stream_df: DataFrame,
+    series: Sequence[str] = ("user_id",),
+    alphas: Sequence[int] = (10, 20, 30, 40, 50),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming conformal CALIBRATION CURVE — the continuous twin of
+    the batch ``ts_conformal_curve`` query (VERDICT r11 #7): per
+    micro-batch that closes at least one hourly bucket, one row per
+    (series, alpha_pct) with the exact per-alpha conformal quantile
+    (rank ``((n_cal+1)(100-a)+99) div 100`` as an int64 order
+    statistic), held-out flag count, and empirical coverage.
+
+    This is the alpha-GRID instantiation of
+    :func:`stream_conformal_snaive`'s kernel — the state is the SAME
+    calendar-hour-bounded residual multiset (open bucket, 24-hour
+    recent ring, calibration + test residual lists); only the
+    emission-time rank read gains a grid loop, so the marginal cost
+    over the single-alpha monitor is |alphas| sorted-list lookups per
+    emission, zero extra state. A (series, alpha) cell whose rank
+    exceeds ``n_cal`` emits NOTHING — the same refuse-to-certify
+    contract as batch (alpha=0.1 needs n_cal >= 9; tighter alphas
+    certify earlier). At alpha=0.2 every field reproduces
+    stream_conformal_snaive exactly.
+
+    Batch equivalence across micro-batch boundaries is field-exact
+    (tests/test_streaming.py): residuals are exact int64 cents, the
+    quantile VALUE is tie-order independent, coverage rounds through
+    py_round6 (the F.round twin).
+    """
+    import math  # noqa: PLC0415
+
+    series = list(series)
+    alphas = [int(a) for a in alphas]
+    if any(not 0 < a < 100 for a in alphas):
+        raise ValueError(f"alphas must be integer percents in (0, 100): {alphas}")
+    key_fields = [stream_df.schema[c] for c in series]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("alpha_pct", LongType()),
+            StructField("n_cal", LongType()),
+            StructField("qhat_cents", LongType()),
+            StructField("n_test", LongType()),
+            StructField("n_flagged", LongType()),
+            StructField("coverage", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("pend_hb", LongType()),
+            StructField("pend_sum", LongType()),
+            StructField("rhbs", ArrayType(LongType())),
+            StructField("rxs", ArrayType(LongType())),
+            StructField("cal", ArrayType(LongType())),
+            StructField("test", ArrayType(LongType())),
+        ]
+    )
+
+    def process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        new = new.sort_values([ts_col], kind="mergesort")
+        if state.exists:
+            pend_hb, pend_sum, rhbs, rxs, cal, test = state.get
+            recent = dict(zip([int(h) for h in rhbs], [int(x) for x in rxs]))
+            cal = [int(v) for v in cal]
+            test = [int(v) for v in test]
+        else:
+            pend_hb, pend_sum = None, 0
+            recent = {}
+            cal, test = [], []
+
+        closed_any = False
+
+        def close(hb0: int, x0: int) -> None:
+            nonlocal closed_any
+            closed_any = True
+            prev = recent.get(hb0 - 24)
+            if prev is not None:
+                resid = abs(x0 - prev)
+                (test if hb0 % 5 == 0 else cal).append(resid)
+            recent[hb0] = x0
+            for k2 in [k3 for k3 in recent if k3 < hb0 - 23]:
+                del recent[k2]
+
+        new_ts = pd.to_datetime(new[ts_col]).astype("int64") // 1000
+        vals = new[value_col].astype(float).to_numpy()
+        hbs_arr = (new_ts // 3_600_000_000).to_numpy()
+        for y, hb in zip(vals, hbs_arr):
+            if math.isnan(y):
+                continue
+            hb = int(hb)
+            c = (-1 if y < 0 else 1) * int(math.floor(abs(y) * 100 + 0.5))
+            if pend_hb is None:
+                pend_hb, pend_sum = hb, c
+            elif hb == pend_hb:
+                pend_sum += c
+            elif hb > pend_hb:
+                close(int(pend_hb), int(pend_sum))
+                pend_hb, pend_sum = hb, c
+        rh = sorted(recent)
+        state.update(
+            (
+                int(pend_hb) if pend_hb is not None else None,
+                int(pend_sum),
+                rh,
+                [recent[h] for h in rh],
+                cal,
+                test,
+            )
+        )
+        if idle_timeout is not None:
+            state.setTimeoutDuration(idle_timeout)
+        if not closed_any:
+            return
+        n_cal = len(cal)
+        if n_cal == 0:
+            return
+        scal = sorted(cal)
+        n_test = len(test)
+        rows = []
+        for a in alphas:
+            k = ((n_cal + 1) * (100 - a) + 99) // 100
+            if k > n_cal:
+                continue  # refuse to certify this alpha
+            qhat = scal[k - 1]
+            cov = sum(1 for v in test if v <= qhat)
+            rows.append(
+                {
+                    **{c2: key[i] for i, c2 in enumerate(series)},
+                    "alpha_pct": a,
+                    "n_cal": n_cal,
+                    "qhat_cents": qhat,
+                    "n_test": n_test,
+                    "n_flagged": n_test - cov,
+                    "coverage": py_round6(cov / n_test) if n_test > 0 else None,
+                }
+            )
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return stream_df.groupBy(*series).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def stream_sax(
     stream_df: DataFrame,
     series: Sequence[str] = ("user_id",),
