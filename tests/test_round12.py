@@ -171,3 +171,29 @@ def test_r12_window_composition():
     assert spills == {"ts_hw_anomaly", "ts_peaks", "orders_km_segment_summary"}
     # new r12 registrations park BEHIND the windowed tier
     assert "dedup_governance_pipeline" not in window
+
+
+def test_steady_median3_protocol():
+    """The scale-probe timing discipline: converged-warm absorbers,
+    then median-of-3 over the FIRST consecutive triple meeting the
+    20%-of-median spread bar (up to 9 runs), tightest-triple fallback,
+    and the full run list returned so the record hides nothing."""
+    import bench
+
+    # hump spans past the absorbers; protocol extends until converged
+    seq = iter([30.0, 13.0, 5.0, 10.0, 9.0, 8.5, 4.4, 4.3, 4.2])
+    med, spr, runs = bench.steady_median3(lambda: next(seq))
+    assert (med, spr) == (9.0, 1.5)
+    assert len(runs) >= 3  # every timed run recorded
+
+    # already steady: exactly 3 timed runs
+    seq2 = iter([5.0, 5.0, 5.1, 5.0, 5.05])
+    med, spr, runs = bench.steady_median3(lambda: next(seq2))
+    assert (med, spr, len(runs)) == (5.05, 0.1, 3)
+
+    # never converges: capped at max_runs, falls back to a triple
+    vals = [5.0, 5.0] + [10.0, 3.0, 9.0, 2.0, 8.0, 1.5, 7.0, 1.0, 6.0]
+    seq3 = iter(vals)
+    med, spr, runs = bench.steady_median3(lambda: next(seq3))
+    assert len(runs) == 9
+    assert med in runs
