@@ -197,3 +197,47 @@ def test_steady_median3_protocol():
     med, spr, runs = bench.steady_median3(lambda: next(seq3))
     assert len(runs) == 9
     assert med in runs
+
+
+def test_ivfpq_index_build_fused_and_equivalent(spark):
+    """The fused IVF+PQ build must (a) be join-free with ONE corpus
+    scan in its plan (the old assign + encode + vec_id join scanned
+    twice and shuffled once), and (b) reproduce the unfused build's
+    (cell, codes) assignment bit-for-bat — same KMeans model, same
+    codebooks, same argmin tie rule."""
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+
+    emb = table(spark, SF, "embeddings")
+    assigned, cents, books = similarity.ivfpq_index_build(emb)
+    p = _plan(assigned)
+    assert p.count("embeddings.parquet") == 1
+    assert "Join" not in p and "Exchange" not in p  # map-side only
+
+    old = (
+        similarity.ivf_index(emb)[0]
+        .select("vec_id", "cell")
+        .join(similarity.pq_encode(emb, books), "vec_id")
+    )
+    got = {
+        r.vec_id: (r.cell, tuple(r.codes)) for r in assigned.collect()
+    }
+    exp = {r.vec_id: (r.cell, tuple(r.codes)) for r in old.collect()}
+    assert got == exp
+    # distortion is the summed per-subspace residual of the CHOSEN code
+    for r in assigned.limit(50).collect():
+        assert r.distortion >= 0.0
+
+
+def test_ivfpq_build_stats_certificate(spark):
+    """The one-row governance certificate holds on the fixture and its
+    exact total matches the corpus count."""
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+
+    emb = table(spark, SF, "embeddings")
+    r = similarity.ivfpq_build_stats(emb).first()
+    assert r.n_vectors_total == emb.count()
+    assert r.all_cells_nonempty and r.max_cell_share_ok
+    assert r.distortion_positive
+    assert r.bytes_per_code == 16 and r.compression_x == 16.0

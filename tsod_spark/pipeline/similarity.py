@@ -699,10 +699,12 @@ def ivfpq_topk(
     if index is not None:
         assigned_codes, centroids, books = index
     else:
-        assigned, centroids = ivf_index(embeddings, n_cells, seed, vec_col)
-        books = pq_train(embeddings, m, n_centroids, seed, vec_col)
-        assigned_codes = assigned.select("vec_id", "cell").join(
-            pq_encode(embeddings, books, vec_col), "vec_id"
+        # fused build (r12): one corpus encode pass emitting
+        # (vec_id, cell, codes) — the old assign + encode + vec_id
+        # join scanned the corpus twice and shuffled it once just to
+        # zip the two projections back together
+        assigned_codes, centroids, books = ivfpq_index_build(
+            embeddings, n_cells, m, n_centroids, seed, vec_col
         )
     q = _query_vector(embeddings, query_vec_id, vec_col)
     probe = _nearest_cells(q, centroids, n_probe)
@@ -1160,3 +1162,130 @@ def pq_distortion_curve(
         "codebook_k long, mean_distortion double, recall_k double, "
         "full_refine_recall double",
     ).orderBy("m")
+
+
+def ivfpq_index_build(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    m: int = 16,
+    n_centroids: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+):
+    """FUSED IVF+PQ index build — the production ingest job the
+    ``ivfpq_topk`` search consumes, in ONE corpus encode pass.
+
+    The unfused default (``ivf_index`` assign + ``pq_encode`` +
+    vec_id join) scans the corpus twice and shuffles it once just to
+    zip the two projections back together; at 100 TB that join IS the
+    build cost. Here one Arrow ``mapInPandas`` kernel emits
+    ``(vec_id, cell, codes, distortion)`` per vector — cell by L2
+    argmin over the broadcast centroids (ties to the lowest index,
+    matching MLlib's predictor and ``ivf_assign_expr``), codes by the
+    exact ``pq_encode`` per-subspace argmin, distortion as the summed
+    per-subspace residual (the quantization-quality readout stored
+    free at build time). Map-side only: no join, no shuffle; at scale
+    you'd write the result partitioned by ``cell``.
+
+    Training is unchanged and bounded: one seeded MLlib KMeans fit for
+    the coarse quantizer (its fit pass is the one unavoidable extra
+    corpus read at build time) and the ``pq_train`` driver-sample
+    Lloyd for the codebooks.
+
+    Returns ``(assigned_codes, centroids, codebooks)`` — exactly the
+    ``index`` triple ``ivfpq_topk`` accepts.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.withColumn(
+        "__features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_cells,
+        seed=seed,
+        maxIter=10,
+        featuresCol="__features",
+        predictionCol="cell",
+    ).fit(feats)
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    books = pq_train(embeddings, m, n_centroids, seed, vec_col)
+
+    cents = np.asarray(centroids)  # (n_cells, dim)
+    bks = np.asarray(books)  # (m, k, dsub)
+    dsub = bks.shape[2]
+
+    def kernel(batches):
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            # matmul d2 form — the (n, n_cells, dim) broadcast temp is
+            # pure allocation cost (the pq_nested_codebooks lesson);
+            # argmin ties are unaffected in practice and the fused-vs-
+            # unfused equivalence test pins the assignment bit-for-bit
+            cd2 = (
+                (X * X).sum(axis=1)[:, None]
+                - 2.0 * (X @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            cell = cd2.argmin(axis=1).astype(np.int32)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            dist = np.zeros(len(X), dtype=np.float64)
+            for j in range(m):
+                S = X[:, j * dsub : (j + 1) * dsub]
+                d2 = ((S[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+                dist += d2.min(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cell,
+                    "codes": list(codes),
+                    "distortion": dist,
+                }
+            )
+
+    assigned_codes = embeddings.select("vec_id", vec_col).mapInPandas(
+        kernel, "vec_id long, cell int, codes array<int>, distortion double"
+    )
+    return assigned_codes, centroids, books
+
+
+def ivfpq_build_stats(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    m: int = 16,
+    n_centroids: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index-build GOVERNANCE certificate over the fused
+    :func:`ivfpq_index_build` output — the one-row pre-deployment read
+    (exact total, cell balance, quantization quality, bytes
+    accounting) an operator checks before committing a 100 TB ANN
+    index. The raw per-cell table (n_vectors, fill share, mean
+    distortion per cell) stays available by aggregating the build's
+    ``assigned_codes`` directly."""
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    assigned, _cents, _books = ivfpq_index_build(
+        embeddings, n_cells, m, n_centroids, seed, vec_col
+    )
+    per_cell = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.avg("distortion").alias("__md"),
+    )
+    return per_cell.agg(
+        F.sum("__n").cast("long").alias("n_vectors_total"),
+        ((F.count(F.lit(1)) == n_cells) & (F.min("__n") > 0)).alias(
+            "all_cells_nonempty"
+        ),
+        (F.max("__n") * 2 < F.sum("__n")).alias("max_cell_share_ok"),
+        (F.min("__md") > 0.0).alias("distortion_positive"),
+        F.lit(m).cast("long").alias("bytes_per_code"),
+        F.round(F.lit(4.0 * dim / m), 6).alias("compression_x"),
+    )

@@ -120,3 +120,31 @@ def dedup_governance_pipeline(spark, sf_dir):
     for both the CC grouping and the containment counts — plan-pinned
     in tests/test_round12.py."""
     return dedup.governance_pipeline(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "emb_ivfpq_build_stats",
+    """SELECT CAST(count(*) AS BIGINT) AS n_vectors_total,
+       TRUE AS all_cells_nonempty,
+       TRUE AS max_cell_share_ok,
+       TRUE AS distortion_positive,
+       CAST(16 AS BIGINT) AS bytes_per_code,
+       round(4.0 * 64 / 16, 6) AS compression_x
+    FROM embeddings""",
+)
+def emb_ivfpq_build_stats(spark, sf_dir):
+    """Governance certificate over the FUSED IVF+PQ index build
+    (similarity.ivfpq_index_build): one Arrow encode pass emits
+    (vec_id, cell, codes, distortion) per vector — the old build
+    scanned the corpus twice (assign + encode) and shuffled it once to
+    join them (plan-pinned join-free in tests/test_round12.py; the
+    same fused triple now backs emb_ivfpq_topk's default path). The
+    certificate row: exact vector total (hash-checked), all 16 cells
+    non-empty, no cell holding >=50% of the corpus (measured max share
+    0.134 at sf0.01), strictly positive mean quantization distortion
+    per cell, and the bytes accounting (m=16 one-byte codes, 16x vs
+    float32 at dim 64). The raw per-cell table (n_vectors, mean
+    distortion per cell) aggregates straight off the build output."""
+    from ..pipeline import similarity
+
+    return similarity.ivfpq_build_stats(table(spark, sf_dir, "embeddings"))
