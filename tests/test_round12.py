@@ -241,3 +241,51 @@ def test_ivfpq_build_stats_certificate(spark):
     assert r.all_cells_nonempty and r.max_cell_share_ok
     assert r.distortion_positive
     assert r.bytes_per_code == 16 and r.compression_x == 16.0
+
+
+def test_stream_ivfpq_encode_matches_batch(spark, tmp_path):
+    """Streaming ANN ingest equals the batch fused build field-exact
+    over the same rows and the same FROZEN index metadata — cell,
+    codes, and distortion per vec_id, across micro-batch boundaries."""
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+    from tsod_spark.streaming import stream_ivfpq_encode
+
+    emb = table(spark, SF, "embeddings")
+    assigned, cents, books = similarity.ivfpq_index_build(emb)
+    batch = {
+        r.vec_id: (r.cell, tuple(r.codes), round(r.distortion, 9))
+        for r in assigned.collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    n = len(rows)
+    chunk = (n + 2) // 3
+    for i in range(3):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(
+                part, "vec_id long, embedding array<float>"
+            ).coalesce(1).write.parquet(
+                str(tmp_path / f"batch_{i}"), mode="overwrite"
+            )
+    src = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "batch_*"))
+    )
+    q = (
+        stream_ivfpq_encode(src, cents, books)
+        .writeStream.format("memory")
+        .queryName("t_ivfpq_enc")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.vec_id: (r.cell, tuple(r.codes), round(r.distortion, 9))
+        for r in spark.sql("SELECT * FROM t_ivfpq_enc").collect()
+    }
+    assert got == batch
+    assert len(got) == n

@@ -970,3 +970,70 @@ def stream_pack_sequences(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stream_ivfpq_encode(
+    stream_df: DataFrame,
+    centroids: "list[list[float]]",
+    codebooks: "list[list[list[float]]]",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Streaming IVF+PQ ingest — the continuous twin of the fused
+    batch index build (``similarity.ivfpq_index_build``'s encode
+    pass): vectors arriving on a stream are assigned their coarse cell
+    and PQ codes against a FROZEN index (centroids + codebooks trained
+    by the batch build), ready for an append to the cell-partitioned
+    codes store. This is the production shape of a growing 100 TB
+    embedding index: train rarely, encode continuously; re-training is
+    a batch job that swaps the index metadata.
+
+    STATELESS by construction — assignment is a pure per-row function
+    of the broadcast index metadata, so the operator carries no state
+    store, no watermark, no output-mode constraint, and its emissions
+    are bit-identical to running the batch kernel over the same rows
+    (the differential test feeds the same vectors through both).
+    Deliberately parameterized like the drift monitors: an encoder
+    that re-trained its codebooks from the stream would silently
+    shift every stored code's meaning.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415
+
+    cents = np.asarray(centroids)
+    bks = np.asarray(codebooks)
+    m, _, dsub = bks.shape
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cd2 = (
+                (X * X).sum(axis=1)[:, None]
+                - 2.0 * (X @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            cell = cd2.argmin(axis=1).astype(np.int32)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            dist = np.zeros(len(X), dtype=np.float64)
+            for j in range(m):
+                S = X[:, j * dsub : (j + 1) * dsub]
+                d2 = ((S[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+                dist += d2.min(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": cell,
+                    "codes": list(codes),
+                    "distortion": dist,
+                }
+            )
+
+    return stream_df.select(id_col, vec_col).mapInPandas(
+        kernel,
+        f"{id_col} long, cell int, codes array<int>, distortion double",
+    )
