@@ -88,8 +88,10 @@ HEADLINE10 = [
     "events_ks_drift_by_segment",
     "events_wasserstein_drift_by_segment",
     # r12: the fused governance rollup (one text scan; pair join shared
-    # by the CC and containment branches)
+    # by the CC and containment branches) and the fused ANN build
+    # certificate (KMeans-fit-dominated; the encode pass is join-free)
     "dedup_governance_pipeline",
+    "emb_ivfpq_build_stats",
 ]
 
 
