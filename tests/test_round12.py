@@ -141,36 +141,8 @@ def test_governance_pipeline_matches_constituents(spark):
         assert g.top_partner == exp_p
 
 
-def test_r12_window_composition():
-    """VERDICT r11 #1 done-criterion, pinned: the r12 driver window is
-    EXACTLY the 7 never-verified r11 registrations followed by 43 of
-    the 46-query r7-stale tier; the 3 spills are the tier's
-    registration-order tail and must head the r13 priority tuple."""
-    from tsod_spark import registry
-
-    names = list(registry.ordered_queries())
-    window = names[:50]
-    prio = [
-        "dedup_threshold_curve_sampled",
-        "events_ks_drift_by_segment",
-        "events_wasserstein_drift_by_segment",
-        "dedup_exact_cross_source",
-        "dedup_source_containment",
-        "events_psi_drift_by_segment",
-        "dedup_canonicalization_curve",
-    ]
-    assert window[:7] == prio
-    assert all(
-        registry._latest_verified_round(n) == 7 for n in window[7:]
-    ), window[7:]
-    spills = {
-        n
-        for n in names
-        if registry._latest_verified_round(n) == 7 and n not in window
-    }
-    assert spills == {"ts_hw_anomaly", "ts_peaks", "orders_km_segment_summary"}
-    # new r12 registrations park BEHIND the windowed tier
-    assert "dedup_governance_pipeline" not in window
+# (the r12 window-composition pin moved to tests/test_round13.py as the
+# r13 equivalent once CORRECTNESS_r12.json folded into the registry)
 
 
 def test_steady_median3_protocol():

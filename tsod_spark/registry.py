@@ -281,7 +281,32 @@ R11_VERIFIED = frozenset({
     "users_purchase_and_error",
 })
 
+# Fully-green rows from CORRECTNESS_r12.json (driver sf0.01 oracle, 50/50,
+# all hash-checked): the 7 r11 registrations + 43 of the r7-stale tier.
+R12_VERIFIED = frozenset({
+    "customer_gini_by_nation", "dedup_canonicalization_curve",
+    "dedup_cap_drop_stats", "dedup_cross_source_matrix",
+    "dedup_exact_cross_source", "dedup_source_containment",
+    "dedup_threshold_curve", "dedup_threshold_curve_sampled",
+    "dedup_winnow_overlap", "dedup_winnow_overlap_capped",
+    "doc_bigram_heavy_hitters", "doc_lexical_diversity",
+    "doc_winnow_screen", "doc_zipf_fit", "emb_label_silhouette",
+    "events_assoc_rules", "events_benford", "events_dispersion",
+    "events_hll_overlap", "events_interarrival", "events_interval_overlap",
+    "events_kll_quantiles", "events_ks_drift", "events_ks_drift_by_segment",
+    "events_markov", "events_psi_drift_by_segment",
+    "events_rollup_hierarchy", "events_theta_sets", "events_type_corr",
+    "events_type_entropy", "events_wasserstein_drift_by_segment",
+    "events_welch_ttest", "orders_cohort_ltv", "orders_contingency",
+    "orders_hill_tail", "orders_in_flight", "orders_km_survival",
+    "orders_rfm", "parts_abc", "parts_skyline", "ts_ar1",
+    "ts_backtest_snaive", "ts_changepoint", "ts_changepoint_binseg",
+    "ts_haar_energy", "ts_holt_winters", "ts_hour_anova", "ts_ols_fit",
+    "ts_record_stats", "ts_spearman",
+})
+
 _ROUND_SETS = (
+    (12, R12_VERIFIED),
     (11, R11_VERIFIED),
     (10, R10_VERIFIED),
     (9, R9_VERIFIED),
@@ -302,29 +327,26 @@ _ROUND_SETS = (
 # Empty is fine — tier 0 then just falls through to staleness.
 # Refresh this tuple each round alongside the R{N}_VERIFIED set.
 _CURRENT_ROUND_PRIORITY: tuple = (
-    # r12 (VERDICT_r11 #1): the 7 r11 registrations that never received
-    # a driver verdict (the r11 window absorbed the 49-query r6-stale
-    # tier + emb_pq_distortion_curve, so these were parked; all 7 pass
-    # the local value-exact parity run). They take the window's first 7
-    # slots; the remaining 43 go to the 46-query r7-stale tier in
-    # registration order, spilling exactly 3 names to r13 — the tier's
-    # registration-order tail: ts_hw_anomaly, ts_peaks,
-    # orders_km_segment_summary. Those 3 must head the r13 priority
-    # tuple.
-    "dedup_threshold_curve_sampled",
-    "events_ks_drift_by_segment",
-    "events_wasserstein_drift_by_segment",
-    "dedup_exact_cross_source",
-    "dedup_source_containment",
-    "events_psi_drift_by_segment",
-    "dedup_canonicalization_curve",
+    # r13 (VERDICT_r12 #1): the 5 queries with no driver verdict yet —
+    # the 3 r12-window spills (the r7-stale tier's registration-order
+    # tail) then the 2 r12 registrations (parity-checked locally in r12
+    # by both builder and judge, but the driver verdict is the
+    # contract). The window's remaining slots go to the 50-query
+    # r8-stale tier in registration order; any new r13 registration
+    # slots in right after these 5 (age 0.5 below), displacing one
+    # stale name each.
+    "ts_hw_anomaly",
+    "ts_peaks",
+    "orders_km_segment_summary",
+    "dedup_governance_pipeline",
+    "emb_ivfpq_build_stats",
 )
 
-# New r12 registrations: parked BEHIND the r7-stale tier (age 7.5) so
-# they cannot steal window slots from VERDICT_r11 #1's schedule; they
-# are verified locally via scripts/parity_check.py and become priority
-# names in r13 (after the 3 named spills).
-_PARKED_AGE = 7.5
+# Never-verified names outside the priority tuple (i.e., queries
+# registered THIS round) slot immediately after the priority names and
+# before the stale tiers, so every new registration earns a driver
+# verdict in its first eligible round.
+_NEW_REGISTRATION_AGE = 0.5
 
 
 def _latest_verified_round(n: str) -> int:
@@ -341,16 +363,17 @@ def _rotated(d: dict) -> dict:
     # verification schedule: (1) new/changed queries needing a fresh
     # verdict (the priority tuple + never-verified names), then
     # (2) stalest latest-verdicts first, registration order within each
-    # tier. r11 window: emb_pq_distortion_curve + the 49-query r6 tier.
+    # tier. r13 window: the 5 never-verified names + 45 of the 50-query
+    # r8-stale tier (minus one slot per new r13 registration).
 
     def age(n: str) -> float:
         if n in _CURRENT_ROUND_PRIORITY:
             return 0.0
         r = _latest_verified_round(n)
         if r == 0:
-            # Never-verified non-priority names wait behind the r6-stale
-            # tier this round (window math — see _CURRENT_ROUND_PRIORITY).
-            return _PARKED_AGE
+            # New this-round registrations: window them right after the
+            # named priority tuple (see _CURRENT_ROUND_PRIORITY).
+            return _NEW_REGISTRATION_AGE
         return float(r)
 
     names = sorted(d, key=lambda n: age(n))  # stable: registration order within tier
