@@ -1000,12 +1000,15 @@ def pq_distortion_curve(
       scan), the SQL-reproducible anchor.
 
     Scale shape: codebook training is one bounded driver sample (the
-    pq_train discipline); per m the corpus work is ONE Arrow-batched
-    mapInPandas pass emitting (vec_id, codes, distortion) — map-side
-    only — plus a tiny ADC top-k; the exact top-k ground truth is
-    computed once and cached. The whole curve costs |m_configs| corpus
-    scans at fixture scale and would run on a stored codes table at
-    production scale.
+    pq_train discipline); the corpus work for ALL m levels is ONE
+    shared Arrow-batched mapInPandas pass whose kernel encodes every
+    level per batch and emits (vec_id, dist_m, adc_m, ...) — map-side
+    only. Downstream the whole curve is one aggregate for the mean
+    distortions plus one posexplode window job for every level's ADC
+    top-k; the exact top-k ground truth is computed once and cached.
+    The curve therefore costs ONE corpus scan regardless of
+    |m_configs| and would run on a stored codes table at production
+    scale.
     """
     import numpy as np
     import pandas as pd  # noqa: F401
@@ -1062,6 +1065,8 @@ def pq_distortion_curve(
 
     def kernel(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # Arrow can hand over empty batches
+                continue
             X = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
@@ -1075,6 +1080,11 @@ def pq_distortion_curve(
                     - 2.0 * np.einsum("mnd,mkd->mnk", S, bk)
                     + (bk * bk).sum(axis=2)[:, None, :]
                 )
+                # the matmul expansion can go epsilon-negative for
+                # vectors coinciding with a centroid; the monotone
+                # distortion certificate assumes the (S-bk)^2 form's
+                # non-negativity, so clamp (argmin unaffected)
+                np.maximum(d2, 0.0, out=d2)
                 codes = d2.argmin(axis=2)  # (m, n)
                 out[f"dist_{m}"] = d2.min(axis=2).sum(axis=0)
                 adc = np.zeros(len(X), dtype=np.float64)
@@ -1220,18 +1230,18 @@ def ivfpq_index_build(
 
     def kernel(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # Arrow can hand over empty batches
+                continue
             X = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            # matmul d2 form — the (n, n_cells, dim) broadcast temp is
-            # pure allocation cost (the pq_nested_codebooks lesson);
-            # argmin ties are unaffected in practice and the fused-vs-
-            # unfused equivalence test pins the assignment bit-for-bit
-            cd2 = (
-                (X * X).sum(axis=1)[:, None]
-                - 2.0 * (X @ cents.T)
-                + (cents * cents).sum(axis=1)[None, :]
-            )
+            # subtraction d2 form — SAME arithmetic shape as the PQ
+            # loop below and as ivf_assign_expr's Column chain, so the
+            # fused/unfused cell assignment can't diverge on near-
+            # equidistant vectors the way the matmul expansion
+            # (||x||^2 - 2x.c + ||c||^2) can (ADVICE r12); the
+            # (n, n_cells, dim) temp is bounded by the Arrow batch size
+            cd2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             cell = cd2.argmin(axis=1).astype(np.int32)
             codes = np.empty((len(X), m), dtype=np.int32)
             dist = np.zeros(len(X), dtype=np.float64)
