@@ -375,6 +375,33 @@ def _flag_excursions(
     ]
 
 
+def _flag_tight_drift(
+    median3: dict[str, dict],
+    timings: dict[str, float],
+    prior: dict[str, float],
+    factor: float = 1.5,
+    spread_frac: float = 0.3,
+    floor: float = 1.0,
+) -> list[str]:
+    """VERDICT r12 #4 — the 1.3x-2.5x adjudication blind spot: a
+    median-of-3 that lands >``factor`` x its prior committed value with
+    a TIGHT in-session spread (< ``spread_frac`` of the median) is not
+    single-run noise — it's either session pricing or a real plan
+    regression, and only an isolated fresh-JVM re-time can tell
+    (r12's dedup_threshold_curve 5.0 -> 7.04s median3 [7.04, 7.88,
+    6.99] was exactly this signature and the old triggers missed it).
+    Loose-spread medians stay with the median3_spread trigger; only
+    median3-family queries have an in-session spread to test."""
+    return [
+        name
+        for name, m in median3.items()
+        if name in prior
+        and timings[name] > floor
+        and timings[name] > factor * prior[name]
+        and m["spread"] < spread_frac * timings[name]
+    ]
+
+
 def _prior_snapshot() -> dict[str, float]:
     """Prior-round committed per-query seconds for excursion detection:
     $SPARK_GRAFT_PRIOR_BENCH if set, else the highest-numbered
@@ -465,9 +492,17 @@ def main():
         and timings[name] > 1.0
         and m["spread"] > 0.5 * timings[name]
     ]
+    # VERDICT r12 #4: the tight-median drift trigger closes the
+    # 1.5x-2.5x blind spot between the two triggers above.
+    tight_flagged = [
+        name
+        for name in _flag_tight_drift(median3, timings, prior)
+        if name not in flagged and name not in spread_flagged
+    ]
     triggers = {name: "excursion_vs_prior" for name in flagged}
     triggers.update({name: "median3_spread" for name in spread_flagged})
-    flagged = flagged + spread_flagged
+    triggers.update({name: "tight_median_vs_prior" for name in tight_flagged})
+    flagged = flagged + spread_flagged + tight_flagged
     if flagged:
         env = dict(os.environ, SPARK_GRAFT_RETIME=",".join(flagged))
         proc = subprocess.run(
