@@ -54,6 +54,8 @@ ALLOW_NLJ = {
     "emb_pq_topk",       # broadcast single query vector + 1-row
                          # recall-certificate crossJoin
     "emb_ivfpq_topk",    # same certificate shape as emb_pq_topk
+    "emb_ivfpq_persisted_topk",  # same certificate shape, served from
+                         # the persisted cell-partitioned index
     "events_hll_overlap",  # broadcast self-pairing of the per-GROUP
                          # HLL sketch table (#event_types rows, ~5) —
                          # the pair matrix is quadratic in groups,

@@ -1,5 +1,9 @@
-"""Round-13 tests: the driver-window pin (VERDICT r12 #1) plus this
-round's build items as they land."""
+"""Round-13 tests: the driver-window pin (VERDICT r12 #1), the
+persisted IVF+PQ index serving path (VERDICT r12 #2 — partition-
+pruning plan pin + differential vs the in-plan path), and the bench
+adjudication blind-spot trigger (VERDICT r12 #4)."""
+
+SF = "/root/testdata/sf0.001"
 
 
 def test_r13_window_composition():
@@ -70,3 +74,120 @@ def test_tight_median_drift_trigger():
     # same median with a LOOSE spread (55%) stays with median3_spread
     median33 = {"g": {"runs": [6.0, 9.0, 11.0], "spread": 5.0}}
     assert bench._flag_tight_drift(median33, timings2, prior2) == []
+
+
+def _build_index(spark, tmp_path):
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+
+    emb = table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    meta = similarity.ivfpq_index_write(emb, path)
+    return emb, path, meta
+
+
+def test_persisted_index_layout_and_metadata(spark, tmp_path):
+    """The persisted index is cell-partitioned parquet (n_cells
+    directories) + a driver-side metadata JSON carrying everything
+    serving needs (centroids, codebooks, params, format version);
+    loading round-trips the metadata and the codes row count."""
+    import json
+    import os
+
+    emb, path, meta = _build_index(spark, tmp_path)
+    cells = sorted(
+        d for d in os.listdir(os.path.join(path, "codes"))
+        if d.startswith("cell=")
+    )
+    assert len(cells) == 16
+    on_disk = json.load(open(os.path.join(path, "meta.json")))
+    assert on_disk["format_version"] == 1
+    assert on_disk["n_cells"] == 16 and on_disk["m"] == 16
+    assert len(on_disk["centroids"]) == 16
+    assert len(on_disk["codebooks"]) == 16  # m subspaces
+
+    from tsod_spark.pipeline import similarity
+
+    codes, meta2 = similarity.ivfpq_index_load(spark, path)
+    assert meta2 == on_disk
+    assert codes.count() == emb.count()
+    assert set(codes.columns) >= {"vec_id", "cell", "codes", "distortion"}
+
+
+def test_persisted_probe_scan_prunes_partitions(spark, tmp_path):
+    """VERDICT r12 #2 done-criterion: the serving scan touches EXACTLY
+    n_probe of n_cells partition directories — partition pruning is in
+    the plan (PartitionFilters), not an after-the-fact filter, so at
+    100 TB unprobed cells are never listed or read."""
+    import re
+
+    from tsod_spark.pipeline import similarity
+
+    emb, path, meta = _build_index(spark, tmp_path)
+    codes, meta = similarity.ivfpq_index_load(spark, path)
+    q = similarity._query_vector(emb, 0, "embedding")
+
+    from pyspark.sql import functions as F
+
+    for n_probe in (1, 4, 6):
+        scan = similarity.ivfpq_probe_scan(codes, meta, q, n_probe)
+        expect = set(
+            map(str, similarity._nearest_cells(q, meta["centroids"], n_probe))
+        )
+        # plan-level pin: the cell filter reached the scan node as a
+        # PartitionFilter (file pruning), not a post-scan Filter
+        plan = scan._sc._jvm.PythonSQLUtils.explainString(
+            scan._jdf.queryExecution(), "formatted"
+        )
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert pf, plan
+        # n_probe=1 folds IN([c]) to an equality; both are pruning forms
+        m = re.search(r"cell#\d+ IN \(([\d,]+)\)", pf.group(1)) or re.search(
+            r"\(cell#\d+ = (\d+)\)", pf.group(1)
+        )
+        assert m, plan
+        assert set(m.group(1).split(",")) == expect
+        assert "(2) Filter" not in plan  # nothing survives past the scan
+        # execution-level proof: the files actually opened all live in
+        # the n_probe probed cell directories
+        touched = {
+            re.search(r"cell=(\d+)", r[0]).group(1)
+            for r in scan.select(F.input_file_name()).distinct().collect()
+        }
+        assert touched == expect, (n_probe, touched, expect)
+
+
+def test_persisted_topk_matches_in_plan(spark, tmp_path):
+    """Differential: the persisted serve path returns row-for-row the
+    in-plan ivfpq_topk result at identical params/seed (the stored
+    codes ARE the fused build's output, so only the code location
+    differs)."""
+    from tsod_spark.pipeline import similarity
+
+    emb, path, _meta = _build_index(spark, tmp_path)
+    served = similarity.ivfpq_persisted_topk(
+        spark, path, emb, n_probe=6
+    ).collect()
+    in_plan = similarity.ivfpq_topk(emb, n_probe=6).collect()
+    assert [r.asDict() for r in served] == [r.asDict() for r in in_plan]
+    assert len(served) == 10
+
+
+def test_persisted_index_rebuild_gate(spark, tmp_path, monkeypatch):
+    """The registered demo rebuilds only when the index is missing or
+    older than the fixture parquet (stale indexes must never serve)."""
+    import os
+
+    from tsod_spark.queries import round13
+
+    monkeypatch.setattr(round13, "_INDEX_ROOT", str(tmp_path / "root"))
+    p1 = round13.persisted_index_path(spark, SF)
+    mt1 = os.path.getmtime(os.path.join(p1, "meta.json"))
+    p2 = round13.persisted_index_path(spark, SF)
+    assert p1 == p2
+    assert os.path.getmtime(os.path.join(p2, "meta.json")) == mt1  # no rebuild
+    # backdate the metadata below the fixture mtime -> rebuild fires
+    src_mt = os.path.getmtime(os.path.join(SF, "embeddings.parquet"))
+    os.utime(os.path.join(p1, "meta.json"), (src_mt - 10, src_mt - 10))
+    round13.persisted_index_path(spark, SF)
+    assert os.path.getmtime(os.path.join(p1, "meta.json")) > src_mt - 10

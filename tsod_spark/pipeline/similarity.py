@@ -1299,3 +1299,143 @@ def ivfpq_build_stats(
         F.lit(m).cast("long").alias("bytes_per_code"),
         F.round(F.lit(4.0 * dim / m), 6).alias("compression_x"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF+PQ index (VERDICT r12 #2): build once, serve many.
+#
+# Production ANN serving never retrains the quantizer inside the query
+# plan — the reference's own deployment idiom is fit offline, save,
+# load in production (/root/reference/docs/getting_started.rst:40-51,
+# the F3 save/load surface this package mirrors in persistence.py).
+# The dedup family already has this shape (build_corpus_index +
+# incremental screens); these three functions give the ANN family its
+# counterpart:
+#
+#   ivfpq_index_write  — the fused one-pass build, written to parquet
+#                        PARTITIONED BY cell (so probes prune files)
+#                        plus a meta.json (centroids/codebooks/params)
+#   ivfpq_index_load   — metadata + a lazy scan over the codes table
+#   ivfpq_persisted_topk — route the query to n_probe cells from the
+#                        METADATA alone, scan only those cells' files
+#                        (partition pruning — unprobed cells are never
+#                        read, the property the in-plan demo can only
+#                        simulate), ADC + broadcast-shortlist refine.
+# ---------------------------------------------------------------------------
+
+_INDEX_FORMAT_VERSION = 1
+
+
+def ivfpq_index_write(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 16,
+    n_centroids: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> dict:
+    """Build the fused IVF+PQ index and persist it: codes parquet at
+    ``{path}/codes`` partitioned by ``cell`` (n_cells directories of
+    m-byte codes + build-time distortion), metadata JSON at
+    ``{path}/meta.json`` (centroids, codebooks, params, format
+    version). Returns the metadata dict.
+
+    At 100 TB this is the scheduled ingest job: one corpus encode pass
+    (ivfpq_index_build's map-side kernel), one shuffle-free
+    partitioned write; the metadata is kilobytes regardless of corpus
+    size (n_cells*dim + m*k*dsub floats), so serving loads it on the
+    driver and ships it as literals/broadcasts.
+    """
+    import json
+    import os
+
+    assigned, centroids, books = ivfpq_index_build(
+        embeddings, n_cells, m, n_centroids, seed, vec_col
+    )
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "codes"))
+    )
+    meta = {
+        "format_version": _INDEX_FORMAT_VERSION,
+        "n_cells": n_cells,
+        "m": m,
+        "n_centroids": n_centroids,
+        "seed": seed,
+        "vec_col": vec_col,
+        "centroids": centroids,
+        "codebooks": books,
+    }
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+    return meta
+
+
+def ivfpq_index_load(spark, path: str):
+    """Load a persisted IVF+PQ index: ``(codes_df, meta)`` where
+    ``codes_df`` is a LAZY scan of the cell-partitioned codes table
+    (no file is read until a probe filters it) and ``meta`` carries
+    centroids/codebooks/params from the driver-side JSON."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format_version") != _INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"ivfpq index at {path}: format_version "
+            f"{meta.get('format_version')} != {_INDEX_FORMAT_VERSION}"
+        )
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return codes, meta
+
+
+def ivfpq_probe_scan(
+    codes: DataFrame,
+    meta: dict,
+    q: list[float],
+    n_probe: int = 4,
+) -> DataFrame:
+    """The pruned serving scan: n_probe cells chosen driver-side from
+    the METADATA centroids (no data read), then a filter on the
+    partition column — Catalyst turns it into PartitionFilters, so
+    only n_probe of n_cells parquet directories are listed/read
+    (pinned by tests/test_round13.py via inputFiles())."""
+    probe = _nearest_cells(q, meta["centroids"], n_probe)
+    return codes.where(F.col("cell").isin(probe)).select("vec_id", "codes")
+
+
+def ivfpq_persisted_topk(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve an ANN top-k from a PERSISTED index (the production
+    counterpart of :func:`ivfpq_topk`'s self-contained refit-per-call
+    demo): load metadata, route the query to n_probe cells, scan ONLY
+    those cells' code files (partition pruning), ADC-rank the m-byte
+    codes, exact-refine the broadcast shortlist against the float
+    vectors. Row-for-row equal to the in-plan path at identical
+    params/seed (differential-tested) because the persisted codes are
+    the same fused build's output.
+
+    ``embeddings`` is read twice and tiny both times: once for the
+    query vector (one-row lookup) and once for the shortlist's exact
+    re-rank (broadcast semi-join, k*refine rows)."""
+    codes, meta = ivfpq_index_load(spark, path)
+    q = _query_vector(embeddings, query_vec_id, vec_col)
+    cand = ivfpq_probe_scan(codes, meta, q, n_probe)
+    return _adc_topk(
+        cand, meta["codebooks"], q, k, refine, embeddings, vec_col,
+        query_vec_id,
+    )
