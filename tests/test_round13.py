@@ -191,3 +191,112 @@ def test_persisted_index_rebuild_gate(spark, tmp_path, monkeypatch):
     os.utime(os.path.join(p1, "meta.json"), (src_mt - 10, src_mt - 10))
     round13.persisted_index_path(spark, SF)
     assert os.path.getmtime(os.path.join(p1, "meta.json")) > src_mt - 10
+
+
+def test_governance_flags_batch_semantics(spark):
+    """Sanity of the shared flag core on a batch frame: a doc whose
+    text byte-equals a corpus doc is an exact dup; flags partition the
+    batch (exact / near-only / accepted)."""
+    from pyspark.sql import functions as F
+
+    from tsod_spark.pipeline import dedup
+    from tsod_spark.registry import table
+
+    docs = table(spark, SF, "documents")
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    batch = docs.where(F.col("doc_id") % 7 == 0)
+    idx = dedup.build_corpus_index(corpus).cache()
+    idx.count()
+    flags = dedup.governance_flags(batch, idx).collect()
+    assert len(flags) == batch.count()
+    assert all(
+        r.accepted == (not r.is_exact_dup and not r.is_near_dup)
+        for r in flags
+    )
+    # every exact dup is also a near dup (identical text -> identical
+    # signature -> every band collides at est 1.0)
+    assert all(r.is_near_dup for r in flags if r.is_exact_dup)
+    # cross-check is_exact_dup against a direct md5 semi-join
+    exact_ids = {
+        r.doc_id
+        for r in batch.alias("b")
+        .join(
+            corpus.alias("c"),
+            F.md5(F.col("b.text")) == F.md5(F.col("c.text")),
+            "left_semi",
+        )
+        .collect()
+    }
+    assert {r.doc_id for r in flags if r.is_exact_dup} == exact_ids
+    # and the screen finds someone at this fixture scale
+    assert any(r.is_near_dup for r in flags)
+    idx.unpersist()
+
+
+def test_stream_governance_rollup_matches_batch(spark, tmp_path):
+    """VERDICT r12 #6 done-criterion: the streaming per-source
+    governance rollup's LAST emission per source equals the batch
+    rollup on the same docs field-for-field, across micro-batch
+    boundaries (3 single-file triggers)."""
+    from pyspark.sql import functions as F
+
+    from tsod_spark.pipeline import dedup
+    from tsod_spark.registry import table
+    from tsod_spark.streaming import stream_governance_rollup
+
+    docs = table(spark, SF, "documents")
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    batch = docs.where(F.col("doc_id") % 7 == 0)
+    idx = dedup.build_corpus_index(corpus).cache()
+    idx.count()
+
+    expected = {
+        r.source: r
+        for r in dedup.governance_rollup(
+            dedup.governance_flags(batch, idx)
+        ).collect()
+    }
+    assert len(expected) > 1
+    assert any(r.n_exact_dups + r.n_near_dups > 0 for r in expected.values())
+
+    rows = batch.select("doc_id", "text", "source").orderBy("doc_id").collect()
+    src_dir = str(tmp_path / "gov_src")
+    chunk = (len(rows) + 2) // 3
+    for i in range(3):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(
+                part, "doc_id long, text string, source string"
+            ).coalesce(1).write.parquet(f"{src_dir}/b{i}")
+    src = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/b*")
+    )
+    q = (
+        stream_governance_rollup(src, idx)
+        .writeStream.format("memory")
+        .queryName("t_gov")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode re-emits a source's growing totals each tick; the
+    # final (max n_docs) emission per source is the cumulative rollup
+    got = {}
+    for r in spark.sql("SELECT * FROM t_gov").collect():
+        if r.source not in got or r.n_docs > got[r.source].n_docs:
+            got[r.source] = r
+    idx.unpersist()
+    assert set(got) == set(expected)
+    for s, b in expected.items():
+        g = got[s]
+        assert (
+            g.n_docs, g.n_exact_dups, g.n_near_dups, g.n_accepted,
+            g.dup_rate,
+        ) == (
+            b.n_docs, b.n_exact_dups, b.n_near_dups, b.n_accepted,
+            b.dup_rate,
+        ), s
+    spark.catalog.clearCache()

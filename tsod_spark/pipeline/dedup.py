@@ -2799,3 +2799,144 @@ def governance_pipeline(
         )
         .orderBy("source")
     )
+
+
+def _est_jaccard_vs(sig_col: Column, other: Column, k: int) -> Column:
+    """Signature-agreement Jaccard estimate between a packed-signature
+    COLUMN and another packed-signature expression (the lambda-variable
+    form of :func:`_est_jaccard`, for use inside array HOFs)."""
+    matches = None
+    for i in range(k):
+        t = (
+            F.substring(sig_col, 8 * i + 1, 8)
+            == F.substring(other, 8 * i + 1, 8)
+        ).cast("int")
+        matches = t if matches is None else matches + t
+    return F.round(matches / float(k), 6)
+
+
+def governance_flags(
+    docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    min_est_jaccard: float = 0.5,
+    max_bucket_occupants: int | None = None,
+) -> DataFrame:
+    """Per-document governance decision flags against a PERSISTED
+    corpus index (:func:`build_corpus_index`) — the shared core of the
+    batch and streaming governance rollups, built so the SAME plan
+    streams unchanged (every stage is stateless Column algebra or a
+    static-side join with at most one match per stream row):
+
+    - ``is_exact_dup``: the doc's content md5 exists among the corpus
+      content hashes (distinct static side -> the left join is
+      row-preserving);
+    - ``is_near_dup``: some LSH band bucket the doc lands in holds a
+      corpus occupant with signature-agreement Jaccard >=
+      ``min_est_jaccard`` — evaluated per band via a left join against
+      the bucket's pre-grouped occupant-signature ARRAY (again at most
+      one static row per key) and an ``exists`` HOF, so NO row
+      duplication and NO re-aggregation on the stream side, unlike the
+      batch screen's explode->join->distinct;
+    - ``accepted``: neither.
+
+    Intra-batch (self) duplication is deliberately out of scope: in
+    continuous ingest, accepted docs append their own index rows
+    between ticks (``build_corpus_index(accepted)`` + append — see
+    :func:`incremental_new_docs_indexed`), and within-tick collisions
+    are :func:`tsod_spark.streaming.stream_dedup_minhash`'s job.
+
+    Scale shape: the stream side is pure per-row work
+    (:func:`minhash_signatures_rowwise` — zero shuffle); the static
+    side is ``1 + bands`` slim frames derived from the index (hashes +
+    per-band occupant arrays) that production persists once, not
+    per tick. ``max_bucket_occupants`` caps a hot bucket's occupant
+    array (deterministic lowest-signatures-first truncation, the
+    ``cap_hot_buckets`` discipline) so boilerplate buckets cannot make
+    the near check per-doc unbounded; capped occupants UNDERCOUNT
+    near-dups, the same documented trade as every capped screen.
+    """
+    r = k // bands
+    keep = [c for c in docs.columns if c != text_col]
+    # content hash rides along BEFORE the signature projection (the
+    # rowwise helper keeps every non-text column and drops the text)
+    sigs = minhash_signatures_rowwise(
+        docs.withColumn("__h", F.md5(F.col(text_col))), text_col, k
+    )
+    packed = F.concat(*[F.col(f"mh{i}") for i in range(k)])
+    doc = sigs.select(
+        *keep,
+        "__h",
+        packed.alias("__sig"),
+        *[
+            F.md5(
+                F.concat(*[F.col(f"mh{b * r + i}") for i in range(r)])
+            ).alias(f"__key_{b}")
+            for b in range(bands)
+        ],
+    )
+
+    hashes = (
+        index.where(F.col("band") == 0)
+        .select(F.col("content_md5").alias("__h"))
+        .distinct()
+        .withColumn("__exact", F.lit(True))
+    )
+    out = doc.join(hashes, "__h", "left")
+
+    occ = F.collect_list("sig")
+    if max_bucket_occupants is not None:
+        occ = F.slice(F.array_sort(occ), 1, int(max_bucket_occupants))
+    for b in range(bands):
+        bucket_b = (
+            index.where(F.col("band") == b)
+            .groupBy(F.col("key").alias(f"__key_{b}"))
+            .agg(occ.alias(f"__occ_{b}"))
+        )
+        out = out.join(bucket_b, f"__key_{b}", "left")
+
+    near = None
+    for b in range(bands):
+        hit = F.coalesce(
+            F.exists(
+                F.col(f"__occ_{b}"),
+                lambda o: _est_jaccard_vs(F.col("__sig"), o, k)
+                >= min_est_jaccard,
+            ),
+            F.lit(False),
+        )
+        near = hit if near is None else near | hit
+    return out.select(
+        *keep,
+        F.coalesce(F.col("__exact"), F.lit(False)).alias("is_exact_dup"),
+        near.alias("is_near_dup"),
+    ).withColumn(
+        "accepted", ~F.col("is_exact_dup") & ~F.col("is_near_dup")
+    )
+
+
+def governance_rollup(
+    flags: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """Per-source governance increments over a
+    :func:`governance_flags` frame: docs seen, exact dups, near-only
+    dups (near AND NOT exact — the three buckets partition the docs),
+    accepted, and the combined duplicate rate. One aggregation — the
+    single stateful operator the streaming twin is allowed."""
+    n = F.count(F.lit(1)).cast("long")
+    n_exact = F.sum(F.col("is_exact_dup").cast("long")).cast("long")
+    n_near = F.sum(
+        (F.col("is_near_dup") & ~F.col("is_exact_dup")).cast("long")
+    ).cast("long")
+    n_acc = F.sum(F.col("accepted").cast("long")).cast("long")
+    return flags.groupBy(group_col).agg(
+        n.alias("n_docs"),
+        n_exact.alias("n_exact_dups"),
+        n_near.alias("n_near_dups"),
+        n_acc.alias("n_accepted"),
+        F.round(
+            (n_exact + n_near).cast("double") / n.cast("double"), 6
+        ).alias("dup_rate"),
+    )

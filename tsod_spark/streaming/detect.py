@@ -1011,11 +1011,11 @@ def stream_ivfpq_encode(
             X = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            cd2 = (
-                (X * X).sum(axis=1)[:, None]
-                - 2.0 * (X @ cents.T)
-                + (cents * cents).sum(axis=1)[None, :]
-            )
+            # subtraction d2 form — same arithmetic as the batch
+            # ivfpq_index_build kernel (ADVICE r12: the matmul
+            # expansion rounds differently and can flip
+            # near-equidistant cells)
+            cd2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             cell = cd2.argmin(axis=1).astype(np.int32)
             codes = np.empty((len(X), m), dtype=np.int32)
             dist = np.zeros(len(X), dtype=np.float64)
@@ -1037,3 +1037,52 @@ def stream_ivfpq_encode(
         kernel,
         f"{id_col} long, cell int, codes array<int>, distortion double",
     )
+
+
+def stream_governance_rollup(
+    stream_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 8,
+    bands: int = 4,
+    min_est_jaccard: float = 0.5,
+    max_bucket_occupants: int | None = None,
+) -> DataFrame:
+    """Continuous governance deltas — the streaming twin of the batch
+    :func:`tsod_spark.pipeline.dedup.governance_rollup` over
+    :func:`~tsod_spark.pipeline.dedup.governance_flags` (VERDICT r12
+    #6): per source, cumulative docs seen / exact dups / near-only
+    dups / accepted / dup rate, updated every micro-batch as documents
+    arrive and are screened against the PERSISTED LSH corpus index
+    (:func:`~tsod_spark.pipeline.dedup.build_corpus_index` — pass it
+    cached or persisted; Structured Streaming re-reads the static side
+    every micro-batch).
+
+    The whole stream side is stateless per-row algebra (rowwise
+    MinHash, md5, band keys) plus row-preserving stream-static left
+    joins (distinct hash set; per-band pre-grouped occupant arrays),
+    so the ONE stateful operator is the final update-mode per-source
+    aggregation — the Structured Streaming single-stateful-agg shape
+    every rollup twin here uses. Batch equivalence: after all files
+    are consumed, the last emission per source equals the batch
+    rollup on the same frame field-for-field (tested across
+    micro-batch boundaries).
+
+    Production loop: accepted docs append their own index rows between
+    ticks (``build_corpus_index(accepted)`` + append), so the frozen
+    index this query joins is the previous tick's corpus — the same
+    contract as :func:`stream_containment_screen`.
+    """
+    from ..pipeline.dedup import governance_flags, governance_rollup
+
+    flags = governance_flags(
+        stream_docs,
+        index,
+        text_col=text_col,
+        k=k,
+        bands=bands,
+        min_est_jaccard=min_est_jaccard,
+        max_bucket_occupants=max_bucket_occupants,
+    )
+    return governance_rollup(flags, group_col)
