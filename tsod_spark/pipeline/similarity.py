@@ -1439,3 +1439,79 @@ def ivfpq_persisted_topk(
         cand, meta["codebooks"], q, k, refine, embeddings, vec_col,
         query_vec_id,
     )
+
+
+def ivfpq_persisted_recall_curve(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    probes: tuple[int, ...] = (1, 2, 4, 8, 16),
+    refine: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall-vs-nprobe TUNING CURVE over the PERSISTED IVF+PQ index —
+    the query an operator runs before fixing the serving ``n_probe``,
+    against the index that will actually serve (codes on disk, not an
+    in-plan rebuild): one row per probe width with ``(n_probe,
+    cells_read, rows_scanned, n_hits, recall_k)`` where candidates
+    come from partition-pruned scans of the stored codes, ranked by
+    ADC and exact-refined exactly like :func:`ivfpq_persisted_topk`.
+
+    Cost shape: the encode was paid ONCE at build time, so the whole
+    curve is |probes| pruned code scans + tiny refines + one exact
+    ground-truth scan — unlike the in-plan curves, nothing here
+    retrains or re-encodes, which is what makes n_probe tuning cheap
+    enough to re-run after every index release at 100 TB.
+
+    Certificates: ``rows_scanned`` is NONDECREASING in n_probe (probe
+    sets are nested) and equals N-1 at full probe (every cell read) —
+    both SQL-reproducible anchors. ``recall_k`` is measured, NOT
+    provably monotone: ADC ranks by quantized distance, so a wider
+    probe can admit a candidate whose ADC beats an exact member's
+    (displacement is only conclusive in the exact metric — the
+    IVF-curve monotonicity argument does not survive quantization);
+    the registered query certifies per-level floors instead.
+    """
+    from ..util import tracked_cache
+
+    codes, meta = ivfpq_index_load(spark, path)
+    books = meta["codebooks"]
+    q = _query_vector(embeddings, query_vec_id, vec_col)
+    ranked = _nearest_cells(q, meta["centroids"], meta["n_cells"])
+    exact_ids = tracked_cache(
+        cosine_topk(embeddings, query_vec_id, k, vec_col).select("vec_id")
+    )
+    per_probe = []
+    for np_ in probes:
+        cand = codes.where(
+            F.col("cell").isin(ranked[: int(np_)])
+        ).where(F.col("vec_id") != query_vec_id)
+        scanned = cand.agg(
+            F.count(F.lit(1)).cast("long").alias("rows_scanned")
+        )
+        topk = _adc_topk(
+            cand.select("vec_id", "codes"), books, q, k, refine,
+            embeddings, vec_col, query_vec_id,
+        )
+        hits = topk.join(exact_ids, "vec_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        )
+        per_probe.append(
+            scanned.crossJoin(F.broadcast(hits)).select(
+                F.lit(int(np_)).cast("long").alias("n_probe"),
+                F.lit(min(int(np_), meta["n_cells"])).cast("long").alias(
+                    "cells_read"
+                ),
+                "rows_scanned",
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double") / F.lit(float(k)), 6
+                ).alias("recall_k"),
+            )
+        )
+    curve = per_probe[0]
+    for p in per_probe[1:]:
+        curve = curve.unionByName(p)
+    return curve.orderBy("n_probe")

@@ -64,3 +64,147 @@ def emb_ivfpq_persisted_topk(spark, sf_dir):
     path = persisted_index_path(spark, sf_dir)
     ann = similarity.ivfpq_persisted_topk(spark, path, emb, n_probe=6)
     return similarity.recall_certificate(emb, ann, min_recall=0.3)
+
+
+def _gov_increments_sql(k: int = 8, bands: int = 4, tau: float = 0.5) -> str:
+    """Brute-force DuckDB twin of governance_flags + governance_rollup
+    on the %7 batch/corpus split: exact = md5(text) hit against any
+    INDEXED corpus doc (docs with >= 1 shingle — explode->groupBy
+    signatures drop shingle-less docs from the index, mirrored here;
+    every fixture doc has >= 3 tokens so the restriction is currently
+    vacuous), near = any same-band bucket collision with a corpus doc
+    at signature-agreement est >= tau."""
+    from .dedup import MH_BASE, _mh_cols_sql
+
+    r = k // bands
+    mh_list = ", ".join(f"mh{i}" for i in range(k))
+    band_selects = []
+    for b in range(bands):
+        key = " || ".join(f"mh{b * r + i}" for i in range(r))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({key}) AS key, {mh_list} FROM sig"
+        )
+    bands_cte = " UNION ALL ".join(band_selects)
+    matches = " + ".join(f"CAST(a.mh{i} = b.mh{i} AS INT)" for i in range(k))
+    est = f"round(({matches}) / {float(k)}, 6)"
+    exact_rate = "CAST(sum(CAST(is_exact AS INT)) AS BIGINT)"
+    nearo_rate = "CAST(sum(CAST(is_near AND NOT is_exact AS INT)) AS BIGINT)"
+    return f"""{MH_BASE},
+    sig AS (SELECT doc_id, {_mh_cols_sql(k)} FROM d),
+    bands AS ({bands_cte}),
+    bb AS (SELECT * FROM bands WHERE doc_id % 7 = 0),
+    cb AS (SELECT * FROM bands WHERE doc_id % 7 <> 0),
+    near AS (SELECT DISTINCT b.doc_id FROM cb a JOIN bb b
+               ON a.band = b.band AND a.key = b.key WHERE {est} >= {tau}),
+    exact AS (SELECT DISTINCT b.doc_id FROM documents a JOIN documents b
+                ON md5(a.text) = md5(b.text)
+              WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+                AND a.doc_id IN (SELECT doc_id FROM d WHERE len(dtoks) > 0)),
+    f AS (SELECT doc_id, source,
+            doc_id IN (SELECT doc_id FROM exact) AS is_exact,
+            doc_id IN (SELECT doc_id FROM near) AS is_near
+          FROM documents WHERE doc_id % 7 = 0)
+    SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {exact_rate} AS n_exact_dups,
+       {nearo_rate} AS n_near_dups,
+       CAST(sum(CAST(NOT is_exact AND NOT is_near AS INT)) AS BIGINT)
+         AS n_accepted,
+       round(CAST({exact_rate} + {nearo_rate} AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+    FROM f GROUP BY source ORDER BY source"""
+
+
+@register("dedup_governance_increments", _gov_increments_sql())
+def dedup_governance_increments(spark, sf_dir):
+    """Per-source governance INCREMENTS of one ingest tick (VERDICT
+    r12 #6's batch half): the %7 batch screened against the persisted
+    LSH index of the standing corpus
+    (pipeline.dedup.build_corpus_index), rolled up per source as docs
+    seen / exact dups / near-only dups / accepted / dup rate — exactly
+    what the streaming twin (streaming.stream_governance_rollup, the
+    41st twin, batch-equivalence tested in tests/test_round13.py)
+    emits cumulatively per micro-batch. The flag engine
+    (pipeline.dedup.governance_flags) is row-preserving by
+    construction: a distinct-hash left join plus per-band left joins
+    against pre-grouped occupant-signature arrays checked with an
+    exists HOF — no explode fan-out, no re-aggregation, which is what
+    lets the SAME plan run unchanged under Structured Streaming's
+    single-stateful-operator rule. Corpus text is scanned once (the
+    cached slim index is reused by the hash set and all four band
+    frames); the batch side is scanned once more."""
+    from pyspark.sql import functions as F
+
+    from ..pipeline import dedup
+    from ..util import tracked_cache
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    batch = docs.where(F.col("doc_id") % 7 == 0)
+    idx = tracked_cache(dedup.build_corpus_index(corpus))
+    flags = dedup.governance_flags(batch, idx)
+    return dedup.governance_rollup(flags).orderBy("source")
+
+
+@register(
+    "emb_ivfpq_persisted_recall_curve",
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM embeddings),
+    g AS (SELECT unnest([1, 2, 4, 8, 16]) AS np)
+    SELECT CAST(np AS BIGINT) AS n_probe, CAST(np AS BIGINT) AS cells_read,
+       TRUE AS recall_floor_ok, TRUE AS scan_monotone_ok,
+       CASE WHEN np = 16 THEN total - 1 ELSE NULL END
+         AS full_probe_rows_scanned
+    FROM g CROSS JOIN n ORDER BY n_probe""",
+)
+def emb_ivfpq_persisted_recall_curve(spark, sf_dir):
+    """n_probe TUNING CURVE over the PERSISTED IVF+PQ index — the
+    serve-side twin of emb_ivf_recall_curve, run against the index
+    that will actually serve: per n_probe in {1,2,4,8,16}, candidates
+    come from a partition-pruned scan of the stored codes (the encode
+    was paid once at build time — nothing retrains or re-encodes, so
+    the whole curve is five pruned ADC scans + tiny refines + one
+    exact ground-truth scan, cheap enough to re-run after every index
+    release at 100 TB). Certificates: (a) recall@10 >= a
+    measured-stable per-level floor (measured 0.0/0.2/0.4/0.5/0.6
+    across the three fixtures; floors set at half: 0/0.1/0.2/0.25/
+    0.3), (b) rows_scanned NONDECREASING (probe sets are nested —
+    provable), and (c) the full-probe scan anchor is EXACT and
+    SQL-reproducible: at n_probe = n_cells every cell is read so
+    rows_scanned = N - 1. NOTE the deliberate differences from the
+    IVF curve: recall is NOT certified monotone (ADC ranks by
+    quantized distance, so a wider probe can admit a candidate whose
+    ADC beats an exact member's — the displacement argument only
+    holds in the exact metric; measured non-monotone at sf0.01:
+    1.0 -> 0.9 -> 0.8) and there is NO full-probe recall=1.0 anchor
+    (the k*refine ADC shortlist can exclude an exact member even with
+    every cell probed). The raw curve stays available via
+    pipeline.similarity.ivfpq_persisted_recall_curve."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..util import cache_scope
+
+    floors = {1: 0.0, 2: 0.1, 4: 0.2, 8: 0.25, 16: 0.3}
+    emb = table(spark, sf_dir, "embeddings")
+    path = persisted_index_path(spark, sf_dir)
+    with cache_scope():
+        curve = similarity.ivfpq_persisted_recall_curve(spark, path, emb)
+        floor_col = F.create_map(
+            *[F.lit(x) for kv in floors.items() for x in kv]
+        )[F.col("n_probe").cast("int")]
+        w = Window.orderBy("n_probe")
+        out = curve.select(
+            "n_probe",
+            "cells_read",
+            (F.col("recall_k") >= floor_col).alias("recall_floor_ok"),
+            F.coalesce(
+                F.col("rows_scanned") >= F.lag("rows_scanned").over(w),
+                F.lit(True),
+            ).alias("scan_monotone_ok"),
+            F.when(F.col("n_probe") == 16, F.col("rows_scanned")).alias(
+                "full_probe_rows_scanned"
+            ),
+        ).orderBy("n_probe")
+        # materialize inside the scope so the ground-truth cache drops
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
