@@ -201,6 +201,12 @@ HEADLINE = [
     "dedup_exact_cross_source",
     "dedup_source_containment",
     "dedup_canonicalization_curve",
+    # r13: persisted-index ANN serving (the warm absorber pays the
+    # one-time build; timed runs measure the pruned serve path) and
+    # the per-source governance increments
+    "emb_ivfpq_persisted_topk",
+    "emb_ivfpq_persisted_recall_curve",
+    "dedup_governance_increments",
 ]
 
 
