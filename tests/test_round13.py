@@ -300,3 +300,72 @@ def test_stream_governance_rollup_matches_batch(spark, tmp_path):
             b.dup_rate,
         ), s
     spark.catalog.clearCache()
+
+
+def test_stream_ivfpq_search_matches_batch(spark, tmp_path):
+    """Continuous ANN serving twin: for query vectors streamed across
+    3 micro-batches against the frozen persisted index, each query's
+    final emission equals the batch ADC shortlist
+    (_adc_topk(..., refine=0)) row-for-row — ids, rounded distances,
+    and rank order."""
+    from pyspark.sql import functions as F
+
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+    from tsod_spark.streaming import stream_ivfpq_search
+
+    emb, path, _ = _build_index(spark, tmp_path)
+    codes, meta = similarity.ivfpq_index_load(spark, path)
+    codes = codes.cache()
+    codes.count()
+
+    query_ids = [0, 3, 7, 11, 42, 99]
+    expected = {}
+    for qid in query_ids:
+        q = similarity._query_vector(emb, qid, "embedding")
+        probe = similarity._nearest_cells(q, meta["centroids"], 4)
+        cand = codes.where(F.col("cell").isin(probe)).select(
+            "vec_id", "codes"
+        )
+        rows = similarity._adc_topk(
+            cand, meta["codebooks"], q, 10, 0, emb, "embedding",
+            exclude_id=-1,
+        ).collect()
+        expected[qid] = [(r.vec_id, r.adc_d2) for r in rows]
+
+    qrows = (
+        emb.where(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .collect()
+    )
+    src_dir = str(tmp_path / "q_src")
+    chunk = (len(qrows) + 2) // 3
+    for i in range(3):
+        part = qrows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(
+                part, "query_id long, embedding array<float>"
+            ).coalesce(1).write.parquet(f"{src_dir}/b{i}")
+    src = (
+        spark.readStream.schema("query_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/b*")
+    )
+    q = (
+        stream_ivfpq_search(src, codes, meta, k=10, n_probe=4)
+        .writeStream.format("memory")
+        .queryName("t_ann_serve")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got: dict = {}
+    for r in spark.sql("SELECT * FROM t_ann_serve").collect():
+        got.setdefault(r.query_id, {})[r.rank] = (r.vec_id, r.adc_d2)
+    codes.unpersist()
+    assert set(got) == set(query_ids)
+    for qid in query_ids:
+        ranked = [got[qid][i] for i in sorted(got[qid])]
+        assert ranked == expected[qid], qid
+    spark.catalog.clearCache()

@@ -1405,7 +1405,8 @@ def ivfpq_probe_scan(
     the METADATA centroids (no data read), then a filter on the
     partition column — Catalyst turns it into PartitionFilters, so
     only n_probe of n_cells parquet directories are listed/read
-    (pinned by tests/test_round13.py via inputFiles())."""
+    (pinned by tests/test_round13.py via the plan's PartitionFilters
+    and an input_file_name() execution proof)."""
     probe = _nearest_cells(q, meta["centroids"], n_probe)
     return codes.where(F.col("cell").isin(probe)).select("vec_id", "codes")
 

@@ -50,7 +50,9 @@ def emb_ivfpq_persisted_topk(spark, sf_dir):
     driver, the query routes to n_probe=6 of 16 cells from the
     metadata alone, and the codes scan reads ONLY those cells' parquet
     files via partition pruning (pinned in tests/test_round13.py:
-    inputFiles() touches exactly 6 of 16 cell directories). ADC ranks
+    PartitionFilters carries exactly the probed cells and
+    input_file_name() proves only those cell directories are opened).
+    ADC ranks
     the 16-byte codes; floats are read only for the broadcast
     shortlist's exact re-rank. Same certificate shape as
     emb_ivfpq_topk (exact brute-force top-10 rows + recall_ok) and

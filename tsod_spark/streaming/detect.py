@@ -1086,3 +1086,185 @@ def stream_governance_rollup(
         max_bucket_occupants=max_bucket_occupants,
     )
     return governance_rollup(flags, group_col)
+
+
+def stream_ivfpq_search(
+    stream_queries: DataFrame,
+    codes: DataFrame,
+    meta: dict,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "query_id",
+) -> DataFrame:
+    """Continuous ANN SERVING — the query-stream twin of
+    :func:`tsod_spark.pipeline.similarity.ivfpq_persisted_topk`,
+    completing the persisted-index triangle: batch build
+    (``ivfpq_index_write``), continuous ingest
+    (:func:`stream_ivfpq_encode`), and now continuous search. Query
+    vectors arrive on a stream; each is routed to its ``n_probe``
+    nearest cells against the FROZEN index metadata and served from
+    the stored codes table, emitting the ADC top-k per query
+    (``query_id, vec_id, adc_d2, rank``).
+
+    Stage shapes (one stateful operator, everything else stateless):
+
+    1. probe routing — pure Column algebra over the broadcast centroid
+       literals (same d2 arithmetic as ``ivf_assign_expr``; ties to
+       the lowest cell id like ``_nearest_cells``), top-n_probe via
+       array_sort on (d2, cell) structs, then explode: n_probe rows
+       per query;
+    2. candidate fetch — stream-static equi-join against the codes
+       table on ``cell`` (pass it CACHED, or the cell-partitioned
+       parquet — partition pruning cannot apply to a stream-side key,
+       so the static side should be the slim codes projection, never
+       the float vectors);
+    3. ADC scoring — stateless Arrow ``mapInPandas``: per batch, one
+       distance table per DISTINCT query vector (n_probe rows per
+       query share it), then a gather-sum per candidate;
+    4. per-query top-k — ``applyInPandasWithState`` keyed by query id
+       holding the running top-k (O(k) state per query), re-emitting a
+       query's current top-k whenever new candidates arrive (update
+       mode), with the batch twin's exact (round(adc,6), vec_id) tie
+       order.
+
+    The emission is the ADC SHORTLIST (refine=0 semantics): the exact
+    float re-rank is a downstream batch join against the vector store
+    — at 100 TB the serving tier holds codes, not floats, and the
+    refine is paid only for displayed results. Batch equivalence vs
+    ``_adc_topk(..., refine=0)`` is tested per query across
+    micro-batch boundaries.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    n_cells = int(meta["n_cells"])
+    centroids = meta["centroids"]
+    bks = np.asarray(meta["codebooks"])
+    m, _, dsub = bks.shape
+
+    # --- 1. probe routing (stateless Column algebra) ---
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    v = F.col(vec_col)
+    d2s = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(
+                v, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    ranked = F.array_sort(
+        F.zip_with(
+            d2s,
+            F.sequence(F.lit(0), F.lit(n_cells - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+    )
+    probe = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["i"])
+    routed = stream_queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__q"),
+        F.explode(probe).alias("cell"),
+    )
+
+    # --- 2. candidate fetch (stream-static join, slim static side) ---
+    cand = routed.join(
+        codes.select("cell", "vec_id", "codes"), "cell"
+    ).select("query_id", "__q", "vec_id", "codes")
+
+    # --- 3. ADC scoring (stateless Arrow kernel) ---
+    def adc_kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_adc = np.empty(len(pdf), dtype=np.float64)
+            C = np.asarray(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            qkeys = pdf["query_id"].to_numpy()
+            for qid in pd.unique(qkeys):
+                sel = qkeys == qid
+                q = np.asarray(
+                    pdf["__q"][sel].iloc[0], dtype=np.float64
+                )
+                # per-subspace table, SAME subtraction/sum shape as
+                # the batch _adc_topk driver-side table
+                dt = np.asarray(
+                    [
+                        ((q[j * dsub : (j + 1) * dsub] - bks[j]) ** 2).sum(
+                            axis=1
+                        )
+                        for j in range(m)
+                    ]
+                )
+                Cs = C[sel]
+                acc = np.zeros(Cs.shape[0], dtype=np.float64)
+                for j in range(m):
+                    acc += dt[j][Cs[:, j]]
+                out_adc[sel] = acc
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "vec_id": pdf["vec_id"],
+                    "adc_d2": out_adc,
+                }
+            )
+
+    # rounding happens JVM-side with F.round so the stream's 6-decimal
+    # boundary behavior is BIT-identical to the batch _adc_topk chain
+    # (np.round is half-even on binary doubles; F.round is HALF_UP on
+    # the shortest decimal repr — the repo-wide gotcha)
+    scored = cand.mapInPandas(
+        adc_kernel, "query_id long, vec_id long, adc_d2 double"
+    ).select("query_id", "vec_id", F.round("adc_d2", 6).alias("adc_d2"))
+
+    # --- 4. per-query running top-k (the one stateful operator) ---
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("adc_d2", DoubleType()),
+            StructField("rank", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("adcs", ArrayType(DoubleType())),
+            StructField("ids", ArrayType(LongType())),
+        ]
+    )
+
+    def process(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new) == 0:
+            return
+        pairs = list(zip(new["adc_d2"].astype(float), new["vec_id"].astype(int)))
+        if state.exists:
+            adcs, ids = state.get
+            pairs.extend(zip(adcs, ids))
+        pairs.sort()  # (adc, vec_id) — the batch tie order
+        top = pairs[:k]
+        state.update(([p[0] for p in top], [p[1] for p in top]))
+        yield pd.DataFrame(
+            {
+                "query_id": key[0],
+                "vec_id": [p[1] for p in top],
+                "adc_d2": [p[0] for p in top],
+                "rank": range(1, len(top) + 1),
+            }
+        )
+
+    return scored.groupBy("query_id").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
