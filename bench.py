@@ -209,7 +209,9 @@ def run_slice() -> None:
             # PQ curve is 4 MLlib KMeans fits (iterative, GC-prone)
             "dedup_threshold_curve_sampled emb_pq_distortion_curve "
             # r12: the fused governance rollup subsumes the CC family
-            "dedup_governance_pipeline",
+            "dedup_governance_pipeline "
+            # r13: the ingest-tick increments share the band-join shape
+            "dedup_governance_increments",
         ).split()
     )
 

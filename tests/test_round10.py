@@ -96,23 +96,30 @@ def test_cache_scope_leaves_no_pinned_blocks(spark):
     from tsod_spark.registry import table
     from tsod_spark.util import cache_scope
 
+    def rdd_ids() -> set:
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
     docs = table(spark, SF, "documents")
     spark.catalog.clearCache()
-    # baseline-relative: earlier suite tests may hold localCheckpoint
-    # RDD blocks that catalog.clearCache() does not drop
-    base = len(spark.sparkContext._jsc.getPersistentRDDs())
+    # SET-relative, not count-relative: earlier suite tests may hold
+    # localCheckpoint RDD blocks that catalog.clearCache() does not
+    # drop, and the JVM ContextCleaner may release THOSE asynchronously
+    # mid-test (a count baseline flakes; the id-set of blocks WE
+    # created cannot)
+    base = rdd_ids()
     with cache_scope():
         pairs = dedup.ppjoin_pairs(docs, thr_pct=90, shingle_n=1).collect()
-        assert len(spark.sparkContext._jsc.getPersistentRDDs()) > base
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == base
+        assert rdd_ids() - base  # the scope pinned new blocks
+    assert not (rdd_ids() - base)  # ...and exit dropped every one
     # nested scopes unpersist only their own frames
     with cache_scope():
         dedup.ppjoin_pairs(docs, thr_pct=90, shingle_n=1).collect()
-        outer = len(spark.sparkContext._jsc.getPersistentRDDs())
+        outer = rdd_ids()
         with cache_scope():
             dedup.ppjoin_pairs(docs, thr_pct=80, shingle_n=2).collect()
-        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == outer
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == base
+        assert not (rdd_ids() - outer)  # inner's frames are gone
+        assert outer - base  # outer's frames survive the inner exit
+    assert not (rdd_ids() - base)
     assert isinstance(pairs, list)
 
 

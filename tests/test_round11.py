@@ -926,31 +926,26 @@ def test_rotation_window_invariants():
     ]
     assert verified_rounds == sorted(verified_rounds)
     # 3. never-verified non-priority names (this round's new
-    #    registrations) are PARKED at _PARKED_AGE: after every tier
-    #    with latest verdict <= floor(_PARKED_AGE) (so they cannot
-    #    displace the planned driver window), before every younger
-    #    tier (so the next rotation picks them up early)
-    parked_age = registry._PARKED_AGE
-    parked_idx = [
+    #    registrations) slot at _NEW_REGISTRATION_AGE: immediately
+    #    after the priority block, BEFORE every verified tier, so each
+    #    new registration earns a driver verdict in its first eligible
+    #    round (the r12 park-behind policy is retired — its window
+    #    math was a one-round constraint)
+    assert 0 < registry._NEW_REGISTRATION_AGE < 1
+    new_idx = [
         i
         for i, n in enumerate(names)
         if n not in prio and registry._latest_verified_round(n) == 0
     ]
-    if parked_idx:
-        older = [
-            i
-            for i, n in enumerate(names[len(prio) :], start=len(prio))
-            if 0 < registry._latest_verified_round(n) < parked_age
-        ]
-        younger = [
+    if new_idx:
+        assert min(new_idx) >= len(prio)
+        verified_idx = [
             i
             for i, n in enumerate(names)
-            if registry._latest_verified_round(n) > parked_age
+            if n not in prio and registry._latest_verified_round(n) > 0
         ]
-        if older:
-            assert min(parked_idx) > max(older)
-        if younger:
-            assert max(parked_idx) < min(younger)
+        if verified_idx:
+            assert max(new_idx) < min(verified_idx)
 
 
 def test_ks_by_segment_degenerate_population_refused(spark):
