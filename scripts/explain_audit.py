@@ -56,6 +56,7 @@ ALLOW_NLJ = {
     "emb_ivfpq_topk",    # same certificate shape as emb_pq_topk
     "emb_ivfpq_persisted_topk",  # same certificate shape, served from
                          # the persisted cell-partitioned index
+    "emb_ivfpq_residual_topk",  # same certificate shape, residual codes
     "events_hll_overlap",  # broadcast self-pairing of the per-GROUP
                          # HLL sketch table (#event_types rows, ~5) —
                          # the pair matrix is quadratic in groups,

@@ -369,3 +369,42 @@ def test_stream_ivfpq_search_matches_batch(spark, tmp_path):
         ranked = [got[qid][i] for i in sorted(got[qid])]
         assert ranked == expected[qid], qid
     spark.catalog.clearCache()
+
+
+def test_residual_build_lower_distortion_than_flat(spark):
+    """The residual encoding's entire value claim, pinned: at
+    identical (m, k) the residual build's mean quantization distortion
+    is STRICTLY lower than the flat build's (residuals of a decent
+    coarse quantizer are lower-energy than raw vectors — measured
+    ~10% on every fixture). Also pins the shared schema contract that
+    lets ivfpq_index_write persist either build."""
+    from pyspark.sql import functions as F
+
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+
+    emb = table(spark, SF, "embeddings")
+    flat, _, _ = similarity.ivfpq_index_build(emb)
+    res, _, _ = similarity.ivfpq_residual_index_build(emb)
+    assert flat.schema == res.schema
+    fd = flat.agg(F.avg("distortion")).first()[0]
+    rd = res.agg(F.avg("distortion")).first()[0]
+    assert rd < fd, (rd, fd)
+    # residual distortion strictly positive (the certificate invariant)
+    assert res.agg(F.min("distortion")).first()[0] > 0.0
+
+
+def test_residual_topk_refine_and_certificate(spark):
+    """Serving sanity: the residual path returns k exact-refined rows
+    (d2 ascending, ties by vec_id) and its registered certificate is
+    recall_ok=TRUE on the fixture."""
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import QUERIES, table
+
+    emb = table(spark, SF, "embeddings")
+    rows = similarity.ivfpq_residual_topk(emb, n_probe=6).collect()
+    assert len(rows) == 10
+    d2s = [r.d2 for r in rows]
+    assert d2s == sorted(d2s)
+    cert = QUERIES["emb_ivfpq_residual_topk"](spark, SF).collect()
+    assert len(cert) == 10 and all(r.recall_ok for r in cert)

@@ -512,10 +512,22 @@ def pq_train(
     Returns ``codebooks[m][k][d/m]`` — index metadata that rides on
     the driver/broadcast exactly like IVF centroids.
     """
+    rows = embeddings.select(vec_col).limit(4096).collect()
     import numpy as np
 
-    rows = embeddings.select(vec_col).limit(4096).collect()
     X = np.asarray([[float(v) for v in r[0]] for r in rows])
+    return _lloyd_books(X, m, n_centroids, seed)
+
+
+def _lloyd_books(
+    X, m: int, n_centroids: int, seed: int
+) -> list[list[list[float]]]:
+    """Per-subspace seeded Lloyd over a driver-side sample array — the
+    numpy core shared by the flat (:func:`pq_train`) and residual
+    (:func:`ivfpq_residual_index_build`) codebook trainers, so the two
+    variants cannot drift in init order or iteration count."""
+    import numpy as np
+
     dim = X.shape[1]
     dsub = dim // m
     rng = np.random.default_rng(seed)
@@ -1516,3 +1528,192 @@ def ivfpq_persisted_recall_curve(
     for p in per_probe[1:]:
         curve = curve.unionByName(p)
     return curve.orderBy("n_probe")
+
+
+def ivfpq_residual_index_build(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    m: int = 16,
+    n_centroids: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+):
+    """FUSED IVF+PQ index build with RESIDUAL encoding — the canonical
+    composition (FAISS ``IVFxx,PQyy``): PQ codes quantize
+    ``x - centroid[cell(x)]`` rather than the raw vector. Residuals of
+    a decent coarse quantizer are centered near zero and much
+    lower-energy than raw vectors, so the same m bytes spend their
+    codebook resolution where the information actually is — measured
+    on all three fixtures as STRICTLY lower mean distortion than the
+    flat build at identical (m, k) (0.279/0.282/0.309 vs
+    0.312/0.312/0.335; pinned in tests/test_round13.py). Recall@10 at
+    n_probe=6 is comparable, not uniformly better: 0.6 vs flat's 0.5
+    at sf0.1, equal 0.9 at sf0.01, 0.4 vs 0.6 at the 500-vector toy
+    fixture — per-cell residual codebooks trained from a tiny sample
+    are noisy in the small-corpus regime, which is exactly the regime
+    this variant isn't for.
+
+    Same one-pass Arrow kernel shape as :func:`ivfpq_index_build`
+    (cell by subtraction-form L2 argmin, then per-subspace argmin over
+    the RESIDUAL), same bounded training discipline (one seeded MLlib
+    KMeans fit; codebooks from a 4096-row driver sample whose
+    residuals are computed with the SAME subtraction/argmin numpy
+    forms the kernel uses, through the shared :func:`_lloyd_books`
+    core). The serving difference is the only structural one: the ADC
+    distance table becomes per-PROBED-CELL (the query residual differs
+    per cell), i.e. n_probe small tables instead of one — see
+    :func:`ivfpq_residual_topk`.
+
+    Returns ``(assigned_codes, centroids, codebooks)`` with the same
+    schema as the flat build, so ``ivfpq_index_write``'s
+    cell-partitioned persistence applies unchanged.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.withColumn(
+        "__features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_cells,
+        seed=seed,
+        maxIter=10,
+        featuresCol="__features",
+        predictionCol="cell",
+    ).fit(feats)
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    cents = np.asarray(centroids)
+
+    # residual codebooks: the pq_train sample discipline, with the
+    # kernel's own assignment arithmetic producing the residuals
+    rows = embeddings.select(vec_col).limit(4096).collect()
+    X0 = np.asarray([[float(v) for v in r[0]] for r in rows])
+    cd2 = ((X0[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    R = X0 - cents[cd2.argmin(axis=1)]
+    books = _lloyd_books(R, m, n_centroids, seed)
+    bks = np.asarray(books)
+    dsub = bks.shape[2]
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cd2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cell = cd2.argmin(axis=1).astype(np.int32)
+            Xr = X - cents[cell]
+            codes = np.empty((len(X), m), dtype=np.int32)
+            dist = np.zeros(len(X), dtype=np.float64)
+            for j in range(m):
+                S = Xr[:, j * dsub : (j + 1) * dsub]
+                d2 = ((S[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+                dist += d2.min(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cell,
+                    "codes": list(codes),
+                    "distortion": dist,
+                }
+            )
+
+    assigned_codes = embeddings.select("vec_id", vec_col).mapInPandas(
+        kernel, "vec_id long, cell int, codes array<int>, distortion double"
+    )
+    return assigned_codes, centroids, books
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    n_centroids: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    refine: int = 4,
+    index=None,
+) -> DataFrame:
+    """IVF+PQ top-k over RESIDUAL codes — the serving half of
+    :func:`ivfpq_residual_index_build`. Identical routing and refine
+    shape to :func:`ivfpq_topk`; the one structural change is that the
+    ADC distance table is PER PROBED CELL (ADC approximates
+    ``||q - x||^2 = ||(q - c) - r_x||^2`` with the query residual
+    ``q - c`` differing per cell), carried as a small broadcast map
+    literal ``cell -> m x k table`` — n_probe * m * k doubles, still
+    pure index metadata. The candidate scan reads (vec_id, cell,
+    codes); floats appear only at the broadcast shortlist's exact
+    re-rank.
+    """
+    if index is not None:
+        assigned_codes, centroids, books = index
+    else:
+        assigned_codes, centroids, books = ivfpq_residual_index_build(
+            embeddings, n_cells, m, n_centroids, seed, vec_col
+        )
+    q = _query_vector(embeddings, query_vec_id, vec_col)
+    probe = _nearest_cells(q, centroids, n_probe)
+    dsub = len(books[0][0])
+    mm = len(books)
+
+    # per-cell ADC tables from the query residual (driver-side python
+    # float sums — the _adc_topk table discipline, once per cell)
+    def _tbl(c: int):
+        qr = [q[i] - centroids[c][i] for i in range(len(q))]
+        return [
+            [
+                sum((qr[j * dsub + i] - cent[i]) ** 2 for i in range(dsub))
+                for cent in books[j]
+            ]
+            for j in range(mm)
+        ]
+
+    map_items = []
+    for c in probe:
+        tbl = _tbl(c)
+        map_items.append(F.lit(int(c)))
+        map_items.append(
+            F.array(*[F.array(*[F.lit(d) for d in row]) for row in tbl])
+        )
+    dt_map = F.create_map(*map_items)
+    cell_tbl = F.element_at(dt_map, F.col("cell").cast("int"))
+    adc = None
+    for j in range(mm):
+        term = F.element_at(
+            F.element_at(cell_tbl, j + 1), F.element_at("codes", j + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    cand = assigned_codes.where(F.col("cell").isin(probe)).where(
+        F.col("vec_id") != query_vec_id
+    )
+    shortlist = (
+        cand.select("vec_id", F.round(adc, 6).alias("adc_d2"))
+        .orderBy("adc_d2", "vec_id")
+        .limit(k * refine if refine else k)
+    )
+    if not refine:
+        return shortlist
+    qlit = F.array(*[F.lit(x) for x in q])
+    exact_d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            qlit,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    return (
+        embeddings.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
+        .select("vec_id", F.round(exact_d2, 6).alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(k)
+    )

