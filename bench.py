@@ -210,8 +210,10 @@ def run_slice() -> None:
             "dedup_threshold_curve_sampled emb_pq_distortion_curve "
             # r12: the fused governance rollup subsumes the CC family
             "dedup_governance_pipeline "
-            # r13: the ingest-tick increments share the band-join shape
-            "dedup_governance_increments",
+            # r13: the ingest-tick increments share the band-join
+            # shape; the residual topk refits KMeans per call like
+            # emb_ivfpq_topk
+            "dedup_governance_increments emb_ivfpq_residual_topk",
         ).split()
     )
 

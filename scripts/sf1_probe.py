@@ -207,6 +207,9 @@ HEADLINE = [
     "emb_ivfpq_persisted_topk",
     "emb_ivfpq_persisted_recall_curve",
     "dedup_governance_increments",
+    # r13 second wave: residual-encoded IVF+PQ (KMeans-fit +
+    # one-pass encode, like the flat build certificate)
+    "emb_ivfpq_residual_topk",
 ]
 
 
