@@ -408,3 +408,26 @@ def test_residual_topk_refine_and_certificate(spark):
     assert d2s == sorted(d2s)
     cert = QUERIES["emb_ivfpq_residual_topk"](spark, SF).collect()
     assert len(cert) == 10 and all(r.recall_ok for r in cert)
+
+
+def test_embedding_cell_block_stats_raw_values(spark, tmp_path):
+    """Raw quantities behind the cell-block certificate: blocked pairs
+    are a subset of exact pairs, the candidate count is exactly
+    sum C(n_c,2), and both certificate booleans hold on the fixture."""
+    from pyspark.sql import functions as F
+
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+
+    emb, path, _ = _build_index(spark, tmp_path)
+    codes, _meta = similarity.ivfpq_index_load(spark, path)
+    cells = codes.select("vec_id", "cell")
+    row = similarity.embedding_cell_block_stats(emb, cells).first()
+    assert row.n_vectors == emb.count()
+    assert row.n_exact_pairs > 0
+    assert row.blocked_coverage_ok and row.candidate_ratio_ok
+    # candidate count identity
+    sizes = [r["count"] for r in cells.groupBy("cell").count().collect()]
+    cand = sum(n * (n - 1) // 2 for n in sizes)
+    total = row.n_vectors * (row.n_vectors - 1) // 2
+    assert 100 * cand <= 15 * total
