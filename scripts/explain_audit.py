@@ -57,8 +57,10 @@ ALLOW_NLJ = {
     "emb_ivfpq_persisted_topk",  # same certificate shape, served from
                          # the persisted cell-partitioned index
     "emb_ivfpq_residual_topk",  # same certificate shape, residual codes
-    "dedup_embedding_cell_block_stats",  # the exact all-pairs twin is
-                         # the TEST-SCALE certificate by design (the
+    "dedup_embedding_cell_block_stats",  # broadcast 1-row stats
+                         # crossJoin (pair counts x candidate counts);
+                         # the exact all-pairs side is an Arrow kernel
+                         # — the TEST-SCALE certificate by design (the
                          # recall_certificate contract); the blocked
                          # path it certifies is the equi-join
     "events_hll_overlap",  # broadcast self-pairing of the per-GROUP

@@ -1755,19 +1755,69 @@ def embedding_cell_block_stats(
     ``cells`` is the (vec_id, cell) projection of a persisted index
     (ivfpq_index_load) or any clusterer's assignment.
     """
-    a = embeddings.select(
-        F.col("vec_id").alias("__va"), F.col(vec_col).alias("__ea")
+    # The exact side scores C(N,2) pairs; an interpreted-HOF cosine
+    # per pair costs ~40s at sf0.1's 2M pairs, so score in an Arrow
+    # kernel instead — with EXPLICITLY SEQUENTIAL per-element
+    # accumulation (acc += A[:,i]*M[:,i], i ascending), which is
+    # bit-identical to the zip_with+aggregate left-to-right double sum
+    # the Column path uses (and IEEE 0.0+p1 == p1), while vectorizing
+    # ACROSS pairs. Rounding and the threshold compare stay JVM-side
+    # (F.round HALF_UP vs numpy's half-even — the repo-wide gotcha).
+    # The broadcast corpus matrix is the test-scale certificate cost
+    # (N x dim doubles), same contract as recall_certificate's twin.
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415
+
+    rows = embeddings.select("vec_id", vec_col).collect()
+    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.asarray(
+        [[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64
     )
-    b = embeddings.select(
-        F.col("vec_id").alias("__vb"), F.col(vec_col).alias("__eb")
-    )
+    dim = M.shape[1]
+    norms = np.zeros(len(M))
+    for i in range(dim):  # sequential, matching the Column chain
+        norms += M[:, i] * M[:, i]
+    norms = np.sqrt(norms)
+    # emit with a safety margin below tau; the exact 6-decimal
+    # boundary decision happens JVM-side on the raw double
+    margin = float(min_cosine) - 1e-6
+
+    def score_kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A0 = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            va0 = pdf["vec_id"].to_numpy()
+            # chunk the probe side so the (chunk x N) score matrix
+            # stays ~100 MB regardless of Arrow batch size
+            step = max(1, int(12_500_000 // max(len(M), 1)))
+            for s in range(0, len(A0), step):
+                A = A0[s : s + step]
+                va = va0[s : s + step]
+                acc = np.zeros((len(A), len(M)))
+                for i in range(dim):
+                    acc += A[:, i : i + 1] * M[None, :, i]
+                na = np.zeros(len(A))
+                for i in range(dim):
+                    na += A[:, i] * A[:, i]
+                cosm = acc / (np.sqrt(na)[:, None] * norms[None, :])
+                ia, ib = np.nonzero(
+                    (cosm >= margin) & (va[:, None] < ids[None, :])
+                )
+                yield pd.DataFrame(
+                    {
+                        "__va": va[ia],
+                        "__vb": ids[ib],
+                        "__cos": cosm[ia, ib],
+                    }
+                )
+
     pairs = (
-        a.crossJoin(b)
-        .where(F.col("__va") < F.col("__vb"))
-        .where(
-            F.round(cosine(F.col("__ea"), F.col("__eb")), 6)
-            >= F.lit(min_cosine)
-        )
+        embeddings.select("vec_id", vec_col)
+        .mapInPandas(score_kernel, "__va long, __vb long, __cos double")
+        .where(F.round("__cos", 6) >= F.lit(min_cosine))
         .select("__va", "__vb")
     )
     ca = F.broadcast(
