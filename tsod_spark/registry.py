@@ -305,7 +305,31 @@ R12_VERIFIED = frozenset({
     "ts_record_stats", "ts_spearman",
 })
 
+# Fully-green rows from CORRECTNESS_r13.json (driver sf0.01 oracle, 50/50,
+# all hash-checked): the 5 never-verified names VERDICT_r12 #1 demanded,
+# the 6 r13 registrations, and 39 of the r8-stale tier.
+R13_VERIFIED = frozenset({
+    "dedup_canonical", "dedup_containment_pairs",
+    "dedup_embedding_cell_block_stats", "dedup_embedding_groups",
+    "dedup_governance_increments", "dedup_governance_pipeline",
+    "dedup_incremental", "dedup_ppjoin_groups", "dedup_ppjoin_pairs",
+    "doc_chunk_dedup", "doc_contamination_stats", "doc_decontaminate",
+    "doc_mixture_sample", "doc_redact", "doc_repetition",
+    "doc_split_assign", "doc_stratified_sample", "doc_tfidf_topk",
+    "emb_ivfpq_build_stats", "emb_ivfpq_persisted_recall_curve",
+    "emb_ivfpq_persisted_topk", "emb_ivfpq_residual_topk",
+    "emb_label_davies_bouldin", "emb_lsh_near_pairs", "emb_quantize",
+    "events_funnel", "events_retention", "events_sliding_1h",
+    "mm_audio_energy", "mm_resize_pixels", "orders_km_segment_summary",
+    "tpch_q1", "tpch_q11", "tpch_q14", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "ts_asof_tolerance", "ts_hw_anomaly", "ts_mllib_kmeans", "ts_peaks",
+    "ts_range_sqlapi", "ts_resample_15m", "ts_runs_test",
+    "ts_window_dataset",
+})
+
 _ROUND_SETS = (
+    (13, R13_VERIFIED),
     (12, R12_VERIFIED),
     (11, R11_VERIFIED),
     (10, R10_VERIFIED),
@@ -327,19 +351,21 @@ _ROUND_SETS = (
 # Empty is fine — tier 0 then just falls through to staleness.
 # Refresh this tuple each round alongside the R{N}_VERIFIED set.
 _CURRENT_ROUND_PRIORITY: tuple = (
-    # r13 (VERDICT_r12 #1): the 5 queries with no driver verdict yet —
-    # the 3 r12-window spills (the r7-stale tier's registration-order
-    # tail) then the 2 r12 registrations (parity-checked locally in r12
-    # by both builder and judge, but the driver verdict is the
-    # contract). The window's remaining slots go to the 50-query
-    # r8-stale tier in registration order; any new r13 registration
-    # slots in right after these 5 (age 0.5 below), displacing one
-    # stale name each.
-    "ts_hw_anomaly",
-    "ts_peaks",
-    "orders_km_segment_summary",
-    "dedup_governance_pipeline",
-    "emb_ivfpq_build_stats",
+    # r14 (VERDICT_r13 #1): the 10 queries whose latest driver verdict
+    # is r8-era — 5 rounds of code motion since their last check. The
+    # window's remaining slots go to the 50-query r9-stale tier in
+    # registration order; any new r14 registration slots in right after
+    # these 10 (age 0.5 below), displacing one r9-stale name each.
+    "ts_theil_sen",
+    "events_mannwhitney",
+    "orders_km_quartiles",
+    "ts_permutation_entropy",
+    "ts_sax_motifs",
+    "orders_nelson_aalen",
+    "ts_conformal_snaive",
+    "events_attribution_credit",
+    "ts_periodogram",
+    "supplier_ship_latency",
 )
 
 # Never-verified names outside the priority tuple (i.e., queries
@@ -363,8 +389,8 @@ def _rotated(d: dict) -> dict:
     # verification schedule: (1) new/changed queries needing a fresh
     # verdict (the priority tuple + never-verified names), then
     # (2) stalest latest-verdicts first, registration order within each
-    # tier. r13 window: the 5 never-verified names + 45 of the 50-query
-    # r8-stale tier (minus one slot per new r13 registration).
+    # tier. r14 window: the 10 r8-stale names + 40 of the 50-query
+    # r9-stale tier (minus one slot per new r14 registration).
 
     def age(n: str) -> float:
         if n in _CURRENT_ROUND_PRIORITY:
