@@ -57,6 +57,8 @@ ALLOW_NLJ = {
     "emb_ivfpq_persisted_topk",  # same certificate shape, served from
                          # the persisted cell-partitioned index
     "emb_ivfpq_residual_topk",  # same certificate shape, residual codes
+    "emb_ivfpq_residual_persisted_topk",  # same certificate shape,
+                         # served from the persisted residual index
     "dedup_embedding_cell_block_stats",  # broadcast 1-row stats
                          # crossJoin (pair counts x candidate counts);
                          # the exact all-pairs side is an Arrow kernel

@@ -164,22 +164,34 @@ def test_persisted_topk_matches_in_plan(spark, tmp_path):
 
 def test_persisted_index_rebuild_gate(spark, tmp_path, monkeypatch):
     """The registered demo rebuilds only when the index is missing or
-    older than the fixture parquet (stale indexes must never serve)."""
+    the fixture CONTENT no longer matches the fingerprint recorded at
+    build time (stale indexes must never serve); an untouched fixture
+    never triggers a rebuild, and corrupting the recorded fingerprint
+    does."""
+    import json
     import os
 
     from tsod_spark.queries import round13
 
     monkeypatch.setattr(round13, "_INDEX_ROOT", str(tmp_path / "root"))
     p1 = round13.persisted_index_path(spark, SF)
-    mt1 = os.path.getmtime(os.path.join(p1, "meta.json"))
+    meta_path = os.path.join(p1, "meta.json")
+    mt1 = os.path.getmtime(meta_path)
     p2 = round13.persisted_index_path(spark, SF)
     assert p1 == p2
-    assert os.path.getmtime(os.path.join(p2, "meta.json")) == mt1  # no rebuild
-    # backdate the metadata below the fixture mtime -> rebuild fires
-    src_mt = os.path.getmtime(os.path.join(SF, "embeddings.parquet"))
-    os.utime(os.path.join(p1, "meta.json"), (src_mt - 10, src_mt - 10))
+    assert os.path.getmtime(meta_path) == mt1  # no rebuild
+    # falsify the recorded fingerprint -> rebuild fires (the on-disk
+    # index no longer certifiably matches the fixture)
+    meta = json.load(open(meta_path))
+    meta["source_fingerprint"] = "0" * 64
+    json.dump(meta, open(meta_path, "w"))
     round13.persisted_index_path(spark, SF)
-    assert os.path.getmtime(os.path.join(p1, "meta.json")) > src_mt - 10
+    assert (
+        json.load(open(meta_path))["source_fingerprint"]
+        == round13._source_fingerprint(
+            os.path.join(SF, "embeddings.parquet")
+        )
+    )
 
 
 def test_governance_flags_batch_semantics(spark):

@@ -1095,10 +1095,15 @@ def pq_distortion_curve(
                 # the matmul expansion can go epsilon-negative for
                 # vectors coinciding with a centroid; the monotone
                 # distortion certificate assumes the (S-bk)^2 form's
-                # non-negativity, so clamp (argmin unaffected)
-                np.maximum(d2, 0.0, out=d2)
+                # non-negativity. Pick codes BEFORE clamping — clamping
+                # first collapses epsilon-negative near-ties to equal
+                # 0.0 and argmin could tie-break differently than the
+                # raw matmul form; clamp only the min values that feed
+                # the distortion sum (ADVICE r13).
                 codes = d2.argmin(axis=2)  # (m, n)
-                out[f"dist_{m}"] = d2.min(axis=2).sum(axis=0)
+                out[f"dist_{m}"] = np.maximum(
+                    d2.min(axis=2), 0.0
+                ).sum(axis=0)
                 adc = np.zeros(len(X), dtype=np.float64)
                 for j in range(m):
                     adc += dt[j][codes[j]]
@@ -1346,6 +1351,8 @@ def ivfpq_index_write(
     n_centroids: int = 16,
     seed: int = 42,
     vec_col: str = "embedding",
+    encoding: str = "flat",
+    extra_meta: dict | None = None,
 ) -> dict:
     """Build the fused IVF+PQ index and persist it: codes parquet at
     ``{path}/codes`` partitioned by ``cell`` (n_cells directories of
@@ -1353,34 +1360,72 @@ def ivfpq_index_write(
     ``{path}/meta.json`` (centroids, codebooks, params, format
     version). Returns the metadata dict.
 
+    ``encoding`` selects the code space: ``"flat"`` quantizes raw
+    vectors (:func:`ivfpq_index_build`); ``"residual"`` quantizes
+    ``x - centroid[cell(x)]`` (:func:`ivfpq_residual_index_build`,
+    the canonical FAISS ``IVFx,PQy`` composition). Both builds emit
+    the SAME (vec_id, cell, codes, distortion) schema, so persistence
+    and the partition-pruned scan are shared; only the serve-side ADC
+    table construction differs (see :func:`ivfpq_persisted_topk` vs
+    :func:`ivfpq_residual_persisted_topk`). The encoding is recorded
+    in the metadata and enforced at serve time — flat ADC over
+    residual codes would silently return garbage distances.
+
+    ``extra_meta`` entries (e.g. a source-content fingerprint for
+    staleness gates) are merged into the metadata JSON verbatim;
+    reserved keys cannot be overridden.
+
     At 100 TB this is the scheduled ingest job: one corpus encode pass
-    (ivfpq_index_build's map-side kernel), one shuffle-free
-    partitioned write; the metadata is kilobytes regardless of corpus
-    size (n_cells*dim + m*k*dsub floats), so serving loads it on the
-    driver and ships it as literals/broadcasts.
+    (the build's map-side kernel), one shuffle-free partitioned write;
+    the metadata is kilobytes regardless of corpus size (n_cells*dim +
+    m*k*dsub floats), so serving loads it on the driver and ships it
+    as literals/broadcasts.
+
+    Filesystem note: ``meta.json`` is written with driver-local
+    ``open()`` while the codes table goes through Spark's writer —
+    this demo targets a LOCAL filesystem path (the registered queries'
+    warehouse). On HDFS/S3 deployments, route the metadata through the
+    same Hadoop FS the codes use (e.g. a 1-row JSON DataFrame write or
+    the Hadoop FS API) so both artifacts live in one filesystem.
     """
     import json
     import os
 
-    assigned, centroids, books = ivfpq_index_build(
-        embeddings, n_cells, m, n_centroids, seed, vec_col
-    )
+    if encoding == "flat":
+        assigned, centroids, books = ivfpq_index_build(
+            embeddings, n_cells, m, n_centroids, seed, vec_col
+        )
+    elif encoding == "residual":
+        assigned, centroids, books = ivfpq_residual_index_build(
+            embeddings, n_cells, m, n_centroids, seed, vec_col
+        )
+    else:
+        raise ValueError(f"unknown ivfpq encoding: {encoding!r}")
     (
         assigned.repartition("cell")
         .write.mode("overwrite")
+        # pin static partition overwrite: under dynamic mode a rebuild
+        # that leaves some cells empty would keep the old cell
+        # directories on disk and serve stale codes next to fresh ones
+        # (ADVICE r13)
+        .option("partitionOverwriteMode", "static")
         .partitionBy("cell")
         .parquet(os.path.join(path, "codes"))
     )
-    meta = {
-        "format_version": _INDEX_FORMAT_VERSION,
-        "n_cells": n_cells,
-        "m": m,
-        "n_centroids": n_centroids,
-        "seed": seed,
-        "vec_col": vec_col,
-        "centroids": centroids,
-        "codebooks": books,
-    }
+    meta = dict(extra_meta or {})
+    meta.update(
+        {
+            "format_version": _INDEX_FORMAT_VERSION,
+            "n_cells": n_cells,
+            "m": m,
+            "n_centroids": n_centroids,
+            "seed": seed,
+            "vec_col": vec_col,
+            "encoding": encoding,
+            "centroids": centroids,
+            "codebooks": books,
+        }
+    )
     tmp = os.path.join(path, "meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -1446,6 +1491,12 @@ def ivfpq_persisted_topk(
     query vector (one-row lookup) and once for the shortlist's exact
     re-rank (broadcast semi-join, k*refine rows)."""
     codes, meta = ivfpq_index_load(spark, path)
+    if meta.get("encoding", "flat") != "flat":
+        raise ValueError(
+            f"index at {path} is {meta['encoding']!r}-encoded; "
+            "use ivfpq_residual_persisted_topk (flat ADC over residual "
+            "codes would return garbage distances)"
+        )
     q = _query_vector(embeddings, query_vec_id, vec_col)
     cand = ivfpq_probe_scan(codes, meta, q, n_probe)
     return _adc_topk(
@@ -1661,6 +1712,32 @@ def ivfpq_residual_topk(
         )
     q = _query_vector(embeddings, query_vec_id, vec_col)
     probe = _nearest_cells(q, centroids, n_probe)
+    cand = assigned_codes.where(F.col("cell").isin(probe))
+    return _residual_adc_topk(
+        cand, centroids, books, q, probe, k, refine, embeddings, vec_col,
+        query_vec_id,
+    )
+
+
+def _residual_adc_topk(
+    cand: DataFrame,
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    q: list[float],
+    probe: list[int],
+    k: int,
+    refine: int,
+    embeddings: DataFrame,
+    vec_col: str,
+    exclude_id: int,
+) -> DataFrame:
+    """Residual-ADC scan + optional exact refine, shared VERBATIM by
+    the in-plan :func:`ivfpq_residual_topk` and the persisted
+    :func:`ivfpq_residual_persisted_topk` — the differential-equality
+    guarantee between the two paths is this shared plan, the same way
+    :func:`_adc_topk` ties the flat pair together. ``cand`` must
+    already be restricted to the probed cells and must carry
+    (vec_id, cell, codes)."""
     dsub = len(books[0][0])
     mm = len(books)
 
@@ -1691,9 +1768,7 @@ def ivfpq_residual_topk(
             F.element_at(cell_tbl, j + 1), F.element_at("codes", j + 1) + 1
         )
         adc = term if adc is None else adc + term
-    cand = assigned_codes.where(F.col("cell").isin(probe)).where(
-        F.col("vec_id") != query_vec_id
-    )
+    cand = cand.where(F.col("vec_id") != exclude_id)
     shortlist = (
         cand.select("vec_id", F.round(adc, 6).alias("adc_d2"))
         .orderBy("adc_d2", "vec_id")
@@ -1716,6 +1791,51 @@ def ivfpq_residual_topk(
         .select("vec_id", F.round(exact_d2, 6).alias("d2"))
         .orderBy("d2", "vec_id")
         .limit(k)
+    )
+
+
+def ivfpq_residual_persisted_topk(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve an ANN top-k from a PERSISTED residual-encoded IVF+PQ
+    index (``ivfpq_index_write(..., encoding="residual")``) — the
+    production shape of the canonical FAISS ``IVFx,PQy`` composition:
+    metadata loads on the driver, the query routes to n_probe cells,
+    the codes scan reads ONLY those cells' parquet files (the same
+    partition pruning the flat path pins — the builds share one
+    schema, so the pruned scan is shared too), and ranking runs
+    per-PROBED-CELL ADC tables built from the query residual
+    ``q - centroid[cell]`` (n_probe small map literals instead of the
+    flat path's one table). Exact-refines the broadcast shortlist.
+    Row-for-row equal to the in-plan :func:`ivfpq_residual_topk` at
+    identical params/seed (differential-tested) because both paths
+    rank through the shared :func:`_residual_adc_topk` plan over the
+    same fused build's codes.
+
+    Refuses a flat-encoded index: residual ADC tables over raw-vector
+    codes would return garbage distances (and vice versa — see the
+    mirror guard in :func:`ivfpq_persisted_topk`)."""
+    codes, meta = ivfpq_index_load(spark, path)
+    if meta.get("encoding", "flat") != "residual":
+        raise ValueError(
+            f"index at {path} is {meta.get('encoding', 'flat')!r}-encoded; "
+            "use ivfpq_persisted_topk for flat indexes"
+        )
+    q = _query_vector(embeddings, query_vec_id, vec_col)
+    probe = _nearest_cells(q, meta["centroids"], n_probe)
+    cand = codes.where(F.col("cell").isin(probe)).select(
+        "vec_id", "cell", "codes"
+    )
+    return _residual_adc_topk(
+        cand, meta["centroids"], meta["codebooks"], q, probe, k, refine,
+        embeddings, vec_col, query_vec_id,
     )
 
 

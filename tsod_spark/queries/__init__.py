@@ -24,4 +24,5 @@ from . import round10  # noqa: F401
 from . import round11  # noqa: F401
 from . import round12  # noqa: F401
 from . import round13  # noqa: F401
+from . import round14  # noqa: F401
 from ._base import ORACLE, QUERIES  # noqa: F401

@@ -19,26 +19,66 @@ _INDEX_ROOT = os.environ.get(
 )
 
 
-def persisted_index_path(spark, sf_dir: str) -> str:
-    """Build-once gate for the registered demo: the index for a
+def _source_fingerprint(src: str) -> str:
+    """sha256 of the fixture parquet's CONTENT (file bytes; sorted
+    relative-name + bytes for a directory-shaped table). The staleness
+    gate compares this, not mtimes: a regenerated fixture with an
+    identical-or-older mtime (clock skew, archive extraction) must
+    still trigger a rebuild — serving a fresh fixture from a stale
+    index would silently weaken the exact-twin certificates."""
+    import hashlib
+
+    h = hashlib.sha256()
+    if os.path.isdir(src):
+        for root, _dirs, files in sorted(os.walk(src)):
+            for name in sorted(files):
+                p = os.path.join(root, name)
+                h.update(os.path.relpath(p, src).encode())
+                with open(p, "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 20), b""):
+                        h.update(chunk)
+    else:
+        with open(src, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+    return h.hexdigest()
+
+
+def persisted_index_path(spark, sf_dir: str, encoding: str = "flat") -> str:
+    """Build-once gate for the registered demos: the index for a
     fixture directory lives under the (gitignored) warehouse, keyed by
-    the fixture name, and is rebuilt only when missing or older than
-    the fixture's embeddings parquet (a fresh driver-generated fixture
-    must never be served from a stale index — the exact-twin
-    certificate would silently weaken). Production replaces this gate
-    with pipeline-versioned index releases; the serve path is
-    identical either way."""
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(_INDEX_ROOT, sf_name)
+    the fixture's ABSOLUTE path hash (two roots sharing a basename
+    must not collide on one cache slot) plus the encoding, and is
+    rebuilt when missing, encoded differently, or whenever the
+    fixture's embeddings parquet CONTENT no longer matches the
+    fingerprint recorded in meta.json at build time. Production
+    replaces this gate with pipeline-versioned index releases; the
+    serve path is identical either way."""
+    import hashlib
+    import json
+
+    abs_dir = os.path.abspath(os.path.normpath(sf_dir))
+    sf_name = os.path.basename(abs_dir)
+    key = hashlib.sha256(abs_dir.encode()).hexdigest()[:10]
+    suffix = "" if encoding == "flat" else f"-{encoding}"
+    path = os.path.join(_INDEX_ROOT, f"{sf_name}-{key}{suffix}")
     meta_path = os.path.join(path, "meta.json")
     src = os.path.join(sf_dir, "embeddings.parquet")
-    stale = (
-        not os.path.isfile(meta_path)
-        or os.path.getmtime(meta_path) < os.path.getmtime(src)
-    )
+    fp = _source_fingerprint(src)
+    stale = True
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        stale = (
+            meta.get("source_fingerprint") != fp
+            or meta.get("encoding", "flat") != encoding
+        )
     if stale:
         similarity.ivfpq_index_write(
-            table(spark, sf_dir, "embeddings"), path
+            table(spark, sf_dir, "embeddings"),
+            path,
+            encoding=encoding,
+            extra_meta={"source_fingerprint": fp, "source_path": abs_dir},
         )
     return path
 

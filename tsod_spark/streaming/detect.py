@@ -1249,7 +1249,16 @@ def stream_ivfpq_search(
         if state.exists:
             adcs, ids = state.get
             pairs.extend(zip(adcs, ids))
-        pairs.sort()  # (adc, vec_id) — the batch tie order
+        # dedup by vec_id keeping the best adc: a replayed/duplicated
+        # source file re-sends a query_id's candidates, and without
+        # this the same vec_id would occupy multiple top-k slots
+        # (ADVICE r13). min-by-(adc, vec_id) is idempotent under
+        # replay, preserving the batch tie order.
+        best: dict = {}
+        for adc, vid in pairs:
+            if vid not in best or adc < best[vid]:
+                best[vid] = adc
+        pairs = sorted((adc, vid) for vid, adc in best.items())
         top = pairs[:k]
         state.update(([p[0] for p in top], [p[1] for p in top]))
         yield pd.DataFrame(
