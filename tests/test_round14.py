@@ -208,3 +208,69 @@ def test_fingerprint_gate_identical_mtime_rebuilds(spark, tmp_path,
         "source_fingerprint"
     ]
     assert fp_after != fp_before  # rebuild fired on content change
+
+
+# --- VERDICT r13 #3: cell-block certificate sampled regime -----------
+
+
+def test_cell_block_regime_boundary(spark, tmp_path):
+    """Above exact_max_vectors the exact certificate must refuse
+    (naming the sampled path) unless auto_sample delegates; the
+    sampled row keeps the schema, reports the FULL corpus n_vectors,
+    and its candidate-volume certificate is identical to the exact
+    regime's (that side is never sampled)."""
+    import pytest
+
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+
+    emb = table(spark, SF, "embeddings")  # 500 vectors
+    # cells from a tiny in-plan build (16 cells, seeded)
+    assigned, _cents, _books = similarity.ivfpq_index_build(emb)
+    cells = assigned.select("vec_id", "cell").cache()
+    cells.count()
+
+    exact = similarity.embedding_cell_block_stats(emb, cells).collect()[0]
+
+    with pytest.raises(ValueError, match="sampled"):
+        similarity.embedding_cell_block_stats(
+            emb, cells, exact_max_vectors=100
+        )
+
+    sampled = similarity.embedding_cell_block_stats(
+        emb, cells, exact_max_vectors=100, auto_sample=True
+    ).collect()[0]
+    assert set(sampled.asDict()) == set(exact.asDict())
+    assert sampled["n_vectors"] == exact["n_vectors"] == 500
+    # candidate side is exact in both regimes -> identical verdict
+    assert sampled["candidate_ratio_ok"] == exact["candidate_ratio_ok"]
+    # the sampled exact-pair count is bounded by the C(cap,2) envelope
+    # and strictly smaller than the full count at this fixture
+    assert 0 <= sampled["n_exact_pairs"] < exact["n_exact_pairs"]
+    cells.unpersist()
+
+
+def test_cell_block_sample_deterministic_and_capped(spark):
+    """The stratified sample is content-deterministic (same fixture ->
+    same sampled exact-pair count across invocations) and the driver
+    matrix guard in _exact_cosine_pairs enforces the cap."""
+    import pytest
+
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+
+    emb = table(spark, SF, "embeddings")
+    assigned, _c, _b = similarity.ivfpq_index_build(emb)
+    cells = assigned.select("vec_id", "cell").cache()
+    cells.count()
+    r1 = similarity.embedding_cell_block_stats_sampled(
+        emb, cells, sample_max_vectors=120
+    ).collect()[0]
+    r2 = similarity.embedding_cell_block_stats_sampled(
+        emb, cells, sample_max_vectors=120
+    ).collect()[0]
+    assert r1.asDict() == r2.asDict()
+    # guard: feeding more vectors than the bound raises, not collects
+    with pytest.raises(ValueError, match="driver-matrix bound"):
+        similarity._exact_cosine_pairs(emb, 0.3, "embedding", 100)
+    cells.unpersist()

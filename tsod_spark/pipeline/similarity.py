@@ -1839,43 +1839,19 @@ def ivfpq_residual_persisted_topk(
     )
 
 
-def embedding_cell_block_stats(
+def _exact_cosine_pairs(
     embeddings: DataFrame,
-    cells: DataFrame,
-    min_cosine: float = 0.3,
-    coverage_floor: float = 0.2,
-    max_candidate_share_pct: int = 15,
-    vec_col: str = "embedding",
+    min_cosine: float,
+    vec_col: str,
+    max_vectors: int,
 ) -> DataFrame:
-    """Certificate for CELL-BLOCKED semantic dedup (the SemDeDup
-    blocking pattern: reuse the ANN index's coarse cells as dedup
-    blocks, compare only within a cell) — one row answering the two
-    questions an operator asks before trusting index-blocked dedup at
-    100 TB:
-
-    - ``blocked_coverage_ok``: of the EXACT cosine>=tau near-dup
-      pairs, does the same-cell blocking recover at least
-      ``coverage_floor``? (Measured 0.24-0.32 across fixtures at the
-      fixture-scale tau=0.3 — a loose threshold scatters mildly-
-      similar pairs across cell boundaries; at a production tau~0.9
-      near-identical vectors share a cell almost surely, and
-      multi-probe blocking — tag each vector with its top-2 cells —
-      raises coverage at 2x candidate cost. The floor certifies the
-      single-assignment baseline honestly rather than overclaiming.)
-    - ``candidate_ratio_ok``: the blocked path examines
-      sum_c C(n_c, 2) candidate pairs; is that at most
-      ``max_candidate_share_pct`` % of C(N, 2)? (Measured 7-9% with
-      the 16-cell index — the quadratic cut that makes the blocked
-      path runnable when all-pairs is not.)
-
-    ``n_exact_pairs`` (brute force) anchors the row for the DuckDB
-    oracle. The exact side is a TEST-SCALE certificate, same contract
-    as recall_certificate: at 100 TB you run only the blocked path
-    (cells equi-join — output-sensitive) and sample-audit coverage.
-    ``cells`` is the (vec_id, cell) projection of a persisted index
-    (ivfpq_index_load) or any clusterer's assignment.
-    """
-    # The exact side scores C(N,2) pairs; an interpreted-HOF cosine
+    """Brute-force cosine>=tau pair frame ``(__va, __vb)`` over a
+    (sub)corpus — the exact side shared by the full and SAMPLED
+    cell-block certificates. The driver-side corpus matrix is BOUNDED:
+    more than ``max_vectors`` rows raises, pointing at the sampled
+    regime (:func:`embedding_cell_block_stats_sampled`) — there is no
+    unbounded collect path."""
+    # Scores C(N,2) pairs; an interpreted-HOF cosine
     # per pair costs ~40s at sf0.1's 2M pairs, so score in an Arrow
     # kernel instead — with EXPLICITLY SEQUENTIAL per-element
     # accumulation (acc += A[:,i]*M[:,i], i ascending), which is
@@ -1889,6 +1865,13 @@ def embedding_cell_block_stats(
     import pandas as pd  # noqa: PLC0415
 
     rows = embeddings.select("vec_id", vec_col).collect()
+    if len(rows) > max_vectors:
+        raise ValueError(
+            f"exact cosine pair scan over {len(rows)} vectors exceeds "
+            f"the {max_vectors}-vector driver-matrix bound; use "
+            "embedding_cell_block_stats_sampled (seeded stratified "
+            "sample) above this scale"
+        )
     ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
     M = np.asarray(
         [[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64
@@ -1934,12 +1917,24 @@ def embedding_cell_block_stats(
                     }
                 )
 
-    pairs = (
+    return (
         embeddings.select("vec_id", vec_col)
         .mapInPandas(score_kernel, "__va long, __vb long, __cos double")
         .where(F.round("__cos", 6) >= F.lit(min_cosine))
         .select("__va", "__vb")
     )
+
+
+def _cell_block_row(
+    pairs: DataFrame,
+    cells: DataFrame,
+    coverage_floor: float,
+    max_candidate_share_pct: int,
+) -> DataFrame:
+    """The certificate row shared by both regimes: coverage of the
+    exact(-or-sampled) pair frame by same-cell blocking, plus the
+    EXACT full-corpus candidate-volume ratio (per-cell counts — cheap
+    at any scale, never sampled)."""
     ca = F.broadcast(
         cells.select(F.col("vec_id").alias("__va"), F.col("cell").alias("__ca"))
     )
@@ -1976,4 +1971,148 @@ def embedding_cell_block_stats(
             F.lit(100) * F.col("__cand").cast("double")
             <= F.lit(float(max_candidate_share_pct)) * total_pairs
         ).alias("candidate_ratio_ok"),
+    )
+
+
+def embedding_cell_block_stats(
+    embeddings: DataFrame,
+    cells: DataFrame,
+    min_cosine: float = 0.3,
+    coverage_floor: float = 0.2,
+    max_candidate_share_pct: int = 15,
+    vec_col: str = "embedding",
+    exact_max_vectors: int = 100_000,
+    auto_sample: bool = False,
+) -> DataFrame:
+    """Certificate for CELL-BLOCKED semantic dedup (the SemDeDup
+    blocking pattern: reuse the ANN index's coarse cells as dedup
+    blocks, compare only within a cell) — one row answering the two
+    questions an operator asks before trusting index-blocked dedup at
+    100 TB:
+
+    - ``blocked_coverage_ok``: of the EXACT cosine>=tau near-dup
+      pairs, does the same-cell blocking recover at least
+      ``coverage_floor``? (Measured 0.24-0.32 across fixtures at the
+      fixture-scale tau=0.3 — a loose threshold scatters mildly-
+      similar pairs across cell boundaries; at a production tau~0.9
+      near-identical vectors share a cell almost surely, and
+      multi-probe blocking — tag each vector with its top-2 cells —
+      raises coverage at 2x candidate-tag cost; see
+      :func:`embedding_multiprobe_stats` for the measured curve. The
+      floor certifies the single-assignment baseline honestly rather
+      than overclaiming.)
+    - ``candidate_ratio_ok``: the blocked path examines
+      sum_c C(n_c, 2) candidate pairs; is that at most
+      ``max_candidate_share_pct`` % of C(N, 2)? (Measured 7-9% with
+      the 16-cell index — the quadratic cut that makes the blocked
+      path runnable when all-pairs is not.)
+
+    ``n_exact_pairs`` (brute force) anchors the row for the DuckDB
+    oracle. The exact side is a TEST-SCALE certificate, same contract
+    as recall_certificate: at 100 TB you run only the blocked path
+    (cells equi-join — output-sensitive) and sample-audit coverage.
+    ``cells`` is the (vec_id, cell) projection of a persisted index
+    (ivfpq_index_load) or any clusterer's assignment.
+
+    REGIME BOUNDARY (VERDICT r13 #3): the exact side materializes the
+    corpus matrix on the driver (N x dim doubles) and scores C(N,2)
+    pairs — bounded here by ``exact_max_vectors`` (default 100k:
+    ~50 MB matrix at dim 64, ~5e9 pair scores — the practical ceiling
+    of the exact certificate). Above it, the call either raises
+    (default — the caller must opt into estimation) or, with
+    ``auto_sample=True``, delegates the EXACT SIDE ONLY to
+    :func:`embedding_cell_block_stats_sampled`'s seeded stratified
+    pair sample; the candidate-volume side stays exact at any scale
+    in both regimes.
+    """
+    n = embeddings.count()
+    if n > exact_max_vectors:
+        if not auto_sample:
+            raise ValueError(
+                f"{n} vectors exceed the exact certificate's "
+                f"{exact_max_vectors}-vector regime; call "
+                "embedding_cell_block_stats_sampled (or pass "
+                "auto_sample=True to delegate automatically)"
+            )
+        return embedding_cell_block_stats_sampled(
+            embeddings, cells, min_cosine, coverage_floor,
+            max_candidate_share_pct, vec_col,
+            sample_max_vectors=exact_max_vectors,
+        )
+    pairs = _exact_cosine_pairs(
+        embeddings, min_cosine, vec_col, exact_max_vectors
+    )
+    return _cell_block_row(
+        pairs, cells, coverage_floor, max_candidate_share_pct
+    )
+
+
+def embedding_cell_block_stats_sampled(
+    embeddings: DataFrame,
+    cells: DataFrame,
+    min_cosine: float = 0.3,
+    coverage_floor: float = 0.2,
+    max_candidate_share_pct: int = 15,
+    vec_col: str = "embedding",
+    sample_max_vectors: int = 100_000,
+) -> DataFrame:
+    """SAMPLED cell-block certificate — the at-scale regime of
+    :func:`embedding_cell_block_stats` (VERDICT r13 #3, the
+    ``threshold_curve_sampled`` precedent): above the exact regime's
+    vector bound, estimate ``blocked_coverage_ok`` from a
+    DETERMINISTIC stratified-by-cell vector sample instead of the full
+    corpus, so the certificate itself scales.
+
+    Sampling (the doc_stratified_sample / threshold_curve_sampled hash
+    discipline): within each cell, vectors rank by
+    ``(md5(vec_id), vec_id)`` — a content-deterministic uniform
+    priority, stable under re-sharding — and the first
+    ``s_c = max(1, (n_c * cap) div N)`` enter the sample (every block
+    represented; proportional allocation preserves the cell-size
+    profile the coverage estimate depends on). A final global
+    ``(md5, vec_id)`` rank hard-caps the union at exactly ``cap``
+    rows, which is the bound the driver matrix guard enforces — the
+    global window runs on the slim (vec_id, cell) projection already
+    reduced to ~cap rows, never on vectors.
+
+    The exact pair scan then runs WITHIN the sample: all sampled-pair
+    cosines are exact, so each sampled pair's same-cell status is
+    exact — only the expansion to the full corpus is estimated
+    (coverage is a share, so the ratio estimator needs no
+    Horvitz-Thompson scaling: same-cell pairs and all pairs are
+    sampled at identical rates within each cell-pair stratum). The
+    candidate-volume certificate needs no sampling at any scale: it
+    is two integer aggregates over the full (vec_id, cell)
+    projection and stays EXACT here.
+
+    Output schema matches the exact regime (the registered query's
+    driver contract): ``n_exact_pairs`` is the SAMPLED exact pair
+    count, ``n_vectors`` the full corpus size.
+    """
+    cap = int(sample_max_vectors)
+    n = embeddings.count()
+    cstats = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_c")
+    )
+    quota = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(f"(__n_c * {cap}) div {max(n, 1)}"),
+    )
+    wc = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    wg = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    sample = (
+        cells.select("vec_id", "cell")
+        .withColumn("__rk", F.row_number().over(wc).cast("long"))
+        .join(cstats.select("cell", quota.alias("__q")), "cell")
+        .where(F.col("__rk") <= F.col("__q"))
+        .withColumn("__grk", F.row_number().over(wg).cast("long"))
+        .where(F.col("__grk") <= F.lit(cap))
+        .select("vec_id")
+    )
+    semb = embeddings.join(F.broadcast(sample), "vec_id")
+    pairs = _exact_cosine_pairs(semb, min_cosine, vec_col, cap)
+    return _cell_block_row(
+        pairs, cells, coverage_floor, max_candidate_share_pct
     )

@@ -302,10 +302,17 @@ def dedup_embedding_cell_block_stats(spark, sf_dir):
     certificate cost, the recall_certificate contract; at 100 TB only
     the blocked equi-join runs. The cells come from the SAME persisted
     index emb_ivfpq_persisted_topk serves — one index, two workloads
-    (search + dedup blocking)."""
+    (search + dedup blocking).
+
+    Regime boundary (VERDICT r13 #3): above 100k vectors the exact
+    side switches to the seeded stratified pair sample
+    (embedding_cell_block_stats_sampled — the threshold_curve_sampled
+    precedent), so the certificate itself scales; the driver matrix
+    is hard-bounded either way. All driver fixtures (<=20k vectors at
+    sf1) run exact; the sf10 SCALE probe (200k) runs sampled."""
     emb = table(spark, sf_dir, "embeddings")
     path = persisted_index_path(spark, sf_dir)
     codes, _meta = similarity.ivfpq_index_load(spark, path)
     return similarity.embedding_cell_block_stats(
-        emb, codes.select("vec_id", "cell")
+        emb, codes.select("vec_id", "cell"), auto_sample=True
     )
