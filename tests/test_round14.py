@@ -274,3 +274,66 @@ def test_cell_block_sample_deterministic_and_capped(spark):
     with pytest.raises(ValueError, match="driver-matrix bound"):
         similarity._exact_cosine_pairs(emb, 0.3, "embedding", 100)
     cells.unpersist()
+
+
+# --- VERDICT r13 #6: multi-probe cell blocking ------------------------
+
+
+def test_multiprobe_coverage_strictly_improves_on_planted_boundary(spark):
+    """VERDICT r13 #6 done-criterion: on a planted fixture where
+    near-dup twins straddle a cell boundary (each twin's top-1 cell
+    differs but their top-2 sets intersect), coverage(2) >
+    coverage(1); candidates grow with p; the same-cell p=1 pair is
+    still caught at both levels."""
+    from tsod_spark.pipeline import similarity
+
+    cents = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [10.0, 10.0]]
+    rows = [
+        # boundary-straddling twin pair: top-1 cells c0 vs c1,
+        # top-2 sets both {c0, c1}
+        (0, [4.9, 0.0]),
+        (1, [5.1, 0.0]),
+        # same-cell pair in c2 (caught already at p=1)
+        (2, [0.1, 9.0]),
+        (3, [0.2, 9.5]),
+        # a lone far vector in c3 (no near-dup: opposite-ish direction)
+        (4, [10.0, 10.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["n_probe"]: r
+        for r in similarity.embedding_multiprobe_stats(
+            emb, cents, probes=(1, 2), min_cosine=0.9
+        ).collect()
+    }
+    assert got[1]["n_exact_pairs"] == got[2]["n_exact_pairs"] > 0
+    assert got[2]["coverage"] > got[1]["coverage"]
+    assert got[2]["n_blocked_pairs"] > got[1]["n_blocked_pairs"]
+    assert got[2]["n_candidates"] >= got[1]["n_candidates"]
+    # the straddling pair (0,1) is exactly the p=2-only catch
+    assert got[2]["n_blocked_pairs"] - got[1]["n_blocked_pairs"] >= 1
+
+
+def test_multiprobe_rank1_tags_equal_stored_cells(spark):
+    """The certificate's 'rank-1 tags equal the stored cells' claim:
+    the tag kernel's top-1 assignment must agree exactly with the
+    fused build's cell column on the fixture corpus (same subtraction
+    d2 + lowest-cell-id tie order as _nearest_cells)."""
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+
+    emb = table(spark, SF, "embeddings")
+    assigned, cents, _books = similarity.ivfpq_index_build(emb)
+    tags1 = similarity.embedding_multiprobe_tags(emb, cents, 1).select(
+        "vec_id", "cell"
+    )
+    mismatch = (
+        assigned.select("vec_id", "cell")
+        .join(tags1.withColumnRenamed("cell", "tcell"), "vec_id")
+        .where("cell <> tcell")
+        .count()
+    )
+    assert mismatch == 0

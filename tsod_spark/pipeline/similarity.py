@@ -2116,3 +2116,166 @@ def embedding_cell_block_stats_sampled(
     return _cell_block_row(
         pairs, cells, coverage_floor, max_candidate_share_pct
     )
+
+
+def embedding_multiprobe_tags(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    max_probe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Tag every vector with its ``max_probe`` nearest coarse cells —
+    the assignment pass MULTI-PROBE blocking needs (the stored codes
+    carry only the top-1 cell). One map-side Arrow kernel over the
+    corpus with the broadcast centroid matrix (kilobytes): emits
+    ``(vec_id, rk, cell)`` with rk = 1..max_probe, rank 1 being the
+    stored single-assignment cell. Ties break to the LOWEST cell id —
+    the same (d2, cell) order `_nearest_cells` uses driver-side, so
+    rank-1 tags agree exactly with the persisted index's cells."""
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    p = int(max_probe)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # stable (d2, cell-id) order: lexsort's last key is primary
+            order = np.lexsort(
+                (
+                    np.broadcast_to(
+                        np.arange(len(cents)), d2.shape
+                    ),
+                    d2,
+                ),
+                axis=1,
+            )[:, :p]
+            n = len(X)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(), p
+                    ),
+                    "rk": np.tile(np.arange(1, p + 1), n),
+                    "cell": order.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return embeddings.select("vec_id", vec_col).mapInPandas(
+        kernel, "vec_id long, rk int, cell int"
+    )
+
+
+def embedding_multiprobe_stats(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    probes: tuple[int, ...] = (1, 2),
+    min_cosine: float = 0.3,
+    vec_col: str = "embedding",
+    exact_max_vectors: int = 100_000,
+) -> DataFrame:
+    """Measured MULTI-PROBE cell-blocking curve (VERDICT r13 #6 — the
+    cell-block docstring's 'top-2 multi-probe doubles coverage at 2x
+    candidate cost' claim turned into numbers): one row per probe
+    width p with
+
+    - ``n_blocked_pairs`` / ``coverage``: exact cosine>=tau pairs
+      whose top-p probe SETS intersect (p=1 is exactly the same-cell
+      blocking of :func:`embedding_cell_block_stats`; probe sets are
+      nested, so coverage is provably nondecreasing in p);
+    - ``n_candidates`` / ``candidate_share``: DISTINCT candidate pairs
+      the blocked path would examine — the tag self-equi-join on cell
+      with (a < b), deduplicated (a pair sharing two cells counts
+      once). This IS the production candidate generation, measured,
+      not the per-cell C(n_c,2) upper bound (which double-counts
+      multi-tagged pairs);
+    - anchors ``n_exact_pairs`` (brute force, SQL-reproducible) and
+      ``n_vectors``.
+
+    The exact side shares :func:`_exact_cosine_pairs`'s bounded
+    driver-matrix contract (TEST-SCALE certificate; above the bound,
+    sample the corpus first — the
+    :func:`embedding_cell_block_stats_sampled` discipline). The tag
+    pass and both joins are corpus-scale operations: one Arrow kernel
+    pass + equi-joins on cell, nothing all-pairs.
+    """
+    from ..util import tracked_cache
+
+    pmax = max(int(x) for x in probes)
+    tags = tracked_cache(
+        embedding_multiprobe_tags(embeddings, centroids, pmax, vec_col)
+    )
+    pairs = tracked_cache(
+        _exact_cosine_pairs(
+            embeddings, min_cosine, vec_col, exact_max_vectors
+        )
+    )
+    totals = tracked_cache(
+        embeddings.agg(
+            F.count(F.lit(1)).cast("long").alias("__n_vec")
+        ).crossJoin(
+            F.broadcast(
+                pairs.agg(
+                    F.count(F.lit(1)).cast("long").alias("__n_exact")
+                )
+            )
+        )
+    )
+    out = []
+    for p in probes:
+        tp_a = tags.where(F.col("rk") <= int(p)).select(
+            F.col("vec_id").alias("__va"), "cell"
+        )
+        tp_b = tags.where(F.col("rk") <= int(p)).select(
+            F.col("vec_id").alias("__vb"), "cell"
+        )
+        blocked = (
+            pairs.join(tp_a, "__va")
+            .join(tp_b, ["__vb", "cell"])
+            .select("__va", "__vb")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("__n_blocked"))
+        )
+        cand = (
+            tp_a.join(
+                tp_b, (tp_a["cell"] == tp_b["cell"])
+                & (tp_a["__va"] < tp_b["__vb"]),
+            )
+            .select("__va", "__vb")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("__n_cand"))
+        )
+        total_pairs = (
+            F.col("__n_vec").cast("double")
+            * (F.col("__n_vec") - 1).cast("double")
+            / 2.0
+        )
+        out.append(
+            totals.crossJoin(F.broadcast(blocked))
+            .crossJoin(F.broadcast(cand))
+            .select(
+                F.lit(int(p)).cast("long").alias("n_probe"),
+                F.col("__n_exact").alias("n_exact_pairs"),
+                F.col("__n_vec").alias("n_vectors"),
+                F.col("__n_blocked").alias("n_blocked_pairs"),
+                F.round(
+                    F.col("__n_blocked").cast("double")
+                    / F.col("__n_exact").cast("double"),
+                    6,
+                ).alias("coverage"),
+                F.col("__n_cand").alias("n_candidates"),
+                F.round(
+                    F.col("__n_cand").cast("double") / total_pairs, 6
+                ).alias("candidate_share"),
+            )
+        )
+    curve = out[0]
+    for o in out[1:]:
+        curve = curve.unionByName(o)
+    return curve.orderBy("n_probe")

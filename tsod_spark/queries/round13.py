@@ -294,8 +294,10 @@ def dedup_embedding_cell_block_stats(spark, sf_dir):
     blocking recovers >= 20% of the exact cosine>=0.3 near-dup pairs
     (measured 0.24-0.32 across fixtures — tau=0.3 is the loose
     fixture-scale threshold; production tau~0.9 pairs share cells
-    almost surely, and top-2 multi-probe doubles coverage at 2x
-    candidate cost) and (b) the blocked path examines <= 15% of all
+    almost surely, and top-2 multi-probe lifts coverage ~2.2x at
+    ~3.8x candidate cost — measured, not prose:
+    dedup_embedding_multiprobe_stats) and (b) the blocked path
+    examines <= 15% of all
     C(N,2) pairs (measured 7-9% with 16 cells — the quadratic cut
     that makes blocked dedup runnable when all-pairs is not). The
     exact pair count (hash-anchored, brute force) is the TEST-SCALE

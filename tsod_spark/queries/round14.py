@@ -10,7 +10,7 @@ from __future__ import annotations
 from ..pipeline import similarity
 from ._base import register, table
 from .round13 import persisted_index_path
-from .similarity import _EXACT_TOPK_CERT
+from .similarity import _EXACT_TOPK_CERT, EMB_D as _EMB_D
 
 
 @register("emb_ivfpq_residual_persisted_topk", _EXACT_TOPK_CERT)
@@ -45,3 +45,90 @@ def emb_ivfpq_residual_persisted_topk(spark, sf_dir):
         spark, path, emb, n_probe=6
     )
     return similarity.recall_certificate(emb, ann, min_recall=0.3)
+
+
+@register(
+    "dedup_embedding_multiprobe_stats",
+    """WITH v AS (SELECT vec_id, {EMB_D} AS ve FROM embeddings),
+    p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.ve, b.ve)
+                 / (sqrt(list_dot_product(a.ve, a.ve))
+                    * sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.3),
+    g AS (SELECT unnest([1, 2]) AS np)
+    SELECT CAST(np AS BIGINT) AS n_probe,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_exact_pairs,
+       CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vectors,
+       TRUE AS coverage_floor_ok,
+       TRUE AS coverage_monotone_ok,
+       TRUE AS candidate_bound_ok
+    FROM g ORDER BY n_probe""".replace("{EMB_D}", _EMB_D),
+)
+def dedup_embedding_multiprobe_stats(spark, sf_dir):
+    """MULTI-PROBE cell-blocking curve, measured (VERDICT r13 #6 —
+    the cell-block docstring's 'top-2 multi-probe doubles coverage at
+    2x candidate cost' claim becomes rows): per probe width p in
+    {1, 2}, every vector is tagged with its top-p nearest coarse cells
+    of the SAME persisted index the search path serves (one Arrow
+    kernel pass, broadcast kilobyte centroids; rank-1 tags equal the
+    stored cells), and the row certifies
+
+    - ``coverage_floor_ok``: exact cosine>=0.3 pairs whose probe sets
+      intersect, as a share of all exact pairs, >= {1: 0.1, 2: 0.25}
+      (measured 0.24/0.32/0.30 at p=1 and 0.58/0.69/0.67 at p=2
+      across sf0.1/0.01/0.001 — multi-probe lifts coverage ~2.2x);
+    - ``coverage_monotone_ok``: coverage nondecreasing in p, measured
+      in-plan via lag (provable too: probe sets are nested);
+    - ``candidate_bound_ok``: DISTINCT candidate pairs from the tag
+      equi-join (the production candidate generation, deduplicated —
+      NOT the per-cell C(n_c,2) bound, which double-counts pairs
+      sharing two cells) <= {1: 15, 2: 45}% of C(N,2) (measured
+      7-9% at p=1, 28-34% at p=2 — so the honest price of the 2.2x
+      coverage lift is ~3.8x candidates, tighter than the 'doubles at
+      2x' prose claimed; the docstring there now points here).
+
+    Anchors ``n_exact_pairs``/``n_vectors`` are SQL-reproducible; the
+    raw measured curve (coverage, candidate_share columns) stays
+    available via pipeline.similarity.embedding_multiprobe_stats —
+    the emb_ivfpq_persisted_recall_curve certificate scheme. The
+    exact side shares the bounded driver-matrix contract (TEST-SCALE;
+    the sampled regime applies above 100k vectors)."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..util import cache_scope
+
+    floors = {1: 0.1, 2: 0.25}
+    bounds = {1: 15.0, 2: 45.0}
+    emb = table(spark, sf_dir, "embeddings")
+    path = persisted_index_path(spark, sf_dir)
+    meta = json.load(open(os.path.join(path, "meta.json")))
+    with cache_scope():
+        raw = similarity.embedding_multiprobe_stats(
+            emb, meta["centroids"], probes=(1, 2)
+        )
+        floor_col = F.create_map(
+            *[F.lit(x) for kv in floors.items() for x in kv]
+        )[F.col("n_probe").cast("int")]
+        bound_col = F.create_map(
+            *[F.lit(x) for kv in bounds.items() for x in kv]
+        )[F.col("n_probe").cast("int")]
+        w = Window.orderBy("n_probe")
+        out = raw.select(
+            "n_probe",
+            "n_exact_pairs",
+            "n_vectors",
+            (F.col("coverage") >= floor_col).alias("coverage_floor_ok"),
+            F.coalesce(
+                F.col("coverage") >= F.lag("coverage").over(w),
+                F.lit(True),
+            ).alias("coverage_monotone_ok"),
+            (
+                F.lit(100.0) * F.col("candidate_share") <= bound_col
+            ).alias("candidate_bound_ok"),
+        ).orderBy("n_probe")
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
