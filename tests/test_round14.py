@@ -337,3 +337,99 @@ def test_multiprobe_rank1_tags_equal_stored_cells(spark):
         .count()
     )
     assert mismatch == 0
+
+
+# --- VERDICT r13 #5: image near-dup dedup -----------------------------
+
+
+def test_dhash_invariances_on_planted_twins(spark):
+    """The dHash integer-invariance argument, verified: a twin that is
+    2x-upscaled + brightness-shifted + re-encoded lands at EXACTLY the
+    base's fingerprint (Hamming 0), while distinct textures differ."""
+    from pyspark.sql import functions as F
+
+    from tsod_spark.pipeline import multimodal
+
+    ids = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    assets = multimodal.synthetic_textured_assets(ids)
+    fps = {
+        r["asset_id"]: r["dhash"]
+        for r in multimodal.image_dhash(assets).collect()
+    }
+    assert len(fps) == 30
+    for i in range(30):
+        if i % 5 == 1:
+            assert fps[i] == fps[i - 1], i  # planted twin: hamming 0
+    # distinct textures produce distinct fingerprints here
+    bases = [fps[i] for i in range(30) if i % 5 != 1]
+    assert len(set(bases)) == len(bases)
+
+
+def test_hamming_blocked_equals_exact_all_pairs(spark):
+    """Blocked-vs-exact recall certificate (pigeonhole full recall,
+    differential): the banded hamming_near_pairs output equals the
+    brute-force all-pairs join at the same radius — recall 1.0, not
+    probabilistic."""
+    from pyspark.sql import functions as F
+
+    from tsod_spark.pipeline import dedup, multimodal
+    from tsod_spark.registry import table
+
+    docs = table(spark, SF, "documents").select("doc_id").limit(200)
+    fps = multimodal.image_dhash(
+        multimodal.synthetic_textured_assets(docs)
+    ).cache()
+    fps.count()
+    blocked = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.hamming_near_pairs(
+            fps, id_col="asset_id", fp_col="dhash", bits=64, max_hamming=3
+        ).collect()
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    ham = F.bit_count(
+        F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+    ).cast("long")
+    exact = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(
+            b, F.col("a.asset_id") < F.col("b.asset_id")
+        )
+        .select(
+            F.col("a.asset_id").alias("id_a"),
+            F.col("b.asset_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .collect()
+    )
+    assert blocked == exact and len(blocked) > 0
+    fps.unpersist()
+
+
+def test_hamming_near_pairs_bit63_fingerprints(spark):
+    """The 64-bit engine must bucket NEGATIVE int64 fingerprints
+    (bit 63 set) correctly — the low chunk extracts with a logical
+    shift + AND mask, not `%` (whose sign-following would send the
+    c=0 chunk of a negative fingerprint to a different bucket than
+    the same bits in a positive one)."""
+    from tsod_spark.pipeline import dedup
+
+    # fp1/fp2 differ ONLY in bit 63 (hamming 1): pigeonhole must
+    # catch them via the three agreeing low chunks
+    fp1 = -(1 << 63)          # 0x8000...0
+    fp2 = 0                   # 0x0000...0
+    # fp3/fp4: negative pair differing in one low bit
+    fp3 = -(1 << 63) | 5
+    fp4 = -(1 << 63) | 4
+    fps = spark.createDataFrame(
+        [(1, fp1), (2, fp2), (3, fp3), (4, fp4)],
+        "doc_id long, fingerprint long",
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.hamming_near_pairs(fps, max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(3, 4)] == 1
+    assert got[(1, 3)] == 2  # bit0+bit2

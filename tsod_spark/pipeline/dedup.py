@@ -2940,3 +2940,88 @@ def governance_rollup(
             (n_exact + n_near).cast("double") / n.cast("double"), 6
         ).alias("dup_rate"),
     )
+
+
+def hamming_near_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+    bits: int = 64,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """GENERIC pigeonhole-chunk Hamming pair engine — the
+    :func:`simhash_near_pairs` banded shape generalized to any bit
+    width and any fingerprint column, so OTHER fingerprint families
+    plug into the same machinery (first consumer: 64-bit image dHash
+    from :func:`tsod_spark.pipeline.multimodal.image_dhash` — the
+    multimodal x dedup unification).
+
+    The ``bits``-wide fingerprint splits into ``max_hamming + 1``
+    equal chunks: a pair within the radius differs in fewer bits than
+    there are chunks, so by pigeonhole it agrees EXACTLY on at least
+    one chunk — the chunk equi-join is a FULL-RECALL candidate
+    generator for the advertised radius (blocked recall is provably
+    1.0, not probabilistic like MinHash banding), and
+    ``bit_count(xor)`` verifies exactly. Chunks extract with a
+    LOGICAL shift (``shiftrightunsigned``) so bit-63 fingerprints
+    (negative int64s) chunk correctly — the 32-bit simhash engine
+    never sees those.
+
+    Returns ``(id_a, id_b, hamming)`` with id_a < id_b, distinct.
+    """
+    n_chunks = max_hamming + 1
+    if bits % n_chunks:
+        raise ValueError(
+            f"max_hamming + 1 = {n_chunks} must divide {bits} "
+            "so pigeonhole chunks cover the radius exactly"
+        )
+    width = bits // n_chunks
+    chunked = (
+        fps.select(
+            F.col(id_col).alias("__id"),
+            F.col(fp_col).alias("__fp"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("c"),
+                            (
+                                # logical shift + AND mask (NOT `%`:
+                                # Spark's % keeps the dividend sign, so
+                                # the c=0 chunk of a bit-63 fingerprint
+                                # would go negative and miss its bucket)
+                                F.shiftrightunsigned(
+                                    F.col(fp_col), c * width
+                                ).bitwiseAND(F.lit((1 << width) - 1))
+                                if width < 64
+                                else F.col(fp_col)
+                            ).alias("v"),
+                        )
+                        for c in range(n_chunks)
+                    ]
+                )
+            ).alias("ck"),
+        )
+        .select("__id", "__fp", "ck.c", "ck.v")
+    )
+    chunked = tracked_cache(cap_hot_buckets(chunked, ["c", "v"], max_bucket))
+    a, b = chunked.alias("a"), chunked.alias("b")
+    ham = F.bit_count(
+        F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -378,3 +378,148 @@ def resize_images_pixels(assets: DataFrame, max_side: int = 8) -> DataFrame:
     return assets.where(F.col("kind") == "image").select(
         "asset_id", "payload"
     ).mapInPandas(batches, ASSET_SCHEMA)
+
+
+def build_bmp_pixels(px) -> bytes:
+    """24-bit uncompressed BMP from an HxWx3 uint8 array (rows written
+    in array order — the symmetric counterpart of `_decode_pixels`,
+    which returns rows in buffer order)."""
+    import struct
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    row = (3 * w + 3) // 4 * 4
+    data_size = row * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + data_size, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    pad = b"\x00" * (row - 3 * w)
+    body = b"".join(
+        np.ascontiguousarray(px[r]).tobytes() + pad for r in range(h)
+    )
+    return header + dib + body
+
+
+def build_ppm_pixels(px) -> bytes:
+    """Binary PPM (P6) from an HxWx3 uint8 array."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + np.ascontiguousarray(px).tobytes()
+
+
+def synthetic_textured_assets(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    twin_every: int = 5,
+    base_h: int = 32,
+    base_w: int = 36,
+) -> DataFrame:
+    """TEXTURED image corpus with PLANTED near-duplicates — the
+    fixture the image-dedup certificate needs (flat-gray
+    `synthetic_assets` images all dHash to zero, a degenerate corpus
+    for near-dup work). Deterministic per id, id-arithmetic-
+    predictable (the synthetic_assets oracle contract):
+
+    - every id renders a seeded random texture (RandomState(id),
+      values in [0, 200] so the twin brightness shift cannot clip);
+      even ids encode as 24-bit BMP, odd as binary PPM;
+    - ids with ``id % twin_every == 1`` are PLANTED TWINS of id-1's
+      CONTENT: the base texture 2x nearest-upscaled, +20 brightness,
+      re-encoded as PPM — resized + re-encoded + brightness-shifted,
+      the three transforms an image-dedup pass must see through.
+      Block-mean dHash (:func:`image_dhash`) is EXACTLY invariant to
+      all three (integer argument in its docstring), so twin pairs
+      land at Hamming distance 0 by construction.
+
+    Dimensions are multiples of the dHash grid (8 rows x 9 cols) so
+    block boundaries align exactly across the 2x resize."""
+    import numpy as np
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                twin = i % twin_every == 1
+                content = i - 1 if twin else i
+                px = np.random.RandomState(content % (2**31)).randint(
+                    0, 201, (base_h, base_w, 3)
+                ).astype(np.uint8)
+                if twin:
+                    px = (
+                        np.repeat(np.repeat(px, 2, axis=0), 2, axis=1)
+                        + np.uint8(20)
+                    )
+                    payload = build_ppm_pixels(px)
+                    mime = "image/x-portable-pixmap"
+                elif i % 2 == 0:
+                    payload = build_bmp_pixels(px)
+                    mime = "image/bmp"
+                else:
+                    payload = build_ppm_pixels(px)
+                    mime = "image/x-portable-pixmap"
+                rows.append((i, "image", payload, mime))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "kind", "payload", "mime"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, ASSET_SCHEMA)
+
+
+def image_dhash(
+    assets: DataFrame,
+    grid_rows: int = 8,
+    grid_cols: int = 9,
+) -> DataFrame:
+    """64-bit difference hash (dHash) over DECODED bitmaps —
+    perceptual fingerprints for image near-dup dedup, Arrow-batched
+    over the same stdlib codecs the mm_* decode family uses. Per
+    image: integer gray (R+G+B per pixel), block sums over an
+    8x9 grid via an integral image, then the horizontal gradient sign
+    between adjacent blocks packs to 64 bits (8 rows x 8 comparisons).
+
+    EXACT-INTEGER invariances (why planted twins land at Hamming 0):
+    comparisons are cross-multiplied integer block sums
+    (``S1 * area2 > S2 * area1`` — no float means anywhere), so the
+    hash is invariant to (a) integer upscales — every block sum
+    scales by the same factor; (b) uniform brightness shifts without
+    clipping — every block sum shifts by ``3 * delta * area``, equal
+    across equal-area blocks; (c) lossless re-encoding (BMP <-> PPM
+    carry identical pixel bytes). Block sums <= 255*3*w*h and areas
+    <= w*h keep the cross products far inside int64.
+
+    Returns ``(asset_id, dhash)`` with dhash a signed int64
+    reinterpretation of the 64 bits — ready for
+    :func:`tsod_spark.pipeline.dedup.hamming_near_pairs`."""
+    import numpy as np
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_fps = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px = _decode_pixels(bytes(payload)).astype(np.int64)
+                gray = px.sum(axis=2)
+                h, w = gray.shape
+                integ = np.zeros((h + 1, w + 1), dtype=np.int64)
+                integ[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
+                rb = (np.arange(grid_rows + 1) * h) // grid_rows
+                cb = (np.arange(grid_cols + 1) * w) // grid_cols
+                P = integ[np.ix_(rb, cb)]
+                S = P[1:, 1:] - P[:-1, 1:] - P[1:, :-1] + P[:-1, :-1]
+                area = np.outer(np.diff(rb), np.diff(cb))
+                bits = (
+                    S[:, 1:] * area[:, :-1] > S[:, :-1] * area[:, 1:]
+                ).reshape(-1)
+                fp = np.uint64(0)
+                for b in bits:
+                    fp = (fp << np.uint64(1)) | np.uint64(bool(b))
+                out_ids.append(int(aid))
+                out_fps.append(int(fp.view(np.int64)))
+            yield pd.DataFrame({"asset_id": out_ids, "dhash": out_fps})
+
+    return assets.where(F.col("kind") == "image").select(
+        "asset_id", "payload"
+    ).mapInPandas(kernel, "asset_id long, dhash long")

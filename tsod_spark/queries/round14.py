@@ -132,3 +132,56 @@ def dedup_embedding_multiprobe_stats(spark, sf_dir):
         ).orderBy("n_probe")
         rows = out.collect()
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "mm_phash_near_dups",
+    """SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
+       CAST(0 AS BIGINT) AS hamming
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE (b.doc_id % 5) = 1
+    ORDER BY asset_a, asset_b""",
+)
+def mm_phash_near_dups(spark, sf_dir):
+    """IMAGE near-dup dedup over perceptual hashes (VERDICT r13 #5 —
+    the first multimodal x dedup unification): textured synthetic
+    images with PLANTED near-dup twins (every id%5==1 is id-1's
+    content 2x-upscaled, +20 brightness, re-encoded BMP->PPM) decode
+    through the real stdlib codecs, fingerprint with a 64-bit
+    block-mean dHash whose comparisons are cross-multiplied INTEGER
+    block sums — EXACTLY invariant to integer upscales, uniform
+    brightness shifts, and lossless re-encoding, so every planted twin
+    lands at Hamming distance 0 — and pair up through the generic
+    pigeonhole-chunk Hamming engine (dedup.hamming_near_pairs, the
+    simhash banding generalized to 64 bits: radius 3 -> four 16-bit
+    chunks, full-recall by pigeonhole, bit_count(xor) verifies).
+
+    The oracle is the PLANT ARITHMETIC: exactly the (id-1, id) twin
+    pairs at hamming 0, so a hash-green run certifies the whole
+    decode -> dHash -> banded-join pipeline end-to-end (an extra
+    chance collision OR a missed twin both break the hash; measured
+    equal on all three fixtures; random-pair P(hamming<=3) ~ 2e-15).
+    Blocked-vs-exact recall is 1.0 by pigeonhole (provable, and
+    differential-tested against the all-pairs exact join in
+    tests/test_round14.py).
+
+    Scale shape: one generate/decode/hash Arrow pass, one banded
+    equi-join on 16-bit chunk buckets — no all-pairs anywhere; at
+    100 TB the generate stage is replaced by binaryFile ingest of the
+    real corpus (the mm_* fleet-ingest partitioning), everything
+    downstream unchanged."""
+    from pyspark.sql import functions as F
+
+    from ..pipeline import dedup, multimodal
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    assets = multimodal.synthetic_textured_assets(docs)
+    fps = multimodal.image_dhash(assets)
+    pairs = dedup.hamming_near_pairs(
+        fps, id_col="asset_id", fp_col="dhash", bits=64, max_hamming=3
+    )
+    return pairs.select(
+        F.col("id_a").alias("asset_a"),
+        F.col("id_b").alias("asset_b"),
+        "hamming",
+    ).orderBy("asset_a", "asset_b")
