@@ -383,7 +383,7 @@ def _flag_tight_drift(
     median3: dict[str, dict],
     timings: dict[str, float],
     prior: dict[str, float],
-    factor: float = 1.5,
+    factor: float = 1.4,
     spread_frac: float = 0.3,
     floor: float = 1.0,
 ) -> list[str]:
@@ -395,7 +395,13 @@ def _flag_tight_drift(
     (r12's dedup_threshold_curve 5.0 -> 7.04s median3 [7.04, 7.88,
     6.99] was exactly this signature and the old triggers missed it).
     Loose-spread medians stay with the median3_spread trigger; only
-    median3-family queries have an in-session spread to test."""
+    median3-family queries have an in-session spread to test.
+
+    factor 1.4 (r14, was 1.5): r13's ts_hw_anomaly sat at 1.49x with a
+    tight spread — one tick under the old trigger, exactly the
+    boundary case the adjudicator exists for (VERDICT r13). The floor
+    keeps sub-second queries out, so the extra sensitivity costs at
+    most a handful of isolated retimes per round."""
     return [
         name
         for name, m in median3.items()

@@ -102,6 +102,15 @@ HEADLINE10 = [
     # r13 second wave: residual-encoded IVF+PQ (KMeans-fit +
     # one-pass encode, like the flat build certificate)
     "emb_ivfpq_residual_topk",
+    # r14: the cell-block certificate (exact regime at sf1, the
+    # seeded SAMPLED regime at sf10 — 200k vectors crosses the 100k
+    # exact boundary, so the sf10 row prices the regime the 100 TB
+    # deployment actually runs), persisted residual serving,
+    # multi-probe blocking, and image dHash near-dup dedup
+    "dedup_embedding_cell_block_stats",
+    "emb_ivfpq_residual_persisted_topk",
+    "dedup_embedding_multiprobe_stats",
+    "mm_phash_near_dups",
 ]
 
 

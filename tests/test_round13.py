@@ -31,20 +31,21 @@ def test_r13_window_fold():
 
 
 def test_tight_median_drift_trigger():
-    """VERDICT r12 #4: a median3 whose median exceeds prior by >1.5x
-    with spread <30% of the median must be adjudicated (the
-    1.5x-2.5x/tight-spread blind spot); loose spreads, sub-floor
-    times, prior-less names, and in-band medians must not fire."""
+    """VERDICT r12 #4 (threshold tightened to 1.4x in r14 — VERDICT
+    r13 #4's ts_hw_anomaly sat at 1.49x, one tick under the old 1.5x):
+    a median3 whose median exceeds prior by >1.4x with spread <30% of
+    the median must be adjudicated; loose spreads, sub-floor times,
+    prior-less names, and in-band medians must not fire."""
     import bench
 
     prior = {"a": 5.0, "b": 5.0, "c": 5.0, "d": 5.0, "f": 0.4}
     timings = {"a": 7.04, "b": 7.0, "c": 13.0, "d": 5.5, "e": 9.0,
                "f": 0.9}
     median3 = {
-        # r12's real signature: 1.41x prior... use >1.5x: 7.04/5.0=1.408
-        # -> NOT flagged (below 1.5x); bump prior to make the case
-        "a": {"runs": [7.04, 7.88, 6.99], "spread": 0.89},   # 1.408x: no
-        "b": {"runs": [6.9, 7.0, 7.1], "spread": 0.2},       # 1.4x: no
+        # r12's real signature: 7.04/5.0 = 1.408x tight — the case the
+        # 1.5x trigger missed by a tick; 1.4x catches it
+        "a": {"runs": [7.04, 7.88, 6.99], "spread": 0.89},   # 1.408x: YES
+        "b": {"runs": [6.9, 7.0, 7.1], "spread": 0.2},       # 1.4x exact: no
         "c": {"runs": [12.0, 13.0, 14.0], "spread": 2.0},    # 2.6x tight
         "d": {"runs": [5.4, 5.5, 5.6], "spread": 0.2},       # 1.1x: no
         "e": {"runs": [8.9, 9.0, 9.1], "spread": 0.2},       # no prior
@@ -52,8 +53,8 @@ def test_tight_median_drift_trigger():
     }
     # c is 2.6x with tight spread — normally caught by the 2.5x
     # excursion trigger, but _flag_tight_drift itself must fire on any
-    # >1.5x tight case; the caller dedups against the other triggers.
-    assert bench._flag_tight_drift(median3, timings, prior) == ["c"]
+    # >1.4x tight case; the caller dedups against the other triggers.
+    assert bench._flag_tight_drift(median3, timings, prior) == ["a", "c"]
 
     # the blind-spot case proper: 1.8x prior, spread 12% of median
     prior2 = {"g": 5.0}
