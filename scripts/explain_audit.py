@@ -59,6 +59,11 @@ ALLOW_NLJ = {
     "emb_ivfpq_residual_topk",  # same certificate shape, residual codes
     "emb_ivfpq_residual_persisted_topk",  # same certificate shape,
                          # served from the persisted residual index
+    "emb_ivfpq_upsert_topk",  # same certificate shape, served from the
+                         # lifecycle (append+delete) index; extra 1-row
+                         # no_tombstoned crossJoin
+    "emb_ivfpq_upsert_stats",  # three 1-row broadcast stat crossJoins
+                         # (live x tombstones x disjointness boolean)
     "dedup_embedding_cell_block_stats",  # broadcast 1-row stats
                          # crossJoin (pair counts x candidate counts);
                          # the exact all-pairs side is an Arrow kernel

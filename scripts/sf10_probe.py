@@ -111,6 +111,11 @@ HEADLINE10 = [
     "emb_ivfpq_residual_persisted_topk",
     "dedup_embedding_multiprobe_stats",
     "mm_phash_near_dups",
+    # r14 second wave: the index-maintenance lifecycle (warm absorber
+    # pays build+append+delete; timed runs price the tomb-filtered
+    # pruned serve)
+    "emb_ivfpq_upsert_topk",
+    "emb_ivfpq_upsert_stats",
 ]
 
 

@@ -219,6 +219,11 @@ HEADLINE = [
     "emb_ivfpq_residual_persisted_topk",
     "dedup_embedding_multiprobe_stats",
     "mm_phash_near_dups",
+    # r14 second wave: the index-maintenance lifecycle (the warm
+    # absorber pays the one-time build+append+delete; timed runs
+    # price the tomb-filtered pruned serve)
+    "emb_ivfpq_upsert_topk",
+    "emb_ivfpq_upsert_stats",
 ]
 
 

@@ -433,3 +433,181 @@ def test_hamming_near_pairs_bit63_fingerprints(spark):
     assert got[(1, 2)] == 1
     assert got[(3, 4)] == 1
     assert got[(1, 3)] == 2  # bit0+bit2
+
+
+# --- persisted-index MAINTENANCE: frozen-encode append + tombstones --
+
+
+def test_frozen_encode_reproduces_build_codes_both_encodings(
+    spark, tmp_path
+):
+    """ivfpq_encode_frozen is the build kernel minus training: frozen-
+    encoding the build's own corpus must reproduce the stored codes
+    BIT-FOR-BIT for both code spaces (flat and residual) — the
+    property that makes an append a pure extension of the index
+    rather than a second, subtly different quantization."""
+    from pyspark.sql import functions as F
+
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+
+    emb = table(spark, SF, "embeddings")
+    for enc in ("flat", "residual"):
+        path = str(tmp_path / f"frozen-{enc}")
+        similarity.ivfpq_index_write(emb, path, encoding=enc)
+        codes, meta = similarity.ivfpq_index_load(spark, path)
+        stored = {
+            r["vec_id"]: (r["cell"], tuple(r["codes"]))
+            for r in codes.collect()
+        }
+        again = {
+            r["vec_id"]: (r["cell"], tuple(r["codes"]))
+            for r in similarity.ivfpq_encode_frozen(emb, meta).collect()
+        }
+        assert stored == again, enc
+
+
+def test_append_only_touches_receiving_cells(spark, tmp_path):
+    """The FAISS `add` contract on disk: an append adds files ONLY
+    under the cells that received new vectors; every other cell
+    directory's file listing is byte-identical before and after —
+    the property that makes incremental cost track the batch, not
+    the corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+
+    emb = table(spark, SF, "embeddings")
+    base = emb.where(F.col("vec_id") % 10 != 7)
+    new = emb.where(F.col("vec_id") % 10 == 7)
+    path = str(tmp_path / "append-demo")
+    similarity.ivfpq_index_write(base, path)
+
+    def listing():
+        out = {}
+        codes_dir = os.path.join(path, "codes")
+        for d in os.listdir(codes_dir):
+            if d.startswith("cell="):
+                out[d] = sorted(
+                    f for f in os.listdir(os.path.join(codes_dir, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = listing()
+    meta0 = similarity._read_index_meta(path)
+    touched = {
+        int(r["cell"])
+        for r in similarity.ivfpq_encode_frozen(new, meta0)
+        .select("cell").distinct().collect()
+    }
+    meta = similarity.ivfpq_index_append(spark, path, new)
+    after = listing()
+    assert meta["generation"] == 2
+    assert meta["appended_rows"] == new.count()
+    for d, files in before.items():
+        cell = int(d.split("=")[1])
+        if cell not in touched:
+            assert after[d] == files, f"untouched {d} was rewritten"
+    for cell in touched:
+        assert len(after[f"cell={cell}"]) > len(
+            before.get(f"cell={cell}", [])
+        )
+    codes, _ = similarity.ivfpq_index_load(spark, path)
+    assert codes.count() == emb.count()
+
+
+def test_tombstones_excluded_and_pruning_survives(spark, tmp_path):
+    """Deletes are logical: tombstoned ids vanish from the loaded scan
+    (broadcast anti-join), and the probe's partition pruning still
+    reaches the codes FileScan — PartitionFilters carries the probed
+    cells with the anti-join in the plan."""
+    from pyspark.sql import functions as F
+
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+
+    emb = table(spark, SF, "embeddings")
+    path = str(tmp_path / "delete-demo")
+    similarity.ivfpq_index_write(emb, path)
+    dele = emb.where(F.col("vec_id") % 37 == 5).select("vec_id")
+    meta = similarity.ivfpq_index_delete(spark, path, dele)
+    assert meta["generation"] == 2
+    assert meta["tombstone_rows"] == dele.count()
+
+    codes, m = similarity.ivfpq_index_load(spark, path)
+    got = {r["vec_id"] for r in codes.select("vec_id").collect()}
+    want = {
+        r["vec_id"]
+        for r in emb.where(F.col("vec_id") % 37 != 5)
+        .select("vec_id").collect()
+    }
+    assert got == want
+
+    scan = similarity.ivfpq_probe_scan(codes, m, m["centroids"][0], 3)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan and " IN " in plan
+    assert "LeftAnti" in plan and "Broadcast" in plan
+
+
+def test_delete_accepts_id_iterables(spark, tmp_path):
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+
+    emb = table(spark, SF, "embeddings")
+    path = str(tmp_path / "delete-iter")
+    similarity.ivfpq_index_write(emb.limit(50), path)
+    similarity.ivfpq_index_delete(spark, path, [1, 2, 3])
+    meta = similarity.ivfpq_index_delete(spark, path, [3, 4])
+    # appends accumulate (3 re-deleted: tombstones table dedups at load)
+    assert meta["tombstone_rows"] == 5
+    assert meta["generation"] == 3
+    codes, _ = similarity.ivfpq_index_load(spark, path)
+    got = {r["vec_id"] for r in codes.select("vec_id").collect()}
+    assert got.isdisjoint({1, 2, 3, 4})
+
+
+def test_upsert_demo_gate_rebuilds_on_incomplete(spark, tmp_path,
+                                                 monkeypatch):
+    """Crash-safety: the `upsert_demo_complete` flag is written only
+    after the last lifecycle step, so a slot missing it (crash between
+    build and delete) is rebuilt from scratch; a complete slot is
+    reused without touching the codes."""
+    import json
+    import os
+
+    from tsod_spark.queries import round14
+
+    monkeypatch.setattr(round14, "_INDEX_ROOT", str(tmp_path / "slots"))
+    p1 = round14.upsert_demo_index_path(spark, SF)
+    meta_path = os.path.join(p1, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta["upsert_demo_complete"] and meta["generation"] == 3
+    mtime = os.path.getmtime(meta_path)
+    # complete slot: reused, nothing rewritten
+    assert round14.upsert_demo_index_path(spark, SF) == p1
+    assert os.path.getmtime(meta_path) == mtime
+    # simulate a crash mid-lifecycle: flag absent -> full rebuild
+    del meta["upsert_demo_complete"]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    round14.upsert_demo_index_path(spark, SF)
+    with open(meta_path) as f:
+        meta2 = json.load(f)
+    assert meta2["upsert_demo_complete"] and meta2["generation"] == 3
+
+
+def test_upsert_topk_certificate_row(spark):
+    """The served top-k over the lifecycle index: full 10 rows, recall
+    certified, and NOT ONE tombstoned id survives serving."""
+    from tsod_spark.queries.round14 import emb_ivfpq_upsert_topk
+
+    rows = emb_ivfpq_upsert_topk(spark, SF).collect()
+    assert len(rows) == 10
+    assert all(r["recall_ok"] for r in rows)
+    assert all(r["no_tombstoned"] for r in rows)
+    assert all(r["vec_id"] % 37 != 5 for r in rows)

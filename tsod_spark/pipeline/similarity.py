@@ -1422,6 +1422,7 @@ def ivfpq_index_write(
             "seed": seed,
             "vec_col": vec_col,
             "encoding": encoding,
+            "generation": 1,
             "centroids": centroids,
             "codebooks": books,
         }
@@ -1433,11 +1434,9 @@ def ivfpq_index_write(
     return meta
 
 
-def ivfpq_index_load(spark, path: str):
-    """Load a persisted IVF+PQ index: ``(codes_df, meta)`` where
-    ``codes_df`` is a LAZY scan of the cell-partitioned codes table
-    (no file is read until a probe filters it) and ``meta`` carries
-    centroids/codebooks/params from the driver-side JSON."""
+def _read_index_meta(path: str) -> dict:
+    """Driver-side metadata read + format gate shared by the load and
+    maintenance entry points."""
     import json
     import os
 
@@ -1448,8 +1447,179 @@ def ivfpq_index_load(spark, path: str):
             f"ivfpq index at {path}: format_version "
             f"{meta.get('format_version')} != {_INDEX_FORMAT_VERSION}"
         )
+    return meta
+
+
+def _write_index_meta(path: str, meta: dict) -> None:
+    """Atomic driver-side metadata replace (tmp + rename), the same
+    discipline ``ivfpq_index_write`` uses."""
+    import json
+    import os
+
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def ivfpq_index_load(spark, path: str):
+    """Load a persisted IVF+PQ index: ``(codes_df, meta)`` where
+    ``codes_df`` is a LAZY scan of the cell-partitioned codes table
+    (no file is read until a probe filters it) and ``meta`` carries
+    centroids/codebooks/params from the driver-side JSON.
+
+    If the index carries tombstones (:func:`ivfpq_index_delete`), the
+    returned scan excludes them via a broadcast left-anti join on
+    ``vec_id`` — deleted vectors are gone from EVERY consumer (topk,
+    recall curves, streaming search) without rewriting a single codes
+    file. The cell filter still prunes partitions: Catalyst pushes the
+    partition-column predicate below the anti-join, so unprobed cells
+    stay unread (plan-pinned with tombstones present in
+    tests/test_round14.py)."""
+    import os
+
+    meta = _read_index_meta(path)
     codes = spark.read.parquet(os.path.join(path, "codes"))
+    tomb_dir = os.path.join(path, "tombstones")
+    if os.path.isdir(tomb_dir):
+        tomb = spark.read.parquet(tomb_dir).select("vec_id").distinct()
+        codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
     return codes, meta
+
+
+def ivfpq_encode_frozen(
+    embeddings: DataFrame,
+    meta: dict,
+    vec_col: str | None = None,
+) -> DataFrame:
+    """Encode vectors against a FROZEN index's metadata — the batch
+    half of the train-rarely/encode-continuously contract
+    (:func:`tsod_spark.streaming.detect.stream_ivfpq_encode` is the
+    stream half; this one also speaks the RESIDUAL code space). No
+    KMeans fit, no codebook training: cell by subtraction-form L2
+    argmin over ``meta["centroids"]``, codes by per-subspace argmin
+    over ``meta["codebooks"]`` — for ``encoding="residual"`` the PQ
+    argmin runs over ``x - centroid[cell(x)]``, exactly the arithmetic
+    of the matching build kernels (:func:`ivfpq_index_build` /
+    :func:`ivfpq_residual_index_build`), so frozen-encoding the
+    build's own corpus reproduces its codes bit-for-bit
+    (differential-tested).
+
+    One Arrow ``mapInPandas`` pass, map-side only; emits the shared
+    ``(vec_id, cell, codes, distortion)`` index schema, ready for
+    :func:`ivfpq_index_append`."""
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415
+
+    vec_col = vec_col or meta.get("vec_col", "embedding")
+    residual = meta.get("encoding", "flat") == "residual"
+    cents = np.asarray(meta["centroids"])
+    bks = np.asarray(meta["codebooks"])
+    m, _, dsub = bks.shape
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cd2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cell = cd2.argmin(axis=1).astype(np.int32)
+            Xe = X - cents[cell] if residual else X
+            codes = np.empty((len(X), m), dtype=np.int32)
+            dist = np.zeros(len(X), dtype=np.float64)
+            for j in range(m):
+                S = Xe[:, j * dsub : (j + 1) * dsub]
+                d2 = ((S[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+                dist += d2.min(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cell,
+                    "codes": list(codes),
+                    "distortion": dist,
+                }
+            )
+
+    return embeddings.select("vec_id", vec_col).mapInPandas(
+        kernel, "vec_id long, cell int, codes array<int>, distortion double"
+    )
+
+
+def ivfpq_index_append(spark, path: str, new_embeddings: DataFrame,
+                       vec_col: str | None = None) -> dict:
+    """Grow a persisted IVF+PQ index WITHOUT retraining — the FAISS
+    ``add`` idiom, completing the index lifecycle (build → append →
+    delete → serve): new vectors are frozen-encoded against the stored
+    centroids/codebooks (:func:`ivfpq_encode_frozen` — existing codes
+    stay valid because the quantizers never move) and APPENDED to the
+    cell-partitioned codes table. Append mode adds files only under
+    the cells that received vectors; untouched cell directories keep
+    serving their existing files unchanged, so the incremental write
+    cost tracks the BATCH size, never the corpus — at 100 TB this is
+    the scheduled ingest tick between the rare full retrains (a
+    retrain is :func:`ivfpq_index_write`'s overwrite, which swaps the
+    whole index atomically per cell).
+
+    The caller owns id uniqueness (appending an already-indexed
+    ``vec_id`` creates a duplicate serving row — upsert is
+    :func:`ivfpq_index_delete` of the old id + append of the new) and
+    single-writer discipline (two concurrent appends interleave file
+    adds safely, but the meta counters would race).
+
+    Bumps ``generation`` and accumulates ``appended_rows`` in
+    ``meta.json``; returns the updated metadata."""
+    import os
+
+    meta = _read_index_meta(path)
+    vec_col = vec_col or meta.get("vec_col", "embedding")
+    n = new_embeddings.count()
+    (
+        ivfpq_encode_frozen(new_embeddings, meta, vec_col)
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "codes"))
+    )
+    meta["generation"] = int(meta.get("generation", 1)) + 1
+    meta["appended_rows"] = int(meta.get("appended_rows", 0)) + int(n)
+    _write_index_meta(path, meta)
+    return meta
+
+
+def ivfpq_index_delete(spark, path: str, vec_ids) -> dict:
+    """Logical deletes for a persisted IVF+PQ index — TOMBSTONES, not
+    rewrites: the ids land in a tiny ``{path}/tombstones`` parquet
+    (append mode: deletes accumulate across ticks) and every serve
+    path excludes them through :func:`ivfpq_index_load`'s broadcast
+    anti-join. No codes file is touched, so a delete costs O(batch)
+    regardless of corpus size; the m-byte codes of deleted vectors
+    stay on disk until the next full rebuild compacts them — the
+    LSM/FAISS ``remove_ids`` trade, with ``tombstone_rows`` in the
+    metadata as the compaction-pressure readout (rebuild when it
+    grows past a few percent of the corpus).
+
+    ``vec_ids`` is a DataFrame bearing ``vec_id`` or an iterable of
+    ints. Bumps ``generation``; returns the updated metadata."""
+    import os
+
+    meta = _read_index_meta(path)
+    if isinstance(vec_ids, DataFrame):
+        ids = vec_ids.select("vec_id")
+    else:
+        ids = spark.createDataFrame(
+            [(int(i),) for i in vec_ids], "vec_id long"
+        )
+    n = ids.count()
+    ids.coalesce(1).write.mode("append").parquet(
+        os.path.join(path, "tombstones")
+    )
+    meta["generation"] = int(meta.get("generation", 1)) + 1
+    meta["tombstone_rows"] = int(meta.get("tombstone_rows", 0)) + int(n)
+    _write_index_meta(path, meta)
+    return meta
 
 
 def ivfpq_probe_scan(

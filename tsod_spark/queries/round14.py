@@ -3,13 +3,18 @@ r13 #2 — the canonical FAISS ``IVFx,PQy`` composition in its
 production fit-offline/load-in-production shape), multi-probe cell
 blocking measured instead of claimed (VERDICT r13 #6), and image
 near-dup dedup over perceptual hashes (VERDICT r13 #5 — the first
-multimodal x dedup unification)."""
+multimodal x dedup unification), plus the persisted-index MAINTENANCE
+lifecycle (frozen-encode append + tombstone delete — the FAISS
+add/remove_ids idiom, closing the build -> grow -> shrink -> serve
+loop a production embedding index runs between full retrains)."""
 
 from __future__ import annotations
 
+import os
+
 from ..pipeline import similarity
 from ._base import register, table
-from .round13 import persisted_index_path
+from .round13 import _INDEX_ROOT, _source_fingerprint, persisted_index_path
 from .similarity import _EXACT_TOPK_CERT, EMB_D as _EMB_D
 
 
@@ -185,3 +190,157 @@ def mm_phash_near_dups(spark, sf_dir):
         F.col("id_b").alias("asset_b"),
         "hamming",
     ).orderBy("asset_a", "asset_b")
+
+
+def upsert_demo_index_path(spark, sf_dir: str) -> str:
+    """Build-once gate for the index-MAINTENANCE demos: a separate
+    index slot (never the shared serving index — the upsert flow
+    mutates it) holding the full lifecycle state: base build on 90% of
+    the corpus (``vec_id % 10 != 7``), frozen-encode APPEND of the
+    held-out 10% (:func:`~tsod_spark.pipeline.similarity.
+    ivfpq_index_append`), then TOMBSTONE deletes of ``vec_id % 37 ==
+    5`` (:func:`~tsod_spark.pipeline.similarity.ivfpq_index_delete`) —
+    generation 3, all id-arithmetic so the DuckDB oracles can
+    reproduce every count. The ``upsert_demo_complete`` flag is
+    written only after the last step, so a crash mid-lifecycle leaves
+    a slot the gate rebuilds from scratch; staleness follows the
+    shared gate's content-fingerprint contract."""
+    import hashlib
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    abs_dir = os.path.abspath(os.path.normpath(sf_dir))
+    key = hashlib.sha256(abs_dir.encode()).hexdigest()[:10]
+    path = os.path.join(
+        _INDEX_ROOT, f"{os.path.basename(abs_dir)}-{key}-upsert"
+    )
+    meta_path = os.path.join(path, "meta.json")
+    fp = _source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("source_fingerprint") == fp and meta.get(
+            "upsert_demo_complete"
+        ):
+            return path
+    shutil.rmtree(path, ignore_errors=True)
+    emb = table(spark, sf_dir, "embeddings")
+    similarity.ivfpq_index_write(
+        emb.where(F.col("vec_id") % 10 != 7),
+        path,
+        extra_meta={"source_fingerprint": fp, "source_path": abs_dir},
+    )
+    similarity.ivfpq_index_append(
+        spark, path, emb.where(F.col("vec_id") % 10 == 7)
+    )
+    similarity.ivfpq_index_delete(
+        spark, path, emb.where(F.col("vec_id") % 37 == 5).select("vec_id")
+    )
+    meta = similarity._read_index_meta(path)
+    meta["upsert_demo_complete"] = True
+    similarity._write_index_meta(path, meta)
+    return path
+
+
+_UPSERT_TOPK_CERT = """WITH q AS (SELECT {EMB_D} AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT vec_id, {EMB_D} AS ve FROM embeddings
+          WHERE vec_id <> 0 AND vec_id % 37 <> 5)
+    SELECT vec_id,
+           round(list_dot_product(ve, qe) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim,
+           TRUE AS recall_ok,
+           TRUE AS no_tombstoned
+    FROM s, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".replace(
+    "{EMB_D}", _EMB_D
+)
+
+
+@register("emb_ivfpq_upsert_topk", _UPSERT_TOPK_CERT)
+def emb_ivfpq_upsert_topk(spark, sf_dir):
+    """ANN top-10 served from an index that LIVED — built on 90% of
+    the corpus, grown by a frozen-encode append (the FAISS ``add``
+    idiom: centroids/codebooks never move, so existing codes stay
+    valid), then shrunk by tombstone deletes — the maintenance
+    lifecycle a 100 TB embedding index actually runs between full
+    retrains (append cost tracks the batch, delete cost is O(ids),
+    untouched cell files are never rewritten). Serving is the same
+    partition-pruned ``ivfpq_persisted_topk`` path; the tombstone
+    anti-join rides the broadcast side inside ``ivfpq_index_load``,
+    so every consumer excludes deleted ids for free.
+
+    The certificate extends the exact-top-10 scheme: ground truth is
+    brute-force cosine over the LIVE set (all vectors minus the
+    id-arithmetic tombstones — SQL-reproducible), ``recall_ok``
+    certifies shortlist overlap >= 3/10 (measured 0.6-1.0 across
+    fixtures), and ``no_tombstoned`` certifies NO deleted id survives
+    in the served top-k (constant TRUE; a tombstone leak flips it and
+    breaks the hash)."""
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    live = emb.where(F.col("vec_id") % 37 != 5)
+    path = upsert_demo_index_path(spark, sf_dir)
+    ann = similarity.ivfpq_persisted_topk(spark, path, live, n_probe=6)
+    deleted = emb.where(F.col("vec_id") % 37 == 5).select("vec_id")
+    clean = (
+        ann.select("vec_id")
+        .join(F.broadcast(deleted), "vec_id")
+        .agg((F.count(F.lit(1)) == 0).alias("no_tombstoned"))
+    )
+    return similarity.recall_certificate(
+        live, ann, min_recall=0.3
+    ).crossJoin(F.broadcast(clean))
+
+
+@register(
+    "emb_ivfpq_upsert_stats",
+    """SELECT CAST(sum(CASE WHEN vec_id % 37 <> 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+       CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_appended,
+       CAST(sum(CASE WHEN vec_id % 37 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstones,
+       CAST(3 AS BIGINT) AS generation,
+       TRUE AS tombstones_absent_ok
+    FROM embeddings""",
+)
+def emb_ivfpq_upsert_stats(spark, sf_dir):
+    """Maintenance-governance readout over the lifecycle index
+    (build -> append -> delete): live serving rows (the tomb-filtered
+    codes scan — every count here is id-arithmetic the oracle
+    recomputes from the corpus alone), rows appended by the frozen-
+    encode tick, accumulated tombstones (the compaction-pressure
+    number — rebuild when it grows past a few percent of the corpus),
+    the metadata generation counter (3 = build + one append + one
+    delete tick), and ``tombstones_absent_ok`` certifying in-plan that
+    the served scan and the tombstone set are DISJOINT — the
+    anti-join actually excludes what the delete recorded."""
+    from pyspark.sql import functions as F
+
+    path = upsert_demo_index_path(spark, sf_dir)
+    codes, meta = similarity.ivfpq_index_load(spark, path)
+    tomb = (
+        spark.read.parquet(os.path.join(path, "tombstones"))
+        .select("vec_id")
+        .distinct()
+    )
+    live_cnt = codes.agg(F.count(F.lit(1)).cast("long").alias("n_live"))
+    tomb_cnt = tomb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tombstones")
+    )
+    absent = (
+        codes.select("vec_id")
+        .join(F.broadcast(tomb), "vec_id")
+        .agg((F.count(F.lit(1)) == 0).alias("tombstones_absent_ok"))
+    )
+    return (
+        live_cnt.crossJoin(F.broadcast(tomb_cnt))
+        .crossJoin(F.broadcast(absent))
+        .select(
+            "n_live",
+            F.lit(int(meta["appended_rows"])).cast("long").alias(
+                "n_appended"
+            ),
+            "n_tombstones",
+            F.lit(int(meta["generation"])).cast("long").alias("generation"),
+            "tombstones_absent_ok",
+        )
+    )
