@@ -116,6 +116,7 @@ HEADLINE10 = [
     # pruned serve)
     "emb_ivfpq_upsert_topk",
     "emb_ivfpq_upsert_stats",
+    "mm_audio_near_dups",
 ]
 
 

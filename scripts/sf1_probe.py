@@ -224,6 +224,7 @@ HEADLINE = [
     # price the tomb-filtered pruned serve)
     "emb_ivfpq_upsert_topk",
     "emb_ivfpq_upsert_stats",
+    "mm_audio_near_dups",
 ]
 
 

@@ -611,3 +611,79 @@ def test_upsert_topk_certificate_row(spark):
     assert all(r["recall_ok"] for r in rows)
     assert all(r["no_tombstoned"] for r in rows)
     assert all(r["vec_id"] % 37 != 5 for r in rows)
+
+
+# --- audio near-dup: energy fingerprint x the shared Hamming engine -
+
+
+def test_audio_fingerprint_invariances_on_planted_twins(spark):
+    """The energy-difference hash is EXACTLY invariant to the three
+    planted transforms (2x gain, aligned 2x sample-repeat, rate-header
+    re-encode): every twin pair collides at Hamming 0, and unrelated
+    clips stay far apart."""
+    from pyspark.sql import functions as F
+
+    from tsod_spark.pipeline import multimodal
+
+    ids = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    fps = multimodal.audio_energy_fingerprint(
+        multimodal.synthetic_audio_assets(ids)
+    )
+    got = {r["asset_id"]: r["afp"] for r in fps.collect()}
+    assert len(got) == 40
+    for i in range(40):
+        if i % 5 == 1:
+            assert got[i] == got[i - 1], f"twin {i} not at Hamming 0"
+    # unrelated adjacent pairs: far apart (the 2e-15 chance-collision
+    # arithmetic in the query docstring)
+    import numpy as np
+
+    def ham(a, b):
+        return bin(np.uint64(a ^ b) if a >= 0 and b >= 0 else
+                   (int(np.uint64(a) ^ np.uint64(b)))).count("1")
+
+    for i in range(2, 40):
+        if i % 5 != 1:
+            h = bin(int(np.uint64(got[i]) ^ np.uint64(got[i - 1]))).count("1")
+            assert h > 3, (i, h)
+
+
+def test_audio_blocked_equals_exact_all_pairs(spark):
+    """Pigeonhole full recall holds for the audio fingerprints too:
+    the banded engine's pairs equal the brute-force all-pairs
+    Hamming<=3 join on the same fingerprint frame."""
+    from pyspark.sql import functions as F
+
+    from tsod_spark.pipeline import dedup, multimodal
+
+    ids = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    fps = multimodal.audio_energy_fingerprint(
+        multimodal.synthetic_audio_assets(ids)
+    ).cache()
+    try:
+        blocked = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.hamming_near_pairs(
+                fps, id_col="asset_id", fp_col="afp",
+                bits=64, max_hamming=3,
+            ).collect()
+        }
+        a = fps.select(
+            F.col("asset_id").alias("id_a"), F.col("afp").alias("fa")
+        )
+        b = fps.select(
+            F.col("asset_id").alias("id_b"), F.col("afp").alias("fb")
+        )
+        exact = {
+            (r["id_a"], r["id_b"], r["h"])
+            for r in a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "h", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+            )
+            .where(F.col("h") <= 3)
+            .collect()
+        }
+        assert blocked == exact and len(blocked) > 0
+    finally:
+        fps.unpersist()

@@ -523,3 +523,149 @@ def image_dhash(
     return assets.where(F.col("kind") == "image").select(
         "asset_id", "payload"
     ).mapInPandas(kernel, "asset_id long, dhash long")
+
+
+def build_wav_samples(samples, sample_rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV around an arbitrary int16 sample array —
+    the waveform sibling of :func:`build_wav`'s constant tone."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def synthetic_audio_assets(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    twin_every: int = 5,
+    n_windows: int = 65,
+    samples_per_window: int = 20,
+) -> DataFrame:
+    """Waveform audio corpus with PLANTED near-duplicates — the audio
+    sibling of :func:`synthetic_textured_assets` (flat-tone
+    ``build_wav`` clips all fingerprint to one value, a degenerate
+    corpus for near-dup work). Deterministic per id,
+    id-arithmetic-predictable:
+
+    - every id renders a seeded random int16 waveform
+      (RandomState(id), samples in [-8000, 8000) so the twin's 2x gain
+      cannot clip int16) of ``n_windows * samples_per_window`` samples
+      at 8 kHz;
+    - ids with ``id % twin_every == 1`` are PLANTED TWINS of id-1's
+      CONTENT: the base waveform at 2x GAIN, 2x sample-repeat
+      upsampled, re-encoded with a 16 kHz rate header — louder,
+      resampled, re-encoded: the three transforms an audio-dedup pass
+      must see through. The energy-difference fingerprint
+      (:func:`audio_energy_fingerprint`) is EXACTLY invariant to all
+      three (integer argument in its docstring), so twin pairs land at
+      Hamming distance 0 by construction.
+
+    Sample counts are multiples of ``n_windows`` so window boundaries
+    align exactly across the 2x upsample."""
+    import numpy as np
+
+    n = n_windows * samples_per_window
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                twin = i % twin_every == 1
+                content = i - 1 if twin else i
+                s = np.random.RandomState(
+                    (content * 2 + 1) % (2**31)
+                ).randint(-8000, 8000, n).astype(np.int16)
+                if twin:
+                    s = np.repeat(s * np.int16(2), 2)
+                    payload = build_wav_samples(s, sample_rate=16000)
+                else:
+                    payload = build_wav_samples(s, sample_rate=8000)
+                rows.append((i, "audio", payload, "audio/wav"))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "kind", "payload", "mime"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, ASSET_SCHEMA)
+
+
+def audio_energy_fingerprint(
+    assets: DataFrame,
+    n_windows: int = 65,
+) -> DataFrame:
+    """64-bit energy-difference fingerprint over DECODED PCM streams —
+    the audio perceptual hash (the Haitsma-Kalker energy-band sign
+    idea collapsed to one band over time), Arrow-batched through the
+    same stdlib WAV parser the mm_* decode family uses. Per clip:
+    samples split into ``n_windows`` proportional windows, INTEGER
+    energy (sum of squared int64 samples) per window, then the sign of
+    each adjacent-window energy gradient packs to
+    ``n_windows - 1 = 64`` bits.
+
+    EXACT-INTEGER invariances (why planted twins land at Hamming 0):
+    comparisons are cross-multiplied integer window energies
+    (``E1 * len2 > E2 * len1`` — no float ever) so the hash is
+    invariant to (a) uniform gain — every energy scales by gain^2;
+    (b) integer sample-repeat upsampling when window boundaries align
+    — each window's energy and length scale by the same factor;
+    (c) re-encoding/rate-header changes (the parser reads the data
+    chunk, not the rate). Energies <= 32767^2 * len and len <= clip
+    keep the cross products far inside int64 for any clip under ~2^19
+    samples per window.
+
+    Returns ``(asset_id, afp)`` with afp a signed int64
+    reinterpretation of the 64 bits — ready for
+    :func:`tsod_spark.pipeline.dedup.hamming_near_pairs`."""
+    import struct
+
+    import numpy as np
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_fps = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(payload)
+                if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+                    continue
+                pos = 12
+                samples = None
+                while pos + 8 <= len(p):
+                    cid = p[pos : pos + 4]
+                    sz = struct.unpack_from("<I", p, pos + 4)[0]
+                    if cid == b"data":
+                        samples = np.frombuffer(p, "<i2", sz // 2, pos + 8)
+                        break
+                    pos += 8 + sz + (sz & 1)
+                if samples is None or len(samples) < n_windows + 1:
+                    continue
+                s = samples.astype(np.int64)
+                cum = np.zeros(len(s) + 1, dtype=np.int64)
+                np.cumsum(s * s, out=cum[1:])
+                b = (np.arange(n_windows + 1) * len(s)) // n_windows
+                E = cum[b[1:]] - cum[b[:-1]]
+                L = np.diff(b)
+                bits = E[1:] * L[:-1] > E[:-1] * L[1:]
+                fp = np.uint64(0)
+                for bit in bits:
+                    fp = (fp << np.uint64(1)) | np.uint64(bool(bit))
+                out_ids.append(int(aid))
+                out_fps.append(int(fp.view(np.int64)))
+            yield pd.DataFrame({"asset_id": out_ids, "afp": out_fps})
+
+    return assets.where(F.col("kind") == "audio").select(
+        "asset_id", "payload"
+    ).mapInPandas(kernel, "asset_id long, afp long")
