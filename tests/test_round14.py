@@ -687,3 +687,70 @@ def test_audio_blocked_equals_exact_all_pairs(spark):
         assert blocked == exact and len(blocked) > 0
     finally:
         fps.unpersist()
+
+
+def test_stream_hamming_screen_matches_batch(spark, tmp_path):
+    """Continuous perceptual-hash dedup equals the batch pair engine:
+    streaming the corpus' own fingerprints (3 micro-batches) against
+    the frozen chunk index reproduces EXACTLY hamming_near_pairs'
+    pair set with hamming values, as directed (asset, match) rows."""
+    from pyspark.sql import functions as F
+
+    from tsod_spark.pipeline import dedup, multimodal
+    from tsod_spark.streaming import stream_hamming_screen
+
+    ids = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    fps = multimodal.image_dhash(
+        multimodal.synthetic_textured_assets(ids)
+    ).cache()
+    try:
+        batch_pairs = dedup.hamming_near_pairs(
+            fps, id_col="asset_id", fp_col="dhash",
+            bits=64, max_hamming=3,
+        ).collect()
+        want = set()
+        for r in batch_pairs:
+            want.add((r["id_a"], r["id_b"], r["hamming"]))
+            want.add((r["id_b"], r["id_a"], r["hamming"]))
+
+        index = dedup.hamming_chunk_index(
+            fps, id_col="asset_id", fp_col="dhash",
+            bits=64, max_hamming=3,
+        ).cache()
+        rows = fps.orderBy("asset_id").collect()
+        chunk = (len(rows) + 2) // 3
+        for i in range(3):
+            part = rows[i * chunk : (i + 1) * chunk]
+            if part:
+                spark.createDataFrame(
+                    part, "asset_id long, dhash long"
+                ).coalesce(1).write.parquet(
+                    str(tmp_path / f"fp_{i}"), mode="overwrite"
+                )
+        src = (
+            spark.readStream.schema("asset_id long, dhash long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "fp_*"))
+        )
+        q = (
+            stream_hamming_screen(
+                src, index, id_col="asset_id", fp_col="dhash",
+                bits=64, max_hamming=3,
+            )
+            .writeStream.format("memory")
+            .queryName("t_ham_screen")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["asset_id"], r["match_id"], r["hamming"])
+            for r in spark.sql(
+                "SELECT asset_id, match_id, min(hamming) AS hamming "
+                "FROM t_ham_screen GROUP BY asset_id, match_id"
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        fps.unpersist()

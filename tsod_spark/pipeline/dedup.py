@@ -2942,6 +2942,76 @@ def governance_rollup(
     )
 
 
+def _hamming_chunks(
+    fps: DataFrame,
+    id_col: str,
+    fp_col: str,
+    bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """The pigeonhole chunk split shared by the batch pair engine and
+    the stream-side screen probe: ``(__id, __fp, c, v)`` with one row
+    per (fingerprint, chunk)."""
+    n_chunks = max_hamming + 1
+    if bits % n_chunks:
+        raise ValueError(
+            f"max_hamming + 1 = {n_chunks} must divide {bits} "
+            "so pigeonhole chunks cover the radius exactly"
+        )
+    width = bits // n_chunks
+    return fps.select(
+        F.col(id_col).alias("__id"),
+        F.col(fp_col).alias("__fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        (
+                            # logical shift + AND mask (NOT `%`:
+                            # Spark's % keeps the dividend sign, so
+                            # the c=0 chunk of a bit-63 fingerprint
+                            # would go negative and miss its bucket)
+                            F.shiftrightunsigned(
+                                F.col(fp_col), c * width
+                            ).bitwiseAND(F.lit((1 << width) - 1))
+                            if width < 64
+                            else F.col(fp_col)
+                        ).alias("v"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("__id", "__fp", "ck.c", "ck.v")
+
+
+def hamming_chunk_index(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+    bits: int = 64,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """The PERSISTED side of incremental Hamming dedup: the corpus'
+    fingerprints pre-split into their pigeonhole chunks,
+    ``(c, v, match_id, match_fp)`` — build once per corpus release
+    (n_chunks rows per fingerprint, ~4x the slim fingerprint table),
+    cache or write it, and screen every new batch or stream tick
+    against it with a chunk equi-join
+    (:func:`tsod_spark.streaming.detect.stream_hamming_screen`) — the
+    same frozen-index contract as :func:`build_corpus_index` /
+    :func:`containment_index`, applied to the perceptual-hash
+    families (image dHash, audio energy fingerprints)."""
+    ch = _hamming_chunks(fps, id_col, fp_col, bits, max_hamming)
+    return ch.select(
+        "c",
+        "v",
+        F.col("__id").alias("match_id"),
+        F.col("__fp").alias("match_fp"),
+    )
+
+
 def hamming_near_pairs(
     fps: DataFrame,
     id_col: str = "doc_id",
@@ -2970,41 +3040,7 @@ def hamming_near_pairs(
 
     Returns ``(id_a, id_b, hamming)`` with id_a < id_b, distinct.
     """
-    n_chunks = max_hamming + 1
-    if bits % n_chunks:
-        raise ValueError(
-            f"max_hamming + 1 = {n_chunks} must divide {bits} "
-            "so pigeonhole chunks cover the radius exactly"
-        )
-    width = bits // n_chunks
-    chunked = (
-        fps.select(
-            F.col(id_col).alias("__id"),
-            F.col(fp_col).alias("__fp"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("c"),
-                            (
-                                # logical shift + AND mask (NOT `%`:
-                                # Spark's % keeps the dividend sign, so
-                                # the c=0 chunk of a bit-63 fingerprint
-                                # would go negative and miss its bucket)
-                                F.shiftrightunsigned(
-                                    F.col(fp_col), c * width
-                                ).bitwiseAND(F.lit((1 << width) - 1))
-                                if width < 64
-                                else F.col(fp_col)
-                            ).alias("v"),
-                        )
-                        for c in range(n_chunks)
-                    ]
-                )
-            ).alias("ck"),
-        )
-        .select("__id", "__fp", "ck.c", "ck.v")
-    )
+    chunked = _hamming_chunks(fps, id_col, fp_col, bits, max_hamming)
     chunked = tracked_cache(cap_hot_buckets(chunked, ["c", "v"], max_bucket))
     a, b = chunked.alias("a"), chunked.alias("b")
     ham = F.bit_count(

@@ -1277,3 +1277,65 @@ def stream_ivfpq_search(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_hamming_screen(
+    stream_fps: DataFrame,
+    chunk_index: DataFrame,
+    id_col: str = "asset_id",
+    fp_col: str = "fingerprint",
+    bits: int = 64,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Streaming perceptual-hash near-dup screen — the incremental
+    twin of :func:`tsod_spark.pipeline.dedup.hamming_near_pairs`, in
+    the "is this new asset a near-dup of the corpus?" shape every
+    other incremental-dedup operator here uses: fingerprints arriving
+    on a stream (image dHash, audio energy hashes — any int64
+    fingerprint) split into their pigeonhole chunks and stream-static
+    equi-join the FROZEN corpus chunk index
+    (:func:`~tsod_spark.pipeline.dedup.hamming_chunk_index` — pass it
+    cached or persisted; Structured Streaming re-reads the static
+    side every micro-batch), with ``bit_count(xor)`` verifying the
+    exact radius. Full recall at the advertised radius by pigeonhole
+    — same provable contract as the batch engine, unlike the
+    probabilistic MinHash band screens.
+
+    Everything stream-side before the final aggregation is stateless
+    Column algebra (chunk split -> equi-join -> xor verify), so the
+    ONE stateful operator is the update-mode ``min(hamming)`` per
+    (asset, match) — deduplicating multi-chunk hits exactly like the
+    batch ``.distinct()``, with state bounded by the screen's own
+    output sensitivity (an asset only pairs with corpus entries it
+    actually collides with). Emits ``(asset_id, match_id, hamming)``;
+    batch equivalence across micro-batch boundaries is tested in
+    tests/test_round14.py. Self-matches (an asset re-screened against
+    its own corpus row) are dropped by the ``asset_id != match_id``
+    guard, so a corpus member can re-arrive idempotently.
+
+    Production loop: accepted new assets append their own chunk rows
+    between ticks (``hamming_chunk_index(new)`` + append) — the
+    frozen index this screen joins is the previous tick's corpus,
+    the same contract as ``stream_containment_screen``.
+    """
+    from pyspark.sql import functions as F
+
+    from ..pipeline.dedup import _hamming_chunks
+
+    probe = _hamming_chunks(
+        stream_fps, id_col, fp_col, bits, max_hamming
+    )
+    hits = probe.join(chunk_index, ["c", "v"]).where(
+        F.col("__id") != F.col("match_id")
+    )
+    ham = F.bit_count(
+        F.col("__fp").bitwiseXOR(F.col("match_fp"))
+    ).cast("long")
+    return (
+        hits.select(
+            F.col("__id").alias(id_col), "match_id", ham.alias("hamming")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .groupBy(id_col, "match_id")
+        .agg(F.min("hamming").alias("hamming"))
+    )
