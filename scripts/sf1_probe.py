@@ -225,6 +225,7 @@ HEADLINE = [
     "emb_ivfpq_upsert_topk",
     "emb_ivfpq_upsert_stats",
     "mm_audio_near_dups",
+    "mm_video_near_dups",
 ]
 
 

@@ -754,3 +754,74 @@ def test_stream_hamming_screen_matches_batch(spark, tmp_path):
         assert got == want and len(got) > 0
     finally:
         fps.unpersist()
+
+
+# --- video near-dup: frame vote over the shared Hamming engine ------
+
+
+def test_video_frame_vote_sees_through_temporal_trim(spark):
+    """The planted twins are temporally TRIMMED (7 of 8 frames), so a
+    whole-payload fingerprint can never match them — the frame vote
+    does: every twin pair survives with n_matched=7, share=1.0, and
+    no non-twin pair appears."""
+    from pyspark.sql import functions as F
+
+    from tsod_spark.pipeline import multimodal
+
+    ids = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    fps = multimodal.video_frame_dhashes(
+        multimodal.synthetic_video_assets(ids)
+    ).cache()
+    try:
+        per_video = {
+            r["asset_id"]: r["n"]
+            for r in fps.groupBy("asset_id")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert all(
+            per_video[i] == (7 if i % 5 == 1 else 8) for i in range(40)
+        )
+        got = {
+            (r["video_a"], r["video_b"], r["n_matched"], r["matched_share"])
+            for r in multimodal.video_near_dups(fps).collect()
+        }
+        want = {(i - 1, i, 7, 1.0) for i in range(40) if i % 5 == 1}
+        assert got == want
+    finally:
+        fps.unpersist()
+
+
+def test_video_vote_threshold_excludes_partial_overlap(spark):
+    """The min_frame_share knob: a synthetic pair sharing only half
+    its frames passes at share<=0.5 and is excluded at 0.6 — the vote
+    denominator is the SHORTER video."""
+    from tsod_spark.pipeline import multimodal
+
+    import hashlib
+
+    # pseudo-random 64-bit frame hashes: pairwise Hamming ~32, far
+    # outside the radius, so only EQUAL hashes match
+    def h(x):
+        return int.from_bytes(
+            hashlib.md5(str(x).encode()).digest()[:8], "big", signed=True
+        )
+
+    rows = []
+    # video 1: frames 0..7 with distinct far-apart hashes
+    # video 2: 4 frames matching video 1's first 4 + 4 unrelated
+    for f in range(8):
+        rows.append((1, f, h(f)))
+    for f in range(4):
+        rows.append((2, f, h(f)))
+    for f in range(4, 8):
+        rows.append((2, f, h(100 + f)))
+    fps = spark.createDataFrame(
+        rows, "asset_id long, frame_idx int, dhash long"
+    )
+    half = multimodal.video_near_dups(fps, min_frame_share=0.5)
+    assert [
+        (r["video_a"], r["video_b"], r["n_matched"])
+        for r in half.collect()
+    ] == [(1, 2, 4)]
+    strict = multimodal.video_near_dups(fps, min_frame_share=0.6)
+    assert strict.count() == 0

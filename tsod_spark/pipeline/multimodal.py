@@ -469,6 +469,30 @@ def synthetic_textured_assets(
     return ids.select(id_col).mapInPandas(gen, ASSET_SCHEMA)
 
 
+def _dhash_pixels(px, grid_rows: int = 8, grid_cols: int = 9) -> int:
+    """The block-mean dHash arithmetic over one decoded (h, w, 3)
+    uint8 array — exact-integer (cross-multiplied block sums; see
+    :func:`image_dhash`'s invariance docstring), shared by the
+    single-image and per-video-frame fingerprint kernels. Returns the
+    signed-int64 reinterpretation of the 64 bits."""
+    import numpy as np
+
+    gray = px.astype(np.int64).sum(axis=2)
+    h, w = gray.shape
+    integ = np.zeros((h + 1, w + 1), dtype=np.int64)
+    integ[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
+    rb = (np.arange(grid_rows + 1) * h) // grid_rows
+    cb = (np.arange(grid_cols + 1) * w) // grid_cols
+    P = integ[np.ix_(rb, cb)]
+    S = P[1:, 1:] - P[:-1, 1:] - P[1:, :-1] + P[:-1, :-1]
+    area = np.outer(np.diff(rb), np.diff(cb))
+    bits = (S[:, 1:] * area[:, :-1] > S[:, :-1] * area[:, 1:]).reshape(-1)
+    fp = np.uint64(0)
+    for b in bits:
+        fp = (fp << np.uint64(1)) | np.uint64(bool(b))
+    return int(fp.view(np.int64))
+
+
 def image_dhash(
     assets: DataFrame,
     grid_rows: int = 8,
@@ -500,24 +524,9 @@ def image_dhash(
         for pdf in it:
             out_ids, out_fps = [], []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                px = _decode_pixels(bytes(payload)).astype(np.int64)
-                gray = px.sum(axis=2)
-                h, w = gray.shape
-                integ = np.zeros((h + 1, w + 1), dtype=np.int64)
-                integ[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
-                rb = (np.arange(grid_rows + 1) * h) // grid_rows
-                cb = (np.arange(grid_cols + 1) * w) // grid_cols
-                P = integ[np.ix_(rb, cb)]
-                S = P[1:, 1:] - P[:-1, 1:] - P[1:, :-1] + P[:-1, :-1]
-                area = np.outer(np.diff(rb), np.diff(cb))
-                bits = (
-                    S[:, 1:] * area[:, :-1] > S[:, :-1] * area[:, 1:]
-                ).reshape(-1)
-                fp = np.uint64(0)
-                for b in bits:
-                    fp = (fp << np.uint64(1)) | np.uint64(bool(b))
+                px = _decode_pixels(bytes(payload))
                 out_ids.append(int(aid))
-                out_fps.append(int(fp.view(np.int64)))
+                out_fps.append(_dhash_pixels(px, grid_rows, grid_cols))
             yield pd.DataFrame({"asset_id": out_ids, "dhash": out_fps})
 
     return assets.where(F.col("kind") == "image").select(
@@ -669,3 +678,210 @@ def audio_energy_fingerprint(
     return assets.where(F.col("kind") == "audio").select(
         "asset_id", "payload"
     ).mapInPandas(kernel, "asset_id long, afp long")
+
+
+def synthetic_video_assets(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    twin_every: int = 5,
+    n_frames: int = 8,
+    base_h: int = 16,
+    base_w: int = 18,
+) -> DataFrame:
+    """Multi-frame video corpus with PLANTED near-duplicates — the
+    video sibling of :func:`synthetic_textured_assets` /
+    :func:`synthetic_audio_assets`, completing the modality triangle.
+    Container: a PPM STREAM (consecutive binary P6 frames
+    back-to-back — the netpbm/ffmpeg ``image2pipe`` raw-video idiom,
+    parseable with the same stdlib P6 codec the image path uses).
+    Deterministic per id, id-arithmetic-predictable:
+
+    - every id renders ``n_frames`` seeded random textured frames
+      (RandomState(content * n_frames + f), values in [0, 200]);
+    - ids with ``id % twin_every == 1`` are PLANTED TWINS of id-1's
+      CONTENT: every frame 2x nearest-upscaled and +20 brightness
+      (the dHash-invariant image transforms) AND the LAST FRAME
+      DROPPED — a temporal trim, the transform frame-vote matching
+      must see through and whole-payload hashing cannot.
+
+    Frame dimensions are multiples of the dHash grid so block
+    boundaries align across the 2x upscale."""
+    import numpy as np
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                twin = i % twin_every == 1
+                content = i - 1 if twin else i
+                frames = []
+                nf = n_frames - 1 if twin else n_frames
+                for f in range(nf):
+                    px = np.random.RandomState(
+                        (content * n_frames + f) % (2**31)
+                    ).randint(0, 201, (base_h, base_w, 3)).astype(np.uint8)
+                    if twin:
+                        px = (
+                            np.repeat(np.repeat(px, 2, axis=0), 2, axis=1)
+                            + np.uint8(20)
+                        )
+                    frames.append(build_ppm_pixels(px))
+                rows.append(
+                    (i, "video", b"".join(frames), "video/x-ppm-stream")
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "kind", "payload", "mime"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, ASSET_SCHEMA)
+
+
+def video_frame_dhashes(
+    assets: DataFrame,
+    grid_rows: int = 8,
+    grid_cols: int = 9,
+) -> DataFrame:
+    """Per-frame perceptual fingerprints over PPM-stream videos: walk
+    the concatenated P6 frames with the stdlib codec and emit one
+    64-bit block-mean dHash per frame (``asset_id, frame_idx,
+    dhash``) — the frame-sampling half of video near-dup dedup, one
+    Arrow pass, same exact-integer dHash arithmetic as the image path
+    (:func:`_dhash_pixels`). At 100 TB the PPM walk is the
+    frame-decode stage of the fleet-ingest pipeline; everything
+    downstream (banded Hamming join + frame vote) is
+    fingerprint-width work, independent of pixel volume."""
+    import numpy as np
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(payload)
+                pos, f = 0, 0
+                while pos < len(p) and p[pos : pos + 2] == b"P6":
+                    # header: P6 <ws> w <ws> h <ws> maxval <1 ws> data
+                    j = pos + 2
+                    fields = []
+                    while len(fields) < 3:
+                        while p[j] in b" \t\r\n":
+                            j += 1
+                        if p[j : j + 1] == b"#":
+                            while p[j] not in b"\r\n":
+                                j += 1
+                            continue
+                        k = j
+                        while p[k] not in b" \t\r\n":
+                            k += 1
+                        fields.append(int(p[j:k]))
+                        j = k
+                    w, h, _maxval = fields
+                    j += 1  # the single whitespace after maxval
+                    px = np.frombuffer(
+                        p, dtype=np.uint8, count=3 * w * h, offset=j
+                    ).reshape(h, w, 3)
+                    out.append(
+                        (
+                            int(aid),
+                            f,
+                            _dhash_pixels(px, grid_rows, grid_cols),
+                        )
+                    )
+                    pos = j + 3 * w * h
+                    f += 1
+            yield pd.DataFrame(
+                out, columns=["asset_id", "frame_idx", "dhash"]
+            )
+
+    return assets.where(F.col("kind") == "video").select(
+        "asset_id", "payload"
+    ).mapInPandas(kernel, "asset_id long, frame_idx int, dhash long")
+
+
+def video_near_dups(
+    frame_fps: DataFrame,
+    min_frame_share: float = 0.6,
+    max_hamming: int = 3,
+    frame_stride: int = 1_000_000,
+) -> DataFrame:
+    """Video-level near-dup pairs from per-frame fingerprints — the
+    FRAME VOTE: two videos are near-dups when matching frames cover at
+    least ``min_frame_share`` of the SHORTER video (robust to temporal
+    trims, which whole-payload hashing cannot see through). Frame
+    matching rides the generic pigeonhole Hamming engine
+    (:func:`tsod_spark.pipeline.dedup.hamming_near_pairs`) on
+    composite ``asset_id * frame_stride + frame_idx`` ids — one banded
+    equi-join over all frames of all videos, no all-pairs at either
+    the frame or the video level; the vote is one ``groupBy`` over the
+    frame-pair hits counting DISTINCT matched frame indexes per side
+    (a frame matching 3 frames of the other video votes once).
+
+    Returns ``(video_a, video_b, n_matched, matched_share)`` with
+    video_a < video_b. ``frame_stride`` bounds frames per video."""
+    from . import dedup
+
+    composite = frame_fps.select(
+        (
+            F.col("asset_id") * F.lit(frame_stride) + F.col("frame_idx")
+        ).alias("fid"),
+        "dhash",
+    )
+    fpairs = dedup.hamming_near_pairs(
+        composite, id_col="fid", fp_col="dhash",
+        bits=64, max_hamming=max_hamming,
+    )
+    va = F.floor(F.col("id_a") / frame_stride)
+    vb = F.floor(F.col("id_b") / frame_stride)
+    hits = (
+        fpairs.select(
+            F.least(va, vb).alias("video_a"),
+            F.greatest(va, vb).alias("video_b"),
+            F.when(va < vb, F.col("id_a") % frame_stride)
+            .otherwise(F.col("id_b") % frame_stride)
+            .alias("frame_a"),
+            F.when(va < vb, F.col("id_b") % frame_stride)
+            .otherwise(F.col("id_a") % frame_stride)
+            .alias("frame_b"),
+        )
+        .where(F.col("video_a") != F.col("video_b"))
+    )
+    counts = frame_fps.groupBy(F.col("asset_id").alias("__vid")).agg(
+        F.count(F.lit(1)).cast("long").alias("__nf")
+    )
+    votes = hits.groupBy("video_a", "video_b").agg(
+        F.countDistinct("frame_a").alias("__ma"),
+        F.countDistinct("frame_b").alias("__mb"),
+    )
+    return (
+        votes.join(
+            F.broadcast(counts).withColumnRenamed("__vid", "video_a")
+            .withColumnRenamed("__nf", "__nf_a"),
+            "video_a",
+        )
+        .join(
+            F.broadcast(counts)
+            .withColumnRenamed("__vid", "video_b")
+            .withColumnRenamed("__nf", "__nf_b"),
+            "video_b",
+        )
+        # matched frames counted on the SHORTER side, so the share is a
+        # true coverage fraction in [0, 1] — counting the longer side
+        # would let one short frame matching many long frames push the
+        # share past 1
+        .withColumn(
+            "n_matched",
+            F.when(
+                F.col("__nf_a") <= F.col("__nf_b"), F.col("__ma")
+            ).otherwise(F.col("__mb")),
+        )
+        .withColumn(
+            "matched_share",
+            F.round(
+                F.col("n_matched").cast("double")
+                / F.least("__nf_a", "__nf_b").cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("matched_share") >= min_frame_share)
+        .select("video_a", "video_b", "n_matched", "matched_share")
+    )

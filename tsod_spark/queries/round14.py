@@ -395,3 +395,47 @@ def mm_audio_near_dups(spark, sf_dir):
         F.col("id_b").alias("asset_b"),
         "hamming",
     ).orderBy("asset_a", "asset_b")
+
+
+@register(
+    "mm_video_near_dups",
+    """SELECT a.doc_id AS video_a, b.doc_id AS video_b,
+       CAST(7 AS BIGINT) AS n_matched,
+       CAST(1.0 AS DOUBLE) AS matched_share
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE (b.doc_id % 5) = 1
+    ORDER BY video_a, video_b""",
+)
+def mm_video_near_dups(spark, sf_dir):
+    """VIDEO near-dup dedup — the third modality over the ONE pairing
+    engine, and the one where the FRAME VOTE earns its keep: PPM-
+    stream videos (concatenated binary P6 frames — the netpbm/ffmpeg
+    image2pipe raw-video idiom, parsed by the same stdlib codec as
+    the image path) with PLANTED twins (every id%5==1 is id-1's
+    frames 2x-upscaled, +20 brightness, AND temporally TRIMMED — the
+    last frame dropped, which whole-payload hashing cannot see
+    through). Per-frame 64-bit dHashes (shared exact-integer
+    arithmetic with image_dhash) pair through hamming_near_pairs on
+    composite (video, frame) ids — one banded equi-join over ALL
+    frames of ALL videos, no all-pairs at frame or video level — and
+    a groupBy vote counts distinct matched frames per side: near-dup
+    when matches cover >= 60% of the SHORTER video.
+
+    The oracle is the PLANT ARITHMETIC: exactly the (id-1, id) twin
+    pairs with n_matched = 7 (all surviving frames of the trimmed
+    twin) and matched_share = 1.0 — a chance frame collision that
+    drags in an extra video pair, a missed frame, or a wrong vote
+    denominator all break the hash (measured equal on all three
+    fixtures). Scale shape: one generate/parse/hash Arrow pass
+    emitting ~n_frames rows per video, one banded frame join, one
+    vote aggregation + two broadcast frame-count joins; at 100 TB
+    the generate stage is replaced by binaryFile ingest + the real
+    frame decoder, everything downstream unchanged."""
+    from pyspark.sql import functions as F
+
+    from ..pipeline import multimodal
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    assets = multimodal.synthetic_video_assets(docs)
+    fps = multimodal.video_frame_dhashes(assets)
+    return multimodal.video_near_dups(fps).orderBy("video_a", "video_b")
