@@ -48,6 +48,9 @@ ALLOW_NLJ = {
                          # scalar for the idf denominator; linear)
     "doc_bm25_search",   # broadcast few-row query-term side + 1-row
                          # avgdl scalar crossJoin; one corpus scan
+    "doc_hybrid_rrf_search",  # both legs' by-design crossJoins (BM25's
+                         # 1-row avgdl scalar + cosine_topk's broadcast
+                         # single query vector); fusion join is k-row
     "doc_vocab_overlap", # broadcast cross of the two per-GROUP size
                          # tables (#groups rows each, ~20) — the pair
                          # matrix is quadratic in groups, not corpus

@@ -118,6 +118,7 @@ HEADLINE10 = [
     "emb_ivfpq_upsert_stats",
     "mm_audio_near_dups",
     "mm_video_near_dups",
+    "doc_hybrid_rrf_search",
 ]
 
 

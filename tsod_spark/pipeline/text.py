@@ -864,3 +864,70 @@ def rag_search(
         .orderBy(F.desc("cos_sim"), "doc_id", "chunk_id")
         .limit(k)
     )
+
+
+def hybrid_rrf_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    rrf_k: int = 60,
+    n_lex: int = 20,
+    n_sem: int = 20,
+) -> DataFrame:
+    """HYBRID retrieval — BM25 lexical + embedding-cosine semantic
+    legs fused with Reciprocal Rank Fusion (RRF, the standard
+    score-free fusion: ``sum 1/(rrf_k + rank)`` per leg, rrf_k=60 from
+    the original Cormack/Clarke/Buettcher formulation) — the
+    two-tower RAG retrieval stack as ONE Spark plan.
+
+    Rank-based fusion is what makes this oracle-exact across engines:
+    each leg reduces to an INTEGER rank before fusion (BM25's int64
+    tie-broken ``rk``; the semantic row_number over the rounded
+    cosine), so the only floats crossing the fusion are
+    ``1/(60 + int)`` rationals — no score-scale calibration, none of
+    the cross-engine float-tree fragility score fusion would carry.
+
+    Plan shape: the lexical leg is :func:`bm25_search`'s
+    postings-filtered scan (corpus work = one column-pruned pass);
+    the semantic leg is brute-force cosine top-n_sem here (the
+    test-scale baseline — at 100 TB swap in
+    ``similarity.ivfpq_persisted_topk`` over the stored index: the
+    fusion consumes only (doc_id, rank), so the legs are
+    interchangeable); both legs end k-row tiny, so the full-outer
+    fusion join and the final sort are driver-scale. Doc and vector
+    ids share the corpus id space (fixture contract: doc_id ==
+    vec_id).
+
+    Returns ``(doc_id, lex_rank, sem_rank, rrf_score)`` — null rank =
+    that leg didn't retrieve the doc (its RRF term contributes 0)."""
+    from pyspark.sql import Window
+
+    from .similarity import cosine_topk
+
+    lex = bm25_search(docs, query_terms, top_k=n_lex).select(
+        "doc_id", F.col("rk").alias("lex_rank")
+    )
+    w = Window.orderBy(F.desc("cos_sim"), "vec_id")
+    sem = (
+        cosine_topk(embeddings, query_vec_id, n_sem)
+        .withColumn("sem_rank", F.row_number().over(w).cast("long"))
+        .select(F.col("vec_id").alias("doc_id"), "sem_rank")
+    )
+    term = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(rrf_k) + F.col(r)).cast("double"), F.lit(0.0)
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round(term("lex_rank") + term("sem_rank"), 6).alias(
+                "rrf_score"
+            ),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(k)
+    )

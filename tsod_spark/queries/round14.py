@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 
-from ..pipeline import similarity
+from ..pipeline import similarity, text
 from ._base import register, table
 from .round13 import _INDEX_ROOT, _source_fingerprint, persisted_index_path
 from .similarity import _EXACT_TOPK_CERT, EMB_D as _EMB_D
@@ -439,3 +439,65 @@ def mm_video_near_dups(spark, sf_dir):
     assets = multimodal.synthetic_video_assets(docs)
     fps = multimodal.video_frame_dhashes(assets)
     return multimodal.video_near_dups(fps).orderBy("video_a", "video_b")
+
+
+from ._base import TOKS as _TOKS  # noqa: E402
+from .text import BM25_TERMS as _BM25_TERMS  # noqa: E402
+
+_HYBRID_ORACLE = """WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tk),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                  CAST(sum(dl) AS BIGINT) AS stt FROM lens),
+    tf AS (SELECT doc_id, dl, w AS term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, dl, unnest(toks) AS w FROM lens)
+           WHERE w IN ('spark', 'window', 'merge')
+           GROUP BY 1, 2, 3),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    s AS (SELECT doc_id,
+            round(sum(ln((nd - df + 0.5) / (df + 0.5) + 1.0)
+                  * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl * nd / stt)))),
+                  6) AS score
+          FROM tf JOIN dfq USING (term) CROSS JOIN st GROUP BY doc_id),
+    lex AS (SELECT doc_id, rk AS lex_rank FROM
+              (SELECT doc_id, CAST(row_number() OVER
+                 (ORDER BY score DESC, doc_id) AS BIGINT) AS rk FROM s)
+            WHERE rk <= 20),
+    q AS (SELECT {EMB_D} AS qe FROM embeddings WHERE vec_id = 0),
+    sv AS (SELECT vec_id,
+             round(list_dot_product(ve, qe)
+               / (sqrt(list_dot_product(ve, ve))
+                  * sqrt(list_dot_product(qe, qe))), 6) AS cs
+           FROM (SELECT vec_id, {EMB_D} AS ve FROM embeddings
+                 WHERE vec_id <> 0), q),
+    sem AS (SELECT doc_id, sem_rank FROM
+              (SELECT vec_id AS doc_id, CAST(row_number() OVER
+                 (ORDER BY cs DESC, vec_id) AS BIGINT) AS sem_rank FROM sv)
+            WHERE sem_rank <= 20),
+    fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+                     lex_rank, sem_rank
+              FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+    SELECT doc_id, lex_rank, sem_rank,
+           round(coalesce(1.0 / CAST(60 + lex_rank AS DOUBLE), 0.0)
+                 + coalesce(1.0 / CAST(60 + sem_rank AS DOUBLE), 0.0),
+                 6) AS rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10""".replace(
+    "{TOKS}", _TOKS
+).replace("{EMB_D}", _EMB_D)
+
+
+@register("doc_hybrid_rrf_search", _HYBRID_ORACLE)
+def doc_hybrid_rrf_search(spark, sf_dir):
+    """Hybrid retrieval (BM25 lexical + cosine semantic legs fused by
+    Reciprocal Rank Fusion) — the two-tower RAG retrieval stack as one
+    Spark plan (pipeline.text.hybrid_rrf_search). Rank-based fusion
+    keeps it oracle-exact: each leg reduces to an int64 rank before
+    the only fused floats (1/(60+rank) rationals) appear, so the
+    DuckDB twin reproduces the whole result without score-scale
+    calibration. The semantic leg is the brute-force baseline at test
+    scale; production swaps in the persisted-index ANN serve path —
+    the fusion only consumes (doc_id, rank)."""
+    return text.hybrid_rrf_search(
+        table(spark, sf_dir, "documents"),
+        table(spark, sf_dir, "embeddings"),
+        list(_BM25_TERMS),
+    )
