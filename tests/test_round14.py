@@ -1,8 +1,11 @@
 """Round-14 tests: the driver-window pin (VERDICT r13 #1) and the
 round's build items — persisted RESIDUAL IVF+PQ serving (#2), the
 cell-block certificate's sampled-twin regime (#3), image near-dup
-dedup (#5), multi-probe cell blocking (#6), and the persisted-index
-content-fingerprint staleness gate (#7)."""
+dedup (#5), multi-probe cell blocking (#6), the persisted-index
+content-fingerprint staleness gate (#7), and the second wave: the
+index MAINTENANCE lifecycle (frozen-encode append, tombstone delete,
+compaction), audio + video near-dup over the shared Hamming engine,
+the streaming Hamming screen, and hybrid RRF retrieval."""
 
 SF = "/root/testdata/sf0.001"
 
@@ -858,3 +861,59 @@ def test_hybrid_rrf_fuses_both_legs(spark):
     # doc whose single leg rank is weaker than both
     both = [r for r in rows if r["lex_rank"] and r["sem_rank"]]
     assert both or True  # corpus-dependent; fusion arithmetic above is the pin
+
+
+def test_compact_folds_tombstones_and_defragments(spark, tmp_path):
+    """Compaction completes the lifecycle: the live row set and the
+    served top-k are IDENTICAL before and after, the tombstones
+    directory is gone, each cell is one file again (append ticks
+    fragment one file per tick), and the meta counters reset."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+
+    emb = table(spark, SF, "embeddings")
+    path = str(tmp_path / "compact-demo")
+    similarity.ivfpq_index_write(
+        emb.where(F.col("vec_id") % 10 != 7), path
+    )
+    similarity.ivfpq_index_append(
+        spark, path, emb.where(F.col("vec_id") % 10 == 7)
+    )
+    similarity.ivfpq_index_delete(
+        spark, path, emb.where(F.col("vec_id") % 37 == 5).select("vec_id")
+    )
+    live = emb.where(F.col("vec_id") % 37 != 5)
+    before_codes, _ = similarity.ivfpq_index_load(spark, path)
+    before_ids = {r["vec_id"] for r in before_codes.select("vec_id").collect()}
+    before_topk = similarity.ivfpq_persisted_topk(
+        spark, path, live, n_probe=6
+    ).collect()
+
+    meta = similarity.ivfpq_index_compact(spark, path)
+    assert meta["generation"] == 4
+    assert meta["tombstone_rows"] == 0
+    assert meta["appended_rows"] == 0
+    assert meta["compactions"] == 1
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    codes_dir = os.path.join(path, "codes")
+    for d in os.listdir(codes_dir):
+        if d.startswith("cell="):
+            files = [
+                f for f in os.listdir(os.path.join(codes_dir, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (d, files)
+
+    after_codes, _ = similarity.ivfpq_index_load(spark, path)
+    after_ids = {r["vec_id"] for r in after_codes.select("vec_id").collect()}
+    assert after_ids == before_ids
+    after_topk = similarity.ivfpq_persisted_topk(
+        spark, path, live, n_probe=6
+    ).collect()
+    assert [r.asDict() for r in after_topk] == [
+        r.asDict() for r in before_topk
+    ]

@@ -1622,6 +1622,57 @@ def ivfpq_index_delete(spark, path: str, vec_ids) -> dict:
     return meta
 
 
+def ivfpq_index_compact(spark, path: str) -> dict:
+    """Fold the tombstones back into the codes table — the LSM
+    compaction that completes the maintenance lifecycle (build →
+    append → delete → COMPACT): rewrite the codes minus deleted ids
+    (one filtered scan, ``repartition("cell")`` so each cell lands as
+    one file again — append ticks fragment cells one file per tick),
+    swap the directory in, drop the tombstones. Run it when
+    ``tombstone_rows`` grows past a few percent of the corpus (the
+    delete docstring's compaction-pressure readout) or when append
+    fragmentation hurts scan latency; cost is one full codes
+    rewrite — the price deletes and appends deferred.
+
+    Swap discipline: the new table writes to ``codes.compact.tmp``,
+    the old directory moves aside before the rename, so a crash
+    leaves either the old or the new table fully intact (plus at
+    worst an orphan tmp/old directory) — never a half-swapped scan.
+    Single-writer contract, like the other maintenance entry points.
+
+    Bumps ``generation``, zeroes ``tombstone_rows``/``appended_rows``
+    (everything surviving is base now), increments ``compactions``;
+    returns the updated metadata."""
+    import os
+    import shutil
+
+    meta = _read_index_meta(path)
+    codes_dir = os.path.join(path, "codes")
+    tmp = os.path.join(path, "codes.compact.tmp")
+    old = os.path.join(path, "codes.pre-compact")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    live, _ = ivfpq_index_load(spark, path)  # tombstone anti-join applied
+    (
+        live.repartition("cell")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    os.rename(codes_dir, old)
+    os.rename(tmp, codes_dir)
+    shutil.rmtree(old)
+    tomb_dir = os.path.join(path, "tombstones")
+    shutil.rmtree(tomb_dir, ignore_errors=True)
+    meta["generation"] = int(meta.get("generation", 1)) + 1
+    meta["tombstone_rows"] = 0
+    meta["appended_rows"] = 0
+    meta["compactions"] = int(meta.get("compactions", 0)) + 1
+    _write_index_meta(path, meta)
+    return meta
+
+
 def ivfpq_probe_scan(
     codes: DataFrame,
     meta: dict,
