@@ -67,6 +67,10 @@ ALLOW_NLJ = {
                          # no_tombstoned crossJoin
     "emb_ivfpq_upsert_stats",  # three 1-row broadcast stat crossJoins
                          # (live x tombstones x disjointness boolean)
+    "emb_ivfpq_compact_stats",  # 1-row broadcast stat crossJoins (live
+                         # count x compacted-vs-uncompacted equality);
+                         # both serve legs are the allowlisted topk
+                         # certificate shape
     "dedup_embedding_cell_block_stats",  # broadcast 1-row stats
                          # crossJoin (pair counts x candidate counts);
                          # the exact all-pairs side is an Arrow kernel

@@ -119,6 +119,7 @@ HEADLINE10 = [
     "mm_audio_near_dups",
     "mm_video_near_dups",
     "doc_hybrid_rrf_search",
+    "emb_ivfpq_compact_stats",
 ]
 
 

@@ -501,3 +501,117 @@ def doc_hybrid_rrf_search(spark, sf_dir):
         table(spark, sf_dir, "embeddings"),
         list(_BM25_TERMS),
     )
+
+
+def compact_demo_index_path(spark, sf_dir: str) -> str:
+    """Build-once gate for the COMPACTED lifecycle demo: a third index
+    slot that runs the full build -> append -> delete -> compact
+    sequence (generation 4) — separate from the upsert slot, whose
+    registered stats pin the PRE-compaction state (generation 3,
+    tombstones present). Same crash-safety flag discipline: the
+    ``compact_demo_complete`` marker is written only after the
+    compaction, so a crash anywhere mid-sequence rebuilds the slot."""
+    import hashlib
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    abs_dir = os.path.abspath(os.path.normpath(sf_dir))
+    key = hashlib.sha256(abs_dir.encode()).hexdigest()[:10]
+    path = os.path.join(
+        _INDEX_ROOT, f"{os.path.basename(abs_dir)}-{key}-compact"
+    )
+    meta_path = os.path.join(path, "meta.json")
+    fp = _source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("source_fingerprint") == fp and meta.get(
+            "compact_demo_complete"
+        ):
+            return path
+    shutil.rmtree(path, ignore_errors=True)
+    emb = table(spark, sf_dir, "embeddings")
+    similarity.ivfpq_index_write(
+        emb.where(F.col("vec_id") % 10 != 7),
+        path,
+        extra_meta={"source_fingerprint": fp, "source_path": abs_dir},
+    )
+    similarity.ivfpq_index_append(
+        spark, path, emb.where(F.col("vec_id") % 10 == 7)
+    )
+    similarity.ivfpq_index_delete(
+        spark, path, emb.where(F.col("vec_id") % 37 == 5).select("vec_id")
+    )
+    similarity.ivfpq_index_compact(spark, path)
+    meta = similarity._read_index_meta(path)
+    meta["compact_demo_complete"] = True
+    similarity._write_index_meta(path, meta)
+    return path
+
+
+@register(
+    "emb_ivfpq_compact_stats",
+    """SELECT CAST(sum(CASE WHEN vec_id % 37 <> 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+       CAST(4 AS BIGINT) AS generation,
+       CAST(1 AS BIGINT) AS compactions,
+       CAST(0 AS BIGINT) AS n_tombstones,
+       TRUE AS tombstones_dir_absent,
+       TRUE AS one_file_per_cell,
+       TRUE AS topk_unchanged_by_compaction
+    FROM embeddings""",
+)
+def emb_ivfpq_compact_stats(spark, sf_dir):
+    """The lifecycle's ENDING, driver-verified: after build -> append
+    -> delete -> COMPACT (the LSM fold — tombstones rewritten away,
+    every cell one file again, old directory swapped aside
+    atomically), the live row count still equals the id-arithmetic
+    the oracle recomputes from the corpus alone; generation is 4 with
+    one compaction on record; zero tombstones remain (directory
+    absent); every cell directory holds exactly one parquet file
+    (append fragmentation folded); and the served top-10 over the
+    compacted index is ROW-FOR-ROW the pre-compaction upsert slot's
+    result (the two slots ran the same lifecycle, one compacted one
+    not — identical serving proves compaction is a pure physical
+    rewrite)."""
+    from pyspark.sql import functions as F
+
+    path = compact_demo_index_path(spark, sf_dir)
+    upath = upsert_demo_index_path(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    live = emb.where(F.col("vec_id") % 37 != 5)
+    codes, meta = similarity.ivfpq_index_load(spark, path)
+    codes_dir = os.path.join(path, "codes")
+    one_file = all(
+        len([f for f in os.listdir(os.path.join(codes_dir, d))
+             if f.endswith(".parquet")]) == 1
+        for d in os.listdir(codes_dir) if d.startswith("cell=")
+    )
+    tomb_absent = not os.path.isdir(os.path.join(path, "tombstones"))
+    compacted = similarity.ivfpq_persisted_topk(spark, path, live, n_probe=6)
+    uncompacted = similarity.ivfpq_persisted_topk(
+        spark, upath, live, n_probe=6
+    )
+    same = (
+        compacted.exceptAll(uncompacted)
+        .unionByName(uncompacted.exceptAll(compacted))
+        .agg((F.count(F.lit(1)) == 0).alias("same"))
+    )
+    return (
+        codes.agg(F.count(F.lit(1)).cast("long").alias("n_live"))
+        .crossJoin(F.broadcast(same))
+        .select(
+            "n_live",
+            F.lit(int(meta["generation"])).cast("long").alias("generation"),
+            F.lit(int(meta["compactions"])).cast("long").alias(
+                "compactions"
+            ),
+            F.lit(int(meta["tombstone_rows"])).cast("long").alias(
+                "n_tombstones"
+            ),
+            F.lit(bool(tomb_absent)).alias("tombstones_dir_absent"),
+            F.lit(bool(one_file)).alias("one_file_per_cell"),
+            F.col("same").alias("topk_unchanged_by_compaction"),
+        )
+    )
