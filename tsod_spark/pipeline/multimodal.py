@@ -487,10 +487,11 @@ def _dhash_pixels(px, grid_rows: int = 8, grid_cols: int = 9) -> int:
     S = P[1:, 1:] - P[:-1, 1:] - P[1:, :-1] + P[:-1, :-1]
     area = np.outer(np.diff(rb), np.diff(cb))
     bits = (S[:, 1:] * area[:, :-1] > S[:, :-1] * area[:, 1:]).reshape(-1)
-    fp = np.uint64(0)
-    for b in bits:
-        fp = (fp << np.uint64(1)) | np.uint64(bool(b))
-    return int(fp.view(np.int64))
+    # packbits is big-endian within bytes, so this equals the MSB-first
+    # shift-or loop it replaces (differential-pinned in tests)
+    return int.from_bytes(
+        np.packbits(bits).tobytes(), "big", signed=True
+    )
 
 
 def image_dhash(
@@ -668,11 +669,12 @@ def audio_energy_fingerprint(
                 E = cum[b[1:]] - cum[b[:-1]]
                 L = np.diff(b)
                 bits = E[1:] * L[:-1] > E[:-1] * L[1:]
-                fp = np.uint64(0)
-                for bit in bits:
-                    fp = (fp << np.uint64(1)) | np.uint64(bool(bit))
                 out_ids.append(int(aid))
-                out_fps.append(int(fp.view(np.int64)))
+                out_fps.append(
+                    int.from_bytes(
+                        np.packbits(bits).tobytes(), "big", signed=True
+                    )
+                )
             yield pd.DataFrame({"asset_id": out_ids, "afp": out_fps})
 
     return assets.where(F.col("kind") == "audio").select(
@@ -715,12 +717,18 @@ def synthetic_video_assets(
                 i = int(i)
                 twin = i % twin_every == 1
                 content = i - 1 if twin else i
-                frames = []
+                # ONE seeded draw for the whole clip (a per-frame
+                # RandomState init dominates generation cost at 8
+                # frames x 5k videos); frame f is the f-th slab, so
+                # the twin reproduces the base's frames exactly by
+                # drawing the same (n_frames, h, w, 3) block
+                block = np.random.RandomState(content % (2**31)).randint(
+                    0, 201, (n_frames, base_h, base_w, 3)
+                ).astype(np.uint8)
                 nf = n_frames - 1 if twin else n_frames
+                frames = []
                 for f in range(nf):
-                    px = np.random.RandomState(
-                        (content * n_frames + f) % (2**31)
-                    ).randint(0, 201, (base_h, base_w, 3)).astype(np.uint8)
+                    px = block[f]
                     if twin:
                         px = (
                             np.repeat(np.repeat(px, 2, axis=0), 2, axis=1)
