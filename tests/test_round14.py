@@ -917,3 +917,46 @@ def test_compact_folds_tombstones_and_defragments(spark, tmp_path):
     assert [r.asDict() for r in after_topk] == [
         r.asDict() for r in before_topk
     ]
+
+
+def test_multiprobe_sampled_regime_boundary(spark):
+    """The multi-probe curve refuses above the exact bound unless
+    auto_sample delegates; the sampled curve keeps the schema, the
+    full-corpus n_vectors/candidate volumes, and nested-probe
+    monotone coverage."""
+    import json
+    import os
+
+    import pytest
+
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.queries.round13 import persisted_index_path
+    from tsod_spark.registry import table
+
+    emb = table(spark, SF, "embeddings")  # 500 vectors
+    path = persisted_index_path(spark, SF)
+    meta = json.load(open(os.path.join(path, "meta.json")))
+
+    with pytest.raises(ValueError, match="auto_sample"):
+        similarity.embedding_multiprobe_stats(
+            emb, meta["centroids"], exact_max_vectors=100
+        )
+    exact = {
+        r["n_probe"]: r.asDict()
+        for r in similarity.embedding_multiprobe_stats(
+            emb, meta["centroids"]
+        ).collect()
+    }
+    sampled = {
+        r["n_probe"]: r.asDict()
+        for r in similarity.embedding_multiprobe_stats(
+            emb, meta["centroids"], exact_max_vectors=100,
+            auto_sample=True,
+        ).collect()
+    }
+    for p in (1, 2):
+        assert sampled[p]["n_vectors"] == exact[p]["n_vectors"] == 500
+        # candidate side is exact in both regimes
+        assert sampled[p]["n_candidates"] == exact[p]["n_candidates"]
+        assert 0 <= sampled[p]["n_exact_pairs"] < exact[p]["n_exact_pairs"]
+    assert sampled[2]["coverage"] >= sampled[1]["coverage"]

@@ -113,7 +113,7 @@ def dedup_embedding_multiprobe_stats(spark, sf_dir):
     meta = json.load(open(os.path.join(path, "meta.json")))
     with cache_scope():
         raw = similarity.embedding_multiprobe_stats(
-            emb, meta["centroids"], probes=(1, 2)
+            emb, meta["centroids"], probes=(1, 2), auto_sample=True
         )
         floor_col = F.create_map(
             *[F.lit(x) for kv in floors.items() for x in kv]
