@@ -2262,7 +2262,7 @@ def embedding_cell_block_stats(
         return embedding_cell_block_stats_sampled(
             embeddings, cells, min_cosine, coverage_floor,
             max_candidate_share_pct, vec_col,
-            sample_max_vectors=exact_max_vectors,
+            sample_max_vectors=min(_SAMPLE_CAP, exact_max_vectors),
         )
     pairs = _exact_cosine_pairs(
         embeddings, min_cosine, vec_col, exact_max_vectors
@@ -2272,6 +2272,15 @@ def embedding_cell_block_stats(
     )
 
 
+# sampled-regime vector cap: the pq_train driver-sample precedent —
+# C(4096,2) ~ 8.4M exact pair scores is a ~4s Arrow kernel, and a
+# stratified 4k sample estimates a coverage SHARE to ~±1.5% at 95%
+# (the floors sit 10+ points from the measured values). The 10k
+# exact-regime boundary is where the FULL C(N,2) stops being cheap;
+# the sample cap is where the estimate stops improving.
+_SAMPLE_CAP = 4096
+
+
 def embedding_cell_block_stats_sampled(
     embeddings: DataFrame,
     cells: DataFrame,
@@ -2279,7 +2288,7 @@ def embedding_cell_block_stats_sampled(
     coverage_floor: float = 0.2,
     max_candidate_share_pct: int = 15,
     vec_col: str = "embedding",
-    sample_max_vectors: int = 10_000,
+    sample_max_vectors: int = _SAMPLE_CAP,
 ) -> DataFrame:
     """SAMPLED cell-block certificate — the at-scale regime of
     :func:`embedding_cell_block_stats` (VERDICT r13 #3, the
@@ -2465,7 +2474,7 @@ def embedding_multiprobe_stats(
         sample = _stratified_vector_sample(
             tags.where(F.col("rk") == 1).select("vec_id", "cell"),
             n,
-            exact_max_vectors,
+            min(_SAMPLE_CAP, exact_max_vectors),
         )
         src = embeddings.join(F.broadcast(sample), "vec_id")
     pairs = tracked_cache(
