@@ -960,3 +960,46 @@ def test_multiprobe_sampled_regime_boundary(spark):
         assert sampled[p]["n_candidates"] == exact[p]["n_candidates"]
         assert 0 <= sampled[p]["n_exact_pairs"] < exact[p]["n_exact_pairs"]
     assert sampled[2]["coverage"] >= sampled[1]["coverage"]
+
+
+def test_distinct_candidate_closed_form_equals_join(spark):
+    """The closed-form distinct candidate count (tag-set histogram +
+    inclusion over intersecting sets) equals the materialized
+    equi-join + distinct count it replaced, at p=1 and p=2."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.queries.round13 import persisted_index_path
+    from tsod_spark.registry import table
+
+    emb = table(spark, SF, "embeddings")
+    path = persisted_index_path(spark, SF)
+    meta = json.load(open(os.path.join(path, "meta.json")))
+    tags = similarity.embedding_multiprobe_tags(
+        emb, meta["centroids"], 2
+    ).cache()
+    try:
+        for p in (1, 2):
+            tp_a = tags.where(F.col("rk") <= p).select(
+                F.col("vec_id").alias("__va"), "cell"
+            )
+            tp_b = tags.where(F.col("rk") <= p).select(
+                F.col("vec_id").alias("__vb"), "cell"
+            )
+            joined = (
+                tp_a.join(
+                    tp_b,
+                    (tp_a["cell"] == tp_b["cell"])
+                    & (tp_a["__va"] < tp_b["__vb"]),
+                )
+                .select("__va", "__vb")
+                .distinct()
+                .count()
+            )
+            closed = similarity._distinct_candidate_pairs(tags, p)
+            assert closed == joined, (p, closed, joined)
+    finally:
+        tags.unpersist()

@@ -2416,6 +2416,60 @@ def embedding_multiprobe_tags(
     )
 
 
+def _distinct_candidate_pairs_multi(
+    tags: DataFrame, probes: tuple[int, ...]
+) -> dict[int, int]:
+    """Count DISTINCT vector pairs sharing >= 1 of their top-``p``
+    probe cells, for EVERY ``p`` at once, WITHOUT materializing any
+    pair: one corpus-scale groupBy collapses vectors onto their
+    rk-ORDERED tag tuple (at most perm(n_cells, pmax) distinct
+    tuples — 240 at pmax=2 with the 16-cell index; the collected
+    histogram is tuple-cardinality rows, never vectors), then
+    driver-side combinatorics per p: truncate each tuple to its
+    first p cells and sum ``m_S * m_T`` over intersecting set pairs
+    (``C(m_S, 2)`` on the diagonal). This IS the exact distinct count
+    the candidate equi-join + ``.distinct()`` would produce (pinned
+    equal in tests), at O(scan) instead of O(candidate volume) — the
+    count of a quadratic object need not cost the quadratic object."""
+    pmax = max(int(x) for x in probes)
+    hist = (
+        tags.where(F.col("rk") <= pmax)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rk", "cell"))
+                ),
+                lambda s: s["cell"],
+            ).alias("__tup")
+        )
+        .groupBy("__tup")
+        .agg(F.count(F.lit(1)).cast("long").alias("__m"))
+        .collect()
+    )
+    out: dict[int, int] = {}
+    for p in probes:
+        agg: dict[frozenset, int] = {}
+        for r in hist:
+            key = frozenset(r["__tup"][: int(p)])
+            agg[key] = agg.get(key, 0) + int(r["__m"])
+        sets = list(agg.items())
+        total = 0
+        for i, (s_i, m_i) in enumerate(sets):
+            total += m_i * (m_i - 1) // 2  # within one set (always shares)
+            for s_j, m_j in sets[i + 1 :]:
+                if s_i & s_j:
+                    total += m_i * m_j
+        out[int(p)] = total
+    return out
+
+
+def _distinct_candidate_pairs(tags: DataFrame, p: int) -> int:
+    """Single-``p`` convenience wrapper over
+    :func:`_distinct_candidate_pairs_multi`."""
+    return _distinct_candidate_pairs_multi(tags, (p,))[int(p)]
+
+
 def embedding_multiprobe_stats(
     embeddings: DataFrame,
     centroids: list[list[float]],
@@ -2491,6 +2545,7 @@ def embedding_multiprobe_stats(
             )
         )
     )
+    cand_counts = _distinct_candidate_pairs_multi(tags, tuple(probes))
     out = []
     for p in probes:
         tp_a = tags.where(F.col("rk") <= int(p)).select(
@@ -2506,15 +2561,18 @@ def embedding_multiprobe_stats(
             .distinct()
             .agg(F.count(F.lit(1)).cast("long").alias("__n_blocked"))
         )
-        cand = (
-            tp_a.join(
-                tp_b, (tp_a["cell"] == tp_b["cell"])
-                & (tp_a["__va"] < tp_b["__vb"]),
-            )
-            .select("__va", "__vb")
-            .distinct()
-            .agg(F.count(F.lit(1)).cast("long").alias("__n_cand"))
-        )
+        # DISTINCT candidate pairs in CLOSED FORM — the naive route
+        # (cell equi-join + .distinct()) materializes the quadratic
+        # candidate volume it is trying to COUNT (measured 43s at 20k
+        # vectors, ~5e9 join rows at 200k). Instead: group vectors by
+        # their full p-tag SET (<= C(n_cells, p) distinct sets — 120
+        # at p=2 — one corpus-scale groupBy, rows collected to the
+        # driver are set-histogram rows, never vectors), then pairs
+        # sharing >= 1 cell = sum over set pairs with intersecting
+        # sets of m_S * m_T (C(m_S, 2) on the diagonal). Exact, no
+        # pair materialization; equality with the join route is
+        # pinned in tests/test_round14.py.
+        n_cand = cand_counts[int(p)]
         total_pairs = (
             F.col("__n_vec").cast("double")
             * (F.col("__n_vec") - 1).cast("double")
@@ -2522,7 +2580,6 @@ def embedding_multiprobe_stats(
         )
         out.append(
             totals.crossJoin(F.broadcast(blocked))
-            .crossJoin(F.broadcast(cand))
             .select(
                 F.lit(int(p)).cast("long").alias("n_probe"),
                 F.col("__n_exact").alias("n_exact_pairs"),
@@ -2533,9 +2590,9 @@ def embedding_multiprobe_stats(
                     / F.col("__n_exact").cast("double"),
                     6,
                 ).alias("coverage"),
-                F.col("__n_cand").alias("n_candidates"),
+                F.lit(int(n_cand)).cast("long").alias("n_candidates"),
                 F.round(
-                    F.col("__n_cand").cast("double") / total_pairs, 6
+                    F.lit(int(n_cand)).cast("double") / total_pairs, 6
                 ).alias("candidate_share"),
             )
         )
