@@ -238,7 +238,9 @@ def synthetic_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((i, kind, payload, mime))
             yield pd.DataFrame(rows, columns=["asset_id", "kind", "payload", "mime"])
 
-    return ids.select(id_col).mapInPandas(gen, ASSET_SCHEMA)
+    return _spread_ids(ids.select(id_col), id_col).mapInPandas(
+        gen, ASSET_SCHEMA
+    )
 
 
 def resize_images(decoded: DataFrame, max_side: int = 64) -> DataFrame:
@@ -466,7 +468,24 @@ def synthetic_textured_assets(
                 rows, columns=["asset_id", "kind", "payload", "mime"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, ASSET_SCHEMA)
+    return _spread_ids(ids.select(id_col), id_col).mapInPandas(
+        gen, ASSET_SCHEMA
+    )
+
+
+def _spread_ids(ids: DataFrame, id_col: str) -> DataFrame:
+    """Repartition an id frame across the cluster's cores before a
+    CPU-bound generate/fingerprint ``mapInPandas`` stage — the dedup
+    family's ``spread`` idiom (dedup.py:95): a small corpus arrives as
+    one parquet file = ONE scan task, and per-asset render/decode/hash
+    work is compute-bound, so scan-partition count must not cap
+    parallelism (measured: the near-dup trio's generation kernels ran
+    single-threaded off the 1-file fixture). Hash-partitioning on the
+    id keeps the split deterministic; generation itself is per-id
+    deterministic, so results are partition-independent."""
+    from ..util import default_parallelism
+
+    return ids.repartition(default_parallelism(ids.sparkSession), id_col)
 
 
 def _dhash_pixels(px, grid_rows: int = 8, grid_cols: int = 9) -> int:
@@ -610,7 +629,9 @@ def synthetic_audio_assets(
                 rows, columns=["asset_id", "kind", "payload", "mime"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, ASSET_SCHEMA)
+    return _spread_ids(ids.select(id_col), id_col).mapInPandas(
+        gen, ASSET_SCHEMA
+    )
 
 
 def audio_energy_fingerprint(
@@ -742,7 +763,9 @@ def synthetic_video_assets(
                 rows, columns=["asset_id", "kind", "payload", "mime"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, ASSET_SCHEMA)
+    return _spread_ids(ids.select(id_col), id_col).mapInPandas(
+        gen, ASSET_SCHEMA
+    )
 
 
 def video_frame_dhashes(
@@ -827,6 +850,16 @@ def video_near_dups(
     Returns ``(video_a, video_b, n_matched, matched_share)`` with
     video_a < video_b. ``frame_stride`` bounds frames per video."""
     from . import dedup
+    from ..util import tracked_cache
+
+    # The fingerprint frame is consumed by THREE subtrees (the banded
+    # chunk join's cache fill + the two per-side frame-count joins);
+    # uncached, each re-runs the whole generate/parse/hash Python
+    # chain upstream (measured: 3 full generation passes in the
+    # before-plan — plans/r14/mm_video_near_dups_before.txt shows the
+    # MapInPandas pair three times). Caching ~n_frames rows of
+    # (asset_id, frame_idx, dhash) longs makes generation run ONCE.
+    frame_fps = tracked_cache(frame_fps)
 
     composite = frame_fps.select(
         (

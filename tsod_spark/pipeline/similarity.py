@@ -57,15 +57,26 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k against one stored vector (the baseline
     every ANN variant is measured against)."""
+    # ||q|| is hoisted onto the (1-row) broadcast side: cosine() =
+    # dot/(norm(a)*norm(q)) would otherwise re-run the interpreted
+    # norm(q) HOF aggregate per scored row — a third of the per-row
+    # work for a value that is constant across the scan. The hoisted
+    # column is the SAME sqrt(dot(q,q)) double, multiplied in the same
+    # position, so every cos_sim is bit-identical (r14, guide §2.3
+    # "don't compute things you throw away").
     q = embeddings.where(F.col("vec_id") == query_vec_id).select(
-        F.col(vec_col).alias("__q")
+        F.col(vec_col).alias("__q"), norm(F.col(vec_col)).alias("__qn")
     )
     scored = (
         embeddings.where(F.col("vec_id") != query_vec_id)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            F.round(cosine(F.col(vec_col), F.col("__q")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col(vec_col), F.col("__q"))
+                / (norm(F.col(vec_col)) * F.col("__qn")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(k)
@@ -78,16 +89,32 @@ def knn_join(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Top-k neighbors for each of the first ``n_queries`` vectors."""
+    from ..util import default_parallelism
+
+    # per-query norms ride the broadcast side (cosine_topk's hoist —
+    # bit-identical, removes an interpreted HOF aggregate per scored
+    # row) and the scored side spreads across cores: the single-file
+    # fixture scans as ONE task, and n_queries x N interpreted cosine
+    # evaluations are the whole cost of the query (r14)
     q = embeddings.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col(vec_col).alias("__q")
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("__q"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     scored = (
-        embeddings.crossJoin(F.broadcast(q))
+        embeddings.repartition(
+            default_parallelism(embeddings.sparkSession), "vec_id"
+        )
+        .crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col(vec_col), F.col("__q")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col(vec_col), F.col("__q"))
+                / (norm(F.col(vec_col)) * F.col("__qn")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
@@ -2138,8 +2165,18 @@ def _exact_cosine_pairs(
                     }
                 )
 
+    from ..util import default_parallelism
+
+    # spread the probe side across cores (dedup.py:95 idiom): the
+    # single-file fixture scans as ONE task, and the chunk x N score
+    # matrix is the certificate's whole cost — partition count must
+    # not cap it (r14; rows are scored independently, so the split
+    # does not change the emitted pairs)
     return (
         embeddings.select("vec_id", vec_col)
+        .repartition(
+            default_parallelism(embeddings.sparkSession), "vec_id"
+        )
         .mapInPandas(score_kernel, "__va long, __vb long, __cos double")
         .where(F.round("__cos", 6) >= F.lit(min_cosine))
         .select("__va", "__vb")
@@ -2546,20 +2583,48 @@ def embedding_multiprobe_stats(
         )
     )
     cand_counts = _distinct_candidate_pairs_multi(tags, tuple(probes))
+    # ONE fused blocked-coverage job for ALL probe widths (r14 —
+    # guide §2.4 "remove shuffles outright"): instead of a
+    # join+distinct+count subtree PER p (p subtrees over the same
+    # cached pairs/tags), join once at rk <= pmax carrying both ranks,
+    # reduce each pair to the smallest probe width that covers it
+    # (min over shared cells of max(rk_a, rk_b)), then count
+    # pair-coverage at every p in one aggregate. A pair is blocked at
+    # width p iff some shared cell has rk_a <= p AND rk_b <= p, i.e.
+    # iff min_cell max(rk_a, rk_b) <= p — so the fused counts equal
+    # the per-p distinct-join counts row for row (pinned in
+    # tests/test_round14.py).
+    tp_a = tags.select(
+        F.col("vec_id").alias("__va"), "cell", F.col("rk").alias("__ra")
+    )
+    tp_b = tags.select(
+        F.col("vec_id").alias("__vb"), "cell", F.col("rk").alias("__rb")
+    )
+    pneed = (
+        pairs.join(tp_a, "__va")
+        .join(tp_b, ["__vb", "cell"])
+        .groupBy("__va", "__vb")
+        .agg(F.min(F.greatest("__ra", "__rb")).alias("__pn"))
+    )
+    # cached 1-row frame: every probe's output branch references it,
+    # and without the cache each union branch would re-run the fused
+    # join+aggregate subtree
+    blocked_all = tracked_cache(
+        pneed.agg(
+            *[
+                F.coalesce(
+                    F.sum((F.col("__pn") <= int(p)).cast("long")), F.lit(0)
+                )
+                .cast("long")
+                .alias(f"__nb_{int(p)}")
+                for p in probes
+            ]
+        )
+    )
     out = []
     for p in probes:
-        tp_a = tags.where(F.col("rk") <= int(p)).select(
-            F.col("vec_id").alias("__va"), "cell"
-        )
-        tp_b = tags.where(F.col("rk") <= int(p)).select(
-            F.col("vec_id").alias("__vb"), "cell"
-        )
-        blocked = (
-            pairs.join(tp_a, "__va")
-            .join(tp_b, ["__vb", "cell"])
-            .select("__va", "__vb")
-            .distinct()
-            .agg(F.count(F.lit(1)).cast("long").alias("__n_blocked"))
+        blocked = blocked_all.select(
+            F.col(f"__nb_{int(p)}").alias("__n_blocked")
         )
         # DISTINCT candidate pairs in CLOSED FORM — the naive route
         # (cell equi-join + .distinct()) materializes the quadratic

@@ -104,22 +104,34 @@ def emb_knn_label_accuracy(spark, sf_dir):
     query side, one scored shuffle per query partition, conditional
     aggregation for the vote."""
     emb = table(spark, sf_dir, "embeddings")
+    from ..pipeline.similarity import dot, norm
+    from ..util import default_parallelism
+
+    # 50 queries x N vectors of interpreted-HOF cosine is the whole
+    # query cost: hoist each query's norm onto the broadcast side
+    # (bit-identical — same sqrt(dot(q,q)) double in the same product
+    # position) and spread the scored side across cores (the 1-file
+    # fixture otherwise scores on ONE task) — r14, guide §2.3/§4
     q = emb.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("own_label"),
         F.col("embedding").alias("__q"),
+        norm(F.col("embedding")).alias("__qn"),
     )
-    from ..pipeline.similarity import cosine
-
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        emb.repartition(default_parallelism(spark), "vec_id")
+        .crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "own_label",
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("__q")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("embedding"), F.col("__q"))
+                / (norm(F.col("embedding")) * F.col("__qn")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
