@@ -96,3 +96,202 @@ def test_spread_generators_results_partition_independent(spark):
     assert sorted(
         (r["asset_id"], r["dhash"]) for r in spread.collect()
     ) == sorted((r["asset_id"], r["dhash"]) for r in narrow.collect())
+
+
+def _curve_rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_fused_ivf_recall_curve_equals_per_probe_shape(spark):
+    """The single-cosine-pass fused curve (score once with the cell's
+    probe rank attached; fused counts; per-width window top-k; exact
+    ground truth = global top-k of the same scored frame) equals the
+    per-probe count+topk+join subtrees it replaced, row for row."""
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+
+    emb = table(spark, SF, "embeddings")
+    k, n_cells, probes = 10, 16, (1, 2, 4, 8, 16)
+    got = _curve_rows(similarity.ivf_recall_curve(emb, 0, k, n_cells, probes))
+
+    # pre-fusion shape, inline
+    assigned, centroids = similarity.ivf_index(emb, n_cells, 42, "embedding")
+    assigned = assigned.select(
+        "vec_id", "cell", F.col("embedding").alias("__v")
+    )
+    query = similarity._query_vector(emb, 0, "embedding")
+    qlit = F.array(*[F.lit(x) for x in query])
+    ranked = similarity._nearest_cells(query, centroids, n_cells)
+    exact_ids = (
+        similarity.cosine_topk(emb, 0, k, "embedding").select("vec_id")
+    )
+    want = []
+    for np_ in probes:
+        cand = assigned.where(F.col("cell").isin(ranked[:np_])).where(
+            F.col("vec_id") != 0
+        )
+        scanned = cand.count()
+        topk = (
+            cand.select(
+                "vec_id",
+                F.round(
+                    similarity.cosine(F.col("__v"), qlit), 6
+                ).alias("__cs"),
+            )
+            .orderBy(F.desc("__cs"), "vec_id")
+            .limit(k)
+        )
+        n_hits = topk.join(exact_ids, "vec_id").count()
+        want.append(
+            (np_, min(np_, n_cells), scanned, n_hits, round(n_hits / k, 6))
+        )
+    assert got == want
+
+
+def test_fused_persisted_recall_curve_equals_per_probe_shape(spark, tmp_path):
+    """The one-scan fused persisted curve (probe-independent flat-PQ
+    ADC scored once; per-width window shortlists; ONE fused refine
+    join) equals the per-probe pruned-scan + _adc_topk + hits-join
+    subtrees it replaced, row for row."""
+    from tsod_spark.pipeline import similarity
+    from tsod_spark.registry import table
+
+    emb = table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    similarity.ivfpq_index_write(emb, path)
+    k, refine, probes = 10, 4, (1, 2, 4, 8, 16)
+    got = _curve_rows(
+        similarity.ivfpq_persisted_recall_curve(
+            spark, path, emb, 0, k, probes, refine
+        )
+    )
+
+    codes, meta = similarity.ivfpq_index_load(spark, path)
+    books = meta["codebooks"]
+    q = similarity._query_vector(emb, 0, "embedding")
+    ranked = similarity._nearest_cells(q, meta["centroids"], meta["n_cells"])
+    exact_ids = similarity.cosine_topk(emb, 0, k, "embedding").select(
+        "vec_id"
+    )
+    want = []
+    for np_ in probes:
+        cand = codes.where(F.col("cell").isin(ranked[:np_])).where(
+            F.col("vec_id") != 0
+        )
+        scanned = cand.count()
+        topk = similarity._adc_topk(
+            cand.select("vec_id", "codes"), books, q, k, refine,
+            emb, "embedding", 0,
+        )
+        n_hits = topk.join(exact_ids, "vec_id").count()
+        want.append(
+            (
+                np_,
+                min(np_, meta["n_cells"]),
+                scanned,
+                n_hits,
+                round(n_hits / k, 6),
+            )
+        )
+    assert got == want
+
+
+def test_profile_table_branch_shape_equals_multi_distinct_agg(spark):
+    """The per-column two-level-aggregation profile (no Expand, no
+    wide SortAggregate) equals the single multi-count_distinct
+    aggregate it replaced, including row order and string renderings."""
+    from tsod_spark.analytics import olap
+    from tsod_spark.registry import table
+
+    e = table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    got = [tuple(r) for r in olap.profile_table(e).collect()]
+
+    columns = e.columns
+    aggs = []
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(col.isNull().cast("int")).cast("long").alias(f"__nn_{c}"),
+            F.count_distinct(col).alias(f"__nd_{c}"),
+            F.min(col).cast("string").alias(f"__mn_{c}"),
+            F.max(col).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = e.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"__n_{c}").alias("n_rows"),
+            F.col(f"__nn_{c}").alias("n_null"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_value"),
+            F.col(f"__mx_{c}").alias("max_value"),
+        )
+        for c in columns
+    ]
+    want = [
+        tuple(r)
+        for r in wide.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.*")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_fused_lsh_curve_equals_per_config_joins(spark):
+    """The one-self-join fused LSH curve (b = k pair superset, per-pair
+    md5 band-key candidacy, one conditional-sum aggregate) equals the
+    per-config band self-join + distinct aggregates it replaced."""
+    from tsod_spark.pipeline import dedup
+    from tsod_spark.registry import table
+
+    docs = table(spark, SF, "documents")
+    k, cfgs, pct = 8, (1, 2, 4, 8), 50
+    got = _curve_rows(dedup.lsh_tuning_curve(docs, "text", k, cfgs, pct))
+
+    sigs = dedup.minhash_signatures(docs, "text", k, 3)
+    per = {}
+    for b in cfgs:
+        bf = dedup._band_frame(sigs, k, b)
+        a, c = bf.alias("a"), bf.alias("b")
+        matches = sum(
+            F.when(
+                F.substring(F.col("a.sig"), i * 8 + 1, 8)
+                == F.substring(F.col("b.sig"), i * 8 + 1, 8),
+                1,
+            ).otherwise(0)
+            for i in range(k)
+        )
+        cand = (
+            a.join(
+                c,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                matches.alias("__m"),
+            )
+            .distinct()
+        )
+        hits = cand.where(
+            F.lit(100) * F.col("__m") >= F.lit(pct * k)
+        ).count()
+        per[b] = (cand.count(), hits)
+    truth = per[k][1]
+    want = [
+        (
+            b,
+            k // b,
+            per[b][0],
+            truth,
+            per[b][1],
+            round(per[b][1] / truth, 6) if truth > 0 else None,
+        )
+        for b in cfgs
+    ]
+    assert got == want

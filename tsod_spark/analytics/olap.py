@@ -261,40 +261,63 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
 
 
 def profile_table(df: DataFrame, columns=None) -> DataFrame:
-    """One-pass data profiling (the ``ANALYZE TABLE`` a 100 TB ingest
-    runs before anything else): per column, row count, null count,
-    exact distinct count, and min/max rendered as strings so mixed
-    column types stack into one long-format frame.
+    """Data profiling (the ``ANALYZE TABLE`` a 100 TB ingest runs
+    before anything else): per column, row count, null count, exact
+    distinct count, and min/max rendered as strings so mixed column
+    types stack into one long-format frame.
 
-    All metrics ride ONE aggregate job — count_distinct expands the
-    single scan rather than launching a scan per column. Swap
-    ``approx_count_distinct`` in at scales where exact distinct's
-    expand becomes the bottleneck (same plan shape).
+    Shape (r14, guide §2.2/§5): one two-level aggregation branch PER
+    COLUMN, unioned — NOT one agg with N ``count_distinct``. The
+    multi-distinct form Expands the scan N+1-fold and sorts the
+    expanded rows twice on wide all-column keys (SortAggregate —
+    string mins force sort-based buffers); at 100 TB that is N+1
+    copies of the table through a sort. Here each branch groups by its
+    own value (map-side partial HashAggregate reduces to the distinct
+    values before the exchange — the ONLY rows shuffled), then folds
+    the tiny distinct frame into the five metrics. With columnar
+    parquet the per-branch scans read each column exactly once — the
+    same total I/O as the one-scan form — and every branch is
+    independently parallel within the single union job. Values are
+    identical: count/sum over grouped counts == row-level count/sum,
+    min/max over distinct values == over rows (computed on the NATIVE
+    type, cast to string after), count(value) == count_distinct.
     """
     columns = list(columns or df.columns)
-    aggs = []
+    branches = []
     for c in columns:
-        col = F.col(c)
-        aggs += [
-            F.count(F.lit(1)).alias(f"__n_{c}"),
-            F.sum(col.isNull().cast("int")).cast("long").alias(f"__nn_{c}"),
-            F.count_distinct(col).alias(f"__nd_{c}"),
-            F.min(col).cast("string").alias(f"__mn_{c}"),
-            F.max(col).cast("string").alias(f"__mx_{c}"),
-        ]
-    wide = df.agg(*aggs)
-    rows = [
-        F.struct(
-            F.lit(c).alias("col_name"),
-            F.col(f"__n_{c}").alias("n_rows"),
-            F.col(f"__nn_{c}").alias("n_null"),
-            F.col(f"__nd_{c}").alias("n_distinct"),
-            F.col(f"__mn_{c}").alias("min_value"),
-            F.col(f"__mx_{c}").alias("max_value"),
+        g = (
+            df.select(F.col(c).alias("__v"))
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
         )
-        for c in columns
-    ]
-    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+        branches.append(
+            g.agg(
+                F.coalesce(F.sum("__cnt"), F.lit(0))
+                .cast("long")
+                .alias("n_rows"),
+                F.sum(
+                    F.when(F.col("__v").isNull(), F.col("__cnt")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("long")
+                .alias("n_null"),
+                F.count("__v").alias("n_distinct"),
+                F.min("__v").cast("string").alias("min_value"),
+                F.max("__v").cast("string").alias("max_value"),
+            ).select(
+                F.lit(c).alias("col_name"),
+                "n_rows",
+                "n_null",
+                "n_distinct",
+                "min_value",
+                "max_value",
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 def histogram_drift(

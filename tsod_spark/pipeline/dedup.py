@@ -2089,11 +2089,20 @@ def lsh_tuning_curve(
     implies finer-band matches): candidate volume and found count are
     NONDECREASING in b, and recall at b = k is exactly 1.0.
 
-    All thresholds int64 (``100*matches >= thr_pct*k``); per-config
-    work is one band self-join over the shared cached signature frame
-    (the minhash_band_pairs packed-signature shape), aggregated to
-    one row — the curve costs ~|configs| band joins, not |configs|
-    corpus scans.
+    All thresholds int64 (``100*matches >= thr_pct*k``); the WHOLE
+    curve is ONE band self-join (r14, guide §2.4 remove shuffles
+    outright): band nesting means every config's candidate set is a
+    subset of the b = k set (sharing a coarse band means sharing its
+    r consecutive components, hence at least one), so the single
+    finest-banding self-join materializes the superset once and each
+    config's candidacy is re-derived PER PAIR ROW from the packed
+    signatures — the same md5-of-concatenated-components band keys the
+    per-config joins compared, evaluated on both sides of the pair.
+    All 2x|configs| counts then come from one conditional-sum
+    aggregate over that single pair frame, replacing |configs|
+    self-join+distinct subtrees. Per-row values are unchanged (same
+    md5 key equality, same int64 threshold), so every curve row equals
+    the former per-config aggregate.
     """
     if k % max(band_configs) != 0 or any(k % b for b in band_configs):
         raise ValueError("every band config must divide k")
@@ -2112,54 +2121,93 @@ def lsh_tuning_curve(
         )
     pct = int(thr_pct)
     sigs = tracked_cache(minhash_signatures(docs, text_col, k, shingle_n))
+    # ONE self-join at the finest banding: its candidate set is the
+    # superset of every config's (band nesting), and the distinct pair
+    # frame carries both packed signatures so per-config candidacy and
+    # the match count are per-row expressions, not further joins.
+    bf = _band_frame(sigs, k, k)
+    a, c = bf.alias("a"), bf.alias("b")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("__sa"),
+            F.col("b.sig").alias("__sb"),
+        )
+        .distinct()
+    )
+    matches = sum(
+        F.when(
+            F.substring(F.col("__sa"), i * 8 + 1, 8)
+            == F.substring(F.col("__sb"), i * 8 + 1, 8),
+            1,
+        ).otherwise(0)
+        for i in range(k)
+    )
+    hit = F.lit(100) * matches >= F.lit(pct * k)
 
-    def config_agg(b: int) -> DataFrame:
-        bf = _band_frame(sigs, k, b)
-        a, c = bf.alias("a"), bf.alias("b")
-        matches = sum(
-            F.when(
-                F.substring(F.col("a.sig"), i * 8 + 1, 8)
-                == F.substring(F.col("b.sig"), i * 8 + 1, 8),
-                1,
-            ).otherwise(0)
-            for i in range(k)
-        )
-        cand = (
-            a.join(
-                c,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.key") == F.col("b.key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+    def _key(sig: str, b: int, j: int):
+        # md5 band key j of config b, recomputed from the packed
+        # signature — component i is the fixed-width 8-char slice i,
+        # so this is md5 of the SAME concatenation _band_frame hashes.
+        r = k // b
+        return F.md5(
+            F.concat(
+                *[
+                    F.substring(F.col(sig), (j * r + i) * 8 + 1, 8)
+                    for i in range(r)
+                ]
             )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                matches.alias("__m"),
+        )
+
+    cand = {}
+    for b_ in cfgs:
+        if b_ == k:
+            # pair admission at b = k IS single-component key equality
+            cand[b_] = F.lit(True)
+        else:
+            expr = None
+            for j in range(b_):
+                e = _key("__sa", b_, j) == _key("__sb", b_, j)
+                expr = e if expr is None else (expr | e)
+            cand[b_] = expr
+    # coalesce: an empty candidate set (e.g. all-empty docs -> NULL
+    # signatures that never join) must report 0, not NULL
+    aggs = []
+    for b_ in cfgs:
+        aggs.append(
+            F.coalesce(F.sum(cand[b_].cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"__nc_{b_}")
+        )
+        aggs.append(
+            F.coalesce(F.sum((cand[b_] & hit).cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"__nf_{b_}")
+        )
+    row = pairs.agg(*aggs)
+    curve = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b_).cast("long").alias("bands"),
+                        F.lit(k // b_).cast("long").alias("rows_per_band"),
+                        F.col(f"__nc_{b_}").alias("n_candidates"),
+                        F.col(f"__nf_{k}").alias("n_true_pairs"),
+                        F.col(f"__nf_{b_}").alias("n_found"),
+                    )
+                    for b_ in cfgs
+                ]
             )
-            .distinct()
-        )
-        hit = F.when(F.lit(100) * F.col("__m") >= F.lit(pct * k), 1).otherwise(0)
-        # coalesce: an empty candidate set (e.g. all-empty docs -> NULL
-        # signatures that never join) must report 0 found, not NULL
-        return cand.agg(
-            F.lit(b).cast("long").alias("bands"),
-            F.lit(k // b).cast("long").alias("rows_per_band"),
-            F.count(F.lit(1)).cast("long").alias("n_candidates"),
-            F.coalesce(F.sum(hit), F.lit(0)).cast("long").alias("n_found"),
-        )
-    # The b == k aggregate is BOTH a curve row and the truth scalar —
-    # cache its 1-row result so the most expensive band self-join
-    # (b = k generates the largest candidate set) executes once, not
-    # twice (ADVICE r10 #3).
-    per = {
-        b: (tracked_cache(config_agg(b)) if b == k else config_agg(b))
-        for b in band_configs
-    }
-    vals = list(per.values())
-    curve = vals[0]
-    for p in vals[1:]:
-        curve = curve.unionByName(p)
-    truth = per[k].select(F.col("n_found").alias("n_true_pairs"))
+        ).alias("r")
+    ).select("r.*")
     recall = F.when(
         F.col("n_true_pairs") > 0,
         F.round(
@@ -2168,18 +2216,14 @@ def lsh_tuning_curve(
             6,
         ),
     )
-    return (
-        curve.crossJoin(F.broadcast(truth))
-        .select(
-            "bands",
-            "rows_per_band",
-            "n_candidates",
-            "n_true_pairs",
-            "n_found",
-            recall.alias("recall"),
-        )
-        .orderBy("bands")
-    )
+    return curve.select(
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_true_pairs",
+        "n_found",
+        recall.alias("recall"),
+    ).orderBy("bands")
 
 
 def threshold_curve_sampled(

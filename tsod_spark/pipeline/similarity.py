@@ -863,49 +863,115 @@ def ivf_recall_curve(
     assigned, centroids = (
         index if index is not None else ivf_index(embeddings, n_cells, seed, vec_col)
     )
-    assigned = tracked_cache(
-        assigned.select("vec_id", "cell", F.col(vec_col).alias("__v"))
-    )
     query = _query_vector(embeddings, query_vec_id, vec_col)
     qlit = F.array(*[F.lit(x) for x in query])
     ranked = _nearest_cells(query, centroids, n_cells)
-    exact_ids = tracked_cache(
-        cosine_topk(embeddings, query_vec_id, k, vec_col).select("vec_id")
+    plist = sorted(int(p) for p in probes)
+    # FUSED curve (r14, guide §2.4/§1.2): score every candidate ONCE.
+    # The former shape ran, per probe width, a count + a cosine-scored
+    # top-k + a hits join over the cached cell-tagged frame — with
+    # nested probe sets that re-evaluated the interpreted cosine HOF
+    # ~sum_p |cand(p)|/N ~ 2x per corpus row, plus a THIRD cosine pass
+    # for the exact ground truth (cosine_topk). Here each row is
+    # scored once with its cell's probe rank attached; rows_scanned
+    # for ALL widths is one conditional-sum aggregate, each width's
+    # top-k is a row_number window over the rank-filtered cache, and
+    # the exact ground truth is the global top-k of the SAME scored
+    # frame (a probe covering all cells IS the exact scan) — one
+    # cosine pass total. Per-row values are unchanged: same
+    # round(cos, 6) doubles (||q|| is the same left-to-right python
+    # double sum the Column aggregate computes — bit-identical), same
+    # (score desc, vec_id) comparator, so every per-probe row equals
+    # the former per-subtree result (differential-tested in
+    # tests/test_opt_round14.py).
+    rk_map = F.create_map(
+        *[
+            F.lit(v)
+            for pos, c in enumerate(ranked)
+            for v in (int(c), pos + 1)
+        ]
     )
-    per_probe = []
-    for np_ in probes:
-        probe = ranked[: int(np_)]
-        cand = assigned.where(F.col("cell").isin(probe)).where(
-            F.col("vec_id") != query_vec_id
+    qn = 0.0
+    for x in query:
+        qn += x * x
+    import math
+
+    qn = math.sqrt(qn)
+    scored = tracked_cache(
+        assigned.where(F.col("vec_id") != query_vec_id).select(
+            "vec_id",
+            F.element_at(rk_map, F.col("cell").cast("int")).alias("__rk"),
+            F.round(
+                dot(F.col(vec_col), qlit)
+                / (norm(F.col(vec_col)) * F.lit(qn)),
+                6,
+            ).alias("__cs"),
         )
-        scanned = cand.agg(
-            F.count(F.lit(1)).cast("long").alias("rows_scanned")
+    )
+    exact_ids = tracked_cache(
+        scored.orderBy(F.desc("__cs"), "vec_id").limit(k).select("vec_id")
+    )
+    counts_row = scored.agg(
+        *[
+            F.sum((F.col("__rk") <= p).cast("long")).alias(f"__rs_{p}")
+            for p in plist
+        ]
+    )
+    plit = F.array(*[F.lit(p) for p in plist])
+    w = Window.partitionBy("__p").orderBy(F.desc("__cs"), "vec_id")
+    hits = (
+        scored.select(
+            "vec_id",
+            "__cs",
+            F.explode(
+                F.filter(plit, lambda p: p >= F.col("__rk"))
+            ).alias("__p"),
         )
-        topk = (
-            cand.select(
-                "vec_id", F.round(cosine(F.col("__v"), qlit), 6).alias("__cs")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .join(F.broadcast(exact_ids), "vec_id")
+        .groupBy("__p")
+        .agg(F.count(F.lit(1)).cast("long").alias("__nh"))
+    )
+    grid = counts_row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).cast("long").alias("n_probe"),
+                        F.lit(min(p, n_cells)).cast("long").alias(
+                            "cells_read"
+                        ),
+                        F.col(f"__rs_{p}").alias("rows_scanned"),
+                    )
+                    for p in plist
+                ]
             )
-            .orderBy(F.desc("__cs"), "vec_id")
-            .limit(k)
+        ).alias("r")
+    ).select("r.*")
+    return (
+        grid.join(
+            F.broadcast(
+                hits.select(
+                    F.col("__p").cast("long").alias("n_probe"), "__nh"
+                )
+            ),
+            "n_probe",
+            "left",
         )
-        hits = topk.join(exact_ids, "vec_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_hits")
+        .select(
+            "n_probe",
+            "cells_read",
+            "rows_scanned",
+            F.coalesce(F.col("__nh"), F.lit(0).cast("long")).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("__nh"), F.lit(0)).cast("double")
+                / F.lit(float(k)),
+                6,
+            ).alias("recall_k"),
         )
-        per_probe.append(
-            scanned.crossJoin(F.broadcast(hits)).select(
-                F.lit(int(np_)).cast("long").alias("n_probe"),
-                F.lit(min(int(np_), n_cells)).cast("long").alias("cells_read"),
-                "rows_scanned",
-                "n_hits",
-                F.round(
-                    F.col("n_hits").cast("double") / F.lit(float(k)), 6
-                ).alias("recall_k"),
-            )
-        )
-    curve = per_probe[0]
-    for p in per_probe[1:]:
-        curve = curve.unionByName(p)
-    return curve.orderBy("n_probe")
+        .orderBy("n_probe")
+    )
 
 
 def pq_nested_codebooks(
@@ -1140,15 +1206,28 @@ def pq_distortion_curve(
     enc_schema = "vec_id long, " + ", ".join(
         f"dist_{m} double, adc_{m} double" for m in cfgs
     )
-    enc = tracked_cache(
-        embeddings.select("vec_id", vec_col).mapInPandas(kernel, enc_schema)
-    )
-    n_total = enc.count()  # materializes the single shared cache
+    from ..util import default_parallelism
 
-    # all mean distortions in ONE aggregate
+    # spread: the 1-file fixture scans as ONE task and the multi-level
+    # numpy encode is CPU-bound — hash-repartition on vec_id before
+    # the kernel (the _spread_ids idiom; per-vector deterministic, so
+    # results are partition-independent) (r14, guide §2/§4).
+    enc = tracked_cache(
+        embeddings.select("vec_id", vec_col)
+        .repartition(
+            default_parallelism(embeddings.sparkSession), "vec_id"
+        )
+        .mapInPandas(kernel, enc_schema)
+    )
+
+    # corpus count + all mean distortions in ONE aggregate (the count
+    # job it replaces also materialized the shared cache — this first()
+    # does both) (r14, guide §1.2 fewer actions)
     mrow = enc.agg(
-        *[F.avg(f"dist_{m}").alias(f"md_{m}") for m in cfgs]
+        F.count(F.lit(1)).alias("__n"),
+        *[F.avg(f"dist_{m}").alias(f"md_{m}") for m in cfgs],
     ).first()
+    n_total = mrow["__n"]
     mean_dist = {m: float(mrow[f"md_{m}"]) for m in cfgs}
 
     # all raw-ADC top-k's in ONE job: posexplode the per-level ADC
@@ -1771,11 +1850,23 @@ def ivfpq_persisted_recall_curve(
     come from partition-pruned scans of the stored codes, ranked by
     ADC and exact-refined exactly like :func:`ivfpq_persisted_topk`.
 
-    Cost shape: the encode was paid ONCE at build time, so the whole
-    curve is |probes| pruned code scans + tiny refines + one exact
-    ground-truth scan — unlike the in-plan curves, nothing here
-    retrains or re-encodes, which is what makes n_probe tuning cheap
-    enough to re-run after every index release at 100 TB.
+    Cost shape (r14, guide §2.4/§6): the encode was paid ONCE at
+    build time, and the whole CURVE costs one full codes scan — the
+    flat-PQ ADC table is probe-independent, so every row is ADC-scored
+    ONCE with its cell's probe rank attached; each width's shortlist
+    is a row_number window over the rank-filtered cache, all
+    rows_scanned come from one conditional-sum aggregate, and the five
+    exact refines fuse into ONE broadcast join over the union of
+    shortlists. The former shape ran five pruned scans (1+2+4+8+16 =
+    31 cell-reads vs 16 here — the full-probe row alone re-reads
+    everything, so the single full scan is I/O-optimal for a curve
+    that includes n_probe = n_cells) each with its own count, ADC
+    top-k and refine join. Per-probe SERVING keeps the pruned-scan
+    shape (:func:`ivfpq_persisted_topk`) — partition pruning is for
+    probes, full scans are for curve sweeps. Per-row values are
+    unchanged: same round(adc, 6) / round(d2, 6) doubles, same
+    (distance, vec_id) comparators, so every per-probe row equals the
+    former per-subtree result.
 
     Certificates: ``rows_scanned`` is NONDECREASING in n_probe (probe
     sets are nested) and equals N-1 at full probe (every cell read) —
@@ -1792,41 +1883,128 @@ def ivfpq_persisted_recall_curve(
     books = meta["codebooks"]
     q = _query_vector(embeddings, query_vec_id, vec_col)
     ranked = _nearest_cells(q, meta["centroids"], meta["n_cells"])
+    plist = sorted(int(p) for p in probes)
     exact_ids = tracked_cache(
         cosine_topk(embeddings, query_vec_id, k, vec_col).select("vec_id")
     )
-    per_probe = []
-    for np_ in probes:
-        cand = codes.where(
-            F.col("cell").isin(ranked[: int(np_)])
-        ).where(F.col("vec_id") != query_vec_id)
-        scanned = cand.agg(
-            F.count(F.lit(1)).cast("long").alias("rows_scanned")
+    # ADC column — identical term chain to _adc_topk (flat PQ: one
+    # global table, independent of which cells are probed).
+    dsub = len(books[0][0])
+    dtable = [
+        [
+            sum((q[j * dsub + i] - cent[i]) ** 2 for i in range(dsub))
+            for cent in books[j]
+        ]
+        for j in range(len(books))
+    ]
+    dt = F.array(*[F.array(*[F.lit(d) for d in row]) for row in dtable])
+    adc = None
+    for j in range(len(books)):
+        term = F.element_at(
+            F.element_at(dt, j + 1), F.element_at("codes", j + 1) + 1
         )
-        topk = _adc_topk(
-            cand.select("vec_id", "codes"), books, q, k, refine,
-            embeddings, vec_col, query_vec_id,
+        adc = term if adc is None else adc + term
+    rk_map = F.create_map(
+        *[
+            F.lit(v)
+            for pos, c in enumerate(ranked)
+            for v in (int(c), pos + 1)
+        ]
+    )
+    scored = tracked_cache(
+        codes.where(F.col("vec_id") != query_vec_id).select(
+            "vec_id",
+            F.element_at(rk_map, F.col("cell").cast("int")).alias("__rk"),
+            F.round(adc, 6).alias("__ad"),
         )
-        hits = topk.join(exact_ids, "vec_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    counts_row = scored.agg(
+        *[
+            F.sum((F.col("__rk") <= p).cast("long")).alias(f"__rs_{p}")
+            for p in plist
+        ]
+    )
+    plit = F.array(*[F.lit(p) for p in plist])
+    w_adc = Window.partitionBy("__p").orderBy("__ad", "vec_id")
+    short = (
+        scored.select(
+            "vec_id",
+            "__ad",
+            F.explode(
+                F.filter(plit, lambda p: p >= F.col("__rk"))
+            ).alias("__p"),
         )
-        per_probe.append(
-            scanned.crossJoin(F.broadcast(hits)).select(
-                F.lit(int(np_)).cast("long").alias("n_probe"),
-                F.lit(min(int(np_), meta["n_cells"])).cast("long").alias(
-                    "cells_read"
-                ),
-                "rows_scanned",
-                "n_hits",
-                F.round(
-                    F.col("n_hits").cast("double") / F.lit(float(k)), 6
-                ).alias("recall_k"),
+        .withColumn("__rn", F.row_number().over(w_adc))
+        .where(F.col("__rn") <= (k * refine if refine else k))
+    )
+    if refine:
+        qlit = F.array(*[F.lit(x) for x in q])
+        exact_d2 = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                qlit,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+        refined = embeddings.join(
+            F.broadcast(short.select("vec_id").distinct()), "vec_id"
+        ).select("vec_id", F.round(exact_d2, 6).alias("__d2"))
+        w_ref = Window.partitionBy("__p").orderBy("__d2", "vec_id")
+        topk = (
+            short.select("__p", "vec_id")
+            .join(F.broadcast(refined), "vec_id")
+            .withColumn("__rn2", F.row_number().over(w_ref))
+            .where(F.col("__rn2") <= k)
+        )
+    else:
+        topk = short
+    hits = (
+        topk.join(F.broadcast(exact_ids), "vec_id")
+        .groupBy("__p")
+        .agg(F.count(F.lit(1)).cast("long").alias("__nh"))
+    )
+    n_cells = int(meta["n_cells"])
+    grid = counts_row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).cast("long").alias("n_probe"),
+                        F.lit(min(p, n_cells)).cast("long").alias(
+                            "cells_read"
+                        ),
+                        F.col(f"__rs_{p}").alias("rows_scanned"),
+                    )
+                    for p in plist
+                ]
             )
+        ).alias("r")
+    ).select("r.*")
+    return (
+        grid.join(
+            F.broadcast(
+                hits.select(
+                    F.col("__p").cast("long").alias("n_probe"), "__nh"
+                )
+            ),
+            "n_probe",
+            "left",
         )
-    curve = per_probe[0]
-    for p in per_probe[1:]:
-        curve = curve.unionByName(p)
-    return curve.orderBy("n_probe")
+        .select(
+            "n_probe",
+            "cells_read",
+            "rows_scanned",
+            F.coalesce(F.col("__nh"), F.lit(0).cast("long")).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("__nh"), F.lit(0)).cast("double")
+                / F.lit(float(k)),
+                6,
+            ).alias("recall_k"),
+        )
+        .orderBy("n_probe")
+    )
 
 
 def ivfpq_residual_index_build(

@@ -202,11 +202,14 @@ def emb_ivfpq_persisted_recall_curve(spark, sf_dir):
     """n_probe TUNING CURVE over the PERSISTED IVF+PQ index — the
     serve-side twin of emb_ivf_recall_curve, run against the index
     that will actually serve: per n_probe in {1,2,4,8,16}, candidates
-    come from a partition-pruned scan of the stored codes (the encode
-    was paid once at build time — nothing retrains or re-encodes, so
-    the whole curve is five pruned ADC scans + tiny refines + one
-    exact ground-truth scan, cheap enough to re-run after every index
-    release at 100 TB). Certificates: (a) recall@10 >= a
+    come from the stored codes (the encode was paid once at build
+    time — nothing retrains or re-encodes; since r14 the whole curve
+    is ONE full codes scan ADC-scored once — probe-ranked per cell,
+    per-width window shortlists, one fused refine — which is
+    I/O-optimal for a sweep whose widest probe reads every cell
+    anyway, cheap enough to re-run after every index release at
+    100 TB; per-probe SERVING keeps the partition-pruned scan,
+    emb_ivfpq_persisted_topk). Certificates: (a) recall@10 >= a
     measured-stable per-level floor (measured 0.0/0.2/0.4/0.5/0.6
     across the three fixtures; floors set at half: 0/0.1/0.2/0.25/
     0.3), (b) rows_scanned NONDECREASING (probe sets are nested —
