@@ -774,7 +774,13 @@ def recall_certificate(
     """
     import math  # noqa: PLC0415
 
-    exact = cosine_topk(embeddings, query_vec_id, k, vec_col)
+    from ..util import tracked_cache
+
+    # cache the k-row exact frame: it feeds BOTH the output rows and
+    # the hits join, and without the cache each reference re-runs the
+    # whole brute-force corpus scan (r14, guide §5 cache what is
+    # reused AND expensive)
+    exact = tracked_cache(cosine_topk(embeddings, query_vec_id, k, vec_col))
     need = int(math.ceil(min_recall * k))
     hits = (
         exact.select("vec_id")

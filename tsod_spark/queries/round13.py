@@ -180,10 +180,24 @@ def dedup_governance_increments(spark, sf_dir):
     from ..pipeline import dedup
     from ..util import tracked_cache
 
+    from ..util import default_parallelism
+
     docs = table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 7 != 0)
     batch = docs.where(F.col("doc_id") % 7 == 0)
-    idx = tracked_cache(dedup.build_corpus_index(corpus))
+    # spread the corpus before indexing: build_corpus_index hashes at
+    # scan parallelism (spread=False — right for a corpus at rest in
+    # many files), but the demo fixture is ONE parquet file = one task
+    # for the CPU-bound shingle+md5 pass; signatures are per-doc
+    # deterministic so results are partition-independent (r14, guide
+    # §2 input skew / §4 per-task work)
+    idx = tracked_cache(
+        dedup.build_corpus_index(
+            corpus.repartition(
+                default_parallelism(spark), F.col("doc_id")
+            )
+        )
+    )
     flags = dedup.governance_flags(batch, idx)
     return dedup.governance_rollup(flags).orderBy("source")
 

@@ -281,7 +281,15 @@ def emb_ivfpq_upsert_topk(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     live = emb.where(F.col("vec_id") % 37 != 5)
     path = upsert_demo_index_path(spark, sf_dir)
-    ann = similarity.ivfpq_persisted_topk(spark, path, live, n_probe=6)
+    # cache the 10-row serve result: it feeds BOTH the no_tombstoned
+    # check and the certificate's hits join — uncached, each reference
+    # re-runs the pruned-scan + ADC + refine serve subtree (r14,
+    # guide §5)
+    from ..util import tracked_cache
+
+    ann = tracked_cache(
+        similarity.ivfpq_persisted_topk(spark, path, live, n_probe=6)
+    )
     deleted = emb.where(F.col("vec_id") % 37 == 5).select("vec_id")
     clean = (
         ann.select("vec_id")
@@ -589,9 +597,17 @@ def emb_ivfpq_compact_stats(spark, sf_dir):
         for d in os.listdir(codes_dir) if d.startswith("cell=")
     )
     tomb_absent = not os.path.isdir(os.path.join(path, "tombstones"))
-    compacted = similarity.ivfpq_persisted_topk(spark, path, live, n_probe=6)
-    uncompacted = similarity.ivfpq_persisted_topk(
-        spark, upath, live, n_probe=6
+    # cache both 10-row serve results: each feeds BOTH exceptAll legs,
+    # and without the cache every leg re-runs the full pruned-scan +
+    # ADC + refine serve subtree — 4 serves instead of 2 (r14, guide
+    # §5 cache what is reused)
+    from ..util import tracked_cache
+
+    compacted = tracked_cache(
+        similarity.ivfpq_persisted_topk(spark, path, live, n_probe=6)
+    )
+    uncompacted = tracked_cache(
+        similarity.ivfpq_persisted_topk(spark, upath, live, n_probe=6)
     )
     same = (
         compacted.exceptAll(uncompacted)
