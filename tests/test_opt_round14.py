@@ -295,3 +295,77 @@ def test_fused_lsh_curve_equals_per_config_joins(spark):
         for b in cfgs
     ]
     assert got == want
+
+
+def test_t1_closed_form_per_series_equals_numpy_kernel(spark):
+    """The T=1 per-series JVM closed-form fit (one windowed-aggregate
+    pass, no Python) must flag exactly the rows the numpy
+    applyInPandas 2x2 solve it replaced flags — the boolean output
+    absorbs the solver's last-ulp association differences."""
+    from tsod_spark.detectors.mllib import RegressionResidualDetector
+    from tsod_spark.queries._base import events_tsf
+
+    tsf = events_tsf(spark, SF)
+    fast = RegressionResidualDetector(
+        time_steps=1, n_sigmas=4.0, per_series=True
+    ).fit(tsf)
+    assert fast._params_df is not None and fast._model is None
+    slow = RegressionResidualDetector(
+        time_steps=1, n_sigmas=4.0, per_series=True
+    )
+    slow._fit_per_series(tsf)  # the numpy kernel path, forced
+    got = {
+        r["event_id"]: r["is_anomaly"]
+        for r in fast.detect(tsf).select("event_id", "is_anomaly").collect()
+    }
+    want = {
+        r["event_id"]: r["is_anomaly"]
+        for r in slow.detect(tsf).select("event_id", "is_anomaly").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_t1_closed_form_global_equals_mllib_fit(spark):
+    """The T=1 global OLS closed form (two aggregate actions) must
+    flag exactly the rows the MLlib solver="normal" fit it replaced
+    flags, and its coefficients must match MLlib's to float
+    association tolerance."""
+    from pyspark.ml.regression import LinearRegression
+
+    from tsod_spark.detectors.mllib import (
+        RegressionResidualDetector,
+        _lag_matrix,
+    )
+    from tsod_spark.queries._base import events_tsf
+
+    tsf = events_tsf(spark, SF)
+    fast = RegressionResidualDetector(
+        time_steps=1, n_sigmas=4.0, reg=0.0
+    ).fit(tsf)
+    assert fast._closed_form is not None and fast._model is None
+    train = _lag_matrix(tsf, 1)
+    m = LinearRegression(
+        featuresCol="features_vec", labelCol="y", regParam=0.0,
+        solver="normal",
+    ).fit(train)
+    coef, icpt = fast._closed_form
+    assert abs(coef - float(m.coefficients[0])) <= 1e-9 * max(
+        1.0, abs(coef)
+    )
+    assert abs(icpt - float(m.intercept)) <= 1e-9 * max(1.0, abs(icpt))
+
+    slow = RegressionResidualDetector(time_steps=1, n_sigmas=4.0, reg=0.0)
+    slow._model = m
+    pred = m.transform(train)
+    slow._resid_std = pred.select(
+        F.stddev_samp(F.col("y") - F.col("prediction")).alias("s")
+    ).first()["s"]
+    got = {
+        r["event_id"]: r["is_anomaly"]
+        for r in fast.detect(tsf).select("event_id", "is_anomaly").collect()
+    }
+    want = {
+        r["event_id"]: r["is_anomaly"]
+        for r in slow.detect(tsf).select("event_id", "is_anomaly").collect()
+    }
+    assert got == want and len(got) > 0

@@ -63,11 +63,18 @@ class RegressionResidualDetector(SparkDetector):
         self._reg = reg
         self._model = None
         self._resid_std = None
+        self._closed_form = None  # (coef, intercept) of the T=1 OLS fast path
 
     def fit(self, data):
         tsf = as_tsf(data)
         if self._per_series and tsf.series:
-            self._fit_per_series(tsf)
+            if self._time_steps == 1:
+                self._fit_per_series_t1(tsf)
+            else:
+                self._fit_per_series(tsf)
+            return self
+        if self._time_steps == 1 and self._reg == 0.0:
+            self._fit_global_t1(tsf)
             return self
         from pyspark.ml.regression import LinearRegression
 
@@ -90,6 +97,107 @@ class RegressionResidualDetector(SparkDetector):
             .first()["s"]
         )
         return self
+
+    @staticmethod
+    def _finite(c):
+        """Column mirror of ``np.isfinite``: non-null, not NaN, not
+        +/-inf (the frame already nulls NaN values on ingest, but the
+        kernel this path replaces re-checked, so the fast path does
+        too)."""
+        return c.isNotNull() & ~F.isnan(c) & (F.abs(c) < F.lit(float("inf")))
+
+    def _fit_per_series_t1(self, tsf) -> None:
+        """T=1 per-series fit as pure JVM aggregation — the closed-form
+        2x2 ridge solve the numpy kernel computes, without the Python
+        boundary (r14, guide §4: the applyInPandas path shipped every
+        training row to Python to solve a 2x2 system per series; the
+        same normal-equation sums are one partial-aggregating groupBy).
+        Arithmetic mirrors ``solve(A'A + reg*I, A'y)`` via Cramer's
+        rule — the exact form the SQL oracle uses; the boolean output
+        absorbs the solver's last-ulp association differences (the
+        registered T=1 query is verified output-equal across all three
+        fixtures and oracle-green). Produces the SAME ``_params_df``
+        schema as the numpy path, so detect() and the streaming kernel
+        are untouched. The groupBy keys match the lag window's
+        partition key, so the whole fit adds ZERO exchanges beyond the
+        one the window already pays (guide §2.4)."""
+        from pyspark.sql import Window
+
+        reg, n_sig = self._reg, self._n_sigmas
+        keys = list(tsf.series)
+        train = create_dataset(tsf, time_steps=1).select(
+            *keys, "features", "y"
+        )
+        c_coef, c_int, c_thr = (
+            self.tmp("coef"),
+            self.tmp("intercept"),
+            self.tmp("thr"),
+        )
+        x = F.element_at("features", 1)
+        y = F.col("y")
+        ok = self._finite(x) & self._finite(y)
+        ws = Window.partitionBy(*keys)
+        n = F.count(F.when(ok, 1)).over(ws).cast("double")
+        sx = F.sum(F.when(ok, x)).over(ws)
+        sy = F.sum(F.when(ok, y)).over(ws)
+        sxx = F.sum(F.when(ok, x * x)).over(ws)
+        sxy = F.sum(F.when(ok, x * y)).over(ws)
+        det = (sxx + reg) * (n + reg) - sx * sx
+        coef = ((n + reg) * sxy - sx * sy) / det
+        icpt = ((sxx + reg) * sy - sx * sxy) / det
+        resid = y - (coef * x + icpt)
+        scored = train.select(
+            *keys,
+            n.alias("__n"),
+            coef.alias("__coef"),
+            icpt.alias("__icpt"),
+            F.when(ok, resid).alias("__resid"),
+        )
+        # underdetermined series (< T + 2 finite rows) get no model —
+        # the numpy kernel's guard
+        fitted = F.first("__n") >= 3
+        self._params_df = scored.groupBy(*keys).agg(
+            F.when(fitted, F.array(F.first("__coef"))).alias(c_coef),
+            F.when(fitted, F.first("__icpt")).alias(c_int),
+            F.when(
+                fitted, F.lit(n_sig) * F.stddev_samp("__resid")
+            ).alias(c_thr),
+        )
+        self._model = None
+        self._resid_std = None
+
+    def _fit_global_t1(self, tsf) -> None:
+        """T=1 global exact-OLS fit as one aggregate pass — the
+        closed-form normal equations MLlib's ``solver="normal"`` builds
+        anyway, without the estimator's ~10 scheduler-bound jobs (r14,
+        guide §1.2/§4: measured 2.7-3.9 s of driver-round-trip latency
+        to compute five sums). Two tiny actions (sums, then the
+        residual stddev with the fitted line inlined as literals)
+        replace the fit + transform + stddev chain; coef/intercept/
+        resid_std land in the same fields the MLlib path fills, so
+        detect() and the streaming kernel read them unchanged."""
+        train = create_dataset(tsf, time_steps=1)
+        x = F.element_at("features", 1)
+        y = F.col("y")
+        ok = self._finite(x) & self._finite(y)
+        r = train.agg(
+            F.count(F.when(ok, 1)).cast("double").alias("n"),
+            F.sum(F.when(ok, x)).alias("sx"),
+            F.sum(F.when(ok, y)).alias("sy"),
+            F.sum(F.when(ok, x * x)).alias("sxx"),
+            F.sum(F.when(ok, x * y)).alias("sxy"),
+        ).first()
+        n, sx, sy, sxx, sxy = r
+        det = sxx * n - sx * sx
+        coef = (n * sxy - sx * sy) / det
+        icpt = (sxx * sy - sx * sxy) / det
+        self._closed_form = (float(coef), float(icpt))
+        resid = y - (F.lit(coef) * x + F.lit(icpt))
+        self._resid_std = train.agg(
+            F.stddev_samp(F.when(ok, resid)).alias("s")
+        ).first()["s"]
+        self._model = None
+        self._params_df = None
 
     def _fit_per_series(self, tsf) -> None:
         import numpy as np
@@ -168,11 +276,22 @@ class RegressionResidualDetector(SparkDetector):
                 *[c for c in out.columns if c.startswith(f"__{self._uid}_")],
                 "y",
             )
-        if self._model is None or self._resid_std is None:
+        if self._resid_std is None or (
+            self._model is None and self._closed_form is None
+        ):
             from ..exceptions import NotFittedError
 
             raise NotFittedError("detect")
-        scored = self._model.transform(_lag_matrix(tsf, self._time_steps))
+        if self._closed_form is not None:
+            # T=1 OLS fast path: the fitted line as literals — the same
+            # coef*x + intercept arithmetic model.transform applies
+            coef, icpt = self._closed_form
+            scored = create_dataset(tsf, time_steps=1).withColumn(
+                "prediction",
+                F.lit(coef) * F.element_at("features", 1) + F.lit(icpt),
+            )
+        else:
+            scored = self._model.transform(_lag_matrix(tsf, self._time_steps))
         resid = F.abs(F.col("y") - F.col("prediction"))
         thr = float(self._n_sigmas * self._resid_std)
         out = scored.withColumn(out_col, F.coalesce(resid > thr, F.lit(False)))

@@ -223,10 +223,29 @@ def _plan(detector):
                 {"coef": None, "intercept": None, "threshold": None},
                 {"coef": "coef", "intercept": "intercept", "thr": "threshold"},
             )
-        if detector._model is None or detector._resid_std is None:
+        if detector._resid_std is None or (
+            detector._model is None and detector._closed_form is None
+        ):
             from ..exceptions import NotFittedError
 
             raise NotFittedError("stream_detect")
+        if detector._closed_form is not None:  # T=1 OLS fast path
+            coef = [float(detector._closed_form[0])]
+            icpt = float(detector._closed_form[1])
+            return _leaf_plan(
+                detector,
+                kernels.regression_residual_kernel,
+                1,
+                0,
+                {
+                    "coef": coef,
+                    "intercept": icpt,
+                    "threshold": float(
+                        detector._n_sigmas * detector._resid_std
+                    ),
+                },
+                {},
+            )
         coef = [float(c) for c in detector._model.coefficients]
         return _leaf_plan(
             detector,
