@@ -369,3 +369,85 @@ def test_t1_closed_form_global_equals_mllib_fit(spark):
         for r in slow.detect(tsf).select("event_id", "is_anomaly").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_outer_explode_gram_frames_equal_inner_and_skip_inferred_filter(spark):
+    """The explode_outer rewrite of the inverted-index gram frames
+    (jaccard_pairs_index / containment_pairs / containment_index +
+    screen) must (a) return row-identical results to the inner-explode
+    shape it replaced — the only extra rows are (doc, NULL gh) and the
+    equi-join drops them — and (b) keep the whole tokenize->shingle->
+    xxhash chain OUT of Filter conditions (InferFiltersFromGenerate
+    copied it into an inferred scan filter below the repartition
+    exchange: the guide §4.4 duplicated-expression pathology)."""
+    from tsod_spark.pipeline import dedup
+    from tsod_spark.pipeline.text import tokens, shingles
+    from tsod_spark.registry import table
+    from tsod_spark.util import default_parallelism
+
+    docs = table(spark, SF, "documents")
+
+    # (a) row equality vs the inner-explode formulation, inline
+    got = dedup.jaccard_pairs_index(docs).orderBy("doc_a", "doc_b")
+    n_part = default_parallelism(spark)
+    tok = docs.repartition(n_part, F.col("doc_id")).select(
+        "doc_id", F.col("source").alias("blk"),
+        tokens(F.col("text")).alias("__t"),
+    )
+    g = tok.select(
+        "doc_id", "blk",
+        F.transform(
+            shingles(F.col("__t"), 2), lambda x: F.xxhash64(x)
+        ).alias("__gh"),
+    ).select(
+        "doc_id", "blk",
+        F.size("__gh").cast("long").alias("__ng"),
+        F.explode("__gh").alias("gh"),
+    )
+    a = g.select("blk", "gh", F.col("doc_id").alias("doc_a"),
+                 F.col("__ng").alias("__na"))
+    b = g.select("blk", "gh", F.col("doc_id").alias("doc_b"),
+                 F.col("__ng").alias("__nb"))
+    p = (
+        a.join(b, ["blk", "gh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__inter"),
+            F.first("__na").alias("__na"),
+            F.first("__nb").alias("__nb"),
+        )
+    )
+    jac = F.round(
+        F.col("__inter").cast("double")
+        / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double"),
+        6,
+    )
+    want = p.select("doc_a", "doc_b", jac.alias("jaccard")).orderBy(
+        "doc_a", "doc_b"
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+    # (b) the pathology pin: no Filter condition re-inlines the chain
+    for df in (
+        dedup.jaccard_pairs_index(docs),
+        dedup.containment_pairs(docs),
+        dedup.containment_screen_new_docs(
+            docs.where(F.col("doc_id") % 7 != 0),
+            docs.where(F.col("doc_id") % 7 == 0),
+            thr_pct=90,
+        ),
+    ):
+        txt = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        import re
+
+        for m in re.finditer(r"\(\d+\) Filter\b.*?(?=\(\d+\) )", txt, re.S):
+            assert "transform(" not in m.group(0), m.group(0)[:200]
+
+    # (c) the index artifact keeps its no-null contract
+    idx = dedup.containment_index(docs)
+    assert idx.where(F.col("gh").isNull()).count() == 0

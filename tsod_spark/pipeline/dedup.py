@@ -1278,7 +1278,21 @@ def jaccard_pairs_index(
         "doc_id",
         "blk",
         F.size("__gh").cast("long").alias("__ng"),
-        F.explode("__gh").alias("gh"),
+        # explode_OUTER, deliberately (r14): a plain explode lets
+        # Catalyst's InferFiltersFromGenerate copy the whole
+        # tokenize->shingle->xxhash chain into an inferred
+        # `size(...) > 0 AND isnotnull(...)` filter, and predicate
+        # pushdown sinks that filter BELOW the repartition exchange —
+        # so the chain ran TWICE, one copy single-threaded on the
+        # 1-file scan task (stage metrics: 7.1 of 12.7 s wall in a
+        # 1-task stage; guide §4.4's duplicated-expression pathology,
+        # Column form). No filter is inferrable from an OUTER
+        # generate, so the chain stays in the ONE post-exchange
+        # projection at full parallelism. Output is identical: the
+        # only extra rows are (doc, NULL gh) for gram-less docs, and
+        # the equi-join on gh drops nulls exactly as the inner
+        # explode dropped their empty arrays.
+        F.explode_outer("__gh").alias("gh"),
     )
     # optional hot-gram guard: a gram owned by B in-block docs emits
     # B^2 join hits; capped grams are dropped WHOLE (cap_hot_buckets
@@ -1772,7 +1786,12 @@ def containment_pairs(
         "doc_id",
         "blk",
         F.size("__gh").cast("long").alias("__ng"),
-        F.explode("__gh").alias("gh"),
+        # explode_OUTER for the same reason as jaccard_pairs_index
+        # (r14): keeps InferFiltersFromGenerate from sinking the gram
+        # chain below the repartition exchange; null-gh rows drop in
+        # the equi-join exactly as empty arrays dropped in the inner
+        # explode.
+        F.explode_outer("__gh").alias("gh"),
     )
     g = cap_hot_buckets(g, ["blk", "gh"], max_gram_docs)
     a = g.select(
@@ -1971,12 +1990,23 @@ def containment_index(
         .select(
             F.col("doc_id").alias("match_id"),
             F.col(block_col).alias("blk"),
-            F.explode(
+            # explode_OUTER + isNotNull on the OUTPUT column instead
+            # of a plain explode (r14): InferFiltersFromGenerate would
+            # copy the whole gram chain into an inferred scan filter
+            # and predicate pushdown sinks it below the repartition
+            # exchange (single-task double evaluation — guide §4.4).
+            # No filter is inferrable from an outer generate, and the
+            # explicit null screen references the exploded int64 gh —
+            # it cannot be pushed below the Generate — so the rows are
+            # EXACTLY the inner explode's (the index artifact keeps
+            # its no-null contract) at one full-parallelism pass.
+            F.explode_outer(
                 F.transform(
                     grams(tokens(F.col(text_col))), lambda x: F.xxhash64(x)
                 )
             ).alias("gh"),
         )
+        .where(F.col("gh").isNotNull())
     )
     return cap_hot_buckets(idx, ["blk", "gh"], max_gram_docs)
 
@@ -2040,7 +2070,12 @@ def containment_screen_new_docs(
         .withColumn("__nb", F.size("__gh").cast("long"))
     )
     bg = btok.select(
-        "doc_id", "blk", "__nb", F.explode("__gh").alias("gh")
+        "doc_id", "blk", "__nb",
+        # explode_OUTER for the same reason as jaccard_pairs_index
+        # (r14): no inferrable filter means the batch gram chain is
+        # not duplicated below the batch repartition; null-gh rows
+        # drop in the (blk, gh) equi-join.
+        F.explode_outer("__gh").alias("gh"),
     )
     hits = cidx.join(F.broadcast(bg), ["blk", "gh"])
     out = (
