@@ -238,9 +238,15 @@ def synthetic_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((i, kind, payload, mime))
             yield pd.DataFrame(rows, columns=["asset_id", "kind", "payload", "mime"])
 
-    return _spread_ids(ids.select(id_col), id_col).mapInPandas(
-        gen, ASSET_SCHEMA
-    )
+    # NO spread here, deliberately (r14): these stub assets are tiny
+    # (4x13-px BMPs, 50-sample WAVs — microseconds per asset), so the
+    # generation kernel is NOT compute-bound and the spread exchange
+    # plus 32 micro-tasks through the chained Python stages cost more
+    # than the parallelism buys (measured: mm_resize_pixels 0.9 ->
+    # 2.5 s with the spread, recovered on revert). The EXPENSIVE
+    # generators (textured/audio/video renders, seconds of numpy per
+    # partition) keep _spread_ids.
+    return ids.select(id_col).mapInPandas(gen, ASSET_SCHEMA)
 
 
 def resize_images(decoded: DataFrame, max_side: int = 64) -> DataFrame:
