@@ -412,6 +412,39 @@ def _flag_tight_drift(
     ]
 
 
+def _cpu_stat() -> tuple[int, ...]:
+    """Aggregate jiffy counters from /proc/stat's first line
+    (user nice system idle iowait irq softirq steal ...)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:]
+        return tuple(int(x) for x in parts[:8])
+    except (OSError, ValueError, IndexError):
+        return ()
+
+
+def _box_health(before: tuple[int, ...], after: tuple[int, ...]) -> dict:
+    """Host-condition deltas for one bench slice (VERDICT r14 #8: three
+    rounds of verdicts litigated intermittent host steal by hand — the
+    record itself should say whether the window was calm). steal_pct >
+    a few percent or sys_pct > ~30 marks a throttle wave; adjudications
+    from such a window are machine-checkable against this field."""
+    if len(before) < 8 or len(after) < 8:
+        return {}
+    delta = [b - a for a, b in zip(before, after)]
+    total = sum(delta)
+    if total <= 0:
+        return {}
+    pct = lambda i: round(100.0 * delta[i] / total, 1)  # noqa: E731
+    return {
+        "user_pct": pct(0),
+        "sys_pct": pct(2),
+        "idle_pct": pct(3),
+        "iowait_pct": pct(4),
+        "steal_pct": pct(7),
+    }
+
+
 def _prior_snapshot() -> dict[str, float]:
     """Prior-round committed per-query seconds for excursion detection:
     $SPARK_GRAFT_PRIOR_BENCH if set, else the highest-numbered
@@ -457,15 +490,18 @@ def main():
     median3: dict[str, dict] = {}
     warmup_skipped: list[str] = []
     cold_first_query_s = None
+    box_health: dict[str, dict] = {}
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
         env = dict(os.environ, SPARK_GRAFT_SLICE=f"{lo}:{hi}")
+        stat0 = _cpu_stat()
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
             capture_output=True,
             text=True,
         )
+        box_health[f"{lo}:{hi}"] = _box_health(stat0, _cpu_stat())
         if proc.returncode != 0:
             print(proc.stderr[-4000:], file=sys.stderr)
             raise SystemExit(f"slice {lo}:{hi} failed rc={proc.returncode}")
@@ -515,12 +551,14 @@ def main():
     flagged = flagged + spread_flagged + tight_flagged
     if flagged:
         env = dict(os.environ, SPARK_GRAFT_RETIME=",".join(flagged))
+        stat0 = _cpu_stat()
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
             capture_output=True,
             text=True,
         )
+        box_health["adjudication_retime"] = _box_health(stat0, _cpu_stat())
         retimed = None
         if proc.returncode == 0:
             # The child can exit 0 yet print trailing non-JSON (fresh-JVM
@@ -571,6 +609,7 @@ def main():
             "median3": median3,
             "adjudications": adjudications,
             "warmup_skipped": warmup_skipped,
+            "box_health": box_health,
         }
     )
     print(payload)

@@ -281,6 +281,14 @@ def profile_table(df: DataFrame, columns=None) -> DataFrame:
     identical: count/sum over grouped counts == row-level count/sum,
     min/max over distinct values == over rows (computed on the NATIVE
     type, cast to string after), count(value) == count_distinct.
+
+    INPUT ASSUMPTION (ADVICE r14): the same-total-I/O argument holds
+    for COLUMNAR file scans (parquet/ORC), where each branch's scan
+    prunes to its one column. A row-oriented or computed input
+    (CSV/JDBC ingest profiling, an uncached derived frame) is
+    re-evaluated once per column here where the old multi-distinct
+    Expand read it once — ``.cache()`` such an input before profiling,
+    or accept N passes.
     """
     columns = list(columns or df.columns)
     branches = []

@@ -149,13 +149,18 @@ class RegressionResidualDetector(SparkDetector):
         scored = train.select(
             *keys,
             n.alias("__n"),
+            det.alias("__det"),
             coef.alias("__coef"),
             icpt.alias("__icpt"),
             F.when(ok, resid).alias("__resid"),
         )
         # underdetermined series (< T + 2 finite rows) get no model —
-        # the numpy kernel's guard
-        fitted = F.first("__n") >= 3
+        # the numpy kernel's guard. det == 0 (reg = 0 over a
+        # constant-x series) is the singular system the numpy kernel
+        # raised LinAlgError on; dividing through would emit Inf/NaN
+        # params whose NaN residual compare silently flags nothing, so
+        # treat it like the underdetermined case: no model (ADVICE r14)
+        fitted = (F.first("__n") >= 3) & (F.first("__det") != 0)
         self._params_df = scored.groupBy(*keys).agg(
             F.when(fitted, F.array(F.first("__coef"))).alias(c_coef),
             F.when(fitted, F.first("__icpt")).alias(c_int),

@@ -917,9 +917,16 @@ def ivf_recall_curve(
     exact_ids = tracked_cache(
         scored.orderBy(F.desc("__cs"), "vec_id").limit(k).select("vec_id")
     )
+    # coalesce: an empty scored frame (corpus holding only the query
+    # vector) must report rows_scanned = 0, not NULL — the pre-fusion
+    # count()-based shape returned 0 (ADVICE r14)
     counts_row = scored.agg(
         *[
-            F.sum((F.col("__rk") <= p).cast("long")).alias(f"__rs_{p}")
+            F.coalesce(
+                F.sum((F.col("__rk") <= p).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"__rs_{p}")
             for p in plist
         ]
     )
@@ -1917,16 +1924,34 @@ def ivfpq_persisted_recall_curve(
             for v in (int(c), pos + 1)
         ]
     )
+    # Rows in cells ranked beyond max(probes) are used by NO output:
+    # counts sum (__rk <= p), shortlists filter (p >= __rk), and the
+    # exact ground truth reads `embeddings`, never the codes. Pruning
+    # the scan to the probed cells keeps the stored index's partition
+    # pruning for narrow probe sets (ADVICE r14 — the full-scan
+    # I/O-optimality argument only holds when max(probes) == n_cells,
+    # where this filter vanishes).
+    pmax = plist[-1]
+    pruned = codes
+    if pmax < int(meta["n_cells"]):
+        probe_cells = [int(c) for c in ranked[:pmax]]
+        pruned = codes.where(F.col("cell").isin(probe_cells))
     scored = tracked_cache(
-        codes.where(F.col("vec_id") != query_vec_id).select(
+        pruned.where(F.col("vec_id") != query_vec_id).select(
             "vec_id",
             F.element_at(rk_map, F.col("cell").cast("int")).alias("__rk"),
             F.round(adc, 6).alias("__ad"),
         )
     )
+    # coalesce: empty scored frame → rows_scanned 0, not NULL (the
+    # pre-fusion per-probe count() returned 0 — ADVICE r14)
     counts_row = scored.agg(
         *[
-            F.sum((F.col("__rk") <= p).cast("long")).alias(f"__rs_{p}")
+            F.coalesce(
+                F.sum((F.col("__rk") <= p).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"__rs_{p}")
             for p in plist
         ]
     )
