@@ -284,24 +284,38 @@ def test_hll_overlap_sketches_built_in_one_fact_scan(t):
 
 
 def test_winnow_screen_corpus_text_never_shuffles(t):
-    """Span-screening ingest shares the incremental-dedup scale
-    contract: corpus fingerprints are per-row Column algebra and the
-    batch fingerprint table is broadcast, so NO exchange (and no
-    broadcast) may carry any text column — only slim (doc_id, fp)
-    collision aggregates move."""
+    """Span-screening ingest scale contract, both spread modes:
+    spread=False (standing well-partitioned corpus) keeps EVERY
+    exchange and broadcast free of text — only slim (doc_id, fp)
+    collision aggregates move; the default spread mode may move the
+    corpus text exactly ONCE, through the up-front repartition that
+    parallelizes the fingerprint chain — never through a broadcast or
+    any later exchange."""
     from tsod_spark.pipeline import dedup
 
     docs = t("documents")
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     batch = docs.where(F.col("doc_id") % 5 == 0)
-    df = dedup.winnow_screen_new_docs(corpus, batch)
-    p = plan(df)
-    for block in re.split(r"\n\(\d+\) ", p):
-        head, *rest = block.split("\n")
-        body = "\n".join(rest)
-        if head.startswith(("Exchange", "BroadcastExchange")):
-            assert "text#" not in body, head
-    df.sparkSession.catalog.clearCache()
+
+    def text_exchanges(df):
+        n_text, n_bcast_text = 0, 0
+        for block in re.split(r"\n\(\d+\) ", plan(df)):
+            head, *rest = block.split("\n")
+            body = "\n".join(rest)
+            if head.startswith("BroadcastExchange"):
+                n_bcast_text += "text#" in body
+            elif head.startswith("Exchange"):
+                n_text += "text#" in body
+        return n_text, n_bcast_text
+
+    assert text_exchanges(
+        dedup.winnow_screen_new_docs(corpus, batch, spread=False)
+    ) == (0, 0)
+    assert text_exchanges(dedup.winnow_screen_new_docs(corpus, batch)) == (
+        1,
+        0,
+    )
+    corpus.sparkSession.catalog.clearCache()
 
 
 def test_rowwise_signatures_match_groupby_signatures(t):

@@ -1126,6 +1126,7 @@ def winnow_screen_new_docs(
     k: int = 5,
     window: int = 4,
     min_shared: int = 2,
+    spread: bool = True,
 ) -> DataFrame:
     """Continuous-ingest SPAN screening: which docs of a new batch may
     be appended to a standing corpus, where a batch doc is dropped if
@@ -1136,20 +1137,31 @@ def winnow_screen_new_docs(
     >= ``window + k - 1`` tokens lifted from a corpus doc collides by
     the MOSS guarantee even when the rest of the document is new.
 
-    Scale shape (the :func:`incremental_new_docs` contract): corpus
-    fingerprints are pure per-row Column algebra
-    (:func:`tsod_spark.pipeline.text.winnow_fingerprints` — zero
-    shuffle), and the batch fingerprint table is tiny and BROADCAST,
-    so the corpus side never exchanges: the whole corpus leg is one
-    scan -> fingerprint projection -> broadcast-hash semi-computation.
-    Only per-(corpus_doc, batch_doc) collision counts aggregate, and
-    those are bounded by the batch's fingerprint set. The streaming
-    twin is :func:`tsod_spark.streaming.stream_winnow_overlap`.
+    Scale shape: corpus fingerprints are pure per-row Column algebra
+    (:func:`tsod_spark.pipeline.text.winnow_fingerprints`), the batch
+    fingerprint table is tiny and BROADCAST, and only per-(corpus_doc,
+    batch_doc) collision counts aggregate — bounded by the batch's
+    fingerprint set. ``spread`` (the :func:`minhash_signatures`
+    contract) controls the one open question, where the corpus
+    fingerprint CPU runs: the default repartitions the corpus text
+    once up front, for small/few-file corpora whose scan partitioning
+    would cap the tokenize -> k-gram -> md5 -> window-min chain at one
+    task; ``spread=False`` restores the zero-text-shuffle ingest shape
+    (scan -> fingerprint projection -> broadcast semi-computation, no
+    exchange carries text) for a standing corpus that is large and
+    well-partitioned at rest. The streaming twin is
+    :func:`tsod_spark.streaming.stream_winnow_overlap`.
     """
     from .text import winnow_fingerprints
 
-    bfp = tracked_cache(winnow_fingerprints(batch, text_col, k, window))
-    cfp = winnow_fingerprints(corpus, text_col, k, window)
+    # corpus leg spread (the fingerprint chain is the operator's CPU
+    # and a small corpus scans as one task); batch leg unspread — its
+    # chain is 1/20 the work and feeds a broadcast, so an exchange
+    # would cost more than it parallelizes
+    bfp = tracked_cache(
+        winnow_fingerprints(batch, text_col, k, window, spread=False)
+    )
+    cfp = winnow_fingerprints(corpus, text_col, k, window, spread=spread)
 
     hits_corpus = (
         cfp.alias("c")

@@ -359,7 +359,11 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def winnow_fingerprints(
-    docs: DataFrame, text_col: str = "text", k: int = 5, window: int = 4
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    spread: bool = True,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm), over word ``k``-grams.
@@ -387,7 +391,19 @@ def winnow_fingerprints(
     the minhash_signatures_rowwise lesson). Short docs (< k tokens, or
     fewer than ``window`` grams) yield no fingerprints, matching the
     DuckDB oracle's empty ranges.
+
+    ``spread=False`` skips the up-front text repartition (the
+    :func:`tsod_spark.pipeline.dedup.minhash_signatures` contract):
+    fingerprinting then runs at scan parallelism with zero exchanges.
+    Use it for streaming micro-batches (an added Exchange changes the
+    stream plan) and for tiny batch legs whose chain costs less than
+    the shuffle; the default spread exists because the tokenize ->
+    k-gram -> md5 -> window-min chain is the CPU cost of this operator
+    and a small/few-file corpus scans as a single task.
     """
+    if spread:
+        n_part = default_parallelism(docs.sparkSession)
+        docs = docs.repartition(n_part, F.col("doc_id"))
 
     def barrier(df, expr, name):
         return df.select("doc_id", F.explode(F.array(expr)).alias(name))

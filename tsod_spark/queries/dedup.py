@@ -536,8 +536,11 @@ def doc_winnow_screen(spark, sf_dir):
     partial-overlap complement of dedup_incremental (which screens
     whole-document near-dups; a lifted >= 8-token span collides here
     even when the rest of the document is new). Corpus side: per-row
-    Column-algebra fingerprints, batch fingerprints broadcast — the
-    corpus text never shuffles. Streaming twin:
+    Column-algebra fingerprints spread across cores (one up-front text
+    repartition — the few-file corpus otherwise fingerprints on a
+    single scan task; a standing well-partitioned corpus passes
+    spread=False for the zero-text-shuffle ingest shape), batch
+    fingerprints broadcast. Streaming twin:
     streaming.stream_winnow_overlap."""
     docs = table(spark, sf_dir, "documents")
     batch = docs.where(F.col("doc_id") % 20 == 0)

@@ -658,6 +658,7 @@ def stream_winnow_overlap(
         text_col,
         k,
         window,
+        spread=False,  # keep the stream plan exchange-free (stateless Generates only)
     )
 
     out_schema = StructType(
