@@ -184,7 +184,16 @@ def test_curation_pipeline_fused_single_scan(t):
     )
     p = plan(df)
     assert p.count("documents.parquet") == 3  # corpus twice + benchmark once
-    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 4
+    # 6 = dup-keeper window + packing window + tiny hit-id distinct +
+    # benchmark-gram distinct + the two up-front corpus spreads (one
+    # per corpus leg — the r15 repartition that parallelizes the
+    # tokenize-bound chains; see curate.py docstring)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 6
+    # the spread exchanges are the ONLY ones allowed to carry text
+    for block in re.split(r"\n\(\d+\) ", p):
+        head, *rest = block.split("\n")
+        if head.startswith("Exchange") and "text#" in "\n".join(rest):
+            assert "hashpartitioning(doc_id" in "\n".join(rest), head
 
 
 def test_minhash_pairs_single_materialization(t):

@@ -27,6 +27,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import default_parallelism
 from .text import all_shingles, tokens
 
 EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
@@ -69,11 +70,21 @@ def decontaminate(
     benchmark: DataFrame,
     text_col: str = "text",
     n: int = 5,
+    spread: bool = True,
 ) -> DataFrame:
     """Flag corpus docs sharing any word n-gram with a benchmark set.
 
     Per doc: distinct n-gram count, how many collide with the
     benchmark, the collision fraction, and the contaminated flag.
+
+    ``spread`` (the minhash_signatures contract): the default
+    repartitions the corpus text once so the tokenize+shingle chain —
+    this operator's CPU — is not capped at the scan's task count (a
+    few-file corpus is one task); the per-doc aggregate then reuses
+    that doc_id partitioning, so the exchange replaces the one the
+    grouped count would have needed anyway. ``spread=False`` restores
+    the zero-text-shuffle marking for corpora already well-partitioned
+    at rest.
     """
     bench_grams = (
         benchmark.select(tokens(F.col(text_col)).alias("__t"))
@@ -89,6 +100,10 @@ def decontaminate(
     # computed the gram expression three times, 47s vs 3s at sf0.1.
     # Tokenize in a staged select so the gram expression's internal
     # size guards reference a materialized array, not re-tokenizations.
+    if spread:
+        docs = docs.repartition(
+            default_parallelism(docs.sparkSession), F.col("doc_id")
+        )
     doc_grams = docs.select(
         "doc_id", tokens(F.col(text_col)).alias("__t")
     ).select(
@@ -204,8 +219,16 @@ def curation_pipeline(
       grams) and is the shape that survives a big benchmark suite.
       It costs a second (columnar, cheap) scan of the corpus — the
       measured trade.
-    - the only shuffles at any corpus size: the md5 dup window, the
-      per-source packing window, and the tiny hit-id distinct.
+    - the corpus text is spread once up front (r15): BOTH corpus legs
+      — the signal chain feeding the dup window and the contamination
+      gram explode — are tokenize-bound, and a few-file corpus runs
+      them on one scan task each; the repartition costs two text-
+      carrying exchanges (one per leg's scan) and parallelizes the
+      chain that dominates this operator. A corpus well-partitioned
+      at rest would skip it, and at that scale the exchange is the
+      same no-op-shaped round-robin of bytes the bigram pass uses.
+    - beyond those: the md5 dup window, the per-source packing window,
+      and the tiny hit-id distinct — slim scalar columns only.
     """
     from pyspark.sql import Window
 
@@ -219,6 +242,9 @@ def curation_pipeline(
     )
 
     txt = F.col(text_col)
+    docs = docs.repartition(
+        default_parallelism(docs.sparkSession), F.col("doc_id")
+    )
     bench_grams = (
         benchmark.select(tokens(txt).alias("__t"))
         .select(

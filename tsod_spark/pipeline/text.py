@@ -465,6 +465,11 @@ def bm25_search(
 
     terms = [t.lower() for t in query_terms]
     toks = tokens(F.col(text_col))
+    # NOT spread (r15 A/B): the two tokenize legs are ~0.2s each at
+    # sf0.1 and an up-front text repartition REGRESSED the query 0.65
+    # -> 1.0s — the ms-scale-chain rule; at real corpus scale the
+    # postings filter prunes before any shuffle, so scan parallelism
+    # is the right cap here
     lens = docs.select("doc_id", F.size(toks).cast("long").alias("dl"), toks.alias("__t"))
     stats = lens.agg(
         F.count(F.lit(1)).cast("long").alias("nd"),
@@ -595,7 +600,13 @@ def tfidf_topk(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame
     """
     from pyspark.sql import Window
 
-    toks = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
+    # spread the tokenize+explode across cores (few-file corpus = one
+    # scan task); the (doc, term) aggregate and the per-doc rank window
+    # shuffle by their own keys regardless, so the only added exchange
+    # is this round-robin-shaped move of the raw text
+    toks = docs.repartition(
+        default_parallelism(docs.sparkSession), F.col("doc_id")
+    ).select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
