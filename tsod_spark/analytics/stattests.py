@@ -81,12 +81,27 @@ def ks_drift(
     )
     tot = g.groupBy(*keys).agg(F.sum("__cg").cast("long").alias("__nn"))
     if keys:
-        grid = g.join(nt, keys)
+        # broadcast the per-(segment, group) totals like the unkeyed
+        # branch broadcasts the group totals: nt is bounded by
+        # |segments| x |groups|, and a shuffled join here coalesces to
+        # |segments| (one task at sf0.1) while g stays 32-way
+        grid = g.join(F.broadcast(nt), keys)
     else:
         grid = g.crossJoin(F.broadcast(nt))
     j = grid.join(
         F.broadcast(tc), [*keys, group_col, "__c"], "left"
     ).withColumn("__ct", F.coalesce(F.col("__ct"), F.lit(0).cast("long")))
+    # explicit partition count for the ECDF window: the grid frame is
+    # bytes-tiny (domain-bounded) but CPU-heavy per row, and AQE
+    # coalesces its exchange to ONE task on byte estimates (stage
+    # profile: two 1-task ~0.45s stages at sf0.1). The window needs
+    # this exact hashpartitioning anyway, so the hint replaces the
+    # exchange rather than adding one.
+    from ..util import default_parallelism
+
+    j = j.repartition(
+        default_parallelism(j.sparkSession), *keys, group_col
+    )
     w = Window.partitionBy(*keys, group_col).orderBy("__c")
     cum = j.select(
         *keys,
@@ -396,6 +411,15 @@ def wasserstein_drift(
     )
     wt = Window.partitionBy(*keys, "__t")
     wc = Window.partitionBy(*keys, "__t").orderBy("__vc")
+    # explicit partition count for the ECDF windows (the ks_drift
+    # discipline): the counts frame is bytes-tiny, AQE coalesces its
+    # exchange to one task; both windows need this hashpartitioning,
+    # so the hint replaces the exchange rather than adding one
+    from ..util import default_parallelism
+
+    counts = counts.repartition(
+        default_parallelism(counts.sparkSession), *keys, "__t"
+    )
     cum = counts.select(
         *keys,
         "__t",
