@@ -40,6 +40,16 @@ def _build_session(cpus: str):
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("tsod_spark-bench")
         .config("spark.sql.shuffle.partitions", cpus)
+        # scan split size, env-parameterized for A/B only: the 128m
+        # default matches Spark's and keeps the driver's bench
+        # comparable; production-scale guidance is LARGER splits
+        # (512m-1g, guide 6), so shrinking it to fit the local fixture
+        # would be a local-only tuning (see OPTIMIZATION_r15.md for
+        # the measured 32m A/B)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

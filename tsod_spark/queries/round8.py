@@ -2632,13 +2632,16 @@ def supplier_ship_latency(spark, sf_dir):
     so the per-group sorted list the exact percentile needs is bounded
     by items-per-supplier."""
     li = table(spark, sf_dir, "lineitem")
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    j = li.select("l_suppkey", "l_orderkey", "l_shipdate").join(
-        o, F.col("o_orderkey") == F.col("l_orderkey")
+    # narrow the shuffle (guide 2.3): both sides of the fact-fact
+    # exchange carry 4-byte DATEs instead of date strings — the cast
+    # runs map-side on the scan, the join moves ~40% fewer bytes
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("__od")
     )
-    lat = F.datediff(
-        F.to_date("l_shipdate"), F.to_date("o_orderdate")
-    ).cast("long")
+    j = li.select(
+        "l_suppkey", "l_orderkey", F.to_date("l_shipdate").alias("__sd")
+    ).join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+    lat = F.datediff(F.col("__sd"), F.col("__od")).cast("long")
     # single supplier-grain aggregate (measured: the two-level
     # (supplier, day)-histogram form adds a shuffle that costs MORE
     # than it saves — 4.2s vs 2.2s warm at sf1 — because per-group
