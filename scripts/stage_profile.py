@@ -44,6 +44,8 @@ def main() -> None:
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", evdir)
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .config(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing",
@@ -83,6 +85,15 @@ def main() -> None:
     # parse: keep only stages whose submission follows the profiled
     # marker (job with our description), i.e. the last timed run
     path = os.path.join(evdir, app_id)
+    if not os.path.isfile(path):
+        # Spark 4 rolling layout: eventlog_v2_<appId>/events_*_<appId>
+        d = os.path.join(evdir, f"eventlog_v2_{app_id}")
+        cands = [
+            os.path.join(d, f)
+            for f in sorted(os.listdir(d))
+            if f.startswith("events_")
+        ]
+        path = cands[0]
     jobs_in_window: set[int] = set()
     stage_to_job: dict[int, int] = {}
     stages: list[dict] = []
@@ -101,6 +112,28 @@ def main() -> None:
                 if stage_to_job.get(si["Stage ID"]) in jobs_in_window:
                     sub = si.get("Submission Time")
                     comp = si.get("Completion Time")
+    # first non-Spark-internal frame of the callsite —
+                    # the user-code line that created the stage's RDD;
+                    # SQL/AQE stages have JVM-only callsites, so fall
+                    # back to the stage's RDD operator-scope chain
+                    det = ""
+                    for ln in (si.get("Details") or "").splitlines():
+                        ln = ln.strip()
+                        if "/tsod_spark/" in ln or "/scripts/" in ln or ln.endswith(".py)"):
+                            det = ln
+                            break
+                    if not det:
+                        scopes = []
+                        for rdd in si.get("RDD Info", []):
+                            sc_json = rdd.get("Scope")
+                            if sc_json:
+                                try:
+                                    nm = json.loads(sc_json).get("name", "")
+                                except (ValueError, TypeError):
+                                    nm = ""
+                                if nm and (not scopes or scopes[-1] != nm):
+                                    scopes.append(nm)
+                        det = " < ".join(scopes[:6])
                     stages.append(
                         {
                             "stage": si["Stage ID"],
@@ -109,7 +142,7 @@ def main() -> None:
                             "wall_s": round((comp - sub) / 1000.0, 3)
                             if sub and comp
                             else None,
-                            "name": si.get("Stage Name", "")[:90],
+                            "name": (det or si.get("Stage Name", ""))[:110],
                         }
                     )
     stages.sort(key=lambda s: -(s["wall_s"] or 0))

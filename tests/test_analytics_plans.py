@@ -538,3 +538,24 @@ def test_salted_join_broadcasts_exploded_dim(t):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "Generate" in p and "explode" in p
+
+
+def test_governance_flags_doc_side_never_shuffles(t):
+    """Every static leg of governance_flags (content-hash set + the
+    per-band occupant-array buckets) must BROADCAST: without the hint
+    the planner chained five SortMergeJoins, re-shuffling the DOC side
+    per band with every previously attached occupant array riding
+    through the next exchange (r15). The doc side of the flags plan
+    must carry no exchange at all — that is also the stream-static
+    join shape the streaming twin needs."""
+    from tsod_spark.pipeline import dedup
+
+    docs = t("documents")
+    idx = dedup.build_corpus_index(docs.where(F.col("doc_id") % 7 != 0))
+    flags = dedup.governance_flags(docs.where(F.col("doc_id") % 7 == 0), idx)
+    p = plan(flags)
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 5  # 1 hash set + 4 band buckets
+    # the lone grouped occupant aggregation (one exchange over the
+    # index) feeds all four band legs through the cache
+    assert "InMemoryRelation" in p or "InMemoryTableScan" in p

@@ -109,6 +109,14 @@ def minhash_signatures(
     tok = docs.select("doc_id", tokens(F.col(text_col)).alias("__t"))
     sh = shingles(F.col("__t"), shingle_n)
     exploded = tok.select("doc_id", F.explode_outer(sh).alias("sh"))
+    # NOTE (r15 measured revert): min over the 8-hex-char STRING plans
+    # as SortAggregate (string buffers are not HashAggregate-able); a
+    # bit-exact numeric twin — min(conv(hex,16,10) AS BIGINT) +
+    # lower(lpad(hex(...),8,'0')) format-back — flips it to
+    # HashAggregate, but the per-shingle conv work costs MORE than the
+    # sort saves at every measured scale (A/B medians: minhash_sig
+    # 0.53->0.61/0.66, minhash_groups 1.08->1.28, incremental
+    # 2.14->2.50). The sort-based partial min stays.
     return exploded.groupBy("doc_id").agg(
         *[F.min(_component(i, F.col("sh"))).alias(f"mh{i}") for i in range(k)]
     )
@@ -2941,9 +2949,22 @@ def governance_flags(
 
     Scale shape: the stream side is pure per-row work
     (:func:`minhash_signatures_rowwise` — zero shuffle); the static
-    side is ``1 + bands`` slim frames derived from the index (hashes +
-    per-band occupant arrays) that production persists once, not
-    per tick. ``max_bucket_occupants`` caps a hot bucket's occupant
+    side is ``1 + bands`` slim frames derived from ONE grouped
+    occupant-array aggregation of the index (cached — one exchange
+    over the index regardless of ``bands``) that production persists
+    once, not per tick. All static legs are explicitly BROADCAST, the
+    :func:`incremental_new_docs` discipline: without the hint the
+    planner estimated the array-typed bucket frames over the 10 MB
+    threshold and chained five SortMergeJoins, each re-shuffling the
+    DOC side with every previously attached occupant array riding
+    through the next exchange (r15 plan audit: 5 doc-side exchanges
+    with growing array payloads -> 0; the doc side now never
+    shuffles, which is also the shape a stream-static join wants —
+    the static side is re-read per micro-batch, the stream side must
+    not re-sort). Broadcasting bounds the static side by executor
+    memory; an index too large for that is exactly the case
+    ``max_bucket_occupants`` + per-band partitioned index storage
+    exist for. ``max_bucket_occupants`` caps a hot bucket's occupant
     array (deterministic lowest-signatures-first truncation, the
     ``cap_hot_buckets`` discipline) so boilerplate buckets cannot make
     the near check per-doc unbounded; capped occupants UNDERCOUNT
@@ -2975,18 +2996,28 @@ def governance_flags(
         .distinct()
         .withColumn("__exact", F.lit(True))
     )
-    out = doc.join(hashes, "__h", "left")
+    out = doc.join(F.broadcast(hashes), "__h", "left")
 
     occ = F.collect_list("sig")
     if max_bucket_occupants is not None:
         occ = F.slice(F.array_sort(occ), 1, int(max_bucket_occupants))
+    # ONE grouped occupant aggregation for all bands (filter-then-group
+    # per band partitions the same rows identically, so each filtered
+    # slice below is row-for-row the old per-band aggregate), cached so
+    # the `bands` broadcast builds read one materialization instead of
+    # re-aggregating the index per band
+    buckets = tracked_cache(
+        index.groupBy("band", "key").agg(occ.alias("__occ"))
+    )
     for b in range(bands):
         bucket_b = (
-            index.where(F.col("band") == b)
-            .groupBy(F.col("key").alias(f"__key_{b}"))
-            .agg(occ.alias(f"__occ_{b}"))
+            buckets.where(F.col("band") == b)
+            .select(
+                F.col("key").alias(f"__key_{b}"),
+                F.col("__occ").alias(f"__occ_{b}"),
+            )
         )
-        out = out.join(bucket_b, f"__key_{b}", "left")
+        out = out.join(F.broadcast(bucket_b), f"__key_{b}", "left")
 
     near = None
     for b in range(bands):

@@ -198,7 +198,15 @@ def dedup_governance_increments(spark, sf_dir):
             )
         )
     )
-    flags = dedup.governance_flags(batch, idx)
+    # spread the batch side too (r15): with every static leg broadcast
+    # the doc side has NO exchange left, so its rowwise minhash + four
+    # exists-HOF probes run entirely on the single scan task of the
+    # one-file fixture (stage profile: 0.69s 1-task stage). Same
+    # partition-independence argument as the corpus spread.
+    flags = dedup.governance_flags(
+        batch.repartition(default_parallelism(spark), F.col("doc_id")),
+        idx,
+    )
     return dedup.governance_rollup(flags).orderBy("source")
 
 
