@@ -2657,8 +2657,17 @@ def embedding_multiprobe_tags(
                 }
             )
 
-    return embeddings.select("vec_id", vec_col).mapInPandas(
-        kernel, "vec_id long, rk int, cell int"
+    from ..util import default_parallelism
+
+    # spread the CPU-bound assignment kernel across cores: the
+    # few-file fixture scans as ONE task and the kernel's cost is the
+    # (rows x cells) distance matrix, which the scan-partition count
+    # must not cap (the _exact_cosine_pairs spread idiom; assignments
+    # are per-row deterministic, so the split cannot change the tags)
+    return (
+        embeddings.select("vec_id", vec_col)
+        .repartition(default_parallelism(embeddings.sparkSession), "vec_id")
+        .mapInPandas(kernel, "vec_id long, rk int, cell int")
     )
 
 
@@ -2780,16 +2789,12 @@ def embedding_multiprobe_stats(
     pairs = tracked_cache(
         _exact_cosine_pairs(src, min_cosine, vec_col, exact_max_vectors)
     )
+    # n is already counted driver-side for the regime branch above —
+    # reuse it as a literal instead of re-aggregating the corpus (one
+    # fewer job in a query whose sf0.1 cost is job-count overhead)
     totals = tracked_cache(
-        embeddings.agg(
-            F.count(F.lit(1)).cast("long").alias("__n_vec")
-        ).crossJoin(
-            F.broadcast(
-                pairs.agg(
-                    F.count(F.lit(1)).cast("long").alias("__n_exact")
-                )
-            )
-        )
+        pairs.agg(F.count(F.lit(1)).cast("long").alias("__n_exact"))
+        .withColumn("__n_vec", F.lit(int(n)).cast("long"))
     )
     cand_counts = _distinct_candidate_pairs_multi(tags, tuple(probes))
     # ONE fused blocked-coverage job for ALL probe widths (r14 —
