@@ -120,6 +120,8 @@ HEADLINE10 = [
     "mm_video_near_dups",
     "doc_hybrid_rrf_search",
     "emb_ivfpq_compact_stats",
+    # r15: third-decade row for the r14 events_profile rewrite
+    "events_profile",
 ]
 
 

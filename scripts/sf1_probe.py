@@ -228,6 +228,12 @@ HEADLINE = [
     "mm_video_near_dups",
     "doc_hybrid_rrf_search",
     "emb_ivfpq_compact_stats",
+    # r15: decade rows for the r14 events_profile rewrite (per-column
+    # two-level agg replaced the 4-way Expand count_distinct — the §2
+    # claim needs a scale row) and the newly spread doc tokenize legs
+    "events_profile",
+    "doc_tfidf_topk",
+    "doc_decontaminate",
 ]
 
 
