@@ -1302,7 +1302,9 @@ def lagged_cross_correlation(
     # series-x-buckets-sized — cheap to pin; plan-asserted in tests)
     per = per.where(F.col("__x").isNotNull()).localCheckpoint(eager=False)
     glob = per.groupBy("__b").agg(F.sum("__x").alias("__y"))
-    lags = F.array(*[F.lit(i) for i in range(-max_lag, max_lag + 1)])
+    from ..util import lit_int_array
+
+    lags = lit_int_array(range(-max_lag, max_lag + 1))
     e = per.select(
         *keys, "__b", "__x", F.explode(lags).alias("lag")
     ).withColumn(

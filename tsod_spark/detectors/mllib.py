@@ -365,9 +365,9 @@ class KMeansDistanceDetector(SparkDetector):
         return self
 
     def _distance_col(self):
-        centers_arr = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in self._centers]
-        )
+        from ..util import lit_double_array2d
+
+        centers_arr = lit_double_array2d(self._centers)
         vec = F.col("features")
         d2 = F.transform(
             centers_arr,

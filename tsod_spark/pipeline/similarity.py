@@ -20,6 +20,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import (
+    lit_double_array,
+    lit_double_array2d,
+    lit_int_array,
+    lit_map_int_double2d,
+)
+
 
 def dot(a: Column, b: Column) -> Column:
     """Exact double dot product with deterministic summation order."""
@@ -385,7 +392,7 @@ def ivf_topk(
     )
     query = _query_vector(embeddings, query_vec_id, vec_col)
     probe = _nearest_cells(query, centroids, n_probe)
-    qlit = F.array(*[F.lit(x) for x in query])
+    qlit = lit_double_array(query)
     return (
         assigned.where(F.col("cell").isin(probe))
         .where(F.col("vec_id") != query_vec_id)
@@ -674,22 +681,32 @@ def _adc_topk(
         ]
         for j in range(len(books))
     ]
-    dt = F.array(*[F.array(*[F.lit(d) for d in row]) for row in dtable])
+    dt = lit_double_array2d(dtable)
+    # the m ADC terms reference the distance table through ONE hoisted
+    # column rather than each embedding the m x k literal: the
+    # unresolved tree drops from m copies of the table (~m*m*k nodes,
+    # re-traversed by the eager analyzer at EVERY downstream
+    # transformation) to one, cutting driver plan-analysis latency;
+    # values are unchanged (same element_at chain, same fold order) and
+    # column pruning drops __dt after the projection (r15, guide §1.2
+    # driver-side work)
     adc = None
     for j in range(len(books)):
         term = F.element_at(
-            F.element_at(dt, j + 1), F.element_at("codes", j + 1) + 1
+            F.element_at(F.col("__dt"), j + 1),
+            F.element_at("codes", j + 1) + 1,
         )
         adc = term if adc is None else adc + term
     shortlist = (
         codes.where(F.col("vec_id") != exclude_id)
+        .select("vec_id", "codes", dt.alias("__dt"))
         .select("vec_id", F.round(adc, 6).alias("adc_d2"))
         .orderBy("adc_d2", "vec_id")
         .limit(k * refine if refine else k)
     )
     if not refine:
         return shortlist
-    qlit = F.array(*[F.lit(x) for x in q])
+    qlit = lit_double_array(q)
     exact_d2 = F.aggregate(
         F.zip_with(
             F.col(vec_col),
@@ -803,9 +820,7 @@ def ivf_assign_expr(
     (stateless, so the stream twin is the same expression). At 100 TB
     you follow it with a cell-partitioned write so probes prune files.
     """
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    cents = lit_double_array2d(centroids)
     v = F.col(vec_col)
     d2s = F.transform(
         cents,
@@ -870,7 +885,7 @@ def ivf_recall_curve(
         index if index is not None else ivf_index(embeddings, n_cells, seed, vec_col)
     )
     query = _query_vector(embeddings, query_vec_id, vec_col)
-    qlit = F.array(*[F.lit(x) for x in query])
+    qlit = lit_double_array(query)
     ranked = _nearest_cells(query, centroids, n_cells)
     plist = sorted(int(p) for p in probes)
     # FUSED curve (r14, guide §2.4/§1.2): score every candidate ONCE.
@@ -890,12 +905,10 @@ def ivf_recall_curve(
     # (score desc, vec_id) comparator, so every per-probe row equals
     # the former per-subtree result (differential-tested in
     # tests/test_opt_round14.py).
-    rk_map = F.create_map(
-        *[
-            F.lit(v)
-            for pos, c in enumerate(ranked)
-            for v in (int(c), pos + 1)
-        ]
+    rk_map = F.expr(
+        "map("
+        + ",".join(f"{int(c)},{pos + 1}" for pos, c in enumerate(ranked))
+        + ")"
     )
     qn = 0.0
     for x in query:
@@ -930,7 +943,7 @@ def ivf_recall_curve(
             for p in plist
         ]
     )
-    plit = F.array(*[F.lit(p) for p in plist])
+    plit = lit_int_array(plist)
     w = Window.partitionBy("__p").orderBy(F.desc("__cs"), "vec_id")
     hits = (
         scored.select(
@@ -1139,7 +1152,7 @@ def pq_distortion_curve(
     dim = len(q)
 
     # exact L2 ground truth, once (ADC approximates L2^2)
-    qlit = F.array(*[F.lit(x) for x in q])
+    qlit = lit_double_array(q)
     exact_d2 = F.aggregate(
         F.zip_with(
             F.col(vec_col),
@@ -1910,19 +1923,20 @@ def ivfpq_persisted_recall_curve(
         ]
         for j in range(len(books))
     ]
-    dt = F.array(*[F.array(*[F.lit(d) for d in row]) for row in dtable])
+    dt = lit_double_array2d(dtable)
+    # _adc_topk's hoist: all m terms read the table through one column
+    # so the m x k literal enters the tree once (bit-identical chain)
     adc = None
     for j in range(len(books)):
         term = F.element_at(
-            F.element_at(dt, j + 1), F.element_at("codes", j + 1) + 1
+            F.element_at(F.col("__dt"), j + 1),
+            F.element_at("codes", j + 1) + 1,
         )
         adc = term if adc is None else adc + term
-    rk_map = F.create_map(
-        *[
-            F.lit(v)
-            for pos, c in enumerate(ranked)
-            for v in (int(c), pos + 1)
-        ]
+    rk_map = F.expr(
+        "map("
+        + ",".join(f"{int(c)},{pos + 1}" for pos, c in enumerate(ranked))
+        + ")"
     )
     # Rows in cells ranked beyond max(probes) are used by NO output:
     # counts sum (__rk <= p), shortlists filter (p >= __rk), and the
@@ -1937,7 +1951,9 @@ def ivfpq_persisted_recall_curve(
         probe_cells = [int(c) for c in ranked[:pmax]]
         pruned = codes.where(F.col("cell").isin(probe_cells))
     scored = tracked_cache(
-        pruned.where(F.col("vec_id") != query_vec_id).select(
+        pruned.where(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "cell", "codes", dt.alias("__dt"))
+        .select(
             "vec_id",
             F.element_at(rk_map, F.col("cell").cast("int")).alias("__rk"),
             F.round(adc, 6).alias("__ad"),
@@ -1955,7 +1971,7 @@ def ivfpq_persisted_recall_curve(
             for p in plist
         ]
     )
-    plit = F.array(*[F.lit(p) for p in plist])
+    plit = lit_int_array(plist)
     w_adc = Window.partitionBy("__p").orderBy("__ad", "vec_id")
     short = (
         scored.select(
@@ -1969,7 +1985,7 @@ def ivfpq_persisted_recall_curve(
         .where(F.col("__rn") <= (k * refine if refine else k))
     )
     if refine:
-        qlit = F.array(*[F.lit(x) for x in q])
+        qlit = lit_double_array(q)
         exact_d2 = F.aggregate(
             F.zip_with(
                 F.col(vec_col),
@@ -2210,30 +2226,29 @@ def _residual_adc_topk(
             for j in range(mm)
         ]
 
-    map_items = []
-    for c in probe:
-        tbl = _tbl(c)
-        map_items.append(F.lit(int(c)))
-        map_items.append(
-            F.array(*[F.array(*[F.lit(d) for d in row]) for row in tbl])
-        )
-    dt_map = F.create_map(*map_items)
+    dt_map = lit_map_int_double2d((int(c), _tbl(c)) for c in probe)
+    # one hoisted per-row map lookup feeds all m terms (the _adc_topk
+    # hoist): the n_probe x m x k literal map appears ONCE in the tree
+    # instead of m times, and the row does one map probe instead of m —
+    # same element_at chain and fold order, bit-identical adc_d2
     cell_tbl = F.element_at(dt_map, F.col("cell").cast("int"))
     adc = None
     for j in range(mm):
         term = F.element_at(
-            F.element_at(cell_tbl, j + 1), F.element_at("codes", j + 1) + 1
+            F.element_at(F.col("__tbl"), j + 1),
+            F.element_at("codes", j + 1) + 1,
         )
         adc = term if adc is None else adc + term
     cand = cand.where(F.col("vec_id") != exclude_id)
     shortlist = (
-        cand.select("vec_id", F.round(adc, 6).alias("adc_d2"))
+        cand.select("vec_id", "codes", cell_tbl.alias("__tbl"))
+        .select("vec_id", F.round(adc, 6).alias("adc_d2"))
         .orderBy("adc_d2", "vec_id")
         .limit(k * refine if refine else k)
     )
     if not refine:
         return shortlist
-    qlit = F.array(*[F.lit(x) for x in q])
+    qlit = lit_double_array(q)
     exact_d2 = F.aggregate(
         F.zip_with(
             F.col(vec_col),

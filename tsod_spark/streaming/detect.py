@@ -1164,9 +1164,9 @@ def stream_ivfpq_search(
     m, _, dsub = bks.shape
 
     # --- 1. probe routing (stateless Column algebra) ---
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    from ..util import lit_double_array2d
+
+    cents = lit_double_array2d(centroids)
     v = F.col(vec_col)
     d2s = F.transform(
         cents,

@@ -175,3 +175,95 @@ def default_parallelism(spark: SparkSession) -> int:
             return int(spark.conf.get("spark.sql.shuffle.partitions"))
         except Exception:
             return 200
+
+
+# ---------------------------------------------------------------------------
+# One-round-trip literal arrays (r15, guide §1.2 per-task work applied
+# to the DRIVER: plan construction is serial driver time).
+#
+# F.array(*[F.lit(v) for v in values]) issues one py4j round-trip PER
+# ELEMENT (~1 ms each): the ADC distance tables (m x k = 256 doubles),
+# the per-cell residual maps (n_probe x m x k = 1024) and the centroid
+# routing arrays (n_cells x dim = 1024) each spent ~1 s of pure driver
+# latency BUILDING the unresolved expression tree before Spark ever saw
+# the query (measured: 0.97 s -> 0.005 s for the 4x16x16 map). These
+# helpers render the SAME expression as one SQL string parsed JVM-side
+# in a single round-trip: the parser yields the identical
+# CreateArray/CreateMap-of-Literal tree, so analysis, constant folding
+# and the executed plan are unchanged — only the Python-side
+# construction cost drops ~200x.
+#
+# Bit-exactness: repr() of a finite Python float is the shortest
+# decimal string that round-trips to the same IEEE-754 double, and
+# Spark's SQL parser converts double literals with correctly-rounded
+# decimal->binary semantics (Java Double.parseDouble), so
+# parse(repr(v) + "D") == v bit-for-bit (pinned in
+# tests/test_opt_round15.py against the py4j construction). Non-finite
+# values or empty input fall back to the per-element path, whose
+# behavior is the reference.
+# ---------------------------------------------------------------------------
+
+
+def _finite(v: float) -> bool:
+    return v == v and v not in (float("inf"), float("-inf"))
+
+
+def lit_double_array(values) -> Column:
+    """``array<double>`` literal of ``values`` in ONE py4j round-trip;
+    bit-identical to ``F.array(*[F.lit(float(v)) for v in values])``."""
+    vals = [float(v) for v in values]
+    if not vals or not all(_finite(v) for v in vals):
+        return F.array(*[F.lit(v) for v in vals])
+    return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+
+
+def lit_double_array2d(rows) -> Column:
+    """``array<array<double>>`` literal in ONE py4j round-trip;
+    bit-identical to the nested ``F.array``/``F.lit`` construction."""
+    mat = [[float(v) for v in row] for row in rows]
+    if not mat or not all(row and all(_finite(v) for v in row) for row in mat):
+        return F.array(*[F.array(*[F.lit(v) for v in row]) for row in mat])
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(v) + "D" for v in row) + ")"
+            for row in mat
+        )
+        + ")"
+    )
+
+
+def lit_int_array(values) -> Column:
+    """``array<int>`` literal in ONE py4j round-trip; bit-identical to
+    ``F.array(*[F.lit(int(v)) for v in values])`` for int32 values."""
+    vals = [int(v) for v in values]
+    if not vals or not all(-(2**31) <= v < 2**31 for v in vals):
+        return F.array(*[F.lit(v) for v in vals])
+    return F.expr("array(" + ",".join(str(v) for v in vals) + ")")
+
+
+def lit_map_int_double2d(items) -> Column:
+    """``map<int, array<array<double>>>`` literal (cell -> ADC table)
+    in ONE py4j round-trip; bit-identical to interleaved
+    ``F.create_map(F.lit(key), F.array(...), ...)`` construction.
+    ``items`` is an iterable of ``(key, rows)`` pairs; insertion order
+    is preserved exactly as create_map's argument order."""
+    pairs = [(int(k), [[float(v) for v in row] for row in rows])
+             for k, rows in items]
+    flat = [v for _, rows in pairs for row in rows for v in row]
+    if not pairs or not flat or not all(_finite(v) for v in flat):
+        out = []
+        for k, rows in pairs:
+            out.append(F.lit(k))
+            out.append(
+                F.array(*[F.array(*[F.lit(v) for v in row]) for row in rows])
+            )
+        return F.create_map(*out)
+    parts = []
+    for k, rows in pairs:
+        arrs = ",".join(
+            "array(" + ",".join(repr(v) + "D" for v in row) + ")"
+            for row in rows
+        )
+        parts.append(f"{k}, array({arrs})")
+    return F.expr("map(" + ", ".join(parts) + ")")
