@@ -119,3 +119,9 @@ def test_fallbacks_preserve_reference_path(spark):
     assert row["a"][1] == float("inf")
     assert row["b"][0][0] != row["b"][0][0]
     assert spark.range(1).select(lit_int_array([2**40]).alias("c")).first()["c"] == [2**40]
+    # a key with an empty table must not reach the SQL path (a bare
+    # array() has no element type) — the per-element path handles it
+    row = spark.range(1).select(
+        lit_map_int_double2d([(1, [[1.5]]), (2, [])]).alias("m")
+    ).first()
+    assert list(row["m"][2]) == [] and row["m"][1][0][0] == 1.5

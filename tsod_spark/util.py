@@ -251,7 +251,10 @@ def lit_map_int_double2d(items) -> Column:
     pairs = [(int(k), [[float(v) for v in row] for row in rows])
              for k, rows in items]
     flat = [v for _, rows in pairs for row in rows for v in row]
-    if not pairs or not flat or not all(_finite(v) for v in flat):
+    ragged = any(
+        not rows or any(not row for row in rows) for _, rows in pairs
+    )
+    if not pairs or ragged or not all(_finite(v) for v in flat):
         out = []
         for k, rows in pairs:
             out.append(F.lit(k))
